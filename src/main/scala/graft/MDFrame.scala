@@ -1,0 +1,349 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native re-expression of the reference dataframe's data model
+  * (SURVEY.md §1): a relational `DataFrame` plus an index that is *metadata
+  * over ordinary columns* — a name list, never a physical structure
+  * (reference: medvedi/dataframe.py:306-353).
+  *
+  * All heavy lifting is delegated to Catalyst/Tungsten; this wrapper only
+  * encodes the reference's *semantics* (index bookkeeping, dtype-zero fill,
+  * keep-first/last dedup, the null model) as plan fragments.
+  *
+  * `objectCols` marks columns whose reference dtype was `object` — their
+  * missing-value fill is `null`, while native fixed-width string columns
+  * fill with `""` (reference `_empty_array`, dataframe.py:1339-1346).
+  */
+final case class MDFrame(
+    ds: DataFrame,
+    index: Seq[String] = Nil,
+    objectCols: Set[String] = Set.empty) {
+
+  require(index.forall(ds.columns.contains),
+    s"index columns ${index.filterNot(ds.columns.contains)} missing from frame")
+
+  def spark: SparkSession = ds.sparkSession
+  def columns: Seq[String] = ds.columns.toSeq
+  def valueColumns: Seq[String] = columns.filterNot(index.contains)
+
+  // -- P1/P2: projection; index columns are always dragged along
+  //    (dataframe.py:388-392)
+  def select(cols: String*): MDFrame =
+    copy(ds = ds.select((cols ++ index.filterNot(cols.contains)).map(col): _*))
+
+  // -- P3: add/replace column (scalar broadcast via lit)
+  def withColumn(name: String, c: Column): MDFrame = copy(ds = ds.withColumn(name, c))
+  def withScalar(name: String, v: Any): MDFrame = withColumn(name, lit(v))
+
+  // -- P4: drop column; dropping an index member is forbidden
+  //    (dataframe.py:434-435)
+  def drop(cols: String*): MDFrame = {
+    val bad = cols.filter(index.contains)
+    require(bad.isEmpty, s"cannot delete index columns $bad")
+    copy(ds = ds.drop(cols: _*))
+  }
+
+  // -- P6: bulk rename incl. index names (dataframe.py:789-821)
+  def rename(mapping: Map[String, String], errors: String = "raise"): MDFrame = {
+    val missing = mapping.keys.filterNot(ds.columns.contains)
+    if (errors == "raise")
+      require(missing.isEmpty, s"rename: unknown columns $missing")
+    val eff = mapping -- missing
+    MDFrame(
+      ds.withColumnsRenamed(eff),
+      index.map(c => eff.getOrElse(c, c)),
+      objectCols.map(c => eff.getOrElse(c, c)))
+  }
+
+  // -- P7: cast columns (dataframe.py:550-579)
+  def astype(types: Map[String, DataType]): MDFrame =
+    copy(ds = types.foldLeft(ds) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+
+  // -- P8/R1: boolean-mask filter (medvedi `take(mask)`, dataframe.py:484-510)
+  def take(cond: Column): MDFrame = copy(ds = ds.filter(cond))
+
+  // -- P9: isin membership incl. invert (dataframe.py:901-929)
+  def isinMask(c: String, haystack: Seq[Any], invert: Boolean = false): Column = {
+    val m = col(c).isin(haystack: _*)
+    if (invert) !m else m
+  }
+  def filterIsin(c: String, haystack: Seq[Any], invert: Boolean = false): MDFrame =
+    take(isinMask(c, haystack, invert))
+
+  // -- P10: null mask with the reference's per-dtype semantics
+  //    (dataframe.py:948-978): float → NaN, timestamp/interval → null,
+  //    object → null, integers/booleans/fixed strings → NEVER null.
+  def isnullMask(c: String): Column = ds.schema(c).dataType match {
+    case FloatType | DoubleType       => isnan(col(c)) || col(c).isNull
+    case TimestampType | DateType     => col(c).isNull
+    case _: DayTimeIntervalType       => col(c).isNull
+    case StringType if !objectCols(c) => lit(false) // fixed-width S/U strings
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => lit(false)
+    case _                            => col(c).isNull
+  }
+  def notnullMask(c: String): Column = !isnullMask(c)
+
+  // -- P11: fillna (dataframe.py:1006-1030); NaN and null both count as
+  //    missing for float columns, mirroring the reference null model.
+  def fillna(value: Any, cols: Seq[String] = Nil): MDFrame = {
+    val targets = if (cols.isEmpty) columns else cols
+    copy(ds = targets.foldLeft(ds) { (d, c) =>
+      d.schema(c).dataType match {
+        case FloatType | DoubleType =>
+          d.withColumn(c, when(isnan(col(c)) || col(c).isNull, lit(value)).otherwise(col(c)))
+        case _ =>
+          d.withColumn(c, coalesce(col(c), lit(value)))
+      }
+    })
+  }
+
+  // -- R4: sample (dataframe.py:523-548)
+  def sample(fraction: Double, replace: Boolean = false, seed: Long = 42L): MDFrame =
+    copy(ds = ds.sample(replace, fraction, seed))
+
+  // -- R6: frames are immutable in Spark; copy is the identity
+  def copyFrame(): MDFrame = this
+
+  // -- T2: set_index / reset_index are metadata-only (dataframe.py:719-787)
+  def setIndex(cols: String*): MDFrame = {
+    require(cols.forall(ds.columns.contains), s"set_index: unknown columns")
+    copy(index = cols)
+  }
+  def resetIndex(drop: Boolean = false): MDFrame =
+    if (drop) MDFrame(ds.drop(index: _*), Nil, objectCols -- index)
+    else copy(index = Nil)
+
+  // -- O1: multi-column sort; single global `ascending` flag and
+  //    NaN/NaT placement via na_position (dataframe.py:623-671).
+  def sortValues(by: Seq[String], ascending: Boolean = true,
+      naPosition: String = "last"): MDFrame = {
+    val keys = by.map { c =>
+      val base = ds.schema(c).dataType match {
+        // medvedi na_position governs NaN too; Spark sorts NaN as largest
+        // double, so route NaN through null ordering for parity.
+        case FloatType | DoubleType => when(isnan(col(c)), lit(null)).otherwise(col(c))
+        case _ => col(c)
+      }
+      (ascending, naPosition) match {
+        case (true, "first")  => base.asc_nulls_first
+        case (true, _)        => base.asc_nulls_last
+        case (false, "first") => base.desc_nulls_first
+        case (false, _)       => base.desc_nulls_last
+      }
+    }
+    copy(ds = ds.orderBy(keys: _*))
+  }
+
+  // -- O2: sort by index levels (dataframe.py:673-717)
+  def sortIndex(ascending: Boolean = true): MDFrame =
+    sortValues(index, ascending)
+
+  // -- G1: grouping delegates to Catalyst hash aggregation; the reference's
+  //    Grouper(order, counts) + user-ufunc model (dataframe.py:866-899)
+  //    becomes groupBy().agg(...).
+  def groupby(by: String*) = ds.groupBy(by.map(col): _*)
+
+  // -- G5: distinct values of one column (dataframe.py:931-946)
+  def unique(c: String): DataFrame = ds.select(c).distinct()
+
+  // -- G6: drop_duplicates with keep=first/last (dataframe.py:823-847,
+  //    _unique 1318-1337). The reference emits survivors in *key-sorted*
+  //    order (np.unique sorts); `keep` picks which positional occurrence
+  //    survives. Positional semantics need a total order; callers at scale
+  //    should pass an explicit `orderCol`, otherwise one is derived from the
+  //    current row order (see withRowPos).
+  def dropDuplicates(subset: Seq[String], keep: String = "first",
+      orderCols: Seq[String] = Nil): MDFrame = {
+    val (d, pos) = orderCols match {
+      case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
+      case cs  => (ds, cs)
+    }
+    val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    val out = d.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy(subset.map(col): _*)
+    copy(ds = if (orderCols.isEmpty) out.drop("_pos") else out)
+  }
+
+  // -- G7: duplicated mask (dataframe.py:849-864) — rows whose key appears
+  //    before (keep=first) / after (keep=last) them.
+  def duplicated(subset: Seq[String], keep: String = "first",
+      orderCols: Seq[String] = Nil): DataFrame = {
+    val (d, pos) = orderCols match {
+      case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
+      case cs  => (ds, cs)
+    }
+    val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    d.withColumn("_dup", row_number().over(w) > 1).orderBy(pos.map(col): _*)
+  }
+
+  // -- G8: null-ignoring scalar min/max; NaN excluded like the reference's
+  //    nonemin/nonemax (dataframe.py:980-1004).
+  def nonemin(c: String): Any = ds.agg(min(MDFrame.nanToNull(ds, c))).head.get(0)
+  def nonemax(c: String): Any = ds.agg(max(MDFrame.nanToNull(ds, c))).head.get(0)
+
+  // -- G9: index key-property checks (dataframe.py:65-110)
+  def indexIsUnique: Boolean = {
+    val r = ds.agg(count(lit(1)), count_distinct(struct(index.map(col): _*))).head
+    r.getLong(0) == r.getLong(1)
+  }
+
+  // -- J6: Index.diff — anti-join on index values (dataframe.py:169-186)
+  def indexDiff(other: MDFrame): MDFrame = {
+    val otherKeys = other.ds
+      .select(other.index.zip(index).map { case (o, s) => col(o).as(s) }: _*)
+      .distinct()
+    copy(ds = ds.join(otherKeys, index, "left_anti"))
+  }
+
+  // -- T1: explode with scalar passthrough (dataframe.py:581-606): array
+  //    columns flatten (replicating the other columns); a non-array column
+  //    is a plain copy — the reference's scalar-cell behavior.
+  def explodeCol(c: String): MDFrame = ds.schema(c).dataType match {
+    case _: ArrayType =>
+      val others = columns.filterNot(_ == c)
+      copy(ds = ds.select(others.map(col) :+ explode(col(c)).as(c): _*)
+        .select(columns.map(col): _*))
+    case _ => this
+  }
+}
+
+object MDFrame {
+
+  /** Stable 0-based row position in the frame's current order. RDD
+    * zipWithIndex is the one legitimate non-declarative escape hatch
+    * (SURVEY.md §7.4 hard part 1): positional semantics need a total order
+    * that Spark does not natively carry. Prefer passing an explicit order
+    * column at scale.
+    */
+  def withRowPos(df: DataFrame, posCol: String): DataFrame = {
+    val schema = df.schema.add(StructField(posCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private[graft] def nanToNull(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case FloatType | DoubleType => when(isnan(col(c)), lit(null)).otherwise(col(c))
+      case _ => col(c)
+    }
+
+  /** The reference's missing-slot fill value per dtype (`_empty_array`,
+    * dataframe.py:1339-1346): ints→0, fixed strings→"", bool→false,
+    * float→NaN, timestamps→NaT(null), object→None(null).
+    */
+  def zeroOf(dt: DataType, isObject: Boolean): Option[Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(lit(0).cast(dt))
+    case FloatType | DoubleType  => Some(lit(Double.NaN).cast(dt))
+    case StringType if !isObject => Some(lit(""))
+    case BooleanType             => Some(lit(false))
+    case BinaryType              => Some(lit(Array.emptyByteArray))
+    case _                       => None // timestamp/interval/object/array → null
+  }
+
+  private def zeroFill(df: DataFrame, cols: Seq[String], objectCols: Set[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      zeroOf(d.schema(c).dataType, objectCols(c)) match {
+        case Some(z) => d.withColumn(c, coalesce(col(c), z))
+        case None    => d
+      }
+    }
+
+  /** N-way equi-join on the index (reference J1-J5, dataframe.py:1126-1284).
+    *
+    * Semantics ported:
+    *   - frames join by index *position*: each frame's index columns are
+    *     renamed to the first frame's index names;
+    *   - `how ∈ {left, right, inner, outer}`; `right` = reversed `left`
+    *     (dataframe.py:1134-1135);
+    *   - per-frame `suffixes`; same-named unsuffixed value columns are
+    *     overwritten by the rightmost frame (tests/test_join.py:172-178);
+    *   - non-matched slots get dtype zero, not null (J4);
+    *   - output ordered by the index key (J5).
+    *
+    * Divergence (documented, SURVEY.md §7.4): duplicate keys in non-first
+    * frames raise NotImplementedError in the reference; Spark handles m:n
+    * joins natively, so they are allowed here — a strict superset.
+    *
+    * Scale: each pairwise join is a plain Catalyst equi-join — AQE picks
+    * broadcast-hash for small frames, sort-merge otherwise; nothing here
+    * collects to the driver.
+    */
+  def join(how: String, frames: Seq[MDFrame],
+      suffixes: Seq[Option[String]] = Nil): MDFrame = {
+    require(frames.nonEmpty && frames.size <= 255, "join takes 1..255 frames")
+    require(frames.forall(_.index.nonEmpty), "all frames must have an index")
+    val arity = frames.head.index.size
+    require(frames.forall(_.index.size == arity), "index arity mismatch")
+
+    if (how == "right")
+      return join("left", frames.reverse,
+        if (suffixes.isEmpty) Nil else suffixes.reverse)
+
+    val keyNames = frames.head.index
+    val sfx = if (suffixes.isEmpty) Seq.fill(frames.size)(None) else suffixes
+    require(sfx.size == frames.size, "one suffix per frame")
+
+    // Rename index → first frame's names; apply value-column suffixes.
+    val prepped = frames.zip(sfx).map { case (f, s) =>
+      val keyRenamed = f.index.zip(keyNames).foldLeft(f.ds) {
+        case (d, (from, to)) => if (from == to) d else d.withColumnRenamed(from, to)
+      }
+      val valueRenames = s match {
+        case Some(suffix) => f.valueColumns.map(c => c -> s"$c$suffix").toMap
+        case None         => Map.empty[String, String]
+      }
+      val d = keyRenamed.withColumnsRenamed(valueRenames)
+      val objs = f.objectCols.map(c => valueRenames.getOrElse(c, c))
+      (d, objs)
+    }
+
+    // Unsuffixed collisions: rightmost frame wins → drop from earlier frames.
+    val valueColsPerFrame = prepped.map(_._1.columns.toSeq.filterNot(keyNames.contains))
+    val deduped = prepped.zipWithIndex.map { case ((d, objs), i) =>
+      val mine = valueColsPerFrame(i)
+      val shadowedByLater = mine.filter(c => valueColsPerFrame.drop(i + 1).exists(_.contains(c)))
+      (d.drop(shadowedByLater: _*), objs)
+    }
+
+    val sparkHow = how match {
+      case "left"  => "left_outer"
+      case "inner" => "inner"
+      case "outer" => "full_outer"
+      case other   => throw new IllegalArgumentException(s"how=$other")
+    }
+    val joined = deduped.map(_._1).reduceLeft { (a, b) =>
+      a.join(b, keyNames, sparkHow)
+    }
+    val allObjs = deduped.flatMap(_._2).toSet
+    val filled = zeroFill(joined, joined.columns.filterNot(keyNames.contains).toSeq, allObjs)
+    MDFrame(filled.orderBy(keyNames.map(col): _*), keyNames, allObjs)
+  }
+
+  /** Vertical concat (reference U1/U2, dataframe.py:1068-1124).
+    * `strict=true` requires identical column sets; `strict=false` unions
+    * differing sets, filling missing cells with dtype zero (object → null).
+    */
+  def concat(frames: Seq[MDFrame], strict: Boolean = true,
+      ignoreIndex: Boolean = false): MDFrame = {
+    require(frames.nonEmpty, "concat of zero frames")
+    if (strict) {
+      val cols = frames.head.columns.toSet
+      require(frames.forall(_.columns.toSet == cols),
+        "strict concat requires identical column sets")
+    }
+    val unioned = frames.map(_.ds).reduceLeft(_.unionByName(_, allowMissingColumns = !strict))
+    val allObjs = frames.flatMap(_.objectCols).toSet
+    val filled =
+      if (strict) unioned
+      else zeroFill(unioned, unioned.columns.toSeq, allObjs)
+    val idx = if (ignoreIndex) Nil else frames.head.index
+    MDFrame(filled, idx, allObjs)
+  }
+}

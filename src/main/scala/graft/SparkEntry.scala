@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def allDefs: Seq[QueryDef] =
-    graft.queries.CoreQueries.defs
+    graft.queries.CoreQueries.defs ++
+      graft.queries.JoinQueries.defs ++
+      graft.queries.GroupQueries.defs ++
+      graft.queries.WindowQueries.defs ++
+      graft.queries.MiscQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

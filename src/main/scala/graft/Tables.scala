@@ -24,7 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * rejects by default. Read it as a nanos-since-epoch long (exposed as
+    * `ts_ns`) plus a microsecond-truncated TimestampType `ts`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    apply(s, d, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

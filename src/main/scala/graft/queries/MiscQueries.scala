@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{MDFrame, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Set ops (U3), vertical concat (U1/U2), explode (T1), JSON (S5), sampling
+  * (R4), positional take (R1) — the remaining SURVEY.md §2 surface.
+  */
+object MiscQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q30: concat strict via MDFrame (U1 — UNION ALL keeps dupes) ------
+    QueryDef(
+      "q30_concat_strict",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val hi = MDFrame(o.filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        val ur = MDFrame(o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 350000.0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        MDFrame.concat(Seq(hi, ur)).ds
+          .orderBy(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000.0) t
+             |ORDER BY o_orderkey, o_totalprice""".stripMargin)),
+
+    // ---- q31: concat loose via MDFrame (U2 — dtype-zero fill) -------------
+    // Missing long → 0, missing native string → "" (reference
+    // tests/test_concat.py:96-111 semantics).
+    QueryDef(
+      "q31_concat_loose",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val a = MDFrame(o.filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderkey"), col("o_custkey")))
+        val b = MDFrame(o.filter(col("o_orderkey") <= 100)
+          .select(col("o_orderkey"), col("o_orderpriority")))
+        MDFrame.concat(Seq(a, b), strict = false).ds
+          .orderBy(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_custkey, '' AS o_orderpriority
+             |  FROM orders WHERE o_totalprice > 450000.0
+             |  UNION ALL
+             |  SELECT o_orderkey, 0 AS o_custkey, o_orderpriority
+             |  FROM orders WHERE o_orderkey <= 100) t
+             |ORDER BY o_orderkey, o_custkey, o_orderpriority""".stripMargin)),
+
+    // ---- q32: intersect (U3 — free in Spark) ------------------------------
+    QueryDef(
+      "q32_intersect",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val building = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        building.intersect(urgent).orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- q33: except ------------------------------------------------------
+    QueryDef(
+      "q33_except",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.select(col("c_custkey").as("custkey"))
+          .except(o.select(col("o_custkey").as("custkey")))
+          .orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- q34: explode via MDFrame (T1) ------------------------------------
+    QueryDef(
+      "q34_explode_tokens",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("doc_id") < 50)
+          .withColumn("tok", split(col("text"), " "))
+          .select(col("doc_id"), col("tok"))
+        MDFrame(docs).explodeCol("tok").ds
+          .orderBy(col("doc_id"), col("tok"))
+      },
+      Some("""SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id, tok""".stripMargin)),
+
+    // ---- q35: to_json (S5 — the reference's canonical JSON encoder) -------
+    QueryDef(
+      "q35_to_json",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") <= 200)
+          .select(col("o_orderkey"),
+            to_json(struct(col("o_orderkey"), col("o_orderstatus"), col("o_custkey")))
+              .as("js"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  to_json(struct_pack(o_orderkey := o_orderkey,
+             |    o_orderstatus := o_orderstatus, o_custkey := o_custkey))::VARCHAR AS js
+             |FROM orders WHERE o_orderkey <= 200
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q36: get_json_object — parse the events props JSON ---------------
+    QueryDef(
+      "q36_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- q37: positional take — gather specific row numbers (R1) ----------
+    QueryDef(
+      "q37_take_positions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("pos", row_number().over(w) - 1)
+          .filter(col("pos").isin(0, 10, 100, 1000))
+          .orderBy(col("pos"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, pos FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+             |  FROM orders) t
+             |WHERE pos IN (0, 10, 100, 1000) ORDER BY pos""".stripMargin)),
+
+    // ---- q38: seeded sample — deterministic per engine, not across engines;
+    //      rows-only check (no oracle), like the reference's R4.
+    QueryDef(
+      "q38_sample",
+      (s, dir) =>
+        MDFrame(Tables.orders(s, dir)).sample(0.1, seed = 42L).ds
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key")),
+      None)
+  )
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Golden values ported from the reference's per-operator tests:
+  * concat (test_concat.py), dedup (test_duplicates.py), sorting
+  * (test_sort_values.py), nulls (test_isnull.py), explode
+  * (test_explode.py), groupby (test_groupby.py), plus projection /
+  * index bookkeeping (test_init.py).
+  */
+class OpsSpec extends SparkSuite {
+
+  test("concat strict: vertical union keeps duplicates (test_concat.py)") {
+    val a = MDFrame(frame("i" -> Seq(0, 1), "a" -> Seq(1, 2)), Seq("i"))
+    val b = MDFrame(frame("i" -> Seq(1, 2), "a" -> Seq(2, 3)), Seq("i"))
+    val c = MDFrame.concat(Seq(a, b))
+    assert(collectCol[Int](c.ds.orderBy("i", "a"), "a") == Seq(1, 2, 2, 3))
+    assert(c.index == Seq("i"))
+  }
+
+  test("concat strict rejects differing column sets") {
+    val a = MDFrame(frame("a" -> Seq(1)))
+    val b = MDFrame(frame("b" -> Seq(2)))
+    intercept[IllegalArgumentException](MDFrame.concat(Seq(a, b)))
+  }
+
+  test("concat loose: missing ints→0, missing object strings→null (test_concat.py:96-111)") {
+    val a = MDFrame(frame("a" -> Seq(1, 2, 3)))
+    val b = MDFrame(frame("b" -> Seq("x", "y")), Nil, Set("b"))
+    val c = MDFrame.concat(Seq(a, b), strict = false)
+    val got = rows(c.ds.orderBy(col("a"), col("b")))
+    assert(got == Seq(
+      Seq(0, "x"), Seq(0, "y"), Seq(1, null), Seq(2, null), Seq(3, null)))
+  }
+
+  test("drop_duplicates keep=first (test_duplicates.py:9-24)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2, 2, 3), "b" -> Seq(0, 1, 2, 3)))
+    val got = df.dropDuplicates(Seq("a"))
+    assert(collectCol[Int](got.ds, "a") == Seq(1, 2, 3))
+    assert(collectCol[Int](got.ds, "b") == Seq(0, 1, 3))
+  }
+
+  test("drop_duplicates keep=last, key-sorted output (test_duplicates.py:31-45)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(1, 2, 2, 3, 5, 3, 6),
+      "b" -> Seq(0, 1, 2, 3, 4, 5, 6)))
+    val got = df.dropDuplicates(Seq("a"), keep = "last")
+    assert(collectCol[Int](got.ds, "a") == Seq(1, 2, 3, 5, 6))
+    assert(collectCol[Int](got.ds, "b") == Seq(0, 2, 5, 4, 6))
+  }
+
+  test("duplicated mask in original order (test_duplicates.py:26-28)") {
+    val df = MDFrame(frame("a" -> Seq(3, 3, 1, 2, 2, 3)))
+    val got = collectCol[Boolean](df.duplicated(Seq("a")), "_dup")
+    assert(got == Seq(false, true, false, false, true, true))
+  }
+
+  test("sort_values: NaN placement via na_position (test_sort_values.py:69-86)") {
+    val df = MDFrame(frame(
+      "a" -> Seq[Any](3.0, 2.0, 2.0, 1.0, Double.NaN, -2.0, -1.0)))
+    val last = df.sortValues(Seq("a"), naPosition = "last")
+    val gl = collectCol[Double](last.ds, "a")
+    assert(gl.take(6) == Seq(-2.0, -1.0, 1.0, 2.0, 2.0, 3.0) && gl(6).isNaN)
+    val first = df.sortValues(Seq("a"), naPosition = "first")
+    val gf = collectCol[Double](first.ds, "a")
+    assert(gf(0).isNaN && gf.drop(1) == Seq(-2.0, -1.0, 1.0, 2.0, 2.0, 3.0))
+  }
+
+  test("sort_values: multi-column with negatives, global descending (test_sort_values.py:50-59)") {
+    val df = MDFrame(frame("a" -> Seq(3, 2, 2, 1), "b" -> Seq(0, 0, -1, 2)))
+    val asc = df.sortValues(Seq("a", "b"))
+    assert(rows(asc.ds) == Seq(Seq(1, 2), Seq(2, -1), Seq(2, 0), Seq(3, 0)))
+    val desc = df.sortValues(Seq("a", "b"), ascending = false)
+    assert(rows(desc.ds) == Seq(Seq(3, 0), Seq(2, 0), Seq(2, -1), Seq(1, 2)))
+  }
+
+  test("isnull matrix: float NaN yes, ints/native strings never (test_isnull.py:15-39)") {
+    val df = MDFrame(
+      frame("f" -> Seq[Any](1.0, Double.NaN), "i" -> Seq(1, 2),
+        "s" -> Seq("x", "y"), "o" -> Seq[Any]("a", null)),
+      Nil, Set("o"))
+    val f = df.ds.select(df.isnullMask("f").as("m"))
+    assert(collectCol[Boolean](f, "m") == Seq(false, true))
+    val i = df.ds.select(df.isnullMask("i").as("m"))
+    assert(collectCol[Boolean](i, "m") == Seq(false, false))
+    val s = df.ds.select(df.isnullMask("s").as("m"))
+    assert(collectCol[Boolean](s, "m") == Seq(false, false))
+    val o = df.ds.select(df.isnullMask("o").as("m"))
+    assert(collectCol[Boolean](o, "m") == Seq(false, true))
+  }
+
+  test("fillna replaces NaN and null (dataframe.py:1006-1030)") {
+    val df = MDFrame(frame("f" -> Seq[Any](1.0, Double.NaN), "o" -> Seq[Any]("a", null)), Nil, Set("o"))
+    val got = df.fillna(0.0, Seq("f")).fillna("?", Seq("o"))
+    assert(collectCol[Double](got.ds, "f") == Seq(1.0, 0.0))
+    assert(collectCol[String](got.ds, "o") == Seq("a", "?"))
+  }
+
+  test("nonemin/nonemax skip NaN; all-NaN → null (dataframe.py:980-1004)") {
+    val df = MDFrame(frame("f" -> Seq[Any](3.0, Double.NaN, 1.0)))
+    assert(df.nonemin("f") == 1.0)
+    assert(df.nonemax("f") == 3.0)
+    val allNaN = MDFrame(frame("f" -> Seq[Any](Double.NaN, Double.NaN)))
+    assert(allNaN.nonemin("f") == null)
+  }
+
+  test("explode flattens arrays replicating other columns (test_explode.py:10-21)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(Seq(1, 2), Seq(3), Seq(4, 5, 6)),
+      "b" -> Seq(9, 8, 7)))
+    val got = df.explodeCol("a")
+    assert(rows(got.ds.orderBy(col("b").desc, col("a"))) == Seq(
+      Seq(1, 9), Seq(2, 9), Seq(3, 8), Seq(4, 7), Seq(5, 7), Seq(6, 7)))
+  }
+
+  test("explode on a scalar column is a plain copy (scalar passthrough, T1)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2), "b" -> Seq(9, 8)))
+    assert(rows(df.explodeCol("a").ds) == rows(df.ds))
+  }
+
+  test("groupby sums match the reference golden (test_groupby.py:43-47)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(1, 1, 2, 2, 3, 3, 3),
+      "b" -> Seq(4, 5, 6, 7, 8, 9, 10)))
+    val got = df.groupby("a").agg(sum("b").as("s")).orderBy("a")
+    assert(collectCol[Long](got, "s") == Seq(9L, 13L, 27L))
+  }
+
+  test("select drags index columns along (dataframe.py:388-392)") {
+    val df = MDFrame(frame("i" -> Seq(0, 1), "a" -> Seq(1, 2), "b" -> Seq(3, 4)), Seq("i"))
+    assert(df.select("a").ds.columns.toSeq == Seq("a", "i"))
+  }
+
+  test("deleting an index column is forbidden (dataframe.py:434-435)") {
+    val df = MDFrame(frame("i" -> Seq(0), "a" -> Seq(1)), Seq("i"))
+    intercept[IllegalArgumentException](df.drop("i"))
+    assert(df.drop("a").ds.columns.toSeq == Seq("i"))
+  }
+
+  test("rename updates index names; unknown columns raise (dataframe.py:789-821)") {
+    val df = MDFrame(frame("i" -> Seq(0), "a" -> Seq(1)), Seq("i"))
+    val r = df.rename(Map("i" -> "j", "a" -> "b"))
+    assert(r.index == Seq("j") && r.ds.columns.toSeq == Seq("j", "b"))
+    intercept[IllegalArgumentException](df.rename(Map("zz" -> "q")))
+    assert(df.rename(Map("zz" -> "q"), errors = "ignore").ds.columns.toSeq == Seq("i", "a"))
+  }
+
+  test("astype casts per-column (dataframe.py:550-579)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2)))
+    val got = df.astype(Map("a" -> DoubleType))
+    assert(got.ds.schema("a").dataType == DoubleType)
+  }
+
+  test("isin + invert (test_isin.py)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2, 3, 4)))
+    assert(collectCol[Int](df.filterIsin("a", Seq(2, 4)).ds.orderBy("a"), "a") == Seq(2, 4))
+    assert(collectCol[Int](df.filterIsin("a", Seq(2, 4), invert = true).ds.orderBy("a"), "a") == Seq(1, 3))
+  }
+
+  test("unique distinct values (dataframe.py:931-946)") {
+    val df = MDFrame(frame("a" -> Seq(3, 1, 3, 2, 1)))
+    assert(collectCol[Int](df.unique("a").orderBy("a"), "a") == Seq(1, 2, 3))
+  }
+
+  test("set_index/reset_index are metadata-only (dataframe.py:719-787)") {
+    val df = MDFrame(frame("i" -> Seq(0), "a" -> Seq(1)))
+    val withIdx = df.setIndex("i")
+    assert(withIdx.index == Seq("i"))
+    assert(withIdx.resetIndex().index.isEmpty)
+    assert(withIdx.resetIndex(drop = true).ds.columns.toSeq == Seq("a"))
+  }
+
+  test("index is_unique (dataframe.py:65-72)") {
+    assert(MDFrame(frame("i" -> Seq(0, 1, 2)), Seq("i")).indexIsUnique)
+    assert(!MDFrame(frame("i" -> Seq(0, 1, 1)), Seq("i")).indexIsUnique)
+  }
+}
