@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.JoinQueries.defs ++
       graft.queries.GroupQueries.defs ++
       graft.queries.WindowQueries.defs ++
-      graft.queries.MiscQueries.defs
+      graft.queries.MiscQueries.defs ++
+      graft.queries.ExtensionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

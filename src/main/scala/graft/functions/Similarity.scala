@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `ArrayType` embedding columns.
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) — no UDFs, so whole-stage codegen spans the
+  * similarity computation (SURVEY.md north-star: similarity search).
+  *
+  * Scale design:
+  *   - brute-force top-k broadcasts the (small) query set against the
+  *     candidate corpus — a map-only pass over 100 TB, no shuffle until the
+  *     final per-query top-k (TakeOrdered-style window on k·|queries| rows);
+  *   - the LSH path buckets vectors by deterministic random-hyperplane
+  *     signs, so candidate generation is an equi-join on bucket id — the
+  *     cross product never materializes.
+  */
+object Similarity {
+
+  /** Sequential left fold dot product: deterministic evaluation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Deterministic ±1 hyperplane signs: plane p, dimension d → sign from the
+    * first hex digit of md5("p:d") (public well-known construction: random
+    * hyperplane LSH, Charikar 2002; md5 stands in for a seeded RNG so the
+    * same planes are reproducible in any engine).
+    */
+  def planeSigns(nPlanes: Int, dim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1 else -1
+    }
+  }
+
+  /** Sign-LSH bucket id (0 until 2^nPlanes) for an embedding column. */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column = {
+    val signs = planeSigns(nPlanes, dim)
+    signs.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(v => lit(v.toDouble)): _*)
+      when(dot(emb, planeCol) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Exact brute-force cosine top-k: for each row of `queries`, the k
+    * nearest rows of `candidates` (excluding self when ids collide).
+    * `queries` is broadcast; the join is a map-side nested loop over the
+    * candidate partitions.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(embCol).cast("array<double>").as("q_emb")))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(embCol).cast("array<double>").as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** LSH-bucketed approximate near-duplicate pairs: vectors sharing a
+    * bucket are checked exactly; pairs at or above `minCosine` survive.
+    * Scale path: equi-join on bucket — candidates per bucket ≈ n/2^planes.
+    */
+  def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .withColumn("bucket", lshBucket(col("e"), nPlanes, dim))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col("e").as("e_a"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col("e").as("e_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (north-star
+  * extension): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Hash family: salted md5. md5 is available and bit-identical in every
+  * engine (Spark, DuckDB, Trino, ...), which makes each stage
+  * oracle-checkable; the lexicographic MIN of salted digests is a valid
+  * minwise permutation (Broder 1997's MinHash with the hash ordering as the
+  * permutation).
+  *
+  * Scale design: every stage is a groupBy/join on a hash key — shuffles
+  * partition by digest, so 100 TB of documents spread evenly; no stage
+  * collects or cross-joins the full corpus. LSH banding turns near-dup
+  * search into an equi-join on band keys.
+  */
+object Dedup {
+
+  /** Tokenize: whitespace split (the corpus is pre-normalized text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact duplicate groups: md5 over the raw text. */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keeper_id"))
+
+  /** Canonical-token-set fingerprint: md5 of the sorted distinct tokens.
+    * Catches reordered-but-identical-bag documents (fingerprinting stage).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** k salted-md5 minhashes per document. Returns one column per hash:
+    * mh0..mh{k-1}. Input: (idCol, textCol).
+    */
+  def minhashSignature(docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("tok")))).as(s"mh$i"))
+    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band keys over a minhash signature: `bands` groups of `rowsPerBand`
+    * hashes, each band key = md5 of the concatenated mins.
+    */
+  def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands).foldLeft(sig) { (d, b) =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      d.withColumn(s"band$b", md5(concat(cols: _*)))
+    }
+
+  /** LSH candidate pairs: documents sharing any band key (a < b). */
+  def lshCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = bandKeys(minhashSignature(docs, bands * rowsPerBand, textCol, idCol),
+      bands, rowsPerBand)
+    val perBand = (0 until bands).map { b =>
+      val l = sig.select(col(s"band$b").as("bk"), col(idCol).as("id_a"))
+      val r = sig.select(col(s"band$b").as("bk"), col(idCol).as("id_b"))
+      l.join(r, "bk").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    perBand.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Exact token-set Jaccard for given candidate pairs
+    * (columns id_a, id_b). Join-based: |A∩B| via token equi-join,
+    * |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def jaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = docs.select(col(idCol).as("jid"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = sets.groupBy(col("jid")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sets.select(col("jid").as("id_a"), col("tok")), "id_a")
+      .join(sets.select(col("jid").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("jid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("jid").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  /** Engine-portable SQL snippet for one SimHash bit contribution of a
+    * token column `tok`: ±1 from bit `j` (0..4*hexChars-1, MSB-first within
+    * each nibble) of md5(tok). Valid in both Spark SQL and DuckDB —
+    * the same text is used on both sides of the oracle check.
+    */
+  def simhashBitSql(j: Int, tokExpr: String = "tok"): String = {
+    val nibblePos = j / 4 + 1            // 1-based hex char position
+    val weight = 1 << (3 - j % 4)        // bit within the nibble, MSB first
+    s"(2 * (CAST(floor((instr('0123456789abcdef', substr(md5($tokExpr), $nibblePos, 1)) - 1) / $weight) AS INT) % 2) - 1)"
+  }
+
+  /** nBits-bit SimHash per document: sum each bit's ±1 contributions over
+    * the token multiset; bit set iff the sum is positive.
+    */
+  def simhash(docs: DataFrame, nBits: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBits <= 32, "simhash uses md5 hex nibbles; <=32 bits supported here")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val sums = (0 until nBits).map(j => sum(expr(simhashBitSql(j))).as(s"s$j"))
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val hash = (0 until nBits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+}

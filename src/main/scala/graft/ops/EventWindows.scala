@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the events table (north-star extension;
+  * SURVEY.md §2.10 — the reference has no streaming/windows, these are the
+  * Spark-superset operators).
+  *
+  * Batch forms below are expressed in epoch arithmetic so a SQL oracle can
+  * replay them; the Structured Streaming forms (same logical windows, with
+  * watermarks) live in graft.streaming.StreamingWindows.
+  *
+  * All window starts are integer epoch seconds — deterministic in any
+  * engine, no timezone/precision traps (the source `ts` is nanos).
+  */
+object EventWindows {
+
+  /** Exact integer epoch seconds from nanos. `div` is 64-bit integer
+    * division — a double roundtrip would lose sub-256ns precision at
+    * 2024-era epochs and could shift a window boundary.
+    */
+  private def epochSec = expr("ts_ns div 1000000000")
+
+  /** Tumbling window aggregation: window length in seconds. */
+  def tumbling(events: DataFrame, widthSec: Long): DataFrame =
+    events
+      .withColumn("win_start", epochSec - (epochSec % widthSec))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Sliding windows: width `widthSec`, slide `slideSec` (width must be a
+    * multiple of slide). Each event lands in width/slide windows —
+    * generated with explode, no self-join.
+    */
+  def sliding(events: DataFrame, widthSec: Long, slideSec: Long): DataFrame = {
+    require(widthSec % slideSec == 0, "width must be a multiple of slide")
+    val k = (widthSec / slideSec).toInt
+    val sec = epochSec
+    val base = sec - (sec % slideSec)
+    val starts = array((0 until k).map(i => base - lit(i.toLong * slideSec)): _*)
+    events
+      .withColumn("win_start", explode(starts))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Session windows per user: a new session starts after a gap of more
+    * than `gapSec` seconds. Classic lag + running-sum sessionization; the
+    * per-user window sort is the only shuffle (partition by user — scales
+    * with user cardinality, not event count per partition).
+    */
+  def sessions(events: DataFrame, gapSec: Long): DataFrame = {
+    val sec = epochSec
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("sec", sec)
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(w) > gapSec, 1)
+          .when(lag(col("sec"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("sec")).as("sess_start"),
+        (max(col("sec")) - min(col("sec"))).as("duration_s"))
+  }
+}

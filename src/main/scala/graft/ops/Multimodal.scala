@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media document: opaque binary payload + typed metadata. */
+final case class MediaDoc(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Extracted features. Dimensions come from the decoder (STUBBED here). */
+final case class MediaFeatures(doc_id: Long, media_type: String,
+    n_bytes: Int, first_byte: Int, width: Int, height: Int, n_frames: Int)
+
+/** Multimodal column plumbing (north-star extension): image/audio/video
+  * as opaque `binary` columns with typed metadata, decoded/featurized in
+  * batched per-partition passes.
+  *
+  * ==== STUB NOTICE ====
+  * No image/audio codec libraries exist in this environment, so
+  * `decodeStub` derives dimensions deterministically from the payload
+  * bytes. The Spark-side plumbing — binary schema, Dataset encoders,
+  * mapPartitions batching, partition sizing — is real and tested; swap
+  * `decodeStub` for a JNI/codec call in production.
+  *
+  * Scale design: `mapPartitions` amortizes decoder initialization once per
+  * partition (the expensive part for real codecs); payloads never leave
+  * their partition — feature extraction is map-only over 100 TB, and the
+  * narrow `MediaFeatures` output (not the blobs) is what any downstream
+  * shuffle carries.
+  */
+object Multimodal {
+
+  /** Attach a fake binary payload to the documents table (UTF-8 bytes of
+    * the text stand in for image bytes; media_type derived from source).
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: deterministic pseudo-dimensions from payload bytes.
+    * Real implementation would be e.g. an image codec returning
+    * (width, height, frames) — marked ??? semantics, faked for tests.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val n = payload.length
+    val first = if (n == 0) 0 else payload(0) & 0xff
+    (64 + n % 32, 64 + first % 32, 1 + n % 8)
+  }
+
+  /** Batched per-partition feature extraction. The iterator-in /
+    * iterator-out shape means constant memory per partition regardless of
+    * partition size.
+    */
+  def extractFeatures(media: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // decoder init would happen here, once per partition
+      it.map { m =>
+        val (w, h, f) = decodeStub(m.payload)
+        val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
+        MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
+      }
+    }
+  }
+
+  /** End-to-end: documents → payloads → features, as a DataFrame. */
+  def featuresOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(attachPayload(docs).as[MediaDoc]).toDF()
+  }
+}

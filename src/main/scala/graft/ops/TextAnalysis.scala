@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star extension):
+  * token statistics, quality scoring, language identification, BPE-ish
+  * token counting. All pure column expressions — codegen'd end to end,
+  * embarrassingly parallel at any scale (no shuffle except final aggs).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document statistics: chars, tokens, distinct tokens, mean token
+    * length (exact rational: sum of lengths / count).
+    */
+  def stats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_m"),
+      size(tokens(col(textCol))).as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).as("n_distinct"),
+      ((length(col(textCol)) - size(tokens(col(textCol))) + 1).cast("double") /
+        size(tokens(col(textCol)))).as("mean_tok_len"))
+
+  /** Quality heuristics: type-token ratio, mean token length, share of
+    * single-char tokens; composite score in [0,1]-ish. Deterministic
+    * rational arithmetic → oracle-checkable bitwise.
+    */
+  def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
+    docs.select(col(idCol), ttr.as("ttr"), short.as("short_ratio"),
+      (ttr * (lit(1.0) - short)).as("quality"))
+  }
+
+  /** Tiny per-language stopword lists for n-gram-free heuristic lang-id.
+    * Public common words; tie-break by list order (en,de,fr,es,zh).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** Stopword-vote language id: score = #tokens in each language's list;
+    * prediction = argmax, ties resolved by list order.
+    */
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: stopwords.map { case (lang, words) =>
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as(s"score_$lang")
+      }): _*)
+    // argmax with deterministic tie order = fold over languages
+    val (bestLang, _) = stopwords.foldLeft((lit("und"), lit(-1))) {
+      case ((bl, bs), (lang, _)) =>
+        val s = col(s"score_$lang")
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.withColumn("pred_lang", bestLang)
+  }
+
+  /** BPE-ish token count: alphabetic runs, digit runs, and isolated
+    * non-alphanumerics — a portable stand-in for subword tokenizers.
+    */
+  def bpeishCount(textColName: String): Column =
+    size(expr(s"regexp_extract_all($textColName, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+
+  /** Engine-portable SQL: integer value of the first `nChars` hex chars of
+    * md5(expr). Same text runs in Spark SQL and DuckDB (both have instr/
+    * substr/md5); every multiplier is cast to BIGINT so neither engine
+    * overflows 32-bit ints.
+    */
+  def tokenHashSql(tokExpr: String, nChars: Int = 8): String =
+    (1 to nChars).map { i =>
+      val mult = 1L << (4 * (nChars - i))
+      s"(instr('0123456789abcdef', substr(md5($tokExpr), $i, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Rolling polynomial fingerprint over tokens: sequential fold
+    * acc ← (acc·31 + tokenHash) mod 10^12. Deterministic, overflow-free in
+    * checked-arithmetic engines, and expressible as a DuckDB
+    * list_reduce(list_prepend(0, list_transform(...))) for the oracle.
+    */
+  def rollingFingerprint(textColName: String): Column =
+    expr(s"""aggregate(split($textColName, ' '), CAST(0 AS BIGINT),
+            |  (acc, t) -> (acc * 31 + ${tokenHashSql("t")}) % 1000000000000)""".stripMargin)
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.Similarity
+import graft.ops.{Dedup, EventWindows, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** North-star extension queries (the LLM-training-data-pipeline surface):
+  * deduplication, similarity search, text analysis, multimodal plumbing,
+  * event-time windows.
+  *
+  * Oracle parity strategy: every hash is salted md5 (bit-identical in
+  * Spark and DuckDB), every window start is integer epoch arithmetic, and
+  * engine-shared SQL snippets are *generated once in Scala* and used on
+  * both sides (simhash bits, token hashes, LSH hyperplanes) — so even the
+  * approximate algorithms are exactly reproducible.
+  */
+object ExtensionQueries {
+
+  private val M = "1000000000000" // fingerprint modulus, fits BIGINT·31 + hash
+
+  /** DuckDB-side token hash identical to TextAnalysis.tokenHashSql. */
+  private def hashSql = TextAnalysis.tokenHashSql("t")
+
+  /** Generated ±1 hyperplane literals shared with Similarity.planeSigns. */
+  private def planeSqlArray(plane: Array[Int]): String =
+    plane.map(v => s"$v.0").mkString("[", ",", "]") + "::DOUBLE[]"
+
+  private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
+    Similarity.planeSigns(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- x01: exact dedup — hash-groupBy over the full corpus -------------
+    QueryDef(
+      "x01_dedup_exact",
+      (s, dir) =>
+        Dedup.exactDupGroups(Tables.documents(s, dir))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            count(when(col("n_docs") > 1, 1)).as("n_dup_groups"),
+            sum(col("n_docs")).as("n_docs_total")),
+      Some("""SELECT COUNT(*) AS n_groups,
+             |  COUNT(*) FILTER (WHERE n_docs > 1) AS n_dup_groups,
+             |  CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
+             |FROM (SELECT md5(text) AS h, COUNT(*) AS n_docs
+             |      FROM documents GROUP BY 1) t""".stripMargin),
+      headline = true),
+
+    // ---- x02: token-bag fingerprint dedup (reordered duplicates) ----------
+    QueryDef(
+      "x02_dedup_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(Dedup.fingerprint(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("fp")),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+             |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // ---- x03: MinHash + LSH banding — near-dup candidate pairs ------------
+    // 8 salted-md5 minhashes, 2 bands × 4 rows; candidates = band-key join.
+    QueryDef(
+      "x03_minhash_lsh",
+      (s, dir) =>
+        Dedup.lshCandidatePairs(Tables.documents(s, dir), bands = 2, rowsPerBand = 4)
+          .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val mins = (0 until 8).map(i => s"min(md5('$i:' || tok)) AS mh$i").mkString(", ")
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |sig AS (SELECT doc_id, """.stripMargin + mins + """ FROM toks GROUP BY doc_id),
+          |bands AS (SELECT doc_id, md5(mh0||mh1||mh2||mh3) AS b0, md5(mh4||mh5||mh6||mh7) AS b1 FROM sig),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+          |  UNION
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
+      },
+      headline = true),
+
+    // ---- x04: n-gram (token-set) Jaccard on candidate pairs ---------------
+    QueryDef(
+      "x04_jaccard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+          .join(docs.select(col("doc_id").as("id_b")), "id_b")
+          .select(col("id_a"), col("id_b"))
+        Dedup.jaccard(docs, pairs).orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.doc_id < 100),
+             |sets AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+             |inter AS (
+             |  SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM pairs p
+             |  JOIN sets sa ON sa.doc_id = p.id_a
+             |  JOIN sets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+             |  GROUP BY p.id_a, p.id_b)
+             |SELECT p.id_a, p.id_b, COALESCE(i.inter, 0) AS inter,
+             |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / (za.sz + zb.sz - COALESCE(i.inter, 0)) AS jaccard
+             |FROM pairs p
+             |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             |JOIN sizes za ON za.doc_id = p.id_a
+             |JOIN sizes zb ON zb.doc_id = p.id_b
+             |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    // ---- x05: SimHash — 16-bit signatures from shared bit arithmetic ------
+    QueryDef(
+      "x05_simhash",
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir).filter(col("doc_id") < 100), 16)
+          .orderBy(col("doc_id")),
+      Some {
+        val sums = (0 until 16).map(j => s"SUM(${Dedup.simhashBitSql(j)}) AS s$j").mkString(", ")
+        val bits = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents WHERE doc_id < 100),
+           |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
+           |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- x06: per-document text statistics --------------------------------
+    QueryDef(
+      "x06_text_stats",
+      (s, dir) =>
+        TextAnalysis.stats(Tables.documents(s, dir).filter(col("doc_id") < 200))
+          .select(col("doc_id"), col("n_chars_m").cast("long"),
+            col("n_tokens").cast("long"), col("n_distinct").cast("long"),
+            col("mean_tok_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, length(text) AS n_chars_m,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS mean_tok_len
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x07: quality scoring --------------------------------------------
+    QueryDef(
+      "x07_text_quality",
+      (s, dir) =>
+        TextAnalysis.quality(Tables.documents(s, dir).filter(col("doc_id") < 200))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS ttr,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) = 1)) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS short_ratio,
+             |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |    / len(string_split(text, ' ')))
+             |  * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> length(t) = 1)) AS DOUBLE)
+             |    / len(string_split(text, ' '))) AS quality
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x08: heuristic language id + confusion vs labeled lang -----------
+    QueryDef(
+      "x08_langid",
+      (s, dir) =>
+        TextAnalysis.langId(Tables.documents(s, dir))
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang")),
+      Some {
+        val scores = TextAnalysis.stopwords.map { case (lang, ws) =>
+          val list = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.stopwords.map(_._1)
+        val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+        val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
+           |SELECT lang, $pred AS pred_lang, COUNT(*) AS n
+           |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+      }),
+
+    // ---- x09: rolling polynomial document fingerprint ---------------------
+    QueryDef(
+      "x09_fingerprint_rolling",
+      (s, dir) =>
+        Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), TextAnalysis.rollingFingerprint("text").as("fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '), t -> $hashSql)),
+              |    (a, b) -> (a * 31 + b) % $M) AS fp
+              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x10: brute-force cosine top-k (exact ANN baseline) ---------------
+    QueryDef(
+      "x10_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 3)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some("""WITH sims AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             |      / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             |           * list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 6) AS sim
+             |  FROM embeddings q CROSS JOIN embeddings c
+             |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, sim,
+             |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+             |  FROM sims)
+             |SELECT query_id, rk, neighbor_id, sim FROM ranked
+             |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin),
+      headline = true),
+
+    // ---- x11: sign-LSH bucket assignment (the ANN scale path) -------------
+    QueryDef(
+      "x11_ann_lsh_buckets",
+      (s, dir) =>
+        Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+          .select(col("vec_id"),
+            Similarity.lshBucket(col("embedding").cast("array<double>"), 8, 64).as("bucket"))
+          .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id, ${lshBucketSql(8, 64, "embedding::DOUBLE[]")} AS bucket
+              |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)),
+
+    // ---- x12: embedding near-dup pairs via LSH buckets + exact check ------
+    QueryDef(
+      "x12_embedding_neardup",
+      (s, dir) =>
+        Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 64, 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${lshBucketSql(8, 64, "embedding::DOUBLE[]")} AS bucket FROM embeddings)
+              |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+              |  round(list_dot_product(a.e, c.e)
+              |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.e, c.e)), 6) AS sim
+              |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              |WHERE round(list_dot_product(a.e, c.e)
+              |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.e, c.e)), 6) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- x13: tumbling event-time windows ---------------------------------
+    QueryDef(
+      "x13_window_tumbling",
+      (s, dir) =>
+        EventWindows.tumbling(Tables.events(s, dir), 600)
+          .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT (epoch_ns(ts)//1000000000) - ((epoch_ns(ts)//1000000000) % 600) AS win_start,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+      headline = true),
+
+    // ---- x14: sliding windows (width 600s, slide 300s) --------------------
+    QueryDef(
+      "x14_window_sliding",
+      (s, dir) =>
+        EventWindows.sliding(Tables.events(s, dir), 600, 300)
+          .orderBy(col("win_start"), col("event_type")),
+      Some("""WITH e AS (SELECT epoch_ns(ts)//1000000000 AS sec, event_type FROM events),
+             |w AS (SELECT sec - (sec % 300) - o.off AS win_start, event_type
+             |      FROM e CROSS JOIN (VALUES (0), (300)) o(off))
+             |SELECT win_start, event_type, COUNT(*) AS n
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- x15: session windows (30-minute gap) -----------------------------
+    QueryDef(
+      "x15_window_session",
+      (s, dir) =>
+        EventWindows.sessions(Tables.events(s, dir), 1800)
+          .orderBy(col("user_id"), col("session_id")),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ns(ts)//1000000000 AS sec, epoch_ns(ts) AS ns FROM events),
+             |m AS (SELECT *, CASE
+             |    WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ns, event_id) > 1800 THEN 1
+             |    WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL THEN 1
+             |    ELSE 0 END AS new_sess
+             |  FROM e),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(sec) AS sess_start,
+             |  MAX(sec) - MIN(sec) AS duration_s
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
+    QueryDef(
+      "x16_multimodal_features",
+      (s, dir) =>
+        Multimodal.featuresOf(s, Tables.documents(s, dir).filter(col("doc_id") < 200))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 'media/' || source AS media_type,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+             |  CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
+             |  CAST(64 + ascii(substr(text, 1, 1)) % 32 AS INTEGER) AS height,
+             |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+  )
+}

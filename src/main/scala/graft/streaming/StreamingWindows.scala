@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event-time windows (north-star
+  * extension; batch forms in graft.ops.EventWindows share the window
+  * logic).
+  *
+  * The events parquet drives the stream; `ts` arrives as nanos-since-epoch
+  * (see Tables.events) and becomes the event-time column via
+  * timestamp_micros. Watermarks bound state: at scale the streaming agg
+  * keeps only open windows per key in the state store.
+  */
+object StreamingWindows {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (read with nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      // the sf layout stores one file per table; FileStreamSource wants a
+      // directory or a glob — the trailing [t] makes this a glob pattern
+      // matching exactly events.parquet, so the parent dir becomes the base
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling event-time window counts with a watermark. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Run a windowed streaming aggregation to a memory sink and block until
+    * all available input is processed. Complete mode → every window.
+    */
+  def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

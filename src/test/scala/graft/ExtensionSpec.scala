@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.Similarity
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the LLM-pipeline extensions on synthetic inputs
+  * with known ground truth (the sf oracles check engine parity; these
+  * check the algorithms do what they claim).
+  */
+class ExtensionSpec extends SparkSuite {
+
+  private def docs = frame(
+    "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+    "text" -> Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",      // exact dup of 1
+      "dog lazy the over jumps fox brown quick the",      // reordered dup of 1
+      "completely different words about spark engines"))
+
+  test("exact dedup finds the identical pair") {
+    val groups = Dedup.exactDupGroups(docs, idCol = "doc_id")
+    val dup = groups.filter(col("n_docs") > 1).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("n_docs") == 2L && dup(0).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("token-bag fingerprint groups exact + reordered dups together") {
+    val fp = docs.groupBy(Dedup.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .filter(col("n") > 1).collect()
+    assert(fp.length == 1 && fp(0).getAs[Long]("n") == 3L)
+  }
+
+  test("minhash LSH yields the duplicate candidates, not the unrelated doc") {
+    val pairs = Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard: identical docs → 1.0, disjoint docs → 0.0") {
+    val pairs = frame("id_a" -> Seq(1L, 1L), "id_b" -> Seq(2L, 4L))
+    val j = Dedup.jaccard(docs, pairs).collect()
+      .map(r => (r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toMap
+    assert(j(2L) == 1.0)
+    assert(j(4L) == 0.0)
+  }
+
+  test("simhash: identical docs share a signature; reordered docs too") {
+    val sh = Dedup.simhash(docs, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) == sh(3L)) // simhash is order-insensitive over the bag
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("brute-force knn ranks the identical vector first") {
+    val emb = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L),
+      "embedding" -> Seq(Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 1L), emb, k = 2).collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top(0).getAs[Double]("sim") == 1.0)
+  }
+
+  test("LSH near-dup pairs finds the identical vectors in one bucket") {
+    val emb = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L),
+      "embedding" -> Seq(Seq(1.0, 2.0, -1.0, 0.5), Seq(1.0, 2.0, -1.0, 0.5),
+        Seq(-1.0, -2.0, 1.0, -0.5)))
+    val pairs = Similarity.lshNearDupPairs(emb, nPlanes = 4, dim = 4, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langid votes the right language") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq("the cat and the hat is in a tree", "der hund und die katze ist ein tier"))
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got(1L) == "en" && got(2L) == "de")
+  }
+
+  test("text stats/quality on a known doc") {
+    val d = frame("doc_id" -> Seq[Any](1L), "text" -> Seq("a bb bb ccc"))
+    val st = TextAnalysis.stats(d).collect()(0)
+    assert(st.getAs[Int]("n_tokens") == 4 && st.getAs[Int]("n_distinct") == 3)
+    val q = TextAnalysis.quality(d).collect()(0)
+    assert(q.getAs[Double]("ttr") == 0.75 && q.getAs[Double]("short_ratio") == 0.25)
+  }
+
+  test("tumbling windows partition events exactly") {
+    val e = frame(
+      "event_id" -> Seq[Any](1L, 2L, 3L),
+      "user_id" -> Seq[Any](1L, 1L, 1L),
+      "event_type" -> Seq("c", "c", "c"),
+      "value" -> Seq(1.0, 2.0, 3.0),
+      "ts_ns" -> Seq[Any](0L, 599000000000L, 600000000000L)) // 0s, 599s, 600s
+    val w = EventWindows.tumbling(e, 600).collect()
+      .map(r => r.getAs[Long]("win_start") -> r.getAs[Long]("n")).toMap
+    assert(w == Map(0L -> 2L, 600L -> 1L))
+  }
+
+  test("session windows split on gap") {
+    val e = frame(
+      "event_id" -> Seq[Any](1L, 2L, 3L),
+      "user_id" -> Seq[Any](7L, 7L, 7L),
+      "event_type" -> Seq("c", "c", "c"),
+      "value" -> Seq(1.0, 1.0, 1.0),
+      "ts_ns" -> Seq[Any](0L, 100000000000L, 5000000000000L)) // 0s, 100s, 5000s
+    val sess = EventWindows.sessions(e, 1800).orderBy("session_id").collect()
+    assert(sess.length == 2)
+    assert(sess(0).getAs[Long]("n_events") == 2L && sess(1).getAs[Long]("n_events") == 1L)
+  }
+
+  test("multimodal stub pipeline: deterministic features through mapPartitions") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L),
+      "text" -> Seq("abcd"),
+      "source" -> Seq("web"))
+    val f = Multimodal.featuresOf(spark, d).collect()(0)
+    assert(f.getAs[String]("media_type") == "media/web")
+    assert(f.getAs[Int]("n_bytes") == 4)
+    assert(f.getAs[Int]("first_byte") == 'a'.toInt)
+    assert(f.getAs[Int]("width") == 64 + 4 % 32)
+    assert(f.getAs[Int]("n_frames") == 1 + 4 % 8)
+  }
+}

@@ -23,6 +23,8 @@ trait SparkSuite extends AnyFunSuite {
         case b: Boolean => BooleanType
         case a: Seq[_] => ArrayType(a.headOption match {
           case Some(_: Int) => IntegerType
+          case Some(_: Long) => LongType
+          case Some(_: Double) => DoubleType
           case Some(_: String) => StringType
           case _ => IntegerType
         })
