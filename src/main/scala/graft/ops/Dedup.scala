@@ -34,23 +34,64 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** k salted-md5 minhashes per document. Returns one column per hash:
-    * mh0..mh{k-1}. Input: (idCol, textCol).
+  /** MinHash permutation constants: one (a, b) pair per hash function for
+    * the universal family h_i(x) = (a_i·x + b_i) mod P. P = 2^31 - 1;
+    * a_i < 2^15 keeps a_i·(x mod P) < 2^46 — no overflow in any engine's
+    * checked 64-bit arithmetic.
+    */
+  val MinhashP = 2147483647L
+  val MinhashA: IndexedSeq[Long] = IndexedSeq(
+    10007L, 10009L, 10037L, 10039L, 10061L, 10067L, 10069L, 10079L,
+    10091L, 10093L, 10099L, 10103L, 10111L, 10133L, 10139L, 10141L)
+  val MinhashB: IndexedSeq[Long] = IndexedSeq(
+    12345L, 23451L, 34512L, 45123L, 51234L, 13524L, 24635L, 35746L,
+    46857L, 57968L, 16293L, 27304L, 38415L, 49526L, 50637L, 61748L)
+
+  /** Engine-portable SQL for the 48-bit hash of a hex-digest column,
+    * reduced mod P: integer value of its first 12 hex chars, mod 2^31-1.
+    */
+  def digestModSql(hexCol: String): String =
+    s"(${graft.ops.TextAnalysis.hexToIntSql(hexCol, 12)} % $MinhashP)"
+
+  /** Word n-gram shingles ("w1 w2 .. wn" strings). Documents shorter than
+    * n tokens collapse to a single whole-document shingle (both engines'
+    * range/sequence primitives disagree on empty ranges — the guard keeps
+    * the construction portable AND gives short docs a signature).
+    */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val arr = tokens(text)
+    when(size(arr) >= n,
+      transform(sequence(lit(1), size(arr) - (n - 1)),
+        i => concat_ws(" ", slice(arr, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", arr)))
+  }
+
+  /** k arithmetic minhashes per document over the *distinct shingle set*:
+    * ONE md5 per shingle (materialized as a column — not re-evaluated per
+    * hex digit), then k cheap affine permutations — the standard scalable
+    * construction (vs k salted digests, which costs k md5s per shingle).
+    * Returns one column per hash: mh0..mh{k-1}.
     */
   def minhashSignature(docs: DataFrame, k: Int, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("tok")))).as(s"mh$i"))
-    tok.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      idCol: String = "doc_id", shingleN: Int = 5): DataFrame = {
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
+    val tok = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
+    val withH = tok
+      .withColumn("md5h", md5(col("tok")))
+      .withColumn("hm", expr(digestModSql("md5h")))
+    val aggs = (0 until k).map(i =>
+      min((col("hm") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP)).as(s"mh$i"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Band keys over a minhash signature: `bands` groups of `rowsPerBand`
-    * hashes, each band key = md5 of the concatenated mins.
+    * hashes, each band key = md5 of the ':'-joined mins.
     */
   def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     (0 until bands).foldLeft(sig) { (d, b) =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      d.withColumn(s"band$b", md5(concat(cols: _*)))
+      d.withColumn(s"band$b", md5(concat_ws(":", cols: _*)))
     }
 
   /** LSH candidate pairs: documents sharing any band key (a < b). */

@@ -48,12 +48,14 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
   /** Stopword-vote language id: score = #tokens in each language's list;
-    * prediction = argmax, ties resolved by list order.
+    * prediction = argmax, ties resolved by list order. `keep` carries extra
+    * columns through (single pass — no re-join with the source).
     */
-  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      keep: Seq[String] = Nil): DataFrame = {
     val toks = tokens(col(textCol))
     val scored = docs.select(
-      (col(idCol) +: stopwords.map { case (lang, words) =>
+      ((col(idCol) +: keep.map(col)) ++ stopwords.map { case (lang, words) =>
         size(filter(toks, t => t.isin(words.map(lit): _*))).as(s"score_$lang")
       }): _*)
     // argmax with deterministic tie order = fold over languages
@@ -71,16 +73,24 @@ object TextAnalysis {
   def bpeishCount(textColName: String): Column =
     size(expr(s"regexp_extract_all($textColName, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
 
-  /** Engine-portable SQL: integer value of the first `nChars` hex chars of
-    * md5(expr). Same text runs in Spark SQL and DuckDB (both have instr/
-    * substr/md5); every multiplier is cast to BIGINT so neither engine
-    * overflows 32-bit ints.
+  /** Engine-portable SQL: integer value of the first `nChars` chars of a
+    * lowercase-hex expression. Same text runs in Spark SQL and DuckDB (both
+    * have instr/substr); every multiplier is cast to BIGINT so neither
+    * engine overflows 32-bit ints. Pass a *column* holding the digest when
+    * the digest is expensive — the expression references it `nChars` times.
     */
-  def tokenHashSql(tokExpr: String, nChars: Int = 8): String =
+  def hexToIntSql(hexExpr: String, nChars: Int): String =
     (1 to nChars).map { i =>
       val mult = 1L << (4 * (nChars - i))
-      s"(instr('0123456789abcdef', substr(md5($tokExpr), $i, 1)) - 1) * CAST($mult AS BIGINT)"
+      s"(instr('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
+
+  /** Integer value of the first `nChars` hex chars of md5(expr). NOTE:
+    * inlines md5 `nChars` times — fine inside lambdas over short lists;
+    * for bulk columns materialize md5 once and use hexToIntSql.
+    */
+  def tokenHashSql(tokExpr: String, nChars: Int = 8): String =
+    hexToIntSql(s"md5($tokExpr)", nChars)
 
   /** Rolling polynomial fingerprint over tokens: sequential fold
     * acc ← (acc·31 + tokenHash) mod 10^12. Deterministic, overflow-free in

