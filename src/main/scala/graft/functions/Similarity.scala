@@ -20,13 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left fold dot product: deterministic evaluation order. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left fold dot product via composable higher-order
+    * functions — the reference implementation the native expression is
+    * checked against (identical fold order → identical bits).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm2(a: Column): Column = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(norm2(a) * norm2(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Hot-path forms: fused single-pass codegen expressions
+    * (VectorExpressions) with the same sequential arithmetic.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
+
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineNative(a, b)
 
   /** Deterministic ±1 hyperplane signs: plane p, dimension d → sign from the
     * first hex digit of md5("p:d") (public well-known construction: random

@@ -94,18 +94,28 @@ object Dedup {
       d.withColumn(s"band$b", md5(concat_ws(":", cols: _*)))
     }
 
-  /** LSH candidate pairs: documents sharing any band key (a < b). */
+  /** LSH candidate pairs: documents sharing any band key (a < b).
+    *
+    * Bands are stacked into (band_id, band_key) rows before ONE self-join,
+    * so the expensive signature subtree appears once per join side (and
+    * Spark's exchange reuse collapses identical sides) instead of once per
+    * band per side. The join key (band_id, band_key) spreads uniformly —
+    * md5 keys, no skew.
+    */
   def lshCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sig = bandKeys(minhashSignature(docs, bands * rowsPerBand, textCol, idCol),
       bands, rowsPerBand)
-    val perBand = (0 until bands).map { b =>
-      val l = sig.select(col(s"band$b").as("bk"), col(idCol).as("id_a"))
-      val r = sig.select(col(s"band$b").as("bk"), col(idCol).as("id_b"))
-      l.join(r, "bk").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    }
-    perBand.reduce(_.unionByName(_)).distinct()
+    val stacked = sig.select(col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("bid"), col(s"band$b").as("bk"))): _*)).as("band"))
+      .select(col(idCol), col("band.bid").as("bid"), col("band.bk").as("bk"))
+    val l = stacked.select(col("bid"), col("bk"), col(idCol).as("id_a"))
+    val r = stacked.select(col("bid"), col("bk"), col(idCol).as("id_b"))
+    l.join(r, Seq("bid", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** Exact token-set Jaccard for given candidate pairs

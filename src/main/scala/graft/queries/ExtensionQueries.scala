@@ -84,10 +84,11 @@ object ExtensionQueries {
            |      FROM (SELECT doc_id, md5(tok) AS md5h FROM toks) d),
            |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
            |bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM sig),
+           |stacked AS (SELECT doc_id, 0 AS bid, b0 AS bk FROM bands
+           |            UNION ALL SELECT doc_id, 1 AS bid, b1 AS bk FROM bands),
            |pairs AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-           |  UNION
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id)
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM stacked a JOIN stacked b ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id)
            |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
       },
       headline = true),

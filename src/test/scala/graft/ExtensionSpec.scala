@@ -88,6 +88,21 @@ class ExtensionSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native fused cosine/dot == composable HOF forms, bitwise, on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val joined = broadcast(q).crossJoin(emb)
+    val mism = joined.select(
+      (Similarity.cosine(col("qe"), col("e")) =!=
+        Similarity.cosineHof(col("qe"), col("e"))).as("cm"),
+      (Similarity.dot(col("qe"), col("e")) =!=
+        Similarity.dotHof(col("qe"), col("e"))).as("dm"))
+      .filter(col("cm") || col("dm")).count()
+    assert(mism == 0)
+  }
+
   test("langid votes the right language") {
     val d = frame(
       "doc_id" -> Seq[Any](1L, 2L),
