@@ -101,9 +101,41 @@ final case class MDFrame(
     })
   }
 
+  // -- R2/R3: iloc — positional row access over an explicit total order
+  //    (dataframe.py:264-287). Spark has no row order; the caller names one.
+  def iloc(i: Int, orderBy: Seq[String]): Row = {
+    require(orderBy.nonEmpty, "iloc needs a total order at scale")
+    val sorted = ds.orderBy(orderBy.map(col): _*)
+    (if (i >= 0) sorted.offset(i).limit(1)
+     else sorted.orderBy(orderBy.map(col(_).desc): _*).offset(-i - 1).limit(1))
+      .head()
+  }
+
+  def ilocSlice(start: Int, end: Int, orderBy: Seq[String]): MDFrame =
+    copy(ds = ds.orderBy(orderBy.map(col): _*).offset(start).limit(end - start))
+
   // -- R4: sample (dataframe.py:523-548)
   def sample(fraction: Double, replace: Boolean = false, seed: Long = 42L): MDFrame =
     copy(ds = ds.sample(replace, fraction, seed))
+
+  /** Weighted sample without replacement (reference `weights=` parameter):
+    * the exponential-keys trick — order by -ln(u)/w, take n. One pass +
+    * a TakeOrdered top-n; no driver-side collection.
+    */
+  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): MDFrame =
+    copy(ds = ds
+      .withColumn("_wkey", -log(rand(seed)) / col(weightCol))
+      .orderBy(col("_wkey"))
+      .limit(n)
+      .drop("_wkey"))
+
+  // -- R5: iterrows — driver-side iteration without materializing the
+  //    whole frame (dataframe.py:476-482 → toLocalIterator).
+  def iterrows(cols: String*): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    (if (cols.isEmpty) ds else ds.select(cols.map(col): _*))
+      .toLocalIterator().asScala
+  }
 
   // -- R6: frames are immutable in Spark; copy is the identity
   def copyFrame(): MDFrame = this
@@ -192,6 +224,18 @@ final case class MDFrame(
   def indexIsUnique: Boolean = {
     val r = ds.agg(count(lit(1)), count_distinct(struct(index.map(col): _*))).head
     r.getLong(0) == r.getLong(1)
+  }
+
+  /** Multi-level lexicographic monotonicity over an explicit order
+    * (dataframe.py:73-110). Compares each row's index tuple to its
+    * predecessor via one lag window over the given total order.
+    */
+  def indexIsMonotonic(orderBy: Seq[String], increasing: Boolean = true): Boolean = {
+    val w = Window.orderBy(orderBy.map(col): _*)
+    val cur = struct(index.map(col): _*)
+    val prev = lag(cur, 1).over(w)
+    val ok = if (increasing) prev.isNull || prev <= cur else prev.isNull || prev >= cur
+    ds.select(ok.as("ok")).agg(min(col("ok"))).head.getBoolean(0)
   }
 
   // -- J6: Index.diff — anti-join on index values (dataframe.py:169-186)

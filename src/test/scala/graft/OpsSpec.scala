@@ -175,4 +175,47 @@ class OpsSpec extends SparkSuite {
     assert(MDFrame(frame("i" -> Seq(0, 1, 2)), Seq("i")).indexIsUnique)
     assert(!MDFrame(frame("i" -> Seq(0, 1, 1)), Seq("i")).indexIsUnique)
   }
+
+  test("index monotonicity over an explicit order (dataframe.py:73-110)") {
+    val df = MDFrame(frame("pos" -> Seq(1, 2, 3), "i" -> Seq(10, 20, 30)), Seq("i"))
+    assert(df.indexIsMonotonic(Seq("pos")))
+    assert(!df.indexIsMonotonic(Seq("pos"), increasing = false))
+    val dec = MDFrame(frame("pos" -> Seq(1, 2), "i" -> Seq(9, 3)), Seq("i"))
+    assert(!dec.indexIsMonotonic(Seq("pos")))
+    assert(dec.indexIsMonotonic(Seq("pos"), increasing = false))
+  }
+
+  test("iloc positional access incl. negative index (dataframe.py:264-287)") {
+    val df = MDFrame(frame("i" -> Seq(3, 1, 2), "v" -> Seq(30, 10, 20)), Seq("i"))
+    assert(df.iloc(0, Seq("i")).getAs[Int]("v") == 10)
+    assert(df.iloc(2, Seq("i")).getAs[Int]("v") == 30)
+    assert(df.iloc(-1, Seq("i")).getAs[Int]("v") == 30)
+    val sl = df.ilocSlice(1, 3, Seq("i"))
+    assert(collectCol[Int](sl.ds, "v") == Seq(20, 30))
+  }
+
+  test("weighted sample favors heavy weights (dataframe.py:523-548 weights=)") {
+    val df = MDFrame(frame(
+      "id" -> (1 to 200),
+      "w" -> (1 to 200).map(i => if (i <= 100) 0.000001 else 1000.0)))
+    val got = df.sampleWeighted(20, "w", seed = 7L)
+    val heavy = got.ds.filter(org.apache.spark.sql.functions.col("id") > 100).count()
+    assert(heavy >= 18, s"expected heavy ids to dominate, got $heavy/20")
+  }
+
+  test("iterrows yields rows lazily in the requested projection (R5)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2), "b" -> Seq("x", "y")))
+    val it = df.iterrows("b")
+    assert(it.map(_.getString(0)).toSet == Set("x", "y"))
+  }
+
+  test("NoneMin/NoneMax Aggregator: NaN-ignoring, null on empty (G2/G8)") {
+    import graft.functions.Aggregators
+    val df = frame("g" -> Seq(1, 1, 2), "v" -> Seq[Any](3.0, Double.NaN, Double.NaN))
+    val got = df.groupBy("g")
+      .agg(Aggregators.noneMin(col("v")).as("mn"), Aggregators.noneMax(col("v")).as("mx"))
+      .orderBy("g").collect()
+    assert(got(0).getAs[Double]("mn") == 3.0 && got(0).getAs[Double]("mx") == 3.0)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
 }

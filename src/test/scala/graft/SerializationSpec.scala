@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** The reference's serialize/deserialize surface (SURVEY.md §2.1 S2-S4)
+  * maps to Parquet persistence. This round-trips the "everything frame"
+  * (tests/test_serialization.py:44-79 fixture, FIXTURES.md A1): every
+  * supported dtype incl. nested arrays, binary, map-as-json, all-null
+  * timestamps.
+  */
+class SerializationSpec extends SparkSuite {
+
+  test("everything-frame parquet round-trip preserves schema and values") {
+    val schema = StructType(Seq(
+      StructField("a", StringType),                       // object str
+      StructField("b", LongType, nullable = false),       // int64
+      StructField("c", BinaryType),                       // S3 bytes
+      StructField("d", StringType),                       // str + None
+      StructField("e", LongType),                         // int + None
+      StructField("f", ArrayType(StringType)),            // ndarray of str
+      StructField("g", ArrayType(BinaryType)),            // ndarray of S3
+      StructField("h", ArrayType(LongType)),              // ndarray int64
+      StructField("i", MapType(StringType, StringType)),  // JSON dict
+      StructField("k", TimestampType)))                   // all-NaT
+    val rows = Seq(
+      Row("x", 1L, "aaa".getBytes, null, java.lang.Long.valueOf(101L),
+        Seq("x", "yy"), Seq("b1".getBytes), Seq(1L, 2002L),
+        Map("k" -> "v"), null),
+      Row("yy", 2002L, "bb".getBytes, "mom", null,
+        Seq("zzz"), Seq("b2".getBytes, "b3".getBytes), Seq(3000000003L),
+        Map("n" -> "m", "o" -> "p"), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+
+    val dir = java.nio.file.Files.createTempDirectory("everything").toString
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+
+    assert(back.schema.map(f => (f.name, f.dataType)).toSet ==
+      df.schema.map(f => (f.name, f.dataType)).toSet)
+    val orig = df.orderBy("b").collect()
+    val got = back.orderBy("b").collect()
+    assert(got.length == 2)
+    (orig.zip(got)).foreach { case (o, g) =>
+      assert(o.getAs[String]("a") == g.getAs[String]("a"))
+      assert(java.util.Arrays.equals(o.getAs[Array[Byte]]("c"), g.getAs[Array[Byte]]("c")))
+      assert(o.getSeq[String](o.fieldIndex("f")).toList == g.getSeq[String](g.fieldIndex("f")).toList)
+      assert(o.getSeq[Long](o.fieldIndex("h")).toList == g.getSeq[Long](g.fieldIndex("h")).toList)
+      assert(o.getMap[String, String](o.fieldIndex("i")).toMap == g.getMap[String, String](g.fieldIndex("i")).toMap)
+      assert(g.isNullAt(g.fieldIndex("k")))
+    }
+  }
+
+  test("json encode of nested struct matches the reference's canonical form (S5)") {
+    import org.apache.spark.sql.functions._
+    val df = frame("a" -> Seq(1), "b" -> Seq("x"))
+    val js = df.select(to_json(struct(col("a"), col("b"))).as("j")).head.getString(0)
+    assert(js == """{"a":1,"b":"x"}""")
+  }
+}
