@@ -83,6 +83,60 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF coarse quantizer: centroids are the first `nCells` vectors by id
+    * — a deterministic, oracle-reproducible stand-in for trained k-means
+    * centroids (swap in real centroids at scale; the plumbing is
+    * identical). Returns (idCol, cell).
+    *
+    * Scale: centroids broadcast; assignment is a map-only pass.
+    */
+  def ivfAssign(df: DataFrame, nCells: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(df.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(embCol).cast("array<double>").as("ce")))
+    val scored = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .crossJoin(cents)
+      .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest cells and ranks
+    * only the candidates inside them — the inverted-file scale path
+    * (candidates per query ≈ nprobe·n/nCells instead of n).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(candidates.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(embCol).cast("array<double>").as("ce")))
+    val cells = ivfAssign(candidates, nCells, idCol, embCol)
+    val cand = candidates
+      .select(col(idCol).as("neighbor_id"), col(embCol).cast("array<double>").as("c_emb"))
+      .join(cells.select(col(idCol).as("neighbor_id"), col("cell")), "neighbor_id")
+
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).cast("array<double>").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = broadcast(q.crossJoin(cents)
+      .withColumn("csim", round(cosine(col("q_emb"), col("ce")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cent_id").as("cell")))
+
+    val scored = probes.join(cand, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** LSH-bucketed approximate near-duplicate pairs: vectors sharing a
     * bucket are checked exactly; pairs at or above `minCosine` survive.
     * Scale path: equi-join on bucket — candidates per bucket ≈ n/2^planes.

@@ -256,6 +256,95 @@ object ExtensionQueries {
               |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.e, c.e)), 6) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- x17: IVF cell assignment (the other ANN scale path) --------------
+    QueryDef(
+      "x17_ivf_assign",
+      (s, dir) =>
+        Similarity.ivfAssign(Tables.embeddings(s, dir), nCells = 8)
+          .orderBy(col("vec_id")),
+      Some("""WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings ORDER BY vec_id LIMIT 8),
+             |sims AS (SELECT e.vec_id, c.cent_id,
+             |  round(list_dot_product(e.embedding::DOUBLE[], c.ce)
+             |    / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+             |         * list_dot_product(c.ce, c.ce)), 6) AS sim
+             |  FROM embeddings e CROSS JOIN cent c)
+             |SELECT vec_id, cent_id AS cell FROM (
+             |  SELECT vec_id, cent_id,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) AS rn
+             |  FROM sims) t
+             |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- x18: IVF top-k with nprobe=2 -------------------------------------
+    QueryDef(
+      "x18_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          k = 3, nCells = 8, nprobe = 2)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some("""WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce
+             |  FROM embeddings ORDER BY vec_id LIMIT 8),
+             |cells AS (SELECT vec_id, cent_id AS cell FROM (
+             |  SELECT e.vec_id, c.cent_id,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |      round(list_dot_product(e.embedding::DOUBLE[], c.ce)
+             |        / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+             |             * list_dot_product(c.ce, c.ce)), 6) DESC, c.cent_id ASC) AS rn
+             |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+             |probes AS (SELECT query_id, cell FROM (
+             |  SELECT q.vec_id AS query_id, c.cent_id AS cell,
+             |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |      round(list_dot_product(q.embedding::DOUBLE[], c.ce)
+             |        / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             |             * list_dot_product(c.ce, c.ce)), 6) DESC, c.cent_id ASC) AS pr
+             |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t WHERE pr <= 2),
+             |scored AS (
+             |  SELECT p.query_id, e.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+             |      / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             |           * list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS sim
+             |  FROM probes p
+             |  JOIN cells cl ON cl.cell = p.cell
+             |  JOIN embeddings e ON e.vec_id = cl.vec_id
+             |  JOIN embeddings q ON q.vec_id = p.query_id
+             |  WHERE p.query_id <> e.vec_id)
+             |SELECT query_id, rk, neighbor_id, sim FROM (
+             |  SELECT query_id, neighbor_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+             |  FROM scored) t
+             |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin)),
+
+    // ---- x19: salted two-phase aggregation (skew path, result-identical) --
+    QueryDef(
+      "x19_salted_agg",
+      (s, dir) =>
+        graft.ops.Skew.saltedCount(
+            Tables.lineitem(s, dir), Seq("l_returnflag"), saltBuckets = 16)
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- x20: salted join (skew path, result-identical) -------------------
+    QueryDef(
+      "x20_salted_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(li, o, "l_orderkey", saltBuckets = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- x13: tumbling event-time windows ---------------------------------
     QueryDef(
       "x13_window_tumbling",

@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
+
+/** One row of streaming custom state output. */
+final case class UserRunningCount(user_id: Long, n: Long)
 
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
@@ -54,6 +57,34 @@ object StreamingWindows {
   def runToMemory(agg: DataFrame, name: String): StreamingQuery = {
     val q = agg.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Custom streaming state via mapGroupsWithState: a running per-user
+    * event count. The state store keeps one long per user — bounded by
+    * user cardinality, not event volume (the KeyValueGroupedDataset
+    * stateful surface of SURVEY.md §2.10).
+    */
+  def statefulUserCounts(events: DataFrame): Dataset[UserRunningCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserRunningCount](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserRunningCount(user, n)
+      }
+  }
+
+  def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
+    val q = ds.writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()

@@ -144,6 +144,35 @@ class ExtensionSpec extends SparkSuite {
     assert(sess(0).getAs[Long]("n_events") == 2L && sess(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("salted aggregation and salted join are result-identical to unsalted") {
+    import graft.ops.Skew
+    val df = frame("k" -> Seq("a", "a", "a", "b"), "v" -> Seq(1, 2, 3, 4))
+    val salted = Skew.saltedCount(df, Seq("k"), 4).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == Seq(("a", 3L), ("b", 1L)))
+
+    val small = frame("k" -> Seq("a", "b"), "s" -> Seq("x", "y"))
+    val joined = Skew.saltedJoin(df, small, "k", 4)
+    val plain = df.join(small, "k")
+    assert(joined.count() == plain.count())
+    assert(joined.orderBy("k", "v").collect().toSeq.map(_.toSeq).toSet ==
+      plain.orderBy("k", "v").collect().toSeq.map(_.toSeq).toSet)
+  }
+
+  test("IVF assignment puts a vector in its own centroid's cell; topk ranks identical vector first") {
+    val emb = frame(
+      "vec_id" -> Seq[Any](0L, 1L, 2L, 3L),
+      "embedding" -> Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.1), Seq(0.1, 1.0)))
+    val cells = Similarity.ivfAssign(emb, nCells = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(0L) == 0L && cells(1L) == 1L) // centroids map to themselves
+    assert(cells(2L) == 0L && cells(3L) == 1L) // near vectors follow
+
+    val top = Similarity.ivfTopK(emb.filter(col("vec_id") === 2L), emb,
+      k = 1, nCells = 2, nprobe = 1).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 0L)
+  }
+
   test("multimodal stub pipeline: deterministic features through mapPartitions") {
     val d = frame(
       "doc_id" -> Seq[Any](1L),

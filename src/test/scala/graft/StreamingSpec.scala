@@ -28,4 +28,26 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.count() > 0)
     } finally q.stop()
   }
+
+  test("mapGroupsWithState running counts converge to the batch counts") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = StreamingWindows.readEventsStream(spark, dir)
+    val q = StreamingWindows.runStatefulToMemory(
+      StreamingWindows.statefulUserCounts(stream), "stream_state")
+    try {
+      // update mode emits one row per user per batch; the LAST row per
+      // user is the final running count
+      val finalCounts = spark.sql(
+        """SELECT user_id, n FROM (
+          |  SELECT user_id, n, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC) rn
+          |  FROM stream_state) WHERE rn = 1""".stripMargin)
+      val batch = Tables.events(spark, dir).groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("bn"))
+      val bad = finalCounts.join(batch, Seq("user_id"), "full_outer")
+        .filter(col("n").isNull || col("bn").isNull || col("n") =!= col("bn"))
+        .count()
+      assert(bad == 0)
+    } finally q.stop()
+  }
 }
