@@ -190,6 +190,9 @@ final case class MDFrame(
   //    current row order (see withRowPos).
   def dropDuplicates(subset: Seq[String], keep: String = "first",
       orderCols: Seq[String] = Nil): MDFrame = {
+    require(subset.nonEmpty, "subset of columns cannot be empty")
+    require(subset.forall(ds.columns.contains),
+      s"unknown columns ${subset.filterNot(ds.columns.contains)}")
     val (d, pos) = orderCols match {
       case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
       case cs  => (ds, cs)

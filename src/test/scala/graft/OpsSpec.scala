@@ -171,6 +171,18 @@ class OpsSpec extends SparkSuite {
     assert(withIdx.resetIndex(drop = true).ds.columns.toSeq == Seq("a"))
   }
 
+  test("error contracts: arity mismatch, >255 frames, empty concat/subset (negative tests)") {
+    val a = MDFrame(frame("i" -> Seq(0), "v" -> Seq(1)), Seq("i"))
+    val multi = MDFrame(frame("i" -> Seq(0), "j" -> Seq(1), "v" -> Seq(2)), Seq("i", "j"))
+    intercept[IllegalArgumentException](MDFrame.join("left", Seq(a, multi)))
+    intercept[IllegalArgumentException](MDFrame.join("left", Seq.fill(256)(a)))
+    intercept[IllegalArgumentException](MDFrame.join("cross", Seq(a, a)))
+    intercept[IllegalArgumentException](MDFrame.concat(Nil))
+    intercept[IllegalArgumentException](a.dropDuplicates(Nil))
+    intercept[IllegalArgumentException](a.dropDuplicates(Seq("zz")))
+    intercept[IllegalArgumentException](a.iloc(0, Nil))
+  }
+
   test("index is_unique (dataframe.py:65-72)") {
     assert(MDFrame(frame("i" -> Seq(0, 1, 2)), Seq("i")).indexIsUnique)
     assert(!MDFrame(frame("i" -> Seq(0, 1, 1)), Seq("i")).indexIsUnique)
