@@ -64,6 +64,26 @@ object Multimodal {
     }
   }
 
+  /** Batch-shaped variant: payloads are decoded `batchSize` at a time —
+    * the shape real codec/model APIs want (one native/GPU call per batch).
+    * Iterator-in/iterator-out via grouped(): at most one batch is
+    * materialized per partition at any moment.
+    */
+  def extractFeaturesBatched(media: Dataset[MediaDoc], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real implementation hands `batch.map(_.payload)` to the codec
+        // in one call; the stub decodes element-wise
+        batch.map { m =>
+          val (w, h, f) = decodeStub(m.payload)
+          val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
+          MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
+        }
+      }
+    }
+  }
+
   /** End-to-end: documents → payloads → features, as a DataFrame. */
   def featuresOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -185,4 +185,13 @@ class ExtensionSpec extends SparkSuite {
     assert(f.getAs[Int]("width") == 64 + 4 % 32)
     assert(f.getAs[Int]("n_frames") == 1 + 4 % 8)
   }
+
+  test("batched multimodal extraction == per-row extraction") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.attachPayload(docs).as[MediaDoc]
+    val perRow = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id).toSeq
+    val batched = Multimodal.extractFeaturesBatched(media, 7).collect().sortBy(_.doc_id).toSeq
+    assert(perRow == batched)
+  }
 }
