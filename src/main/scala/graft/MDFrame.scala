@@ -119,8 +119,9 @@ final case class MDFrame(
     copy(ds = ds.sample(replace, fraction, seed))
 
   /** Weighted sample without replacement (reference `weights=` parameter):
-    * the exponential-keys trick — order by -ln(u)/w, take n. One pass +
-    * a TakeOrdered top-n; no driver-side collection.
+    * the exponential-keys trick (Efraimidis-Spirakis) — order by
+    * -ln(u)/w, take n. One pass + a TakeOrdered top-n; no driver-side
+    * collection.
     */
   def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): MDFrame =
     copy(ds = ds
@@ -128,6 +129,24 @@ final case class MDFrame(
       .orderBy(col("_wkey"))
       .limit(n)
       .drop("_wkey"))
+
+  /** Deterministic variant: u is derived from md5(idCol) instead of a
+    * session RNG, so the same sample falls out in any engine / any run —
+    * reproducible training-data subsampling, oracle-checkable.
+    */
+  def sampleWeightedDeterministic(n: Int, weightCol: String, idCol: String,
+      salt: String = "ws"): MDFrame = {
+    // concat implicitly casts the id to string in both Spark and DuckDB
+    // (an explicit cast would need STRING here but VARCHAR there)
+    val u = (expr(graft.ops.TextAnalysis.hexToIntSql(
+      s"md5(concat('$salt:', $idCol))", 12)) + lit(1)) /
+      lit(281474976710657.0) // 2^48 + 1 → u ∈ (0, 1]
+    copy(ds = ds
+      .withColumn("_wkey", round(-log(u) / col(weightCol), 9))
+      .orderBy(col("_wkey"), col(idCol))
+      .limit(n)
+      .drop("_wkey"))
+  }
 
   // -- R5: iterrows — driver-side iteration without materializing the
   //    whole frame (dataframe.py:476-482 → toLocalIterator).

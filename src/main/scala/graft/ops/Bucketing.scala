@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location (100 TB join strategy): persisting both join
+  * sides bucketed by the join key lets Spark plan a SortMergeJoin with NO
+  * shuffle exchange — each bucket pair joins locally. At 100 TB this is
+  * the difference between re-shuffling the fact table per query and
+  * reading co-located buckets.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed managed table (overwrites). */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two pre-bucketed tables on their bucket key. With equal bucket
+    * counts the plan contains no ShuffleExchange on either side.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** True when the executed plan needs no shuffle for the join. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -92,6 +92,26 @@ object TextAnalysis {
   def tokenHashSql(tokExpr: String, nChars: Int = 8): String =
     hexToIntSql(s"md5($tokExpr)", nChars)
 
+  /** TF-IDF top-k terms per document: tf = in-doc occurrences, idf =
+    * ln(N/df) over the whole corpus. Scores rounded (ln is not bit-stable
+    * across libm implementations). Two shuffles total: (doc,term) tf agg
+    * and term df agg; N broadcast as a 1-row join.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok")).agg(count_distinct(col(idCol)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_total") / col("dfreq")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("rk"), col("tok"), col("tfidf"))
+  }
+
   /** Rolling polynomial fingerprint over tokens: sequential fold
     * acc ← (acc·31 + tokenHash) mod 10^12. Deterministic, overflow-free in
     * checked-arithmetic engines, and expressible as a DuckDB

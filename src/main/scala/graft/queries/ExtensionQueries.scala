@@ -390,6 +390,41 @@ object ExtensionQueries {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- x21: deterministic weighted sample (reproducible subsampling) ----
+    QueryDef(
+      "x21_weighted_sample",
+      (s, dir) =>
+        graft.MDFrame(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice")))
+          .sampleWeightedDeterministic(50, "o_totalprice", "o_orderkey")
+          .ds.orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_totalprice FROM (
+              |  SELECT o_orderkey, o_totalprice,
+              |    round(-ln((${TextAnalysis.hexToIntSql("md5(concat('ws:', o_orderkey))", 12)} + 1)
+              |      / 281474976710657.0) / o_totalprice, 9) AS wk
+              |  FROM orders
+              |  ORDER BY wk, o_orderkey LIMIT 50) t
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- x22: TF-IDF top terms per document -------------------------------
+    QueryDef(
+      "x22_tfidf",
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), topK = 3)
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id"), col("rk")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+             |n AS (SELECT COUNT(*) AS n_total FROM documents),
+             |scored AS (SELECT doc_id, t.tok, round(tf * ln(n_total / dfreq), 6) AS tfidf
+             |  FROM tf t JOIN dfreq d ON d.tok = t.tok CROSS JOIN n),
+             |ranked AS (SELECT doc_id, tok, tfidf,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+             |  FROM scored)
+             |SELECT doc_id, rk, tok, tfidf FROM ranked
+             |WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk""".stripMargin)),
+
     // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
     QueryDef(
       "x16_multimodal_features",

@@ -186,6 +186,44 @@ class ExtensionSpec extends SparkSuite {
     assert(f.getAs[Int]("n_frames") == 1 + 4 % 8)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import graft.ops.Bucketing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = frame("k" -> Seq(1, 2, 3, 4), "va" -> Seq(10, 20, 30, 40))
+      val b = frame("k" -> Seq(2, 3, 4, 5), "vb" -> Seq(200, 300, 400, 500))
+      Bucketing.saveBucketed(a, "bkt_a", "k", 4)
+      Bucketing.saveBucketed(b, "bkt_b", "k", 4)
+      val j = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(Bucketing.isShuffleFree(j), j.queryExecution.executedPlan.toString)
+      assert(j.count() == 3)
+      // contrast: the same join on unbucketed frames shuffles
+      assert(!Bucketing.isShuffleFree(a.join(b, "k")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("deterministic weighted sample is stable across runs and favors heavy weights") {
+    val df = MDFrame(frame(
+      "id" -> (1 to 200),
+      "w" -> (1 to 200).map(i => if (i <= 100) 0.000001 else 1000.0)))
+    val s1 = collectCol[Int](
+      df.sampleWeightedDeterministic(20, "w", "id").ds.orderBy("id"), "id")
+    val s2 = collectCol[Int](
+      df.sampleWeightedDeterministic(20, "w", "id").ds.orderBy("id"), "id")
+    assert(s1 == s2)
+    assert(s1.count(_ > 100) >= 18)
+  }
+
+  test("tfidf ranks a rare term above ubiquitous ones") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq("common common rare", "common common", "common word"))
+    val top = TextAnalysis.tfidfTopTerms(d, 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tok")).toMap
+    assert(top(1L) == "rare")
+  }
+
   test("batched multimodal extraction == per-row extraction") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
