@@ -425,6 +425,38 @@ object ExtensionQueries {
              |SELECT doc_id, rk, tok, tfidf FROM ranked
              |WHERE rk <= 3 AND doc_id < 100 ORDER BY doc_id, rk""".stripMargin)),
 
+    // ---- x23: exact percentiles (corpus quality statistics) ---------------
+    QueryDef(
+      "x23_percentiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0).as("q25"),
+            expr("percentile(l_quantity, array(0.25, 0.75))").getItem(1).as("q75"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.75) AS q75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- x24: value histogram (integer bucket arithmetic) -----------------
+    QueryDef(
+      "x24_histogram",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("bucket", (floor(col("value") / 10) * 10).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+          .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(value / 10) * 10 AS BIGINT) AS bucket,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
     QueryDef(
       "x16_multimodal_features",
