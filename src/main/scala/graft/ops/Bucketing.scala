@@ -10,13 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed managed table (overwrites). */
-  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Persist `df` as a bucketed managed table (overwrites). Drops any
+    * previous table AND its on-disk location first — a stale warehouse
+    * directory from an earlier session isn't in the fresh in-memory
+    * catalog, and saveAsTable refuses to reuse the location.
+    */
+  def saveBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two pre-bucketed tables on their bucket key. With equal bucket
     * counts the plan contains no ShuffleExchange on either side.
