@@ -66,9 +66,14 @@ final case class MDFrame(
   // -- P8/R1: boolean-mask filter (medvedi `take(mask)`, dataframe.py:484-510)
   def take(cond: Column): MDFrame = copy(ds = ds.filter(cond))
 
-  // -- P9: isin membership incl. invert (dataframe.py:901-929)
+  // -- P9: isin membership incl. invert (dataframe.py:901-929). The
+  //    reference casts the haystack to the column dtype (numpy astype:
+  //    floats truncate into int columns, tests/test_isin.py:20-23) and
+  //    raises on un-castable combinations — mirrored here.
   def isinMask(c: String, haystack: Seq[Any], invert: Boolean = false): Column = {
-    val m = col(c).isin(haystack: _*)
+    require(ds.columns.contains(c), s"unknown column $c")
+    val dt = ds.schema(c).dataType
+    val m = col(c).isin(haystack.map(MDFrame.coerceTo(_, dt, c)): _*)
     if (invert) !m else m
   }
   def filterIsin(c: String, haystack: Seq[Any], invert: Boolean = false): MDFrame =
@@ -172,6 +177,9 @@ final case class MDFrame(
   //    NaN/NaT placement via na_position (dataframe.py:623-671).
   def sortValues(by: Seq[String], ascending: Boolean = true,
       naPosition: String = "last"): MDFrame = {
+    require(by.nonEmpty, "sort_values needs at least one column")
+    require(by.forall(ds.columns.contains),
+      s"unknown columns ${by.filterNot(ds.columns.contains)}")
     val keys = by.map { c =>
       val base = ds.schema(c).dataType match {
         // medvedi na_position governs NaN too; Spark sorts NaN as largest
@@ -292,6 +300,25 @@ object MDFrame {
     val schema = df.schema.add(StructField(posCol, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Reference haystack coercion (numpy astype semantics): numbers
+    * truncate into integral columns, widen into float columns; anything
+    * un-castable raises (tests/test_isin.py bad-dtype contract).
+    */
+  private[graft] def coerceTo(v: Any, dt: DataType, c: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Number, ByteType) => x.byteValue
+    case (x: Number, ShortType) => x.shortValue
+    case (x: Number, IntegerType) => x.intValue
+    case (x: Number, LongType) => x.longValue
+    case (x: Number, FloatType) => x.floatValue
+    case (x: Number, DoubleType) => x.doubleValue
+    case (x: String, StringType) => x
+    case (x: Boolean, BooleanType) => x
+    case (x: java.sql.Timestamp, TimestampType) => x
+    case _ => throw new IllegalArgumentException(
+      s"isin: haystack value $v (${v.getClass.getSimpleName}) incompatible with $c: $dt")
   }
 
   private[graft] def nanToNull(df: DataFrame, c: String): Column =

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Second wave of golden values ported from the reference's per-operator
+  * tests (test_isin.py, test_sort_values.py, test_index.py,
+  * test_explode.py) — the cases not already pinned in OpsSpec/JoinSpec.
+  */
+class GoldenSpec extends SparkSuite {
+
+  // ---- test_isin.py ------------------------------------------------------
+
+  test("isin: double haystack truncates into an int column (test_isin.py:20-23)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2, 3)))
+    val got = collectCol[Int](df.filterIsin("a", Seq(2.1, 3.2, 4.3)).ds.orderBy("a"), "a")
+    assert(got == Seq(2, 3))
+  }
+
+  test("isin: unknown column and un-castable haystack raise (test_isin.py:10-17)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2, 3)))
+    intercept[IllegalArgumentException](df.isinMask("b", Seq(1, 2)))
+    intercept[IllegalArgumentException](df.isinMask("a", Seq("x", "y")))
+  }
+
+  test("isin: string column with string haystack (test_isin.py:30-33)") {
+    val df = MDFrame(frame("a" -> Seq("1", "2", "3")))
+    assert(collectCol[String](df.filterIsin("a", Seq("2", "3", "4")).ds.orderBy("a"), "a")
+      == Seq("2", "3"))
+    assert(collectCol[String](df.filterIsin("a", Seq("2", "3", "4"), invert = true).ds, "a")
+      == Seq("1"))
+  }
+
+  // ---- test_sort_values.py ----------------------------------------------
+
+  test("descending sort with null placement (test_sort_values.py:23-30)") {
+    val df = MDFrame(frame("a" -> Seq[Any](1.0, null, 2.0)))
+    val first = collectCol[Any](
+      df.sortValues(Seq("a"), ascending = false, naPosition = "first").ds, "a")
+    assert(first == Seq(null, 2.0, 1.0))
+    val last = collectCol[Any](
+      df.sortValues(Seq("a"), ascending = false, naPosition = "last").ds, "a")
+    assert(last == Seq(2.0, 1.0, null))
+  }
+
+  test("two-column sort with non-mergeable (object) second key (test_sort_values.py:64-68)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(3, 2, 2, 1),
+      "b" -> Seq("0", "0", "1", "2")), Nil, Set("b"))
+    val sorted = df.sortValues(Seq("a", "b"))
+    assert(collectCol[Int](sorted.ds, "a") == Seq(1, 2, 2, 3))
+    assert(collectCol[String](sorted.ds, "b") == Seq("2", "0", "1", "0"))
+  }
+
+  test("sort keeps the index metadata; empty frame sorts to empty (test_sort_values.py:34-40,104-107)") {
+    val df = MDFrame(frame("a" -> Seq(3, 2, 1), "i" -> Seq(0, 1, 2)), Seq("i"))
+    val s = df.sortValues(Seq("a"))
+    assert(s.index == Seq("i"))
+    assert(collectCol[Int](s.ds, "i") == Seq(2, 1, 0))
+
+    val empty = MDFrame(frame("a" -> Seq[Any]()).limit(0))
+    assert(empty.sortValues(Seq("a")).ds.count() == 0)
+  }
+
+  test("sort with empty by raises (test_sort_values.py:98-101)") {
+    val df = MDFrame(frame("a" -> Seq(3, 2, 1)))
+    intercept[IllegalArgumentException](df.sortValues(Nil))
+    intercept[IllegalArgumentException](df.sortValues(Seq("zz")))
+  }
+
+  // ---- test_index.py -----------------------------------------------------
+
+  test("index properties on a unique frame (test_index.py:9-16)") {
+    val df = MDFrame(frame("a" -> Seq(0, 1, 2)), Seq("a"))
+    assert(df.index.size == 1)
+    assert(df.indexIsUnique)
+    assert(df.duplicated(df.index).filter(col("_dup")).count() == 0)
+  }
+
+  test("set_index of an unknown column raises (test_index.py:29-32)") {
+    val df = MDFrame(frame("a" -> Seq(0, 1, 2)))
+    intercept[IllegalArgumentException](df.setIndex("b"))
+  }
+
+  test("2-level monotonicity is lexicographic (test_index.py:214-220)") {
+    // (1,2) <= (2,1): second level may decrease when the first increases
+    val df = MDFrame(frame(
+      "pos" -> Seq(1, 2), "i1" -> Seq(1, 2), "i2" -> Seq(2, 1)), Seq("i1", "i2"))
+    assert(df.indexIsMonotonic(Seq("pos")))
+    val bad = MDFrame(frame(
+      "pos" -> Seq(1, 2), "i1" -> Seq(2, 1), "i2" -> Seq(1, 2)), Seq("i1", "i2"))
+    assert(!bad.indexIsMonotonic(Seq("pos")))
+  }
+
+  // ---- test_explode.py ---------------------------------------------------
+
+  test("explode drops rows whose cell is an empty array (test_explode.py)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(Seq(1, 2), Seq.empty[Int], Seq(3)),
+      "b" -> Seq(9, 8, 7)))
+    val got = df.explodeCol("a")
+    assert(rows(got.ds.orderBy(col("b").desc, col("a"))) ==
+      Seq(Seq(1, 9), Seq(2, 9), Seq(3, 7)))
+  }
+
+  // ---- test_concat.py extras --------------------------------------------
+
+  test("concat of a frame with itself doubles every row (test_concat.py:9-20)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2), "i" -> Seq(0, 1)), Seq("i"))
+    val c = MDFrame.concat(Seq(df, df))
+    assert(c.ds.count() == 4)
+    assert(collectCol[Int](c.ds.orderBy("i", "a"), "a") == Seq(1, 1, 2, 2))
+  }
+
+  test("concat ignore_index drops the index metadata (test_concat.py)") {
+    val df = MDFrame(frame("a" -> Seq(1), "i" -> Seq(0)), Seq("i"))
+    assert(MDFrame.concat(Seq(df, df), ignoreIndex = true).index.isEmpty)
+  }
+}
