@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.GroupQueries.defs ++
       graft.queries.WindowQueries.defs ++
       graft.queries.MiscQueries.defs ++
+      graft.queries.DeepQueries.defs ++
       graft.queries.ExtensionQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

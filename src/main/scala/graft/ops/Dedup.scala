@@ -97,10 +97,12 @@ object Dedup {
   /** LSH candidate pairs: documents sharing any band key (a < b).
     *
     * Bands are stacked into (band_id, band_key) rows before ONE self-join,
-    * so the expensive signature subtree appears once per join side (and
-    * Spark's exchange reuse collapses identical sides) instead of once per
-    * band per side. The join key (band_id, band_key) spreads uniformly —
-    * md5 keys, no skew.
+    * so the expensive signature subtree appears once per join side instead
+    * of once per band per side. (Measured non-starters: Catalyst does not
+    * reuse the exchange across the rename-only difference between the two
+    * sides, and persist()-ing the stacked frame costs more than the
+    * recompute under concurrent query load.) The join key (band_id,
+    * band_key) spreads uniformly — md5 keys, no skew.
     */
   def lshCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
