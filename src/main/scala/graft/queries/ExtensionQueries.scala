@@ -457,6 +457,47 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- x25: BPE-ish token counting --------------------------------------
+    QueryDef(
+      "x25_token_count",
+      (s, dir) =>
+        Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            TextAnalysis.bpeishCount("text").cast("long").as("n_bpeish"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x26: backward as-of join (composed operator Spark lacks) ---------
+    // For each click, the user's most recent purchase at or before it;
+    // checked against DuckDB's native ASOF JOIN.
+    QueryDef(
+      "x26_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns").as("pts_ns"), col("value").as("pval"))
+        graft.ops.AsOfJoin.backward(clicks, purchases, "user_id",
+            "ts_ns", "pts_ns", Seq("pts_ns", "pval"))
+          .filter(col("asof_pts_ns").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            expr("ts_ns div 1000000000").as("ts_sec"),
+            expr("asof_pts_ns div 1000000000").as("pts_sec"),
+            col("asof_pval").as("pval"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  epoch_ns(e.ts)//1000000000 AS ts_sec,
+             |  epoch_ns(p.ts)//1000000000 AS pts_sec,
+             |  p.value AS pval
+             |FROM (SELECT * FROM events WHERE event_type = 'click') e
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
     QueryDef(
       "x16_multimodal_features",

@@ -224,6 +224,26 @@ class ExtensionSpec extends SparkSuite {
     assert(top(1L) == "rare")
   }
 
+  test("as-of join: most recent right row at-or-before, ties match, no-predecessor is null") {
+    import graft.ops.AsOfJoin
+    val left = frame(
+      "k" -> Seq(1L, 1L, 1L, 2L),
+      "lt" -> Seq(5L, 10L, 15L, 7L),
+      "lid" -> Seq(100, 101, 102, 103))
+    val right = frame(
+      "k" -> Seq(1L, 1L, 2L),
+      "rt" -> Seq(10L, 20L, 1L),
+      "v" -> Seq("a", "b", "z"))
+    val got = AsOfJoin.backward(left, right, "k", "lt", "rt", Seq("v"))
+      .orderBy("lid").collect()
+      .map(r => (r.getAs[Int]("lid"), r.getAs[String]("asof_v")))
+    assert(got.toSeq == Seq(
+      (100, null),  // t=5: no purchase yet
+      (101, "a"),   // t=10: tie matches (>=)
+      (102, "a"),   // t=15: still "a" (b is at 20)
+      (103, "z")))
+  }
+
   test("batched multimodal extraction == per-row extraction") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
