@@ -52,6 +52,21 @@ class SerializationSpec extends SparkSuite {
     }
   }
 
+  test("truncated parquet raises instead of returning garbage (CorruptedBuffer parity, S3)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("trunc").toString
+    frame("a" -> (1 to 1000), "b" -> (1 to 1000).map(_.toString))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    java.nio.file.Files.write(file.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length / 2)) // chop the footer off
+    intercept[Throwable] {
+      spark.read.parquet(dir).agg(sum(col("a"))).collect()
+    }
+  }
+
   test("json encode of nested struct matches the reference's canonical form (S5)") {
     import org.apache.spark.sql.functions._
     val df = frame("a" -> Seq(1), "b" -> Seq("x"))
