@@ -97,11 +97,23 @@ final case class MDFrame(
   def fillna(value: Any, cols: Seq[String] = Nil): MDFrame = {
     val targets = if (cols.isEmpty) columns else cols
     copy(ds = targets.foldLeft(ds) { (d, c) =>
-      d.schema(c).dataType match {
-        case FloatType | DoubleType =>
-          d.withColumn(c, when(isnan(col(c)) || col(c).isNull, lit(value)).otherwise(col(c)))
-        case _ =>
-          d.withColumn(c, coalesce(col(c), lit(value)))
+      // coerce the fill value to the column dtype in Scala (ANSI mode is
+      // on — a SQL cast of an incompatible literal would throw at
+      // runtime); columns the value can't fill are left untouched, the
+      // reference's fill-where-applicable behavior (dataframe.py:1006-1030)
+      val coerced =
+        try Some(MDFrame.coerceTo(value, d.schema(c).dataType, c))
+        catch { case _: IllegalArgumentException => None }
+      coerced match {
+        case None => d
+        case Some(cv) =>
+          d.schema(c).dataType match {
+            case FloatType | DoubleType =>
+              d.withColumn(c,
+                when(isnan(col(c)) || col(c).isNull, lit(cv)).otherwise(col(c)))
+            case _ =>
+              d.withColumn(c, coalesce(col(c), lit(cv)))
+          }
       }
     })
   }

@@ -97,6 +97,19 @@ class OpsSpec extends SparkSuite {
     assert(collectCol[String](got.ds, "o") == Seq("a", "?"))
   }
 
+  test("fillna over all columns skips dtype-incompatible ones (fill-where-applicable)") {
+    val df = MDFrame(frame(
+      "f" -> Seq[Any](Double.NaN, 2.0),
+      "o" -> Seq[Any]("a", null),
+      "i" -> Seq(1, 2)), Nil, Set("o"))
+    val filledStr = df.fillna("?")
+    assert(collectCol[String](filledStr.ds, "o") == Seq("a", "?"))
+    assert(collectCol[Double](filledStr.ds, "f")(0).isNaN) // string can't fill a double
+    val filledNum = df.fillna(-1.0)
+    assert(collectCol[Double](filledNum.ds, "f") == Seq(-1.0, 2.0))
+    assert(collectCol[String](filledNum.ds, "o") == Seq("a", null)) // number can't fill object str
+  }
+
   test("nonemin/nonemax skip NaN; all-NaN → null (dataframe.py:980-1004)") {
     val df = MDFrame(frame("f" -> Seq[Any](3.0, Double.NaN, 1.0)))
     assert(df.nonemin("f") == 1.0)
