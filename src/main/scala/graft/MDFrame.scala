@@ -386,6 +386,14 @@ object MDFrame {
     require(frames.forall(_.index.nonEmpty), "all frames must have an index")
     val arity = frames.head.index.size
     require(frames.forall(_.index.size == arity), "index arity mismatch")
+    // index dtypes must match level-by-level (dataframe.py:1164-1170) —
+    // Spark would otherwise implicit-cast the join keys silently
+    val headTypes = frames.head.index.map(c => frames.head.ds.schema(c).dataType)
+    frames.tail.foreach { f =>
+      val types = f.index.map(c => f.ds.schema(c).dataType)
+      require(types == headTypes,
+        s"index dtype mismatch: $headTypes vs $types")
+    }
 
     if (how == "right")
       return join("left", frames.reverse,

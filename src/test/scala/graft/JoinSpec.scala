@@ -83,6 +83,21 @@ class JoinSpec extends SparkSuite {
     assert(got == Seq(Seq(0, 1, null), Seq(1, 0, "x")))
   }
 
+  test("mismatched index dtypes raise (dataframe.py:1164-1170, test_join.py:30-51)") {
+    val intIdx = MDFrame(frame("i" -> Seq(0, 1), "a" -> Seq(1, 2)), Seq("i"))
+    val strIdx = MDFrame(frame("i" -> Seq("0", "1"), "b" -> Seq(3, 4)), Seq("i"))
+    intercept[IllegalArgumentException](MDFrame.join("left", Seq(intIdx, strIdx)))
+  }
+
+  test("join with an empty right frame zero-fills everything (test_join.py empties)") {
+    val l = MDFrame(frame("i" -> Seq(0, 1), "a" -> Seq(1, 2)), Seq("i"))
+    val r = MDFrame(frame("i" -> Seq(9), "b" -> Seq(7)), Seq("i"))
+      .take(org.apache.spark.sql.functions.lit(false)) // empty, same schema
+    val j = MDFrame.join("left", Seq(l, r))
+    assert(collectCol[Int](j.ds, "i") == Seq(0, 1))
+    assert(collectCol[Int](j.ds, "b") == Seq(0, 0))
+  }
+
   test("Index.diff = left-anti on index (dataframe.py:169-186)") {
     val d = df1.indexDiff(df3)
     assert(collectCol[Int](d.ds.orderBy("i"), "i") == Seq(0))
