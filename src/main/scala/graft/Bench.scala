@@ -40,8 +40,15 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        // a failed query reports -1.0, not its exception-unwinding time —
+        // regressions must be visible in the JSON, not averaged away
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     val results = scala.concurrent.Await.result(

@@ -73,7 +73,10 @@ final case class MDFrame(
   def isinMask(c: String, haystack: Seq[Any], invert: Boolean = false): Column = {
     require(ds.columns.contains(c), s"unknown column $c")
     val dt = ds.schema(c).dataType
-    val m = col(c).isin(haystack.map(MDFrame.coerceTo(_, dt, c)): _*)
+    // null cells: not a member (reference in1d: None ∉ haystack) — so the
+    // three-valued SQL null must resolve to false BEFORE inversion, else
+    // inverted masks silently drop null rows
+    val m = coalesce(col(c).isin(haystack.map(MDFrame.coerceTo(_, dt, c)): _*), lit(false))
     if (invert) !m else m
   }
   def filterIsin(c: String, haystack: Seq[Any], invert: Boolean = false): MDFrame =
@@ -254,7 +257,8 @@ final case class MDFrame(
     }
     val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
     val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
-    d.withColumn("_dup", row_number().over(w) > 1).orderBy(pos.map(col): _*)
+    val out = d.withColumn("_dup", row_number().over(w) > 1).orderBy(pos.map(col): _*)
+    if (orderCols.isEmpty) out.drop("_pos") else out
   }
 
   // -- G8: null-ignoring scalar min/max; NaN excluded like the reference's
@@ -277,7 +281,8 @@ final case class MDFrame(
     val cur = struct(index.map(col): _*)
     val prev = lag(cur, 1).over(w)
     val ok = if (increasing) prev.isNull || prev <= cur else prev.isNull || prev >= cur
-    ds.select(ok.as("ok")).agg(min(col("ok"))).head.getBoolean(0)
+    val r = ds.select(ok.as("ok")).agg(min(col("ok"))).head
+    r.isNullAt(0) || r.getBoolean(0) // empty frame → trivially monotonic
   }
 
   // -- J6: Index.diff — anti-join on index values (dataframe.py:169-186)
@@ -342,6 +347,13 @@ object MDFrame {
   /** The reference's missing-slot fill value per dtype (`_empty_array`,
     * dataframe.py:1339-1346): ints→0, fixed strings→"", bool→false,
     * float→NaN, timestamps→NaT(null), object→None(null).
+    *
+    * Model note: in the reference, non-object columns can never hold null,
+    * so after a join/concat every null in such a column IS a missing slot
+    * — coalescing whole columns is exact under that model. Frames whose
+    * non-object columns carry genuine SQL nulls (e.g. built from an
+    * upstream Spark outer join) must mark them in `objectCols` to keep
+    * those nulls.
     */
   def zeroOf(dt: DataType, isObject: Boolean): Option[Column] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some(lit(0).cast(dt))

