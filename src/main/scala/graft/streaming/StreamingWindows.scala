@@ -2,11 +2,19 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** One row of streaming custom state output. */
 final case class UserRunningCount(user_id: Long, n: Long)
+
+/** Open-session state carried between micro-batches. */
+final case class OpenSession(session_id: Long, start_sec: Long,
+    last_sec: Long, n_events: Long)
+
+/** A closed session emitted by the streaming sessionizer. */
+final case class ClosedSession(user_id: Long, session_id: Long,
+    n_events: Long, sess_start: Long, duration_s: Long)
 
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
@@ -79,6 +87,40 @@ object StreamingWindows {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           UserRunningCount(user, n)
+      }
+  }
+
+  /** Streaming session windows via flatMapGroupsWithState: per-user custom
+    * state holds only the OPEN session; a session closes (and is emitted)
+    * when a later event arrives more than `gapSec` after it. State size is
+    * O(users), independent of event volume — the stateful analogue of
+    * EventWindows.sessions.
+    */
+  def streamingSessions(events: DataFrame, gapSec: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), expr("ts_ns div 1000000000").as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        val secs = rows.map(_._2).toArray.sorted
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        secs.foreach { s =>
+          open match {
+            case Some(o) if s - o.last_sec <= gapSec =>
+              open = Some(o.copy(last_sec = s, n_events = o.n_events + 1))
+            case Some(o) =>
+              closed += ClosedSession(user, o.session_id, o.n_events,
+                o.start_sec, o.last_sec - o.start_sec)
+              open = Some(OpenSession(o.session_id + 1, s, s, 1))
+            case None =>
+              open = Some(OpenSession(1, s, s, 1))
+          }
+        }
+        open.foreach(state.update)
+        closed.iterator
       }
   }
 

@@ -50,4 +50,30 @@ class StreamingSpec extends SparkSuite {
       assert(bad == 0)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessions == batch sessions (closed ones)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = StreamingWindows.readEventsStream(spark, dir)
+    val q = StreamingWindows.streamingSessions(stream, 1800)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sessions")
+        .select("user_id", "session_id", "n_events", "sess_start", "duration_s")
+      // with one input batch, the stream emits every session except each
+      // user's final (still-open) one
+      val batch = ops.EventWindows.sessions(Tables.events(spark, dir), 1800)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val batchClosed = batch
+        .withColumn("mx", org.apache.spark.sql.functions.max(col("session_id")).over(w))
+        .filter(col("session_id") =!= col("mx"))
+        .drop("mx")
+      assert(streamed.count() == batchClosed.count())
+      assert(streamed.count() > 0)
+      assert(streamed.intersect(batchClosed.select(
+        "user_id", "session_id", "n_events", "sess_start", "duration_s")).count()
+        == streamed.count())
+    } finally q.stop()
+  }
 }
