@@ -12,6 +12,49 @@ object DeepQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- q43: scalar-subquery filter (TPC-H Q2 flavor) --------------------
+    // parts above the global average retail price; the average is an
+    // order-independent decimal-sum / count, broadcast as a 1-row join.
+    QueryDef(
+      "q43_above_avg_parts",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val avgP = p.agg((sum(dec(col("p_retailprice"))).cast(DoubleType)
+          / count(lit(1))).as("avg_price"))
+        p.crossJoin(broadcast(avgP))
+          .filter(col("p_retailprice") > col("avg_price"))
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice FROM part
+             |WHERE p_retailprice > (
+             |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |  FROM part)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ---- q44: large-volume orders (TPC-H Q18 shape) -----------------------
+    QueryDef(
+      "q44_large_orders",
+      (s, dir) => {
+        val qty = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+          .filter(col("qty_dec") > 300)
+          .select(col("l_orderkey"), col("qty_dec").cast(DoubleType).as("qty"))
+        Tables.orders(s, dir)
+          .join(qty, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("qty"))
+          .orderBy(col("qty").desc, col("o_orderkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, qty FROM orders
+             |JOIN (SELECT l_orderkey,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
+             |  ON o_orderkey = l_orderkey
+             |ORDER BY qty DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
     // ---- q41: shipping priority (TPC-H Q3 shape) --------------------------
     // filter both sides of a 3-way join, aggregate revenue, top-10.
     QueryDef(

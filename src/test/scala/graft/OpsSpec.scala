@@ -234,6 +234,21 @@ class OpsSpec extends SparkSuite {
     assert(it.map(_.getString(0)).toSet == Set("x", "y"))
   }
 
+  test("per-group iteration via typed mapGroups matches groupBy (G4)") {
+    import spark.implicits._
+    val df = frame("g" -> Seq(1, 1, 2, 2, 2), "v" -> Seq(10, 20, 1, 2, 3))
+    // the reference's `for idx in grouper` group-wise apply → mapGroups
+    val custom = df.select(col("g"), col("v")).as[(Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (g, rows) =>
+        val vs = rows.map(_._2).toSeq.sorted
+        (g, vs.size, vs.last - vs.head) // count + range, arbitrary group logic
+      }
+      .toDF("g", "n", "range")
+      .orderBy("g").collect().map(_.toSeq)
+    assert(custom.toSeq == Seq(Seq(1, 2, 10), Seq(2, 3, 2)))
+  }
+
   test("NoneMin/NoneMax Aggregator: NaN-ignoring, null on empty (G2/G8)") {
     import graft.functions.Aggregators
     val df = frame("g" -> Seq(1, 1, 2), "v" -> Seq[Any](3.0, Double.NaN, Double.NaN))
