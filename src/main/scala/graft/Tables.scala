@@ -41,7 +41,11 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** Register every table as a temp view named after itself (mirrors what the
-    * DuckDB oracle does), so `spark.sql` text can be shared with the oracle. */
+    * DuckDB oracle does), so `spark.sql` text can be shared with the oracle.
+    * events goes through its typed loader (nanos handling). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -10,6 +10,16 @@ import org.apache.spark.sql.types._
 object DeepQueries {
   import Exact._
 
+  /** Dialect-common ANSI SQL executed verbatim by BOTH Spark and DuckDB. */
+  val SharedSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q43: scalar-subquery filter (TPC-H Q2 flavor) --------------------
@@ -54,6 +64,17 @@ object DeepQueries {
              |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
              |  ON o_orderkey = l_orderkey
              |ORDER BY qty DESC, o_orderkey ASC LIMIT 20""".stripMargin)),
+
+    // ---- q45: one SQL text, two engines -----------------------------------
+    // The oracle string itself runs through spark.sql over registered
+    // views — dialect-common ANSI SQL is a first-class query surface.
+    QueryDef(
+      "q45_shared_sql",
+      (s, dir) => {
+        graft.Tables.registerViews(s, dir)
+        s.sql(SharedSql)
+      },
+      Some(SharedSql)),
 
     // ---- q41: shipping priority (TPC-H Q3 shape) --------------------------
     // filter both sides of a 3-way join, aggregate revenue, top-10.
