@@ -59,9 +59,15 @@ final case class MDFrame(
       objectCols.map(c => eff.getOrElse(c, c)))
   }
 
-  // -- P7: cast columns (dataframe.py:550-579)
-  def astype(types: Map[String, DataType]): MDFrame =
-    copy(ds = types.foldLeft(ds) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+  // -- P7: cast columns; errors ∈ {raise, ignore} for unknown columns
+  //    (dataframe.py:550-579)
+  def astype(types: Map[String, DataType], errors: String = "raise"): MDFrame = {
+    val missing = types.keys.filterNot(ds.columns.contains)
+    if (errors == "raise")
+      require(missing.isEmpty, s"astype: unknown columns $missing")
+    val eff = types -- missing
+    copy(ds = eff.foldLeft(ds) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+  }
 
   // -- P8/R1: boolean-mask filter (medvedi `take(mask)`, dataframe.py:484-510)
   def take(cond: Column): MDFrame = copy(ds = ds.filter(cond))
@@ -137,6 +143,11 @@ final case class MDFrame(
   // -- R4: sample (dataframe.py:523-548)
   def sample(fraction: Double, replace: Boolean = false, seed: Long = 42L): MDFrame =
     copy(ds = ds.sample(replace, fraction, seed))
+
+  /** Exact-n uniform sample (the reference's `n=` parameter): random-key
+    * top-n, one pass + TakeOrdered. */
+  def sampleN(n: Int, seed: Long = 42L): MDFrame =
+    copy(ds = ds.orderBy(rand(seed)).limit(n))
 
   /** Weighted sample without replacement (reference `weights=` parameter):
     * the exponential-keys trick (Efraimidis-Spirakis) — order by

@@ -159,10 +159,20 @@ class OpsSpec extends SparkSuite {
     assert(df.rename(Map("zz" -> "q"), errors = "ignore").ds.columns.toSeq == Seq("i", "a"))
   }
 
-  test("astype casts per-column (dataframe.py:550-579)") {
+  test("astype casts per-column; errors raise/ignore (dataframe.py:550-579)") {
     val df = MDFrame(frame("a" -> Seq(1, 2)))
     val got = df.astype(Map("a" -> DoubleType))
     assert(got.ds.schema("a").dataType == DoubleType)
+    intercept[IllegalArgumentException](df.astype(Map("zz" -> DoubleType)))
+    assert(df.astype(Map("zz" -> DoubleType), errors = "ignore")
+      .ds.schema("a").dataType != DoubleType)
+  }
+
+  test("sampleN returns exactly n rows, deterministic per seed (R4 n=)") {
+    val df = MDFrame(frame("a" -> (1 to 100)))
+    val s1 = collectCol[Int](df.sampleN(10, seed = 5L).ds.orderBy("a"), "a")
+    val s2 = collectCol[Int](df.sampleN(10, seed = 5L).ds.orderBy("a"), "a")
+    assert(s1.size == 10 && s1 == s2)
   }
 
   test("isin + invert (test_isin.py)") {
