@@ -97,6 +97,33 @@ class GoldenSpec extends SparkSuite {
     assert(!bad.indexIsMonotonic(Seq("pos")))
   }
 
+  test("sort with NaT timestamps honors na_position (test_sort_values.py:78-94)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("t", TimestampType, nullable = true)))
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows = Seq(Row(ts(3)), Row(ts(1)), Row(null), Row(ts(2)))
+    val df = MDFrame(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema))
+    val last = collectCol[java.sql.Timestamp](df.sortValues(Seq("t")).ds, "t")
+    assert(last.take(3) == Seq(ts(1), ts(2), ts(3)) && last(3) == null)
+    val first = collectCol[java.sql.Timestamp](
+      df.sortValues(Seq("t"), naPosition = "first").ds, "t")
+    assert(first(0) == null && first.drop(1) == Seq(ts(1), ts(2), ts(3)))
+  }
+
+  test("4-way join chains with mixed how-independent value columns (test_join.py n-way)") {
+    val a = MDFrame(frame("i" -> Seq(1, 2, 3), "va" -> Seq(10, 20, 30)), Seq("i"))
+    val b = MDFrame(frame("i" -> Seq(2, 3, 4), "vb" -> Seq(200, 300, 400)), Seq("i"))
+    val c = MDFrame(frame("i" -> Seq(3, 4, 5), "vc" -> Seq(3000, 4000, 5000)), Seq("i"))
+    val d = MDFrame(frame("i" -> Seq(1, 3), "vd" -> Seq(7, 9)), Seq("i"))
+    val inner = MDFrame.join("inner", Seq(a, b, c, d))
+    assert(rows(inner.ds) == Seq(Seq(3, 30, 300, 3000, 9)))
+    val outer = MDFrame.join("outer", Seq(a, b, c, d))
+    assert(collectCol[Int](outer.ds, "i") == Seq(1, 2, 3, 4, 5))
+    assert(collectCol[Int](outer.ds, "vd") == Seq(7, 0, 9, 0, 0))
+  }
+
   // ---- test_explode.py ---------------------------------------------------
 
   test("explode drops rows whose cell is an empty array (test_explode.py)") {
