@@ -58,7 +58,15 @@ object Bench {
     pool.shutdown()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets decorated by sbt and interleaved with log output — the
+    // round-1 driver recorded parsed:null — so ALSO write the JSON to a
+    // file the driver (or a human) can read without scraping.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

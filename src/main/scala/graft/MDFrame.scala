@@ -161,6 +161,19 @@ final case class MDFrame(
       .limit(n)
       .drop("_wkey"))
 
+  /** Deterministic Bernoulli sample: a row is kept iff the first 12 hex
+    * chars of md5(salt:id) — a uniform 48-bit integer — fall below
+    * frac·2^48. Engine-portable (the same rows fall out in any engine),
+    * reproducible across runs, and a pure codegen'd filter: no shuffle, no
+    * RNG state, trivially correct under task retries at any scale.
+    */
+  def sampleDeterministic(frac: Double, idCol: String, salt: String = "smp"): MDFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac=$frac out of [0,1]")
+    copy(ds = ds.filter(
+      expr(graft.ops.TextAnalysis.hexToIntSql(s"md5(concat('$salt:', $idCol))", 12))
+        < lit(MDFrame.bernoulliThreshold(frac))))
+  }
+
   /** Deterministic variant: u is derived from md5(idCol) instead of a
     * session RNG, so the same sample falls out in any engine / any run —
     * reproducible training-data subsampling, oracle-checkable.
@@ -177,6 +190,20 @@ final case class MDFrame(
       .orderBy(col("_wkey"), col(idCol))
       .limit(n)
       .drop("_wkey"))
+  }
+
+  // -- R1: positional take at scale. A range partition on `orderBy` makes
+  //    partition order = global order; zipWithIndex then numbers rows with
+  //    two parallel passes (per-partition counts, then offsets) — no
+  //    single-partition window funnel (the no-partition row_number()
+  //    anti-pattern this replaces).
+  def takePositions(positions: Seq[Long], orderBy: Seq[String],
+      posCol: String = "pos"): MDFrame = {
+    require(orderBy.nonEmpty, "positional take needs a total order at scale")
+    val sorted = ds.repartitionByRange(orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+    copy(ds = MDFrame.withRowPos(sorted, posCol)
+      .filter(col(posCol).isin(positions: _*)))
   }
 
   // -- R5: iterrows — driver-side iteration without materializing the
@@ -284,15 +311,33 @@ final case class MDFrame(
   }
 
   /** Multi-level lexicographic monotonicity over an explicit order
-    * (dataframe.py:73-110). Compares each row's index tuple to its
-    * predecessor via one lag window over the given total order.
+    * (dataframe.py:73-110), checked WITHOUT a global single-partition
+    * window: a range partition on `orderBy` makes partition order = global
+    * order, each partition checks its own adjacency in parallel (lag
+    * partitioned by partition id), and partition boundaries are compared
+    * on a tiny one-row-per-partition summary (first/last index tuple via
+    * min_by/max_by). One job, no stage funnels the full frame through one
+    * task.
     */
   def indexIsMonotonic(orderBy: Seq[String], increasing: Boolean = true): Boolean = {
-    val w = Window.orderBy(orderBy.map(col): _*)
-    val cur = struct(index.map(col): _*)
-    val prev = lag(cur, 1).over(w)
-    val ok = if (increasing) prev.isNull || prev <= cur else prev.isNull || prev >= cur
-    val r = ds.select(ok.as("ok")).agg(min(col("ok"))).head
+    val ranged = ds.repartitionByRange(orderBy.map(col): _*)
+      .select(struct(orderBy.map(col): _*).as("_ord"),
+        struct(index.map(col): _*).as("_idx"))
+      .withColumn("_pid", spark_partition_id())
+    def le(a: Column, b: Column) =
+      a.isNull || (if (increasing) a <= b else a >= b)
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col("_ord"))
+    val perPart = ranged
+      .withColumn("_ok", le(lag(col("_idx"), 1).over(wIn), col("_idx")))
+      .groupBy(col("_pid"))
+      .agg(min(col("_ok")).as("ok"),
+        min_by(col("_idx"), col("_ord")).as("first_idx"),
+        max_by(col("_idx"), col("_ord")).as("last_idx"))
+    // one row per partition: a global window over this summary is O(parts)
+    val wB = Window.orderBy(col("_pid"))
+    val r = perPart
+      .withColumn("_bok", le(lag(col("last_idx"), 1).over(wB), col("first_idx")))
+      .agg(min(col("ok") && col("_bok"))).head
     r.isNullAt(0) || r.getBoolean(0) // empty frame → trivially monotonic
   }
 
@@ -317,6 +362,12 @@ final case class MDFrame(
 }
 
 object MDFrame {
+
+  /** floor(frac·2^48) — the integer keep-threshold for md5-Bernoulli
+    * sampling, computed once in Scala so Spark and the DuckDB oracle embed
+    * the identical literal. */
+  def bernoulliThreshold(frac: Double): Long =
+    math.floor(frac * 281474976710656.0).toLong // 2^48
 
   /** Stable 0-based row position in the frame's current order. RDD
     * zipWithIndex is the one legitimate non-declarative escape hatch

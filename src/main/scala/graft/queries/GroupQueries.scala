@@ -84,8 +84,10 @@ object GroupQueries {
             count(when(col("c") > 1, 1)).as("dup_keys"),
             sum(when(col("c") > 1, col("c") - 1).otherwise(lit(0))).as("dup_rows"),
             count(lit(1)).as("distinct_keys")),
+      // CAST to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which the driver
+      // hash renders differently from Spark's int64 (same fix as x01)
       Some("""SELECT COUNT(*) FILTER (WHERE c > 1) AS dup_keys,
-             |  COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS dup_rows,
+             |  CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT) AS dup_rows,
              |  COUNT(*) AS distinct_keys
              |FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey, l_suppkey) t""".stripMargin)),
 

@@ -124,35 +124,42 @@ object MiscQueries {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
           .orderBy(col("event_type")),
+      // outer CAST: DuckDB SUM(BIGINT) yields HUGEINT → driver hash mismatch
       Some("""SELECT event_type, COUNT(*) AS n,
-             |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+             |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- q37: positional take — gather specific row numbers (R1) ----------
+    // Scale-safe positional idiom: MDFrame.takePositions range-partitions on
+    // the order key and numbers rows with parallel zipWithIndex — no
+    // single-partition global-window Exchange (the plan this replaces).
     QueryDef(
       "q37_take_positions",
-      (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
-        Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_totalprice"))
-          .withColumn("pos", row_number().over(w) - 1)
-          .filter(col("pos").isin(0, 10, 100, 1000))
-          .orderBy(col("pos"))
-      },
+      (s, dir) =>
+        MDFrame(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice")))
+          .takePositions(Seq(0L, 10L, 100L, 1000L), Seq("o_orderkey")).ds
+          .orderBy(col("pos")),
       Some("""SELECT o_orderkey, o_totalprice, pos FROM (
              |  SELECT o_orderkey, o_totalprice,
              |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
              |  FROM orders) t
              |WHERE pos IN (0, 10, 100, 1000) ORDER BY pos""".stripMargin)),
 
-    // ---- q38: seeded sample — deterministic per engine, not across engines;
-    //      rows-only check (no oracle), like the reference's R4.
+    // ---- q38: deterministic md5-Bernoulli sample (R4) ---------------------
+    // A seeded engine RNG can never be oracle-checked across engines; the
+    // md5-keyed Bernoulli filter IS the engine's reproducible sampling
+    // primitive, so the oracle replays it bit-for-bit.
     QueryDef(
       "q38_sample",
       (s, dir) =>
-        MDFrame(Tables.orders(s, dir)).sample(0.1, seed = 42L).ds
-          .agg(count(lit(1)).as("n"),
-            min(col("o_orderkey")).as("min_key")),
-      None)
+        MDFrame(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice")))
+          .sampleDeterministic(0.1, "o_orderkey").ds
+          .orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE ${graft.ops.TextAnalysis.hexToIntSql("md5(concat('smp:', o_orderkey))", 12)}
+              |  < ${MDFrame.bernoulliThreshold(0.1)}
+              |ORDER BY o_orderkey""".stripMargin))
   )
 }
