@@ -161,6 +161,39 @@ final case class MDFrame(
       .limit(n)
       .drop("_wkey"))
 
+  /** Weighted sample WITH replacement (reference sample(n, weights,
+    * replace=True), dataframe.py:523-548): n independent weighted draws in
+    * ONE pass over the data — each draw keeps the row minimizing an
+    * independent exponential key (the Efraimidis-Spirakis key for a single
+    * pick ≡ one draw ∝ weight), realized as n min_by aggregates. The input
+    * is never replicated and nothing loops on the driver; n (the sample
+    * size) is small, the scan (the dataset) is what's huge.
+    */
+  def sampleWeightedReplace(n: Int, weightCol: String, seed: Long = 42L): MDFrame = {
+    require(n > 0, "sample size must be positive")
+    val all = struct(ds.columns.map(col): _*)
+    // keys materialize in a projection first — Catalyst (correctly) rejects
+    // nondeterministic expressions inside aggregate arguments
+    val withKeys = (0 until n).foldLeft(ds) { (d, j) =>
+      d.withColumn(s"_k$j", -log(rand(seed + j)) / col(weightCol))
+    }
+    val aggs = (0 until n).map(j => min_by(all, col(s"_k$j")).as(s"_d$j"))
+    val one = withKeys.agg(aggs.head, aggs.tail: _*)
+    copy(ds = one
+      .select(explode(array((0 until n).map(j => col(s"_d$j")): _*)).as("_r"))
+      .select(col("_r.*")))
+  }
+
+  /** frac= combined with weights/replace (the reference computes
+    * n = round(frac·len) then delegates). The count is one cheap
+    * metadata-ish job; the sampling itself stays single-pass. */
+  def sampleFracWeighted(frac: Double, weightCol: String,
+      replace: Boolean = false, seed: Long = 42L): MDFrame = {
+    val n = math.round(frac * ds.count()).toInt
+    if (replace) sampleWeightedReplace(n, weightCol, seed)
+    else sampleWeighted(n, weightCol, seed)
+  }
+
   /** Deterministic Bernoulli sample: a row is kept iff the first 12 hex
     * chars of md5(salt:id) — a uniform 48-bit integer — fall below
     * frac·2^48. Engine-portable (the same rows fall out in any engine),
@@ -225,6 +258,24 @@ final case class MDFrame(
   def resetIndex(drop: Boolean = false): MDFrame =
     if (drop) MDFrame(ds.drop(index: _*), Nil, objectCols -- index)
     else copy(index = Nil)
+
+  /** set_index with external (unnamed) index levels (dataframe.py:736-754,
+    * tests/test_init.py:63-67): each level is materialized as a synthetic
+    * column `_index{i}` and the index becomes those names. The Spark form
+    * of an "external array" is a Column expression — at scale an index
+    * never arrives as a driver-side array. Mirrors the reference's error
+    * on a pre-existing `_index{i}` column.
+    */
+  def setIndexArrays(levels: Seq[Column]): MDFrame = {
+    require(levels.nonEmpty, "set_index needs at least one level")
+    val named = levels.zipWithIndex.map { case (e, i) => (s"_index$i", e) }
+    named.foreach { case (n, _) =>
+      require(!ds.columns.contains(n),
+        s"""Cannot set an unnamed index "$n": column already exists""")
+    }
+    val d2 = named.foldLeft(ds) { case (d, (n, e)) => d.withColumn(n, e) }
+    MDFrame(d2, named.map(_._1), objectCols)
+  }
 
   // -- O1: multi-column sort; single global `ascending` flag and
   //    NaN/NaT placement via na_position (dataframe.py:623-671).
@@ -351,11 +402,17 @@ final case class MDFrame(
 
   // -- T1: explode with scalar passthrough (dataframe.py:581-606): array
   //    columns flatten (replicating the other columns); a non-array column
-  //    is a plain copy — the reference's scalar-cell behavior.
+  //    is a plain copy — the reference's scalar-cell behavior. A null cell
+  //    passes through as ONE row holding null — the reference passes any
+  //    non-list value through unchanged, None included
+  //    (tests/test_explode.py:10-21); plain Spark explode would drop it.
+  //    An empty array still yields zero rows (it IS a list, with no
+  //    elements — same as the reference).
   def explodeCol(c: String): MDFrame = ds.schema(c).dataType match {
-    case _: ArrayType =>
+    case ArrayType(elem, _) =>
       val others = columns.filterNot(_ == c)
-      copy(ds = ds.select(others.map(col) :+ explode(col(c)).as(c): _*)
+      val cells = when(col(c).isNull, array(lit(null).cast(elem))).otherwise(col(c))
+      copy(ds = ds.select(others.map(col) :+ explode(cells).as(c): _*)
         .select(columns.map(col): _*))
     case _ => this
   }
@@ -516,6 +573,12 @@ object MDFrame {
   /** Vertical concat (reference U1/U2, dataframe.py:1068-1124).
     * `strict=true` requires identical column sets; `strict=false` unions
     * differing sets, filling missing cells with dtype zero (object → null).
+    *
+    * Dtype rule (tests/test_concat.py:96-111): the dtype of the FIRST
+    * frame carrying a column wins — later frames' same-named columns are
+    * cast to it before the union. (numpy promotes chunk dtypes instead;
+    * first-wins is the pinned Spark rule — an ANSI cast raises on lossy
+    * values, the same contract as astype(errors="raise").)
     */
   def concat(frames: Seq[MDFrame], strict: Boolean = true,
       ignoreIndex: Boolean = false): MDFrame = {
@@ -525,7 +588,16 @@ object MDFrame {
       require(frames.forall(_.columns.toSet == cols),
         "strict concat requires identical column sets")
     }
-    val unioned = frames.map(_.ds).reduceLeft(_.unionByName(_, allowMissingColumns = !strict))
+    val firstType = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    frames.foreach(_.ds.schema.fields.foreach(f =>
+      if (!firstType.contains(f.name)) firstType(f.name) = f.dataType))
+    val aligned = frames.map { f =>
+      f.ds.schema.fields.foldLeft(f.ds) { (d, fd) =>
+        if (fd.dataType == firstType(fd.name)) d
+        else d.withColumn(fd.name, col(fd.name).cast(firstType(fd.name)))
+      }
+    }
+    val unioned = aligned.reduceLeft(_.unionByName(_, allowMissingColumns = !strict))
     val allObjs = frames.flatMap(_.objectCols).toSet
     val filled =
       if (strict) unioned

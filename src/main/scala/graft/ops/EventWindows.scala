@@ -17,16 +17,27 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
-  /** Exact integer epoch seconds from nanos. `div` is 64-bit integer
-    * division — a double roundtrip would lose sub-256ns precision at
-    * 2024-era epochs and could shift a window boundary.
+  /** FLOOR division on BIGINT: Spark's `div` truncates toward zero while
+    * the DuckDB oracle's `//` floors — identical post-epoch, divergent for
+    * negative (pre-1970) nanos. Both sides use floor semantics so window
+    * boundaries agree on ANY timestamp. Integer arithmetic throughout — a
+    * double roundtrip would lose sub-256ns precision at 2024-era epochs.
     */
-  private def epochSec = expr("ts_ns div 1000000000")
+  def floorDivSql(e: String, d: Long): String =
+    s"(($e div $d) + (CASE WHEN $e % $d < 0 THEN -1 ELSE 0 END))"
+
+  /** Exact integer epoch seconds from nanos (floor semantics). */
+  private def epochSec = expr(floorDivSql("ts_ns", 1000000000L))
+
+  /** Floor-aligned window start: pmod keeps the offset non-negative, so
+    * the start is the floor multiple even for negative seconds. */
+  private def winStart(sec: org.apache.spark.sql.Column, width: Long) =
+    sec - pmod(sec, lit(width))
 
   /** Tumbling window aggregation: window length in seconds. */
   def tumbling(events: DataFrame, widthSec: Long): DataFrame =
     events
-      .withColumn("win_start", epochSec - (epochSec % widthSec))
+      .withColumn("win_start", winStart(epochSec, widthSec))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -39,7 +50,7 @@ object EventWindows {
     require(widthSec % slideSec == 0, "width must be a multiple of slide")
     val k = (widthSec / slideSec).toInt
     val sec = epochSec
-    val base = sec - (sec % slideSec)
+    val base = winStart(sec, slideSec)
     val starts = array((0 until k).map(i => base - lit(i.toLong * slideSec)): _*)
     events
       .withColumn("win_start", explode(starts))

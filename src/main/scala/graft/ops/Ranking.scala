@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking without the single-partition window funnel.
+  *
+  * RANK/DENSE_RANK/ROW_NUMBER over a global ORDER BY make Spark move the
+  * entire dataset through ONE task (WindowExec warns "No Partition
+  * Defined"). The scale-safe equivalent used here:
+  *
+  *   1. range-partition on the sort key — partition order = global order,
+  *      and the RangePartitioner maps EQUAL keys to the SAME partition, so
+  *      rank ties never straddle a partition boundary;
+  *   2. rank within each partition in parallel (window partitioned by the
+  *      physical partition id);
+  *   3. add per-partition offsets — row counts for RANK, distinct-key
+  *      counts for DENSE_RANK — computed on a one-row-per-partition
+  *      summary (the only "global" step, over O(partitions) rows) and
+  *      broadcast back.
+  *
+  * Identical results to the global window at any partition count.
+  */
+object Ranking {
+
+  /** keys: (column, ascending) pairs defining the global ranking order. */
+  def withGlobalRanks(df: DataFrame, keys: Seq[(String, Boolean)],
+      rankCol: String = "rnk", denseCol: String = "drnk"): DataFrame = {
+    require(keys.nonEmpty, "ranking needs at least one sort key")
+    val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val keyStruct = struct(keys.map(k => col(k._1)): _*)
+
+    val ranged = df.repartitionByRange(ord: _*)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket")).orderBy(ord: _*)
+    val local = ranged
+      .withColumn("_lrank", rank().over(w))
+      .withColumn("_ldense", dense_rank().over(w))
+
+    // one row per partition; the exclusive running sums over this summary
+    // are O(partitions), not O(rows)
+    val sums = local.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_n"), count_distinct(keyStruct).as("_nd"))
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_roff", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .withColumn("_doff", coalesce(sum(col("_nd")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_roff"), col("_doff"))
+
+    local.join(broadcast(offsets), "_bucket")
+      .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("int"))
+      .withColumn(denseCol, (col("_ldense") + col("_doff")).cast("int"))
+      .drop("_bucket", "_lrank", "_ldense", "_roff", "_doff")
+  }
+}

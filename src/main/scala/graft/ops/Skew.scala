@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt, derived from row CONTENT (xxhash64 over
+    * all columns) — never from partition/attempt state. A recomputed task
+    * (fault recovery, speculative retry) assigns identical salts, so no
+    * row can be double-counted or lost across the salted shuffle
+    * (spark_partition_id/monotonically_increasing_id would both change on
+    * recomputation). Exact duplicate rows share a salt and spread only
+    * across distinct payloads — acceptable: salting targets hot KEYS, and
+    * real wide rows carry distinguishing columns.
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int) =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading a hot key over `saltBuckets` reducers — then final
     * aggregate on keys. Works for any algebraic aggregate expressed as
@@ -20,8 +32,7 @@ object Skew {
     */
   def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       out: String = "n"): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", contentSalt(df, saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
@@ -31,8 +42,7 @@ object Skew {
 
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
       saltBuckets: Int, out: String = "s"): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", contentSalt(df, saltBuckets))
     salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(sum(valueCol).as("_partial"))
@@ -48,10 +58,9 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int): DataFrame = {
-    val saltedLarge = large.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedLarge = large.withColumn("_salt", contentSalt(large, saltBuckets))
     val replicatedSmall = small.withColumn("_salt",
-      explode(array((0 until saltBuckets).map(lit): _*)))
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
 }

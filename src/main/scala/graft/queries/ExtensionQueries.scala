@@ -351,10 +351,13 @@ object ExtensionQueries {
       (s, dir) =>
         EventWindows.tumbling(Tables.events(s, dir), 600)
           .orderBy(col("win_start"), col("event_type")),
-      Some("""SELECT (epoch_ns(ts)//1000000000) - ((epoch_ns(ts)//1000000000) % 600) AS win_start,
+      // ((sec % w) + w) % w = floor-aligned offset — matches the Spark
+      // side's pmod for negative (pre-epoch) seconds too
+      Some("""SELECT sec - (((sec % 600) + 600) % 600) AS win_start,
              |  event_type, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
+             |FROM (SELECT epoch_ns(ts)//1000000000 AS sec, event_type, value FROM events) e
+             |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin),
       headline = true),
 
     // ---- x14: sliding windows (width 600s, slide 300s) --------------------
@@ -364,7 +367,7 @@ object ExtensionQueries {
         EventWindows.sliding(Tables.events(s, dir), 600, 300)
           .orderBy(col("win_start"), col("event_type")),
       Some("""WITH e AS (SELECT epoch_ns(ts)//1000000000 AS sec, event_type FROM events),
-             |w AS (SELECT sec - (sec % 300) - o.off AS win_start, event_type
+             |w AS (SELECT sec - (((sec % 300) + 300) % 300) - o.off AS win_start, event_type
              |      FROM e CROSS JOIN (VALUES (0), (300)) o(off))
              |SELECT win_start, event_type, COUNT(*) AS n
              |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
@@ -484,8 +487,8 @@ object ExtensionQueries {
             "ts_ns", "pts_ns", Seq("pts_ns", "pval"))
           .filter(col("asof_pts_ns").isNotNull)
           .select(col("event_id"), col("user_id"),
-            expr("ts_ns div 1000000000").as("ts_sec"),
-            expr("asof_pts_ns div 1000000000").as("pts_sec"),
+            expr(EventWindows.floorDivSql("ts_ns", 1000000000L)).as("ts_sec"),
+            expr(EventWindows.floorDivSql("asof_pts_ns", 1000000000L)).as("pts_sec"),
             col("asof_pval").as("pval"))
           .orderBy(col("event_id"))
       },

@@ -82,17 +82,17 @@ object WindowQueries {
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
     // ---- q29: rank with gaps + dense_rank ---------------------------------
+    // Global ranking WITHOUT the single-partition window funnel: range
+    // partition + parallel local ranks + tiny per-partition offsets
+    // (graft.ops.Ranking) — same results as the global window at any scale.
     QueryDef(
       "q29_rank_dense",
-      (s, dir) => {
-        val w = Window.orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-        Tables.part(s, dir)
-          .filter(col("p_size") >= 40)
-          .withColumn("rnk", rank().over(w))
-          .withColumn("drnk", dense_rank().over(w))
+      (s, dir) =>
+        graft.ops.Ranking.withGlobalRanks(
+            Tables.part(s, dir).filter(col("p_size") >= 40),
+            Seq("p_retailprice" -> false, "p_partkey" -> true))
           .select(col("p_partkey"), col("p_retailprice"), col("rnk"), col("drnk"))
-          .orderBy(col("rnk"), col("p_partkey"))
-      },
+          .orderBy(col("rnk"), col("p_partkey")),
       Some("""SELECT p_partkey, p_retailprice,
              |  RANK() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk,
              |  DENSE_RANK() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS drnk

@@ -109,8 +109,14 @@ object StreamingWindows {
         val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
         secs.foreach { s =>
           open match {
+            // a late event from an earlier micro-batch (s < last_sec) must
+            // not move the session end BACKWARDS — merge with max/min so
+            // duration and subsequent gap checks stay consistent
             case Some(o) if s - o.last_sec <= gapSec =>
-              open = Some(o.copy(last_sec = s, n_events = o.n_events + 1))
+              open = Some(o.copy(
+                start_sec = math.min(o.start_sec, s),
+                last_sec = math.max(o.last_sec, s),
+                n_events = o.n_events + 1))
             case Some(o) =>
               closed += ClosedSession(user, o.session_id, o.n_events,
                 o.start_sec, o.last_sec - o.start_sec)

@@ -135,6 +135,43 @@ class GoldenSpec extends SparkSuite {
       Seq(Seq(1, 9), Seq(2, 9), Seq(3, 7)))
   }
 
+  test("explode passes a null cell through as one row (test_explode.py:10-21)") {
+    // reference: [[1,2],[3],[4,5,6],None] explodes to [1,2,3,4,5,6,None]
+    // with the index [9,9,8,7,7,7,6] — None is not list-like, so it is a
+    // passthrough row, NOT a dropped one
+    val df = MDFrame(frame(
+      "a" -> Seq(Seq(1, 2), Seq(3), Seq(4, 5, 6), null),
+      "b" -> Seq(9, 8, 7, 6)), Seq("b"))
+    val got = df.explodeCol("a")
+    assert(got.ds.count() == 7)
+    assert(rows(got.ds.orderBy(col("b").desc, col("a"))) ==
+      Seq(Seq(1, 9), Seq(2, 9), Seq(3, 8), Seq(4, 7), Seq(5, 7), Seq(6, 7),
+        Seq(null, 6)))
+    assert(got.index == Seq("b"))
+  }
+
+  // ---- test_init.py:63-67 — unnamed external index levels ----------------
+
+  test("""set_index with external arrays materializes _index{i} (test_init.py:63-67)""") {
+    val df = MDFrame(frame("a" -> Seq(1, 2, 3)))
+    val got = df.setIndexArrays(Seq(col("a") * 2))
+    assert(got.index == Seq("_index0"))
+    assert(collectCol[Int](got.ds.orderBy("a"), "_index0") == Seq(2, 4, 6))
+    // two levels → _index0, _index1
+    val two = df.setIndexArrays(Seq(col("a") * 2, col("a") + 10))
+    assert(two.index == Seq("_index0", "_index1"))
+    // reference raises when the synthetic name already exists
+    intercept[IllegalArgumentException](got.setIndexArrays(Seq(col("a"))))
+  }
+
+  test("concat loose: dtype of the first frame carrying a column wins (test_concat.py:96-111)") {
+    val a = MDFrame(frame("k" -> Seq(0, 1), "v" -> Seq(1L, 2L)))
+    val b = MDFrame(frame("k" -> Seq(2, 3), "v" -> Seq("4", "5")))
+    val c = MDFrame.concat(Seq(a, b), strict = false)
+    assert(c.ds.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(collectCol[Long](c.ds.orderBy("k"), "v") == Seq(1L, 2L, 4L, 5L))
+  }
+
   // ---- test_concat.py extras --------------------------------------------
 
   test("concat of a frame with itself doubles every row (test_concat.py:9-20)") {

@@ -238,6 +238,38 @@ class OpsSpec extends SparkSuite {
     assert(heavy >= 18, s"expected heavy ids to dominate, got $heavy/20")
   }
 
+  test("weighted sample WITH replacement: n draws ∝ weight, single pass (R4 replace=True)") {
+    import org.apache.spark.sql.functions.col
+    val df = MDFrame(frame(
+      "id" -> Seq(1, 2, 3),
+      "w" -> Seq(1.0e12, 1.0e-12, 1.0e-12)))
+    val got = df.sampleWeightedReplace(5, "w", seed = 3L)
+    assert(got.ds.count() == 5) // replacement: n rows from 3 source rows
+    assert(collectCol[Int](got.ds, "id").forall(Set(1, 2, 3)))
+    // weight ratio 1e24 → every draw lands on id=1 (p(other) ≈ 1e-24/draw)
+    assert(collectCol[Int](got.ds, "id").forall(_ == 1))
+    // frac= delegates: round(frac·len) rows without replacement
+    val fr = df.sampleFracWeighted(2.0 / 3.0, "w", replace = false, seed = 3L)
+    assert(fr.ds.count() == 2)
+  }
+
+  test("takePositions: range partition + parallel zipWithIndex (R1 at scale)") {
+    import org.apache.spark.sql.functions.col
+    val df = MDFrame(frame("k" -> (1 to 100).reverse, "v" -> (1 to 100).map(_ * 2)))
+    val got = df.takePositions(Seq(0L, 50L, 99L), Seq("k"))
+    // order by k ascending: pos 0 → k=1, pos 50 → k=51, pos 99 → k=100
+    assert(rows(got.ds.select(col("pos"), col("k")).orderBy("pos")) ==
+      Seq(Seq(0L, 1), Seq(50L, 51), Seq(99L, 100)))
+  }
+
+  test("deterministic Bernoulli sample: same rows every run, ~frac kept (R4 oracle path)") {
+    val df = MDFrame(frame("id" -> (1 to 2000)))
+    val a = collectCol[Int](df.sampleDeterministic(0.1, "id").ds.orderBy("id"), "id")
+    val b = collectCol[Int](df.sampleDeterministic(0.1, "id").ds.orderBy("id"), "id")
+    assert(a == b) // reproducible — no RNG state anywhere
+    assert(a.size > 120 && a.size < 280, s"${a.size} kept of 2000 at frac=0.1")
+  }
+
   test("iterrows yields rows lazily in the requested projection (R5)") {
     val df = MDFrame(frame("a" -> Seq(1, 2), "b" -> Seq("x", "y")))
     val it = df.iterrows("b")
