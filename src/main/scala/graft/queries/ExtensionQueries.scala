@@ -445,6 +445,36 @@ object ExtensionQueries {
              |  quantile_cont(l_quantity, 0.75) AS q75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- x27: sketch aggregates — the 100 TB statistics path --------------
+    // Exact per-group percentiles/count-distinct hold state proportional to
+    // the group; the sketch forms (GK approx_percentile, HLL++
+    // approx_count_distinct) are bounded-memory mergeable summaries. The
+    // oracle replays the EXACT columns bitwise and pins the sketches inside
+    // a tolerance band (a cross-engine oracle cannot replay sketch
+    // internals; the band is 5σ wide at rsd=0.01, deterministic for a
+    // fixed dataset).
+    QueryDef(
+      "x27_approx_stats",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("exact_median"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("_am"),
+            count_distinct(col("l_partkey")).as("nd_exact"),
+            approx_count_distinct(col("l_partkey"), 0.01).as("_acd"))
+          .select(col("l_returnflag"), col("exact_median"), col("nd_exact"),
+            (abs(col("_am").cast("double") - col("exact_median")) <= lit(1.0))
+              .as("approx_median_ok"),
+            (abs(col("_acd") - col("nd_exact")).cast("double") / col("nd_exact") <= lit(0.05))
+              .as("approx_distinct_ok"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS exact_median,
+             |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
+             |  TRUE AS approx_median_ok, TRUE AS approx_distinct_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- x24: value histogram (integer bucket arithmetic) -----------------
     QueryDef(
       "x24_histogram",

@@ -160,6 +160,77 @@ object MiscQueries {
       Some(s"""SELECT o_orderkey, o_totalprice FROM orders
               |WHERE ${graft.ops.TextAnalysis.hexToIntSql("md5(concat('smp:', o_orderkey))", 12)}
               |  < ${MDFrame.bernoulliThreshold(0.1)}
-              |ORDER BY o_orderkey""".stripMargin))
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q39: per-dtype isnull matrix (P10) -------------------------------
+    // The reference's null model (dataframe.py:948-978): float → NaN IS
+    // null, timestamp → null, object string → null, native string and
+    // integers → NEVER null. Nulls are synthesized, then counted through
+    // MDFrame.isnullMask — one codegen'd projection.
+    QueryDef(
+      "q39_isnull_matrix",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("v_nan",
+            when(col("value") < 5.0, lit(Double.NaN)).otherwise(col("value")))
+          .withColumn("ts_null",
+            when(col("event_type") === "click", lit(null).cast(TimestampType))
+              .otherwise(col("ts")))
+          .withColumn("props_null",
+            when(col("event_type") === "view", lit(null).cast(StringType))
+              .otherwise(col("props")))
+        val f = MDFrame(e, Nil, objectCols = Set("props_null"))
+        f.ds.agg(
+          count(when(f.isnullMask("v_nan"), 1)).as("n_nan"),
+          count(when(f.isnullMask("ts_null"), 1)).as("n_ts_null"),
+          count(when(f.isnullMask("props_null"), 1)).as("n_obj_null"),
+          // native string + integer columns can never be null by dtype rule
+          count(when(f.isnullMask("event_type"), 1)).as("n_str_null"),
+          count(when(f.isnullMask("user_id"), 1)).as("n_int_null"))
+      },
+      Some("""SELECT
+             |  COUNT(*) FILTER (WHERE isnan(CASE WHEN value < 5.0 THEN 'NaN'::DOUBLE ELSE value END)) AS n_nan,
+             |  COUNT(*) FILTER (WHERE (CASE WHEN event_type = 'click' THEN NULL ELSE ts END) IS NULL) AS n_ts_null,
+             |  COUNT(*) FILTER (WHERE (CASE WHEN event_type = 'view' THEN NULL ELSE props END) IS NULL) AS n_obj_null,
+             |  CAST(0 AS BIGINT) AS n_str_null,
+             |  CAST(0 AS BIGINT) AS n_int_null
+             |FROM events""".stripMargin)),
+
+    // ---- q40: per-group apply via typed mapGroups (G4) --------------------
+    // The reference's `for group in grouper: ufunc(group)` loop → Spark's
+    // KeyValueGroupedDataset.mapGroups with arbitrary Scala per group.
+    // Top-k is folded with a bounded heap (O(k) memory per group — a group
+    // at 100 TB can be billions of rows, never materialize it). Exact
+    // decimal summation matches the oracle bitwise.
+    QueryDef(
+      "q40_group_apply",
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice").cast(DoubleType))
+          .as[(String, Double)]
+          .groupByKey(_._1)
+          .mapGroups { (k, rows) =>
+            val heap = scala.collection.mutable.PriorityQueue.empty[Double](
+              Ordering[Double].reverse) // min-heap of the current top-3
+            rows.foreach { r =>
+              heap.enqueue(r._2)
+              if (heap.size > 3) heap.dequeue()
+            }
+            val top = heap.dequeueAll
+            val sum3 = top.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+            (k, top.size.toLong, sum3.toDouble)
+          }
+          .toDF("o_orderpriority", "n_top", "top3_sum")
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_top,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top3_sum
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

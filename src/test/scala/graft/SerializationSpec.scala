@@ -67,6 +67,46 @@ class SerializationSpec extends SparkSuite {
     }
   }
 
+  test("Arrow IPC round-trip: per-partition files, schema + values + nulls (S4)") {
+    import graft.sources.ArrowInterop
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i32", IntegerType),
+      StructField("f64", DoubleType),
+      StructField("s", StringType),        // incl. null
+      StructField("bin", BinaryType),
+      StructField("flag", BooleanType),
+      StructField("ts", TimestampType)))   // micros UTC, incl. null
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 10, 1.5, "alpha", "b1".getBytes, true, t0),
+      Row(2L, null, 2.5, null, "b2".getBytes, false, null),
+      Row(3L, 30, Double.NaN, "γδ", Array.emptyByteArray, true, t0))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val dir = java.nio.file.Files.createTempDirectory("arrow_ipc").toString
+    ArrowInterop.writeIpc(df, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".arrow")) >= 1)
+
+    val back = ArrowInterop.readIpc(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val o = df.orderBy("id").collect()
+    val g = back.orderBy("id").collect()
+    assert(g.length == 3)
+    o.zip(g).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getInt(1) == b.getInt(1))
+      assert(a.getDouble(2) == b.getDouble(2) ||
+        (a.getDouble(2).isNaN && b.getDouble(2).isNaN))
+      assert(a.getAs[String]("s") == b.getAs[String]("s"))
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]]("bin"), b.getAs[Array[Byte]]("bin")))
+      assert(a.getBoolean(5) == b.getBoolean(5))
+      assert(a.getAs[java.sql.Timestamp]("ts") == b.getAs[java.sql.Timestamp]("ts"))
+    }
+  }
+
   test("json encode of nested struct matches the reference's canonical form (S5)") {
     import org.apache.spark.sql.functions._
     val df = frame("a" -> Seq(1), "b" -> Seq("x"))
