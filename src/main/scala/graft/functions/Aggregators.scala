@@ -38,4 +38,29 @@ object Aggregators {
 
   val noneMin = org.apache.spark.sql.functions.udaf(new NoneMin, Encoders.DOUBLE)
   val noneMax = org.apache.spark.sql.functions.udaf(new NoneMax, Encoders.DOUBLE)
+
+  /** Mergeable bounded top-k: the buffer never exceeds k values, partials
+    * combine by merge-and-truncate — a constant-memory sketch whose result
+    * is EXACT (unlike quantile/HLL sketches). The training-pipeline
+    * workhorse for "k best documents per domain/language/cluster" where a
+    * group can be billions of rows: state is O(k) on every executor, and
+    * map-side partial aggregation shrinks the shuffle to k values per
+    * (group × mapper). Output is sorted descending.
+    */
+  class TopK(k: Int) extends Aggregator[java.lang.Double, Seq[Double], Seq[Double]] {
+    require(k > 0, "k must be positive")
+    def zero: Seq[Double] = Vector.empty
+    private def bound(s: Seq[Double]): Seq[Double] =
+      if (s.size <= k) s else s.sorted(Ordering[Double].reverse).take(k)
+    def reduce(b: Seq[Double], a: java.lang.Double): Seq[Double] =
+      if (a == null || a.isNaN) b else bound(b :+ a.doubleValue)
+    def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] = bound(x ++ y)
+    def finish(b: Seq[Double]): Seq[Double] = b.sorted(Ordering[Double].reverse)
+    def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  def topK(k: Int) = org.apache.spark.sql.functions.udaf(new TopK(k), Encoders.DOUBLE)
 }

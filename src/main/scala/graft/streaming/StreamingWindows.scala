@@ -130,6 +130,21 @@ object StreamingWindows {
       }
   }
 
+  /** Streaming exact dedup for ingest pipelines: duplicates arriving
+    * within the watermark horizon are dropped; state holds only keys newer
+    * than the watermark (bounded), vs. plain dropDuplicates whose state
+    * grows forever. The streaming face of the exact-dedup batch operator
+    * (graft.ops.Dedup). */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is broadcast to
+    * every micro-batch — no stream-side shuffle, no state. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

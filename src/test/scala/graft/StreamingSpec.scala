@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark: doubled input collapses to distinct events") {
+    val dir = "/root/testdata/sf0.001"
+    // two file sources over the same parquet → every event arrives twice
+    val doubled = StreamingWindows.readEventsStream(spark, dir)
+      .unionByName(StreamingWindows.readEventsStream(spark, dir))
+    val q = StreamingWindows.streamingDedup(doubled)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup")
+      val want = Tables.events(spark, dir).count()
+      assert(got.count() == want, "dedup must collapse the doubled stream")
+      assert(got.select("event_id").distinct().count() == want)
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast join enriches every event, no state") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = StreamingWindows.readEventsStream(spark, dir)
+    val dim = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5L)))
+    val q = StreamingWindows.enrichWithStatic(stream, dim, "user_id")
+      .select("event_id", "user_id", "segment")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_enrich").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_enrich")
+      assert(got.count() == Tables.events(spark, dir).count())
+      assert(got.filter(col("segment") =!= pmod(col("user_id"), lit(5L))).count() == 0)
+      assert(got.filter(col("segment").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions == batch sessions (closed ones)") {
     val dir = "/root/testdata/sf0.001"
     val stream = StreamingWindows.readEventsStream(spark, dir)
