@@ -22,11 +22,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: exercises codegen, shuffle, parquet reader paths.
-    // (Deliberately NO table caching: measured, it's a wash at sf0.1 and
-    // it hides scan pruning — and nothing caches at 100 TB.)
+    // untimed warmup: exercises codegen, shuffle, parquet reader paths —
+    // incl. the md5/explode and vector-arithmetic kernels the dedup and
+    // similarity queries lean on. (Deliberately NO table caching:
+    // measured, it's a wash at sf0.1 and it hides scan pruning — and
+    // nothing caches at 100 TB.)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+    Tables.documents(spark, sfDir)
+      .selectExpr("md5(text) AS h", "split(text, ' ') AS t")
+      .selectExpr("count(distinct h)", "sum(size(t))").collect()
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("sum(aggregate(cast(embedding as array<double>), 0.0d, (a, x) -> a + x * x))")
+      .collect()
 
     // Queries are independent; submit them concurrently (like a real
     // multi-tenant cluster) so local[4] stays busy instead of idling

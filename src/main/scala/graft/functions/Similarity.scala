@@ -135,6 +135,8 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, nCells: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val vecs = df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e"))
     var cents = vecs.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
@@ -150,9 +152,15 @@ object Similarity {
       val fresh = sums.groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"), expr("transform(pm, x -> x.m)").as("ce"))
-      cents = cents.alias("o")
+      val next = cents.alias("o")
         .join(fresh.alias("f"), col("o.cent_id") === col("f.cent_id"), "left")
         .select(col("o.cent_id"), coalesce(col("f.ce"), col("o.ce")).as("ce"))
+      // Centroids are O(k·d) BY DESIGN — materialize them each iteration
+      // (exactly what Spark MLlib's KMeans does): without this, iteration
+      // i's plan embeds i full passes over the data, and the later
+      // broadcast would re-trigger them all.
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
     }
     cents
   }

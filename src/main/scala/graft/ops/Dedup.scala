@@ -155,8 +155,13 @@ object Dedup {
     * every few rounds to cut lineage.
     */
   def clusterPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    // The edge list is consumed once per round — persist it, or every
+    // round re-executes the whole upstream candidate-pair pipeline
+    // (minhash + LSH join). The edge list is the DISTILLED graph: tiny
+    // next to the corpus, the textbook cache for iterative algorithms.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {
