@@ -30,6 +30,12 @@ final case class MDFrame(
   def columns: Seq[String] = ds.columns.toSeq
   def valueColumns: Seq[String] = columns.filterNot(index.contains)
 
+  // -- reference properties: empty / shape / index nlevels
+  //    (dataframe.py:464-475, Index.nlevels 55-58)
+  def isEmpty: Boolean = ds.isEmpty
+  def shape: (Long, Int) = (ds.count(), ds.columns.length)
+  def nIndexLevels: Int = index.size
+
   // -- P1/P2: projection; index columns are always dragged along
   //    (dataframe.py:388-392)
   def select(cols: String*): MDFrame =
@@ -266,11 +272,13 @@ final case class MDFrame(
     * never arrives as a driver-side array. Mirrors the reference's error
     * on a pre-existing `_index{i}` column.
     */
-  def setIndexArrays(levels: Seq[Column]): MDFrame = {
+  def setIndexArrays(levels: Seq[Column], drop: Boolean = false): MDFrame = {
     require(levels.nonEmpty, "set_index needs at least one level")
     val named = levels.zipWithIndex.map { case (e, i) => (s"_index$i", e) }
+    // `drop` mirrors the reference's set_index(drop=): an existing
+    // `_index{i}` column is only overwritten when drop is requested
     named.foreach { case (n, _) =>
-      require(!ds.columns.contains(n),
+      require(drop || !ds.columns.contains(n),
         s"""Cannot set an unnamed index "$n": column already exists""")
     }
     val d2 = named.foldLeft(ds) { case (d, (n, e)) => d.withColumn(n, e) }
@@ -408,13 +416,16 @@ final case class MDFrame(
   //    (tests/test_explode.py:10-21); plain Spark explode would drop it.
   //    An empty array still yields zero rows (it IS a list, with no
   //    elements — same as the reference).
-  def explodeCol(c: String): MDFrame = ds.schema(c).dataType match {
-    case ArrayType(elem, _) =>
-      val others = columns.filterNot(_ == c)
-      val cells = when(col(c).isNull, array(lit(null).cast(elem))).otherwise(col(c))
-      copy(ds = ds.select(others.map(col) :+ explode(cells).as(c): _*)
-        .select(columns.map(col): _*))
-    case _ => this
+  def explodeCol(c: String, ignoreIndex: Boolean = false): MDFrame = {
+    val out = ds.schema(c).dataType match {
+      case ArrayType(elem, _) =>
+        val others = columns.filterNot(_ == c)
+        val cells = when(col(c).isNull, array(lit(null).cast(elem))).otherwise(col(c))
+        copy(ds = ds.select(others.map(col) :+ explode(cells).as(c): _*)
+          .select(columns.map(col): _*))
+      case _ => this
+    }
+    if (ignoreIndex) out.resetIndex() else out
   }
 }
 

@@ -187,6 +187,42 @@ object Dedup {
     s"(2 * (CAST(floor((instr('0123456789abcdef', substr(md5($tokExpr), $nibblePos, 1)) - 1) / $weight) AS INT) % 2) - 1)"
   }
 
+  /** SimHash near-duplicate pairs at scale: pigeonhole banding. A pair
+    * within Hamming distance `maxHamming` differs in at most `maxHamming`
+    * of the `nBands` bands, so with maxHamming < nBands it MUST share at
+    * least one full band — candidates come from an equi-join on
+    * (band_id, band_value), never an all-pairs scan; the exact
+    * `bit_count(xor)` check then filters the survivors. The standard
+    * big-corpus simhash dedup construction (Manku et al., WWW'07).
+    */
+  def simhashNearDupPairs(docs: DataFrame, nBits: Int, nBands: Int,
+      maxHamming: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBits % nBands == 0, "bands must divide the signature width")
+    require(maxHamming < nBands,
+      "pigeonhole guarantee needs maxHamming < nBands")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    val sig = simhash(docs, nBits, textCol, idCol)
+    val stacked = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("bid"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("band"))
+      .select(col(idCol), col("simhash"),
+        col("band.bid").as("bid"), col("band.bv").as("bv"))
+    val l = stacked.select(col("bid"), col("bv"),
+      col(idCol).as("id_a"), col("simhash").as("sa"))
+    val r = stacked.select(col("bid"), col("bv"),
+      col(idCol).as("id_b"), col("simhash").as("sb"))
+    l.join(r, Seq("bid", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** nBits-bit SimHash per document: sum each bit's ±1 contributions over
     * the token multiset; bit set iff the sum is positive.
     */
