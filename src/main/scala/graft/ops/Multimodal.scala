@@ -10,6 +10,9 @@ final case class MediaDoc(doc_id: Long, media_type: String, payload: Array[Byte]
 final case class MediaFeatures(doc_id: Long, media_type: String,
     n_bytes: Int, first_byte: Int, width: Int, height: Int, n_frames: Int)
 
+/** One fixed-size slice of a media payload (audio segmentation shape). */
+final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
+
 /** Multimodal column plumbing (north-star extension): image/audio/video
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batched per-partition passes.
@@ -88,5 +91,52 @@ object Multimodal {
   def featuresOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     extractFeatures(attachPayload(docs).as[MediaDoc]).toDF()
+  }
+
+  /** Frame sampling: every `stride`-th frame index per video — pure
+    * declarative explode over the decoded frame count (no payload copy per
+    * frame; a real pipeline would pass (doc_id, frame_idx) to the decoder
+    * for frame-seek extraction). Map-only at any scale.
+    */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+
+  /** Fixed-size payload chunking (the audio-segmentation shape): each blob
+    * becomes ceil(len/chunkBytes) rows carrying its own slice — constant
+    * memory per row, downstream batches see bounded payloads.
+    */
+  def chunkPayload(media: Dataset[MediaDoc], chunkBytes: Int): Dataset[MediaChunk] = {
+    import media.sparkSession.implicits._
+    require(chunkBytes > 0)
+    media.flatMap { m =>
+      if (m.payload.isEmpty) Iterator(MediaChunk(m.doc_id, 0, Array.emptyByteArray))
+      else m.payload.grouped(chunkBytes).zipWithIndex.map {
+        case (c, i) => MediaChunk(m.doc_id, i, c)
+      }
+    }
+  }
+
+  /** STUB resize: deterministic byte-stride downsample standing in for a
+    * pixel resample — output length is exactly targetW·targetH/64 (the
+    * stub's "pixel" budget), derived only from the input bytes. Swap for a
+    * codec resample in production; the batching/partition shape is what
+    * matters here.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val want = math.max(1, targetW * targetH / 64)
+    if (payload.isEmpty) Array.emptyByteArray
+    else Array.tabulate(math.min(want, payload.length))(i =>
+      payload((i.toLong * payload.length / math.min(want, payload.length)).toInt))
+  }
+
+  /** Batched resize over a media dataset — same iterator-in/iterator-out
+    * shape as extractFeaturesBatched. */
+  def resizeAll(media: Dataset[MediaDoc], targetW: Int, targetH: Int): Dataset[MediaDoc] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      m.copy(payload = resizeStub(m.payload, targetW, targetH))))
   }
 }

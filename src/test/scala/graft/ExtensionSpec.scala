@@ -267,4 +267,24 @@ class ExtensionSpec extends SparkSuite {
     val batched = Multimodal.extractFeaturesBatched(media, 7).collect().sortBy(_.doc_id).toSeq
     assert(perRow == batched)
   }
+
+  test("payload chunking reassembles losslessly; resize is deterministic and bounded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val media = Multimodal.attachPayload(docs).as[MediaDoc]
+    val chunks = Multimodal.chunkPayload(media, chunkBytes = 37).collect()
+    val byDoc = chunks.groupBy(_.doc_id)
+    val originals = media.collect().map(m => m.doc_id -> m.payload).toMap
+    byDoc.foreach { case (id, cs) =>
+      val rebuilt = cs.sortBy(_.chunk_idx).flatMap(_.chunk)
+      assert(java.util.Arrays.equals(rebuilt, originals(id)), s"doc $id reassembly")
+      assert(cs.init.forall(_.chunk.length == 37)) // all but last are full
+    }
+    val resized = Multimodal.resizeAll(media, 64, 64).collect()
+    resized.foreach { m =>
+      assert(m.payload.length <= math.max(1, 64 * 64 / 64))
+      assert(java.util.Arrays.equals(m.payload,
+        Multimodal.resizeStub(originals(m.doc_id), 64, 64))) // deterministic
+    }
+  }
 }
