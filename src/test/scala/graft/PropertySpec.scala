@@ -70,4 +70,63 @@ class PropertySpec extends SparkSuite {
           got.filter(_._1 == i).map(_._2).sorted.toList == lists(i).sorted)
     })
   }
+
+  test("topK aggregator == sort-desc-take-k under any partitioning (merge path)") {
+    check("topk", Prop.forAll(smallInts, Gen.chooseNum(1, 4), Gen.chooseNum(1, 5)) {
+      (xs, k, parts) =>
+        val df = frame("v" -> xs.map(_.toDouble)).repartition(parts)
+        val got = df.agg(graft.functions.Aggregators.topK(k)(col("v")).as("t"))
+          .head.getSeq[Double](0).toList
+        got == xs.map(_.toDouble).sorted(Ordering[Double].reverse).take(k)
+    })
+  }
+
+  test("takePositions returns exactly the rows at those sorted positions") {
+    check("take-pos", Prop.forAll(smallInts) { xs0 =>
+      val xs = xs0.zipWithIndex.map { case (v, i) => v * 100 + i } // unique keys
+      val df = MDFrame(frame("k" -> xs))
+      val want = xs.sorted
+      val pos = xs.indices.filter(_ % 2 == 0).map(_.toLong)
+      val got = df.takePositions(pos, Seq("k")).ds.collect()
+        .map(r => (r.getAs[Long]("pos"), r.getInt(0))).sortBy(_._1)
+      got.toList == pos.map(p => (p, want(p.toInt))).toList
+    })
+  }
+
+  test("deterministic Bernoulli sample: subset, stable, frac=1 keeps everything") {
+    check("bernoulli", Prop.forAll(smallInts) { xs0 =>
+      val xs = xs0.zipWithIndex.map { case (v, i) => v * 100 + i }
+      val df = MDFrame(frame("id" -> xs))
+      val s1 = collectCol[Int](df.sampleDeterministic(0.4, "id").ds.orderBy("id"), "id")
+      val s2 = collectCol[Int](df.sampleDeterministic(0.4, "id").ds.orderBy("id"), "id")
+      val all = collectCol[Int](df.sampleDeterministic(1.0, "id").ds.orderBy("id"), "id")
+      s1 == s2 && s1.forall(xs.contains) && all == xs.sorted
+    })
+  }
+
+  test("clusterPairs: connected docs share a label = their component minimum") {
+    // iterative Spark jobs per case — keep the case count small
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(3).withWorkers(1)
+    assert(SCTest.check(few, Prop.forAll(
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { es =>
+      val pairs = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      pairs.isEmpty || {
+        val df = frame("id_a" -> pairs.map(_._1), "id_b" -> pairs.map(_._2))
+        // rounds = edge count bounds any component diameter → exact
+        val got = graft.ops.Dedup.clusterPairs(df, rounds = 6).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r } }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val comp = nodes.groupBy(find).map { case (_, ns) => ns.toSet -> ns.min }
+        comp.forall { case (ns, mn) => ns.forall(n => got(n) == mn) }
+      }
+    }).passed, "property failed: clusters")
+  }
 }
