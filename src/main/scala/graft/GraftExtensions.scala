@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorExpressions.{CosineSim, DotProduct}
+
+/** SparkSessionExtensions entry point: registers the native vector
+  * expressions as SQL functions, so `spark.sql("... graft_cosine(a, b)")`
+  * plans the fused codegen'd expression — the standard way to ship custom
+  * Catalyst pieces to SQL users (`--conf
+  * spark.sql.extensions=graft.GraftExtensions`, or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  *
+  * This is SURVEY.md §7.3's escalation ladder, rung 3: compose built-ins →
+  * custom Expression with doGenCode → REGISTER it session-wide. (Rung 4 —
+  * custom LogicalPlan/Strategy — stays unneeded: every operator's
+  * semantics fit relational plans Catalyst already optimizes.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_dot(a, b) takes two array<double> args")
+        DotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_cosine(a, b) takes two array<double> args")
+        CosineSim(args(0), args(1))
+      }))
+  }
+}

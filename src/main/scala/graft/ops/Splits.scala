@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting — the train/val/test assignment every
+  * training pipeline needs. A row's split comes from md5(salt:id) reduced
+  * to a uniform 48-bit integer compared against cumulative fraction
+  * thresholds: pure codegen'd projection (no shuffle, no RNG state),
+  * reproducible across runs/engines/cluster sizes, and STABLE UNDER
+  * APPENDS — adding documents never reassigns existing ones (the property
+  * random splits lose). Changing `salt` draws a fresh independent split.
+  */
+object Splits {
+
+  /** Cumulative 48-bit thresholds for the given (name, fraction) list —
+    * computed once in Scala so Spark and an external replayer (the DuckDB
+    * oracle, another engine) embed identical literals. */
+  def thresholds(fracs: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    fracs.map(_._1).zip(cum.map(c => math.floor(c * 281474976710656.0).toLong)) // 2^48
+  }
+
+  /** The 48-bit hash SQL (engine-portable text) for an id column. */
+  def hashSql(idCol: String, salt: String): String =
+    TextAnalysis.hexToIntSql(s"md5(concat('$salt:', $idCol))", 12)
+
+  /** Add a `split` column assigning each row to a named split. */
+  def assignSplit(df: DataFrame, idCol: String,
+      fracs: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val u = expr(hashSql(idCol, salt))
+    val ts = thresholds(fracs)
+    val c = ts.init.foldRight(lit(ts.last._1): Column) { case ((name, t), els) =>
+      when(u < t, name).otherwise(els)
+    }
+    df.withColumn("split", c)
+  }
+
+  /** The same assignment as ANSI CASE text, for oracle replay. */
+  def assignSplitSql(idCol: String, fracs: Seq[(String, Double)],
+      salt: String = "split"): String = {
+    val u = hashSql(idCol, salt)
+    val ts = thresholds(fracs)
+    val whens = ts.init.map { case (n, t) => s"WHEN $u < $t THEN '$n'" }.mkString(" ")
+    s"CASE $whens ELSE '${ts.last._1}' END"
+  }
+}

@@ -268,6 +268,27 @@ class ExtensionSpec extends SparkSuite {
     assert(perRow == batched)
   }
 
+  test("SparkSessionExtensions inject graft_dot/graft_cosine as SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // force shared-session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT graft_cosine(array(3.0d, 0.0d), array(7.0d, 0.0d)) AS c,
+          |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("payload chunking reassembles losslessly; resize is deterministic and bounded") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
