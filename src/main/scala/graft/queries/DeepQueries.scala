@@ -145,6 +145,111 @@ object DeepQueries {
              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
              |WHERE n1.n_name < n2.n_name
              |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // ---- q46: order-priority checking (TPC-H Q4 shape — EXISTS) -----------
+    // semi-join realizes the correlated EXISTS; Catalyst plans a LeftSemi
+    // hash join, no subquery re-execution per row. (Predicate adapted to
+    // the synthetic schema: deep-discount line exists.)
+    QueryDef(
+      "q46_priority_exists",
+      (s, dir) => {
+        val deep = Tables.lineitem(s, dir)
+          .filter(col("l_discount") > 0.08)
+          .select(col("l_orderkey"))
+        Tables.orders(s, dir)
+          .join(deep, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- q47: two-class conditional aggregation (TPC-H Q12 shape) ---------
+    // two CASE sums in one pass over a fact-dimension join.
+    QueryDef(
+      "q47_returnflag_priority",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "A") && col("l_tax") < col("l_discount"))
+        l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_returnflag IN ('R','A') AND l_tax < l_discount
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q48: supplier-part counting with NOT IN (TPC-H Q16 shape) --------
+    // anti-join realizes NOT IN against a filtered supplier set.
+    QueryDef(
+      "q48_parts_not_in",
+      (s, dir) => {
+        val badSupp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0.0)
+          .select(col("s_suppkey"))
+        val ps = Tables.part(s, dir)
+          .filter(col("p_size").isin(1, 14, 23, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"))
+          .distinct()
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(ps, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_size IN (1, 14, 23, 45)
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
+    // ---- q49: idle-customer country codes (TPC-H Q22 shape) ---------------
+    // scalar AVG subquery + NOT EXISTS anti-join against orders; country
+    // code adapted to nation key (synthetic schema has no phone).
+    QueryDef(
+      "q49_idle_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_bal"))
+        c.join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, COUNT(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (
+             |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             |    FROM customer WHERE c_acctbal > 0.0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }
