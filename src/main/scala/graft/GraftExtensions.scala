@@ -3,8 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.VectorExpressions.{CosineSim, DotProduct}
+import graft.functions.VectorExpressions.{CosineSim, DotProduct, Norm2}
+
+/** Optimizer rule: a self dot-product reads its array argument twice;
+  * Norm2 reads it once with the same accumulation order (bit-identical
+  * result). Runs in the user-provided optimizer batch, after Catalyst's
+  * own rewrites.
+  */
+object FuseSelfDot extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(l, r) if l.deterministic && l.fastEquals(r) => Norm2(l)
+    }
+}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions, so `spark.sql("... graft_cosine(a, b)")`
@@ -21,6 +35,7 @@ import graft.functions.VectorExpressions.{CosineSim, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => FuseSelfDot)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

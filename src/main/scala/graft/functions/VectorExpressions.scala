@@ -109,6 +109,42 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** norm2(a) = Σ aᵢ² in one pass — the target of the FuseSelfDot
+    * optimizer rule (DotProduct(x, x) → Norm2(x)): reads the array once
+    * instead of twice, identical accumulation order → identical bits.
+    */
+  case class Norm2(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_norm2"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0
+      var i = 0
+      while (i < x.numElements()) { val xi = x.getDouble(i); s += xi * xi; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val xi = ctx.freshName("xi")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $xi = $a.getDouble($i);
+           |  $s += $xi * $xi;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.toColumn(DotProduct(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b)))

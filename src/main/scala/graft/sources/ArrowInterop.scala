@@ -40,6 +40,7 @@ object ArrowInterop {
     case BinaryType    => ArrowType.Binary.INSTANCE
     case BooleanType   => ArrowType.Bool.INSTANCE
     case TimestampType => TsUtc
+    case _: DayTimeIntervalType => new ArrowType.Duration(TimeUnit.MICROSECOND)
     case other => throw new IllegalArgumentException(s"unsupported Arrow dtype $other")
   }
 
@@ -54,6 +55,7 @@ object ArrowInterop {
     case _: ArrowType.Binary => BinaryType
     case _: ArrowType.Bool   => BooleanType
     case _: ArrowType.Timestamp => TimestampType
+    case _: ArrowType.Duration  => DayTimeIntervalType()
     case other => throw new IllegalArgumentException(s"unsupported Arrow type $other")
   }
 
@@ -86,6 +88,9 @@ object ArrowInterop {
     case x: java.sql.Timestamp =>
       val micros = x.getTime * 1000L + (x.getNanos % 1000000) / 1000L
       v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, micros)
+    case x: java.time.Duration =>
+      v.asInstanceOf[DurationVector]
+        .setSafe(i, x.getSeconds * 1000000L + x.getNano / 1000L)
     case other => throw new IllegalArgumentException(s"cell $other")
   }
 
@@ -106,6 +111,7 @@ object ArrowInterop {
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
+      case x: DurationVector => x.getObject(i) // java.time.Duration
       case other => throw new IllegalArgumentException(s"vector ${other.getClass}")
     }
 

@@ -76,12 +76,14 @@ class SerializationSpec extends SparkSuite {
       StructField("s", StringType),        // incl. null
       StructField("bin", BinaryType),
       StructField("flag", BooleanType),
-      StructField("ts", TimestampType)))   // micros UTC, incl. null
+      StructField("ts", TimestampType),    // micros UTC, incl. null
+      StructField("dur", DayTimeIntervalType()))) // timedelta64 parity
     val t0 = java.sql.Timestamp.valueOf("2024-05-01 12:34:56.123456")
+    val d0 = java.time.Duration.ofSeconds(3601, 250000000L)
     val rows = Seq(
-      Row(1L, 10, 1.5, "alpha", "b1".getBytes, true, t0),
-      Row(2L, null, 2.5, null, "b2".getBytes, false, null),
-      Row(3L, 30, Double.NaN, "γδ", Array.emptyByteArray, true, t0))
+      Row(1L, 10, 1.5, "alpha", "b1".getBytes, true, t0, d0),
+      Row(2L, null, 2.5, null, "b2".getBytes, false, null, null),
+      Row(3L, 30, Double.NaN, "γδ", Array.emptyByteArray, true, t0, d0.negated()))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
 
     val dir = java.nio.file.Files.createTempDirectory("arrow_ipc").toString
@@ -104,6 +106,7 @@ class SerializationSpec extends SparkSuite {
       assert(java.util.Arrays.equals(a.getAs[Array[Byte]]("bin"), b.getAs[Array[Byte]]("bin")))
       assert(a.getBoolean(5) == b.getBoolean(5))
       assert(a.getAs[java.sql.Timestamp]("ts") == b.getAs[java.sql.Timestamp]("ts"))
+      assert(a.getAs[java.time.Duration]("dur") == b.getAs[java.time.Duration]("dur"))
     }
   }
 
