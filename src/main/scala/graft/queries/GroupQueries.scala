@@ -144,6 +144,20 @@ object GroupQueries {
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- q50: cube — every grouping-set combination (G10 superset) --------
+    QueryDef(
+      "q50_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // ---- q25: pivot (T3 — Spark superset) ---------------------------------
     QueryDef(
       "q25_pivot",

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Source-layer behaviors that carry the 100 TB story: hive-partitioned
+  * directory layout with partition pruning at the scan, and schema
+  * evolution across parquet parts (mergeSchema).
+  */
+class SourcesSpec extends SparkSuite {
+
+  test("partitioned parquet: a partition filter prunes directories at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    // correctness: only the one partition's rows
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click").count()
+    assert(q.count() == want && want > 0)
+    // plan: the filter must reach the scan as a PARTITION filter (directory
+    // pruning), not a post-scan data filter
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"expected partition filters, got: ${scan.partitionFilters}")
+    assert(scan.relation.location.inputFiles.forall(_.contains("event_type=click")) ||
+      scan.metadata.get("PartitionFilters").exists(_.contains("event_type")))
+  }
+
+  test("schema evolution: mergeSchema unions columns across parquet parts") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    frame("id" -> Seq(1, 2), "a" -> Seq(10L, 20L))
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    frame("id" -> Seq(3), "a" -> Seq(30L), "b" -> Seq("new"))
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "v"))
+    assert(merged.count() == 3)
+    // old rows surface the new column as null
+    assert(merged.filter(col("v") === 1 && col("b").isNull).count() == 2)
+    assert(collectCol[String](merged.filter(col("v") === 2), "b") == Seq("new"))
+  }
+}
