@@ -112,6 +112,9 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("bid"), col(s"band$b").as("bk"))): _*)).as("band"))
       .select(col(idCol), col("band.bid").as("bid"), col("band.bk").as("bk"))
+      // bands rows/doc × (id + 32-char key): tiny next to the signature
+      // computation above it, which would otherwise run once per join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = stacked.select(col("bid"), col("bk"), col(idCol).as("id_a"))
     val r = stacked.select(col("bid"), col("bk"), col(idCol).as("id_b"))
     l.join(r, Seq("bid", "bk"))
