@@ -62,9 +62,9 @@ object ExtensionQueries {
        |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)""".stripMargin
   }
 
-  /** DuckDB replay of Dedup.clusterPairs: `rounds` min-label propagation
-    * CTEs over the undirected edge set. */
-  private def clusterSql(rounds: Int): String = {
+  /** CTE chain (after lshPairsCtes) computing l{rounds}(id, lbl) — the
+    * min-label propagation replay of Dedup.clusterPairs. */
+  private def clusterCtes(rounds: Int): String = {
     val prop = (1 to rounds).map { i =>
       s"""l$i AS (SELECT l.id, LEAST(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
          |  FROM l${i - 1} l LEFT JOIN (
@@ -72,13 +72,38 @@ object ExtensionQueries {
          |    FROM edges e JOIN l${i - 1} p ON p.id = e.dst GROUP BY e.src) m
          |  ON m.id = l.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $lshPairsCtes,
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-       |$prop
-       |SELECT id AS doc_id, lbl AS cluster FROM l$rounds ORDER BY doc_id""".stripMargin
+       |$prop""".stripMargin
   }
+
+  /** DuckDB replay of Dedup.clusterPairs over the LSH pairs. */
+  private def clusterSql(rounds: Int): String =
+    s"""WITH $lshPairsCtes,
+       |${clusterCtes(rounds)}
+       |SELECT id AS doc_id, lbl AS cluster FROM l$rounds ORDER BY doc_id""".stripMargin
+
+  /** DuckDB per-language stopword score columns (score_en, ...). */
+  private def langScoresSql: String = TextAnalysis.stopwords.map { case (lang, ws) =>
+    val list = ws.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$lang"
+  }.mkString(",\n  ")
+
+  /** Argmax-with-list-order language pick over the score_* columns. */
+  private def langPredSql: String = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    langs.map(l => s"WHEN score_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** The x07 quality formula as one DuckDB expression over `text`. */
+  private def qualityExprSql: String =
+    """(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')))
+      |  * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> length(t) = 1)) AS DOUBLE)
+      |    / len(string_split(text, ' ')))""".stripMargin
 
   /** DuckDB replay of Similarity.kmeansCentroids + final assignment: the
     * same init / fixed-point update / tie-break rules, one CTE block per
@@ -272,18 +297,10 @@ object ExtensionQueries {
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred_lang")),
-      Some {
-        val scores = TextAnalysis.stopwords.map { case (lang, ws) =>
-          val list = ws.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS score_$lang"
-        }.mkString(",\n  ")
-        val langs = TextAnalysis.stopwords.map(_._1)
-        val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-        val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString("CASE ", " ", " ELSE 'und' END")
-        s"""WITH scored AS (SELECT doc_id, lang, $scores FROM documents)
-           |SELECT lang, $pred AS pred_lang, COUNT(*) AS n
-           |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
-      }),
+      Some(
+        s"""WITH scored AS (SELECT doc_id, lang, $langScoresSql FROM documents)
+           |SELECT lang, $langPredSql AS pred_lang, COUNT(*) AS n
+           |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin)),
 
     // ---- x09: rolling polynomial document fingerprint ---------------------
     QueryDef(
@@ -717,6 +734,57 @@ object ExtensionQueries {
              |SELECT win_id, COUNT(*) AS n_orders
              |FROM pts p JOIN w ON p.pday BETWEEN w.lo AND w.hi
              |GROUP BY win_id ORDER BY win_id""".stripMargin)),
+
+    // ---- x35: the end-to-end corpus-cleaning pipeline ---------------------
+    // What a training-data run actually executes, composed from the
+    // engine's own stages: quality scoring → language id → exact-dup
+    // keeper (md5 min) → near-dup cluster keeper (LSH pairs + label
+    // propagation) → quality filter → per-language corpus stats. Every
+    // stage is the SAME operator the standalone x-queries check; the
+    // oracle replays the whole composition (min/max are order-independent
+    // aggregates, so the stats are bitwise-stable).
+    QueryDef(
+      "x35_clean_corpus",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val quality = TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+        val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+        val exactKeep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val nearDrop = Dedup.clusterPairs(
+            Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4), rounds = 3)
+          .filter(col("cluster") =!= col("doc_id"))
+          .select(col("doc_id"))
+        docs.withColumn("h", md5(col("text")))
+          .join(exactKeep, "h")
+          .filter(col("doc_id") === col("keeper"))
+          .join(nearDrop, Seq("doc_id"), "left_anti")
+          .join(quality, "doc_id")
+          .join(lid, "doc_id")
+          .filter(col("quality") > 0.3)
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("quality")), 6).as("min_q"),
+            round(max(col("quality")), 6).as("max_q"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""WITH $lshPairsCtes,
+              |${clusterCtes(3)},
+              |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
+              |q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents),
+              |lp AS (SELECT doc_id, $langPredSql AS pred_lang FROM
+              |  (SELECT doc_id, $langScoresSql FROM documents) scored),
+              |keep AS (SELECT d.doc_id, d.lang FROM documents d
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              |        FROM documents GROUP BY 1) k
+              |    ON md5(d.text) = k.h AND d.doc_id = k.keeper)
+              |SELECT lang, pred_lang, COUNT(*) AS n_docs,
+              |  round(MIN(quality), 6) AS min_q, round(MAX(quality), 6) AS max_q
+              |FROM keep
+              |JOIN q USING (doc_id) JOIN lp USING (doc_id)
+              |WHERE quality > 0.3
+              |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+              |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)),
 
     // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
     QueryDef(
