@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import graft.functions.Similarity
 import graft.ops.{Dedup, EventWindows, Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import Exact.dec
 
 /** North-star extension queries (the LLM-training-data-pipeline surface):
   * deduplication, similarity search, text analysis, multimodal plumbing,
@@ -619,6 +621,38 @@ object ExtensionQueries {
              |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_exact,
              |  TRUE AS approx_median_ok, TRUE AS approx_distinct_ok
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- x36: per-group z-score normalization (feature engineering) -------
+    // Group moments computed as DECIMAL sums (exact, order-independent),
+    // z derived in ONE double expression shared verbatim with the oracle.
+    // Two passes over the fact (moments + join-back) — the distributed
+    // shape of any per-group feature normalizer.
+    QueryDef(
+      "x36_group_normalize",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val st = li.groupBy(col("l_returnflag")).agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("s"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType).as("s2"),
+          count(lit(1)).as("n"))
+        li.filter(col("l_suppkey") <= 5)
+          .join(broadcast(st), "l_returnflag")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round((col("l_quantity") - col("s") / col("n")) /
+              sqrt(col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))), 6)
+              .as("z"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("z"))
+      },
+      Some("""WITH st AS (SELECT l_returnflag,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+             |    COUNT(*) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+             |  round((l_quantity - s/n) / sqrt(s2/n - (s/n)*(s/n)), 6) AS z
+             |FROM lineitem l JOIN st USING (l_returnflag)
+             |WHERE l_suppkey <= 5
+             |ORDER BY l_orderkey, l_linenumber, z""".stripMargin)),
 
     // ---- x24: value histogram (integer bucket arithmetic) -----------------
     QueryDef(

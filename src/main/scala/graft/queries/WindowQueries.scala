@@ -97,6 +97,31 @@ object WindowQueries {
              |  RANK() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk,
              |  DENSE_RANK() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS drnk
              |FROM part WHERE p_size >= 40
-             |ORDER BY rnk, p_partkey""".stripMargin))
+             |ORDER BY rnk, p_partkey""".stripMargin)),
+
+    // ---- q51: analytic-function sweep (ntile/percent_rank/cume_dist/
+    //      first_value) — partitioned windows, unique total order, exact
+    //      rational percent_rank/cume_dist → bitwise across engines.
+    QueryDef(
+      "q51_analytics",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first(col("o_totalprice")).over(w).as("first_price"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  NTILE(4) OVER w AS quartile,
+             |  PERCENT_RANK() OVER w AS pr,
+             |  CUME_DIST() OVER w AS cd,
+             |  FIRST_VALUE(o_totalprice) OVER w AS first_price
+             |FROM orders WHERE o_custkey <= 200
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
   )
 }
