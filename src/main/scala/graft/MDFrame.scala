@@ -46,8 +46,12 @@ final case class MDFrame(
   def withScalar(name: String, v: Any): MDFrame = withColumn(name, lit(v))
 
   // -- P4: drop column; dropping an index member is forbidden
-  //    (dataframe.py:434-435)
+  //    (dataframe.py:434-435) and an unknown column raises
+  //    (tests/test_columns.py: KeyError) — Spark's drop would silently
+  //    ignore it, hiding typos
   def drop(cols: String*): MDFrame = {
+    val unknown = cols.filterNot(ds.columns.contains)
+    require(unknown.isEmpty, s"drop: unknown columns $unknown")
     val bad = cols.filter(index.contains)
     require(bad.isEmpty, s"cannot delete index columns $bad")
     copy(ds = ds.drop(cols: _*))

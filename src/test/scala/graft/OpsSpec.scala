@@ -151,6 +151,11 @@ class OpsSpec extends SparkSuite {
     assert(df.drop("a").ds.columns.toSeq == Seq("i"))
   }
 
+  test("deleting an unknown column raises (tests/test_columns.py KeyError parity)") {
+    val df = MDFrame(frame("a" -> Seq(0, 1)))
+    intercept[IllegalArgumentException](df.drop("nope"))
+  }
+
   test("rename updates index names; unknown columns raise (dataframe.py:789-821)") {
     val df = MDFrame(frame("i" -> Seq(0), "a" -> Seq(1)), Seq("i"))
     val r = df.rename(Map("i" -> "j", "a" -> "b"))
