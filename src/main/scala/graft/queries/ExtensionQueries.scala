@@ -492,6 +492,29 @@ object ExtensionQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- x37: bucketed co-located join (the 100 TB fact-join strategy) ----
+    // Both sides persisted bucketed+sorted on the join key → SortMergeJoin
+    // with NO shuffle exchange (ExtensionSpec asserts the plan); results
+    // identical to the plain join, which is what the oracle replays.
+    QueryDef(
+      "x37_bucketed_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Bucketing.saveBucketed(li, "graft_li_bq", "l_orderkey", 8)
+        graft.ops.Bucketing.saveBucketed(o, "graft_o_bq", "l_orderkey", 8)
+        graft.ops.Bucketing.bucketedJoin(s, "graft_li_bq", "graft_o_bq", "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- x13: tumbling event-time windows ---------------------------------
     QueryDef(
       "x13_window_tumbling",
