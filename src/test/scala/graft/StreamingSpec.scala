@@ -86,6 +86,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    val stream = StreamingWindows.readEventsStream(spark, dir)
+    // the production sink shape: every micro-batch writes atomically via
+    // foreachBatch (complete mode → overwrite with the current totals)
+    val q = StreamingWindows.tumblingCounts(stream, "10 minutes")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .select("win_start", "event_type", "n", "sum_value")
+      val batch = ops.EventWindows.tumbling(Tables.events(spark, dir), 600)
+        .select(col("win_start"), col("event_type"), col("n").as("bn"),
+          col("sum_value").as("bs"))
+      val bad = got.join(batch, Seq("win_start", "event_type"), "full_outer")
+        .filter(col("n").isNull || col("bn").isNull ||
+          col("n") =!= col("bn") || col("sum_value") =!= col("bs")).count()
+      assert(bad == 0 && got.count() > 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions == batch sessions (closed ones)") {
     val dir = "/root/testdata/sf0.001"
     val stream = StreamingWindows.readEventsStream(spark, dir)
