@@ -259,6 +259,21 @@ class ExtensionSpec extends SparkSuite {
     assert(got.getAs[String]("asof_u") == "q")
   }
 
+  test("IVF(nprobe=2) recall@3 vs brute force stays high (ANN quality gate)") {
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(queries, emb, k = 3, nCells = 8, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.intersect(ivf).count().toDouble
+    val recall = hit / exact.count()
+    // deterministic for a fixed dataset; probing 2 of 8 cells must keep
+    // the large majority of true neighbors or the IVF path is broken
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
   test("batched multimodal extraction == per-row extraction") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
