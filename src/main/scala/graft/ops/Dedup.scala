@@ -94,6 +94,37 @@ object Dedup {
       d.withColumn(s"band$b", md5(concat_ws(":", cols: _*)))
     }
 
+  /** Map-only per-row band keys: distinct shingles → one md5 each → k
+    * affine mins → banded md5 keys, ALL inside higher-order functions (no
+    * explode, no groupBy). Produces byte-identical keys to the
+    * explode/groupBy pipeline (bandKeys∘minhashSignature) — verified in
+    * ExtensionSpec — but as a STATELESS projection, so it composes with
+    * Structured Streaming before stream-static joins (streaming
+    * aggregations would forbid the downstream join). conv() replaces the
+    * engine-portable hex parser here: this form never meets the DuckDB
+    * oracle, the batch pipeline remains the oracle-checked one.
+    */
+  def bandKeysArray(text: Column, bands: Int, rowsPerBand: Int,
+      shingleN: Int = 5): Column = {
+    val k = bands * rowsPerBand
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
+    val dig = transform(array_distinct(shingles(text, shingleN)), s => md5(s))
+    val hm = transform(dig, d =>
+      conv(substring(d, 1, 12), 16, 10).cast("long") % MinhashP)
+    val mins = (0 until k).map(i =>
+      array_min(transform(hm, h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)))
+    array((0 until bands).map { b =>
+      md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand).map(mins): _*))
+    }: _*)
+  }
+
+  /** The corpus's distinct band-key set — the distilled dedup state a
+    * streaming ingest filter holds against (bands·docs short rows). */
+  def corpusBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(explode(bandKeysArray(col(textCol), bands, rowsPerBand)).as("bk"))
+      .distinct()
+
   /** LSH candidate pairs: documents sharing any band key (a < b).
     *
     * Bands are stacked into (band_id, band_key) rows before ONE self-join,

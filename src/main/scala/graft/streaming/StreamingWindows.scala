@@ -145,6 +145,24 @@ object StreamingWindows {
   def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming near-dup rejection at ingest: an arriving document is
+    * dropped when ANY of its LSH band keys already exists in the corpus.
+    * The stream side computes band keys as a stateless projection
+    * (Dedup.bandKeysArray — no streaming aggregation, so the join stays
+    * legal); the corpus key set is the distilled dedup state, broadcast
+    * per micro-batch. The anti-join condition is array_contains, planned
+    * as a broadcast join against the (small) key set — for corpora whose
+    * key set outgrows broadcast, swap in an explode + watermark +
+    * dropDuplicatesWithinWatermark pipeline.
+    */
+  def streamingNearDupFilter(docs: DataFrame, corpusKeys: DataFrame,
+      bands: Int = 2, rowsPerBand: Int = 4, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_bks",
+        graft.ops.Dedup.bandKeysArray(col(textCol), bands, rowsPerBand))
+      .join(broadcast(corpusKeys), expr("array_contains(_bks, bk)"), "left_anti")
+      .drop("_bks")
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

@@ -259,6 +259,19 @@ class ExtensionSpec extends SparkSuite {
     assert(got.getAs[String]("asof_u") == "q")
   }
 
+  test("map-only bandKeysArray == explode/groupBy band keys (stream-form parity)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val viaArray = docs
+      .select(col("doc_id"), explode(Dedup.bandKeysArray(col("text"), 2, 4)).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sig = Dedup.bandKeys(Dedup.minhashSignature(docs, 8), 2, 4)
+    val viaBatch = sig
+      .select(col("doc_id"), col("band0"), col("band1"))
+      .collect().flatMap(r => Seq((r.getLong(0), r.getString(1)), (r.getLong(0), r.getString(2))))
+      .toSet
+    assert(viaArray == viaBatch)
+  }
+
   test("IVF(nprobe=2) recall@3 vs brute force stays high (ANN quality gate)") {
     import graft.functions.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")

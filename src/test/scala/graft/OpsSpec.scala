@@ -296,6 +296,24 @@ class OpsSpec extends SparkSuite {
     assert(custom.toSeq == Seq(Seq(1, 2, 10), Seq(2, 3, 2)))
   }
 
+  test("64-frame concat chain stays correct (deep-plan stress, U1)") {
+    val frames = (0 until 64).map(i =>
+      MDFrame(frame("a" -> Seq(i, i + 100), "src" -> Seq(i, i))))
+    val c = MDFrame.concat(frames)
+    assert(c.ds.count() == 128)
+    assert(collectCol[Int](c.ds.orderBy("a").limit(3), "a") == Seq(0, 1, 2))
+  }
+
+  test("10-frame index-join chain stays correct (deep-plan stress, J1)") {
+    val frames = (0 until 10).map(i =>
+      MDFrame(frame("i" -> Seq(1, 2, 3), s"v$i" -> Seq(i, i * 10, i * 100)), Seq("i")))
+    val j = MDFrame.join("inner", frames)
+    assert(j.ds.count() == 3)
+    assert(j.ds.columns.length == 11) // index + 10 value columns
+    val r = j.ds.orderBy("i").collect()(2) // i=3
+    (0 until 10).foreach(i => assert(r.getAs[Int](s"v$i") == i * 100))
+  }
+
   test("NoneMin/NoneMax Aggregator: NaN-ignoring, null on empty (G2/G8)") {
     import graft.functions.Aggregators
     val df = frame("g" -> Seq(1, 1, 2), "v" -> Seq[Any](3.0, Double.NaN, Double.NaN))

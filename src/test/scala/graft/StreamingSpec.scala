@@ -86,6 +86,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest filter drops exactly the batch-expected docs") {
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100), 2, 4)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingNearDupFilter(stream, keys)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_neardup").start()
+    try {
+      q.processAllAvailable()
+      val got = collectCol[Long](spark.table("stream_neardup").orderBy("doc_id"), "doc_id")
+      // the same operator applied in batch is the ground truth
+      val want = collectCol[Long](
+        StreamingWindows.streamingNearDupFilter(batchDocs, keys)
+          .select("doc_id").orderBy("doc_id"), "doc_id")
+      assert(got == want)
+      assert(got.nonEmpty && !got.exists(_ < 100), // corpus docs self-reject
+        s"corpus members must be filtered, got ${got.count(_ < 100)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
