@@ -260,6 +260,32 @@ final case class MDFrame(
   // -- R6: frames are immutable in Spark; copy is the identity
   def copyFrame(): MDFrame = this
 
+  /** Multiset row equality with identical schema — the engine form of the
+    * reference's testing.assert_frame_equal. Two exceptAll probes (each a
+    * hash anti-semantics aggregation) — no collect, order-insensitive. */
+  def frameEquals(other: MDFrame): Boolean =
+    ds.schema == other.ds.schema && index == other.index &&
+      ds.exceptAll(other.ds).isEmpty && other.ds.exceptAll(ds).isEmpty
+
+  /** Exact column profile (the S6/P5 summary surface, made checkable):
+    * one row per requested numeric column — count, nulls (per the
+    * reference null model), min, max, DECIMAL-exact sum. */
+  def describeExact(cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(ds.columns.contains))
+    val perCol = cols.map { c =>
+      ds.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n"),
+        count(when(isnullMask(c), 1)).as("n_null"),
+        min(MDFrame.nanToNull(ds, c)).cast("double").as("min_v"),
+        max(MDFrame.nanToNull(ds, c)).cast("double").as("max_v"),
+        sum(col(c).cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .select(col("col_name"), col("n"), col("n_null"),
+          col("min_v"), col("max_v"), col("sum_v"))
+    }
+    perCol.reduceLeft(_.unionByName(_))
+  }
+
   // -- T2: set_index / reset_index are metadata-only (dataframe.py:719-787)
   def setIndex(cols: String*): MDFrame = {
     require(cols.forall(ds.columns.contains), s"set_index: unknown columns")

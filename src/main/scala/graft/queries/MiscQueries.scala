@@ -3,6 +3,7 @@ package graft.queries
 import graft.{MDFrame, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import Exact.dec
 
 /** Set ops (U3), vertical concat (U1/U2), explode (T1), JSON (S5), sampling
   * (R4), positional take (R1) — the remaining SURVEY.md §2 surface.
@@ -161,6 +162,64 @@ object MiscQueries {
               |WHERE ${graft.ops.TextAnalysis.hexToIntSql("md5(concat('smp:', o_orderkey))", 12)}
               |  < ${MDFrame.bernoulliThreshold(0.1)}
               |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- q52: exact column profile (S6/P5 summary, oracle-checked) --------
+    QueryDef(
+      "q52_describe",
+      (s, dir) =>
+        MDFrame(Tables.lineitem(s, dir))
+          .describeExact(Seq("l_quantity", "l_extendedprice", "l_discount"))
+          .orderBy(col("col_name")),
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS col_name, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_null,
+             |    CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', COUNT(*), CAST(0 AS BIGINT),
+             |    CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', COUNT(*), CAST(0 AS BIGINT),
+             |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+             |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) FROM lineitem) t
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---- q53: 2-level-index join (J1 multi-level, oracle-checked) ---------
+    // Both frames keyed by the composite (orderkey, linenumber) index;
+    // the join drags both levels and zero-fills the left-only slots.
+    QueryDef(
+      "q53_join_multilevel",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val a = MDFrame(li.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq("l_orderkey", "l_linenumber"))
+        val b = MDFrame(li.filter(col("l_discount") > 0.05)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice").as("price")),
+          Seq("l_orderkey", "l_linenumber"))
+        MDFrame.join("left", Seq(a, b)).ds
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"),
+            // unmatched slots were dtype-zero-filled with NaN: route them
+            // through null (ANSI cast of NaN to DECIMAL raises) so the
+            // decimal sum skips them exactly like DuckDB's null-skipping SUM
+            sum(dec(when(isnan(col("price")), lit(null)).otherwise(col("price"))))
+              .cast(DoubleType).as("price_filled"))
+          .orderBy(col("l_orderkey"))
+      },
+      // NaN zero-fill on the float column makes unmatched slots NaN; DuckDB
+      // SUM skips NULL while Spark's decimal-sum skips NaN after the cast —
+      // both sides aggregate only matched rows
+      Some("""SELECT l_orderkey, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_filled
+             |FROM (SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.price
+             |      FROM lineitem a LEFT JOIN (
+             |        SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+             |        FROM lineitem WHERE l_discount > 0.05) b
+             |      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber) t
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
     // ---- q39: per-dtype isnull matrix (P10) -------------------------------
     // The reference's null model (dataframe.py:948-978): float → NaN IS
