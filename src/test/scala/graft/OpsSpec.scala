@@ -296,6 +296,16 @@ class OpsSpec extends SparkSuite {
     assert(custom.toSeq == Seq(Seq(1, 2, 10), Seq(2, 3, 2)))
   }
 
+  test("frameEquals: multiset equality, order-insensitive, schema-strict") {
+    val a = MDFrame(frame("x" -> Seq(1, 2, 2), "y" -> Seq("p", "q", "q")))
+    val b = MDFrame(frame("x" -> Seq(2, 1, 2), "y" -> Seq("q", "p", "q")))
+    assert(a.frameEquals(b)) // same multiset, different order
+    val c = MDFrame(frame("x" -> Seq(1, 2), "y" -> Seq("p", "q")))
+    assert(!a.frameEquals(c)) // multiplicity matters
+    val d = MDFrame(frame("x" -> Seq(1L, 2L, 2L), "y" -> Seq("p", "q", "q")))
+    assert(!a.frameEquals(d)) // schema (int vs long) matters
+  }
+
   test("64-frame concat chain stays correct (deep-plan stress, U1)") {
     val frames = (0 until 64).map(i =>
       MDFrame(frame("a" -> Seq(i, i + 100), "src" -> Seq(i, i))))
