@@ -348,8 +348,13 @@ final case class MDFrame(
   //    becomes groupBy().agg(...).
   def groupby(by: String*) = ds.groupBy(by.map(col): _*)
 
-  // -- G5: distinct values of one column (dataframe.py:931-946)
-  def unique(c: String): DataFrame = ds.select(c).distinct()
+  // -- G5: distinct values of one column (dataframe.py:931-946). np.unique
+  //    SORTS by default; unordered=true skips the sort (cheaper at scale,
+  //    the reference's fast path).
+  def unique(c: String, unordered: Boolean = false): DataFrame = {
+    val d = ds.select(c).distinct()
+    if (unordered) d else d.orderBy(col(c))
+  }
 
   // -- G6: drop_duplicates with keep=first/last (dataframe.py:823-847,
   //    _unique 1318-1337). The reference emits survivors in *key-sorted*

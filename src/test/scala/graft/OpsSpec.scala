@@ -186,9 +186,10 @@ class OpsSpec extends SparkSuite {
     assert(collectCol[Int](df.filterIsin("a", Seq(2, 4), invert = true).ds.orderBy("a"), "a") == Seq(1, 3))
   }
 
-  test("unique distinct values (dataframe.py:931-946)") {
+  test("unique distinct values, SORTED by default like np.unique (tests/test_unique.py)") {
     val df = MDFrame(frame("a" -> Seq(3, 1, 3, 2, 1)))
-    assert(collectCol[Int](df.unique("a").orderBy("a"), "a") == Seq(1, 2, 3))
+    assert(collectCol[Int](df.unique("a"), "a") == Seq(1, 2, 3)) // sorted default
+    assert(collectCol[Int](df.unique("a", unordered = true), "a").sorted == Seq(1, 2, 3))
   }
 
   test("set_index/reset_index are metadata-only (dataframe.py:719-787)") {
