@@ -38,6 +38,20 @@ object Splits {
     df.withColumn("split", c)
   }
 
+  /** Deterministic stratified sample: exactly `n` rows per stratum,
+    * chosen by md5-hash order (reproducible, append-stable within a
+    * stratum's first n hash positions). One partitioned window — strata
+    * parallelize; no global funnel. */
+  def stratifiedSampleN(df: DataFrame, strataCol: String, idCol: String,
+      n: Int, salt: String = "strat"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(expr(hashSql(idCol, salt)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** The same assignment as ANSI CASE text, for oracle replay. */
   def assignSplitSql(idCol: String, fracs: Seq[(String, Double)],
       salt: String = "split"): String = {

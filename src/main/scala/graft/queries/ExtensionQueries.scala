@@ -764,6 +764,22 @@ object ExtensionQueries {
               |  lang, COUNT(*) AS n
               |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
 
+    // ---- x38: stratified sample — n per stratum, hash-deterministic -------
+    // Balanced per-language subsampling for training mixes; the oracle
+    // replays the identical hash order.
+    QueryDef(
+      "x38_stratified_sample",
+      (s, dir) =>
+        graft.ops.Splits.stratifiedSampleN(
+            Tables.documents(s, dir), "lang", "doc_id", n = 20)
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id")),
+      Some(s"""SELECT lang, doc_id FROM (
+              |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+              |    ORDER BY ${graft.ops.Splits.hashSql("doc_id", "strat")}, doc_id) AS rn
+              |  FROM documents) t
+              |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin)),
+
     // ---- x34: point-in-interval range join (bucketized) -------------------
     // No equi-key exists, so a naive BETWEEN join plans as a nested loop;
     // RangeJoin buckets the time axis and equi-joins on bucket id before

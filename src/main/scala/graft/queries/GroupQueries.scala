@@ -144,6 +144,22 @@ object GroupQueries {
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- q54: calendar truncation — monthly order volume ------------------
+    // date_trunc agrees across engines under a UTC session; output as
+    // integer epoch (raw timestamps never cross the oracle boundary).
+    QueryDef(
+      "q54_monthly_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+            .as("month_epoch"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("month_epoch")),
+      Some("""SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1 ORDER BY month_epoch""".stripMargin)),
+
     // ---- q50: cube — every grouping-set combination (G10 superset) --------
     QueryDef(
       "q50_cube",
