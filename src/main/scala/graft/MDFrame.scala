@@ -181,7 +181,7 @@ final case class MDFrame(
     */
   def sampleWeightedReplace(n: Int, weightCol: String, seed: Long = 42L): MDFrame = {
     require(n > 0, "sample size must be positive")
-    val all = struct(ds.columns.map(col): _*)
+    val all = struct(ds.columns.toIndexedSeq.map(col): _*)
     // keys materialize in a projection first — Catalyst (correctly) rejects
     // nondeterministic expressions inside aggregate arguments
     val withKeys = (0 until n).foldLeft(ds) { (d, j) =>
@@ -395,12 +395,12 @@ final case class MDFrame(
 
   // -- G8: null-ignoring scalar min/max; NaN excluded like the reference's
   //    nonemin/nonemax (dataframe.py:980-1004).
-  def nonemin(c: String): Any = ds.agg(min(MDFrame.nanToNull(ds, c))).head.get(0)
-  def nonemax(c: String): Any = ds.agg(max(MDFrame.nanToNull(ds, c))).head.get(0)
+  def nonemin(c: String): Any = ds.agg(min(MDFrame.nanToNull(ds, c))).head().get(0)
+  def nonemax(c: String): Any = ds.agg(max(MDFrame.nanToNull(ds, c))).head().get(0)
 
   // -- G9: index key-property checks (dataframe.py:65-110)
   def indexIsUnique: Boolean = {
-    val r = ds.agg(count(lit(1)), count_distinct(struct(index.map(col): _*))).head
+    val r = ds.agg(count(lit(1)), count_distinct(struct(index.map(col): _*))).head()
     r.getLong(0) == r.getLong(1)
   }
 
@@ -431,7 +431,7 @@ final case class MDFrame(
     val wB = Window.orderBy(col("_pid"))
     val r = perPart
       .withColumn("_bok", le(lag(col("last_idx"), 1).over(wB), col("first_idx")))
-      .agg(min(col("ok") && col("_bok"))).head
+      .agg(min(col("ok") && col("_bok"))).head()
     r.isNullAt(0) || r.getBoolean(0) // empty frame → trivially monotonic
   }
 
@@ -480,7 +480,7 @@ object MDFrame {
     */
   def withRowPos(df: DataFrame, posCol: String): DataFrame = {
     val schema = df.schema.add(StructField(posCol, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     df.sparkSession.createDataFrame(rdd, schema)
   }
 

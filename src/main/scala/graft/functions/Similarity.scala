@@ -57,7 +57,7 @@ object Similarity {
   def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column = {
     val signs = planeSigns(nPlanes, dim)
     signs.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(v => lit(v.toDouble)): _*)
+      val planeCol = array(plane.toIndexedSeq.map(v => lit(v.toDouble)): _*)
       when(dot(emb, planeCol) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
   }

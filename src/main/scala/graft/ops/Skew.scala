@@ -23,7 +23,7 @@ object Skew {
     * real wide rows carry distinguishing columns.
     */
   private def contentSalt(df: DataFrame, saltBuckets: Int) =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong))
 
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading a hot key over `saltBuckets` reducers — then final
