@@ -112,6 +112,24 @@ object TextAnalysis {
       .select(col(idCol), col("rk"), col("tok"), col("tfidf"))
   }
 
+  /** Unigram log-probability score per document: mean over tokens of
+    * ln(corpus_freq(tok) / corpus_total) — the cheap "LM fluency" signal
+    * used to filter gibberish from training corpora (documents full of
+    * rare/unseen tokens score low). Two shuffles: corpus term counts,
+    * then a token→freq join re-aggregated per document. The corpus total
+    * rides along as a broadcast 1-row frame. Scores rounded (ln is libm).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("corpus_n"))
+    toks.join(freq, "tok").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(sum(log(col("tf").cast("double") / col("corpus_n")))
+        / count(lit(1)), 6).as("logprob"))
+  }
+
   /** Rolling polynomial fingerprint over tokens: sequential fold
     * acc ← (acc·31 + tokenHash) mod 10^12. Deterministic, overflow-free in
     * checked-arithmetic engines, and expressible as a DuckDB

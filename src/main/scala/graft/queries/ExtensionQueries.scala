@@ -692,6 +692,22 @@ object ExtensionQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
              |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- x39: unigram log-probability scoring (LM-fluency filter) ---------
+    QueryDef(
+      "x39_unigram_logprob",
+      (s, dir) =>
+        TextAnalysis.unigramLogProb(Tables.documents(s, dir))
+          .filter(col("doc_id") < 200)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+             |total AS (SELECT COUNT(*) AS corpus_n FROM toks)
+             |SELECT doc_id,
+             |  round(SUM(ln(CAST(tf AS DOUBLE) / corpus_n)) / COUNT(*), 6) AS logprob
+             |FROM toks JOIN freq USING (tok) CROSS JOIN total
+             |WHERE doc_id < 200
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- x25: BPE-ish token counting --------------------------------------
     QueryDef(
       "x25_token_count",

@@ -174,6 +174,24 @@ object GroupQueries {
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
 
+    // ---- q55: explicit GROUPING SETS (G10 completion beyond rollup/cube) --
+    // Two chosen groupings in one pass — expressed through the SQL surface
+    // (the DataFrame API has no grouping-sets builder), identical text
+    // semantics both engines.
+    QueryDef(
+      "q55_grouping_sets",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+                |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // ---- q25: pivot (T3 — Spark superset) ---------------------------------
     QueryDef(
       "q25_pivot",
