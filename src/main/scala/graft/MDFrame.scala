@@ -269,21 +269,26 @@ final case class MDFrame(
 
   /** Exact column profile (the S6/P5 summary surface, made checkable):
     * one row per requested numeric column — count, nulls (per the
-    * reference null model), min, max, DECIMAL-exact sum. */
+    * reference null model), min, max, DECIMAL-exact sum. ONE pass over
+    * the data: every column's aggregates run in a single aggregation,
+    * then a stack() generator pivots the 1-row result to a row per
+    * column. */
   def describeExact(cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(ds.columns.contains))
-    val perCol = cols.map { c =>
-      ds.agg(
-        lit(c).as("col_name"),
-        count(lit(1)).as("n"),
-        count(when(isnullMask(c), 1)).as("n_null"),
-        min(MDFrame.nanToNull(ds, c)).cast("double").as("min_v"),
-        max(MDFrame.nanToNull(ds, c)).cast("double").as("max_v"),
-        sum(col(c).cast("decimal(18,2)")).cast("double").as("sum_v"))
-        .select(col("col_name"), col("n"), col("n_null"),
-          col("min_v"), col("max_v"), col("sum_v"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(lit(1)).as(s"_n$i"),
+        count(when(isnullMask(c), 1)).as(s"_nl$i"),
+        min(MDFrame.nanToNull(ds, c)).cast("double").as(s"_mn$i"),
+        max(MDFrame.nanToNull(ds, c)).cast("double").as(s"_mx$i"),
+        sum(col(c).cast("decimal(18,2)")).cast("double").as(s"_sm$i"))
     }
-    perCol.reduceLeft(_.unionByName(_))
+    val one = ds.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"'$c', _n$i, _nl$i, _mn$i, _mx$i, _sm$i" }
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, min_v, max_v, sum_v)")
   }
 
   // -- T2: set_index / reset_index are metadata-only (dataframe.py:719-787)
