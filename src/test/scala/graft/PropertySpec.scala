@@ -104,6 +104,45 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("bucketized range join == naive theta join (any bucket width)") {
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1)
+    val gen = Gen.zip(
+      Gen.listOfN(8, Gen.chooseNum(0L, 60L)),
+      Gen.listOfN(4, Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 15L))),
+      Gen.chooseNum(1L, 20L))
+    assert(SCTest.check(few, Prop.forAll(gen) { case (ps, ivs, width) =>
+      val points = frame("p" -> ps.map(_.toInt)).selectExpr("CAST(p AS LONG) AS p")
+      val intervals = frame(
+        "lo" -> ivs.map(_._1.toInt), "len" -> ivs.map(_._2.toInt))
+        .selectExpr("CAST(lo AS LONG) AS lo", "CAST(lo + len AS LONG) AS hi")
+      val got = graft.ops.RangeJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", width)
+        .select("p", "lo", "hi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = (for {
+        p <- ps; (lo, len) <- ivs if p >= lo && p <= lo + len
+      } yield (p, lo, lo + len)).sorted
+      got == want
+    }).passed, "property failed: range-join")
+  }
+
+  test("withGlobalRanks == reference rank/dense_rank over the sorted list") {
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1)
+    assert(SCTest.check(few, Prop.forAll(smallInts) { xs =>
+      val df = frame("v" -> xs, "id" -> xs.indices.toList)
+      val got = graft.ops.Ranking
+        .withGlobalRanks(df, Seq("v" -> true), "rnk", "drnk")
+        .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("rnk"), r.getAs[Int]("drnk")))
+        .sortBy(_._1).toList
+      val want = xs.zipWithIndex.map { case (v, id) =>
+        val rnk = 1 + xs.count(_ < v)
+        val drnk = 1 + xs.filter(_ < v).distinct.size
+        (id, rnk, drnk)
+      }.sortBy(_._1)
+      got == want
+    }).passed, "property failed: global-ranks")
+  }
+
   test("clusterPairs: connected docs share a label = their component minimum") {
     // iterative Spark jobs per case — keep the case count small
     val few = SCTest.Parameters.default.withMinSuccessfulTests(3).withWorkers(1)
