@@ -125,6 +125,27 @@ object Dedup {
     docs.select(explode(bandKeysArray(col(textCol), bands, rowsPerBand)).as("bk"))
       .distinct()
 
+  /** Batch corpus merge (the daily-crawl ingest step): keep only new
+    * documents that are neither exact duplicates (md5) nor near-duplicates
+    * (shared LSH band) of the existing corpus, then union. Two anti-joins
+    * on hash keys — uniform, shuffle-friendly; the band-key set is the
+    * same distilled state the streaming filter broadcasts. Batch twin of
+    * StreamingWindows.streamingNearDupFilter.
+    */
+  def mergeNewDocs(corpus: DataFrame, newDocs: DataFrame,
+      bands: Int = 2, rowsPerBand: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val exactKeys = corpus.select(md5(col(textCol)).as("_h")).distinct()
+    val bandKeys = corpusBandKeys(corpus, bands, rowsPerBand, textCol)
+    val fresh = newDocs
+      .withColumn("_h", md5(col(textCol)))
+      .join(exactKeys, Seq("_h"), "left_anti")
+      .withColumn("_bks", bandKeysArray(col(textCol), bands, rowsPerBand))
+      .join(bandKeys, expr("array_contains(_bks, bk)"), "left_anti")
+      .drop("_h", "_bks")
+    corpus.unionByName(fresh)
+  }
+
   /** LSH candidate pairs: documents sharing any band key (a < b).
     *
     * Bands are stacked into (band_id, band_key) rows before ONE self-join,

@@ -259,6 +259,26 @@ class ExtensionSpec extends SparkSuite {
     assert(got.getAs[String]("asof_u") == "q")
   }
 
+  test("mergeNewDocs: corpus grows only by docs that are neither exact nor near dups") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") < 150)
+    val incoming = docs.filter(col("doc_id") >= 100) // 50 overlap the corpus
+    val merged = Dedup.mergeNewDocs(corpus, incoming)
+    val mergedIds = collectCol[Long](merged.select("doc_id"), "doc_id").toSet
+    // every corpus doc survives; every overlapping incoming doc is an
+    // exact dup of itself and must NOT be added twice
+    assert(merged.count() == mergedIds.size, "no duplicate rows")
+    assert(collectCol[Long](corpus.select("doc_id"), "doc_id").forall(mergedIds))
+    // accepted newcomers share no band key with the corpus
+    val corpusKeys = Dedup.corpusBandKeys(corpus, 2, 4)
+      .collect().map(_.getString(0)).toSet
+    val newcomers = merged.filter(col("doc_id") >= 150)
+    val newcomerKeys = newcomers
+      .select(explode(Dedup.bandKeysArray(col("text"), 2, 4)).as("bk"))
+      .collect().map(_.getString(0)).toSet
+    assert(newcomerKeys.intersect(corpusKeys).isEmpty)
+  }
+
   test("map-only bandKeysArray == explode/groupBy band keys (stream-form parity)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaArray = docs
