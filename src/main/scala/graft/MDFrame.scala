@@ -122,7 +122,16 @@ final case class MDFrame(
       // reference's fill-where-applicable behavior (dataframe.py:1006-1030)
       val coerced =
         try Some(MDFrame.coerceTo(value, d.schema(c).dataType, c))
-        catch { case _: IllegalArgumentException => None }
+        catch {
+          case _: IllegalArgumentException =>
+            // object columns accept ANY fill value in the reference
+            // (tests/test_fillna.py fills an object str column with int 5);
+            // the closest typed-column rendering is its string form
+            d.schema(c).dataType match {
+              case StringType if objectCols(c) => Some(value.toString)
+              case _ => None
+            }
+        }
       coerced match {
         case None => d
         case Some(cv) =>

@@ -107,7 +107,9 @@ class OpsSpec extends SparkSuite {
     assert(collectCol[Double](filledStr.ds, "f")(0).isNaN) // string can't fill a double
     val filledNum = df.fillna(-1.0)
     assert(collectCol[Double](filledNum.ds, "f") == Seq(-1.0, 2.0))
-    assert(collectCol[String](filledNum.ds, "o") == Seq("a", null)) // number can't fill object str
+    // object columns accept ANY fill value (test_fillna.py fills an object
+    // str column with int 5) — rendered as its string form here
+    assert(collectCol[String](filledNum.ds, "o") == Seq("a", "-1.0"))
   }
 
   test("nonemin/nonemax skip NaN; all-NaN → null (dataframe.py:980-1004)") {
