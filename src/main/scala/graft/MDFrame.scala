@@ -359,8 +359,18 @@ final case class MDFrame(
 
   // -- G1: grouping delegates to Catalyst hash aggregation; the reference's
   //    Grouper(order, counts) + user-ufunc model (dataframe.py:866-899)
-  //    becomes groupBy().agg(...).
-  def groupby(by: String*) = ds.groupBy(by.map(col): _*)
+  //    becomes groupBy().agg(...). An unknown column raises eagerly
+  //    (tests/test_groupby.py KeyError) rather than at action time.
+  def groupby(by: String*) = {
+    val unknown = by.filterNot(ds.columns.contains)
+    require(unknown.isEmpty, s"groupby: unknown columns $unknown")
+    ds.groupBy(by.map(col): _*)
+  }
+
+  // -- G1: grouping by EXTERNAL key expressions (the reference's
+  //    groupby(array) form, tests/test_groupby.py test_groupby_external):
+  //    in Spark an external key is a Column expression over the frame.
+  def groupbyExpr(keys: Column*) = ds.groupBy(keys: _*)
 
   // -- G5: distinct values of one column (dataframe.py:931-946). np.unique
   //    SORTS by default; unordered=true skips the sort (cheaper at scale,

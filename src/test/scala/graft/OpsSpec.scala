@@ -299,6 +299,28 @@ class OpsSpec extends SparkSuite {
     assert(custom.toSeq == Seq(Seq(1, 2, 10), Seq(2, 3, 2)))
   }
 
+  test("groupby: unknown column raises eagerly; external key expressions group (test_groupby.py)") {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod}
+    val df = MDFrame(frame("a" -> Seq(1, 1, 2, 2, 3, 3, 3), "b" -> Seq(4, 5, 6, 7, 8, 9, 10)))
+    intercept[IllegalArgumentException](df.groupby("c"))
+    // groupby([0,1,0,1,0,1,0]) ≡ grouping by the parity expression
+    val g = df.groupbyExpr(pmod(col("b"), lit(2)).as("k"))
+      .agg(count(lit(1)).as("n")).orderBy("k")
+    assert(rows(g) == Seq(Seq(0, 4), Seq(1, 3)))
+  }
+
+  test("joins with an empty frame: left zero-fills, inner empties (test_join.py:54-78)") {
+    val a = MDFrame(frame("i" -> Seq(1, 2), "v" -> Seq(10, 20)), Seq("i"))
+    val empty = MDFrame(a.ds.filter(org.apache.spark.sql.functions.lit(false))
+      .select(org.apache.spark.sql.functions.col("i"),
+        org.apache.spark.sql.functions.col("v").as("w")), Seq("i"))
+    val left = MDFrame.join("left", Seq(a, empty))
+    assert(rows(left.ds.orderBy("i")) == Seq(Seq(1, 10, 0), Seq(2, 20, 0)))
+    assert(MDFrame.join("inner", Seq(a, empty)).ds.count() == 0)
+    assert(rows(MDFrame.join("outer", Seq(a, empty)).ds.orderBy("i")) ==
+      Seq(Seq(1, 10, 0), Seq(2, 20, 0)))
+  }
+
   test("frameEquals: multiset equality, order-insensitive, schema-strict") {
     val a = MDFrame(frame("x" -> Seq(1, 2, 2), "y" -> Seq("p", "q", "q")))
     val b = MDFrame(frame("x" -> Seq(2, 1, 2), "y" -> Seq("q", "p", "q")))
