@@ -127,23 +127,32 @@ object Dedup {
 
   /** Batch corpus merge (the daily-crawl ingest step): keep only new
     * documents that are neither exact duplicates (md5) nor near-duplicates
-    * (shared LSH band) of the existing corpus, then union. Two anti-joins
-    * on hash keys — uniform, shuffle-friendly; the band-key set is the
-    * same distilled state the streaming filter broadcasts. Batch twin of
+    * (shared LSH band) of the existing corpus, then union.
+    *
+    * Every step is a HASH join on uniform md5 keys: the near-dup rejection
+    * explodes each new doc's band keys to (id, bk) rows, equi-SEMI-joins
+    * them against the corpus band-key set on `bk` to mark matched ids,
+    * then LEFT-ANTI-joins the fresh docs on id. (An `array_contains(_bks,
+    * bk)` anti-join would have no equi-key — Spark plans it as a nested
+    * loop over the O(|corpus|·bands) key set, which can neither broadcast
+    * nor finish at corpus scale.) Batch twin of
     * StreamingWindows.streamingNearDupFilter.
     */
   def mergeNewDocs(corpus: DataFrame, newDocs: DataFrame,
       bands: Int = 2, rowsPerBand: Int = 4,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val exactKeys = corpus.select(md5(col(textCol)).as("_h")).distinct()
-    val bandKeys = corpusBandKeys(corpus, bands, rowsPerBand, textCol)
+    val corpusKeys = corpusBandKeys(corpus, bands, rowsPerBand, textCol)
     val fresh = newDocs
       .withColumn("_h", md5(col(textCol)))
       .join(exactKeys, Seq("_h"), "left_anti")
-      .withColumn("_bks", bandKeysArray(col(textCol), bands, rowsPerBand))
-      .join(bandKeys, expr("array_contains(_bks, bk)"), "left_anti")
-      .drop("_h", "_bks")
-    corpus.unionByName(fresh)
+      .drop("_h")
+    val matched = fresh
+      .select(col(idCol),
+        explode(bandKeysArray(col(textCol), bands, rowsPerBand)).as("bk"))
+      .join(corpusKeys, Seq("bk"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.unionByName(fresh.join(matched, Seq(idCol), "left_anti"))
   }
 
   /** LSH candidate pairs: documents sharing any band key (a < b).

@@ -32,27 +32,30 @@ object ExtensionQueries {
     * Dedup.lshCandidatePairs(bands=2, rowsPerBand=4); shared by x03 and
     * the x30 clustering stage built on top of it.
     */
-  private def lshPairsCtes: String = {
+  private def bandKeyCtes(p: String, where: String): String = {
     import graft.ops.Dedup.{MinhashA, MinhashB, MinhashP}
     val mins = (0 until 8).map(i =>
       s"min((hm * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(", ")
     def band(cols: Range) =
       cols.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ':' || ")
-    s"""arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+    s"""${p}arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents$where),
+       |${p}sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
        |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
-       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM arr),
-       |toks AS (SELECT DISTINCT doc_id, tok FROM sh),
-       |h AS (SELECT doc_id, ${Dedup.digestModSql("md5h")} AS hm
-       |      FROM (SELECT doc_id, md5(tok) AS md5h FROM toks) d),
-       |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-       |bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM sig),
-       |stacked AS (SELECT doc_id, 0 AS bid, b0 AS bk FROM bands
-       |            UNION ALL SELECT doc_id, 1 AS bid, b1 AS bk FROM bands),
+       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM ${p}arr),
+       |${p}toks AS (SELECT DISTINCT doc_id, tok FROM ${p}sh),
+       |${p}h AS (SELECT doc_id, ${Dedup.digestModSql("md5h")} AS hm
+       |      FROM (SELECT doc_id, md5(tok) AS md5h FROM ${p}toks) d),
+       |${p}sig AS (SELECT doc_id, $mins FROM ${p}h GROUP BY doc_id),
+       |${p}bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM ${p}sig),
+       |${p}stacked AS (SELECT doc_id, 0 AS bid, b0 AS bk FROM ${p}bands
+       |            UNION ALL SELECT doc_id, 1 AS bid, b1 AS bk FROM ${p}bands)""".stripMargin
+  }
+
+  private def lshPairsCtes: String =
+    s"""${bandKeyCtes("", "")},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM stacked a JOIN stacked b ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   /** DuckDB CTEs computing sig(doc_id, simhash) at `nBits`, shared by the
     * x05 signature query and the x31 banded near-dup query. */
@@ -890,6 +893,37 @@ object ExtensionQueries {
              |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              |  CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
              |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
-             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x40: batch corpus merge (daily-crawl ingest) ---------------------
+    // The flagship ingest step: new docs enter the corpus only if neither
+    // exact (md5) nor near (shared LSH band) duplicates of it. All hash
+    // equi-joins — the oracle replays the same two-stage rejection: the
+    // corpus band-key set is the `%5 != 0` half's stacked keys, the new
+    // half's keys come from the same CTE shape with the complementary
+    // filter.
+    QueryDef(
+      "x40_corpus_merge",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val incoming = docs.filter(col("doc_id") % 5 === 0)
+        Dedup.mergeNewDocs(corpus, incoming)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${bandKeyCtes("c", " WHERE doc_id % 5 != 0")},
+              |${bandKeyCtes("n", " WHERE doc_id % 5 = 0")},
+              |ckeys AS (SELECT DISTINCT bk FROM cstacked),
+              |fresh AS (SELECT doc_id, lang FROM documents
+              |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (
+              |    SELECT DISTINCT md5(text) FROM documents WHERE doc_id % 5 != 0)),
+              |matched AS (SELECT DISTINCT s.doc_id
+              |  FROM nstacked s JOIN ckeys USING (bk))
+              |SELECT doc_id, lang FROM documents WHERE doc_id % 5 != 0
+              |UNION ALL
+              |SELECT doc_id, lang FROM fresh
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM matched)
+              |ORDER BY doc_id""".stripMargin))
   )
 }
