@@ -17,12 +17,19 @@ final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batched per-partition passes.
   *
-  * ==== STUB NOTICE ====
-  * No image/audio codec libraries exist in this environment, so
-  * `decodeStub` derives dimensions deterministically from the payload
-  * bytes. The Spark-side plumbing — binary schema, Dataset encoders,
-  * mapPartitions batching, partition sizing — is real and tested; swap
-  * `decodeStub` for a JNI/codec call in production.
+  * Image DIMENSIONS are decoded for real: `decodeImageHeader` parses the
+  * actual PNG / GIF / BMP / JPEG container headers byte-by-byte (magic
+  * check + width/height fields) — no codec library needed for metadata,
+  * and the parse is pure JVM so it runs unchanged on any executor.
+  *
+  * ==== STUB NOTICE (pixel data only) ====
+  * No pixel-codec libraries exist in this environment, so payloads whose
+  * bytes are NOT a recognized image container fall back to `decodeStub`,
+  * which derives pseudo-dimensions deterministically from the payload
+  * bytes; `resizeStub` likewise stands in for a pixel resample. The
+  * Spark-side plumbing — binary schema, Dataset encoders, mapPartitions
+  * batching, partition sizing — is real and tested; swap the stubs for a
+  * JNI/codec call in production.
   *
   * Scale design: `mapPartitions` amortizes decoder initialization once per
   * partition (the expensive part for real codecs); payloads never leave
@@ -51,6 +58,95 @@ object Multimodal {
     (64 + n % 32, 64 + first % 32, 1 + n % 8)
   }
 
+  /** REAL image-header decode: (width, height, format) parsed from the
+    * payload's actual container bytes.
+    *
+    *   - PNG: full 8-byte signature, then the IHDR chunk's big-endian
+    *     width/height at offsets 16/20 (ISO/IEC 15948 §5.2, §11.2.2).
+    *   - GIF: "GIF87a"/"GIF89a" magic, then the Logical Screen
+    *     Descriptor's little-endian u16 width/height at offsets 6/8.
+    *   - BMP: "BM" magic + a known DIB header size at offset 14, then
+    *     little-endian i32 width/height at 18/22 (height may be negative
+    *     for top-down rows — dimension is its magnitude).
+    *   - JPEG: FF D8 FF SOI, then a marker-segment walk to the first
+    *     SOFn frame header, whose big-endian height/width sit at +5/+7
+    *     (ITU-T T.81 §B.2.2).
+    *
+    * The magic checks are strict (full signatures, not 1-2 bytes), so
+    * arbitrary text/audio payloads never false-positive; `None` routes
+    * them to the stub fallback in `decode`.
+    */
+  def decodeImageHeader(p: Array[Byte]): Option[(Int, Int, String)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toInt)
+    val dibSizes = Set(12, 40, 52, 56, 64, 108, 124)
+    if (p.length >= 24 && (0 until 8).forall(i => u8(i) == pngSig(i)))
+      Some((be32(16), be32(20), "png"))
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+      Some((le16(6), le16(8), "gif"))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' && dibSizes(le32(14)))
+      Some((le32(18), math.abs(le32(22)), "bmp"))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff)
+      jpegDims(p)
+    else None
+  }
+
+  /** JPEG marker walk to the first SOFn (start-of-frame) segment. SOF
+    * markers are C0-CF minus C4 (DHT), C8 (JPG), CC (DAC); each non-SOI
+    * segment carries a big-endian u16 length that includes itself.
+    */
+  private def jpegDims(p: Array[Byte]): Option[(Int, Int, String)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 3 < p.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else {
+        val len = be16(i + 2)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return if (i + 8 < p.length) Some((be16(i + 7), be16(i + 5), "jpeg")) else None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Decode dimensions: real container parse when the payload IS an image
+    * (single still frame), stub fallback otherwise. */
+  def decode(payload: Array[Byte]): (Int, Int, Int) =
+    decodeImageHeader(payload) match {
+      case Some((w, h, _)) => (w, h, 1)
+      case None            => decodeStub(payload)
+    }
+
+  /** Synthesize a real, spec-valid 24-bpp BMP (BITMAPINFOHEADER, rows
+    * padded to 4 bytes, deterministic pixel bytes). Used to exercise the
+    * REAL decode path end-to-end on executors without codec libraries —
+    * any BMP reader can open the output.
+    */
+  def synthBmp(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)  // file size, reserved, data offset
+      .putInt(40).putInt(w).putInt(h)              // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                    // planes, bpp
+      .putInt(0).putInt(dataSize)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    (0 until dataSize).foreach(i => buf.put(((i * 31 + w * 7 + h) % 256).toByte))
+    buf.array()
+  }
+
   /** Batched per-partition feature extraction. The iterator-in /
     * iterator-out shape means constant memory per partition regardless of
     * partition size.
@@ -60,7 +156,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // decoder init would happen here, once per partition
       it.map { m =>
-        val (w, h, f) = decodeStub(m.payload)
+        val (w, h, f) = decode(m.payload)
         val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
         MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
       }
@@ -77,9 +173,9 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real implementation hands `batch.map(_.payload)` to the codec
-        // in one call; the stub decodes element-wise
+        // in one call; the header parse decodes element-wise
         batch.map { m =>
-          val (w, h, f) = decodeStub(m.payload)
+          val (w, h, f) = decode(m.payload)
           val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
           MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
         }

@@ -924,6 +924,31 @@ object ExtensionQueries {
               |UNION ALL
               |SELECT doc_id, lang FROM fresh
               |  WHERE doc_id NOT IN (SELECT doc_id FROM matched)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- x41: REAL image decode over executor-synthesized BMPs ------------
+    // Each doc_id becomes a spec-valid 24-bpp BMP built on the executors
+    // (no blob ever visits the driver); extractFeatures then parses the
+    // actual container header back. The oracle replays the synthesis
+    // arithmetic — width/height round-trip THROUGH real BMP bytes, and
+    // n_bytes pins the 4-byte row padding of the container itself.
+    QueryDef(
+      "x41_image_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/image",
+            Multimodal.synthBmp((16 + id % 16).toInt, (8 + id % 8).toInt)))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+             |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+             |  CAST(54 + (((16 + doc_id % 16) * 3 + 3) // 4) * 4 * (8 + doc_id % 8)
+             |    AS INTEGER) AS n_bytes
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
   )
 }

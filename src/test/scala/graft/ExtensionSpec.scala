@@ -186,6 +186,49 @@ class ExtensionSpec extends SparkSuite {
     assert(f.getAs[Int]("n_frames") == 1 + 4 % 8)
   }
 
+  test("decodeImageHeader parses a REAL 2x3 PNG written by javax.imageio") {
+    val img = new java.awt.image.BufferedImage(2, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(1, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(Multimodal.decodeImageHeader(bos.toByteArray) == Some((2, 3, "png")))
+    assert(Multimodal.decode(bos.toByteArray) == ((2, 3, 1)))
+  }
+
+  test("decodeImageHeader parses a REAL JPEG (marker walk to SOFn)") {
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    assert(Multimodal.decodeImageHeader(bos.toByteArray) == Some((5, 4, "jpeg")))
+  }
+
+  test("decodeImageHeader parses GIF and synthBmp round-trips through a real BMP") {
+    // GIF89a logical screen descriptor: 7x9, little-endian u16s
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      7, 0, 9, 0, 0, 0, 0)
+    assert(Multimodal.decodeImageHeader(gif) == Some((7, 9, "gif")))
+    // synthBmp emits a spec-valid BITMAPINFOHEADER file; both our parser
+    // and the JDK's own BMP reader must agree on its dimensions
+    val bmp = Multimodal.synthBmp(6, 7)
+    assert(Multimodal.decodeImageHeader(bmp) == Some((6, 7, "bmp")))
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(jdk != null && jdk.getWidth == 6 && jdk.getHeight == 7)
+  }
+
+  test("non-image payloads (text bytes, truncated magic) fall back to the stub") {
+    val text = "the quick brown fox".getBytes("UTF-8")
+    assert(Multimodal.decodeImageHeader(text).isEmpty)
+    assert(Multimodal.decode(text) == Multimodal.decodeStub(text))
+    // a PNG signature truncated before IHDR must not parse
+    val truncated = Multimodal.synthBmp(4, 4).take(20)
+    assert(Multimodal.decodeImageHeader(truncated).isEmpty)
+    // "BMx" text that is not a BMP: DIB-size sanity check rejects it
+    val fakeBmp = ("BM" + "x" * 30).getBytes("UTF-8")
+    assert(Multimodal.decodeImageHeader(fakeBmp).isEmpty)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import graft.ops.Bucketing
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
