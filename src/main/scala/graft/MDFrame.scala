@@ -386,33 +386,38 @@ final case class MDFrame(
   //    survives. Positional semantics need a total order; callers at scale
   //    should pass an explicit `orderCol`, otherwise one is derived from the
   //    current row order (see withRowPos).
-  def dropDuplicates(subset: Seq[String], keep: String = "first",
+  //    An empty `subset` means ALL columns, like the reference's
+  //    `subset=None` (dataframe.py:825-835, tests/test_duplicates.py:88-94).
+  def dropDuplicates(subset: Seq[String] = Nil, keep: String = "first",
       orderCols: Seq[String] = Nil): MDFrame = {
-    require(subset.nonEmpty, "subset of columns cannot be empty")
     require(subset.forall(ds.columns.contains),
       s"unknown columns ${subset.filterNot(ds.columns.contains)}")
+    val keys = if (subset.isEmpty) ds.columns.toSeq else subset
+    if (keys.isEmpty) return this // zero-column frame: nothing to compare
     val (d, pos) = orderCols match {
       case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
       case cs  => (ds, cs)
     }
     val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val out = d.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-      .orderBy(subset.map(col): _*)
+      .orderBy(keys.map(col): _*)
     copy(ds = if (orderCols.isEmpty) out.drop("_pos") else out)
   }
 
   // -- G7: duplicated mask (dataframe.py:849-864) — rows whose key appears
   //    before (keep=first) / after (keep=last) them.
-  def duplicated(subset: Seq[String], keep: String = "first",
+  //    Empty `subset` = all columns, like the reference's subset=None.
+  def duplicated(subset: Seq[String] = Nil, keep: String = "first",
       orderCols: Seq[String] = Nil): DataFrame = {
+    val keys = if (subset.isEmpty) ds.columns.toSeq else subset
     val (d, pos) = orderCols match {
       case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
       case cs  => (ds, cs)
     }
     val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val out = d.withColumn("_dup", row_number().over(w) > 1).orderBy(pos.map(col): _*)
     if (orderCols.isEmpty) out.drop("_pos") else out
   }

@@ -50,6 +50,41 @@ class OpsSpec extends SparkSuite {
     assert(collectCol[Int](got.ds, "b") == Seq(0, 2, 5, 4, 6))
   }
 
+  test("concat dtype rule is a CONTRACT: first-frame-wins cast, ANSI raise on " +
+      "lossy values (divergence from numpy promotion, test_concat.py:96-111)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    // fits: int32 first + int64 second → unioned as int32 (reference
+    // would promote to int64 — pinned divergence, see MIGRATION.md)
+    val small = MDFrame(frame("a" -> Seq(1, 2)))
+    val fits = MDFrame(MDFrame.concat(Seq(small,
+      MDFrame(frame("a" -> Seq(3L))))).ds)
+    assert(fits.ds.schema("a").dataType == IntegerType)
+    assert(collectCol[Int](fits.ds.orderBy(col("a")), "a") == Seq(1, 2, 3))
+    // lossy: a second-frame value that cannot fit the first frame's int32
+    // must RAISE at execution (ANSI cast), never truncate silently
+    val big = MDFrame(frame("a" -> Seq(3000000003L)))
+    val lossy = MDFrame.concat(Seq(small, big))
+    intercept[Throwable](lossy.ds.collect())
+    // first frame's dtype also wins in the other direction: int64 first
+    // absorbs int32 chunks losslessly (the common append case)
+    val wide = MDFrame.concat(Seq(big, small))
+    assert(wide.ds.schema("a").dataType == LongType)
+    assert(collectCol[Long](wide.ds.orderBy(col("a")), "a") == Seq(1L, 2L, 3000000003L))
+  }
+
+  test("drop_duplicates with no subset = all columns (test_duplicates.py:88-94)") {
+    // reference: {"a": [1,2,2], "b": [0,3,4]} has no full-row dup → noop
+    val df = MDFrame(frame("a" -> Seq(1, 2, 2), "b" -> Seq(0, 3, 4)))
+    val kept = df.dropDuplicates()
+    assert(rows(kept.ds.orderBy(col("a"), col("b"))) ==
+      Seq(Seq(1, 0), Seq(2, 3), Seq(2, 4)))
+    // after b[-1] = 3 the last two rows are identical → first survives
+    val df2 = MDFrame(frame("a" -> Seq(1, 2, 2), "b" -> Seq(0, 3, 3)))
+    val kept2 = df2.dropDuplicates()
+    assert(rows(kept2.ds.orderBy(col("a"), col("b"))) ==
+      Seq(Seq(1, 0), Seq(2, 3)))
+  }
+
   test("duplicated mask in original order (test_duplicates.py:26-28)") {
     val df = MDFrame(frame("a" -> Seq(3, 3, 1, 2, 2, 3)))
     val got = collectCol[Boolean](df.duplicated(Seq("a")), "_dup")
@@ -209,7 +244,6 @@ class OpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](MDFrame.join("left", Seq.fill(256)(a)))
     intercept[IllegalArgumentException](MDFrame.join("cross", Seq(a, a)))
     intercept[IllegalArgumentException](MDFrame.concat(Nil))
-    intercept[IllegalArgumentException](a.dropDuplicates(Nil))
     intercept[IllegalArgumentException](a.dropDuplicates(Seq("zz")))
     intercept[IllegalArgumentException](a.iloc(0, Nil))
   }

@@ -67,6 +67,42 @@ class SerializationSpec extends SparkSuite {
     }
   }
 
+  test("EVERY truncation offset of a parquet file raises, never partial rows " +
+      "(test_serialization.py:82-97 CorruptedBuffer fuzz)") {
+    import org.apache.spark.sql.functions._
+    // the reference fixture: 3 rows, mixed str/int/bytes/None columns
+    val dir = java.nio.file.Files.createTempDirectory("fuzz").toString
+    frame(
+      "a" -> Seq("x", "yy", "zzz"),
+      "b" -> Seq(1L, 2002L, 3000000003L),
+      "d" -> Seq[Any](null, "mom", "dad"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val full = spark.read.parquet(dir).orderBy("b").collect()
+    assert(full.length == 3 && bytes.length > 100)
+
+    def readAll(): Array[org.apache.spark.sql.Row] =
+      spark.read.parquet(dir).orderBy(col("b")).collect()
+    // every strict prefix chops the footer → the read MUST raise; a
+    // prefix that silently returned fewer/garbage rows would be the
+    // CorruptedBuffer contract violation the reference fuzzes for
+    (0 until bytes.length).foreach { i =>
+      java.nio.file.Files.write(file.toPath, java.util.Arrays.copyOf(bytes, i))
+      val r = scala.util.Try(readAll())
+      val detail = r.fold(_ => "", rows => s"got ${rows.length} rows")
+      assert(r.isFailure, s"truncation at offset $i did not raise: $detail")
+    }
+    // one stray trailing byte breaks the end-magic → must also raise
+    java.nio.file.Files.write(file.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length + 1))
+    assert(scala.util.Try(readAll()).isFailure, "trailing-byte corruption did not raise")
+    // restoring the exact bytes reads the exact rows again
+    java.nio.file.Files.write(file.toPath, bytes)
+    assert(readAll().map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("Arrow IPC round-trip: per-partition files, schema + values + nulls (S4)") {
     import graft.sources.ArrowInterop
     val schema = StructType(Seq(
