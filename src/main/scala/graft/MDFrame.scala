@@ -372,6 +372,41 @@ final case class MDFrame(
   //    in Spark an external key is a Column expression over the frame.
   def groupbyExpr(keys: Column*) = ds.groupBy(keys: _*)
 
+  // -- G4: per-group iteration in SORTED-KEY order, the reference's
+  //    `for group in df.groupby(...)` contract (Grouper.__iter__,
+  //    dataframe.py:236-261: keys ascend because np.unique sorts; rows
+  //    within a group keep their original positional order). Driver-side
+  //    by design — the reference's iterator also runs on one node; for
+  //    DISTRIBUTED per-group work use groupby().agg or typed mapGroups
+  //    (q40). Scale shape: range-repartition on (keys, pos) + in-partition
+  //    sort, streamed one partition at a time via toLocalIterator — the
+  //    driver holds one GROUP, never the frame.
+  def iterGroups(by: String*): Iterator[(Seq[Any], Seq[Row])] = {
+    require(by.nonEmpty, "iterGroups needs at least one key column")
+    val unknown = by.filterNot(ds.columns.contains)
+    require(unknown.isEmpty, s"iterGroups: unknown columns $unknown")
+    import scala.jdk.CollectionConverters._
+    val d = MDFrame.withRowPos(ds, "_pos")
+    val sortCols = by.map(col) :+ col("_pos")
+    val it = d.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .toLocalIterator().asScala.buffered
+    val keyOf = (r: Row) => by.map(c => r.getAs[Any](c))
+    val posIdx = d.columns.length - 1 // _pos is appended last
+    val outSchema = ds.schema
+    new Iterator[(Seq[Any], Seq[Row])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Seq[Any], Seq[Row]) = {
+        val key = keyOf(it.head)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (it.hasNext && keyOf(it.head) == key)
+          buf += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            it.next().toSeq.patch(posIdx, Nil, 1).toArray, outSchema)
+        (key, buf.toSeq)
+      }
+    }
+  }
+
   // -- G5: distinct values of one column (dataframe.py:931-946). np.unique
   //    SORTS by default; unordered=true skips the sort (cheaper at scale,
   //    the reference's fast path).

@@ -85,6 +85,27 @@ class OpsSpec extends SparkSuite {
       Seq(Seq(1, 0), Seq(2, 3)))
   }
 
+  test("groupby iteration: sorted-key order, positional order within groups " +
+      "(test_groupby.py:8-14,43-48 Grouper.__iter__)") {
+    val df = MDFrame(frame(
+      "a" -> Seq(1, 1, 2, 2, 3, 3, 3),
+      "b" -> Seq(4, 5, 6, 7, 8, 9, 10)))
+    val groups = df.iterGroups("a").toSeq
+    assert(groups.map(_._1) == Seq(Seq(1), Seq(2), Seq(3)))
+    assert(groups.map(_._2.map(_.getAs[Int]("b"))) ==
+      Seq(Seq(4, 5), Seq(6, 7), Seq(8, 9, 10)))
+    // keys arrive out of order: iteration still ascends keys, rows keep
+    // their original positions within each group (reduceat fixture)
+    val shuffled = MDFrame(frame(
+      "a" -> Seq(3, 3, 3, 2, 2, 1, 1),
+      "b" -> Seq(9, 10, 7, 8, 4, 5, 6)))
+    val g2 = shuffled.iterGroups("a").toSeq
+    assert(g2.map(_._1) == Seq(Seq(1), Seq(2), Seq(3)))
+    assert(g2.map(_._2.map(_.getAs[Int]("b"))) ==
+      Seq(Seq(5, 6), Seq(8, 4), Seq(9, 10, 7)))
+    intercept[IllegalArgumentException](df.iterGroups("zz"))
+  }
+
   test("duplicated mask in original order (test_duplicates.py:26-28)") {
     val df = MDFrame(frame("a" -> Seq(3, 3, 1, 2, 2, 3)))
     val got = collectCol[Boolean](df.duplicated(Seq("a")), "_dup")
