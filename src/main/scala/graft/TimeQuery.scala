@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time (and optionally explain) individual SparkEntry queries.
+  *
+  *   sbt "runMain graft.TimeQuery x40_corpus_merge [x03_minhash_lsh ...]"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_EXPLAIN=1 to print the formatted physical plan first.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftConf.localProfile(SparkSession.builder(), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm codegen/shuffle
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted}"))
+      val df = fn(spark, sfDir)
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[time] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -118,11 +118,53 @@ object Dedup {
     }: _*)
   }
 
+  /** Append an `out` band-key-array column via STAGED projections. Same
+    * keys as [[bandKeysArray]], but the expensive per-shingle md5+mod pass
+    * is bound to its own intermediate column: the k min-permutations then
+    * collapse into ONE `aggregate` fold over that array (each shingle hash
+    * is read once, folded into all k running minima via `zip_with`), and
+    * the band keys read the mins array by position. In the single-Column
+    * form, Catalyst inlines the shingle-hash subtree into every one of the
+    * k `array_min(transform(...))` copies — higher-order functions sit
+    * outside whole-stage codegen, so no subexpression elimination rescues
+    * it and each row pays k× the md5 work. Here `CollapseProject` keeps a
+    * Project boundary below the mins stage only where an alias is
+    * non-cheap AND multiply-referenced, which is exactly the boundary that
+    * makes the hash pass evaluate once. Measured at sf0.1 this is the
+    * difference between x40 at ~80 s and ~10 s.
+    */
+  def withBandKeys(df: DataFrame, textCol: String, out: String,
+      bands: Int, rowsPerBand: Int, shingleN: Int = 5): DataFrame = {
+    val k = bands * rowsPerBand
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
+    val hmCol = freshName(df.columns.toSeq :+ out, out + "_hm")
+    val mhCol = freshName(df.columns.toSeq :+ out, out + "_mh")
+    val hm = transform(array_distinct(shingles(col(textCol), shingleN)),
+      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP)
+    val ab = array((0 until k).map(i =>
+      struct(lit(MinhashA(i)).as("a"), lit(MinhashB(i)).as("b"))): _*)
+    // affine values lie in [0, P), so P seeds every running minimum safely
+    val mins = aggregate(col(hmCol), array_repeat(lit(MinhashP), k),
+      (acc, h) => zip_with(acc, ab, (m, c) =>
+        least(m, (h * c("a") + c("b")) % MinhashP)))
+    val bks = array((0 until bands).map { b =>
+      md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col(mhCol), i + 1)): _*))
+    }: _*)
+    df.withColumn(hmCol, hm).withColumn(mhCol, mins).withColumn(out, bks)
+      .drop(hmCol, mhCol)
+  }
+
+  /** A column name not present in `taken` (temp-column collision guard). */
+  private def freshName(taken: Seq[String], base: String): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+
   /** The corpus's distinct band-key set — the distilled dedup state a
     * streaming ingest filter holds against (bands·docs short rows). */
   def corpusBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(explode(bandKeysArray(col(textCol), bands, rowsPerBand)).as("bk"))
+    withBandKeys(docs.select(col(textCol)), textCol, "_bks", bands, rowsPerBand)
+      .select(explode(col("_bks")).as("bk"))
       .distinct()
 
   /** Batch corpus merge (the daily-crawl ingest step): keep only new
@@ -137,22 +179,33 @@ object Dedup {
     * loop over the O(|corpus|·bands) key set, which can neither broadcast
     * nor finish at corpus scale.) Batch twin of
     * StreamingWindows.streamingNearDupFilter.
+    *
+    * Rejection is PER-ROW: the semi/anti joins key on a synthetic
+    * per-row id (monotonically_increasing_id), not on `idCol`, so two new
+    * rows that happen to share a caller id are accepted/rejected
+    * independently. The synthetic id is deterministic per partition, and
+    * the two consumers of `fresh` below sit over the same deterministic
+    * scan+projection lineage, so both evaluations assign identical ids.
     */
   def mergeNewDocs(corpus: DataFrame, newDocs: DataFrame,
       bands: Int = 2, rowsPerBand: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val exactKeys = corpus.select(md5(col(textCol)).as("_h")).distinct()
+    val rid = freshName(newDocs.columns.toSeq, "_rid")
+    val h = freshName(newDocs.columns.toSeq, "_h")
+    val bksCol = freshName(newDocs.columns.toSeq, "_bks")
+    val exactKeys = corpus.select(md5(col(textCol)).as(h)).distinct()
     val corpusKeys = corpusBandKeys(corpus, bands, rowsPerBand, textCol)
     val fresh = newDocs
-      .withColumn("_h", md5(col(textCol)))
-      .join(exactKeys, Seq("_h"), "left_anti")
-      .drop("_h")
-    val matched = fresh
-      .select(col(idCol),
-        explode(bandKeysArray(col(textCol), bands, rowsPerBand)).as("bk"))
+      .withColumn(rid, monotonically_increasing_id())
+      .withColumn(h, md5(col(textCol)))
+      .join(exactKeys, Seq(h), "left_anti")
+      .drop(h)
+    val matched = withBandKeys(fresh.select(col(rid), col(textCol)),
+        textCol, bksCol, bands, rowsPerBand)
+      .select(col(rid), explode(col(bksCol)).as("bk"))
       .join(corpusKeys, Seq("bk"), "left_semi")
-      .select(col(idCol)).distinct()
-    corpus.unionByName(fresh.join(matched, Seq(idCol), "left_anti"))
+      .select(col(rid)).distinct()
+    corpus.unionByName(fresh.join(matched, Seq(rid), "left_anti").drop(rid))
   }
 
   /** LSH candidate pairs: documents sharing any band key (a < b).
