@@ -386,12 +386,19 @@ final case class MDFrame(
     val unknown = by.filterNot(ds.columns.contains)
     require(unknown.isEmpty, s"iterGroups: unknown columns $unknown")
     import scala.jdk.CollectionConverters._
-    val d = MDFrame.withRowPos(ds, "_pos")
-    val sortCols = by.map(col) :+ col("_pos")
+    val posCol = MDFrame.freshName(ds.columns.toSeq, "_pos")
+    val d = MDFrame.withRowPos(ds, posCol)
+    val sortCols = by.map(col) :+ col(posCol)
     val it = d.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .toLocalIterator().asScala.buffered
-    val keyOf = (r: Row) => by.map(c => r.getAs[Any](c))
+    // binary key columns surface as Array[Byte], whose == is reference
+    // equality — normalize to Seq so value-equal keys group together
+    // (group keys are returned in the same normalized form)
+    val keyOf = (r: Row) => by.map(c => r.getAs[Any](c) match {
+      case a: Array[_] => a.toSeq
+      case v => v
+    })
     val posIdx = d.columns.length - 1 // _pos is appended last
     val outSchema = ds.schema
     new Iterator[(Seq[Any], Seq[Row])] {
@@ -427,18 +434,22 @@ final case class MDFrame(
       orderCols: Seq[String] = Nil): MDFrame = {
     require(subset.forall(ds.columns.contains),
       s"unknown columns ${subset.filterNot(ds.columns.contains)}")
-    val keys = if (subset.isEmpty) ds.columns.toSeq else subset
+    // derived all-columns keys exclude orderCols: partitioning by the order
+    // column would make every row its own group (dedup no-op)
+    val keys = if (subset.isEmpty) ds.columns.toSeq.diff(orderCols) else subset
     if (keys.isEmpty) return this // zero-column frame: nothing to compare
+    val posTmp = MDFrame.freshName(ds.columns.toSeq, "_pos")
     val (d, pos) = orderCols match {
-      case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
+      case Nil => (MDFrame.withRowPos(ds, posTmp), Seq(posTmp))
       case cs  => (ds, cs)
     }
+    val rn = MDFrame.freshName(d.columns.toSeq, "_rn")
     val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val out = d.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val out = d.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
       .orderBy(keys.map(col): _*)
-    copy(ds = if (orderCols.isEmpty) out.drop("_pos") else out)
+    copy(ds = if (orderCols.isEmpty) out.drop(posTmp) else out)
   }
 
   // -- G7: duplicated mask (dataframe.py:849-864) — rows whose key appears
@@ -446,15 +457,18 @@ final case class MDFrame(
   //    Empty `subset` = all columns, like the reference's subset=None.
   def duplicated(subset: Seq[String] = Nil, keep: String = "first",
       orderCols: Seq[String] = Nil): DataFrame = {
-    val keys = if (subset.isEmpty) ds.columns.toSeq else subset
+    val keys = if (subset.isEmpty) ds.columns.toSeq.diff(orderCols) else subset
+    val posTmp = MDFrame.freshName(ds.columns.toSeq, "_pos")
     val (d, pos) = orderCols match {
-      case Nil => (MDFrame.withRowPos(ds, "_pos"), Seq("_pos"))
+      case Nil => (MDFrame.withRowPos(ds, posTmp), Seq(posTmp))
       case cs  => (ds, cs)
     }
     val ord = pos.map(c => if (keep == "last") col(c).desc else col(c).asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    // `_dup` is the documented OUTPUT column (withColumn replaces any
+    // pre-existing one); only the positional temp needs a fresh name
     val out = d.withColumn("_dup", row_number().over(w) > 1).orderBy(pos.map(col): _*)
-    if (orderCols.isEmpty) out.drop("_pos") else out
+    if (orderCols.isEmpty) out.drop(posTmp) else out
   }
 
   // -- G8: null-ignoring scalar min/max; NaN excluded like the reference's
@@ -542,6 +556,10 @@ object MDFrame {
     * that Spark does not natively carry. Prefer passing an explicit order
     * column at scale.
     */
+  /** A column name not present in `taken` (temp-column collision guard). */
+  private[graft] def freshName(taken: Seq[String], base: String): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+
   def withRowPos(df: DataFrame, posCol: String): DataFrame = {
     val schema = df.schema.add(StructField(posCol, LongType, nullable = false))
     val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

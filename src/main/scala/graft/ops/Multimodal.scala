@@ -88,7 +88,9 @@ object Multimodal {
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
       Some((le16(6), le16(8), "gif"))
-    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' && dibSizes(le32(14)))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' && dibSizes(le32(14))
+        && le32(18) > 0 && le32(22) != 0) // width strictly positive; height
+      // nonzero (negative height = top-down row order, magnitude is valid)
       Some((le32(18), math.abs(le32(22)), "bmp"))
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff)
       jpegDims(p)
@@ -107,7 +109,8 @@ object Multimodal {
       if (u8(i) != 0xff) return None
       val m = u8(i + 1)
       if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
-      else {
+      else if (m == 0xd9) return None // EOI carries no length: stream ended
+      else {                          // with no SOF — not a decodable frame
         val len = be16(i + 2)
         if (len < 2) return None
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)

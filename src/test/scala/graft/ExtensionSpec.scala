@@ -217,6 +217,26 @@ class ExtensionSpec extends SparkSuite {
     assert(jdk != null && jdk.getWidth == 6 && jdk.getHeight == 7)
   }
 
+  test("crafted/corrupt containers yield None, not nonsense dims (ADVICE r03)") {
+    // EOI immediately after SOI: no SOF frame exists; EOI carries no
+    // length, so treating the following bytes as one would walk garbage
+    val eoi = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte,
+      0x00, 0x09, 0xff.toByte, 0xc0.toByte, 0x00, 0x09, 0x08, 0x00, 0x02, 0x00, 0x03)
+    assert(Multimodal.decodeImageHeader(eoi).isEmpty)
+    // BMP with a negative (le32) width or zero height is not a valid image
+    def patched(at: Int, v: Int): Array[Byte] = {
+      val b = Multimodal.synthBmp(6, 7)
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at, v)
+      b
+    }
+    assert(Multimodal.decodeImageHeader(patched(18, -6)).isEmpty)  // width < 0
+    assert(Multimodal.decodeImageHeader(patched(18, 0)).isEmpty)   // width = 0
+    assert(Multimodal.decodeImageHeader(patched(22, 0)).isEmpty)   // height = 0
+    // negative height is LEGAL (top-down rows): magnitude is the height
+    assert(Multimodal.decodeImageHeader(patched(22, -7)) == Some((6, 7, "bmp")))
+  }
+
   test("non-image payloads (text bytes, truncated magic) fall back to the stub") {
     val text = "the quick brown fox".getBytes("UTF-8")
     assert(Multimodal.decodeImageHeader(text).isEmpty)

@@ -106,6 +106,38 @@ class OpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](df.iterGroups("zz"))
   }
 
+  test("iterGroups on a binary key column groups by VALUE (ADVICE r03)") {
+    // Array[Byte] == is reference equality; without normalization every
+    // row would become its own single-row group
+    val df = MDFrame(frame("b" -> Seq(1, 2, 3, 4))
+      .withColumn("k", org.apache.spark.sql.functions.unhex(
+        when(col("b") % 2 === 0, "0a0b").otherwise("0c"))))
+    val groups = MDFrame(df.ds).iterGroups("k").toSeq
+    // byte-lexicographic key order: 0x0a0b sorts before 0x0c
+    assert(groups.map(_._2.map(_.getAs[Int]("b"))) == Seq(Seq(2, 4), Seq(1, 3)))
+    assert(groups.map(_._1) ==
+      Seq(Seq(Seq(0x0a.toByte, 0x0b.toByte)), Seq(Seq(0x0c.toByte))))
+  }
+
+  test("drop_duplicates/duplicated: derived all-columns keys exclude " +
+      "orderCols; temp names dodge collisions (ADVICE r03)") {
+    // subset=Nil + orderCols: the order column must NOT join the key set,
+    // else every row is its own group and dedup is a no-op
+    val df = MDFrame(frame("a" -> Seq(1, 1, 2), "ord" -> Seq(10, 20, 30)))
+    val kept = df.dropDuplicates(orderCols = Seq("ord"))
+    assert(rows(kept.ds.orderBy(col("a")).select(col("a"), col("ord"))) ==
+      Seq(Seq(1, 10), Seq(2, 30)))
+    val mask = collectCol[Boolean](df.duplicated(orderCols = Seq("ord")), "_dup")
+    assert(mask == Seq(false, true, false))
+    // a frame that already HAS _pos/_rn columns still dedups correctly
+    val clash = MDFrame(frame(
+      "_pos" -> Seq(9, 8, 7), "_rn" -> Seq(5, 5, 6), "a" -> Seq(1, 1, 1)))
+    val k2 = clash.dropDuplicates(Seq("a"))
+    assert(k2.ds.count() == 1)
+    assert(k2.ds.columns.toSeq == Seq("_pos", "_rn", "a"))
+    assert(rows(k2.ds) == Seq(Seq(9, 5, 1)))
+  }
+
   test("duplicated mask in original order (test_duplicates.py:26-28)") {
     val df = MDFrame(frame("a" -> Seq(3, 3, 1, 2, 2, 3)))
     val got = collectCol[Boolean](df.duplicated(Seq("a")), "_dup")

@@ -82,6 +82,11 @@ class SerializationSpec extends SparkSuite {
     val bytes = java.nio.file.Files.readAllBytes(file.toPath)
     val full = spark.read.parquet(dir).orderBy("b").collect()
     assert(full.length == 3 && bytes.length > 100)
+    // drop the Hadoop local-FS .crc sidecar: with it present, ANY byte
+    // change fails the checksum before parquet footer validation runs, so
+    // the loop would pass without exercising the footer/end-magic contract
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(f => assert(f.delete()))
 
     def readAll(): Array[org.apache.spark.sql.Row] =
       spark.read.parquet(dir).orderBy(col("b")).collect()
