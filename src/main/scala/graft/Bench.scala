@@ -62,15 +62,22 @@ object Bench {
     pool.shutdown()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "sf" is NUMERIC per the driver contract ({"…","sf":0.1}); the dir
+    // is carried separately for humans
+    val sfNum = "sf([0-9.]*[0-9])".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("-1")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     // stdout gets decorated by sbt and interleaved with log output — the
     // round-1 driver recorded parsed:null — so ALSO write the JSON to a
-    // file the driver (or a human) can read without scraping.
+    // file the driver (or a human) can read without scraping, and emit it
+    // on BOTH streams.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     println(line)
     System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
   }
 }
