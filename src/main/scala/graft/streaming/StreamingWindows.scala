@@ -163,6 +163,33 @@ object StreamingWindows {
       .join(broadcast(corpusKeys), expr("array_contains(_bks, bk)"), "left_anti")
       .drop("_bks")
 
+  /** [[streamingNearDupFilter]] past the broadcast limit: when the corpus
+    * band-key set outgrows what a micro-batch can broadcast, reject-on-
+    * any-band decomposes into `bands` successive stream-static equi
+    * ANTI-joins — one per band column. Each is a plain HASH join on a
+    * uniform md5 key (stream-static left_anti is a supported streaming
+    * join; no streaming aggregation, no state store), so the key set may
+    * be arbitrarily large. A doc survives iff it survives every per-band
+    * anti-join == none of its band keys exist in the corpus — exactly the
+    * array_contains semantics of the broadcast form (asserted equal in
+    * StreamingSpec). At production scale, store `corpusKeys` bucketed by
+    * `bk` so the static side's shuffle is pre-done once, not per
+    * micro-batch.
+    */
+  def streamingNearDupFilterAtScale(docs: DataFrame, corpusKeys: DataFrame,
+      bands: Int = 2, rowsPerBand: Int = 4, textCol: String = "text"): DataFrame = {
+    // one staged projection for the key array (hash pass runs once), then
+    // per-band columns extracted as cheap element_at references
+    val withBands = (0 until bands).foldLeft(
+      docs.withColumn("_bks",
+        graft.ops.Dedup.bandKeysArray(col(textCol), bands, rowsPerBand))) {
+      (d, b) => d.withColumn(s"_bk$b", element_at(col("_bks"), b + 1))
+    }.drop("_bks")
+    (0 until bands).foldLeft(withBands) { (d, b) =>
+      d.join(corpusKeys.select(col("bk").as(s"_bk$b")), Seq(s"_bk$b"), "left_anti")
+    }.drop((0 until bands).map(b => s"_bk$b"): _*)
+  }
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

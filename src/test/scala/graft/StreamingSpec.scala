@@ -110,6 +110,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("near-dup filter AT SCALE: chained hash anti-joins == broadcast form " +
+      "with broadcast disabled (verdict r02 item 7)") {
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100), 2, 4)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    // force the corpus key set past the broadcast path entirely: the
+    // chained per-band anti-joins must plan as shuffle hash/merge joins
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val filtered = StreamingWindows.streamingNearDupFilterAtScale(stream, keys)
+      val q = filtered.select("doc_id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_neardup_scale").start()
+      try {
+        q.processAllAvailable()
+        val got = collectCol[Long](
+          spark.table("stream_neardup_scale").orderBy("doc_id"), "doc_id")
+        val want = collectCol[Long](
+          StreamingWindows.streamingNearDupFilter(batchDocs, keys)
+            .select("doc_id").orderBy("doc_id"), "doc_id")
+        assert(got == want)
+        assert(got.nonEmpty && !got.exists(_ < 100))
+      } finally q.stop()
+      // the batch twin of the scale form agrees too (same operator shape)
+      val batchScale = collectCol[Long](
+        StreamingWindows.streamingNearDupFilterAtScale(batchDocs, keys)
+          .select("doc_id").orderBy("doc_id"), "doc_id")
+      assert(batchScale == collectCol[Long](
+        StreamingWindows.streamingNearDupFilter(batchDocs, keys)
+          .select("doc_id").orderBy("doc_id"), "doc_id"))
+      // and no broadcast nested loop appears in the scale plan
+      val plan = StreamingWindows.streamingNearDupFilterAtScale(batchDocs, keys)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
