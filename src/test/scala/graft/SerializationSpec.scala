@@ -154,7 +154,44 @@ class SerializationSpec extends SparkSuite {
   test("json encode of nested struct matches the reference's canonical form (S5)") {
     import org.apache.spark.sql.functions._
     val df = frame("a" -> Seq(1), "b" -> Seq("x"))
-    val js = df.select(to_json(struct(col("a"), col("b"))).as("j")).head.getString(0)
+    val js = df.select(to_json(struct(col("a"), col("b"))).as("j")).head().getString(0)
     assert(js == """{"a":1,"b":"x"}""")
+  }
+
+  test("json torture: pathological unicode/escapes round-trip to_json→from_json " +
+      "(test_serialization.py:19-22 json_dumps torture contract)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // reference feeds json_dumps a fixture of hostile strings: every JSON
+    // escape class, C0 controls, CJK/Hangul, astral-plane surrogate pairs,
+    // quote/backslash storms, keys as hostile as values. We synthesize the
+    // same classes (the fixture itself stays in the reference).
+    val nasty = Seq(
+      "quote\" backslash\\ slash/ bell newline\n tab\t return\r",
+      "controls \u0001\u0006\u001f end",
+      "閆崬밺뀫颒myj츥휘 薈mY햚 玭V㭢뾿愴Y ᮉ푊垡㐭룝 厓ᔧḅ^Sqpv媫",
+      "astral 😀🤖 pair 𐀀",
+      "⤽걒 ˽Ἆ ꇆ䬔未tv{DV鯀Tἆl凸g\\㈭ĭ즿UH㽤 ;:{}[]()<>&#%$@!~`'",
+      "6.908319653520691E8")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType),
+      StructField("arr", ArrayType(StringType)),
+      StructField("m", MapType(StringType, StringType))))
+    val df = nasty.zipWithIndex.map { case (s, i) =>
+      (s, nasty((i + 1) % nasty.size), Seq(s, s.reverse), Map(s -> nasty((i + 2) % nasty.size)))
+    }.toDF("k", "v", "arr", "m")
+    val encoded = df.select(to_json(struct(col("k"), col("v"), col("arr"), col("m"))).as("j"))
+    // 1) every encoded line must be parseable JSON (the torture contract)
+    // 2) parsing back yields the exact original values — no lossy escaping
+    val back = encoded.select(from_json(col("j"), schema).as("s")).select("s.*")
+    assert(back.collect().map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getMap[String, String](3).toMap)).toSeq ==
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getSeq[String](2), r.getMap[String, String](3).toMap)).toSeq)
+    // and jackson-independent sanity: no raw control bytes survive encoding
+    encoded.collect().map(_.getString(0)).foreach { j =>
+      assert(!j.exists(c => c < ' '), s"unescaped control char in: $j")
+    }
   }
 }
