@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-hygiene regression guard over the ENTIRE query surface: the scale
+  * anti-patterns the round-2 verdict hunted for by hand (nested-loop joins
+  * against unbounded sides, cartesian products, unpushed scans) are
+  * asserted mechanically for every SparkEntry query, so a regression shows
+  * up as a red spec instead of a 100 TB incident.
+  */
+class PlanSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries where a BroadcastNestedLoopJoin is the DESIGN, not an
+    * accident — each broadcasts a provably-BOUNDED side, independent of
+    * corpus scale:
+    *  - x10 broadcasts the fixed query-vector set (brute-force kNN
+    *    baseline; IVF is the scale path),
+    *  - q43/q49/x22/x39 crossJoin a broadcast ONE-ROW global-aggregate
+    *    frame (scalar-subquery shape),
+    *  - x17/x18/x28 broadcast the k-centroid set (O(k·d), the MLlib
+    *    pattern).
+    * Anything NOT in this list that plans a nested loop is a regression.
+    */
+  private val bnljByDesign = Set(
+    "x10_knn_bruteforce", "q43_above_avg_parts", "q49_idle_customers",
+    "x22_tfidf", "x39_unigram_logprob",
+    "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf",
+    "x23_percentiles", "x24_histogram", "x27_approx_stats")
+
+  test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
+      "where a bounded side is broadcast by design") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)
+      if (cartesian || bnlj)
+        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}${if (bnlj) "BNLJ" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-unsafe joins in: $offenders")
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan (q02 shape)") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val plan = SparkEntry.queries("q02_project_filter")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PushedFilters: ["), plan.take(3000))
+    assert(!plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").trim.isEmpty,
+      "q02 scan pushed no filters:\n" + plan.take(3000))
+    // projection pruning: the lineitem scan must not read all 11 columns
+    val readSchema = plan.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+    assert(readSchema.split(",").length < 11,
+      s"q02 reads unpruned schema: $readSchema")
+  }
+}
