@@ -271,7 +271,8 @@ object Dedup {
     * label key (uniform doc ids — no skew); at production scale checkpoint
     * every few rounds to cut lineage.
     */
-  def clusterPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+  def clusterPairs(pairs: DataFrame, rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     // The edge list is consumed once per round — persist it, or every
     // round re-executes the whole upstream candidate-pair pipeline
     // (minhash + LSH join). The edge list is the DISTILLED graph: tiny
@@ -281,7 +282,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
@@ -289,6 +290,13 @@ object Dedup {
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // each round stacks a join+agg on the labels lineage; past a few
+      // rounds the plan itself becomes the bottleneck (re-optimization,
+      // stage-retry recompute depth). localCheckpoint truncates lineage at
+      // executor-storage cost only — the right tradeoff for an iterative
+      // refinement whose rounds are cheap to re-derive from the cut point.
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
+        labels = labels.localCheckpoint()
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }

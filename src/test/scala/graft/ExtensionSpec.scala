@@ -342,6 +342,18 @@ class ExtensionSpec extends SparkSuite {
     assert(newcomerKeys.intersect(corpusKeys).isEmpty)
   }
 
+  test("clusterPairs with periodic localCheckpoint == unchecked lineage " +
+      "(production lineage-cut path)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+    val pairs = Dedup.lshCandidatePairs(docs, 2, 4)
+    def clusters(ck: Int) = Dedup.clusterPairs(pairs, rounds = 4, checkpointEvery = ck)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clusters(0).nonEmpty)
+    assert(clusters(2) == clusters(0))
+    assert(clusters(1) == clusters(0))
+  }
+
   test("map-only bandKeysArray == explode/groupBy band keys (stream-form parity)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
     val viaArray = docs

@@ -324,6 +324,14 @@ class OpsSpec extends SparkSuite {
     assert(collectCol[Int](sl.ds, "v") == Seq(20, 30))
   }
 
+  test("iloc out-of-range raises, zero-length slice is empty " +
+      "(test_iloc.py:20-25,42-46 IndexError parity)") {
+    val df = MDFrame(frame("a" -> Seq(1, 2), "b" -> Seq(3, 4)))
+    intercept[NoSuchElementException](df.iloc(2, Seq("a")))
+    intercept[NoSuchElementException](df.iloc(-3, Seq("a")))
+    assert(df.ilocSlice(1, 1, Seq("a")).ds.count() == 0)
+  }
+
   test("weighted sample favors heavy weights (dataframe.py:523-548 weights=)") {
     val df = MDFrame(frame(
       "id" -> (1 to 200),
