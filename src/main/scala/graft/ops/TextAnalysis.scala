@@ -138,4 +138,55 @@ object TextAnalysis {
   def rollingFingerprint(textColName: String): Column =
     expr(s"""aggregate(split($textColName, ' '), CAST(0 AS BIGINT),
             |  (acc, t) -> (acc * 31 + ${tokenHashSql("t")}) % 1000000000000)""".stripMargin)
+
+  /** PII-shaped pattern classes shared by [[redact]] and its oracle: the
+    * regexes use only syntax with identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB) — char classes, bounded/unbounded
+    * quantifiers, no backrefs/lookaround. Order matters: URLs first (may
+    * contain digit runs), then emails, then standalone long digit runs.
+    */
+  val redactPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", "[0-9]{6,}", "<NUM>"))
+
+  /** Pattern redaction for training corpora (emails, URLs, long digit
+    * runs → placeholder tokens) with per-class match counts. Pure
+    * codegen'd regexp expressions — map-only, no shuffle, scales with the
+    * scan. Counts come from the PRE-redaction text; the redacted text is
+    * returned whole for downstream writes (queries hash it to keep oracle
+    * rows small).
+    */
+  def redact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // Column-API regexp_count, NOT expr(): a pattern embedded in SQL text
+    // would go through the SQL string-literal escaper, which rewrites \.
+    val counts = redactPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = redactPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    docs.select((col(idCol) +: counts) :+ redacted.as("redacted"): _*)
+  }
+
+  /** Gopher-style repetition statistics: per document, total 2-gram count
+    * and the multiplicity of its most frequent 2-gram (MassiveText /
+    * RefinedWeb boilerplate filters threshold on top-n-gram fraction;
+    * integer outputs keep the contract hash-exact — callers divide).
+    * Scale shape: explode to (doc, gram) → count → per-doc max/sum; both
+    * shuffles key on uniform (id, gram) / id. Docs under 2 tokens are
+    * excluded (no 2-grams exist).
+    */
+  def repetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_2gram_n"), sum(col("c")).as("n_2grams"))
+  }
 }

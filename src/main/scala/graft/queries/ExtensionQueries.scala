@@ -949,6 +949,64 @@ object ExtensionQueries {
              |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
              |  CAST(54 + (((16 + doc_id % 16) * 3 + 3) // 4) * 4 * (8 + doc_id % 8)
              |    AS INTEGER) AS n_bytes
-             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x42: PII-shaped pattern redaction --------------------------------
+    // Docs are deterministically augmented with an email, a URL and a long
+    // digit run (the corpus text has none), then redacted; the oracle
+    // replays the augmentation and the same RE2/Java-portable regexes.
+    // Counts come from pre-redaction text; the redacted text is md5'd to
+    // keep oracle rows small while pinning every replaced byte.
+    QueryDef(
+      "x42_redact",
+      (s, dir) => {
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com see https://ex.org/p/"),
+          col("doc_id").cast("string"), lit("?tok=abc123 ref "),
+          (col("doc_id") + 1000000L).cast("string"))
+        TextAnalysis.redact(
+            Tables.documents(s, dir).filter(col("doc_id") < 300)
+              .withColumn("text", aug))
+          .select(col("doc_id"), col("n_url"), col("n_email"), col("n_number"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |       || '@mail.example.com see https://ex.org/p/'
+             |       || CAST(doc_id AS VARCHAR) || '?tok=abc123 ref '
+             |       || CAST(doc_id + 1000000 AS VARCHAR) AS t
+             |  FROM documents WHERE doc_id < 300)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_number,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{6,}', '<NUM>', 'g')) AS redacted_md5
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // ---- x43: Gopher-style 2-gram repetition (boilerplate filter) ---------
+    // Integer outputs (top-gram multiplicity, total 2-grams) keep the
+    // contract hash-exact; the MassiveText-style fraction is their ratio.
+    QueryDef(
+      "x43_repetition",
+      (s, dir) =>
+        TextAnalysis.repetition(
+            Tables.documents(s, dir).filter(col("doc_id") < 300))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents WHERE doc_id < 300),
+             |grams AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(t)),
+             |      i -> t[i] || ' ' || t[i + 1])) AS g
+             |  FROM toks WHERE len(t) >= 2),
+             |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+             |SELECT doc_id, MAX(c) AS top_2gram_n,
+             |  CAST(SUM(c) AS BIGINT) AS n_2grams
+             |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
