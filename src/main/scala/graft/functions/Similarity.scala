@@ -210,6 +210,31 @@ object Similarity {
     * bucket are checked exactly; pairs at or above `minCosine` survive.
     * Scale path: equi-join on bucket — candidates per bucket ≈ n/2^planes.
     */
+  /** Semantic near-dup pairs through the TRAINED quantizer: vectors that
+    * land in the same k-means cell and cosine-match above `minCosine`.
+    * The IVF twin of [[lshNearDupPairs]] — same output contract, different
+    * bucketing: cells adapt to the data distribution (trained centroids)
+    * where LSH planes are data-oblivious. Within-cell self-join on the
+    * cell id; cells are balanced by construction of Lloyd's, and at 100 TB
+    * a skewed mega-cell is handled by raising nCells (finer quantizer) or
+    * salting the join (ops.Skew) — both leave this dataflow unchanged.
+    */
+  def cellNearDupPairs(df: DataFrame, nCells: Int, iters: Int,
+      minCosine: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cells = ivfAssignKmeans(df, nCells, iters, idCol, embCol)
+    val b = df.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("e"))
+      .join(cells, "vec_id")
+    val l = b.select(col("cell"), col("vec_id").as("id_a"), col("e").as("e_a"))
+    val r = b.select(col("cell"), col("vec_id").as("id_b"), col("e").as("e_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))

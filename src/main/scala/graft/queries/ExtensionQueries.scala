@@ -114,7 +114,8 @@ object ExtensionQueries {
     * same init / fixed-point update / tie-break rules, one CTE block per
     * Lloyd iteration, generated by the same code shape as the Spark loop.
     */
-  private def kmeansSql(nCells: Int, iters: Int): String = {
+  private def kmeansSql(nCells: Int, iters: Int,
+      finalSelect: String = "SELECT vec_id, cell FROM af ORDER BY vec_id"): String = {
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     def assign(name: String, cents: String) =
@@ -137,7 +138,7 @@ object ExtensionQueries {
       s"c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT $nCells)") ++
       (1 to iters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i))) ++
       Seq(assign("af", s"c$iters"))
-    s"WITH ${parts.mkString(",\n")}\nSELECT vec_id, cell FROM af ORDER BY vec_id"
+    s"WITH ${parts.mkString(",\n")}\n$finalSelect"
   }
 
   private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
@@ -1007,6 +1008,26 @@ object ExtensionQueries {
              |counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
              |SELECT doc_id, MAX(c) AS top_2gram_n,
              |  CAST(SUM(c) AS BIGINT) AS n_2grams
-             |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- x44: semantic near-dup through the TRAINED quantizer -------------
+    // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
+    // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle
+    // replays the full training + assignment (kmeansSql CTEs) and the
+    // within-cell pair join.
+    QueryDef(
+      "x44_semantic_neardup",
+      (s, dir) =>
+        Similarity.cellNearDupPairs(Tables.embeddings(s, dir),
+            nCells = 8, iters = 2, minCosine = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(kmeansSql(nCells = 8, iters = 2, finalSelect =
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_dot_product(a.e, b.e)
+          |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS sim
+          |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          |WHERE round(list_dot_product(a.e, b.e)
+          |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)))
   )
 }

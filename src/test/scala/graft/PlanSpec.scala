@@ -23,7 +23,7 @@ class PlanSpec extends SparkSuite {
   private val bnljByDesign = Set(
     "x10_knn_bruteforce", "q43_above_avg_parts", "q49_idle_customers",
     "x22_tfidf", "x39_unigram_logprob",
-    "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf",
+    "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf", "x44_semantic_neardup",
     "x23_percentiles", "x24_histogram", "x27_approx_stats")
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
