@@ -73,7 +73,18 @@ object GenScale {
           sequence(lit(0), size(split(col("text"), " ")) - 1),
           (t, j) => when(j % 4 === 3, concat(t, lit(s"_r$i"))).otherwise(t)), " "))
     })
-    write("embeddings", replicate(embs, Map("vec_id" -> span(embs, "vec_id")))())
+    // cyclic-shift each replica's components: verbatim copies would make
+    // every vector a cosine-1.0 cross-replica near-dup (quadratic pair
+    // inflation in same-bucket joins); a shifted random vector is
+    // decorrelated from the original while replica-internal geometry (all
+    // pairwise dots) is preserved exactly
+    write("embeddings", replicate(embs, Map("vec_id" -> span(embs, "vec_id"))) {
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("embedding", concat(
+          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+          slice(col("embedding"), lit(1), lit(i))))
+    })
     spark.stop()
   }
 }

@@ -115,7 +115,8 @@ object ExtensionQueries {
     * Lloyd iteration, generated by the same code shape as the Spark loop.
     */
   private def kmeansSql(nCells: Int, iters: Int,
-      finalSelect: String = "SELECT vec_id, cell FROM af ORDER BY vec_id"): String = {
+      finalSelect: String = "SELECT vec_id, cell FROM af ORDER BY vec_id",
+      where: String = ""): String = {
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     def assign(name: String, cents: String) =
@@ -134,7 +135,7 @@ object ExtensionQueries {
          |c$i AS (SELECT p.cent_id, COALESCE(f.ce, p.ce) AS ce
          |  FROM c${i - 1} p LEFT JOIN n$i f ON f.cent_id = p.cent_id)""".stripMargin
     val parts = Seq(
-      "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+      s"v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$where)",
       s"c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT $nCells)") ++
       (1 to iters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i))) ++
       Seq(assign("af", s"c$iters"))
@@ -1014,14 +1015,20 @@ object ExtensionQueries {
     // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
     // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle
     // replays the full training + assignment (kmeansSql CTEs) and the
-    // within-cell pair join.
+    // within-cell pair join. The vec_id bound pins the demo slice (a no-op
+    // at the oracle SFs): with nCells FIXED at 8 for oracle replay,
+    // same-cell candidates grow quadratically with input — at production
+    // scale nCells grows with n (finer quantizer), which this bench-shape
+    // query cannot express without breaking the static oracle.
     QueryDef(
       "x44_semantic_neardup",
       (s, dir) =>
-        Similarity.cellNearDupPairs(Tables.embeddings(s, dir),
+        Similarity.cellNearDupPairs(
+            Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
             nCells = 8, iters = 2, minCosine = 0.5)
           .orderBy(col("id_a"), col("id_b")),
-      Some(kmeansSql(nCells = 8, iters = 2, finalSelect =
+      Some(kmeansSql(nCells = 8, iters = 2, where = " WHERE vec_id < 2000",
+        finalSelect =
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_dot_product(a.e, b.e)
           |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS sim
