@@ -168,4 +168,45 @@ class PropertySpec extends SparkSuite {
       }
     }).passed, "property failed: clusters")
   }
+
+  test("redact is idempotent (placeholders never re-match a pattern)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "mail a@b.co and c.d+x@e-f.org now",
+      "go to https://x.y/z?id=1234567 or http://q.r",
+      "ids 123456 9999999999 nested http://a.b/c@d.ee 42",
+      "clean text with no sensitive content at all")
+    val df = frame("doc_id" -> texts.indices.map(_.toLong), "text" -> texts)
+    val once = graft.ops.TextAnalysis.redact(df)
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = graft.ops.TextAnalysis.redact(once)
+    val rows = twice.orderBy("doc_id").collect()
+    // second pass finds nothing and changes nothing
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L),
+      rows.mkString("; "))
+    assert(rows.map(_.getAs[String]("redacted")).toSeq ==
+      once.orderBy("doc_id").collect().map(_.getAs[String]("text")).toSeq)
+  }
+
+  test("repetition == naive per-doc 2-gram counting") {
+    check("repetition", Prop.forAll(Gen.listOfN(6,
+        Gen.chooseNum(0, 8).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab"))))) { docs =>
+      val df = frame(
+        "doc_id" -> docs.indices.map(_.toLong),
+        "text" -> docs.map(_.mkString(" ")))
+      val got = graft.ops.TextAnalysis.repetition(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      docs.zipWithIndex.forall { case (toks, i) =>
+        // split(" ") of "" yields one empty token — mirror that
+        val ts = docs(i).mkString(" ").split(" ", -1).toSeq
+        if (ts.size < 2) !got.contains(i.toLong)
+        else {
+          val grams = ts.sliding(2).map(_.mkString(" ")).toSeq
+          val counts = grams.groupBy(identity).map(_._2.size)
+          got(i.toLong) == ((counts.max.toLong, grams.size.toLong))
+        }
+      }
+    })
+  }
 }

@@ -151,6 +151,53 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("end-to-end streaming ingest: quality gate -> exact dedup -> near-dup " +
+      "reject, kept set == batch composition (x35's streaming twin)") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val corpusKeys = Dedup.corpusBandKeys(docs.filter(col("doc_id") < 100), 2, 4)
+    // the full ingest pipeline as one stream-composable function: per-row
+    // quality gate (stateless projection+filter), exact dedup on content
+    // hash (stateful), band-key near-dup rejection (stream-static hash
+    // anti-joins). Works unchanged on a batch frame — that's the oracle.
+    def pipeline(d: org.apache.spark.sql.DataFrame) = {
+      val scored = TextAnalysis.quality(d.withColumn("_t", col("text")),
+          textCol = "_t", idCol = "doc_id")
+        .select(col("doc_id").as("_qid"), col("quality"))
+      val gated = d.join(scored, col("doc_id") === col("_qid"))
+        .filter(col("quality") > 0.3).drop("_qid", "quality")
+      val deduped = gated.withColumn("_h", md5(col("text"))).dropDuplicates("_h")
+      StreamingWindows.streamingNearDupFilterAtScale(deduped, corpusKeys)
+        .select(col("_h"))
+    }
+    // stream-side quality gate must stay stateless: join with a scored
+    // side of the SAME stream is a stream-stream join — instead inline
+    // the gate for the streaming run
+    def streamPipeline(d: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col("text"), " ")
+      val ttr = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+      val short = size(filter(toks, t => length(t) === 1)).cast("double") /
+        size(toks).cast("double")
+      val gated = d.filter(ttr * (lit(1.0) - short) > 0.3)
+      val deduped = gated.withColumn("_h", md5(col("text"))).dropDuplicates("_h")
+      StreamingWindows.streamingNearDupFilterAtScale(deduped, corpusKeys)
+        .select(col("_h"))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = streamPipeline(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_e2e").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ingest_e2e").collect().map(_.getString(0)).toSet
+      val want = pipeline(docs).collect().map(_.getString(0)).toSet
+      assert(got == want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
