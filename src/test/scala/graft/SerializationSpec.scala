@@ -151,6 +151,18 @@ class SerializationSpec extends SparkSuite {
     }
   }
 
+  test("Arrow source raises on garbage input, never yields rows " +
+      "(test_arrow.py:29-31 from_arrow TypeError parity)") {
+    import graft.sources.ArrowInterop
+    val dir = java.nio.file.Files.createTempDirectory("arrow_bad").toString
+    // an empty directory is a usage error
+    intercept[IllegalArgumentException](ArrowInterop.readIpc(spark, dir))
+    // bytes that are not an Arrow IPC file must raise at open, not decode
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.arrow"),
+      "definitely not arrow".getBytes("UTF-8"))
+    intercept[Throwable](ArrowInterop.readIpc(spark, dir))
+  }
+
   test("json encode of nested struct matches the reference's canonical form (S5)") {
     import org.apache.spark.sql.functions._
     val df = frame("a" -> Seq(1), "b" -> Seq("x"))
