@@ -458,6 +458,9 @@ final case class MDFrame(
   def duplicated(subset: Seq[String] = Nil, keep: String = "first",
       orderCols: Seq[String] = Nil): DataFrame = {
     val keys = if (subset.isEmpty) ds.columns.toSeq.diff(orderCols) else subset
+    // zero key columns → nothing to compare → no duplicates, matching
+    // dropDuplicates' no-op (and avoiding a partitionless global window)
+    if (keys.isEmpty) return ds.withColumn("_dup", lit(false))
     val posTmp = MDFrame.freshName(ds.columns.toSeq, "_pos")
     val (d, pos) = orderCols match {
       case Nil => (MDFrame.withRowPos(ds, posTmp), Seq(posTmp))

@@ -129,6 +129,11 @@ class OpsSpec extends SparkSuite {
       Seq(Seq(1, 10), Seq(2, 30)))
     val mask = collectCol[Boolean](df.duplicated(orderCols = Seq("ord")), "_dup")
     assert(mask == Seq(false, true, false))
+    // orderCols covering ALL columns leaves zero key columns: no-op like
+    // dropDuplicates, not a mark-everything global window
+    val all = df.duplicated(orderCols = Seq("a", "ord"))
+    assert(collectCol[Boolean](all, "_dup") == Seq(false, false, false))
+    assert(df.dropDuplicates(orderCols = Seq("a", "ord")).ds.count() == 3)
     // a frame that already HAS _pos/_rn columns still dedups correctly
     val clash = MDFrame(frame(
       "_pos" -> Seq(9, 8, 7), "_rn" -> Seq(5, 5, 6), "a" -> Seq(1, 1, 1)))
