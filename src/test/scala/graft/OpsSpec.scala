@@ -320,6 +320,42 @@ class OpsSpec extends SparkSuite {
     assert(dec.indexIsMonotonic(Seq("pos"), increasing = false))
   }
 
+  test("composite-index monotonicity is LEXICOGRAPHIC over the levels " +
+      "(test_index.py:122-201 2d/3d/empty goldens)") {
+    def mk(cols: (String, Seq[Any])*)(index: String*) =
+      MDFrame(frame(("pos" -> Seq[Any](1, 2, 3, 4).take(cols.head._2.size)) +: cols: _*),
+        index.toSeq)
+    // increasing 2d: ties on level 0 defer to level 1; a level-0 step
+    // RESETS level 1 ((0,50) <= (1,5) lexicographically)
+    assert(mk("a" -> Seq(0, 1, 1), "b" -> Seq(50, 5, 6))("a", "b")
+      .indexIsMonotonic(Seq("pos")))
+    assert(mk("a" -> Seq(0, 1, 1), "b" -> Seq(50, 5, 5))("a", "b")
+      .indexIsMonotonic(Seq("pos")))
+    assert(!mk("a" -> Seq(0, 1, 1), "b" -> Seq(50, 6, 5))("a", "b")
+      .indexIsMonotonic(Seq("pos")))
+    // 3d with mixed numeric/string levels
+    assert(mk("a" -> Seq(0, 1, 1, 2), "b" -> Seq(50.3, 5.1, 5.1, 0.0),
+        "c" -> Seq("x", "a", "b", ""))("a", "b", "c")
+      .indexIsMonotonic(Seq("pos")))
+    assert(!mk("a" -> Seq(0, 1, 1, 2), "b" -> Seq(50.3, 5.1, 5.1, 0.0),
+        "c" -> Seq("x", "b", "a", ""))("a", "b", "c")
+      .indexIsMonotonic(Seq("pos")))
+    // decreasing 2d
+    assert(mk("a" -> Seq(1, 1, 0), "b" -> Seq(6, 5, 50))("a", "b")
+      .indexIsMonotonic(Seq("pos"), increasing = false))
+    assert(mk("a" -> Seq(2, 1, 0), "b" -> Seq(5, 6, 50))("a", "b")
+      .indexIsMonotonic(Seq("pos"), increasing = false))
+    assert(!mk("a" -> Seq(1, 1, 0), "b" -> Seq(5, 6, 50))("a", "b")
+      .indexIsMonotonic(Seq("pos"), increasing = false))
+    // single row and empty frames are trivially monotonic both ways
+    val one = MDFrame(frame("pos" -> Seq(1), "a" -> Seq(7)), Seq("a"))
+    assert(one.indexIsMonotonic(Seq("pos")))
+    assert(one.indexIsMonotonic(Seq("pos"), increasing = false))
+    val empty = MDFrame(frame("pos" -> Seq(1), "a" -> Seq(7)).filter(lit(false)), Seq("a"))
+    assert(empty.indexIsMonotonic(Seq("pos")))
+    assert(empty.indexIsMonotonic(Seq("pos"), increasing = false))
+  }
+
   test("iloc positional access incl. negative index (dataframe.py:264-287)") {
     val df = MDFrame(frame("i" -> Seq(3, 1, 2), "v" -> Seq(30, 10, 20)), Seq("i"))
     assert(df.iloc(0, Seq("i")).getAs[Int]("v") == 10)
