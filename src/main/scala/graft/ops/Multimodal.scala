@@ -150,6 +150,91 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL WAV (RIFF/WAVE) header decode: strict "RIFF....WAVE" magic, then
+    * a chunk walk (id + le32 size, payloads padded to even offsets) to the
+    * PCM `fmt ` chunk — channels le16@2, sample rate le32@4, bits le16@14
+    * — and the `data` chunk, whose byte length divided by the frame size
+    * gives the sample count. Returns (sampleRate, channels, bitsPerSample,
+    * nSamples); None for anything malformed (non-PCM, zero-size fields,
+    * truncated chunks), routing those payloads to the stub fallback.
+    */
+  def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (p.length < 44 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+        && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12L // Long cursor: a hostile 4 GiB chunk size just ends the walk
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= p.length && (fmt.isEmpty || dataBytes < 0)) {
+      val at = i.toInt
+      val id = new String(p, at, 4, "US-ASCII")
+      val size = le32(at + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= p.length) {
+        val audioFormat = le16(at + 8)
+        val ch = le16(at + 10)
+        val rate = le32(at + 12).toInt
+        val bits = le16(at + 22)
+        if (audioFormat != 1 || ch <= 0 || rate <= 0 || bits <= 0 || bits % 8 != 0)
+          return None // non-PCM or nonsense fields
+        fmt = Some((rate, ch, bits))
+      } else if (id == "data")
+        dataBytes = math.min(size, (p.length - i - 8)) // clamp to real bytes
+      i += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    fmt.collect { case (rate, ch, bits) if dataBytes >= 0 =>
+      (rate, ch, bits, dataBytes / (ch.toLong * (bits / 8)))
+    }
+  }
+
+  /** Synthesize a spec-valid PCM WAV (RIFF + fmt + data, 16-bit,
+    * deterministic sample bytes) — the audio twin of [[synthBmp]]: lets
+    * the REAL decode path run end-to-end on executors without codec
+    * libraries; any WAV reader can open the output.
+    */
+  def synthWav(nSamples: Int, sampleRate: Int, channels: Int): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0 && channels > 0)
+    val frameBytes = channels * 2
+    val dataSize = nSamples * frameBytes
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                             // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * frameBytes)         // byte rate
+      .putShort(frameBytes.toShort)            // block align
+      .putShort(16)                            // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until dataSize / 2).foreach(i =>
+      buf.putShort(((i * 2531 + nSamples * 7 + channels) % 65536 - 32768).toShort))
+    buf.array()
+  }
+
+  /** Audio features from a real WAV header parse. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long, n_bytes: Int)
+
+  /** Batched per-partition audio metadata extraction — same iterator
+    * shape as [[extractFeatures]]; non-WAV payloads yield no row (a real
+    * pipeline routes them to their own decoder by media_type).
+    */
+  def extractAudioFeatures(media: Dataset[MediaDoc]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavHeader(m.payload).map { case (rate, ch, bits, n) =>
+          AudioFeatures(m.doc_id, rate, ch, bits, n,
+            n * 1000L / rate, m.payload.length)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction. The iterator-in /
     * iterator-out shape means constant memory per partition regardless of
     * partition size.

@@ -1011,6 +1011,36 @@ object ExtensionQueries {
              |  CAST(SUM(c) AS BIGINT) AS n_2grams
              |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- x45: REAL audio decode over executor-synthesized WAVs ------------
+    // The audio twin of x41: each doc_id becomes a spec-valid PCM WAV
+    // built on the executors; decodeWavHeader parses the actual RIFF
+    // container back. The oracle replays the synthesis arithmetic —
+    // sample rate / channels / sample count round-trip THROUGH real WAV
+    // bytes, and duration_ms pins the integer millisecond math.
+    QueryDef(
+      "x45_audio_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/audio",
+            Multimodal.synthWav((400 + id % 100).toInt,
+              (8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt)))
+        Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+            col("n_samples"), col("duration_ms"), col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+             |  CAST(400 + doc_id % 100 AS BIGINT) AS n_samples,
+             |  (400 + doc_id % 100) * 1000 // (8000 + (doc_id % 3) * 4000)
+             |    AS duration_ms,
+             |  CAST(44 + (400 + doc_id % 100) * (1 + doc_id % 2) * 2 AS INTEGER)
+             |    AS n_bytes
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // ---- x44: semantic near-dup through the TRAINED quantizer -------------
     // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
     // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle

@@ -237,6 +237,36 @@ class ExtensionSpec extends SparkSuite {
     assert(Multimodal.decodeImageHeader(patched(22, -7)) == Some((6, 7, "bmp")))
   }
 
+  test("synthWav round-trips through a REAL WAV: our parser and the JDK's " +
+      "own reader agree; corrupt RIFF yields None") {
+    val wav = Multimodal.synthWav(nSamples = 441, sampleRate = 22050, channels = 2)
+    assert(Multimodal.decodeWavHeader(wav) == Some((22050, 2, 16, 441L)))
+    // cross-check with javax.sound's independent WAV reader
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate == 22050f)
+    assert(in.getFormat.getChannels == 2)
+    assert(in.getFormat.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == 441L)
+    // and the reverse: a WAV written by javax.sound parses with our walk
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](2 * 123)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 123)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeWavHeader(bos.toByteArray) == Some((8000, 1, 16, 123L)))
+    // hostile containers: bad magic, non-PCM format code, absurd chunk size
+    assert(Multimodal.decodeWavHeader("RIFFxxxxWAVX1234".getBytes).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Multimodal.decodeWavHeader(nonPcm).isEmpty)
+    val hugeChunk = wav.clone()
+    java.nio.ByteBuffer.wrap(hugeChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7fffffff) // fmt size: walk must terminate, not loop/crash
+    assert(Multimodal.decodeWavHeader(hugeChunk).isEmpty)
+  }
+
   test("non-image payloads (text bytes, truncated magic) fall back to the stub") {
     val text = "the quick brown fox".getBytes("UTF-8")
     assert(Multimodal.decodeImageHeader(text).isEmpty)
