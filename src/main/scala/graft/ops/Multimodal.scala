@@ -215,6 +215,98 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL MP4 (ISO 14496-12) movie-header decode: top-level box walk
+    * (be32 size + fourcc; size 0 = "to end of file", size 1 = 64-bit
+    * largesize) requiring a leading `ftyp`, then inside `moov` the `mvhd`
+    * box: version-0 layout puts timescale at body offset 12 and duration
+    * at 16 (both be32); version-1 widens the times to 64-bit (timescale
+    * stays be32 at 20, duration be64 at 24). Returns (timescale,
+    * duration, durationMs); None for anything malformed.
+    */
+  def decodeMp4Header(p: Array[Byte]): Option[(Int, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toLong & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (p.length < 16 || fourcc(4) != "ftyp") return None
+    def walk(from: Long, until: Long, want: String): Option[Long] = {
+      var i = from
+      while (i + 8 <= until) {
+        val declared = be32(i.toInt)
+        val size =
+          if (declared == 0) until - i // box extends to the end
+          else if (declared == 1) { if (i + 16 > until) return None; be64(i.toInt + 8) }
+          else declared
+        if (size < 8) return None
+        if (fourcc(i.toInt + 4) == want) return Some(i)
+        i += size
+      }
+      None
+    }
+    for {
+      moov <- walk(0, p.length.toLong, "moov")
+      moovEnd = math.min(moov + be32(moov.toInt), p.length.toLong)
+      mvhd <- walk(moov + 8, moovEnd, "mvhd")
+      body = mvhd.toInt + 8
+      if body + 4 <= p.length
+      version = u8(body)
+      result <- version match {
+        case 0 if body + 20 <= p.length =>
+          val ts = be32(body + 12); val dur = be32(body + 16)
+          if (ts > 0) Some((ts.toInt, dur, dur * 1000L / ts)) else None
+        case 1 if body + 32 <= p.length =>
+          val ts = be32(body + 20); val dur = be64(body + 24)
+          if (ts > 0) Some((ts.toInt, dur, dur * 1000L / ts)) else None
+        case _ => None
+      }
+    } yield result
+  }
+
+  /** Synthesize a spec-valid minimal MP4: `ftyp` (isom) + `moov`
+    * containing a version-0 `mvhd` with the given timescale/duration —
+    * the video twin of [[synthBmp]]/[[synthWav]].
+    */
+  def synthMp4(timescale: Int, duration: Long): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL)
+    val mvhdSize = 8 + 100 // header + version-0 body (ISO 14496-12 §8.2.2)
+    val moovSize = 8 + mvhdSize
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                  // version 0 + flags
+      .putInt(0).putInt(0)        // creation/modification time
+      .putInt(timescale)
+      .putInt(duration.toInt)
+      .putInt(0x00010000)         // rate 1.0
+      .putShort(0x0100.toShort)   // volume 1.0
+      .putShort(0).putInt(0).putInt(0) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
+      .foreach(buf.putInt)
+    (1 to 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(1)                 // next_track_ID
+    buf.array()
+  }
+
+  /** Video metadata from a real MP4 movie-header parse. */
+  final case class VideoFeatures(doc_id: Long, timescale: Int, duration: Long,
+      duration_ms: Long, n_bytes: Int)
+
+  /** Batched per-partition video metadata extraction (MP4 twin of
+    * [[extractAudioFeatures]]); non-MP4 payloads yield no row. */
+  def extractVideoFeatures(media: Dataset[MediaDoc]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeMp4Header(m.payload).map { case (ts, dur, ms) =>
+          VideoFeatures(m.doc_id, ts, dur, ms, m.payload.length)
+        }
+      }
+    }
+  }
+
   /** Audio features from a real WAV header parse. */
   final case class AudioFeatures(doc_id: Long, sample_rate: Int, n_channels: Int,
       bits_per_sample: Int, n_samples: Long, duration_ms: Long, n_bytes: Int)

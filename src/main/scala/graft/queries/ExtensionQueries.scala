@@ -1041,6 +1041,32 @@ object ExtensionQueries {
              |    AS n_bytes
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
+    // ---- x46: REAL video decode over executor-synthesized MP4s ------------
+    // The video leg of x41/x45: minimal-but-valid ISO-BMFF files (ftyp +
+    // moov/mvhd) built on executors; decodeMp4Header walks the actual box
+    // structure back. Oracle replays the synthesis arithmetic — timescale
+    // and duration round-trip THROUGH real container bytes.
+    QueryDef(
+      "x46_video_decode",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/video",
+            Multimodal.synthMp4((600 + id % 4 * 300).toInt, 3000 + id % 500)))
+        Multimodal.extractVideoFeatures(media).toDF()
+          .select(col("doc_id"), col("timescale"), col("duration"),
+            col("duration_ms"), col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(600 + (doc_id % 4) * 300 AS INTEGER) AS timescale,
+             |  CAST(3000 + doc_id % 500 AS BIGINT) AS duration,
+             |  (3000 + doc_id % 500) * 1000 // (600 + (doc_id % 4) * 300)
+             |    AS duration_ms,
+             |  CAST(132 AS INTEGER) AS n_bytes
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // ---- x44: semantic near-dup through the TRAINED quantizer -------------
     // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
     // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle

@@ -267,6 +267,30 @@ class ExtensionSpec extends SparkSuite {
     assert(Multimodal.decodeWavHeader(hugeChunk).isEmpty)
   }
 
+  test("synthMp4 round-trips through a REAL ISO-BMFF box walk; hostile " +
+      "boxes terminate cleanly") {
+    val mp4 = Multimodal.synthMp4(timescale = 1000, duration = 4321L)
+    assert(Multimodal.decodeMp4Header(mp4) == Some((1000, 4321L, 4321L)))
+    assert(mp4.length == 132) // 16 ftyp + 8 moov + 108 mvhd (ISO 14496-12)
+    val odd = Multimodal.synthMp4(timescale = 600, duration = 3001L)
+    assert(Multimodal.decodeMp4Header(odd) == Some((600, 3001L, 3001L * 1000 / 600)))
+    // no ftyp → not an MP4; truncated moov → None; zero-size box → None
+    assert(Multimodal.decodeMp4Header("01234567".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Header(mp4.take(40)).isEmpty)
+    val zeroSize = mp4.clone()
+    java.nio.ByteBuffer.wrap(zeroSize).putInt(24, 4) // mvhd box size < 8
+    assert(Multimodal.decodeMp4Header(zeroSize).isEmpty)
+    // mvhd version 1 (64-bit times) parses via the widened offsets
+    val v1 = mp4.clone()
+    v1(32) = 1 // version byte of mvhd body
+    // shift: v1 layout reads timescale at body+20 — rebuild instead of shift
+    val buf = java.nio.ByteBuffer.wrap(v1)
+    buf.putLong(36, 0L).putLong(44, 0L)  // 64-bit ctime/mtime
+    buf.putInt(52, 48000)                // timescale (body+20)
+    buf.putLong(56, 96000L)              // 64-bit duration (body+24)
+    assert(Multimodal.decodeMp4Header(v1) == Some((48000, 96000L, 2000L)))
+  }
+
   test("non-image payloads (text bytes, truncated magic) fall back to the stub") {
     val text = "the quick brown fox".getBytes("UTF-8")
     assert(Multimodal.decodeImageHeader(text).isEmpty)
