@@ -17,10 +17,13 @@ final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
   * as opaque `binary` columns with typed metadata, decoded/featurized in
   * batched per-partition passes.
   *
-  * Image DIMENSIONS are decoded for real: `decodeImageHeader` parses the
-  * actual PNG / GIF / BMP / JPEG container headers byte-by-byte (magic
-  * check + width/height fields) — no codec library needed for metadata,
-  * and the parse is pure JVM so it runs unchanged on any executor.
+  * Container METADATA is decoded for real across all three modalities:
+  * `decodeImageHeader` parses actual PNG / GIF / BMP / JPEG headers,
+  * `decodeWavHeader` walks real RIFF/WAVE chunks, and `decodeMp4Header`
+  * walks real ISO-BMFF boxes to moov/mvhd — no codec library needed for
+  * metadata, pure JVM, runs unchanged on any executor. Synthesized
+  * fixtures (`synthBmp`/`synthWav`/`synthMp4`) exercise each real path
+  * end-to-end on executors (x41/x45/x46, all DuckDB-oracle-backed).
   *
   * ==== STUB NOTICE (pixel data only) ====
   * No pixel-codec libraries exist in this environment, so payloads whose
