@@ -208,6 +208,33 @@ object Dedup {
     corpus.unionByName(fresh.join(matched, Seq(rid), "left_anti").drop(rid))
   }
 
+  /** Benchmark DECONTAMINATION: for each corpus document, how many of its
+    * distinct n-gram shingles also occur in an evaluation set — the
+    * train/test-contamination check every serious LLM pipeline runs
+    * before training. Pure hash equi-joins: the eval set distills to its
+    * distinct shingle-md5 keys (tiny — benchmarks are small next to the
+    * corpus — so Catalyst broadcasts it; were the "eval" side ever huge,
+    * the same plan degrades gracefully to a shuffled hash join on uniform
+    * md5 keys), the corpus explodes to (id, shingle-md5) rows map-side,
+    * and one inner join + per-doc count yields the overlap. Docs with
+    * zero overlap produce no row (the clean majority costs nothing
+    * downstream); callers threshold `n_shared` to drop contaminated docs.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, shingleN: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalKeys = evalSet
+      .select(explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
+      .select(md5(col("tok")).as("sk")).distinct()
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("sk"))
+      .join(evalKeys, "sk")
+      // per-doc shingles are distinct pre-join, so count(*) IS the
+      // distinct shared-shingle count
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** LSH candidate pairs: documents sharing any band key (a < b).
     *
     * Bands are stacked into (band_id, band_key) rows before ONE self-join,

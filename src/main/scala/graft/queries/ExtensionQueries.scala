@@ -1067,6 +1067,37 @@ object ExtensionQueries {
              |  CAST(132 AS INTEGER) AS n_bytes
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
+    // ---- x47: benchmark decontamination (train/test overlap) --------------
+    // Docs whose doc_id % 97 == 0 stand in for the held-out benchmark;
+    // each remaining corpus doc reports how many distinct 3-gram shingles
+    // it shares with that set (n=3 exposes partial phrase reuse, not just
+    // the exact-dup tail that n=5 finds in this synthetic corpus). The oracle replays the same shingle
+    // construction and hash join.
+    QueryDef(
+      "x47_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), shingleN = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH carr AS (SELECT doc_id, string_split(text, ' ') AS a
+             |  FROM documents WHERE doc_id % 97 != 0),
+             |csh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 3
+             |    THEN list_transform(range(1, len(a) - 1), i -> array_to_string(a[i:i+2], ' '))
+             |    ELSE [array_to_string(a, ' ')] END) AS tok FROM carr),
+             |ckeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM csh),
+             |earr AS (SELECT doc_id, string_split(text, ' ') AS a
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |esh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 3
+             |    THEN list_transform(range(1, len(a) - 1), i -> array_to_string(a[i:i+2], ' '))
+             |    ELSE [array_to_string(a, ' ')] END) AS tok FROM earr),
+             |ekeys AS (SELECT DISTINCT md5(tok) AS sk FROM esh)
+             |SELECT doc_id, COUNT(*) AS n_shared
+             |FROM ckeys JOIN ekeys USING (sk)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- x44: semantic near-dup through the TRAINED quantizer -------------
     // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
     // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle
