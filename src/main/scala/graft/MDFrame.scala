@@ -173,12 +173,14 @@ final case class MDFrame(
     * -ln(u)/w, take n. One pass + a TakeOrdered top-n; no driver-side
     * collection.
     */
-  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): MDFrame =
+  def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): MDFrame = {
+    val wkey = MDFrame.freshName(ds.columns.toSeq, "_wkey")
     copy(ds = ds
-      .withColumn("_wkey", -log(rand(seed)) / col(weightCol))
-      .orderBy(col("_wkey"))
+      .withColumn(wkey, -log(rand(seed)) / col(weightCol))
+      .orderBy(col(wkey))
       .limit(n)
-      .drop("_wkey"))
+      .drop(wkey))
+  }
 
   /** Weighted sample WITH replacement (reference sample(n, weights,
     * replace=True), dataframe.py:523-548): n independent weighted draws in
@@ -237,11 +239,12 @@ final case class MDFrame(
     val u = (expr(graft.ops.TextAnalysis.hexToIntSql(
       s"md5(concat('$salt:', $idCol))", 12)) + lit(1)) /
       lit(281474976710657.0) // 2^48 + 1 → u ∈ (0, 1]
+    val wkey = MDFrame.freshName(ds.columns.toSeq, "_wkey")
     copy(ds = ds
-      .withColumn("_wkey", round(-log(u) / col(weightCol), 9))
-      .orderBy(col("_wkey"), col(idCol))
+      .withColumn(wkey, round(-log(u) / col(weightCol), 9))
+      .orderBy(col(wkey), col(idCol))
       .limit(n)
-      .drop("_wkey"))
+      .drop(wkey))
   }
 
   // -- R1: positional take at scale. A range partition on `orderBy` makes
