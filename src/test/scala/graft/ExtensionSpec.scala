@@ -457,7 +457,7 @@ class ExtensionSpec extends SparkSuite {
     try {
       val r = s2.sql(
         """SELECT graft_cosine(array(3.0d, 0.0d), array(7.0d, 0.0d)) AS c,
-          |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head
+          |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
       assert(r.getDouble(0) == 1.0)
       assert(r.getDouble(1) == 11.0)
       // injected optimizer rule: dot(a, a) fuses to a single-read norm2
@@ -466,7 +466,7 @@ class ExtensionSpec extends SparkSuite {
         .selectExpr("graft_dot(a, a) AS n")
       assert(df.queryExecution.optimizedPlan.toString.contains("graft_norm2"),
         "FuseSelfDot must rewrite dot(a,a) -> norm2(a)")
-      assert(df.head.getDouble(0) == 13.0)
+      assert(df.head().getDouble(0) == 13.0)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

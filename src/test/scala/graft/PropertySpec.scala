@@ -76,7 +76,7 @@ class PropertySpec extends SparkSuite {
       (xs, k, parts) =>
         val df = frame("v" -> xs.map(_.toDouble)).repartition(parts)
         val got = df.agg(graft.functions.Aggregators.topK(k)(col("v")).as("t"))
-          .head.getSeq[Double](0).toList
+          .head().getSeq[Double](0).toList
         got == xs.map(_.toDouble).sorted(Ordering[Double].reverse).take(k)
     })
   }
