@@ -151,6 +151,38 @@ class SerializationSpec extends SparkSuite {
     }
   }
 
+  test("JSONL corpus round-trip: plain and gzip, schema-pinned read, " +
+      "hostile unicode survives (the LLM-corpus interchange format)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+      // prove escaping end-to-end, not just clean corpus text
+      .withColumn("text", concat(col("text"), lit(" \"q\" \\b\u0001 閆")))
+    val plain = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val gz = java.nio.file.Files.createTempDirectory("jsonl_gz").toString
+    docs.write.mode("overwrite").json(plain)
+    docs.write.mode("overwrite").option("compression", "gzip").json(gz)
+    assert(new java.io.File(gz).listFiles().exists(_.getName.endsWith(".json.gz")))
+    // ALWAYS read JSONL with an explicit schema at scale: schema inference
+    // is a full extra pass over 100 TB before the real read starts
+    for (dir <- Seq(plain, gz)) {
+      val back = spark.read.schema(docs.schema).json(dir)
+      assert(back.schema == docs.schema)
+      assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+        docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    }
+    // corrupt line policy: PERMISSIVE nulls it, FAILFAST raises — both
+    // explicit, neither silently drops data
+    java.nio.file.Files.write(java.nio.file.Paths.get(plain, "junk.json"),
+      "not json at all\n".getBytes("UTF-8"))
+    val permissive = spark.read.schema(docs.schema).json(plain)
+    assert(permissive.count() == docs.count() + 1)
+    assert(permissive.filter(col("doc_id").isNull).count() == 1)
+    intercept[Throwable] {
+      spark.read.schema(docs.schema).option("mode", "FAILFAST").json(plain).count()
+    }
+  }
+
   test("Arrow source raises on garbage input, never yields rows " +
       "(test_arrow.py:29-31 from_arrow TypeError parity)") {
     import graft.sources.ArrowInterop
