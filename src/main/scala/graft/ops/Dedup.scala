@@ -34,6 +34,44 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set"). Lines here are fixed-width word windows
+    * (the corpus is pre-normalized, newline-free text); the keeper of a
+    * duplicated line is its first occurrence in (idCol, line_no) order,
+    * and each document is reassembled from its surviving lines. Documents
+    * whose every line was claimed elsewhere drop out entirely — C4's
+    * empty-document removal.
+    *
+    * Scale shape: segmentation is map-only (codegen'd array HOFs, no
+    * shuffle); the keep-first pass shuffles once, keyed by line content,
+    * so 100 TB of lines spread by hash; reassembly shuffles once keyed by
+    * document id. A pathologically hot line (boilerplate repeated
+    * millions of times) lands on one task in the window pass — swap the
+    * window for groupBy(line).agg(min(struct(id, line_no))) + semi-join
+    * if that ever dominates; same result, two shuffles, no per-key order.
+    */
+  def lineDedup(docs: DataFrame, wordsPerLine: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(wordsPerLine.toDouble)).cast("long") - 1),
+      i => concat_ws(" ", slice(toks, (i * wordsPerLine + 1).cast("int"), lit(wordsPerLine))))
+    val exploded = docs
+      .select(col(idCol), posexplode(lines).as(Seq("line_no", "line")))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col(idCol), col("line_no"))
+    exploded
+      .withColumn("_rn", row_number().over(firstSeen))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** MinHash permutation constants: one (a, b) pair per hash function for
     * the universal family h_i(x) = (a_i·x + b_i) mod P. P = 2^31 - 1;
     * a_i < 2^15 keeps a_i·(x mod P) < 2^46 — no overflow in any engine's

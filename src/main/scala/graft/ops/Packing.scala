@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: lay documents end-to-end
+  * in a deterministic order and cut the token stream into fixed-capacity
+  * context windows (the GPT-style "concat then chunk" batching scheme).
+  * Each document's placement is fully described by the exclusive prefix
+  * sum of token counts over the ordering column — from it fall out the
+  * first/last bin the document touches and whether it straddles a bin
+  * boundary (the fraction of straddlers is the packing-efficiency metric
+  * data engineers watch).
+  *
+  * The prefix sum is the scale trap: `sum().over(Window.orderBy(id))`
+  * with no partitioning funnels 100 TB through ONE task. This uses the
+  * same decomposition as [[Ranking.withGlobalRanks]]:
+  * range-partition on the order key, cumsum locally per partition in
+  * parallel, then add per-partition offsets computed on a
+  * one-row-per-partition summary (O(partitions), broadcast back).
+  * Identical to the global window at any partition count.
+  */
+object Packing {
+
+  /** Per-document packing assignment: (id, n_tokens, start_tok,
+    * first_bin, last_bin). Token count = whitespace token count of
+    * textCol; order = ascending idCol (caller pre-shuffles the corpus —
+    * e.g. by a deterministic sample key — if it wants mixing).
+    */
+  def packSequences(docs: DataFrame, capacity: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, "bin capacity must be positive")
+    val counted = docs.select(
+      col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+
+    val ranged = counted.repartitionByRange(col(idCol).asc)
+      .withColumn("_bucket", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn(
+      "_loff", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+
+    // one row per partition; the exclusive running sum over this summary
+    // is O(partitions), not O(rows)
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_n"))
+      .withColumn("_boff", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_boff"))
+
+    local.join(broadcast(offsets), "_bucket")
+      .withColumn("start_tok", col("_loff") + col("_boff"))
+      .withColumn("first_bin", expr(s"start_tok DIV ${capacity}L"))
+      .withColumn("last_bin",
+        expr(s"(start_tok + n_tokens - 1) DIV ${capacity}L"))
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        col("first_bin"), col("last_bin"))
+  }
+}

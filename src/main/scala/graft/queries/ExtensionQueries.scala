@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Similarity
-import graft.ops.{Dedup, EventWindows, Multimodal, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Multimodal, Packing, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import Exact.dec
@@ -1122,6 +1122,61 @@ object ExtensionQueries {
           |FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
           |WHERE round(list_dot_product(a.e, b.e)
           |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin)))
+          |ORDER BY id_a, id_b""".stripMargin))),
+
+    // ---- x48: C4-style corpus-wide line dedup -----------------------------
+    // Raffel et al. 2020 §2.2: keep only the FIRST occurrence of any
+    // repeated line, then reassemble documents from surviving lines.
+    // Lines = 5-word windows (the corpus is newline-free normalized
+    // text); keeper order = (doc_id, line_no). Segmentation is map-only
+    // codegen'd HOFs; the keep-first pass is ONE shuffle keyed by line
+    // content; reassembly is ONE shuffle keyed by doc_id.
+    QueryDef(
+      "x48_line_dedup",
+      (s, dir) =>
+        Dedup.lineDedup(Tables.documents(s, dir), wordsPerLine = 5)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |lines AS (SELECT doc_id, i AS line_no,
+             |    array_to_string(t[(i*5+1):(i*5+5)], ' ') AS line
+             |  FROM toks, LATERAL unnest(
+             |    range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i)),
+             |firsts AS (SELECT doc_id, line_no, line,
+             |    row_number() OVER (PARTITION BY line
+             |      ORDER BY doc_id, line_no) AS rn
+             |  FROM lines)
+             |SELECT doc_id, COUNT(*) AS n_lines_kept,
+             |  string_agg(line, ' ' ORDER BY line_no) AS clean_text
+             |FROM firsts WHERE rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- x49: GPT-style sequence packing ----------------------------------
+    // Concat-then-chunk context-window assignment: exclusive prefix sum
+    // of token counts in doc_id order places every document in the token
+    // stream; first/last touched 256-token bin fall out arithmetically.
+    // The Spark side uses the scale-safe decomposed prefix sum
+    // (range-partition + local cumsum + O(partitions) offsets — the
+    // Ranking.withGlobalRanks pattern); the oracle is the plain global
+    // window, proving the decomposition exact. SUM() OVER in DuckDB
+    // returns HUGEINT — cast to BIGINT inside the CTE so downstream
+    // integer division stays BIGINT on both sides.
+    QueryDef(
+      "x49_pack_sequences",
+      (s, dir) =>
+        Packing.packSequences(Tables.documents(s, dir), capacity = 256L)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |offs AS (SELECT doc_id, n_tokens,
+             |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS start_tok
+             |  FROM toks)
+             |SELECT doc_id, n_tokens, start_tok,
+             |  start_tok // 256 AS first_bin,
+             |  (start_tok + n_tokens - 1) // 256 AS last_bin
+             |FROM offs ORDER BY doc_id""".stripMargin))
   )
 }

@@ -492,4 +492,65 @@ class ExtensionSpec extends SparkSuite {
         Multimodal.resizeStub(originals(m.doc_id), 64, 64))) // deterministic
     }
   }
+
+  test("C4 line dedup: first occurrence wins, later docs lose the line, " +
+      "fully-duplicated docs vanish (Raffel et al. 2020 §2.2)") {
+    // W=3 lines: doc1 = [a b c][d e f]; doc2 repeats doc1's first line then
+    // fresh text; doc3 is entirely doc1's lines → must vanish
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(
+        "a b c d e f",
+        "a b c x y z",
+        "a b c d e f"))
+    val out = Dedup.lineDedup(d, wordsPerLine = 3).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 gone
+    assert(out(0).getAs[String]("clean_text") == "a b c d e f")
+    assert(out(0).getAs[Long]("n_lines_kept") == 2L)
+    assert(out(1).getAs[String]("clean_text") == "x y z") // lost its dup line
+    assert(out(1).getAs[Long]("n_lines_kept") == 1L)
+    // order within a doc is line_no, not lexicographic: survivors rebuild
+    // the original word order even when later lines sort before earlier
+    val ord = frame(
+      "doc_id" -> Seq[Any](7L),
+      "text" -> Seq("z z z a a a"))
+    val r = Dedup.lineDedup(ord, wordsPerLine = 3).collect()(0)
+    assert(r.getAs[String]("clean_text") == "z z z a a a")
+  }
+
+  test("sequence packing: decomposed prefix sum == plain global window; " +
+      "bins are contiguous and straddlers are exactly the boundary-crossers") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Packing.packSequences(docs, capacity = 256L)
+    // naive single-task reference: the exact semantics, unscalable shape
+    val naive = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val got = packed.orderBy("doc_id").collect()
+    val want = naive.orderBy("doc_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Long]("start_tok") == w.getAs[Long]("start_tok"),
+        s"doc ${g.getLong(0)}")
+    }
+    // structural facts: stream starts at 0, placements are gapless, and
+    // first_bin/last_bin disagree exactly when a doc crosses a 256 boundary
+    assert(got.head.getAs[Long]("start_tok") == 0L)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_tok") ==
+        a.getAs[Long]("start_tok") + a.getAs[Long]("n_tokens"))
+    case _ => ()
+    }
+    got.foreach { r =>
+      val s = r.getAs[Long]("start_tok"); val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("first_bin") == s / 256)
+      assert(r.getAs[Long]("last_bin") == (s + n - 1) / 256)
+      assert((r.getAs[Long]("first_bin") != r.getAs[Long]("last_bin")) ==
+        (s / 256 != (s + n - 1) / 256))
+    }
+  }
 }
