@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * parallel, then add per-partition offsets computed on a
   * one-row-per-partition summary (O(partitions), broadcast back).
   * Identical to the global window at any partition count.
+  *
+  * Load-bearing invariant (shared with [[Ranking.withGlobalRanks]]):
+  * Catalyst prunes the local window out of the offsets subtree, so both
+  * `_bucket` consumers reduce to the same scan + range-exchange prefix
+  * and Spark's exchange reuse materializes it ONCE — which is what makes
+  * the two `spark_partition_id()` taggings agree. PlanSpec asserts the
+  * executed plan contains a ReusedExchange.
   */
 object Packing {
 

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *      broadcast back.
   *
   * Identical results to the global window at any partition count.
+  *
+  * Load-bearing invariant: the offsets subtree is pruned by Catalyst down
+  * to the same scan + range-exchange prefix as the ranking subtree, and
+  * exchange reuse materializes that prefix ONCE — so both
+  * `spark_partition_id()` taggings see identical bucket boundaries (two
+  * independent RangePartitioners could sample different ones). PlanSpec
+  * asserts the executed plan contains a ReusedExchange.
   */
 object Ranking {
 

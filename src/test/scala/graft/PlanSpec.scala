@@ -39,6 +39,27 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty, s"scale-unsafe joins in: $offenders")
   }
 
+  test("decomposed prefix-sum/rank queries execute with a ReusedExchange: " +
+      "both _bucket consumers must see ONE materialized range partitioning") {
+    // Ranking.withGlobalRanks and Packing.packSequences tag rows with
+    // spark_partition_id() after repartitionByRange, then join per-bucket
+    // offsets back on that id. Catalyst prunes the window out of the
+    // offsets subtree, leaving two canonically-identical range exchanges —
+    // correctness REQUIRES Spark's exchange reuse to collapse them, since
+    // two independent RangePartitioner instances may sample different
+    // boundaries (seeded by rdd.id) and assign rows to different buckets.
+    // This guard fails if a config/refactor ever breaks that collapse.
+    for (name <- Seq("q29_rank_dense", "x49_pack_sequences")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // materialize THIS df so its AdaptiveSparkPlan finalizes
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"$name plan not finalized")
+      assert(plan.contains("ReusedExchange"),
+        s"$name executed without exchange reuse — bucket ids may diverge:\n" +
+          plan.take(3000))
+    }
+  }
+
   test("filter pushdown and column pruning reach the parquet scan (q02 shape)") {
     import org.apache.spark.sql.execution.FormattedMode
     val plan = SparkEntry.queries("q02_project_filter")(spark, dir)
