@@ -371,10 +371,18 @@ object Dedup {
     * each nibble) of md5(tok). Valid in both Spark SQL and DuckDB —
     * the same text is used on both sides of the oracle check.
     */
-  def simhashBitSql(j: Int, tokExpr: String = "tok"): String = {
+  def simhashBitSql(j: Int, tokExpr: String = "tok"): String =
+    simhashBitOnDigestSql(j, s"md5($tokExpr)")
+
+  /** Same ±1 bit extraction over an already-materialized md5 hex digest —
+    * the Spark-side aggregation stages the digest ONCE per token so the
+    * 32 per-bit sums share it instead of re-hashing (inlined md5 would be
+    * re-evaluated per bit wherever codegen CSE doesn't reach, e.g.
+    * interpreted fallbacks and the sort-based agg path). */
+  def simhashBitOnDigestSql(j: Int, digestExpr: String): String = {
     val nibblePos = j / 4 + 1            // 1-based hex char position
     val weight = 1 << (3 - j % 4)        // bit within the nibble, MSB first
-    s"(2 * (CAST(floor((instr('0123456789abcdef', substr(md5($tokExpr), $nibblePos, 1)) - 1) / $weight) AS INT) % 2) - 1)"
+    s"(2 * (CAST(floor((instr('0123456789abcdef', substr($digestExpr, $nibblePos, 1)) - 1) / $weight) AS INT) % 2) - 1)"
   }
 
   /** SimHash near-duplicate pairs at scale: pigeonhole banding. A pair
@@ -405,12 +413,15 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sa"))
     val r = stacked.select(col("bid"), col("bv"),
       col(idCol).as("id_b"), col("simhash").as("sb"))
+    // hamming is a pure function of the pair, so filtering BEFORE the
+    // distinct is equivalent — and shrinks the dedup shuffle from every
+    // band-sharing candidate to just the qualifying pairs
     l.join(r, Seq("bid", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** nBits-bit SimHash per document: sum each bit's ±1 contributions over
@@ -419,8 +430,13 @@ object Dedup {
   def simhash(docs: DataFrame, nBits: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(nBits <= 32, "simhash uses md5 hex nibbles; <=32 bits supported here")
+    // stage the digest in its own projection (CollapseProject keeps a
+    // non-cheap multiply-referenced alias) so all nBits sums share ONE
+    // md5 per token — the withBandKeys restage lesson applied here
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val sums = (0 until nBits).map(j => sum(expr(simhashBitSql(j))).as(s"s$j"))
+      .withColumn("_d", md5(col("tok")))
+    val sums = (0 until nBits).map(j =>
+      sum(expr(simhashBitOnDigestSql(j, "_d"))).as(s"s$j"))
     val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
     val hash = (0 until nBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
