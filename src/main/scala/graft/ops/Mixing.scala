@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.MDFrame
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-corpus mixture assembly: combine several sources with
+  * per-source sampling weights, where a weight is interpreted as EPOCHS
+  * over that source — the convention LLM data recipes use (e.g. "2.5×
+  * Wikipedia, 0.3× CommonCrawl"). A weight w contributes floor(w) full
+  * copies of every document plus one extra copy kept with probability
+  * frac(w), so the expected token share of each source is exactly w ×
+  * |source|.
+  *
+  * The fractional keep is the repo's deterministic md5-Bernoulli
+  * ([[MDFrame.sampleDeterministic]] semantics, salted per source): the
+  * same mixture falls out in any engine, any run, any partitioning —
+  * reproducible training data, oracle-checkable.
+  *
+  * Scale shape: pure map work — a per-row explode of a ≤⌈w⌉-element
+  * sequence and a codegen'd hash filter, then unions. No shuffle, no
+  * driver state, linear at any corpus size.
+  */
+object Mixing {
+
+  /** sources: (frame, weight ≥ 0) pairs sharing a schema; every output
+    * row carries `source_id` (position in `sources`) and `epoch`
+    * (0-based copy number; the fractional copy is epoch floor(w)).
+    */
+  def mixCorpora(sources: Seq[(DataFrame, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.zipWithIndex.flatMap { case ((df, w), i) =>
+      require(w >= 0.0, s"source $i has negative weight $w")
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      val base = df.withColumn("source_id", lit(i))
+      val copies =
+        if (whole > 0)
+          Some(base.withColumn("epoch",
+            explode(sequence(lit(0L), lit(whole - 1)))))
+        else None
+      val extra =
+        if (frac > 0.0)
+          Some(base.filter(
+              expr(TextAnalysis.hexToIntSql(s"md5(concat('mix:$i:', $idCol))", 12))
+                < lit(MDFrame.bernoulliThreshold(frac)))
+            .withColumn("epoch", lit(whole)))
+        else None
+      copies.toSeq ++ extra.toSeq
+    }.reduce(_ unionByName _)
+  }
+}

@@ -66,4 +66,39 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("start_tok"),
         col("first_bin"), col("last_bin"))
   }
+
+  /** Sliding token-window chunking — the per-document alternative to
+    * concat-then-chunk: each document is cut into windows of
+    * `chunkTokens` whitespace tokens starting every `stride` tokens
+    * (overlap = chunkTokens − stride), the standard way long documents
+    * are fed to a bounded context window without losing boundary
+    * context. Chunk starts are 0, stride, 2·stride, … while < len, so
+    * the tail chunk may be short; empty documents yield no chunks (the
+    * guard also keeps Spark's `sequence` from descending on a negative
+    * upper bound where DuckDB's `range` would be empty).
+    *
+    * Entirely map-side: codegen'd array HOFs + one Generate, no shuffle
+    * at any corpus size — output rows ≈ input tokens / stride.
+    */
+  def chunkText(docs: DataFrame, chunkTokens: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val toks = Dedup.tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(0L), floor((size(toks) - 1) / lit(stride)).cast("long")),
+      i => struct(
+        i.as("chunk_id"),
+        (i * stride).as("chunk_start"),
+        concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text")))
+    docs
+      .filter(size(toks) > 0)
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol),
+        col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_start").as("chunk_start"),
+        size(split(col("c.chunk_text"), " ")).cast("long").as("n_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Similarity
-import graft.ops.{Dedup, EventWindows, Multimodal, Packing, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Mixing, Multimodal, Packing, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import Exact.dec
@@ -1177,6 +1177,62 @@ object ExtensionQueries {
              |SELECT doc_id, n_tokens, start_tok,
              |  start_tok // 256 AS first_bin,
              |  (start_tok + n_tokens - 1) // 256 AS last_bin
-             |FROM offs ORDER BY doc_id""".stripMargin))
+             |FROM offs ORDER BY doc_id""".stripMargin)),
+
+    // ---- x50: sliding token-window chunking -------------------------------
+    // Per-document context-window chunks: 64 tokens every 48 (16-token
+    // overlap). Map-only — codegen'd HOFs + one Generate, zero shuffle
+    // at any corpus size; rows out ≈ tokens in / stride.
+    QueryDef(
+      "x50_chunk_text",
+      (s, dir) =>
+        Packing.chunkText(Tables.documents(s, dir), chunkTokens = 64, stride = 48)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |chunks AS (SELECT doc_id, i AS chunk_id, i*48 AS chunk_start,
+             |    t[(i*48+1):(i*48+64)] AS ct
+             |  FROM toks, LATERAL unnest(
+             |    range(0, CAST(floor((len(t)-1)/48.0) AS BIGINT) + 1)) AS u(i)
+             |  WHERE len(t) > 0)
+             |SELECT doc_id, chunk_id, chunk_start,
+             |  CAST(len(ct) AS BIGINT) AS n_tokens,
+             |  array_to_string(ct, ' ') AS chunk_text
+             |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- x51: weighted corpus mixture (epochs per source) -----------------
+    // Three pseudo-sources (doc_id mod 3) mixed at 2.0 / 1.25 / 0.5
+    // epochs: floor(w) full copies + one md5-Bernoulli fractional copy,
+    // salted per source — deterministic in any engine, map-only (explode
+    // of a tiny sequence + codegen hash filter, no shuffle).
+    {
+      val h1 = graft.ops.TextAnalysis.hexToIntSql("md5(concat('mix:1:', doc_id))", 12)
+      val h2 = graft.ops.TextAnalysis.hexToIntSql("md5(concat('mix:2:', doc_id))", 12)
+      val thr25 = graft.MDFrame.bernoulliThreshold(0.25)
+      val thr50 = graft.MDFrame.bernoulliThreshold(0.5)
+      QueryDef(
+        "x51_corpus_mix",
+        (s, dir) => {
+          val docs = Tables.documents(s, dir).select(col("doc_id"))
+          val bySrc = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+          Mixing.mixCorpora(
+              Seq(bySrc(0) -> 2.0, bySrc(1) -> 1.25, bySrc(2) -> 0.5))
+            .select(col("doc_id"), col("source_id"), col("epoch"))
+            .orderBy(col("source_id"), col("doc_id"), col("epoch"))
+        },
+        Some(s"""WITH src AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS source_id
+                |  FROM documents),
+                |fulls AS (SELECT doc_id, source_id, e AS epoch
+                |  FROM src, LATERAL unnest(range(0,
+                |    CASE source_id WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END)) AS u(e)),
+                |extra AS (SELECT doc_id, source_id,
+                |    CAST(CASE source_id WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS epoch
+                |  FROM src
+                |  WHERE (source_id = 1 AND $h1 < $thr25)
+                |     OR (source_id = 2 AND $h2 < $thr50))
+                |SELECT doc_id, source_id, epoch FROM fulls
+                |UNION ALL SELECT doc_id, source_id, epoch FROM extra
+                |ORDER BY source_id, doc_id, epoch""".stripMargin))
+    }
   )
 }

@@ -553,4 +553,51 @@ class ExtensionSpec extends SparkSuite {
         (s / 256 != (s + n - 1) / 256))
     }
   }
+
+  test("chunkText: stride windows overlap correctly, tail chunk is short, " +
+      "one-token doc yields one chunk, every token is covered") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq("a b c d e", "x"))
+    val out = ops.Packing.chunkText(d, chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: starts 0,2,4 -> [a b c][c d e][e]; doc 2: [x]
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[String]("chunk_text"))).toSeq ==
+      Seq((1L, 0L, 0L, "a b c"), (1L, 1L, 2L, "c d e"), (1L, 2L, 4L, "e"),
+          (2L, 0L, 0L, "x")))
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 3L, 1L, 1L))
+    // coverage: consecutive chunk_starts differ by stride and the union
+    // of [start, start+n) spans [0, len) for each doc
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.last.getAs[Long]("chunk_start") +
+      doc1.last.getAs[Long]("n_tokens") == 5L)
+  }
+
+  test("mixCorpora: floor(w) exact copies + deterministic fractional epoch; " +
+      "rerun is identical; fractional rate lands near frac(w)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01").select(col("doc_id"))
+    val bySrc = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val mixed = ops.Mixing.mixCorpora(
+      Seq(bySrc(0) -> 2.0, bySrc(1) -> 1.25, bySrc(2) -> 0.5))
+    val counts = mixed.groupBy("source_id", "doc_id").count()
+      .groupBy("source_id").agg(
+        min("count").as("mn"), max("count").as("mx"),
+        avg("count").as("avg_copies"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Double]("avg_copies"))).toMap
+    assert(counts(0) == ((2L, 2L, 2.0)))            // w=2.0: exactly 2 epochs
+    val (mn1, mx1, avg1) = counts(1)                // w=1.25: 1 or 2 copies
+    assert(mn1 == 1L && mx1 == 2L && math.abs(avg1 - 1.25) < 0.1)
+    val (mn2, mx2, avg2) = counts(2)                // w=0.5: docs may vanish
+    assert(mn2 == 1L && mx2 == 1L)                  // (vanished docs have no row)
+    assert(math.abs(avg2 - 1.0) < 1e-9)
+    val kept2 = mixed.filter(col("source_id") === 2).count().toDouble /
+      bySrc(2).count()
+    assert(math.abs(kept2 - 0.5) < 0.1)
+    // determinism: a second evaluation produces the identical multiset
+    val again = ops.Mixing.mixCorpora(
+      Seq(bySrc(0) -> 2.0, bySrc(1) -> 1.25, bySrc(2) -> 0.5))
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
 }
