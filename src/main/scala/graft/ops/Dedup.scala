@@ -197,6 +197,40 @@ object Dedup {
   private def freshName(taken: Seq[String], base: String): String =
     Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
 
+  /** Bloom-filter exact-dup ingest rejection — the membership structure
+    * for when the corpus digest set outgrows cheap per-batch anti-joins:
+    * a filter sized for `expectedItems` at `fpp` costs
+    * −n·ln(fpp)/ln²2 bits ≈ 1.2 GB for 10⁹ docs at 1% — broadcastable
+    * where the digest SET (32 B × n) is not. Spark builds it
+    * DISTRIBUTED (`stat.bloomFilter` tree-aggregates per-partition
+    * filters); only the finished bit array lands on the driver.
+    *
+    * Contract: NO false negatives — a document whose text md5 is in the
+    * corpus is always rejected; a ~fpp fraction of genuinely novel
+    * documents is collaterally dropped (harmless for training-data
+    * ingest, the use case). Deterministic: Spark's BloomFilter hashes
+    * with fixed seeds, so the same corpus + batch give the same result
+    * on every run/engine — but the decision is a property of the filter
+    * implementation, not SQL-expressible, hence spec-pinned rather than
+    * DuckDB-oracle-backed. Membership probes via a scala closure over
+    * the broadcast filter: the sketch boundary is the one place a
+    * non-codegen predicate is the right tool (no public Catalyst
+    * bloom-probe function), and it is a map-only filter — no shuffle.
+    * Past driver memory, shard the corpus and chain per-shard filters,
+    * or fall back to [[mergeNewDocs]]'s equi-anti-join.
+    */
+  def bloomCorpusFilter(corpus: DataFrame, newDocs: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01,
+      textCol: String = "text"): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "bad bloom sizing")
+    val h = freshName(corpus.columns.toSeq ++ newDocs.columns, "_h")
+    val bf = corpus.select(md5(col(textCol)).as(h)).stat
+      .bloomFilter(h, expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val novel = udf((d: String) => !bc.value.mightContainString(d))
+    newDocs.filter(novel(md5(col(textCol))))
+  }
+
   /** The corpus's distinct band-key set — the distilled dedup state a
     * streaming ingest filter holds against (bands·docs short rows). */
   def corpusBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,

@@ -600,4 +600,26 @@ class ExtensionSpec extends SparkSuite {
       Seq(bySrc(0) -> 2.0, bySrc(1) -> 1.25, bySrc(2) -> 0.5))
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
+
+  test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
+      "novel survival >= 1 - 2*fpp, deterministic across runs") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+    // batch = 200 exact dups of corpus text (re-keyed) + 300 novel docs
+    val dups = corpus.filter(col("doc_id") < 200)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val novel = corpus.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+      .withColumn("text", concat(lit("novelprefix "), col("text")))
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+    val batch = dups.unionByName(novel)
+    val kept = ops.Dedup.bloomCorpusFilter(corpus, batch,
+      expectedItems = 1000L, fpp = 0.01)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.forall(_ >= 2000000L), "a corpus duplicate slipped through")
+    val novelKept = keptIds.size.toDouble / 300
+    assert(novelKept >= 1.0 - 2 * 0.01, s"novel survival $novelKept too low")
+    // deterministic: rebuilt filter gives the identical keep set
+    val again = ops.Dedup.bloomCorpusFilter(corpus, batch, 1000L, 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+  }
 }
