@@ -574,6 +574,27 @@ class ExtensionSpec extends SparkSuite {
       doc1.last.getAs[Long]("n_tokens") == 5L)
   }
 
+  test("chunkText reconstruction property: dropping each chunk's overlap " +
+      "prefix and concatenating rebuilds every document, across stride shapes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 50)
+    val original = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for ((chunk, stride) <- Seq((64, 64), (64, 48), (32, 1), (7, 3))) {
+      val rebuilt = ops.Packing.chunkText(docs, chunk, stride)
+        .orderBy("doc_id", "chunk_id").collect()
+        .groupBy(_.getAs[Long]("doc_id")).map { case (id, rows) =>
+          val overlap = chunk - stride
+          val toks = rows.sortBy(_.getAs[Long]("chunk_id")).zipWithIndex.flatMap {
+            case (r, 0) => r.getAs[String]("chunk_text").split(" ").toSeq
+            case (r, _) => r.getAs[String]("chunk_text").split(" ").drop(overlap).toSeq
+          }
+          id -> toks.mkString(" ")
+        }
+      assert(rebuilt == original, s"chunk=$chunk stride=$stride")
+    }
+  }
+
   test("mixCorpora: floor(w) exact copies + deterministic fractional epoch; " +
       "rerun is identical; fractional rate lands near frac(w)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01").select(col("doc_id"))
