@@ -221,14 +221,29 @@ object Dedup {
     */
   def bloomCorpusFilter(corpus: DataFrame, newDocs: DataFrame,
       expectedItems: Long, fpp: Double = 0.01,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bloomReject(newDocs, buildExactBloom(corpus, expectedItems, fpp, textCol),
+      textCol)
+
+  /** Distributed build of the corpus text-digest Bloom filter (the
+    * reusable half of [[bloomCorpusFilter]] — build once batch-side,
+    * probe from batch or streaming ingest). */
+  def buildExactBloom(corpus: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01, textCol: String = "text")
+      : org.apache.spark.util.sketch.BloomFilter = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1, "bad bloom sizing")
-    val h = freshName(corpus.columns.toSeq ++ newDocs.columns, "_h")
-    val bf = corpus.select(md5(col(textCol)).as(h)).stat
-      .bloomFilter(h, expectedItems, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val h = freshName(corpus.columns.toSeq, "_h")
+    corpus.select(md5(col(textCol)).as(h)).stat.bloomFilter(h, expectedItems, fpp)
+  }
+
+  /** Keep only rows whose text digest is NOT in the (broadcast) filter —
+    * a stateless map-only predicate, legal in batch and streaming alike. */
+  def bloomReject(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val novel = udf((d: String) => !bc.value.mightContainString(d))
-    newDocs.filter(novel(md5(col(textCol))))
+    docs.filter(novel(md5(col(textCol))))
   }
 
   /** The corpus's distinct band-key set — the distilled dedup state a

@@ -190,6 +190,21 @@ object StreamingWindows {
     }.drop((0 until bands).map(b => s"_bk$b"): _*)
   }
 
+  /** Exact-dup rejection at streaming ingest via a pre-built Bloom
+    * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only
+    * probe of the broadcast bit array — no state store, no join, no
+    * shuffle, so it composes before any watermark/aggregation. Zero
+    * false negatives; ~fpp of novel documents collaterally dropped.
+    * This is the ingest answer when even the distilled corpus KEY SET
+    * is too big for the per-batch anti-join: the filter is the only
+    * corpus-sized state, at bits per document. Rebuild and swap it
+    * between query restarts as the corpus grows.
+    */
+  def streamingBloomExactFilter(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.bloomReject(docs, bloom, textCol)
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Bloom exact-dup filter == batch bloomReject: corpus " +
+      "members always rejected, stateless map-only probe") {
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val bloom = Dedup.buildExactBloom(
+      batchDocs.filter(col("doc_id") < 100), expectedItems = 200L, fpp = 0.01)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingBloomExactFilter(stream, bloom)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_bloom").start()
+    try {
+      q.processAllAvailable()
+      val got = collectCol[Long](spark.table("stream_bloom").orderBy("doc_id"), "doc_id")
+      val want = collectCol[Long](
+        Dedup.bloomReject(batchDocs, bloom)
+          .select("doc_id").orderBy("doc_id"), "doc_id")
+      assert(got == want)
+      assert(got.nonEmpty && !got.exists(_ < 100),
+        "bloom has no false negatives: every corpus member must be dropped")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest filter drops exactly the batch-expected docs") {
     import graft.ops.Dedup
     val dir = "/root/testdata/sf0.001"
