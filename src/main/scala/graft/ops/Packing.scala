@@ -67,6 +67,49 @@ object Packing {
         col("first_bin"), col("last_bin"))
   }
 
+  /** Write the corpus as size-bounded, order-preserving TRAINING SHARDS —
+    * the sink end of the pipeline: data loaders stream shard k as one
+    * parquet file holding documents [k·docsPerShard, (k+1)·docsPerShard)
+    * of the idCol order, ids ascending within the file.
+    *
+    * The global position uses the same decomposed prefix count as
+    * [[packSequences]] (range partition + local row_number + broadcast
+    * O(partitions) offsets; 64-bit throughout, so corpora past 2³¹ docs
+    * are fine), then ONE shuffle on the shard id co-locates each shard
+    * in a single task. The dynamic-partition writer requires its rows
+    * sorted by the partition column — they already are
+    * (sortWithinPartitions(shard, id)), so no extra writer-side sort,
+    * and the within-shard id order survives into the file.
+    *
+    * Returns the shard count. Layout: outDir/shard=k/part-*.parquet,
+    * exactly one data file per shard.
+    */
+  def writeShards(docs: DataFrame, outDir: String, docsPerShard: Long,
+      idCol: String = "doc_id"): Long = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val ranged = docs.repartitionByRange(col(idCol).asc)
+      .withColumn("_bucket", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+    val local = ranged.withColumn("_lpos",
+      row_number().over(wLocal).cast("long") - 1)
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_boff", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_boff"))
+    val sharded = local.join(broadcast(offsets), "_bucket")
+      .withColumn("shard",
+        expr(s"(_lpos + _boff) DIV ${docsPerShard}L"))
+      .drop("_bucket", "_lpos", "_boff")
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val total = docs.count()
+    (total + docsPerShard - 1) / docsPerShard
+  }
+
   /** Sliding token-window chunking — the per-document alternative to
     * concat-then-chunk: each document is cut into windows of
     * `chunkTokens` whitespace tokens starting every `stride` tokens

@@ -44,4 +44,34 @@ class SourcesSpec extends SparkSuite {
     assert(merged.filter(col("v") === 1 && col("b").isNull).count() == 2)
     assert(collectCol[String](merged.filter(col("v") === 2), "b") == Seq("new"))
   }
+
+  test("writeShards: one file per shard, contiguous id ranges in order, " +
+      "last shard partial, shard count returned") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val per = 64L
+    val nShards = graft.ops.Packing.writeShards(docs, dir, per)
+    assert(nShards == (ids.length + per - 1) / per)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(
+        _.getName.stripPrefix("shard=").toLong)
+    assert(shardDirs.length == nShards)
+    shardDirs.foreach { d =>
+      val k = d.getName.stripPrefix("shard=").toLong
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $k has ${files.length} data files")
+      // read the single file directly: in-file order must be id-ascending
+      // and its content exactly the k-th contiguous slice of the id order
+      val got = spark.read.parquet(files.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(got.toSeq == got.sorted.toSeq, s"shard $k not id-ordered in file")
+      val want = ids.slice((k * per).toInt,
+        math.min(ids.length.toLong, (k + 1) * per).toInt)
+      assert(got.sorted.toSeq == want.toSeq, s"shard $k wrong id slice")
+      val expected = if (k == nShards - 1) ids.length - (nShards - 1) * per
+        else per
+      assert(got.length == expected, s"shard $k size ${got.length}")
+    }
+  }
 }
