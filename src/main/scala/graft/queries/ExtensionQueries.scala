@@ -1233,6 +1233,32 @@ object ExtensionQueries {
                 |SELECT doc_id, source_id, epoch FROM fulls
                 |UNION ALL SELECT doc_id, source_id, epoch FROM extra
                 |ORDER BY source_id, doc_id, epoch""".stripMargin))
-    }
+    },
+
+    // ---- x52: deterministic corpus shuffle + shard assignment -------------
+    // Training needs the corpus globally shuffled before sharding; a
+    // salted md5 over the id is a deterministic, engine-portable
+    // permutation (same order in any engine, any run). The global
+    // position over that hash order uses the scale-safe decomposed rank
+    // (Ranking.withGlobalRanks — never a single-task window); shard =
+    // pos div 64 is then what Packing.writeShards materializes as files.
+    QueryDef(
+      "x52_shuffle_shard",
+      (s, dir) =>
+        graft.ops.Ranking.withGlobalRanks(
+            Tables.documents(s, dir).select(col("doc_id"))
+              .withColumn("_k", md5(concat(lit("shuf:"), col("doc_id")))),
+            Seq("_k" -> true))
+          .select(col("doc_id"),
+            (col("rnk").cast("long") - 1).as("pos"),
+            expr("CAST((rnk - 1) DIV 64 AS BIGINT)").as("shard"))
+          .orderBy(col("doc_id")),
+      Some("""WITH ord AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)))
+             |      - 1 AS pos
+             |  FROM documents)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             |  CAST(pos // 64 AS BIGINT) AS shard
+             |FROM ord ORDER BY doc_id""".stripMargin))
   )
 }
