@@ -46,10 +46,11 @@ object Dedup {
     * Scale shape: segmentation is map-only (codegen'd array HOFs, no
     * shuffle); the keep-first pass shuffles once, keyed by line content,
     * so 100 TB of lines spread by hash; reassembly shuffles once keyed by
-    * document id. A pathologically hot line (boilerplate repeated
-    * millions of times) lands on one task in the window pass — swap the
-    * window for groupBy(line).agg(min(struct(id, line_no))) + semi-join
-    * if that ever dominates; same result, two shuffles, no per-key order.
+    * document id. Hot lines (boilerplate repeated millions of times) are
+    * NOT a skew hazard: Spark plans the rank-1 filter as a partial
+    * WindowGroupLimit BEFORE the exchange (verified in PLANS.md), so each
+    * map task forwards at most one row per line and a hot line arrives at
+    * its reducer as ≤ #partitions rows, not #occurrences.
     */
   def lineDedup(docs: DataFrame, wordsPerLine: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

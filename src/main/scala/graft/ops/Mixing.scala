@@ -48,6 +48,12 @@ object Mixing {
             .withColumn("epoch", lit(whole)))
         else None
       copies.toSeq ++ extra.toSeq
-    }.reduce(_ unionByName _)
+    } match {
+      // all weights zero: an empty mixture with the output schema, not a
+      // reduce-on-empty crash
+      case Seq() => sources.head._1
+        .withColumn("source_id", lit(0)).withColumn("epoch", lit(0L)).limit(0)
+      case parts => parts.reduce(_ unionByName _)
+    }
   }
 }

@@ -620,6 +620,14 @@ class ExtensionSpec extends SparkSuite {
     val again = ops.Mixing.mixCorpora(
       Seq(bySrc(0) -> 2.0, bySrc(1) -> 1.25, bySrc(2) -> 0.5))
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // degenerate recipes: a zero-weight source contributes nothing; an
+    // all-zero mixture is EMPTY with the output schema, not a crash
+    val zeroOne = ops.Mixing.mixCorpora(Seq(bySrc(0) -> 0.0, bySrc(1) -> 1.0))
+    assert(zeroOne.filter(col("source_id") === 0).isEmpty)
+    assert(zeroOne.count() == bySrc(1).count())
+    val allZero = ops.Mixing.mixCorpora(Seq(bySrc(0) -> 0.0, bySrc(1) -> 0.0))
+    assert(allZero.isEmpty &&
+      allZero.columns.toSeq == Seq("doc_id", "source_id", "epoch"))
   }
 
   test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
