@@ -404,6 +404,55 @@ object Multimodal {
     * codec resample in production; the batching/partition shape is what
     * matters here.
     */
+  /** REAL pixel resize for 24-bpp BI_RGB bottom-up BMPs: nearest-neighbor
+    * resample of the pixel grid, re-emitting a spec-valid BMP at
+    * (targetW, targetH) — the same container [[synthBmp]] writes, so the
+    * synth → resize → decode loop runs on real pixels end to end.
+    * Returns None (→ [[resizeStub]] fallback in [[resizeAll]]) for
+    * anything that is not a plain uncompressed 24-bpp BITMAPINFOHEADER
+    * bottom-up BMP with in-bounds pixel data: paletted/compressed/
+    * top-down variants and non-BMP formats stay on the stub path, whose
+    * codec would need a library this container doesn't ship.
+    */
+  def resizeBmp(p: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    if (le32(14) != 40) return None                        // BITMAPINFOHEADER only
+    val w = le32(18); val h = le32(22)
+    if (w <= 0 || h <= 0) return None                      // reject top-down/degenerate
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    val off = le32(10)
+    val rowIn = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowIn.toLong * h > p.length) return None
+    val rowOut = ((targetW * 3 + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowOut * targetH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + rowOut * targetH).putInt(0).putInt(54)
+      .putInt(40).putInt(targetW).putInt(targetH)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(rowOut * targetH)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = buf.array()
+    var y = 0
+    while (y < targetH) {
+      val sy = (y.toLong * h / targetH).toInt
+      var x = 0
+      while (x < targetW) {
+        val sx = (x.toLong * w / targetW).toInt
+        val si = off + sy * rowIn + sx * 3
+        val di = 54 + y * rowOut + x * 3
+        out(di) = p(si); out(di + 1) = p(si + 1); out(di + 2) = p(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val want = math.max(1, targetW * targetH / 64)
     if (payload.isEmpty) Array.emptyByteArray
@@ -412,10 +461,12 @@ object Multimodal {
   }
 
   /** Batched resize over a media dataset — same iterator-in/iterator-out
-    * shape as extractFeaturesBatched. */
+    * shape as extractFeaturesBatched. BMP payloads get the REAL pixel
+    * resample ([[resizeBmp]]); everything else the deterministic stub. */
   def resizeAll(media: Dataset[MediaDoc], targetW: Int, targetH: Int): Dataset[MediaDoc] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
-      m.copy(payload = resizeStub(m.payload, targetW, targetH))))
+      m.copy(payload = resizeBmp(m.payload, targetW, targetH)
+        .getOrElse(resizeStub(m.payload, targetW, targetH)))))
   }
 }
