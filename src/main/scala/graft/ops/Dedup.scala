@@ -237,14 +237,21 @@ object Dedup {
     corpus.select(md5(col(textCol)).as(h)).stat.bloomFilter(h, expectedItems, fpp)
   }
 
-  /** Keep only rows whose text digest is NOT in the (broadcast) filter —
-    * a stateless map-only predicate, legal in batch and streaming alike. */
+  /** Keep only rows whose text digest is NOT in the filter — a stateless
+    * map-only predicate, legal in batch and streaming alike. The probe is
+    * a native codegen'd expression
+    * ([[graft.functions.SketchExpressions.BloomMightContain]]), so the
+    * filter stays inside the whole-stage-codegen span and the bit array
+    * ships via the plan's reference array — no UDF, no explicit
+    * broadcast. */
   def bloomReject(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       textCol: String = "text"): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val novel = udf((d: String) => !bc.value.mightContainString(d))
-    docs.filter(novel(md5(col(textCol))))
+    import org.apache.spark.sql.GraftBridge
+    val probe = GraftBridge.toColumn(
+      graft.functions.SketchExpressions.BloomMightContain(
+        GraftBridge.toExpression(md5(col(textCol))), bloom))
+    docs.filter(!probe)
   }
 
   /** The corpus's distinct band-key set — the distilled dedup state a

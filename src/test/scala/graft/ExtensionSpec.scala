@@ -684,5 +684,13 @@ class ExtensionSpec extends SparkSuite {
     val again = ops.Dedup.bloomCorpusFilter(corpus, batch, 1000L, 0.01)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == keptIds)
+    // the probe is a native expression, not a UDF: it must appear by name
+    // inside a whole-stage-codegen'd Filter, with no ScalaUDF in the plan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "bloom probe fell back to a UDF:\n" + plan.take(2000))
+    // "*(n)" prefix = the Filter carrying the probe is whole-stage-codegen'd
+    assert(plan.linesIterator.exists(l => l.contains("*(") &&
+        l.contains("Filter") && l.contains("graft_bloom_might_contain")),
+      "probe not in a codegen'd Filter:\n" + plan.take(2000))
   }
 }
