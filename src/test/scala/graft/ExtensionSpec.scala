@@ -552,6 +552,35 @@ class ExtensionSpec extends SparkSuite {
     assert(r.getAs[String]("clean_text") == "z z z a a a")
   }
 
+  test("lineDedup property: Spark result == in-memory first-occurrence model " +
+      "on random small-alphabet corpora (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 3) {
+      val w = 3
+      val docs = (0 until 40).map { id =>
+        val n = (1 + rnd.nextInt(8)) * w // whole lines keep the model simple
+        (id.toLong, Seq.fill(n)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      // model: first (doc_id, line_no) occurrence of each line wins
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.flatMap { case (id, text) =>
+        val lines = text.split(" ").grouped(w).map(_.mkString(" ")).toSeq
+        val keptLines = lines.zipWithIndex.collect {
+          case (l, _) if !seen.contains(l) && { seen += l; true } => l
+        }
+        if (keptLines.isEmpty) None
+        else Some((id, keptLines.length.toLong, keptLines.mkString(" ")))
+      }
+      val got = ops.Dedup.lineDedup(
+          frame("doc_id" -> docs.map(_._1: Any), "text" -> docs.map(_._2)),
+          wordsPerLine = w)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_lines_kept"),
+          r.getAs[String]("clean_text"))).toSeq
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("sequence packing: decomposed prefix sum == plain global window; " +
       "bins are contiguous and straddlers are exactly the boundary-crossers") {
     import org.apache.spark.sql.expressions.Window
