@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -26,6 +27,11 @@ object SketchExpressions {
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "graft_bloom_might_contain"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a STRING probe key, got ${child.dataType.sql}")
 
     override def nullSafeEval(v: Any): Any =
       bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)

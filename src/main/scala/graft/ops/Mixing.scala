@@ -30,6 +30,11 @@ object Mixing {
   def mixCorpora(sources: Seq[(DataFrame, Double)],
       idCol: String = "doc_id"): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
+    sources.foreach { case (df, _) =>
+      require(!df.columns.contains("source_id") && !df.columns.contains("epoch"),
+        "source frames must not already have source_id/epoch columns " +
+          "(they would be silently overwritten)")
+    }
     sources.zipWithIndex.flatMap { case ((df, w), i) =>
       require(w >= 0.0, s"source $i has negative weight $w")
       val whole = math.floor(w).toLong

@@ -33,7 +33,10 @@ object Packing {
   /** Per-document packing assignment: (id, n_tokens, start_tok,
     * first_bin, last_bin). Token count = whitespace token count of
     * textCol; order = ascending idCol (caller pre-shuffles the corpus —
-    * e.g. by a deterministic sample key — if it wants mixing).
+    * e.g. by a deterministic sample key — if it wants mixing). idCol
+    * must be UNIQUE: with ties the per-row placement among tied rows is
+    * engine-order-dependent (true of any SUM OVER ORDER BY on a
+    * non-unique key, oracle included).
     */
   def packSequences(docs: DataFrame, capacity: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -82,7 +85,9 @@ object Packing {
     * and the within-shard id order survives into the file.
     *
     * Returns the shard count. Layout: outDir/shard=k/part-*.parquet,
-    * exactly one data file per shard.
+    * exactly one data file per shard. idCol should be unique — ties
+    * still place every row exactly once, but which side of a shard
+    * boundary a tied row lands on is not reproducible across runs.
     */
   def writeShards(docs: DataFrame, outDir: String, docsPerShard: Long,
       idCol: String = "doc_id"): Long = {
