@@ -1259,6 +1259,38 @@ object ExtensionQueries {
              |  FROM documents)
              |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
              |  CAST(pos // 64 AS BIGINT) AS shard
-             |FROM ord ORDER BY doc_id""".stripMargin))
+             |FROM ord ORDER BY doc_id""".stripMargin)),
+
+    // ---- x53: packing-efficiency report -----------------------------------
+    // The metric data engineers watch on concat-then-chunk packing: per
+    // 256-token bin, how many documents start there, how many straddle
+    // into the next bin (their fraction is the boundary-waste rate), and
+    // the token mass started. One tiny aggregate over x49's assignment.
+    QueryDef(
+      "x53_packing_report",
+      (s, dir) =>
+        Packing.packSequences(Tables.documents(s, dir), capacity = 256L)
+          .groupBy(col("first_bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("first_bin") =!= col("last_bin"), 1L).otherwise(0L))
+              .as("n_straddlers"),
+            sum(col("n_tokens")).as("tokens_started"))
+          .orderBy(col("first_bin")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |offs AS (SELECT doc_id, n_tokens,
+             |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS start_tok
+             |  FROM toks)
+             |SELECT start_tok // 256 AS first_bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN start_tok // 256
+             |      <> (start_tok + n_tokens - 1) // 256 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_straddlers,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
+             |FROM offs GROUP BY 1 ORDER BY first_bin""".stripMargin))
   )
 }
