@@ -617,6 +617,30 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
+  test("packSequences property: random corpora at adversarial input " +
+      "partitionings all match the single-task global window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(4242L)
+    val docs = (0 until 300).map(id =>
+      (id.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+    for (parts <- Seq(1, 5, 32)) {
+      val df = frame("doc_id" -> docs.map(_._1: Any), "text" -> docs.map(_._2))
+        .repartition(parts)
+      val got = ops.Packing.packSequences(df, capacity = 64L)
+        .orderBy("doc_id").collect()
+      val want = df.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .orderBy("doc_id").collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getAs[Long]("start_tok") == w.getAs[Long]("start_tok"),
+          s"parts=$parts doc ${g.getLong(0)}")
+      }
+    }
+  }
+
   test("chunkText: stride windows overlap correctly, tail chunk is short, " +
       "one-token doc yields one chunk, every token is covered") {
     val d = frame(
