@@ -717,6 +717,34 @@ class ExtensionSpec extends SparkSuite {
       allZero.columns.toSeq == Seq("doc_id", "source_id", "epoch"))
   }
 
+  test("end-to-end curation pipeline: monotone stage survivors, shards hold " +
+      "exactly the clean set with no exact dups, deterministic across runs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("pipe1").toString
+    val (nShards, stages) = ops.Pipeline.curateAndShard(
+      docs, evalSet, dir1, docsPerShard = 64L)
+    assert(stages("input") >= stages("quality_kept"))
+    assert(stages("quality_kept") >= stages("exact_kept"))
+    assert(stages("exact_kept") >= stages("neardup_kept"))
+    assert(stages("neardup_kept") > stages("decontaminated_kept"),
+      "eval-set members must be dropped as contaminated")
+    assert(stages("decontaminated_kept") > 0)
+    val out = spark.read.parquet(dir1)
+    assert(out.count() == stages("decontaminated_kept"))
+    assert(out.select("text").distinct().count() == out.count(), "exact dup in shards")
+    assert(out.filter(col("doc_id") < 20).isEmpty, "contaminated doc in shards")
+    assert(nShards == (stages("decontaminated_kept") + 63) / 64)
+    // determinism: a second full run shards the identical id sets
+    val dir2 = java.nio.file.Files.createTempDirectory("pipe2").toString
+    ops.Pipeline.curateAndShard(docs, evalSet, dir2, docsPerShard = 64L)
+    val byShard1 = spark.read.parquet(dir1).select(col("shard").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byShard2 = spark.read.parquet(dir2).select(col("shard").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byShard1 == byShard2)
+  }
+
   test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
       "novel survival >= 1 - 2*fpp, deterministic across runs") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
