@@ -111,8 +111,72 @@ object Packing {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val total = docs.count()
-    (total + docsPerShard - 1) / docsPerShard
+    // Count from the WRITTEN layout (one directory listing), not from a
+    // docs.count() — which would re-execute the entire upstream lineage a
+    // second time (at 100 TB the whole pipeline would run twice) and could
+    // disagree with the files actually written if that lineage were ever
+    // nondeterministic. Every shard id in range has >= 1 doc, so the
+    // directory count IS the shard count.
+    countShardDirs(docs.sparkSession, outDir)
+  }
+
+  /** Number of `shard=` partition directories under `outDir` — the
+    * authoritative post-write shard count (O(shards) metadata listing, no
+    * data read, no lineage re-execution). */
+  def countShardDirs(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .toLong
+  }
+
+  /** Write a frame that already carries its shard assignment (`shardCol`)
+    * as the standard shard layout: one shuffle on the shard id co-locates
+    * each shard in one task, rows sorted by (`shardCol`, `orderCol`) so
+    * the dynamic-partition writer adds no extra sort and the within-shard
+    * order survives into the file. `dropCols` are projected away AFTER the
+    * sort (a Project preserves row order), so internal ordering columns
+    * never leak into the shipped shards. Returns the shard count from the
+    * written layout. */
+  def writePreSharded(docs: DataFrame, outDir: String,
+      shardCol: String = "shard", orderCol: String = "doc_id",
+      dropCols: Seq[String] = Nil): Long = {
+    docs
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .drop(dropCols: _*)
+      .write.mode("overwrite").partitionBy(shardCol).parquet(outDir)
+    countShardDirs(docs.sparkSession, outDir)
+  }
+
+  /** TOKEN-bounded training shards — the capacity contract trainers
+    * actually specify (a shard feeds a data-loader budgeted in tokens,
+    * not documents). Shard k holds the documents whose FIRST token falls
+    * in [k·tokensPerShard, (k+1)·tokensPerShard) of the concatenated
+    * token stream in `idCol` order — i.e. [[packSequences]]' `first_bin`
+    * at capacity = tokensPerShard — so each shard's token mass is
+    * tokensPerShard plus at most one straddling document, and the
+    * document order within and across shards is exactly the packing
+    * order.
+    *
+    * Dataflow: the bin assignment is packSequences' decomposed prefix sum
+    * (range partition + local cumsum + O(partitions) broadcast offsets);
+    * joining it back to the full rows is one hash join on the unique id;
+    * the write is [[writePreSharded]]'s single shuffle on the shard id.
+    * Returns (shardCount, assignment) where assignment = (idCol,
+    * n_tokens, start_tok, shard) — the map a loader needs to seek.
+    */
+  def writeTokenShards(docs: DataFrame, outDir: String, tokensPerShard: Long,
+      textCol: String = "text", idCol: String = "doc_id"): (Long, DataFrame) = {
+    val assign = packSequences(docs, tokensPerShard, textCol, idCol)
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        col("first_bin").as("shard"))
+    val n = writePreSharded(docs.join(assign, idCol), outDir,
+      shardCol = "shard", orderCol = idCol,
+      dropCols = Seq("n_tokens", "start_tok"))
+    (n, assign)
   }
 
   /** Sliding token-window chunking — the per-document alternative to
