@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization boundary for load-bearing intermediate pipeline state
+  * (LSH candidate-pair edge lists, cluster labels): executes the plan
+  * eagerly and truncates lineage, choosing the storage tier by what the
+  * session has configured.
+  *
+  *   - With a RELIABLE checkpoint dir configured
+  *     (`spark.sparkContext.setCheckpointDir(...)` — HDFS/object store in
+  *     production), uses `Dataset.checkpoint()`: the materialized blocks
+  *     survive executor loss, the right default for a 100 TB run where a
+  *     single lost executor between stages must not become an
+  *     unrecoverable job failure (lineage is truncated, so nothing can be
+  *     recomputed from upstream).
+  *   - Otherwise falls back to `localCheckpoint()`: executor-local,
+  *     unreplicated blocks — the low-latency local-mode/dev path, where
+  *     "executor loss" means the whole JVM died anyway.
+  *
+  * Both forms are eager, so callers can unpersist their inputs immediately
+  * after this returns (the cache-lifecycle discipline the dedup stages
+  * rely on).
+  */
+object Checkpoints {
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}

@@ -396,6 +396,27 @@ class ExtensionSpec extends SparkSuite {
     assert(newcomerKeys.intersect(corpusKeys).isEmpty)
   }
 
+  test("mergeNewDocs rejects null-text and null-id duplicates null-safely " +
+      "(equi-join null semantics would silently keep them; ADVICE r05)") {
+    val corpus = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq[Any](
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa", null))
+    val incoming = frame(
+      "doc_id" -> Seq[Any](3L, null, 5L),
+      "text" -> Seq[Any](
+        null, // exact dup (null digest) of corpus doc 2
+        // near-dup of corpus doc 1 (one-token edit shares a band) with a
+        // NULL id: the id-keyed anti-join must still drop it
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "totally novel unique content about distributed query engines"))
+    val merged = Dedup.mergeNewDocs(corpus, incoming)
+    assert(merged.count() == 3)
+    val ids = merged.select("doc_id").collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 5L), s"expected corpus + doc 5 only, got $ids")
+  }
+
   test("clusterPairs with periodic localCheckpoint == unchecked lineage " +
       "(production lineage-cut path)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -406,6 +427,35 @@ class ExtensionSpec extends SparkSuite {
     assert(clusters(0).nonEmpty)
     assert(clusters(2) == clusters(0))
     assert(clusters(1) == clusters(0))
+  }
+
+  test("lshCandidatePairs eager (checkpointed) == lazy dataflow == reliable-" +
+      "checkpoint mode (the PlanSpec-audited plan is authoritative)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 300)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lazyPairs = pairSet(Dedup.lshCandidatePairsLazy(docs, 2, 4))
+    assert(lazyPairs.nonEmpty, "oracle slice should contain candidate pairs")
+    assert(pairSet(Dedup.lshCandidatePairs(docs, 2, 4)) == lazyPairs,
+      "eager checkpointed pairs diverge from the plan-audited lazy dataflow")
+    val baseClusters = Dedup.clusterPairs(Dedup.lshCandidatePairs(docs, 2, 4),
+        rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reliable-checkpoint mode: with a checkpoint dir configured,
+    // Checkpoints.materialize switches to replicated, executor-loss-safe
+    // checkpoints — results (and the dataflow feeding them) are identical
+    val ckDir = java.nio.file.Files.createTempDirectory("reliable_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      assert(pairSet(Dedup.lshCandidatePairs(docs, 2, 4)) == lazyPairs)
+      val ckClusters = Dedup.clusterPairs(Dedup.lshCandidatePairs(docs, 2, 4),
+          rounds = 3, checkpointEvery = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ckClusters == baseClusters)
+    } finally org.apache.spark.GraftTestBridge.clearCheckpointDir(spark.sparkContext)
   }
 
   test("map-only bandKeysArray == explode/groupBy band keys (stream-form parity)") {
