@@ -110,27 +110,39 @@ object Packing {
     sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(outDir)
     // Count from the WRITTEN layout (one directory listing), not from a
     // docs.count() — which would re-execute the entire upstream lineage a
     // second time (at 100 TB the whole pipeline would run twice) and could
     // disagree with the files actually written if that lineage were ever
-    // nondeterministic. Every shard id in range has >= 1 doc, so the
-    // directory count IS the shard count.
+    // nondeterministic. writeShards' positions are DENSE (every shard id
+    // in [0, n) has >= 1 doc), so the directory count IS the shard count.
     countShardDirs(docs.sparkSession, outDir)
   }
 
-  /** Number of `shard=` partition directories under `outDir` — the
-    * authoritative post-write shard count (O(shards) metadata listing, no
-    * data read, no lineage re-execution). */
-  def countShardDirs(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): Long = {
+  /** The shard ids present in a written layout, ascending — parsed from
+    * the `<prefix>k` partition directory names under `outDir` (O(shards)
+    * metadata listing, no data read, no lineage re-execution). For
+    * [[writeShards]] layouts the ids are dense 0..n-1; for
+    * [[writeTokenShards]] they may be SPARSE (see its scaladoc). */
+  def shardIds(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      prefix: String = "shard="): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(outDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p)
-      .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .toLong
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .sorted
   }
+
+  /** Number of `<prefix>k` partition directories under `outDir` — the
+    * authoritative post-write count of OCCUPIED shards. Equals the shard
+    * count only for dense layouts ([[writeShards]]); token-bounded
+    * layouts can skip ids ([[writeTokenShards]] returns max+1 instead). */
+  def countShardDirs(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, prefix: String = "shard="): Long =
+    shardIds(spark, outDir, prefix).size.toLong
 
   /** Write a frame that already carries its shard assignment (`shardCol`)
     * as the standard shard layout: one shuffle on the shard id co-locates
@@ -138,8 +150,12 @@ object Packing {
     * the dynamic-partition writer adds no extra sort and the within-shard
     * order survives into the file. `dropCols` are projected away AFTER the
     * sort (a Project preserves row order), so internal ordering columns
-    * never leak into the shipped shards. Returns the shard count from the
-    * written layout. */
+    * never leak into the shipped shards. The write pins
+    * partitionOverwriteMode=static so `outDir` is truncated even when the
+    * session default is dynamic — stale shards from a previous larger run
+    * must not survive into (or inflate the count of) this layout. Returns
+    * the count of occupied `<shardCol>=` directories from the written
+    * layout. */
   def writePreSharded(docs: DataFrame, outDir: String,
       shardCol: String = "shard", orderCol: String = "doc_id",
       dropCols: Seq[String] = Nil): Long = {
@@ -147,36 +163,70 @@ object Packing {
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
       .drop(dropCols: _*)
-      .write.mode("overwrite").partitionBy(shardCol).parquet(outDir)
-    countShardDirs(docs.sparkSession, outDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy(shardCol).parquet(outDir)
+    countShardDirs(docs.sparkSession, outDir, s"$shardCol=")
   }
+
+  /** Per-document TOKEN-shard assignment — the pure (no-write) map
+    * underlying [[writeTokenShards]], and the oracle-checked surface
+    * (x55): (idCol, n_tokens, start_tok, shard) with
+    * shard = [[packSequences]]' `first_bin` at capacity = tokensPerShard.
+    */
+  def tokenShardAssignment(docs: DataFrame, tokensPerShard: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    packSequences(docs, tokensPerShard, textCol, idCol)
+      .select(col(idCol), col("n_tokens"), col("start_tok"),
+        col("first_bin").as("shard"))
 
   /** TOKEN-bounded training shards — the capacity contract trainers
     * actually specify (a shard feeds a data-loader budgeted in tokens,
-    * not documents). Shard k holds the documents whose FIRST token falls
-    * in [k·tokensPerShard, (k+1)·tokensPerShard) of the concatenated
-    * token stream in `idCol` order — i.e. [[packSequences]]' `first_bin`
-    * at capacity = tokensPerShard — so each shard's token mass is
-    * tokensPerShard plus at most one straddling document, and the
+    * not documents). A document lands in the shard where its FIRST token
+    * falls: shard k holds the documents whose `start_tok` lies in
+    * [k·tokensPerShard, (k+1)·tokensPerShard) of the concatenated token
+    * stream in `idCol` order, so each shard's token mass is at most
+    * tokensPerShard plus one straddling document's overflow, and the
     * document order within and across shards is exactly the packing
     * order.
     *
+    * SHARD IDS MAY BE SPARSE: a document longer than tokensPerShard
+    * straddles several whole shards, and the next document's first token
+    * skips past them — those skipped ids own no documents and no
+    * directory is written for them. The returned count is therefore
+    * max(shard id) + 1 (read from the written layout), NOT the directory
+    * count; loaders must iterate the actual layout ([[shardIds]]) or the
+    * assignment map, never assume `shard=k` exists for every k.
+    *
     * Dataflow: the bin assignment is packSequences' decomposed prefix sum
-    * (range partition + local cumsum + O(partitions) broadcast offsets);
-    * joining it back to the full rows is one hash join on the unique id;
-    * the write is [[writePreSharded]]'s single shuffle on the shard id.
-    * Returns (shardCount, assignment) where assignment = (idCol,
-    * n_tokens, start_tok, shard) — the map a loader needs to seek.
+    * (range partition + local cumsum + O(partitions) broadcast offsets),
+    * persisted so the expensive prefix-sum lineage executes ONCE across
+    * its two consumers; joining it back to the full rows is one hash join
+    * on the unique id; the write is [[writePreSharded]]'s single shuffle
+    * on the shard id. The assignment map itself is then written as
+    * parquet under `outDir/_assignment` (the seek map a loader needs,
+    * shipped next to the shards; the `_` prefix hides it from partition
+    * discovery over `outDir`) and returned READ BACK from that parquet —
+    * so consuming the returned frame re-reads a small file instead of
+    * re-executing the whole upstream pipeline.
+    *
+    * Returns (maxShardId + 1, assignment(idCol, n_tokens, start_tok,
+    * shard)).
     */
   def writeTokenShards(docs: DataFrame, outDir: String, tokensPerShard: Long,
       textCol: String = "text", idCol: String = "doc_id"): (Long, DataFrame) = {
-    val assign = packSequences(docs, tokensPerShard, textCol, idCol)
-      .select(col(idCol), col("n_tokens"), col("start_tok"),
-        col("first_bin").as("shard"))
-    val n = writePreSharded(docs.join(assign, idCol), outDir,
-      shardCol = "shard", orderCol = idCol,
-      dropCols = Seq("n_tokens", "start_tok"))
-    (n, assign)
+    val spark = docs.sparkSession
+    val assign = tokenShardAssignment(docs, tokensPerShard, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writePreSharded(docs.join(assign.select(col(idCol), col("shard")), idCol),
+        outDir, shardCol = "shard", orderCol = idCol)
+      // after the shard write: writePreSharded's static overwrite truncates
+      // outDir, which would delete an assignment written before it
+      assign.write.mode("overwrite").parquet(s"$outDir/_assignment")
+    } finally assign.unpersist()
+    val ids = shardIds(spark, outDir)
+    (if (ids.isEmpty) 0L else ids.max + 1,
+      spark.read.parquet(s"$outDir/_assignment"))
   }
 
   /** Sliding token-window chunking — the per-document alternative to

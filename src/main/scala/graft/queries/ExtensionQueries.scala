@@ -1291,6 +1291,30 @@ object ExtensionQueries {
              |      <> (start_tok + n_tokens - 1) // 256 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_straddlers,
              |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
-             |FROM offs GROUP BY 1 ORDER BY first_bin""".stripMargin))
+             |FROM offs GROUP BY 1 ORDER BY first_bin""".stripMargin)),
+
+    // ---- x55: token-bounded shard assignment (writeTokenShards' map) ------
+    // The pure surface under Packing.writeTokenShards: shard = the bin
+    // owning each document's FIRST token at capacity 512, via the
+    // decomposed (never single-task) prefix sum. The oracle replays the
+    // same running sum; SourcesSpec pins the written layout (sparse ids,
+    // per-shard token window, shipped _assignment map) against this map.
+    QueryDef(
+      "x55_token_shard_map",
+      (s, dir) =>
+        Packing.tokenShardAssignment(Tables.documents(s, dir),
+            tokensPerShard = 512L)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |offs AS (SELECT doc_id, n_tokens,
+             |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS start_tok
+             |  FROM toks)
+             |SELECT doc_id, n_tokens, start_tok,
+             |  CAST(start_tok // 512 AS BIGINT) AS shard
+             |FROM offs ORDER BY doc_id""".stripMargin))
   )
 }

@@ -45,6 +45,81 @@ class SourcesSpec extends SparkSuite {
     assert(collectCol[String](merged.filter(col("v") === 2), "b") == Seq("new"))
   }
 
+  test("writePreSharded: custom shard column returns the true count, drops " +
+      "internal columns, and truncates stale shards under dynamic overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("presharded").toString
+    // plant a stale shard dir from a "previous larger run"
+    val staleDocs = frame("doc_id" -> Seq(999L), "bucket" -> Seq(99L))
+    staleDocs.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    assert(new java.io.File(dir, "bucket=99").exists())
+
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L),
+      "text" -> Seq("a", "b", "c", "d"),
+      "bucket" -> Seq(0L, 0L, 1L, 1L),
+      "_internal" -> Seq(10L, 20L, 30L, 40L))
+    // ADVICE r05: with a non-default shard column the count must come from
+    // the '<shardCol>=' dirs, not a hard-coded 'shard=' prefix
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val n = try graft.ops.Packing.writePreSharded(docs, dir,
+        shardCol = "bucket", orderCol = "doc_id", dropCols = Seq("_internal"))
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    assert(n == 2, s"expected 2 bucket dirs, got $n")
+    // static overwrite truncated the stale dir even under a dynamic default
+    assert(!new java.io.File(dir, "bucket=99").exists(),
+      "stale shard from a previous run survived the overwrite")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4)
+    // no internal columns in the shipped files
+    assert(back.columns.toSet == Set("doc_id", "text", "bucket"),
+      s"internal columns leaked: ${back.columns.mkString(",")}")
+  }
+
+  test("writeTokenShards: token-mass contract per shard, sparse ids when a " +
+      "document straddles whole shards, assignment map shipped next to shards") {
+    val dir = java.nio.file.Files.createTempDirectory("tokshards").toString
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // doc 2 (300 tokens > 100/shard) straddles shards 1 and 2 entirely:
+    // ids 1 and 2 are skipped in the layout
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(words(50, "a"), words(300, "b"), words(40, "c")))
+    val (n, assign) = graft.ops.Packing.writeTokenShards(docs, dir, 100L)
+    assert(n == 4, s"max shard id + 1 should be 4, got $n") // doc 3 starts at 350
+    assert(graft.ops.Packing.shardIds(spark, dir) == Seq(0L, 3L),
+      "expected sparse occupied shards {0, 3}")
+    assert(graft.ops.Packing.countShardDirs(spark, dir) == 2)
+
+    // the returned assignment is the parquet-backed seek map (no lineage)
+    val rowsA = assign.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rowsA == Seq((1L, 50L, 0L, 0L), (2L, 300L, 50L, 0L), (3L, 40L, 350L, 3L)))
+    assert(new java.io.File(dir, "_assignment").exists())
+
+    // layout: each doc sits in the shard owning its first token; files hold
+    // no internal columns; in-file order ascending by id
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("doc_id", "text", "shard"))
+    // partition-column values come back type-inferred (int), so read as Number
+    val byShard = back.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("shard").longValue())).toSet
+    assert(byShard == Set((1L, 0L), (2L, 0L), (3L, 3L)))
+    // per-shard start_tok window: every doc's first token inside its shard
+    val joined = byShard.toMap
+    rowsA.foreach { case (id, _, start, shard) =>
+      assert(joined(id) == shard)
+      assert(start >= shard * 100L && start < (shard + 1) * 100L,
+        s"doc $id start_tok $start outside shard $shard window")
+    }
+    // reading the shard root ignores the _-prefixed assignment dir
+    assert(back.count() == 3)
+  }
+
   test("writeShards: one file per shard, contiguous id ranges in order, " +
       "last shard partial, shard count returned") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
