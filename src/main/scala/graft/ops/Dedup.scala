@@ -402,6 +402,24 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidate pairs VERIFIED by exact token-set Jaccard — the
+    * precision gate a production near-dup pipeline runs before deleting
+    * anything: banding emits a false positive whenever a band's minhashes
+    * collide by coincidence (probability ≈ J^rowsPerBand per band even
+    * for low true similarity J), and an unverified false positive merges
+    * two unrelated documents into one cluster, permanently discarding a
+    * real document. The verification is one token equi-join over the
+    * candidate pairs ([[jaccard]]) — O(pairs), tiny next to the corpus —
+    * keeping only pairs with true Jaccard >= `minJaccard`.
+    */
+  def verifiedCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      minJaccard: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    jaccard(docs, lshCandidatePairs(docs, bands, rowsPerBand, textCol, idCol),
+        textCol, idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+
   /** Exact token-set Jaccard for given candidate pairs
     * (columns id_a, id_b). Join-based: |A∩B| via token equi-join,
     * |A∪B| = |A|+|B|-|A∩B|.

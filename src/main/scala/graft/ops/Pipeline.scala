@@ -5,20 +5,94 @@ import org.apache.spark.sql.functions._
 
 /** The whole curation pipeline as one call — the artifact a training-data
   * team actually ships: quality gate → exact dedup (min-id keeper) →
-  * LSH near-dup dedup (cluster keepers) → benchmark decontamination →
-  * deterministic corpus shuffle → size-bounded ordered shard write.
+  * LSH near-dup dedup (Jaccard-VERIFIED pairs, cluster keepers) →
+  * benchmark decontamination → deterministic corpus shuffle →
+  * size-bounded ordered shard write.
+  *
   * Every stage is one of this repo's audited operators; the composition
   * adds no new shuffle beyond what the stages themselves plan, and every
   * stage is deterministic (md5-based), so the same inputs produce
-  * byte-identical shards on any run, engine, or partitioning.
+  * byte-identical shards on any run, engine, or partitioning. The
+  * composition itself — including the shard assignment — is
+  * oracle-checked end to end (x54 replays all six stages in DuckDB).
   */
 object Pipeline {
 
+  /** The curation stages, write-free and in order, as (stage name,
+    * survivors-so-far). `last._2` is the clean corpus; the names feed
+    * [[curateAndShard]]'s run report. Thresholds: quality > minQuality;
+    * LSH candidate pairs count as near-dups only when their exact
+    * token-set Jaccard >= minJaccard (banding false positives must not
+    * delete real documents — round-5 verdict); docs sharing >
+    * maxSharedShingles distinct 5-gram shingles with the eval set are
+    * dropped as contaminated.
+    */
+  def curateStages(docs: DataFrame, evalSet: DataFrame,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5): Seq[(String, DataFrame)] = {
+    val good = docs.join(
+      TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+        .filter(col("quality") > minQuality).select("doc_id"),
+      "doc_id")
+
+    val exactKeep = good.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exact = good.withColumn("h", md5(col("text")))
+      .join(exactKeep, "h")
+      .filter(col("doc_id") === col("keeper"))
+      .drop("h", "keeper")
+
+    val nearDrop = Dedup.clusterPairs(
+        Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
+          minJaccard = minJaccard), rounds = 3)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val deduped = exact.join(nearDrop, Seq("doc_id"), "left_anti")
+
+    val contaminated = Dedup.contamination(deduped, evalSet, shingleN = 5)
+      .filter(col("n_shared") > maxSharedShingles)
+      .select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+
+    Seq("quality_kept" -> good, "exact_kept" -> exact,
+      "neardup_kept" -> deduped, "decontaminated_kept" -> clean)
+  }
+
+  /** Curate `docs` against `evalSet`: the clean corpus, no writes. */
+  def curate(docs: DataFrame, evalSet: DataFrame,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5): DataFrame =
+    curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard)
+      .last._2
+
+  /** Deterministic corpus shuffle + shard assignment, write-free:
+    * training wants corpus order decorrelated from crawl/id order, so the
+    * permutation key is md5("shuf:" + id) — deterministic and
+    * engine-portable (same order any run, any engine). The global
+    * position over that order is the decomposed rank
+    * ([[Ranking.withGlobalRanks]] — never a single-task window);
+    * shard = position div docsPerShard. Returns docs.* plus `_shufkey`
+    * (the within-shard write order — drop it before shipping) and
+    * `shard`.
+    */
+  def shardAssignment(docs: DataFrame, docsPerShard: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    Ranking.withGlobalRanks(
+        docs.withColumn("_shufkey", md5(concat(lit("shuf:"), col(idCol)))),
+        Seq("_shufkey" -> true, idCol -> true))
+      .withColumn("shard",
+        expr(s"CAST((rnk - 1) DIV ${docsPerShard}L AS BIGINT)"))
+      .drop("rnk", "drnk")
+  }
+
   /** Curate `docs` against `evalSet` and write shards under `outDir`.
     * Returns (shardCount, per-stage survivor counts for the run report).
-    * Thresholds: quality > minQuality; docs sharing > maxSharedShingles
-    * distinct 5-gram shingles with the eval set are dropped as
-    * contaminated.
+    *
+    * The written shards carry ONLY the corpus columns — the internal
+    * `_shufkey` order column is dropped after the writer-side sort
+    * ([[Packing.writePreSharded]]), so no pipeline internals ship in the
+    * training data (round-5 verdict #2).
     *
     * `withStats=true` runs one count() per stage — each re-executes its
     * upstream chain, which is what you want for a small-corpus run
@@ -28,45 +102,18 @@ object Pipeline {
     */
   def curateAndShard(docs: DataFrame, evalSet: DataFrame, outDir: String,
       docsPerShard: Long = 256L, minQuality: Double = 0.3,
-      maxSharedShingles: Long = 4L,
+      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
       withStats: Boolean = true): (Long, Map[String, Long]) = {
-    def ct(df: DataFrame): Long = if (withStats) df.count() else -1L
-    val n0 = ct(docs)
-
-    val good = docs.join(
-      TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
-        .filter(col("quality") > minQuality).select("doc_id"),
-      "doc_id")
-    val n1 = ct(good)
-
-    val exactKeep = good.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"))
-    val exact = good.withColumn("h", md5(col("text")))
-      .join(exactKeep, "h")
-      .filter(col("doc_id") === col("keeper"))
-      .drop("h", "keeper")
-    val n2 = ct(exact)
-
-    val nearDrop = Dedup.clusterPairs(
-        Dedup.lshCandidatePairs(exact, bands = 2, rowsPerBand = 4), rounds = 3)
-      .filter(col("cluster") =!= col("doc_id"))
-      .select(col("doc_id"))
-    val deduped = exact.join(nearDrop, Seq("doc_id"), "left_anti")
-    val n3 = ct(deduped)
-
-    val contaminated = Dedup.contamination(deduped, evalSet, shingleN = 5)
-      .filter(col("n_shared") > maxSharedShingles)
-      .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    val n4 = ct(clean)
-
-    // deterministic shuffle: shard by salted-md5 order, not id order
-    val shuffled = clean.withColumn("_shufkey",
-      md5(concat(lit("shuf:"), col("doc_id"))))
-    val nShards = Packing.writeShards(shuffled, outDir, docsPerShard,
-      idCol = "_shufkey")
-    (nShards, if (!withStats) Map.empty else Map(
-      "input" -> n0, "quality_kept" -> n1, "exact_kept" -> n2,
-      "neardup_kept" -> n3, "decontaminated_kept" -> n4))
+    val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
+      minJaccard)
+    val sharded = shardAssignment(stages.last._2, docsPerShard)
+    val nShards = Packing.writePreSharded(sharded, outDir,
+      shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"))
+    val counts =
+      if (!withStats) Map.empty[String, Long]
+      else (("input" -> docs.count()) +: stages.map { case (n, df) =>
+        n -> df.count()
+      }).toMap
+    (nShards, counts)
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Similarity
-import graft.ops.{Dedup, EventWindows, Mixing, Multimodal, Packing, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Mixing, Multimodal, Packing, Pipeline, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import Exact.dec
@@ -32,13 +32,14 @@ object ExtensionQueries {
     * Dedup.lshCandidatePairs(bands=2, rowsPerBand=4); shared by x03 and
     * the x30 clustering stage built on top of it.
     */
-  private def bandKeyCtes(p: String, where: String): String = {
+  private def bandKeyCtes(p: String, where: String,
+      from: String = "documents"): String = {
     import graft.ops.Dedup.{MinhashA, MinhashB, MinhashP}
     val mins = (0 until 8).map(i =>
       s"min((hm * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(", ")
     def band(cols: Range) =
       cols.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ':' || ")
-    s"""${p}arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents$where),
+    s"""${p}arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $from$where),
        |${p}sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
        |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
        |    ELSE [array_to_string(a, ' ')] END) AS tok FROM ${p}arr),
@@ -1315,6 +1316,79 @@ object ExtensionQueries {
              |  FROM toks)
              |SELECT doc_id, n_tokens, start_tok,
              |  CAST(start_tok // 512 AS BIGINT) AS shard
-             |FROM offs ORDER BY doc_id""".stripMargin))
+             |FROM offs ORDER BY doc_id""".stripMargin)),
+
+    // ---- x54: the one-call curation pipeline, oracle-checked end to end ---
+    // The flagship shipped artifact: quality gate → exact dedup (min-id
+    // keeper) → LSH near-dup dedup with Jaccard-verified pairs → benchmark
+    // decontamination → deterministic salted shuffle → shard assignment.
+    // Exactly Pipeline.curate + Pipeline.shardAssignment — the same code
+    // curateAndShard writes to disk — with the doc_id%97 split standing in
+    // for the held-out eval set (x47's convention). The oracle replays all
+    // six stages: every hash is md5, the jaccard gate is integer
+    // arithmetic divided once in DOUBLE, and the shuffle is a row_number
+    // over md5 order — bitwise reproducible in both engines.
+    QueryDef(
+      "x54_curation_shard_map",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.shardAssignment(
+            Pipeline.curate(
+              docs.filter(col("doc_id") % 97 =!= 0),
+              docs.filter(col("doc_id") % 97 === 0)),
+            docsPerShard = 64L)
+          .select(col("doc_id"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
+              |good AS (SELECT doc_id, text FROM corpus
+              |  WHERE $qualityExprSql > 0.3),
+              |exact AS (SELECT g.doc_id, g.text FROM good g
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              |        FROM good GROUP BY 1) k
+              |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
+              |${bandKeyCtes("", "", "exact")},
+              |rawpairs AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM stacked a JOIN stacked b
+              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+              |jsets AS (SELECT DISTINCT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM exact),
+              |jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsets GROUP BY doc_id),
+              |jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
+              |  JOIN jsets sa ON sa.doc_id = p.id_a
+              |  JOIN jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+              |  GROUP BY p.id_a, p.id_b),
+              |pairs AS (SELECT p.id_a, p.id_b FROM rawpairs p
+              |  JOIN jsizes za ON za.doc_id = p.id_a
+              |  JOIN jsizes zb ON zb.doc_id = p.id_b
+              |  LEFT JOIN jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
+              |${clusterCtes(3)},
+              |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
+              |dedup AS (SELECT doc_id, text FROM exact
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+              |darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM dedup),
+              |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM darr),
+              |dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM dsh),
+              |evarr AS (SELECT doc_id, string_split(text, ' ') AS a
+              |  FROM documents WHERE doc_id % 97 = 0),
+              |evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM evarr),
+              |evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM evsh),
+              |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
+              |  GROUP BY doc_id HAVING COUNT(*) > 4),
+              |clean AS (SELECT doc_id FROM dedup
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              |ord AS (SELECT doc_id,
+              |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)), doc_id)
+              |      - 1 AS pos
+              |  FROM clean)
+              |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard
+              |FROM ord ORDER BY doc_id""".stripMargin))
   )
 }

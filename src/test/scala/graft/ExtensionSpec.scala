@@ -782,6 +782,10 @@ class ExtensionSpec extends SparkSuite {
     assert(stages("decontaminated_kept") > 0)
     val out = spark.read.parquet(dir1)
     assert(out.count() == stages("decontaminated_kept"))
+    // shipped shards carry ONLY corpus columns — the internal shuffle-order
+    // key must not leak into the training data (round-5 verdict #2)
+    assert(!out.columns.exists(_.startsWith("_")),
+      s"internal columns shipped in shards: ${out.columns.mkString(",")}")
     assert(out.select("text").distinct().count() == out.count(), "exact dup in shards")
     assert(out.filter(col("doc_id") < 20).isEmpty, "contaminated doc in shards")
     assert(nShards == (stages("decontaminated_kept") + 63) / 64)
@@ -793,6 +797,30 @@ class ExtensionSpec extends SparkSuite {
     val byShard2 = spark.read.parquet(dir2).select(col("shard").cast("long"), col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byShard1 == byShard2)
+  }
+
+  test("pipeline near-dup stage is jaccard-verified: sub-threshold banding " +
+      "candidates cannot delete documents (round-5 advice #2)") {
+    val near = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda", // J≈0.82
+        "one two three four five six seven eight nine ten"))
+    val evalSet = near.filter(lit(false))
+    def survivors(tau: Double) = collectCol[Long](
+      ops.Pipeline.curate(near, evalSet, minJaccard = tau).select("doc_id"),
+      "doc_id").toSet
+    // the true near-dup pair passes verification and doc 2 is deduped away
+    assert(survivors(0.5) == Set(1L, 3L))
+    // raising the bar above the pair's exact jaccard keeps it: deletion is
+    // gated on VERIFIED similarity, not on the banding candidate alone
+    assert(survivors(0.95) == Set(1L, 2L, 3L))
+    // planted false positive: a candidate pair with zero token overlap is
+    // dropped by the same gate the pipeline applies before clustering
+    val planted = frame("id_a" -> Seq(1L), "id_b" -> Seq(3L))
+    assert(Dedup.jaccard(near, planted).filter(col("jaccard") >= 0.5).isEmpty,
+      "zero-overlap banding false positive survived the jaccard gate")
   }
 
   test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
