@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** One media document: opaque binary payload + typed metadata. */
 final case class MediaDoc(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Extracted features. Dimensions come from the decoder (STUBBED here). */
+/** Extracted features. Byte-level fields are always present; the decoded
+  * dimensions are None (null columns) when the payload is not a
+  * recognized container — never fabricated. */
 final case class MediaFeatures(doc_id: Long, media_type: String,
-    n_bytes: Int, first_byte: Int, width: Int, height: Int, n_frames: Int)
+    n_bytes: Int, first_byte: Int, width: Option[Int], height: Option[Int],
+    n_frames: Option[Int])
 
 /** One fixed-size slice of a media payload (audio segmentation shape). */
 final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
@@ -25,14 +28,15 @@ final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
   * fixtures (`synthBmp`/`synthWav`/`synthMp4`) exercise each real path
   * end-to-end on executors (x41/x45/x46, all DuckDB-oracle-backed).
   *
-  * ==== STUB NOTICE (pixel data only) ====
+  * ==== Unrecognized payloads (no fabrication) ====
   * No pixel-codec libraries exist in this environment, so payloads whose
-  * bytes are NOT a recognized image container fall back to `decodeStub`,
-  * which derives pseudo-dimensions deterministically from the payload
-  * bytes; `resizeStub` likewise stands in for a pixel resample. The
+  * bytes are NOT a recognized container produce NULL decoded dimensions
+  * (`decode` returns None → nullable feature columns) and pass through
+  * `resizeAll` UNCHANGED — the honest contract for a production pipeline
+  * missing a codec, and the place to plug a JNI/codec call in. The
   * Spark-side plumbing — binary schema, Dataset encoders, mapPartitions
-  * batching, partition sizing — is real and tested; swap the stubs for a
-  * JNI/codec call in production.
+  * batching, partition sizing — is real and tested against real
+  * containers (BMP/PNG/GIF/JPEG headers, RIFF/WAVE, ISO-BMFF).
   *
   * Scale design: `mapPartitions` amortizes decoder initialization once per
   * partition (the expensive part for real codecs); payloads never leave
@@ -50,16 +54,6 @@ object Multimodal {
       col("doc_id"),
       concat(lit("media/"), col("source")).as("media_type"),
       encode(col("text"), "UTF-8").as("payload"))
-
-  /** STUB decoder: deterministic pseudo-dimensions from payload bytes.
-    * Real implementation would be e.g. an image codec returning
-    * (width, height, frames) — marked ??? semantics, faked for tests.
-    */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    val first = if (n == 0) 0 else payload(0) & 0xff
-    (64 + n % 32, 64 + first % 32, 1 + n % 8)
-  }
 
   /** REAL image-header decode: (width, height, format) parsed from the
     * payload's actual container bytes.
@@ -125,12 +119,9 @@ object Multimodal {
   }
 
   /** Decode dimensions: real container parse when the payload IS an image
-    * (single still frame), stub fallback otherwise. */
-  def decode(payload: Array[Byte]): (Int, Int, Int) =
-    decodeImageHeader(payload) match {
-      case Some((w, h, _)) => (w, h, 1)
-      case None            => decodeStub(payload)
-    }
+    * (single still frame); None — never fabricated values — otherwise. */
+  def decode(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    decodeImageHeader(payload).map { case (w, h, _) => (w, h, 1) }
 
   /** Synthesize a real, spec-valid 24-bpp BMP (BITMAPINFOHEADER, rows
     * padded to 4 bytes, deterministic pixel bytes). Used to exercise the
@@ -339,9 +330,10 @@ object Multimodal {
     media.mapPartitions { it =>
       // decoder init would happen here, once per partition
       it.map { m =>
-        val (w, h, f) = decode(m.payload)
+        val dims = decode(m.payload)
         val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
-        MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
+        MediaFeatures(m.doc_id, m.media_type, m.payload.length, first,
+          dims.map(_._1), dims.map(_._2), dims.map(_._3))
       }
     }
   }
@@ -358,9 +350,10 @@ object Multimodal {
         // a real implementation hands `batch.map(_.payload)` to the codec
         // in one call; the header parse decodes element-wise
         batch.map { m =>
-          val (w, h, f) = decode(m.payload)
+          val dims = decode(m.payload)
           val first = if (m.payload.isEmpty) 0 else m.payload(0) & 0xff
-          MediaFeatures(m.doc_id, m.media_type, m.payload.length, first, w, h, f)
+          MediaFeatures(m.doc_id, m.media_type, m.payload.length, first,
+            dims.map(_._1), dims.map(_._2), dims.map(_._3))
         }
       }
     }
@@ -375,7 +368,9 @@ object Multimodal {
   /** Frame sampling: every `stride`-th frame index per video — pure
     * declarative explode over the decoded frame count (no payload copy per
     * frame; a real pipeline would pass (doc_id, frame_idx) to the decoder
-    * for frame-seek extraction). Map-only at any scale.
+    * for frame-seek extraction). Map-only at any scale. Rows whose
+    * `n_frames` is null (payload never decoded) produce no frames:
+    * explode of a null sequence drops the row.
     */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
     features
@@ -398,21 +393,15 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: deterministic byte-stride downsample standing in for a
-    * pixel resample — output length is exactly targetW·targetH/64 (the
-    * stub's "pixel" budget), derived only from the input bytes. Swap for a
-    * codec resample in production; the batching/partition shape is what
-    * matters here.
-    */
   /** REAL pixel resize for 24-bpp BI_RGB bottom-up BMPs: nearest-neighbor
     * resample of the pixel grid, re-emitting a spec-valid BMP at
     * (targetW, targetH) — the same container [[synthBmp]] writes, so the
     * synth → resize → decode loop runs on real pixels end to end.
-    * Returns None (→ [[resizeStub]] fallback in [[resizeAll]]) for
-    * anything that is not a plain uncompressed 24-bpp BITMAPINFOHEADER
-    * bottom-up BMP with in-bounds pixel data: paletted/compressed/
-    * top-down variants and non-BMP formats stay on the stub path, whose
-    * codec would need a library this container doesn't ship.
+    * Returns None (→ passthrough in [[resizeAll]]) for anything that is
+    * not a plain uncompressed 24-bpp BITMAPINFOHEADER bottom-up BMP with
+    * in-bounds pixel data: paletted/compressed/top-down variants and
+    * non-BMP formats need a codec library this container doesn't ship,
+    * so they are left untouched rather than mangled.
     */
   def resizeBmp(p: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     require(targetW > 0 && targetH > 0, "target dims must be positive")
@@ -453,20 +442,15 @@ object Multimodal {
     Some(out)
   }
 
-  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val want = math.max(1, targetW * targetH / 64)
-    if (payload.isEmpty) Array.emptyByteArray
-    else Array.tabulate(math.min(want, payload.length))(i =>
-      payload((i.toLong * payload.length / math.min(want, payload.length)).toInt))
-  }
-
   /** Batched resize over a media dataset — same iterator-in/iterator-out
     * shape as extractFeaturesBatched. BMP payloads get the REAL pixel
-    * resample ([[resizeBmp]]); everything else the deterministic stub. */
+    * resample ([[resizeBmp]]); payloads this environment cannot decode
+    * pass through UNCHANGED (no fabricated bytes — plug a codec call in
+    * here for other formats). */
   def resizeAll(media: Dataset[MediaDoc], targetW: Int, targetH: Int): Dataset[MediaDoc] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m =>
       m.copy(payload = resizeBmp(m.payload, targetW, targetH)
-        .getOrElse(resizeStub(m.payload, targetW, targetH)))))
+        .getOrElse(m.payload))))
   }
 }

@@ -755,18 +755,28 @@ object ExtensionQueries {
              |  ON e.user_id = p.user_id AND e.ts >= p.ts
              |ORDER BY e.event_id""".stripMargin)),
 
-    // ---- x32: frame sampling over decoded media (stride 2) ----------------
-    // Declarative explode of sampled frame indices — the oracle replays
-    // the stub decoder's n_frames formula (same as x16) and the stride.
+    // ---- x32: frame sampling over REAL video containers (stride 2) --------
+    // Each doc becomes a spec-valid MP4 synthesized ON THE EXECUTORS at
+    // 24 fps (timescale=24): for constant-frame-rate video the mvhd
+    // duration in timescale units IS the frame count, so n_frames comes
+    // from a real ISO-BMFF parse, not a fabricated formula. The oracle
+    // replays the synthesis arithmetic (duration = 24·(1 + id%5) frames)
+    // and the stride.
     QueryDef(
       "x32_frame_sample",
-      (s, dir) =>
-        Multimodal.sampleFrames(
-            Multimodal.featuresOf(s, Tables.documents(s, dir).filter(col("doc_id") < 200)),
-            stride = 2)
-          .orderBy(col("doc_id"), col("frame_idx")),
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/video",
+            Multimodal.synthMp4(24, 24L * (1 + id % 5))))
+        val frames = Multimodal.extractVideoFeatures(media).toDF()
+          .select(col("doc_id"), col("duration").cast("int").as("n_frames"))
+        Multimodal.sampleFrames(frames, stride = 2)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
       Some("""SELECT doc_id,
-             |  unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS frame_idx
+             |  unnest(range(0, 24 * (1 + doc_id % 5), 2)) AS frame_idx
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // ---- x33: deterministic train/val/test split --------------------------
@@ -881,21 +891,44 @@ object ExtensionQueries {
               |  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
               |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin)),
 
-    // ---- x16: multimodal binary plumbing (STUB decode, real pipeline) -----
+    // ---- x16: multimodal binary plumbing (real decode or NULL dims) -------
+    // A mixed-media batch: even ids carry spec-valid BMPs synthesized on
+    // the executors (real container parse → real dimensions), odd ids
+    // carry raw text bytes — NOT a decodable container, so the decoded
+    // dimensions are NULL (never fabricated; round-5 verdict #6). The
+    // byte-level features stay exact for both. first_byte/height derive
+    // from the first UTF-8 *byte*, which no portable SQL expression
+    // reproduces for non-ASCII text — kept in the library/spec, excluded
+    // from the oracle-checked projection.
     QueryDef(
       "x16_multimodal_features",
-      (s, dir) =>
-        Multimodal.featuresOf(s, Tables.documents(s, dir).filter(col("doc_id") < 200))
-          // first_byte/height derive from the first UTF-8 *byte*, which no
-          // portable SQL expression reproduces for non-ASCII text — kept in
-          // the library/spec, excluded from the oracle-checked projection
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (id, source, text) =>
+            if (id % 2 == 0)
+              graft.ops.MediaDoc(id, "media/image",
+                Multimodal.synthBmp((16 + id % 16).toInt, (8 + id % 8).toInt))
+            else graft.ops.MediaDoc(id, "media/" + source, text.getBytes("UTF-8"))
+          }
+        Multimodal.extractFeatures(media).toDF()
           .select(col("doc_id"), col("media_type"), col("n_bytes"),
             col("width"), col("n_frames"))
-          .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, 'media/' || source AS media_type,
-             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             |  CAST(64 + octet_length(encode(text)) % 32 AS INTEGER) AS width,
-             |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'media/image'
+             |       ELSE 'media/' || source END AS media_type,
+             |  CASE WHEN doc_id % 2 = 0
+             |    THEN CAST(54 + (((16 + doc_id % 16) * 3 + 3) // 4) * 4
+             |      * (8 + doc_id % 8) AS INTEGER)
+             |    ELSE CAST(octet_length(encode(text)) AS INTEGER) END AS n_bytes,
+             |  CASE WHEN doc_id % 2 = 0
+             |    THEN CAST(16 + doc_id % 16 AS INTEGER) ELSE NULL END AS width,
+             |  CASE WHEN doc_id % 2 = 0
+             |    THEN CAST(1 AS INTEGER) ELSE NULL END AS n_frames
              |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
 
     // ---- x40: batch corpus merge (daily-crawl ingest) ---------------------

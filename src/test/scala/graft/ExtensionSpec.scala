@@ -173,7 +173,8 @@ class ExtensionSpec extends SparkSuite {
     assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 0L)
   }
 
-  test("multimodal stub pipeline: deterministic features through mapPartitions") {
+  test("multimodal pipeline: byte features always present; decoded dims are " +
+      "NULL for unrecognized payloads, never fabricated") {
     val d = frame(
       "doc_id" -> Seq[Any](1L),
       "text" -> Seq("abcd"),
@@ -182,8 +183,8 @@ class ExtensionSpec extends SparkSuite {
     assert(f.getAs[String]("media_type") == "media/web")
     assert(f.getAs[Int]("n_bytes") == 4)
     assert(f.getAs[Int]("first_byte") == 'a'.toInt)
-    assert(f.getAs[Int]("width") == 64 + 4 % 32)
-    assert(f.getAs[Int]("n_frames") == 1 + 4 % 8)
+    for (c <- Seq("width", "height", "n_frames"))
+      assert(f.isNullAt(f.fieldIndex(c)), s"$c fabricated for a text payload")
   }
 
   test("decodeImageHeader parses a REAL 2x3 PNG written by javax.imageio") {
@@ -193,7 +194,7 @@ class ExtensionSpec extends SparkSuite {
     val bos = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "png", bos))
     assert(Multimodal.decodeImageHeader(bos.toByteArray) == Some((2, 3, "png")))
-    assert(Multimodal.decode(bos.toByteArray) == ((2, 3, 1)))
+    assert(Multimodal.decode(bos.toByteArray) == Some((2, 3, 1)))
   }
 
   test("decodeImageHeader parses a REAL JPEG (marker walk to SOFn)") {
@@ -291,10 +292,10 @@ class ExtensionSpec extends SparkSuite {
     assert(Multimodal.decodeMp4Header(v1) == Some((48000, 96000L, 2000L)))
   }
 
-  test("non-image payloads (text bytes, truncated magic) fall back to the stub") {
+  test("non-image payloads (text bytes, truncated magic) decode to None") {
     val text = "the quick brown fox".getBytes("UTF-8")
     assert(Multimodal.decodeImageHeader(text).isEmpty)
-    assert(Multimodal.decode(text) == Multimodal.decodeStub(text))
+    assert(Multimodal.decode(text).isEmpty)
     // a PNG signature truncated before IHDR must not parse
     val truncated = Multimodal.synthBmp(4, 4).take(20)
     assert(Multimodal.decodeImageHeader(truncated).isEmpty)
@@ -523,7 +524,8 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
-  test("payload chunking reassembles losslessly; resize is deterministic and bounded") {
+  test("payload chunking reassembles losslessly; undecodable payloads pass " +
+      "through resize unchanged; real BMPs resample") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val media = Multimodal.attachPayload(docs).as[MediaDoc]
@@ -535,17 +537,22 @@ class ExtensionSpec extends SparkSuite {
       assert(java.util.Arrays.equals(rebuilt, originals(id)), s"doc $id reassembly")
       assert(cs.init.forall(_.chunk.length == 37)) // all but last are full
     }
+    // undecodable (text) payloads pass through resize UNCHANGED — the
+    // honest no-codec contract; real BMP resampling is pinned pixel-level
+    // in the dedicated resizeBmp test below
     val resized = Multimodal.resizeAll(media, 64, 64).collect()
-    resized.foreach { m =>
-      assert(m.payload.length <= math.max(1, 64 * 64 / 64))
-      assert(java.util.Arrays.equals(m.payload,
-        Multimodal.resizeStub(originals(m.doc_id), 64, 64))) // deterministic
-    }
+    resized.foreach(m =>
+      assert(java.util.Arrays.equals(m.payload, originals(m.doc_id))))
+    val bmp = Multimodal.synthBmp(8, 8)
+    val shrunk = Multimodal.resizeAll(
+      spark.createDataset(Seq(graft.ops.MediaDoc(1L, "media/image", bmp)))(
+        org.apache.spark.sql.Encoders.product[graft.ops.MediaDoc]), 4, 4).collect()
+    assert(Multimodal.decodeImageHeader(shrunk(0).payload).contains((4, 4, "bmp")))
   }
 
   test("REAL BMP pixel resize: every output pixel nearest-neighbor-verified " +
       "against the JDK image reader; integer-ratio round trip lossless; " +
-      "non-BMP payloads rejected to the stub path") {
+      "non-BMP payloads rejected (None -> passthrough)") {
     import javax.imageio.ImageIO
     for ((w, h, tw, th) <- Seq((10, 7, 4, 3), (5, 5, 9, 9), (16, 2, 3, 8))) {
       val in = Multimodal.synthBmp(w, h)
