@@ -1136,17 +1136,19 @@ object ExtensionQueries {
     // Same-cell (k-means, 2 Lloyd iterations, fixed-point updates) pairs
     // with cosine >= 0.5 — the IVF twin of x12's LSH bucketing. The oracle
     // replays the full training + assignment (kmeansSql CTEs) and the
-    // within-cell pair join. The vec_id bound pins the demo slice (a no-op
-    // at the oracle SFs): with nCells FIXED at 8 for oracle replay,
-    // same-cell candidates grow quadratically with input — at production
-    // scale nCells grows with n (finer quantizer), which this bench-shape
-    // query cannot express without breaking the static oracle.
+    // within-cell pair join. This runs the SALTED production form
+    // (saltBuckets=2): a hot cell's quadratic join spreads over salt
+    // buckets, and because each unordered pair is emitted exactly once
+    // (at the left element's content salt) the result is identical to the
+    // unsalted join — so the plain same-cell SQL below oracle-checks the
+    // salted dataflow itself. nCells (the complementary skew lever) stays
+    // fixed at 8 here only so the oracle replay is static.
     QueryDef(
       "x44_semantic_neardup",
       (s, dir) =>
         Similarity.cellNearDupPairs(
             Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
-            nCells = 8, iters = 2, minCosine = 0.5)
+            nCells = 8, iters = 2, minCosine = 0.5, saltBuckets = 2)
           .orderBy(col("id_a"), col("id_b")),
       Some(kmeansSql(nCells = 8, iters = 2, where = " WHERE vec_id < 2000",
         finalSelect =

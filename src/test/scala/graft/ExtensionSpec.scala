@@ -830,6 +830,70 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("cellNearDupPairs: salted join is result-identical and spreads a " +
+      "planted hot cell across salt buckets (production skew rule, x44 form)") {
+    // planted skew: ids 1..41 collapse into one k-means cell (near-identical
+    // vectors), ids 0 + 42..51 into the other; init centroids are ids 0, 1
+    val rows = (0 until 52).map { i =>
+      val e: Seq[Double] =
+        if (i == 0) Seq(0.0, 1.0, 0.0, 0.0)
+        else if (i < 42) Seq(1.0, 0.001 * i, 0.0, 0.0)
+        else Seq(0.0, 1.0, 0.002 * i, 0.0)
+      (i.toLong, e)
+    }
+    val vecs = frame("vec_id" -> rows.map(_._1), "embedding" -> rows.map(_._2))
+    def pairs(s: Int) = Similarity.cellNearDupPairs(vecs, nCells = 2, iters = 1,
+        minCosine = 0.9, saltBuckets = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = pairs(1)
+    // the hot cell alone contributes hundreds of pairs
+    assert(base.size >= 500, s"expected a dense hot cell, got ${base.size} pairs")
+    assert(pairs(4) == base, "salted join must be result-identical")
+    // the skew bound salting buys: the hottest (cell, salt) group on the
+    // salted left side is a fraction of the hottest unsalted cell
+    val cells = Similarity.ivfAssignKmeans(vecs, nCells = 2, iters = 1)
+    val maxCell = cells.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    val maxGroup = cells
+      .withColumn("_salt", pmod(xxhash64(col("vec_id")), lit(4L)))
+      .groupBy("cell", "_salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell >= 40, s"planted hot cell missing (max cell $maxCell)")
+    assert(maxGroup <= maxCell / 2,
+      s"salting failed to spread the hot cell: $maxGroup of $maxCell")
+  }
+
+  test("lineDedup skew stress: a line repeated across every document does " +
+      "not serialize the keep-first shuffle (map-side WindowGroupLimit), " +
+      "staying within a factor of a uniform corpus") {
+    val n = 20000L
+    // uniform: 5 unique lines per doc; hot: line 0 of EVERY doc is the same
+    // 5 words — an n-times-repeated key on the line-content shuffle
+    def corpus(hot: Boolean) = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 25).map(w =>
+        if (hot && w < 5) lit(s"hot$w")
+        else concat(lit(s"w$w-"), col("id"))): _*).as("text"))
+    def timed(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = df.count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val (cu, tu) = timed(Dedup.lineDedup(corpus(hot = false)))
+    val (ch, th) = timed(Dedup.lineDedup(corpus(hot = true)))
+    // correctness under skew: the hot line survives only in its first-
+    // occurrence doc, every doc keeps its unique lines — no doc drops out
+    assert(cu == n && ch == n)
+    // plan guard: the rank-1 filter is planned as a partial WindowGroupLimit
+    // BEFORE the exchange, so each map task forwards at most one row per
+    // line and the hot key reaches its reducer as <= #partitions rows
+    val plan = Dedup.lineDedup(corpus(hot = true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // throughput guard (generous bound for local timing noise): without the
+    // partial limit the hot run funnels n copies of one key to one reducer
+    assert(th <= tu * 5 + 2.0, s"hot corpus $th s vs uniform $tu s")
+  }
+
   test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
       "novel survival >= 1 - 2*fpp, deterministic across runs") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
