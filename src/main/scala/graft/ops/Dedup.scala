@@ -423,12 +423,31 @@ object Dedup {
   /** Exact token-set Jaccard for given candidate pairs
     * (columns id_a, id_b). Join-based: |A∩B| via token equi-join,
     * |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * Scale shape: only PAIR MEMBERS are tokenized — docs are semi-joined
+    * against the pair id set and the surviving (id, text) rows are
+    * MATERIALIZED once ([[Checkpoints.materialize]], same discipline as
+    * [[lshCandidatePairs]]' distilled output). Candidates are a vanishing
+    * fraction of a 100 TB corpus, so this turns the verification stage
+    * from three full-corpus passes (the token sets feed the size
+    * aggregate and both sides of the intersection join, each of which
+    * would otherwise re-execute the whole upstream lineage) into one
+    * bounded prune plus cheap re-reads of a small checkpoint.
     */
   def jaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sets = docs.select(col(idCol).as("jid"),
+    val members = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val pruned = Checkpoints.materialize(
+      docs.join(members, Seq(idCol), "left_semi")
+        .select(col(idCol), col(textCol)))
+    val sets = pruned.select(col(idCol).as("jid"),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val sizes = sets.groupBy(col("jid")).agg(count(lit(1)).as("sz"))
+    // |set| is map-only over the checkpointed rows — no explode/groupBy
+    // shuffle just to count what size(array_distinct(...)) already knows
+    val sizes = pruned.select(col(idCol).as("jid"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("sz"))
     val inter = pairs
       .join(sets.select(col("jid").as("id_a"), col("tok")), "id_a")
       .join(sets.select(col("jid").as("id_b"), col("tok")), Seq("id_b", "tok"))
