@@ -1375,10 +1375,15 @@ object ExtensionQueries {
           .select(col("doc_id"), col("shard"))
           .orderBy(col("doc_id"))
       },
+      // AS MATERIALIZED pins DuckDB's CTE materialization for the
+      // multiply-referenced stages (exact feeds banding, jaccard and the
+      // anti-joins; jsets feeds both sides of the intersection) — without
+      // it DuckDB re-executes the whole quality+dedup chain per reference
+      // and this oracle runs ~10x slower. Semantics unchanged.
       Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
               |good AS (SELECT doc_id, text FROM corpus
               |  WHERE $qualityExprSql > 0.3),
-              |exact AS (SELECT g.doc_id, g.text FROM good g
+              |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
               |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
               |        FROM good GROUP BY 1) k
               |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
@@ -1387,14 +1392,14 @@ object ExtensionQueries {
               |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |  FROM stacked a JOIN stacked b
               |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
-              |jsets AS (SELECT DISTINCT doc_id,
+              |jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
               |    unnest(string_split(text, ' ')) AS tok FROM exact),
               |jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsets GROUP BY doc_id),
               |jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
               |  JOIN jsets sa ON sa.doc_id = p.id_a
               |  JOIN jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
               |  GROUP BY p.id_a, p.id_b),
-              |pairs AS (SELECT p.id_a, p.id_b FROM rawpairs p
+              |pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM rawpairs p
               |  JOIN jsizes za ON za.doc_id = p.id_a
               |  JOIN jsizes zb ON zb.doc_id = p.id_b
               |  LEFT JOIN jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
@@ -1402,7 +1407,7 @@ object ExtensionQueries {
               |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
               |${clusterCtes(3)},
               |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
-              |dedup AS (SELECT doc_id, text FROM exact
+              |dedup AS MATERIALIZED (SELECT doc_id, text FROM exact
               |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
               |darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM dedup),
               |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
