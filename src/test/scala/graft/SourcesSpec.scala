@@ -120,6 +120,26 @@ class SourcesSpec extends SparkSuite {
     assert(back.count() == 3)
   }
 
+  test("writeTokenShards on the real documents table: layout agrees with " +
+      "the oracle-checked x55 assignment map") {
+    val dir = java.nio.file.Files.createTempDirectory("tokshards_docs").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (n, assign) = graft.ops.Packing.writeTokenShards(docs, dir, 512L)
+    // the shipped assignment == the pure tokenShardAssignment (x55 surface)
+    val pure = graft.ops.Packing.tokenShardAssignment(docs, 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val shipped = assign
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("shard"))).toSet
+    assert(shipped == pure)
+    // every written doc sits where the map says; count covers the max id
+    val back = spark.read.parquet(dir).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").longValue()).toMap
+    val want = shipped.map(t => t._1 -> t._4).toMap
+    assert(back == want)
+    assert(n == back.values.max + 1)
+  }
+
   test("writeShards: one file per shard, contiguous id ranges in order, " +
       "last shard partial, shard count returned") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
