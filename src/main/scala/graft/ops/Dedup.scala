@@ -255,12 +255,28 @@ object Dedup {
   }
 
   /** The corpus's distinct band-key set — the distilled dedup state a
-    * streaming ingest filter holds against (bands·docs short rows). */
+    * streaming ingest filter holds against (bands·docs short rows).
+    *
+    * Uses the CODEGEN explode/groupBy signature route (the measured-faster
+    * batch path — PLANS.md's negative result on the HOF form), keyed by
+    * md5(text) instead of a document id: rows with identical text merge
+    * into one signature computation (identical shingle sets — harmless
+    * for a DISTINCT key set, and it dedups the corpus's exact dups for
+    * free), rows with different texts never collide, and the key is a
+    * deterministic function of the row (no synthetic-id recomputation
+    * hazard). Only the batch side may aggregate — the per-row
+    * [[withBandKeys]]/[[bandKeysArray]] forms remain the streaming path.
+    */
   def corpusBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    withBandKeys(docs.select(col(textCol)), textCol, "_bks", bands, rowsPerBand)
-      .select(explode(col("_bks")).as("bk"))
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val h = freshName(docs.columns.toSeq, "_cbh")
+    val sig = bandKeys(
+      minhashSignature(docs.select(md5(col(textCol)).as(h), col(textCol)),
+        bands * rowsPerBand, textCol, h),
+      bands, rowsPerBand)
+    sig.select(explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
       .distinct()
+  }
 
   /** Batch corpus merge (the daily-crawl ingest step): keep only new
     * documents that are neither exact duplicates (md5) nor near-duplicates
