@@ -894,6 +894,23 @@ class ExtensionSpec extends SparkSuite {
     assert(th <= tu * 5 + 2.0, s"hot corpus $th s vs uniform $tu s")
   }
 
+  test("cache lifecycle: every persist-managing operator leaves the session " +
+      "cache empty (round-5 discipline, mechanically guarded)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 200)
+    val evalSet = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+    assert(org.apache.spark.sql.GraftSqlTestBridge.cacheIsEmpty(spark),
+      "cache dirty before the test — another operator leaked")
+    Dedup.clusterPairs(Dedup.lshCandidatePairs(docs, 2, 4), rounds = 2).count()
+    Dedup.verifiedCandidatePairs(docs, 2, 4, minJaccard = 0.5).count()
+    val dir = java.nio.file.Files.createTempDirectory("cache_lc").toString
+    graft.ops.Packing.writeTokenShards(docs, dir, 512L)
+    ops.Pipeline.curateAndShard(docs, evalSet, s"$dir/pipe",
+      docsPerShard = 64L, withStats = false)
+    assert(org.apache.spark.sql.GraftSqlTestBridge.cacheIsEmpty(spark),
+      "an operator left persisted frames behind")
+  }
+
   test("bloomCorpusFilter: zero false negatives (every corpus dup rejected), " +
       "novel survival >= 1 - 2*fpp, deterministic across runs") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
