@@ -229,6 +229,50 @@ object Packing {
       spark.read.parquet(s"$outDir/_assignment"))
   }
 
+  /** Bin packing WITHOUT document splitting — the other batching scheme
+    * trainers use: documents stay whole, each context window (bin) is
+    * filled next-fit in `idCol` order until the next document would
+    * overflow `capacity`, then a new bin starts (documents longer than
+    * capacity get a bin of their own). Minimizes padding without the
+    * attention-mask complications of split documents.
+    *
+    * Next-fit state (the running fill) is inherently sequential, so the
+    * scalable decomposition is two-level: documents are first assigned to
+    * BUCKETS of ~`bucketTokens` token mass by the decomposed prefix sum
+    * ([[packSequences]] — deterministic, never a single-task window),
+    * then each bucket is packed independently in one task via the typed
+    * `flatMapSortedGroups` API (one shuffle on the bucket id; O(1) fold
+    * state per group; buckets are token-balanced by construction, so
+    * tasks are too). Bin ids are (bucket, bin-within-bucket) — globally
+    * unique and deterministic on any partitioning; the only packing
+    * difference vs a single sequential pass is at the ~totalTokens /
+    * bucketTokens bucket boundaries (each boundary wastes at most one
+    * partial bin, the price of parallelism).
+    */
+  def packBinsNextFit(docs: DataFrame, capacity: Long, bucketTokens: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, "bin capacity must be positive")
+    require(bucketTokens >= capacity, "buckets must hold at least one bin")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seq = packSequences(docs, bucketTokens, textCol, idCol)
+      .select(col("first_bin").as("bucket"), col(idCol), col("n_tokens"))
+      .as[(Long, Long, Long)]
+    seq.groupByKey(_._1)
+      .flatMapSortedGroups(col(idCol)) { (bucket, it) =>
+        var fill = 0L
+        var bin = 0L
+        var first = true
+        it.map { case (_, id, n) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= capacity) fill += n
+          else { bin += 1; fill = n }
+          (id, bucket, bin, n)
+        }
+      }
+      .toDF(idCol, "bucket", "bin", "n_tokens")
+  }
+
   /** Sliding token-window chunking — the per-document alternative to
     * concat-then-chunk: each document is cut into windows of
     * `chunkTokens` whitespace tokens starting every `stride` tokens

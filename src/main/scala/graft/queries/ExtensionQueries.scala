@@ -1353,6 +1353,47 @@ object ExtensionQueries {
              |  CAST(start_tok // 512 AS BIGINT) AS shard
              |FROM offs ORDER BY doc_id""".stripMargin)),
 
+    // ---- x56: no-split next-fit bin packing -------------------------------
+    // The whole-document batching scheme (vs x49's concat-then-chunk):
+    // next-fit fill in id order, new bin on overflow, oversize docs get
+    // their own bin. Spark runs the two-level decomposition (prefix-sum
+    // buckets → per-bucket sequential fold in flatMapSortedGroups); the
+    // oracle replays the IDENTICAL recurrence with a recursive CTE over
+    // the same buckets — bit-equal (bucket, bin) for every document.
+    QueryDef(
+      "x56_bin_pack_nosplit",
+      (s, dir) =>
+        Packing.packBinsNextFit(Tables.documents(s, dir),
+            capacity = 256L, bucketTokens = 8192L)
+          .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |offs AS (SELECT doc_id, n_tokens,
+             |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS start_tok
+             |  FROM toks),
+             |seq AS (SELECT doc_id, n_tokens,
+             |    CAST(start_tok // 8192 AS BIGINT) AS bucket,
+             |    ROW_NUMBER() OVER (PARTITION BY start_tok // 8192
+             |      ORDER BY doc_id) AS rn
+             |  FROM offs),
+             |nf AS (
+             |  SELECT doc_id, bucket, rn, n_tokens,
+             |    n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+             |  FROM seq WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.doc_id, s.bucket, s.rn, s.n_tokens,
+             |    CASE WHEN p.fill + s.n_tokens <= 256
+             |      THEN p.fill + s.n_tokens ELSE s.n_tokens END,
+             |    CASE WHEN p.fill + s.n_tokens <= 256
+             |      THEN p.bin ELSE p.bin + 1 END
+             |  FROM nf p JOIN seq s ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+             |SELECT doc_id, bucket, bin, n_tokens
+             |FROM nf ORDER BY doc_id""".stripMargin)),
+
     // ---- x54: the one-call curation pipeline, oracle-checked end to end ---
     // The flagship shipped artifact: quality gate → exact dedup (min-id
     // keeper) → LSH near-dup dedup with Jaccard-verified pairs → benchmark

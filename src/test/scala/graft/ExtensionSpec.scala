@@ -894,6 +894,48 @@ class ExtensionSpec extends SparkSuite {
     assert(th <= tu * 5 + 2.0, s"hot corpus $th s vs uniform $tu s")
   }
 
+  test("packBinsNextFit: bins within capacity (oversize docs alone), equal to " +
+      "the in-memory next-fit model, stable under repartitioning") {
+    val cap = 256L
+    val bmass = 512L
+    val lens = Seq(100L, 200L, 50L, 300L, 10L, 10L, 10L, 256L, 257L, 1L, 255L, 2L)
+    val docs = frame(
+      "doc_id" -> lens.indices.map(_.toLong),
+      "text" -> lens.map(n => Seq.fill(n.toInt)("w").mkString(" ")))
+    def model: Set[(Long, Long, Long, Long)] = {
+      var start = 0L
+      val bucketed = lens.zipWithIndex.map { case (n, id) =>
+        val b = start / bmass; start += n; (id.toLong, n, b)
+      }
+      bucketed.groupBy(_._3).toSeq.flatMap { case (b, ds) =>
+        var fill = 0L; var bin = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, n, _) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= cap) fill += n
+          else { bin += 1; fill = n }
+          (id, b, bin, n)
+        }
+      }.toSet
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ops.Packing.packBinsNextFit(df, cap, bmass).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run(docs)
+    assert(got == model)
+    assert(run(docs.repartition(7)) == got, "partitioning leaked into packing")
+    // bin contract: every (bucket, bin) holds <= capacity tokens unless it
+    // is a single oversize document
+    got.groupBy(t => (t._2, t._3)).foreach { case ((b, bin), ds) =>
+      val mass = ds.toSeq.map(_._4).sum
+      assert(mass <= cap || ds.size == 1, s"bucket $b bin $bin mass $mass")
+    }
+    // bin ids contiguous from 0 within each bucket
+    got.groupBy(_._2).foreach { case (b, ds) =>
+      val bins = ds.map(_._3)
+      assert(bins == (0L until bins.max + 1).toSet, s"bucket $b bins $bins")
+    }
+  }
+
   test("cache lifecycle: every persist-managing operator leaves the session " +
       "cache empty (round-5 discipline, mechanically guarded)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
