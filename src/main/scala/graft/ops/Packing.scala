@@ -273,6 +273,31 @@ object Packing {
       .toDF(idCol, "bucket", "bin", "n_tokens")
   }
 
+  /** Length-bucketed batching: split the corpus into `k` near-equal
+    * quantile buckets by token count, so a dynamic batcher draws
+    * same-length-ish documents together and pads almost nothing — the
+    * standard bucketing trick for training/inference throughput.
+    *
+    * bucket = floor(rank·k / n) over the (n_tokens, id) order — exact
+    * quantiles, deterministic ties. The rank is the decomposed global
+    * rank ([[Ranking.withGlobalRanks]], never a single-task window); `n`
+    * arrives as a broadcast one-row aggregate (the scalar-subquery shape,
+    * a bounded-by-design nested loop). Returns (idCol, n_tokens, bucket).
+    */
+  def lengthBuckets(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need at least one bucket")
+    val counted = docs.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ranked = Ranking.withGlobalRanks(counted,
+      Seq("n_tokens" -> true, idCol -> true))
+    val n = broadcast(counted.groupBy().agg(count(lit(1)).as("_n")))
+    ranked.crossJoin(n)
+      .withColumn("bucket",
+        expr(s"CAST(((CAST(rnk AS BIGINT) - 1) * ${k}L) DIV _n AS BIGINT)"))
+      .select(col(idCol), col("n_tokens"), col("bucket"))
+  }
+
   /** Sliding token-window chunking — the per-document alternative to
     * concat-then-chunk: each document is cut into windows of
     * `chunkTokens` whitespace tokens starting every `stride` tokens

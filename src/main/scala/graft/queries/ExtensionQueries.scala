@@ -1353,6 +1353,35 @@ object ExtensionQueries {
              |  CAST(start_tok // 512 AS BIGINT) AS shard
              |FROM offs ORDER BY doc_id""".stripMargin)),
 
+    // ---- x57: length-bucketed batching ------------------------------------
+    // Exact k-quantile buckets over token count (pad-minimizing dynamic
+    // batching): bucket = floor(rank·k/n) over the (n_tokens, id) order,
+    // rank via the decomposed global rank, n via a broadcast one-row
+    // aggregate. Per-bucket profile checked against the oracle's
+    // row_number replay.
+    QueryDef(
+      "x57_length_buckets",
+      (s, dir) =>
+        Packing.lengthBuckets(Tables.documents(s, dir), k = 8)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            sum(col("n_tokens")).as("tokens"))
+          .orderBy(col("bucket")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_tokens,
+             |    ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk,
+             |    COUNT(*) OVER () AS n
+             |  FROM toks)
+             |SELECT CAST((rk * 8) // n AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
+             |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- x56: no-split next-fit bin packing -------------------------------
     // The whole-document batching scheme (vs x49's concat-then-chunk):
     // next-fit fill in id order, new bin on overflow, oversize docs get

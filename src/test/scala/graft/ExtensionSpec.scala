@@ -936,6 +936,27 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
+  test("lengthBuckets: exact quantiles — near-equal sizes, non-overlapping " +
+      "length ranges, every doc bucketed once") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val total = docs.count()
+    val got = ops.Packing.lengthBuckets(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == total && got.map(_._1).distinct.length == total)
+    val byBucket = got.groupBy(_._3)
+    assert(byBucket.keySet == (0L until 8L).toSet)
+    // exact quantiles: bucket sizes differ by at most 1
+    val sizes = byBucket.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"sizes $sizes")
+    // ranges ordered: a longer doc never lands in an earlier bucket
+    val ranges = byBucket.toSeq.sortBy(_._1)
+      .map { case (b, ds) => (b, ds.map(_._2).min, ds.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hiA), (_, loB, _)) => assert(hiA <= loB)
+      case _ =>
+    }
+  }
+
   test("cache lifecycle: every persist-managing operator leaves the session " +
       "cache empty (round-5 discipline, mechanically guarded)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

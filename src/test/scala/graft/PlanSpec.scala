@@ -24,7 +24,8 @@ class PlanSpec extends SparkSuite {
     "x10_knn_bruteforce", "q43_above_avg_parts", "q49_idle_customers",
     "x22_tfidf", "x39_unigram_logprob",
     "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf", "x44_semantic_neardup",
-    "x23_percentiles", "x24_histogram", "x27_approx_stats")
+    "x23_percentiles", "x24_histogram", "x27_approx_stats",
+    "x57_length_buckets") // broadcast ONE-ROW count (scalar-subquery shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
