@@ -81,6 +81,38 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("packBinsNextFit == in-memory next-fit model on random corpora and " +
+      "partitionings (capacity contract holds)") {
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1)
+    val gen = Gen.zip(
+      Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1, 40))),
+      Gen.chooseNum(8L, 24L),   // capacity (some docs exceed it)
+      Gen.chooseNum(1, 5))      // partitions
+    assert(SCTest.check(few, Prop.forAll(gen) { case (lens, cap, parts) =>
+      val bmass = cap * 3
+      val docs = frame(
+        "doc_id" -> lens.indices.map(_.toLong),
+        "text" -> lens.map(n => Seq.fill(n)("w").mkString(" ")))
+        .repartition(parts)
+      val got = graft.ops.Packing.packBinsNextFit(docs, cap, bmass)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      var start = 0L
+      val bucketed = lens.zipWithIndex.map { case (n, id) =>
+        val b = start / bmass; start += n; (id.toLong, n.toLong, b)
+      }
+      val want = bucketed.groupBy(_._3).toSeq.flatMap { case (b, ds) =>
+        var fill = 0L; var bin = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, n, _) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n <= cap) fill += n
+          else { bin += 1; fill = n }
+          (id, b, bin)
+        }
+      }.toSet
+      got == want
+    }).passed, "next-fit property failed")
+  }
+
   test("takePositions returns exactly the rows at those sorted positions") {
     check("take-pos", Prop.forAll(smallInts) { xs0 =>
       val xs = xs0.zipWithIndex.map { case (v, i) => v * 100 + i } // unique keys
