@@ -48,16 +48,13 @@ object ExtensionQueries {
        |      FROM (SELECT doc_id, md5(tok) AS md5h FROM ${p}toks) d),
        |${p}sig AS (SELECT doc_id, $mins FROM ${p}h GROUP BY doc_id),
        |${p}bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM ${p}sig),
-       |${p}stacked AS MATERIALIZED (SELECT doc_id, 0 AS bid, b0 AS bk FROM ${p}bands
+       |${p}stacked AS (SELECT doc_id, 0 AS bid, b0 AS bk FROM ${p}bands
        |            UNION ALL SELECT doc_id, 1 AS bid, b1 AS bk FROM ${p}bands)""".stripMargin
-    // MATERIALIZED: the band-key self-join reads stacked twice, and DuckDB
-    // re-executes a CTE per reference — without the hint every consumer
-    // replays the whole minhash chain. Results identical.
   }
 
   private def lshPairsCtes: String =
     s"""${bandKeyCtes("", "")},
-       |pairs AS MATERIALIZED (
+       |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM stacked a JOIN stacked b ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
