@@ -56,9 +56,12 @@ object Ranking {
       .withColumn("_doff", coalesce(sum(col("_nd")).over(wCum), lit(0L)))
       .select(col("_bucket"), col("_roff"), col("_doff"))
 
+    // 64-BIT ranks: the offsets are already Long, and a 100 TB corpus
+    // passes 2^31 rows — an int rank would silently wrap exactly at the
+    // scale this decomposition exists for
     local.join(broadcast(offsets), "_bucket")
-      .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("int"))
-      .withColumn(denseCol, (col("_ldense") + col("_doff")).cast("int"))
+      .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("long"))
+      .withColumn(denseCol, (col("_ldense") + col("_doff")).cast("long"))
       .drop("_bucket", "_lrank", "_ldense", "_roff", "_doff")
   }
 }

@@ -164,7 +164,8 @@ class PropertySpec extends SparkSuite {
       val df = frame("v" -> xs, "id" -> xs.indices.toList)
       val got = graft.ops.Ranking
         .withGlobalRanks(df, Seq("v" -> true), "rnk", "drnk")
-        .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("rnk"), r.getAs[Int]("drnk")))
+        .collect().map(r => (r.getAs[Int]("id"),
+          r.getAs[Long]("rnk").toInt, r.getAs[Long]("drnk").toInt))
         .sortBy(_._1).toList
       val want = xs.zipWithIndex.map { case (v, id) =>
         val rnk = 1 + xs.count(_ < v)
