@@ -31,6 +31,11 @@ object GraftConf {
 
   def scaleProfile(b: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
+      // reliable checkpoints (Checkpoints.materialize with a checkpoint dir)
+      // are never deleted by default — a long-lived curation job would
+      // accumulate them unboundedly; this cleans each checkpoint when its
+      // RDD is garbage-collected, matching the localCheckpoint lifecycle
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)

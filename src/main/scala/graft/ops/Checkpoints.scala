@@ -21,6 +21,11 @@ import org.apache.spark.sql.DataFrame
   * Both forms are eager, so callers can unpersist their inputs immediately
   * after this returns (the cache-lifecycle discipline the dedup stages
   * rely on).
+  *
+  * Lifecycle: reliable checkpoint FILES are not deleted by Spark unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * ([[graft.GraftConf.scaleProfile]] sets it) — without it a long-lived
+  * session accumulates checkpoint dirs per invocation.
   */
 object Checkpoints {
   def materialize(df: DataFrame): DataFrame =
