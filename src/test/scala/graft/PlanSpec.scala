@@ -50,7 +50,10 @@ class PlanSpec extends SparkSuite {
     // two independent RangePartitioner instances may sample different
     // boundaries (seeded by rdd.id) and assign rows to different buckets.
     // This guard fails if a config/refactor ever breaks that collapse.
-    for (name <- Seq("q29_rank_dense", "x49_pack_sequences")) {
+    // x56/x57 build on the same decomposition (packSequences buckets /
+    // withGlobalRanks) — their bucket ids inherit the same invariant
+    for (name <- Seq("q29_rank_dense", "x49_pack_sequences",
+        "x56_bin_pack_nosplit", "x57_length_buckets")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize THIS df so its AdaptiveSparkPlan finalizes
       val plan = df.queryExecution.executedPlan.toString
