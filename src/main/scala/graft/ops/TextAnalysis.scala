@@ -28,6 +28,17 @@ object TextAnalysis {
     * single-char tokens; composite score in [0,1]-ish. Deterministic
     * rational arithmetic → oracle-checkable bitwise.
     */
+  /** The scalar quality score as a pure expression — usable as a
+    * stateless filter anywhere, including streaming plans (no
+    * aggregation, no state). */
+  def qualityExpr(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
+    ttr * (lit(1.0) - short)
+  }
+
   def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = tokens(col(textCol))
     val nTok = size(toks).cast("double")

@@ -205,6 +205,31 @@ object StreamingWindows {
       textCol: String = "text"): DataFrame =
     graft.ops.Dedup.bloomReject(docs, bloom, textCol)
 
+  /** One-call streaming INGEST CURATION — the streaming twin of
+    * [[graft.ops.Pipeline.curate]]'s gating stages, composed from the
+    * stateless/broadcast-free filters above: quality threshold (pure
+    * codegen'd expression), exact-dup rejection against the corpus Bloom
+    * filter (map-only probe of the broadcast bit array), then near-dup
+    * rejection against the corpus band-key set (per-band stream-static
+    * hash anti-joins — no broadcast limit, static side bucketable). No
+    * watermark, no state store, no streaming aggregation: the whole gate
+    * is legal in any micro-batch plan. The corpus-WIDE stages — global
+    * keeper election, decontamination, shuffle/shard — need full-corpus
+    * state and remain batch jobs over the accumulated store, which is
+    * exactly how production ingest splits stream-time vs batch-time work.
+    * Spec-pinned equal to the same composition applied in batch.
+    */
+  def streamingIngestCuration(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      corpusKeys: DataFrame, minQuality: Double = 0.3,
+      bands: Int = 2, rowsPerBand: Int = 4,
+      textCol: String = "text"): DataFrame =
+    streamingNearDupFilterAtScale(
+      streamingBloomExactFilter(
+        docs.filter(graft.ops.TextAnalysis.qualityExpr(col(textCol)) > minQuality),
+        bloom, textCol),
+      corpusKeys, bands, rowsPerBand, textCol)
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

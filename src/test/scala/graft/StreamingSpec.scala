@@ -200,11 +200,7 @@ class StreamingSpec extends SparkSuite {
     // side of the SAME stream is a stream-stream join — instead inline
     // the gate for the streaming run
     def streamPipeline(d: org.apache.spark.sql.DataFrame) = {
-      val toks = split(col("text"), " ")
-      val ttr = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
-      val short = size(filter(toks, t => length(t) === 1)).cast("double") /
-        size(toks).cast("double")
-      val gated = d.filter(ttr * (lit(1.0) - short) > 0.3)
+      val gated = d.filter(TextAnalysis.qualityExpr(col("text")) > 0.3)
       val deduped = gated.withColumn("_h", md5(col("text"))).dropDuplicates("_h")
       StreamingWindows.streamingNearDupFilterAtScale(deduped, corpusKeys)
         .select(col("_h"))
@@ -220,6 +216,33 @@ class StreamingSpec extends SparkSuite {
       val want = pipeline(docs).collect().map(_.getString(0)).toSet
       assert(got == want)
       assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("one-call streamingIngestCuration == the same composition in batch; " +
+      "corpus members rejected at ingest") {
+    import graft.ops.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") < 100)
+    val bloom = Dedup.buildExactBloom(corpus, expectedItems = 200L, fpp = 0.01)
+    val keys = Dedup.corpusBandKeys(corpus, 2, 4)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingIngestCuration(stream, bloom, keys)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ingest_onecall").start()
+    try {
+      q.processAllAvailable()
+      val got = collectCol[Long](spark.table("ingest_onecall").orderBy("doc_id"), "doc_id")
+      // the identical one-call gate applied to the batch frame is the oracle
+      val want = collectCol[Long](
+        StreamingWindows.streamingIngestCuration(docs, bloom, keys)
+          .select("doc_id").orderBy("doc_id"), "doc_id")
+      assert(got == want && got.nonEmpty)
+      assert(!got.exists(_ < 100),
+        "every corpus member must be rejected (bloom has no false negatives)")
     } finally q.stop()
   }
 
