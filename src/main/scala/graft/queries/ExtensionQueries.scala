@@ -1382,6 +1382,50 @@ object ExtensionQueries {
              |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
              |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // ---- x58: corpus health report ----------------------------------------
+    // The daily monitoring view over a growing corpus: per (source, lang)
+    // volume, token mass, exact-dup pressure (distinct text digests vs
+    // rows), and mean quality. The quality formula d/n·(1−s/n) over token
+    // counts equals d·(n−s)/n², so its 10^-6 fixed-point form is PURE
+    // INTEGER arithmetic — d·(n−s)·10^6 div n² — exact and identical in
+    // any engine (a floor over the DOUBLE product is 1-ulp fragile: the
+    // two engines' doubles can straddle an integer boundary). Sum as
+    // BIGINT, divide once in DOUBLE. One partial-aggregated groupBy —
+    // map-side combine does nearly all the work at any corpus size.
+    QueryDef(
+      "x58_corpus_report",
+      (s, dir) => {
+        val toks = Dedup.tokens(col("text"))
+        Tables.documents(s, dir)
+          .withColumn("_n", size(toks).cast("long"))
+          .withColumn("_d", size(array_distinct(toks)).cast("long"))
+          .withColumn("_s",
+            size(filter(toks, t => length(t) === 1)).cast("long"))
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("_n")).as("n_tokens"),
+            count_distinct(md5(col("text"))).as("n_unique_texts"),
+            round(sum(expr("(_d * (_n - _s) * 1000000) DIV (_n * _n)"))
+                .cast("double") / 1000000.0 / count(lit(1)), 6)
+              .as("mean_quality"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH t AS (SELECT source, lang, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> length(x) = 1)) AS BIGINT) AS s
+             |  FROM documents)
+             |SELECT source, lang,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+             |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+             |  round(CAST(SUM((d * (n - s) * 1000000) // (n * n))
+             |      AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_quality
+             |FROM t GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin)),
+
     // ---- x56: no-split next-fit bin packing -------------------------------
     // The whole-document batching scheme (vs x49's concat-then-chunk):
     // next-fit fill in id order, new bin on overflow, oversize docs get
