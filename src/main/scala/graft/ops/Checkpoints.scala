@@ -29,6 +29,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
   def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // RDD checkpointing runs TWO jobs: the eager action computes the
+      // plan, then the checkpoint-write job re-runs the (otherwise
+      // unpersisted) RDD from lineage to write the files. Persisting
+      // first makes the write job read cached blocks instead of
+      // re-executing the upstream lineage — without this, every
+      // materialize in production mode pays its plan twice, exactly the
+      // double pass the callers exist to avoid. Unpersist after: the
+      // checkpoint files are the durable copy.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint() finally df.unpersist()
+    } else df.localCheckpoint()
 }

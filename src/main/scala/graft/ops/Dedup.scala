@@ -268,7 +268,7 @@ object Dedup {
     * [[withBandKeys]]/[[bandKeysArray]] forms remain the streaming path.
     */
   def corpusBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     val h = freshName(docs.columns.toSeq, "_cbh")
     val sig = bandKeys(
       minhashSignature(docs.select(md5(col(textCol)).as(h), col(textCol)),

@@ -70,8 +70,8 @@ object Multimodal {
     *     (ITU-T T.81 §B.2.2).
     *
     * The magic checks are strict (full signatures, not 1-2 bytes), so
-    * arbitrary text/audio payloads never false-positive; `None` routes
-    * them to the stub fallback in `decode`.
+    * arbitrary text/audio payloads never false-positive; `None` makes
+    * `decode` return None → NULL feature columns (never fabricated).
     */
   def decodeImageHeader(p: Array[Byte]): Option[(Int, Int, String)] = {
     def u8(i: Int): Int = p(i) & 0xff
@@ -150,7 +150,7 @@ object Multimodal {
     * — and the `data` chunk, whose byte length divided by the frame size
     * gives the sample count. Returns (sampleRate, channels, bitsPerSample,
     * nSamples); None for anything malformed (non-PCM, zero-size fields,
-    * truncated chunks), routing those payloads to the stub fallback.
+    * truncated chunks) — those payloads produce no audio-feature row.
     */
   def decodeWavHeader(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def u8(i: Int): Int = p(i) & 0xff

@@ -132,7 +132,10 @@ object Packing {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      // a null shard value writes `<prefix>__HIVE_DEFAULT_PARTITION__` —
+      // not a shard id; skip non-numeric suffixes instead of throwing
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(prefix).toLong).toOption)
       .sorted
   }
 
