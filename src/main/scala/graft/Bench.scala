@@ -67,11 +67,41 @@ object Bench {
     pool.shutdown()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+
+    // QUIESCENT pass (round-6 verdict #7): the concurrent numbers above are
+    // overlapping contended walls — right for suite throughput, misleading
+    // for round-over-round per-query comparison (a query's number moves
+    // with whatever happened to run beside it). Re-run each query alone,
+    // sequentially, and emit BOTH views in one artifact: `value`/`wall`
+    // stay the contended suite wall (the driver contract), `quiescent` /
+    // `quiescent_total` are the isolated per-query truths. Skippable with
+    // SPARK_GRAFT_QUIESCENT=0 for quick dev loops.
+    val quiescent: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_QUIESCENT").contains("0")) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => skip(n) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name quiescent FAILED: ${e.getMessage}")
+              false
+            }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+    val quiescentJson =
+      if (quiescent.isEmpty) ""
+      else {
+        val qq = quiescent.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val qtot = quiescent.map(_._2).filter(_ >= 0).sum
+        s""","quiescent_total":$qtot,"quiescent":$qq"""
+      }
     // "sf" is NUMERIC per the driver contract ({"…","sf":0.1}); the dir
     // is carried separately for humans
     val sfNum = "sf([0-9.]*[0-9])".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("-1")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,"queries":$qs$quiescentJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     // stdout gets decorated by sbt and interleaved with log output — the
     // round-1 driver recorded parsed:null — so ALSO write the JSON to a
     // file the driver (or a human) can read without scraping, and emit it

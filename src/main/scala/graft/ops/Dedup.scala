@@ -478,6 +478,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Exact token-set Jaccard of two text columns as ONE scalar expression
+    * — codegen'd array functions, no join or aggregation, so it is legal
+    * inside any streaming plan and evaluates only on rows a join has
+    * already paired. Pair-identical to [[jaccard]]'s distributed join
+    * form (both sides distinct-tokenized; |A∪B| = |A|+|B|−|A∩B|): the
+    * join form scales the all-pairs verification stage, this form prices
+    * ONE candidate pair whose both texts are on the same row.
+    */
+  def jaccardScalar(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a))
+    val tb = array_distinct(tokens(b))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    inter / (size(ta).cast("double") + size(tb).cast("double") - inter)
+  }
+
+  /** The corpus's (band key, text) VERIFICATION state — what the
+    * Jaccard-verified streaming ingest gate
+    * ([[graft.streaming.StreamingWindows.streamingVerifiedNearDupFilter]])
+    * joins against: `bands` rows per distinct corpus text, the text
+    * riding along so candidate verification is a scalar expression at the
+    * join site (no second lookup). Distinct-text keyed like
+    * [[corpusBandKeys]] (exact dups merge; ~bands·|distinct texts| rows —
+    * heavier than the bare key set by one text column, the price of
+    * precision). Map-only band keys ([[withBandKeys]]) + one distinct.
+    */
+  def corpusBandDocs(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      textCol: String = "text"): DataFrame =
+    withBandKeys(docs.select(col(textCol).as("ctext")).distinct(),
+        "ctext", "_bks", bands, rowsPerBand)
+      .select(explode(col("_bks")).as("bk"), col("ctext"))
+      .distinct()
+
   /** Near-duplicate CLUSTERS from candidate pairs: `rounds` iterations of
     * min-label propagation (label(v) ← min(label(v), min label over
     * neighbors)) — after the pair stage finds edges, this is how a real

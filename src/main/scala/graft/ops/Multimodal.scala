@@ -46,6 +46,43 @@ final case class MediaChunk(doc_id: Long, chunk_idx: Int, chunk: Array[Byte])
   */
 object Multimodal {
 
+  /** PRODUCTION media ingestion: image/audio/video FILES on disk or an
+    * object store → [[MediaDoc]] rows, via Spark's `binaryFile` source
+    * (distributed whole-file reads; each file becomes one row on whatever
+    * executor reads it — payloads never visit the driver). `doc_id` is
+    * the file name's leading decimal digits (`00042.bmp` → 42 — the
+    * layout a corpus exporter writes); names without a digit prefix get a
+    * stable non-negative hash of the file name (documented fallback, no
+    * collision guarantee). `media_type` is `media/<extension>`.
+    *
+    * Scale notes: `binaryFile` lists and splits by FILE (one row per
+    * file, `spark.sql.files.maxPartitionBytes` packs small files per
+    * task), so millions of small media files want a compacted upstream
+    * layout (tar/parquet binary columns) — but the per-file path is
+    * exactly what a crawl delivers, and this is the bridge from it to
+    * every decode/resize/feature operator in this module (x59 runs the
+    * real-BMP decode over files written and read back through this).
+    */
+  def readMedia(spark: SparkSession, path: String,
+      glob: String = "*"): Dataset[MediaDoc] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val digits = name.takeWhile(_.isDigit)
+        val id =
+          if (digits.nonEmpty) digits.toLong
+          else name.hashCode.toLong & 0x7fffffffL
+        val dot = name.lastIndexOf('.')
+        val ext = if (dot >= 0) name.substring(dot + 1).toLowerCase else "bin"
+        MediaDoc(id, s"media/$ext", bytes)
+      }
+  }
+
   /** Attach a fake binary payload to the documents table (UTF-8 bytes of
     * the text stand in for image bytes; media_type derived from source).
     */

@@ -232,6 +232,40 @@ object Packing {
       spark.read.parquet(s"$outDir/_assignment"))
   }
 
+  /** Loader-facing read of a [[writeTokenShards]] layout — the consumer
+    * end of the producer contract: iterates the ACTUAL occupied shard ids
+    * ([[shardIds]] — never 0..n-1, token layouts are sparse), validates
+    * the shipped `_assignment` seek map against the written directories
+    * (a missing/extra shard dir means a partial or stale write — fail
+    * loudly before training reads it), and surfaces the per-shard token
+    * mass a data loader budgets by.
+    *
+    * Returns (docs, shardReport): `docs` is the partition-discovered
+    * corpus (the `shard` column comes from the directory layout, so
+    * partition pruning serves per-shard reads without touching other
+    * shards' files); `shardReport` is one row per occupied shard —
+    * (shard, n_docs, n_tokens, first_tok) — computed from the parquet
+    * assignment map, O(shards) rows, no corpus scan.
+    */
+  def readTokenShards(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): (DataFrame, DataFrame) = {
+    val ids = shardIds(spark, outDir)
+    require(ids.nonEmpty, s"no shard= directories under $outDir")
+    val assign = spark.read.parquet(s"$outDir/_assignment")
+    // O(shards) driver-side validation — metadata scale, not corpus scale
+    val mapIds = assign.select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    require(mapIds == ids,
+      s"assignment/layout mismatch under $outDir: " +
+        s"map shards=$mapIds, written dirs=$ids")
+    val docs = spark.read.parquet(outDir)
+    val report = assign.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("start_tok")).as("first_tok"))
+    (docs, report)
+  }
+
   /** Bin packing WITHOUT document splitting — the other batching scheme
     * trainers use: documents stay whole, each context window (bin) is
     * filled next-fit in `idCol` order until the next document would

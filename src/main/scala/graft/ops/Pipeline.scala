@@ -42,7 +42,10 @@ object Pipeline {
     */
   def curateStages(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
-      minJaccard: Double = 0.5): Seq[(String, DataFrame)] = {
+      minJaccard: Double = 0.5,
+      embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
+      embedCells: Int = 8, embedIters: Int = 2,
+      embedSaltBuckets: Int = 1): Seq[(String, DataFrame)] = {
     val good = docs.join(
       TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
         .filter(col("quality") > minQuality).select("doc_id"),
@@ -70,20 +73,51 @@ object Pipeline {
     val deduped = Checkpoints.materialize(
       exact.join(nearDrop, Seq("doc_id"), "left_anti"))
 
-    val contaminated = Dedup.contamination(deduped, evalSet, shingleN = 5)
+    // optional SEMANTIC near-dup stage (multi-modal curation): embedding
+    // cosine catches paraphrases token LSH cannot see. Same-cell pairs
+    // through the trained quantizer (Similarity.cellNearDupPairs — equi
+    // join on k-means cell, saltable for hot cells), min-label clusters,
+    // min-id keeper — exactly the token near-dup contract, over vectors.
+    // Docs WITHOUT an embedding pass through (no vector, no evidence).
+    val semantic = embeddings match {
+      case None => deduped
+      case Some(emb) =>
+        val survivorVecs = emb
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .join(deduped.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val semDrop = Dedup.clusterPairs(
+            graft.functions.Similarity.cellNearDupPairs(survivorVecs,
+              nCells = embedCells, iters = embedIters,
+              minCosine = embedMinCosine, saltBuckets = embedSaltBuckets)
+              .select(col("id_a"), col("id_b")), rounds = 3)
+          .filter(col("cluster") =!= col("doc_id"))
+          .select(col("doc_id"))
+        Checkpoints.materialize(
+          deduped.join(semDrop, Seq("doc_id"), "left_anti"))
+    }
+
+    val contaminated = Dedup.contamination(semantic, evalSet, shingleN = 5)
       .filter(col("n_shared") > maxSharedShingles)
       .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = semantic.join(contaminated, Seq("doc_id"), "left_anti")
 
     Seq("quality_kept" -> good, "exact_kept" -> exact,
-      "neardup_kept" -> deduped, "decontaminated_kept" -> clean)
+      "neardup_kept" -> deduped, "semantic_kept" -> semantic,
+      "decontaminated_kept" -> clean)
   }
 
-  /** Curate `docs` against `evalSet`: the clean corpus, no writes. */
+  /** Curate `docs` against `evalSet`: the clean corpus, no writes.
+    * `embeddings` (columns `doc_id`, `embedding`) enables the semantic
+    * near-dup stage between token near-dup and decontamination. */
   def curate(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
-      minJaccard: Double = 0.5): DataFrame =
-    curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard)
+      minJaccard: Double = 0.5,
+      embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
+      embedCells: Int = 8, embedIters: Int = 2,
+      embedSaltBuckets: Int = 1): DataFrame =
+    curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard,
+      embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets)
       .last._2
 
   /** Deterministic corpus shuffle + shard assignment, write-free:
@@ -124,9 +158,13 @@ object Pipeline {
   def curateAndShard(docs: DataFrame, evalSet: DataFrame, outDir: String,
       docsPerShard: Long = 256L, minQuality: Double = 0.3,
       maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
-      withStats: Boolean = true): (Long, Map[String, Long]) = {
+      withStats: Boolean = true,
+      embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
+      embedCells: Int = 8, embedIters: Int = 2,
+      embedSaltBuckets: Int = 1): (Long, Map[String, Long]) = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
-      minJaccard)
+      minJaccard, embeddings, embedMinCosine, embedCells, embedIters,
+      embedSaltBuckets)
     val sharded = shardAssignment(stages.last._2, docsPerShard)
     val nShards = Packing.writePreSharded(sharded, outDir,
       shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"))

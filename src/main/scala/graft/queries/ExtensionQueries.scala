@@ -68,19 +68,22 @@ object ExtensionQueries {
        |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums)""".stripMargin
   }
 
-  /** CTE chain (after lshPairsCtes) computing l{rounds}(id, lbl) — the
-    * min-label propagation replay of Dedup.clusterPairs. */
-  private def clusterCtes(rounds: Int): String = {
+  /** CTE chain computing `${p}l{rounds}(id, lbl)` — the min-label
+    * propagation replay of Dedup.clusterPairs over `pairsName(id_a,
+    * id_b)`. The name prefix lets one query replay TWO propagations
+    * (token near-dup + semantic near-dup in x60) without CTE clashes. */
+  private def clusterCtes(rounds: Int, p: String = "",
+      pairsName: String = "pairs"): String = {
     val prop = (1 to rounds).map { i =>
-      s"""l$i AS (SELECT l.id, LEAST(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
-         |  FROM l${i - 1} l LEFT JOIN (
+      s"""${p}l$i AS (SELECT l.id, LEAST(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
+         |  FROM ${p}l${i - 1} l LEFT JOIN (
          |    SELECT e.src AS id, MIN(p.lbl) AS nlbl
-         |    FROM edges e JOIN l${i - 1} p ON p.id = e.dst GROUP BY e.src) m
+         |    FROM ${p}edges e JOIN ${p}l${i - 1} p ON p.id = e.dst GROUP BY e.src) m
          |  ON m.id = l.id)""".stripMargin
     }.mkString(",\n")
-    s"""edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+    s"""${p}edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsName
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM $pairsName),
+       |${p}l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ${p}edges),
        |$prop""".stripMargin
   }
 
@@ -115,9 +118,13 @@ object ExtensionQueries {
     * same init / fixed-point update / tie-break rules, one CTE block per
     * Lloyd iteration, generated by the same code shape as the Spark loop.
     */
-  private def kmeansSql(nCells: Int, iters: Int,
-      finalSelect: String = "SELECT vec_id, cell FROM af ORDER BY vec_id",
-      where: String = ""): String = {
+  /** Prefix-named k-means CTE chain over a caller-supplied vector source
+    * (`vSql` must select `vec_id, e DOUBLE[]`): emits `${p}v`,
+    * `${p}c0..c$iters`, and the final assignment `${p}af(vec_id, cell,
+    * e)`. The prefix lets the chain embed inside a larger WITH (x60's
+    * curation replay) without clashing with its CTE names. */
+  private def kmeansCtes(nCells: Int, iters: Int, p: String,
+      vSql: String): String = {
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     def assign(name: String, cents: String) =
@@ -125,22 +132,106 @@ object ExtensionQueries {
          |  SELECT v.vec_id, c.cent_id AS cell, v.e,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${cos("v.e", "c.ce")} DESC, c.cent_id ASC) AS rn
-         |  FROM v CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
+         |  FROM ${p}v v CROSS JOIN $cents c) t WHERE rn = 1)""".stripMargin
     def update(i: Int) =
-      s"""s$i AS (SELECT cell, pos,
+      s"""${p}s$i AS (SELECT cell, pos,
          |    CAST(SUM(CAST(floor(comp*1000000.0) AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n
-         |  FROM (SELECT cell, unnest(e) AS comp, generate_subscripts(e, 1) AS pos FROM a$i) u
+         |  FROM (SELECT cell, unnest(e) AS comp, generate_subscripts(e, 1) AS pos FROM ${p}a$i) u
          |  GROUP BY cell, pos),
-         |n$i AS (SELECT cell AS cent_id, list(CAST(s AS DOUBLE)/1000000.0/n ORDER BY pos) AS ce
-         |  FROM s$i GROUP BY cell),
-         |c$i AS (SELECT p.cent_id, COALESCE(f.ce, p.ce) AS ce
-         |  FROM c${i - 1} p LEFT JOIN n$i f ON f.cent_id = p.cent_id)""".stripMargin
+         |${p}n$i AS (SELECT cell AS cent_id, list(CAST(s AS DOUBLE)/1000000.0/n ORDER BY pos) AS ce
+         |  FROM ${p}s$i GROUP BY cell),
+         |${p}c$i AS (SELECT p.cent_id, COALESCE(f.ce, p.ce) AS ce
+         |  FROM ${p}c${i - 1} p LEFT JOIN ${p}n$i f ON f.cent_id = p.cent_id)""".stripMargin
     val parts = Seq(
-      s"v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$where)",
-      s"c0 AS (SELECT vec_id AS cent_id, e AS ce FROM v ORDER BY vec_id LIMIT $nCells)") ++
-      (1 to iters).flatMap(i => Seq(assign(s"a$i", s"c${i - 1}"), update(i))) ++
-      Seq(assign("af", s"c$iters"))
-    s"WITH ${parts.mkString(",\n")}\n$finalSelect"
+      s"${p}v AS ($vSql)",
+      s"${p}c0 AS (SELECT vec_id AS cent_id, e AS ce FROM ${p}v ORDER BY vec_id LIMIT $nCells)") ++
+      (1 to iters).flatMap(i => Seq(assign(s"${p}a$i", s"${p}c${i - 1}"), update(i))) ++
+      Seq(assign(s"${p}af", s"${p}c$iters"))
+    parts.mkString(",\n")
+  }
+
+  /** DuckDB replay of Similarity.kmeansCentroids + final assignment over
+    * the embeddings table (x17/x28/x44 surface). */
+  private def kmeansSql(nCells: Int, iters: Int,
+      finalSelect: String = "SELECT vec_id, cell FROM af ORDER BY vec_id",
+      where: String = ""): String =
+    s"WITH ${kmeansCtes(nCells, iters, "",
+      s"SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings$where")}\n$finalSelect"
+
+  /** The 6-stage curation-pipeline replay (x54), optionally with the
+    * SEMANTIC near-dup stage between token near-dup and decontamination
+    * (x60): k-means cells over the embeddings of the dedup survivors,
+    * same-cell pairs at cosine >= 0.4, min-label clusters, min-id keeper
+    * — the exact DuckDB rendering of Pipeline.curateStages(embeddings=…).
+    * AS MATERIALIZED pins DuckDB's CTE materialization for the
+    * multiply-referenced stages — semantics unchanged, ~10x faster.
+    */
+  private def curationSql(semantic: Boolean): String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
+    val semanticCtes = if (!semantic) "" else
+      s"""${kmeansCtes(8, 2, "s",
+           """SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |  WHERE vec_id IN (SELECT doc_id FROM dedup)""".stripMargin)},
+         |spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM saf a JOIN saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.e", "b.e")} >= 0.4),
+         |${clusterCtes(3, "sem", "spairs")},
+         |sem_drop AS (SELECT id AS doc_id FROM seml3 WHERE lbl <> id),
+         |sem AS MATERIALIZED (SELECT doc_id, text FROM dedup
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+         |""".stripMargin
+    val dsrc = if (semantic) "sem" else "dedup"
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
+       |good AS (SELECT doc_id, text FROM corpus
+       |  WHERE $qualityExprSql > 0.3),
+       |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
+       |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+       |        FROM good GROUP BY 1) k
+       |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
+       |${bandKeyCtes("", "", "exact")},
+       |rawpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM stacked a JOIN stacked b
+       |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(string_split(text, ' ')) AS tok FROM exact),
+       |jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsets GROUP BY doc_id),
+       |jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
+       |  JOIN jsets sa ON sa.doc_id = p.id_a
+       |  JOIN jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+       |  GROUP BY p.id_a, p.id_b),
+       |pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM rawpairs p
+       |  JOIN jsizes za ON za.doc_id = p.id_a
+       |  JOIN jsizes zb ON zb.doc_id = p.id_b
+       |  LEFT JOIN jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
+       |${clusterCtes(3)},
+       |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
+       |dedup AS MATERIALIZED (SELECT doc_id, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+       |${semanticCtes}darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $dsrc),
+       |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+       |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM darr),
+       |dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM dsh),
+       |evarr AS (SELECT doc_id, string_split(text, ' ') AS a
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+       |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM evarr),
+       |evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM evsh),
+       |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
+       |  GROUP BY doc_id HAVING COUNT(*) > 4),
+       |clean AS (SELECT doc_id FROM $dsrc
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |ord AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)), doc_id)
+       |      - 1 AS pos
+       |  FROM clean)
+       |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard
+       |FROM ord ORDER BY doc_id""".stripMargin
   }
 
   private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
@@ -1494,55 +1585,73 @@ object ExtensionQueries {
       // anti-joins; jsets feeds both sides of the intersection) — without
       // it DuckDB re-executes the whole quality+dedup chain per reference
       // and this oracle runs ~10x slower. Semantics unchanged.
-      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
-              |good AS (SELECT doc_id, text FROM corpus
-              |  WHERE $qualityExprSql > 0.3),
-              |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
-              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
-              |        FROM good GROUP BY 1) k
-              |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
-              |${bandKeyCtes("", "", "exact")},
-              |rawpairs AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM stacked a JOIN stacked b
-              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
-              |jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
-              |    unnest(string_split(text, ' ')) AS tok FROM exact),
-              |jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsets GROUP BY doc_id),
-              |jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
-              |  JOIN jsets sa ON sa.doc_id = p.id_a
-              |  JOIN jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
-              |  GROUP BY p.id_a, p.id_b),
-              |pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM rawpairs p
-              |  JOIN jsizes za ON za.doc_id = p.id_a
-              |  JOIN jsizes zb ON zb.doc_id = p.id_b
-              |  LEFT JOIN jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
-              |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
-              |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
-              |${clusterCtes(3)},
-              |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
-              |dedup AS MATERIALIZED (SELECT doc_id, text FROM exact
-              |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
-              |darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM dedup),
-              |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
-              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
-              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM darr),
-              |dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM dsh),
-              |evarr AS (SELECT doc_id, string_split(text, ' ') AS a
-              |  FROM documents WHERE doc_id % 97 = 0),
-              |evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
-              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
-              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM evarr),
-              |evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM evsh),
-              |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
-              |  GROUP BY doc_id HAVING COUNT(*) > 4),
-              |clean AS (SELECT doc_id FROM dedup
-              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-              |ord AS (SELECT doc_id,
-              |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)), doc_id)
-              |      - 1 AS pos
-              |  FROM clean)
-              |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard
-              |FROM ord ORDER BY doc_id""".stripMargin))
+      Some(curationSql(semantic = false))),
+
+    // ---- x59: binary-file media ingestion (files → decode round-trip) -----
+    // The production ingestion bridge x41 lacks: real BMP FILES are written
+    // to a scratch dir (driver-side fixture synthesis — in production the
+    // crawl delivers the files), read back DISTRIBUTED through Spark's
+    // binaryFile source (readMedia: one row per file, id from the digit
+    // file name, media_type from the extension), and decoded by the same
+    // real container parser as x41. The oracle replays the synthesis
+    // arithmetic — width/height/n_bytes round-trip through actual files on
+    // disk, not in-memory payloads.
+    QueryDef(
+      "x59_media_file_decode",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select("doc_id").collect().map(_.getLong(0)).sorted
+        val mediaDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_x59_${Integer.toHexString(dir.hashCode)}")
+        java.nio.file.Files.createDirectories(mediaDir)
+        // fixture hygiene: drop any stale files, then write one spec-valid
+        // BMP per doc id (deterministic bytes — same files every run)
+        java.nio.file.Files.list(mediaDir).forEach(p =>
+          java.nio.file.Files.deleteIfExists(p))
+        ids.foreach { id =>
+          java.nio.file.Files.write(mediaDir.resolve(f"$id%05d.bmp"),
+            Multimodal.synthBmp((16 + id % 16).toInt, (8 + id % 8).toInt))
+        }
+        Multimodal.extractFeatures(
+            Multimodal.readMedia(s, mediaDir.toString, glob = "*.bmp"))
+          .toDF()
+          .select(col("doc_id"), col("media_type"), col("width"),
+            col("height"), col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'media/bmp' AS media_type,
+             |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+             |  CAST(8 + doc_id % 8 AS INTEGER) AS height,
+             |  CAST(54 + (((16 + doc_id % 16) * 3 + 3) // 4) * 4 * (8 + doc_id % 8)
+             |    AS INTEGER) AS n_bytes
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x60: curation pipeline WITH the semantic (embedding) stage -------
+    // x54 plus the multi-modal stage a production curation run wants: after
+    // token near-dup dedup, embedding-cosine near-dups (same trained
+    // k-means cell, cosine >= 0.4, SALTED same-cell join) are clustered and
+    // deduped to their min-id keeper; docs without an embedding pass
+    // through. The oracle replays the ENTIRE 7-stage pipeline — including
+    // the Lloyd iterations over exactly the dedup survivors' vectors — so
+    // the semantic stage's placement and its interaction with
+    // decontamination/shuffle/sharding are all bitwise-checked.
+    QueryDef(
+      "x60_curation_semantic",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.shardAssignment(
+            Pipeline.curate(
+              docs.filter(col("doc_id") % 97 =!= 0),
+              docs.filter(col("doc_id") % 97 === 0),
+              embeddings = Some(Tables.embeddings(s, dir)
+                .select(col("vec_id").as("doc_id"), col("embedding"))),
+              embedMinCosine = 0.4, embedCells = 8, embedIters = 2,
+              embedSaltBuckets = 2),
+            docsPerShard = 64L)
+          .select(col("doc_id"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(curationSql(semantic = true)))
   )
 }

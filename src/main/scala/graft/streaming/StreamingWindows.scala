@@ -190,6 +190,39 @@ object StreamingWindows {
     }.drop((0 until bands).map(b => s"_bk$b"): _*)
   }
 
+  /** Jaccard-VERIFIED streaming near-dup rejection — the precision gate
+    * the batch pipeline applies before deleting anything
+    * (Dedup.verifiedCandidatePairs), brought to ingest: an arriving
+    * document is dropped only when it shares an LSH band with a corpus
+    * text AND its exact token-set Jaccard against THAT text clears
+    * `minJaccard`. The unverified forms above reject on band collision
+    * alone, so a banding false positive silently drops a good incoming
+    * document (round-6 verdict #3); here the verification is a scalar
+    * expression (Dedup.jaccardScalar) evaluated per candidate pair inside
+    * the anti-join condition — still stateless, still a per-band
+    * stream-static HASH anti-join on the band key (the Jaccard predicate
+    * is the join's residual filter, priced only on band-colliding pairs),
+    * so there is no broadcast limit and no state store. Corpus state is
+    * Dedup.corpusBandDocs — the band-key set with the text riding along.
+    */
+  def streamingVerifiedNearDupFilter(docs: DataFrame, corpusBandDocs: DataFrame,
+      bands: Int = 2, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val withBands = (0 until bands).foldLeft(
+      docs.withColumn("_bks",
+        graft.ops.Dedup.bandKeysArray(col(textCol), bands, rowsPerBand))) {
+      (d, b) => d.withColumn(s"_bk$b", element_at(col("_bks"), b + 1))
+    }.drop("_bks")
+    (0 until bands).foldLeft(withBands) { (d, b) =>
+      val r = corpusBandDocs
+        .select(col("bk").as(s"_cbk$b"), col("ctext").as(s"_ct$b"))
+      d.join(r,
+        d(s"_bk$b") === r(s"_cbk$b") &&
+          graft.ops.Dedup.jaccardScalar(d(textCol), r(s"_ct$b")) >= minJaccard,
+        "left_anti")
+    }.drop((0 until bands).map(b => s"_bk$b"): _*)
+  }
+
   /** Exact-dup rejection at streaming ingest via a pre-built Bloom
     * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only
     * probe of the broadcast bit array — no state store, no join, no
@@ -218,17 +251,33 @@ object StreamingWindows {
     * state and remain batch jobs over the accumulated store, which is
     * exactly how production ingest splits stream-time vs batch-time work.
     * Spec-pinned equal to the same composition applied in batch.
+    *
+    * Near-dup precision: pass `verifyAgainst = Some(Dedup.corpusBandDocs
+    * (corpus, …))` and the near-dup stage becomes the Jaccard-VERIFIED
+    * gate ([[streamingVerifiedNearDupFilter]]) — band collisions alone
+    * can no longer drop a good document, matching the batch pipeline's
+    * deletion contract. The default (None) keeps the lighter
+    * band-key-only rejection and its documented recall-over-precision
+    * tradeoff (state is keys only; a ~J^rowsPerBand-probability banding
+    * false positive drops a novel doc).
     */
   def streamingIngestCuration(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       corpusKeys: DataFrame, minQuality: Double = 0.3,
       bands: Int = 2, rowsPerBand: Int = 4,
-      textCol: String = "text"): DataFrame =
-    streamingNearDupFilterAtScale(
-      streamingBloomExactFilter(
-        docs.filter(graft.ops.TextAnalysis.qualityExpr(col(textCol)) > minQuality),
-        bloom, textCol),
-      corpusKeys, bands, rowsPerBand, textCol)
+      textCol: String = "text",
+      verifyAgainst: Option[DataFrame] = None,
+      minJaccard: Double = 0.5): DataFrame = {
+    val exactFiltered = streamingBloomExactFilter(
+      docs.filter(graft.ops.TextAnalysis.qualityExpr(col(textCol)) > minQuality),
+      bloom, textCol)
+    verifyAgainst match {
+      case Some(bandDocs) => streamingVerifiedNearDupFilter(
+        exactFiltered, bandDocs, bands, rowsPerBand, minJaccard, textCol)
+      case None => streamingNearDupFilterAtScale(
+        exactFiltered, corpusKeys, bands, rowsPerBand, textCol)
+    }
+  }
 
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream

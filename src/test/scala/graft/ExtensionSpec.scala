@@ -830,6 +830,41 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("pipeline semantic stage: embedding near-dups are deduped to the " +
+      "min-id keeper, docs without vectors pass through, stage optional") {
+    // texts are token-DISJOINT (no exact/LSH dup can fire) and long enough
+    // to clear the quality gate; docs 1 and 2 are embedding near-dups
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet cyan magenta white",
+        "dog cat bird fish horse cow sheep goat pig duck"))
+    // doc 4 has NO embedding row — must survive on token evidence alone
+    val embs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "embedding" -> Seq(
+        Seq(1.0, 0.0, 0.01, 0.0),
+        Seq(0.99, 0.0, 0.0, 0.01), // cos(1,2) ≈ 1 → semantic dup
+        Seq(0.0, 1.0, 0.0, 0.0)))
+    val evalSet = docs.filter(lit(false))
+    def kept(emb: Option[org.apache.spark.sql.DataFrame]) = collectCol[Long](
+      ops.Pipeline.curate(docs, evalSet, embeddings = emb,
+          embedMinCosine = 0.9, embedCells = 2, embedIters = 1)
+        .select("doc_id"), "doc_id").toSet
+    assert(kept(None) == Set(1L, 2L, 3L, 4L),
+      "without the semantic stage all token-disjoint docs survive")
+    assert(kept(Some(embs)) == Set(1L, 3L, 4L),
+      "semantic near-dup 2 deduped to keeper 1; no-vector doc 4 survives")
+    // stage report carries the semantic stage
+    val stages = ops.Pipeline.curateStages(docs, evalSet,
+      embeddings = Some(embs), embedMinCosine = 0.9, embedCells = 2,
+      embedIters = 1).toMap
+    assert(stages("neardup_kept").count() == 4 &&
+      stages("semantic_kept").count() == 3)
+  }
+
   test("cellNearDupPairs: salted join is result-identical and spreads a " +
       "planted hot cell across salt buckets (production skew rule, x44 form)") {
     // planted skew: ids 1..41 collapse into one k-means cell (near-identical

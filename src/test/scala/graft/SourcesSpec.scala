@@ -140,6 +140,61 @@ class SourcesSpec extends SparkSuite {
     assert(n == back.values.max + 1)
   }
 
+  test("readTokenShards: round-trips the writeTokenShards layout, reports " +
+      "per-shard token mass, and rejects a layout/assignment mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("tokreader").toString
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // same planted straddler as the writer spec: occupied shards {0, 3}
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(words(50, "a"), words(300, "b"), words(40, "c")))
+    graft.ops.Packing.writeTokenShards(docs, dir, 100L)
+
+    val (back, report) = graft.ops.Packing.readTokenShards(spark, dir)
+    assert(back.count() == 3)
+    val rep = report.orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // shard 0: docs 1+2 start there (50+300 tokens, first token 0);
+    // shard 3: doc 3 (40 tokens, first token 350). Shards 1,2 are the
+    // straddled holes — absent from layout AND report, never iterated.
+    assert(rep == Seq((0L, 2L, 350L, 0L), (3L, 1L, 40L, 350L)), rep.toString)
+
+    // a partial/stale layout (missing occupied dir) must fail loudly
+    val gone = new java.io.File(dir, "shard=3")
+    assert(gone.exists())
+    gone.listFiles().foreach(_.delete()); gone.delete()
+    intercept[IllegalArgumentException] {
+      graft.ops.Packing.readTokenShards(spark, dir)
+    }
+  }
+
+  test("readMedia: binary files round-trip byte-exact through the " +
+      "binaryFile source with ids from file names, types from extensions") {
+    val dir = java.nio.file.Files.createTempDirectory("media_in")
+    val bmp = graft.ops.Multimodal.synthBmp(20, 10)
+    val wav = graft.ops.Multimodal.synthWav(400, 8000, 1)
+    java.nio.file.Files.write(dir.resolve("00007.bmp"), bmp)
+    java.nio.file.Files.write(dir.resolve("12.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hello".getBytes("UTF-8"))
+    val media = graft.ops.Multimodal.readMedia(spark, dir.toString)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(media.keySet == Set(7L, 12L, "notes.txt".hashCode.toLong & 0x7fffffffL))
+    assert(media(7L).media_type == "media/bmp" &&
+      media(7L).payload.sameElements(bmp))
+    assert(media(12L).media_type == "media/wav" &&
+      media(12L).payload.sameElements(wav))
+    // the glob filter narrows ingestion to one modality
+    val onlyBmp = graft.ops.Multimodal.readMedia(spark, dir.toString, "*.bmp")
+    assert(onlyBmp.count() == 1)
+    // and the real decoders run unchanged over file-sourced payloads
+    import org.apache.spark.sql.functions.col
+    val feats = graft.ops.Multimodal.extractFeatures(
+      graft.ops.Multimodal.readMedia(spark, dir.toString, "*.bmp")).toDF()
+    assert(feats.select("width", "height").collect().map(r =>
+      (r.getInt(0), r.getInt(1))).toSeq == Seq((20, 10)))
+  }
+
   test("writeShards: one file per shard, contiguous id ranges in order, " +
       "last shard partial, shard count returned") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
