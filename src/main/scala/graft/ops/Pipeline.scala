@@ -120,6 +120,72 @@ object Pipeline {
       embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets)
       .last._2
 
+  /** INCREMENTAL corpus maintenance — the operational twin of [[curate]]
+    * for the daily-crawl path: gate a NEW batch against the EXISTING
+    * curated corpus without re-running corpus-scale dedup. Stages:
+    * quality gate → exact-dup rejection vs corpus (content-digest
+    * anti-join, null-safe) → within-batch exact dedup (min-id keeper) →
+    * VERIFIED near-dup rejection vs corpus (band-key candidates gated on
+    * exact token-set Jaccard — the precision contract of the batch
+    * pipeline; [[Dedup.mergeNewDocs]] rejects on banding alone) →
+    * within-batch verified near-dup dedup → benchmark decontamination.
+    * Returns the ACCEPTED batch rows (corpus ∪ result = the new corpus).
+    *
+    * Scale shape: every stage is a hash equi-join on md5/content keys.
+    * The corpus side contributes only its distilled state — the digest
+    * set and [[Dedup.corpusBandDocs]] (band key + text, ~bands rows per
+    * distinct text) — both computable once per corpus version and
+    * reusable across batches; the batch side is a vanishing fraction of
+    * the corpus, so the within-batch LSH/jaccard stages are O(batch).
+    * Cross-corpus verification prices Jaccard only on band-colliding
+    * pairs (the anti-join's residual condition), exactly like the
+    * streaming gate
+    * ([[graft.streaming.StreamingWindows.streamingVerifiedNearDupFilter]]
+    * — the same function, reused here in batch).
+    */
+  def appendCurated(corpus: DataFrame, newDocs: DataFrame, evalSet: DataFrame,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val good = newDocs.join(
+      TextAnalysis.quality(newDocs).select(col("doc_id"), col("quality"))
+        .filter(col("quality") > minQuality).select("doc_id"),
+      "doc_id")
+
+    // exact vs corpus (null-safe digest anti-join), then within-batch
+    // exact keeper — both on md5(text), one shuffle each on uniform keys
+    val corpusDigests = corpus.select(md5(col("text")).as("_ch")).distinct()
+    val freshExact = good.withColumn("_h", md5(col("text")))
+      .join(corpusDigests, col("_h") <=> col("_ch"), "left_anti")
+    val batchKeep = freshExact.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("_keeper"))
+    val exact = Checkpoints.materialize(
+      freshExact.join(batchKeep, "_h")
+        .filter(col("doc_id") === col("_keeper"))
+        .drop("_h", "_keeper"))
+
+    // verified near-dup vs corpus: the streaming gate's batch form —
+    // per-band hash anti-joins whose residual is the exact Jaccard
+    val vsCorpus = graft.streaming.StreamingWindows
+      .streamingVerifiedNearDupFilter(exact,
+        Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4),
+        bands = 2, rowsPerBand = 4, minJaccard = minJaccard)
+
+    // within-batch verified near-dup dedup (batch survivors are small —
+    // O(batch) LSH + jaccard, same contract as curateStages)
+    val nearDrop = Dedup.clusterPairs(
+        Dedup.verifiedCandidatePairs(vsCorpus, bands = 2, rowsPerBand = 4,
+          minJaccard = minJaccard), rounds = 3)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val deduped = Checkpoints.materialize(
+      vsCorpus.join(nearDrop, Seq("doc_id"), "left_anti"))
+
+    val contaminated = Dedup.contamination(deduped, evalSet, shingleN = 5)
+      .filter(col("n_shared") > maxSharedShingles)
+      .select(col("doc_id"))
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic corpus shuffle + shard assignment, write-free:
     * training wants corpus order decorrelated from crawl/id order, so the
     * permutation key is md5("shuf:" + id) — deterministic and

@@ -1652,6 +1652,98 @@ object ExtensionQueries {
           .select(col("doc_id"), col("shard"))
           .orderBy(col("doc_id"))
       },
-      Some(curationSql(semantic = true)))
+      Some(curationSql(semantic = true))),
+
+    // ---- x61: incremental curated-corpus append ---------------------------
+    // The daily-crawl operational path: a new batch (doc_id % 3 == 0) is
+    // gated against the existing corpus (doc_id % 3 != 0) WITHOUT
+    // re-curating the corpus — quality gate, exact-digest anti-join,
+    // within-batch exact keeper, Jaccard-VERIFIED near-dup rejection vs
+    // the corpus band-key state (position-free band match, exact
+    // token-set Jaccard residual — mergeNewDocs' recall with the
+    // pipeline's precision), within-batch verified near-dup dedup, and
+    // benchmark decontamination. The oracle replays every stage,
+    // including both Jaccard verifications.
+    QueryDef(
+      "x61_corpus_append",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.appendCurated(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+              |good AS (SELECT doc_id, text FROM batch
+              |  WHERE $qualityExprSql > 0.3),
+              |corpdig AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 != 0),
+              |fresh AS (SELECT doc_id, text FROM good
+              |  WHERE md5(text) NOT IN (SELECT h FROM corpdig)),
+              |exact AS MATERIALIZED (SELECT f.doc_id, f.text FROM fresh f
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              |        FROM fresh GROUP BY 1) k
+              |    ON md5(f.text) = k.h AND f.doc_id = k.keeper),
+              |${bandKeyCtes("c", " WHERE doc_id % 3 != 0")},
+              |${bandKeyCtes("n", "", "exact")},
+              |cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+              |  FROM nstacked n JOIN cstacked c ON n.bk = c.bk),
+              |njset AS MATERIALIZED (SELECT DISTINCT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM exact),
+              |cjset AS MATERIALIZED (SELECT DISTINCT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM documents
+              |  WHERE doc_id % 3 != 0 AND doc_id IN (SELECT cid FROM cand)),
+              |nsz AS (SELECT doc_id, COUNT(*) AS sz FROM njset GROUP BY doc_id),
+              |csz AS (SELECT doc_id, COUNT(*) AS sz FROM cjset GROUP BY doc_id),
+              |cinter AS (SELECT cd.nid, cd.cid, COUNT(*) AS inter FROM cand cd
+              |  JOIN njset a ON a.doc_id = cd.nid
+              |  JOIN cjset b ON b.doc_id = cd.cid AND b.tok = a.tok
+              |  GROUP BY cd.nid, cd.cid),
+              |crej AS (SELECT DISTINCT cd.nid AS doc_id FROM cand cd
+              |  JOIN nsz ON nsz.doc_id = cd.nid
+              |  JOIN csz ON csz.doc_id = cd.cid
+              |  LEFT JOIN cinter i ON i.nid = cd.nid AND i.cid = cd.cid
+              |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              |      / (nsz.sz + csz.sz - COALESCE(i.inter, 0)) >= 0.5),
+              |vsc AS MATERIALIZED (SELECT doc_id, text FROM exact
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
+              |${bandKeyCtes("w", "", "vsc")},
+              |rawpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM wstacked a JOIN wstacked b
+              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+              |wjset AS MATERIALIZED (SELECT DISTINCT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM vsc),
+              |wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wjset GROUP BY doc_id),
+              |winter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
+              |  JOIN wjset sa ON sa.doc_id = p.id_a
+              |  JOIN wjset sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+              |  GROUP BY p.id_a, p.id_b),
+              |pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM rawpairs p
+              |  JOIN wsz za ON za.doc_id = p.id_a
+              |  JOIN wsz zb ON zb.doc_id = p.id_b
+              |  LEFT JOIN winter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
+              |${clusterCtes(3)},
+              |wdrop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
+              |dedup AS MATERIALIZED (SELECT doc_id, text FROM vsc
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)),
+              |darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM dedup),
+              |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM darr),
+              |dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM dsh),
+              |evarr AS (SELECT doc_id, string_split(text, ' ') AS a
+              |  FROM documents WHERE doc_id % 97 = 0),
+              |evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+              |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+              |    ELSE [array_to_string(a, ' ')] END) AS tok FROM evarr),
+              |evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM evsh),
+              |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
+              |  GROUP BY doc_id HAVING COUNT(*) > 4)
+              |SELECT doc_id FROM dedup
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -830,6 +830,39 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("appendCurated: exact corpus dups, verified near-dups (cross-corpus " +
+      "and within-batch), contaminated and low-quality docs rejected; " +
+      "sub-threshold banding collisions survive") {
+    val corpus = frame("doc_id" -> Seq(1L), "text" -> Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val evalSet = frame("doc_id" -> Seq(90L), "text" -> Seq(
+      "quick brown fox jumps over the lazy dog again today"))
+    val batch = frame(
+      "doc_id" -> Seq[Any](10L, 11L, 12L, 13L, 14L, 15L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact corpus dup
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda", // corpus near-dup J≈0.82
+        "one two three four five six seven eight nine ten", // novel
+        "one two three four five six seven eight nine eleven", // within-batch near-dup of 12
+        "quick brown fox jumps over the lazy dog again today", // contaminated vs eval
+        "aa aa aa aa aa aa")) // low quality (1 distinct / 6 tokens)
+    def kept(tau: Double) = collectCol[Long](
+      ops.Pipeline.appendCurated(corpus, batch, evalSet, minJaccard = tau)
+        .select("doc_id"), "doc_id").toSet
+    assert(kept(0.5) == Set(12L),
+      "expected only the novel doc (near-dups verified and deduped)")
+    // raising the Jaccard bar above the pairs' true similarity keeps both
+    // band-colliding near-dups: rejection is gated on VERIFIED similarity
+    assert(kept(0.95) == Set(11L, 12L, 13L))
+    // idempotence: appending accepted docs to the corpus then re-running
+    // the same batch accepts nothing new
+    val grown = corpus.unionByName(
+      batch.filter(col("doc_id") === 12L))
+    assert(collectCol[Long](
+      ops.Pipeline.appendCurated(grown, batch, evalSet).select("doc_id"),
+      "doc_id").isEmpty)
+  }
+
   test("pipeline semantic stage: embedding near-dups are deduped to the " +
       "min-id keeper, docs without vectors pass through, stage optional") {
     // texts are token-DISJOINT (no exact/LSH dup can fire) and long enough
