@@ -15,6 +15,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.localProfile(SparkSession.builder(), cpus.toInt)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // FAIR job scheduling: the suite submits ~116 independent queries at
+      // once, several of which (x54/x60/x61 pipelines) are chains of eager
+      // materialization jobs. Under FIFO a long chain's next job queues
+      // behind whole other queries and the chain's wall stretches; FAIR
+      // round-robins task slots across concurrent jobs, which is also the
+      // realistic multi-tenant cluster setting this bench imitates.
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -501,14 +501,25 @@ object Dedup {
     * join site (no second lookup). Distinct-text keyed like
     * [[corpusBandKeys]] (exact dups merge; ~bands·|distinct texts| rows —
     * heavier than the bare key set by one text column, the price of
-    * precision). Map-only band keys ([[withBandKeys]]) + one distinct.
+    * precision). Uses the CODEGEN explode/groupBy signature route like
+    * [[corpusBandKeys]] (the measured-faster batch path — PLANS.md's
+    * negative result on the HOF form), keyed by the text digest, with
+    * one digest-keyed join to carry the text back onto its band rows.
     */
   def corpusBandDocs(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      textCol: String = "text"): DataFrame =
-    withBandKeys(docs.select(col(textCol).as("ctext")).distinct(),
-        "ctext", "_bks", bands, rowsPerBand)
-      .select(explode(col("_bks")).as("bk"), col("ctext"))
+      textCol: String = "text"): DataFrame = {
+    val h = freshName(Seq("ctext", "bk"), "_cbh")
+    val withH = docs.select(col(textCol).as("ctext")).distinct()
+      .withColumn(h, md5(col("ctext")))
+    val sig = bandKeys(
+      minhashSignature(withH, bands * rowsPerBand, "ctext", h),
+      bands, rowsPerBand)
+    sig.select(col(h),
+        explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
+      .join(withH, h)
+      .select(col("bk"), col("ctext"))
       .distinct()
+  }
 
   /** Near-duplicate CLUSTERS from candidate pairs: `rounds` iterations of
     * min-label propagation (label(v) ← min(label(v), min label over

@@ -152,23 +152,37 @@ object Pipeline {
       "doc_id")
 
     // exact vs corpus (null-safe digest anti-join), then within-batch
-    // exact keeper — both on md5(text), one shuffle each on uniform keys
+    // exact keeper — both on md5(text), one shuffle each on uniform keys.
+    // freshExact feeds both sides of the keeper self-join: persist it for
+    // the duration of the materialization (the curateStages discipline).
     val corpusDigests = corpus.select(md5(col("text")).as("_ch")).distinct()
     val freshExact = good.withColumn("_h", md5(col("text")))
       .join(corpusDigests, col("_h") <=> col("_ch"), "left_anti")
+    freshExact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchKeep = freshExact.groupBy(col("_h"))
       .agg(min(col("doc_id")).as("_keeper"))
-    val exact = Checkpoints.materialize(
-      freshExact.join(batchKeep, "_h")
-        .filter(col("doc_id") === col("_keeper"))
-        .drop("_h", "_keeper"))
+    val exact =
+      try Checkpoints.materialize(
+        freshExact.join(batchKeep, "_h")
+          .filter(col("doc_id") === col("_keeper"))
+          .drop("_h", "_keeper"))
+      finally freshExact.unpersist()
 
     // verified near-dup vs corpus: the streaming gate's batch form —
-    // per-band hash anti-joins whose residual is the exact Jaccard
-    val vsCorpus = graft.streaming.StreamingWindows
-      .streamingVerifiedNearDupFilter(exact,
-        Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4),
-        bands = 2, rowsPerBand = 4, minJaccard = minJaccard)
+    // per-band hash anti-joins whose residual is the exact Jaccard. The
+    // corpus band state feeds ONE anti-join per band — materialize it so
+    // the corpus-scale banding pass runs once, not `bands` times (in
+    // steady-state production this frame is precomputed per corpus
+    // version and simply read here).
+    val bandState = Checkpoints.materialize(
+      Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4))
+    // vsCorpus feeds three consumers (LSH candidates, the jaccard member
+    // prune, the dedup anti-join) — materialize it or each re-executes
+    // the per-band verified anti-joins
+    val vsCorpus = Checkpoints.materialize(
+      graft.streaming.StreamingWindows
+        .streamingVerifiedNearDupFilter(exact, bandState,
+          bands = 2, rowsPerBand = 4, minJaccard = minJaccard))
 
     // within-batch verified near-dup dedup (batch survivors are small —
     // O(batch) LSH + jaccard, same contract as curateStages)
