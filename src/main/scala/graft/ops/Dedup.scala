@@ -500,11 +500,19 @@ object Dedup {
     * riding along so candidate verification is a scalar expression at the
     * join site (no second lookup). Distinct-text keyed like
     * [[corpusBandKeys]] (exact dups merge; ~bands·|distinct texts| rows —
-    * heavier than the bare key set by one text column, the price of
+    * heavier than the bare key set by the token column, the price of
     * precision). Uses the CODEGEN explode/groupBy signature route like
     * [[corpusBandKeys]] (the measured-faster batch path — PLANS.md's
     * negative result on the HOF form), keyed by the text digest, with
-    * one digest-keyed join to carry the text back onto its band rows.
+    * one digest-keyed join to carry the verification payload back onto
+    * its band rows.
+    *
+    * The payload is the DISTINCT TOKEN SET (`ctoks`), not the raw text:
+    * the verification residual needs only the set, and pre-tokenizing
+    * here means a band-colliding pair costs one `array_intersect` at the
+    * join instead of re-splitting both texts per candidate pair (a hot
+    * band key collides one doc with MANY corpus rows — per-pair
+    * tokenization is the quadratic-constant trap).
     */
   def corpusBandDocs(docs: DataFrame, bands: Int, rowsPerBand: Int,
       textCol: String = "text"): DataFrame = {
@@ -517,8 +525,44 @@ object Dedup {
     sig.select(col(h),
         explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
       .join(withH, h)
-      .select(col("bk"), col("ctext"))
+      .select(col("bk"), array_distinct(tokens(col("ctext"))).as("ctoks"))
       .distinct()
+  }
+
+  /** Jaccard-VERIFIED near-dup rejection against a corpus band state —
+    * the execution-mode-NEUTRAL core under both the streaming ingest gate
+    * ([[graft.streaming.StreamingWindows.streamingVerifiedNearDupFilter]])
+    * and the batch append pipeline ([[graft.ops.Pipeline.appendCurated]]):
+    * a document is dropped only when it shares an LSH band key with a
+    * corpus text ([[corpusBandDocs]]) AND its exact token-set Jaccard
+    * against THAT text clears `minJaccard`. One stateless map-only
+    * projection computes the doc's band keys ([[bandKeysArray]] — no
+    * aggregation, so the same plan is legal in a micro-batch), then one
+    * hash ANTI-join per band on the band key with the Jaccard check as
+    * the join's residual condition — verification is priced only on
+    * band-colliding pairs, and there is no broadcast limit and no state.
+    *
+    * Both sides pre-stage their DISTINCT TOKEN SETS (the doc side as a
+    * map-only projection, the corpus side inside [[corpusBandDocs]]), so
+    * the residual is one `array_intersect` of two ready arrays — never
+    * per-pair re-tokenization, which would multiply by the fan-out of a
+    * hot band key.
+    */
+  def verifiedNearDupReject(docs: DataFrame, bandDocs: DataFrame,
+      bands: Int = 2, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val withBands = (0 until bands).foldLeft(
+      docs.withColumn("_bks", bandKeysArray(col(textCol), bands, rowsPerBand))
+        .withColumn("_vtoks", array_distinct(tokens(col(textCol))))) {
+      (d, b) => d.withColumn(s"_bk$b", element_at(col("_bks"), b + 1))
+    }.drop("_bks")
+    (0 until bands).foldLeft(withBands) { (d, b) =>
+      val r = bandDocs.select(col("bk").as(s"_cbk$b"), col("ctoks").as(s"_ct$b"))
+      val inter = size(array_intersect(d("_vtoks"), r(s"_ct$b"))).cast("double")
+      val j = inter /
+        (size(d("_vtoks")).cast("double") + size(r(s"_ct$b")).cast("double") - inter)
+      d.join(r, d(s"_bk$b") === r(s"_cbk$b") && j >= minJaccard, "left_anti")
+    }.drop("_vtoks" +: (0 until bands).map(b => s"_bk$b"): _*)
   }
 
   /** Near-duplicate CLUSTERS from candidate pairs: `rounds` iterations of

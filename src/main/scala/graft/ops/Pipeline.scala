@@ -138,10 +138,11 @@ object Pipeline {
     * reusable across batches; the batch side is a vanishing fraction of
     * the corpus, so the within-batch LSH/jaccard stages are O(batch).
     * Cross-corpus verification prices Jaccard only on band-colliding
-    * pairs (the anti-join's residual condition), exactly like the
-    * streaming gate
-    * ([[graft.streaming.StreamingWindows.streamingVerifiedNearDupFilter]]
-    * — the same function, reused here in batch).
+    * pairs (the anti-join's residual condition) via
+    * [[Dedup.verifiedNearDupReject]] — the SAME execution-mode-neutral
+    * core the streaming ingest gate delegates to, so batch append and
+    * streaming ingest share one rejection implementation by
+    * construction.
     */
   def appendCurated(corpus: DataFrame, newDocs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
@@ -180,9 +181,8 @@ object Pipeline {
     // prune, the dedup anti-join) — materialize it or each re-executes
     // the per-band verified anti-joins
     val vsCorpus = Checkpoints.materialize(
-      graft.streaming.StreamingWindows
-        .streamingVerifiedNearDupFilter(exact, bandState,
-          bands = 2, rowsPerBand = 4, minJaccard = minJaccard))
+      Dedup.verifiedNearDupReject(exact, bandState,
+        bands = 2, rowsPerBand = 4, minJaccard = minJaccard))
 
     // within-batch verified near-dup dedup (batch survivors are small —
     // O(batch) LSH + jaccard, same contract as curateStages)

@@ -1607,8 +1607,9 @@ object ExtensionQueries {
         java.nio.file.Files.createDirectories(mediaDir)
         // fixture hygiene: drop any stale files, then write one spec-valid
         // BMP per doc id (deterministic bytes — same files every run)
-        java.nio.file.Files.list(mediaDir).forEach(p =>
-          java.nio.file.Files.deleteIfExists(p))
+        val stale = java.nio.file.Files.list(mediaDir)
+        try stale.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally stale.close()
         ids.foreach { id =>
           java.nio.file.Files.write(mediaDir.resolve(f"$id%05d.bmp"),
             Multimodal.synthBmp((16 + id % 16).toInt, (8 + id % 8).toInt))

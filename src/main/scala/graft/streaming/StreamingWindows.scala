@@ -207,21 +207,9 @@ object StreamingWindows {
     */
   def streamingVerifiedNearDupFilter(docs: DataFrame, corpusBandDocs: DataFrame,
       bands: Int = 2, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
-      textCol: String = "text"): DataFrame = {
-    val withBands = (0 until bands).foldLeft(
-      docs.withColumn("_bks",
-        graft.ops.Dedup.bandKeysArray(col(textCol), bands, rowsPerBand))) {
-      (d, b) => d.withColumn(s"_bk$b", element_at(col("_bks"), b + 1))
-    }.drop("_bks")
-    (0 until bands).foldLeft(withBands) { (d, b) =>
-      val r = corpusBandDocs
-        .select(col("bk").as(s"_cbk$b"), col("ctext").as(s"_ct$b"))
-      d.join(r,
-        d(s"_bk$b") === r(s"_cbk$b") &&
-          graft.ops.Dedup.jaccardScalar(d(textCol), r(s"_ct$b")) >= minJaccard,
-        "left_anti")
-    }.drop((0 until bands).map(b => s"_bk$b"): _*)
-  }
+      textCol: String = "text"): DataFrame =
+    graft.ops.Dedup.verifiedNearDupReject(docs, corpusBandDocs,
+      bands, rowsPerBand, minJaccard, textCol)
 
   /** Exact-dup rejection at streaming ingest via a pre-built Bloom
     * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only

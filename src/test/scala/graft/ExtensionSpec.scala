@@ -830,6 +830,34 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("jaccardScalar == the distributed join jaccard on every pair " +
+      "(one implementation contract, two execution shapes)") {
+    // deterministic pseudo-random texts with overlapping vocab so pairs
+    // span the whole [0,1] jaccard range, incl. 0 and 1
+    val base = (0 until 11).map { i =>
+      (0 until 10).map(j => s"w${(i * 7 + j * 3) % 17}").mkString(" ")
+    }
+    val texts = base :+ base.head // doc 11 duplicates doc 0 → jaccard 1.0
+    val docs = frame("doc_id" -> (0 until 12).map(_.toLong),
+      "text" -> texts)
+    val pairs = frame(
+      "id_a" -> (for (a <- 0 until 12; b <- a + 1 until 12) yield a.toLong),
+      "id_b" -> (for (a <- 0 until 12; b <- a + 1 until 12) yield b.toLong))
+    val joinForm = Dedup.jaccard(docs, pairs)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val l = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val r = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val scalarForm = pairs.join(l, "id_a").join(r, "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardScalar(col("ta"), col("tb")).as("jaccard"))
+    assert(joinForm.exceptAll(scalarForm).isEmpty &&
+      scalarForm.exceptAll(joinForm).isEmpty,
+      "scalar and join jaccard diverge")
+    // the range really is exercised
+    val js = collectCol[Double](scalarForm.select("jaccard"), "jaccard")
+    assert(js.exists(_ == 1.0) && js.exists(_ < 0.3))
+  }
+
   test("appendCurated: exact corpus dups, verified near-dups (cross-corpus " +
       "and within-batch), contaminated and low-quality docs rejected; " +
       "sub-threshold banding collisions survive") {
