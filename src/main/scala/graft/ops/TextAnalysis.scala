@@ -141,6 +141,41 @@ object TextAnalysis {
         / count(lit(1)), 6).as("logprob"))
   }
 
+  /** Bigram-LM fluency scoring — the order-SENSITIVE upgrade of
+    * [[unigramLogProb]]: mean log P(w_i | w_{i-1}) over each document's
+    * bigrams with Laplace smoothing, P = (bc+1)/(uc+V) (bc = corpus
+    * count of the bigram, uc = corpus count of the context — bigrams
+    * starting with `prev` — and V = corpus vocabulary size). A scrambled
+    * document keeps its unigram score but craters here — the cheap word-
+    * order fluency signal a quality pipeline runs before any neural LM.
+    * Documents with fewer than two tokens have no bigrams → no row.
+    *
+    * Scale shape: bigram extraction is map-only array zipping (no
+    * shuffle); the two count tables shuffle on uniform text keys; V
+    * rides along as a broadcast one-row aggregate (bounded-by-design
+    * scalar-subquery shape). Determinism: integer counts, one log +
+    * division per bigram, mean rounded to 6 — the x39-proven tolerance
+    * for libm 1-ulp divergence between engines.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val arr = tokens(col(textCol))
+    val bigrams = docs.filter(size(arr) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bc = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc"))
+    val uc = bigrams.groupBy(col("prev")).agg(count(lit(1)).as("uc"))
+    val v = broadcast(docs.select(explode(tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t")).as("v")))
+    bigrams.join(bc, Seq("prev", "cur")).join(uc, Seq("prev")).crossJoin(v)
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(log((col("bc") + 1).cast("double") / (col("uc") + col("v"))))
+          / count(lit(1)), 6).as("bigram_logprob"))
+  }
+
   /** Rolling polynomial fingerprint over tokens: sequential fold
     * acc ← (acc·31 + tokenHash) mod 10^12. Deterministic, overflow-free in
     * checked-arithmetic engines, and expressible as a DuckDB

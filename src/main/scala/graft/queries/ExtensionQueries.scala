@@ -1655,6 +1655,34 @@ object ExtensionQueries {
       },
       Some(curationSql(semantic = true))),
 
+    // ---- x62: bigram-LM fluency scoring -----------------------------------
+    // The order-sensitive twin of x39: mean log P(w_i | w_{i-1}) with
+    // Laplace smoothing over corpus bigram/context counts. Counts are
+    // corpus-wide (full table), output restricted to doc_id < 200 like
+    // x39; the oracle replays the same counts, the same smoothing, and
+    // the same round-to-6 mean (ln is libm on both sides — the x39-proven
+    // tolerance).
+    QueryDef(
+      "x62_bigram_logprob",
+      (s, dir) =>
+        TextAnalysis.bigramLogProb(Tables.documents(s, dir))
+          .filter(col("doc_id") < 200)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |bg AS (SELECT doc_id, a[i] AS prev, a[i+1] AS cur
+             |  FROM toks, LATERAL unnest(range(1, len(a))) AS u(i)
+             |  WHERE len(a) >= 2),
+             |bc AS (SELECT prev, cur, COUNT(*) AS bc FROM bg GROUP BY prev, cur),
+             |uc AS (SELECT prev, COUNT(*) AS uc FROM bg GROUP BY prev),
+             |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+             |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t)
+             |SELECT doc_id,
+             |  round(SUM(ln(CAST(bc + 1 AS DOUBLE) / (uc + v))) / COUNT(*), 6)
+             |    AS bigram_logprob
+             |FROM bg JOIN bc USING (prev, cur) JOIN uc USING (prev) CROSS JOIN v
+             |WHERE doc_id < 200
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- x61: incremental curated-corpus append ---------------------------
     // The daily-crawl operational path: a new batch (doc_id % 3 == 0) is
     // gated against the existing corpus (doc_id % 3 != 0) WITHOUT

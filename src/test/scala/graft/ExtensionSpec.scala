@@ -830,6 +830,27 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("bigramLogProb is order-sensitive where unigramLogProb is not: a " +
+      "scrambled doc keeps its unigram score but scores lower on bigrams; " +
+      "sub-2-token docs produce no row") {
+    // corpus dominated by one fluent phrase; doc 10 repeats it verbatim,
+    // doc 11 scrambles the same token multiset, doc 12 is a single token
+    val fluent = "the cat sat on the mat"
+    val docs = frame(
+      "doc_id" -> (0L to 12L),
+      "text" -> ((0 until 10).map(_ => fluent) ++ Seq(
+        fluent, "cat the mat on sat the", "solo")))
+    val uni = ops.TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(10L) == uni(11L),
+      "unigram scoring must be blind to word order")
+    val bi = ops.TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(10L) > bi(11L),
+      s"fluent doc must outscore its scramble: ${bi(10L)} vs ${bi(11L)}")
+    assert(!bi.contains(12L), "single-token doc has no bigrams, no row")
+  }
+
   test("jaccardScalar == the distributed join jaccard on every pair " +
       "(one implementation contract, two execution shapes)") {
     // deterministic pseudo-random texts with overlapping vocab so pairs

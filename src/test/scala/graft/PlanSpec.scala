@@ -26,7 +26,8 @@ class PlanSpec extends SparkSuite {
     "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf", "x44_semantic_neardup",
     "x23_percentiles", "x24_histogram", "x27_approx_stats",
     "x57_length_buckets", // broadcast ONE-ROW count (scalar-subquery shape)
-    "x60_curation_semantic") // k-means centroid broadcast (x44's stage inside)
+    "x60_curation_semantic", // k-means centroid broadcast (x44's stage inside)
+    "x62_bigram_logprob") // broadcast ONE-ROW vocabulary size
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
