@@ -616,6 +616,40 @@ object Dedup {
     out
   }
 
+  /** Keeper ELECTION per near-dup cluster under a retention POLICY —
+    * which member of each duplicate cluster survives is a real editorial
+    * decision, not an implementation detail: `min_id` (the pipeline
+    * default — deterministic, crawl-order-stable) or `longest` (max
+    * token count, ties to min id — what corpus curation usually wants:
+    * the most complete member of a scraped-page cluster survives).
+    * Returns (idCol, cluster, keeper) for every clustered document;
+    * callers drop rows where idCol != keeper.
+    *
+    * Scale shape: [[clusterPairs]] labels on the distilled edge list,
+    * one hash join to attach token counts, and a window PARTITIONED BY
+    * cluster (never a global window) to elect the keeper.
+    */
+  def keeperElection(docs: DataFrame, pairs: DataFrame, rounds: Int = 3,
+      policy: String = "min_id", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(Set("min_id", "longest")(policy), s"unknown keeper policy $policy")
+    val clusters = clusterPairs(pairs, rounds)
+    if (policy == "min_id")
+      // the min label IS the min id — the election is already done
+      return clusters.select(col("doc_id").as(idCol), col("cluster"),
+        col("cluster").as("keeper"))
+    val stats = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("_n").desc, col("doc_id").asc)
+    val keepers = clusters.join(stats, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keeper"))
+    clusters.join(keepers, "cluster")
+      .select(col("doc_id").as(idCol), col("cluster"), col("keeper"))
+  }
+
   /** Engine-portable SQL snippet for one SimHash bit contribution of a
     * token column `tok`: ±1 from bit `j` (0..4*hexChars-1, MSB-first within
     * each nibble) of md5(tok). Valid in both Spark SQL and DuckDB —

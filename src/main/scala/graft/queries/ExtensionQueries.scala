@@ -1683,6 +1683,36 @@ object ExtensionQueries {
              |WHERE doc_id < 200
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- x63: keeper election under the keep-longest policy ---------------
+    // Which duplicate-cluster member survives is an editorial decision:
+    // the pipelines above keep the min id (crawl-order-stable); corpus
+    // curation usually keeps the LONGEST member (the most complete copy
+    // of a scraped page). Clusters come from the standard LSH pairs
+    // (x03/x30's dataflow); the election is a per-cluster window over
+    // (token count DESC, id). The oracle replays labels and election.
+    QueryDef(
+      "x63_keeper_longest",
+      (s, dir) =>
+        Dedup.keeperElection(
+            Tables.documents(s, dir),
+            Dedup.lshCandidatePairs(Tables.documents(s, dir),
+              bands = 2, rowsPerBand = 4),
+            rounds = 3, policy = "longest")
+          .orderBy(col("doc_id")),
+      Some(s"""WITH $lshPairsCtes,
+              |${clusterCtes(3)},
+              |stats AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |  FROM documents),
+              |k AS (SELECT lbl, doc_id AS keeper FROM (
+              |  SELECT l.lbl, s.doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY l.lbl
+              |      ORDER BY s.n DESC, s.doc_id ASC) AS rn
+              |  FROM l3 l JOIN stats s ON s.doc_id = l.id) t WHERE rn = 1)
+              |SELECT l.id AS doc_id, l.lbl AS cluster, k.keeper
+              |FROM l3 l JOIN k ON k.lbl = l.lbl
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- x61: incremental curated-corpus append ---------------------------
     // The daily-crawl operational path: a new batch (doc_id % 3 == 0) is
     // gated against the existing corpus (doc_id % 3 != 0) WITHOUT

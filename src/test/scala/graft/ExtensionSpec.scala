@@ -830,6 +830,29 @@ class ExtensionSpec extends SparkSuite {
       "zero-overlap banding false positive survived the jaccard gate")
   }
 
+  test("keeperElection: min_id keeps the cluster label, longest keeps the " +
+      "most complete member (ties to min id)") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "alpha beta gamma",
+        "alpha beta gamma delta epsilon zeta", // longest in the cluster
+        "alpha beta",
+        "unrelated totally different words here"))
+    val pairs = frame("id_a" -> Seq(1L, 2L), "id_b" -> Seq(2L, 3L))
+    def elect(policy: String) = Dedup.keeperElection(docs, pairs,
+        policy = policy).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(elect("min_id") ==
+      Set((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    assert(elect("longest") ==
+      Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)),
+      "the longest member must be elected keeper")
+    intercept[IllegalArgumentException] {
+      Dedup.keeperElection(docs, pairs, policy = "newest")
+    }
+  }
+
   test("bigramLogProb is order-sensitive where unigramLogProb is not: a " +
       "scrambled doc keeps its unigram score but scores lower on bigrams; " +
       "sub-2-token docs produce no row") {
