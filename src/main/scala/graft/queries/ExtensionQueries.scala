@@ -1683,6 +1683,48 @@ object ExtensionQueries {
              |WHERE doc_id < 200
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- x64: LSH banding precision report --------------------------------
+    // The tuning metric behind every bands/rowsPerBand choice: of the
+    // candidate pairs the banding emits, how many survive exact Jaccard
+    // verification at each threshold tier. A data engineer reads this
+    // to trade recall (more bands) against verification cost (more false
+    // candidates). One distilled-pair jaccard pass, one-row report,
+    // engine-exact (integer counts; the ratio divides two exact longs).
+    QueryDef(
+      "x64_banding_precision",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.jaccard(docs, Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4))
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("n_ge90"),
+            sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge50"),
+            round(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L))
+                .cast("double") / count(lit(1)), 6).as("precision_at_50"))
+      },
+      Some(s"""WITH $lshPairsCtes,
+              |sets AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM pairs p
+              |  JOIN sets sa ON sa.doc_id = p.id_a
+              |  JOIN sets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+              |  GROUP BY p.id_a, p.id_b),
+              |j AS (SELECT p.id_a, p.id_b,
+              |    CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) AS jaccard
+              |  FROM pairs p
+              |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              |  JOIN sizes za ON za.doc_id = p.id_a
+              |  JOIN sizes zb ON zb.doc_id = p.id_b)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+              |  CAST(SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge90,
+              |  CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge50,
+              |  round(CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*), 6) AS precision_at_50
+              |FROM j""".stripMargin)),
+
     // ---- x63: keeper election under the keep-longest policy ---------------
     // Which duplicate-cluster member survives is an editorial decision:
     // the pipelines above keep the min id (crawl-order-stable); corpus
