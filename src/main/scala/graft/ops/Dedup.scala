@@ -118,7 +118,13 @@ object Dedup {
       explode(array_distinct(shingles(col(textCol), shingleN))).as("tok"))
     val withH = tok
       .withColumn("md5h", md5(col("tok")))
-      .withColumn("hm", expr(digestModSql("md5h")))
+      // same VALUE as digestModSql (the oracle's engine-portable hex
+      // parse) via one native conv() instead of 12 instr/substr terms —
+      // this is the hottest expression in the dedup family (one per
+      // distinct shingle); equality of the two forms is pinned by the
+      // bandKeysArray == bandKeys∘minhashSignature spec
+      .withColumn("hm",
+        conv(substring(col("md5h"), 1, 12), 16, 10).cast("long") % MinhashP)
     val aggs = (0 until k).map(i =>
       min((col("hm") * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(MinhashP)).as(s"mh$i"))
     withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

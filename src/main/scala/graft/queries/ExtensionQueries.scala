@@ -53,8 +53,12 @@ object ExtensionQueries {
   }
 
   private def lshPairsCtes: String =
+    // AS MATERIALIZED: pairs is referenced by every downstream consumer
+    // (cluster rounds, jaccard stages) — without it DuckDB re-executes
+    // the whole minhash chain per reference, which would flatter our
+    // side of the bench comparison. Semantics unchanged.
     s"""${bandKeyCtes("", "")},
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM stacked a JOIN stacked b ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
@@ -74,14 +78,16 @@ object ExtensionQueries {
     * (token near-dup + semantic near-dup in x60) without CTE clashes. */
   private def clusterCtes(rounds: Int, p: String = "",
       pairsName: String = "pairs"): String = {
+    // each round's labels are read twice by the next round (the base and
+    // the neighbor-min subquery) — MATERIALIZED keeps the replay linear
     val prop = (1 to rounds).map { i =>
-      s"""${p}l$i AS (SELECT l.id, LEAST(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
+      s"""${p}l$i AS MATERIALIZED (SELECT l.id, LEAST(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
          |  FROM ${p}l${i - 1} l LEFT JOIN (
          |    SELECT e.src AS id, MIN(p.lbl) AS nlbl
          |    FROM ${p}edges e JOIN ${p}l${i - 1} p ON p.id = e.dst GROUP BY e.src) m
          |  ON m.id = l.id)""".stripMargin
     }.mkString(",\n")
-    s"""${p}edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsName
+    s"""${p}edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM $pairsName
        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM $pairsName),
        |${p}l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM ${p}edges),
        |$prop""".stripMargin
