@@ -254,6 +254,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** The corpus's (sign-LSH bucket, embedding) state — what the SEMANTIC
+    * ingest gate ([[embeddingNearDupReject]]) joins against: one row per
+    * corpus vector, bucketed by the deterministic hyperplane signs. Build
+    * once per corpus version, reuse across batches/micro-batches.
+    */
+  def corpusEmbeddingBuckets(corpus: DataFrame, nPlanes: Int, dim: Int,
+      embCol: String = "embedding"): DataFrame =
+    corpus.select(col(embCol).cast("array<double>").as("ce"))
+      .distinct()
+      .withColumn("bucket", lshBucket(col("ce"), nPlanes, dim))
+
+  /** SEMANTIC near-dup rejection against a corpus embedding state — the
+    * embedding twin of [[graft.ops.Dedup.verifiedNearDupReject]], same
+    * execution-mode-neutral shape: an arriving document (with an
+    * embedding column) is dropped only when it lands in the same sign-LSH
+    * bucket as a corpus vector AND cosine against THAT vector clears
+    * `minCosine`. Bucket assignment is a stateless map-only projection
+    * (legal in a micro-batch); the rejection is ONE hash anti-join on the
+    * bucket id with the fused codegen cosine as the join's residual —
+    * priced only on bucket-colliding pairs, no broadcast limit, no state
+    * store. Recall tradeoff (documented): near-dups split across a
+    * hyperplane are missed — raise recall with fewer planes (bigger
+    * buckets, more verification) or multiple plane sets OR'd; precision
+    * is exact (cosine verifies every drop).
+    */
+  def embeddingNearDupReject(docs: DataFrame, corpusBuckets: DataFrame,
+      nPlanes: Int, dim: Int, minCosine: Double,
+      embCol: String = "embedding"): DataFrame = {
+    val withB = docs.withColumn("_eb",
+      lshBucket(col(embCol).cast("array<double>"), nPlanes, dim))
+    val r = corpusBuckets.select(col("bucket").as("_cb"), col("ce").as("_ce"))
+    withB.join(r,
+        withB("_eb") === r("_cb") &&
+          round(cosine(withB(embCol).cast("array<double>"), r("_ce")), 6)
+            >= minCosine,
+        "left_anti")
+      .drop("_eb")
+  }
+
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))

@@ -211,6 +211,23 @@ object StreamingWindows {
     graft.ops.Dedup.verifiedNearDupReject(docs, corpusBandDocs,
       bands, rowsPerBand, minJaccard, textCol)
 
+  /** SEMANTIC (embedding) near-dup rejection at streaming ingest — the
+    * multimodal leg of the verified gate family: incoming docs carrying
+    * an embedding column are dropped when a same-sign-LSH-bucket corpus
+    * vector cosine-matches at or above `minCosine`. Delegates to the
+    * execution-mode-neutral
+    * [[graft.functions.Similarity.embeddingNearDupReject]] (stateless
+    * bucket projection + per-bucket hash anti-join with the codegen
+    * cosine as residual); corpus state is
+    * [[graft.functions.Similarity.corpusEmbeddingBuckets]], built once
+    * per corpus version.
+    */
+  def streamingEmbeddingNearDupFilter(docs: DataFrame,
+      corpusBuckets: DataFrame, nPlanes: Int, dim: Int,
+      minCosine: Double, embCol: String = "embedding"): DataFrame =
+    graft.functions.Similarity.embeddingNearDupReject(docs, corpusBuckets,
+      nPlanes, dim, minCosine, embCol)
+
   /** Exact-dup rejection at streaming ingest via a pre-built Bloom
     * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only
     * probe of the broadcast bit array — no state store, no join, no

@@ -298,6 +298,51 @@ class StreamingSpec extends SparkSuite {
     assert(collectCol[Long](kept.select("doc_id"), "doc_id") == Seq(2L))
   }
 
+  test("streaming embedding near-dup gate == batch; scaled duplicates are " +
+      "rejected (cosine residual), dissimilar vectors pass") {
+    import graft.functions.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, dir)
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val corpusBuckets = Similarity.corpusEmbeddingBuckets(
+      embs.filter(col("vec_id") < 200), nPlanes = 4, dim = dim)
+    val stream = spark.readStream.schema(embs.schema)
+      .parquet(s"$dir/embeddings.parque[t]")
+    val q = StreamingWindows.streamingEmbeddingNearDupFilter(
+        stream, corpusBuckets, nPlanes = 4, dim = dim, minCosine = 0.95)
+      .select("vec_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_embgate").start()
+    try {
+      q.processAllAvailable()
+      val got = collectCol[Long](
+        spark.table("stream_embgate").orderBy("vec_id"), "vec_id")
+      val want = collectCol[Long](
+        StreamingWindows.streamingEmbeddingNearDupFilter(
+            embs, corpusBuckets, nPlanes = 4, dim = dim, minCosine = 0.95)
+          .select("vec_id").orderBy("vec_id"), "vec_id")
+      assert(got == want)
+      assert(got.nonEmpty && !got.exists(_ < 200),
+        "corpus members cosine-match themselves at 1.0 and must self-reject")
+    } finally q.stop()
+
+    // planted: a SCALED copy of a corpus vector keeps its bucket (signs
+    // are scale-invariant) and cosine 1.0 → rejected; a dissimilar
+    // vector survives even when it shares a bucket (the residual fails)
+    val corpus2 = frame("vec_id" -> Seq(1L),
+      "embedding" -> Seq(Seq(1.0, 2.0, 3.0, 4.0)))
+    val cb2 = Similarity.corpusEmbeddingBuckets(corpus2, nPlanes = 4, dim = 4)
+    val incoming = frame(
+      "vec_id" -> Seq[Any](10L, 11L),
+      "embedding" -> Seq(Seq(2.0, 4.0, 6.0, 8.0), Seq(-3.0, 1.0, 2.0, -2.0)))
+    val kept = collectCol[Long](
+      Similarity.embeddingNearDupReject(incoming, cb2,
+        nPlanes = 4, dim = 4, minCosine = 0.95).select("vec_id"), "vec_id")
+    assert(kept == Seq(11L),
+      s"scaled dup must drop, dissimilar vector must pass; kept $kept")
+  }
+
   test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
