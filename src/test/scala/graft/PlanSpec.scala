@@ -108,6 +108,28 @@ class PlanSpec extends SparkSuite {
       "corpus side should read the materialized checkpoint:\n" + plan.take(3000))
   }
 
+  test("ingest gates (verified text, semantic embedding) plan hash " +
+      "anti-joins — residual conditions must not degrade the join to a " +
+      "nested loop") {
+    val docs = Tables.documents(spark, dir)
+    val textPlan = graft.ops.Dedup.verifiedNearDupReject(docs,
+        graft.ops.Dedup.corpusBandDocs(docs, 2, 4))
+      .queryExecution.executedPlan.toString
+    assert(!textPlan.contains("CartesianProduct") &&
+      !textPlan.contains("BroadcastNestedLoopJoin"),
+      "verified text gate lost its equi key:\n" + textPlan.take(2000))
+    val embs = Tables.embeddings(spark, dir)
+    val dim = embs.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    val embPlan = graft.functions.Similarity.embeddingNearDupReject(embs,
+        graft.functions.Similarity.corpusEmbeddingBuckets(embs, 4, dim),
+        4, dim, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!embPlan.contains("CartesianProduct") &&
+      !embPlan.contains("BroadcastNestedLoopJoin"),
+      "semantic gate lost its bucket equi key:\n" + embPlan.take(2000))
+  }
+
   test("filter pushdown and column pruning reach the parquet scan (q02 shape)") {
     import org.apache.spark.sql.execution.FormattedMode
     val plan = SparkEntry.queries("q02_project_filter")(spark, dir)
