@@ -293,6 +293,57 @@ object Similarity {
       .drop("_eb")
   }
 
+  /** Per-vector symmetric int8 quantization: `qscale` = 127 / max|x|
+    * (0 for an all-zero vector) and `qvec_i` = round(x_i * qscale) — the
+    * standard 4× memory/bandwidth cut for billion-vector ANN (store qvec
+    * as TINYINT in parquet; reconstruct as qvec_i / qscale).
+    *
+    * The quantized values are returned as an integer-valued DOUBLE array
+    * so the shared dot/cosine kernels stay exact in IEEE arithmetic
+    * (|q| <= 127 → products and sums are integers far below 2^53) and
+    * engine-reproducible. COSINE over quantized vectors needs no scale
+    * at all — per-vector scales cancel in the ratio — so ranking-only
+    * consumers can drop `qscale` entirely.
+    *
+    * The scale is staged as a multiply-referenced projection alias
+    * (CollapseProject keeps it — the simhash restage lesson), so the
+    * max|x| fold runs once per row, not once per element.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    val staged = df.select(col(idCol), e.as("_e"),
+      aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(x))).as("_m"))
+      .withColumn("_s", when(col("_m") > 0, lit(127.0) / col("_m"))
+        .otherwise(lit(0.0)))
+    staged.select(col(idCol), col("_s").as("qscale"),
+      transform(col("_e"), x => round(x * col("_s"))).as("qvec"))
+  }
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors: the same
+    * broadcast-queries map-side join and per-query rank as
+    * [[bruteForceTopK]], but each pair's arithmetic runs on 8-bit-valued
+    * arrays — exact integer math in doubles, 4× lighter to store and
+    * ship. Pair with [[bruteForceTopK]] on the same query set to measure
+    * the recall cost of the compression (x66's report).
+    */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(quantizeInt8(queries, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("q_emb")))
+    val c = quantizeInt8(candidates, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("sim"))
+  }
+
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))

@@ -714,6 +714,80 @@ object Dedup {
       .distinct()
   }
 
+  // ----------------------------------------------------------------------
+  // Exact substring (W-gram span) dedup — the "repeated passage" signal
+  // (ref: medvedi's dedup surface stops at whole-document granularity;
+  // this is the span-level extension a training-data pipeline needs:
+  // boilerplate headers, license blocks, and templated passages repeat
+  // ACROSS otherwise-distinct documents).
+
+  /** Every W-token span occurrence in the corpus as (idCol, pos, h):
+    * `pos` is the 0-based token index of the span start, `h` the md5 of
+    * the space-joined span. Documents shorter than `w` emit nothing.
+    *
+    * Scale: span enumeration is map-only — each doc emits ~len spans,
+    * hashed BEFORE any shuffle, so only (h, id, pos) short rows move.
+    * The w× token amplification is per-task CPU (same budget class as
+    * the minhash shingle hash), never shuffled bytes.
+    */
+  def spanOccurrences(docs: DataFrame, w: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, s"span width must be >= 2, got $w")
+    val a = freshName(docs.columns.toSeq, "_sa")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as(a))
+      .filter(size(col(a)) >= w)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col(a)) - w),
+          i => md5(concat_ws(" ", slice(col(a), i + 1, lit(w)))))).as(Seq("pos", "h")))
+  }
+
+  /** Per-document duplicated-span report under keep-first-occurrence
+    * semantics: a span occurrence is DUPLICATED iff the same W-gram
+    * occurs anywhere earlier in global (doc, pos) order — including
+    * earlier in the same document (self-repetition). For each document
+    * with at least one duplicated span: the span count, the token count
+    * covered by the spans' interval union, and the covered fraction.
+    * This is the signal behind substring-level dedup: a high `dup_ratio`
+    * marks boilerplate-heavy documents to strip or drop.
+    *
+    * Scale shape, stage by stage:
+    *   - first-occurrence election is a map-side-combinable MIN per span
+    *     hash — a span repeated millions of times partially aggregates
+    *     inside each map task, so hot spans never funnel into one window
+    *     task;
+    *   - the join back is build-side one-row-per-key (keeper) against a
+    *     streamed probe side — probe skew is sequential scan, not state;
+    *   - the interval union is an O(1)-state running-max window
+    *     partitioned BY DOCUMENT (bounded per-key work at any corpus
+    *     size): sorted by pos, each span contributes the part of
+    *     [pos, pos+w) beyond the running max end.
+    */
+  def duplicatedSpanReport(docs: DataFrame, w: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spanOccurrences(docs, w, textCol, idCol)
+    val keep = occ.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_k"))
+    val dups = occ.join(keep, "h")
+      .filter(struct(col(idCol), col("pos")) =!= col("_k"))
+      .select(col(idCol), col("pos"))
+    val prior = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = dups
+      .withColumn("_pe", max(col("pos") + w).over(prior))
+      .withColumn("_c", greatest(lit(0), col("pos") + w -
+        greatest(col("pos"), coalesce(col("_pe"), lit(0)))))
+    val nTok = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("_n"))
+    covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("_c")).cast("long").as("dup_tokens"))
+      .join(nTok, idCol)
+      .select(col(idCol), col("n_dup_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("_n"), 6).as("dup_ratio"))
+  }
+
   /** nBits-bit SimHash per document: sum each bit's ±1 contributions over
     * the token multiset; bit set iff the sum is positive.
     */

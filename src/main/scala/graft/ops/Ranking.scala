@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,5 +63,36 @@ object Ranking {
       .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("long"))
       .withColumn(denseCol, (col("_ldense") + col("_doff")).cast("long"))
       .drop("_bucket", "_lrank", "_ldense", "_roff", "_doff")
+  }
+
+  /** Skew-safe exact top-k per group (the per-domain document cap): the
+    * single-window form funnels each group through one task — fatal when
+    * one domain holds 10% of a 100 TB crawl. Two phases instead:
+    *
+    *   1. rank within (group, salt) — `saltCol mod salts`, any
+    *      deterministic row-level column — and keep k per salt cell, so
+    *      no task ever sees more than one cell of a hot group and at
+    *      most `salts * k` rows per group survive;
+    *   2. rank the survivors within the group and keep k.
+    *
+    * Exact: any row in a group's global top k ranks <= k within its salt
+    * cell (its cell contains only a subset of the rows above it), so
+    * phase 1 never drops a winner; and every row globally above a winner
+    * is itself a winner, hence a survivor — so phase 2's ranks equal the
+    * single-window ranks, values included. `ord` must be a TOTAL order
+    * (append a unique id as the last key) or ranks are nondeterministic
+    * — same contract as the plain window.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int, ord: Seq[Column],
+      saltCol: Column, salts: Int, rankName: String = "rnk"): DataFrame = {
+    require(k >= 1 && salts >= 1, s"need k >= 1 and salts >= 1, got $k, $salts")
+    val w1 = Window.partitionBy(col(groupCol), col("_salt")).orderBy(ord: _*)
+    val survivors = df.withColumn("_salt", pmod(saltCol, lit(salts)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter(col("_r1") <= k)
+      .drop("_salt", "_r1")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    survivors.withColumn(rankName, row_number().over(w2).cast("long"))
+      .filter(col(rankName) <= k)
   }
 }

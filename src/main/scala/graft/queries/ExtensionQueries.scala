@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Similarity
-import graft.ops.{Dedup, EventWindows, Mixing, Multimodal, Packing, Pipeline, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Mixing, Multimodal, Packing, Pipeline, Ranking, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import Exact.dec
@@ -1851,6 +1851,112 @@ object ExtensionQueries {
               |  GROUP BY doc_id HAVING COUNT(*) > 4)
               |SELECT doc_id FROM dedup
               |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- x65: duplicated W-gram span report (substring-level dedup) -------
+    // Document-level dedup misses the dominant real-world duplication
+    // mode: boilerplate passages repeated ACROSS distinct documents
+    // (headers, license blocks, templates). Keep-first-occurrence over
+    // every 6-gram span; per doc, the duplicated-span count and the
+    // token coverage of their interval union. Integer interval math +
+    // one round(6) ratio — engine-exact.
+    QueryDef(
+      "x65_span_dedup",
+      (s, dir) =>
+        Dedup.duplicatedSpanReport(Tables.documents(s, dir), w = 6)
+          .orderBy(col("doc_id")),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |occ AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(a[i:i+5], ' ')) AS h
+             |  FROM arr, LATERAL unnest(range(1, len(a) - 4)) AS u(i)
+             |  WHERE len(a) >= 6),
+             |k AS (SELECT h, doc_id AS kd, pos AS kp FROM (
+             |  SELECT h, doc_id, pos,
+             |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |  FROM occ) t WHERE rn = 1),
+             |dups AS (SELECT o.doc_id, o.pos FROM occ o JOIN k ON k.h = o.h
+             |  WHERE NOT (o.doc_id = k.kd AND o.pos = k.kp)),
+             |cov AS (SELECT doc_id, pos,
+             |  GREATEST(0, pos + 6 - GREATEST(pos, COALESCE(MAX(pos + 6) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+             |  FROM dups),
+             |nt AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n FROM arr)
+             |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             |  CAST(SUM(c.c) AS BIGINT) AS dup_tokens,
+             |  round(CAST(SUM(c.c) AS DOUBLE) / MAX(nt.n), 6) AS dup_ratio
+             |FROM cov c JOIN nt ON nt.doc_id = c.doc_id
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- x66: int8 quantization recall report -----------------------------
+    // The memory/recall tradeoff behind every billion-vector deployment:
+    // quantize to int8 (4× smaller), rank by quantized cosine, report
+    // per-query overlap with the exact top-k. Quantized arithmetic is
+    // integer-valued doubles — exact on both engines; the one float op
+    // (x * (127/max|x|)) is the same IEEE expression on both sides.
+    QueryDef(
+      "x66_quantized_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val quant = Similarity.quantizedTopK(q, emb, k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("_m"))
+        exact.join(quant, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("_m")), lit(0L)).as("n_match"),
+            round(coalesce(sum(col("_m")), lit(0L)).cast("double") / 3, 6)
+              .as("recall_at_3"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+             |  FROM embeddings),
+             |qq AS (SELECT vec_id, CASE WHEN m > 0
+             |    THEN list_transform(e, x -> round(x * (127.0 / m)))
+             |    ELSE list_transform(e, x -> 0.0) END AS qv FROM v),
+             |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.e, c.e)
+             |      / sqrt(list_dot_product(q.e, q.e) * list_dot_product(c.e, c.e)), 6) AS sim
+             |  FROM v q CROSS JOIN v c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             |exr AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+             |  FROM exs) t WHERE rk <= 3),
+             |qzs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.qv, c.qv)
+             |      / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.qv, c.qv)), 6) AS sim
+             |  FROM qq q CROSS JOIN qq c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             |qzr AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+             |  FROM qzs) t WHERE rk <= 3)
+             |SELECT e.query_id, CAST(COUNT(z.neighbor_id) AS BIGINT) AS n_match,
+             |  round(CAST(COUNT(z.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+             |FROM exr e LEFT JOIN qzr z
+             |  ON z.query_id = e.query_id AND z.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
+
+    // ---- x67: per-source document cap (domain balancing) ------------------
+    // The crawl-curation staple: keep at most k documents per source,
+    // best quality first (ties by id). Runs through the SALTED two-phase
+    // top-k (Ranking.topKPerGroup) so a source holding 10% of the crawl
+    // never funnels through one task; the oracle is the plain window —
+    // the decomposition must be invisible in the result, ranks included.
+    QueryDef(
+      "x67_source_cap",
+      (s, dir) =>
+        Ranking.topKPerGroup(Tables.documents(s, dir), "source", k = 10,
+            ord = Seq(TextAnalysis.qualityExpr(col("text")).desc,
+              col("doc_id").asc),
+            saltCol = col("doc_id"), salts = 4)
+          .select(col("doc_id"), col("source"), col("rnk"))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, source, rnk FROM (
+              |  SELECT doc_id, source, ROW_NUMBER() OVER (
+              |    PARTITION BY source
+              |    ORDER BY $qualityExprSql DESC, doc_id) AS rnk
+              |  FROM documents) t
+              |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin))
   )
 }

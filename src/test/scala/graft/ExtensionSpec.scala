@@ -1143,4 +1143,66 @@ class ExtensionSpec extends SparkSuite {
         l.contains("Filter") && l.contains("graft_bloom_might_contain")),
       "probe not in a codegen'd Filter:\n" + plan.take(2000))
   }
+
+  test("duplicatedSpanReport: keep-first across docs, self-repetition within " +
+      "a doc, and the interval UNION (overlapping spans count tokens once)") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "text" -> Seq(
+        "a b c d e f g h",                 // first occurrence of everything
+        "a b c d e f g h",                 // exact dup: 3 overlapping spans
+        "x y a b c d e f q r s t",         // one borrowed span mid-doc
+        "totally novel words never repeated anywhere at all",
+        "m n o p q u m n o p q u"))        // self-repetition: p6 == p0
+    val rep = Dedup.duplicatedSpanReport(d, w = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 2: spans at pos 0,1,2 all dup; union = [0,8) = 8 tokens, NOT 18
+    assert(rep(2L) == ((3L, 8L, 1.0)), s"doc2: ${rep.get(2L)}")
+    // doc 3: only "a b c d e f" (pos 2) repeats doc 1's pos-0 span
+    assert(rep(3L) == ((1L, 6L, 0.5)), s"doc3: ${rep.get(3L)}")
+    // doc 5: the second "m n o p q u" (pos 6) duplicates pos 0 of ITSELF
+    assert(rep(5L) == ((1L, 6L, 0.5)), s"doc5: ${rep.get(5L)}")
+    // docs 1 (first occurrence) and 4 (novel) report nothing
+    assert(!rep.contains(1L) && !rep.contains(4L))
+  }
+
+  test("topKPerGroup: salted two-phase equals the single-window form, " +
+      "rank values included") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val ord = Seq(TextAnalysis.qualityExpr(col("text")).desc, col("doc_id").asc)
+    val salted = Ranking.topKPerGroup(d, "source", k = 7, ord,
+        saltCol = col("doc_id"), salts = 5)
+      .select("doc_id", "source", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(ord: _*)
+    val plain = d.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 7).select("doc_id", "source", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain,
+      s"diff: ${(salted diff plain) ++ (plain diff salted)}")
+  }
+
+  test("quantizeInt8: zero vector guarded to qscale 0, nonzero vectors hit " +
+      "max|q| == 127; quantizedTopK preserves a separable ranking") {
+    val vecs = frame(
+      "vec_id" -> Seq[Any](0L, 1L, 2L, 3L),
+      "embedding" -> Seq(
+        Seq(0.0, 0.0), Seq(0.3, 0.3), Seq(2.0, 2.0), Seq(-1.5, 1.5)))
+    val q = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Double](2)))).toMap
+    assert(q(0L)._1 == 0.0 && q(0L)._2.forall(_ == 0.0), "zero vector leak")
+    for (id <- Seq(1L, 2L, 3L)) {
+      val (_, qv) = q(id)
+      assert(qv.map(math.abs).max == 127.0, s"vec $id max ${qv.mkString(",")}")
+      assert(qv.forall(v => v == math.rint(v) && math.abs(v) <= 127.0))
+    }
+    // vecs 1 and 2 are parallel — quantization maps both to (127,127);
+    // vec 3 is orthogonal to them. Query = vec 1: top-2 must be 2 then 3.
+    val top = Similarity.quantizedTopK(
+        vecs.filter(col("vec_id") === 1L), vecs.filter(col("vec_id") > 0L), k = 2)
+      .orderBy(col("rk")).collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(2L, 3L), s"got $top")
+  }
 }
