@@ -788,6 +788,37 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("_n"), 6).as("dup_ratio"))
   }
 
+  /** The scrub action behind [[duplicatedSpanReport]]: rewrite each
+    * document with every DUPLICATED W-gram span's tokens removed (first
+    * occurrences, in global (doc, pos) order, stay). A fully-boilerplate
+    * document scrubs to the empty string — pair with a min-length quality
+    * gate downstream. Token-joined output (the corpus contract: text is
+    * single-space pre-normalized).
+    *
+    * Scale: only the DUPLICATED span starts shuffle (groupBy doc →
+    * per-doc sorted start array, typically a handful of ints); the
+    * corpus text itself takes ONE join by id and a map-side HOF filter —
+    * tokens are never exploded into a shuffle. Contrast the naive shape
+    * (posexplode tokens → anti-join covered positions → re-aggregate),
+    * which shuffles every token in the corpus twice.
+    */
+  def scrubDuplicatedSpans(docs: DataFrame, w: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val occ = spanOccurrences(docs, w, textCol, idCol)
+    val keep = occ.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_k"))
+    val dupStarts = occ.join(keep, "h")
+      .filter(struct(col(idCol), col("pos")) =!= col("_k"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .withColumn("_ps", coalesce(col("_ps"), array().cast("array<int>")))
+      .select(col(idCol),
+        concat_ws(" ", filter(tokens(col(textCol)),
+          (t, i) => !exists(col("_ps"), p => p <= i && i < p + w)))
+          .as(textCol))
+  }
+
   /** nBits-bit SimHash per document: sum each bit's ±1 contributions over
     * the token multiset; bit set iff the sum is positive.
     */

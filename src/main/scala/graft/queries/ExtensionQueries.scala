@@ -1887,6 +1887,41 @@ object ExtensionQueries {
              |FROM cov c JOIN nt ON nt.doc_id = c.doc_id
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
+    // ---- x68: scrub duplicated spans (the substring-dedup ACTION) ---------
+    // x65 measures; this rewrites: every duplicated 6-gram span's tokens
+    // are removed, first occurrences stay. Spark side is the map-side HOF
+    // rewrite (span starts joined as a per-doc int array — tokens never
+    // shuffle); the oracle is the naive expand/anti-join/re-aggregate —
+    // two shapes, one answer.
+    QueryDef(
+      "x68_span_scrub",
+      (s, dir) =>
+        Dedup.scrubDuplicatedSpans(Tables.documents(s, dir), w = 6)
+          .orderBy(col("doc_id")),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |occ AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(a[i:i+5], ' ')) AS h
+             |  FROM arr, LATERAL unnest(range(1, len(a) - 4)) AS u(i)
+             |  WHERE len(a) >= 6),
+             |k AS (SELECT h, doc_id AS kd, pos AS kp FROM (
+             |  SELECT h, doc_id, pos,
+             |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |  FROM occ) t WHERE rn = 1),
+             |dups AS (SELECT o.doc_id, o.pos FROM occ o JOIN k ON k.h = o.h
+             |  WHERE NOT (o.doc_id = k.kd AND o.pos = k.kp)),
+             |cpos AS (SELECT DISTINCT doc_id, CAST(pp AS BIGINT) AS p
+             |  FROM dups, LATERAL unnest(range(pos, pos + 6)) v(pp)),
+             |tk AS (SELECT doc_id, i - 1 AS p, a[i] AS tok
+             |  FROM arr, LATERAL unnest(range(1, len(a) + 1)) u(i)),
+             |kept AS (SELECT t.doc_id, t.p, t.tok FROM tk t
+             |  LEFT JOIN cpos c ON c.doc_id = t.doc_id AND c.p = t.p
+             |  WHERE c.p IS NULL),
+             |reb AS (SELECT doc_id,
+             |    array_to_string(array_agg(tok ORDER BY p), ' ') AS text
+             |  FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(r.text, '') AS text
+             |FROM documents d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- x66: int8 quantization recall report -----------------------------
     // The memory/recall tradeoff behind every billion-vector deployment:
     // quantize to int8 (4× smaller), rank by quantized cosine, report

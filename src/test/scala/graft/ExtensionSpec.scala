@@ -1165,6 +1165,16 @@ class ExtensionSpec extends SparkSuite {
     assert(rep(5L) == ((1L, 6L, 0.5)), s"doc5: ${rep.get(5L)}")
     // docs 1 (first occurrence) and 4 (novel) report nothing
     assert(!rep.contains(1L) && !rep.contains(4L))
+
+    // the scrub ACTION mirrors the report: covered tokens removed,
+    // first occurrences and novel text untouched, full dups → ""
+    val scrub = Dedup.scrubDuplicatedSpans(d, w = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrub(1L) == "a b c d e f g h")
+    assert(scrub(2L) == "")
+    assert(scrub(3L) == "x y q r s t")
+    assert(scrub(4L) == "totally novel words never repeated anywhere at all")
+    assert(scrub(5L) == "m n o p q u")
   }
 
   test("topKPerGroup: salted two-phase equals the single-window form, " +
