@@ -60,4 +60,30 @@ object Splits {
     val whens = ts.init.map { case (n, t) => s"WHEN $u < $t THEN '$n'" }.mkString(" ")
     s"CASE $whens ELSE '${ts.last._1}' END"
   }
+
+  /** Split-leakage audit: given near-duplicate `pairs` (id_a, id_b) —
+    * normally the Jaccard-VERIFIED LSH pairs, so a banding false
+    * positive can't raise a false alarm — count the pairs whose
+    * endpoints land in DIFFERENT splits under this assignment. A
+    * non-zero row here means eval answers leak into training data; the
+    * canonical fix is cluster-level splitting (assign by the near-dup
+    * cluster keeper's id, not the member's).
+    *
+    * Scale: split assignment is a pure projection over ids; the audit
+    * is two hash joins keyed by document id against the (small) pair
+    * list, and a map-side-combinable count — no corpus-scale shuffle
+    * beyond what producing `pairs` already paid.
+    */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame, idCol: String,
+      fracs: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    val sp = assignSplit(docs.select(col(idCol)), idCol, fracs, salt)
+    val a = sp.select(col(idCol).as("id_a"), col("split").as("_sa"))
+    val b = sp.select(col(idCol).as("id_b"), col("split").as("_sb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("_sa") =!= col("_sb"))
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leaked_pairs"))
+  }
 }

@@ -1972,6 +1972,50 @@ object ExtensionQueries {
              |  ON z.query_id = e.query_id AND z.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
+    // ---- x69: split-leakage audit -----------------------------------------
+    // The MLOps check after x33's split and x03's near-dup machinery
+    // compose: Jaccard-VERIFIED near-dup pairs whose endpoints straddle
+    // train/val/test boundaries — eval answers leaking into training.
+    // Verification first means a banding false positive can't raise a
+    // false alarm. Counts per canonical split pair, engine-exact.
+    QueryDef(
+      "x69_split_leakage",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val verified =
+          Dedup.jaccard(docs, Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("id_a"), col("id_b"))
+        graft.ops.Splits.splitLeakage(docs, verified, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH $lshPairsCtes,
+              |sets AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY doc_id),
+              |inter AS (
+              |  SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM pairs p
+              |  JOIN sets sa ON sa.doc_id = p.id_a
+              |  JOIN sets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+              |  GROUP BY p.id_a, p.id_b),
+              |vp AS (SELECT p.id_a, p.id_b FROM pairs p
+              |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+              |  JOIN sizes za ON za.doc_id = p.id_a
+              |  JOIN sizes zb ON zb.doc_id = p.id_b
+              |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+              |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
+              |sp AS (SELECT doc_id, ${graft.ops.Splits.assignSplitSql("doc_id",
+                 Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+              |  FROM documents)
+              |SELECT LEAST(sa.split, sb.split) AS split_a,
+              |  GREATEST(sa.split, sb.split) AS split_b,
+              |  CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+              |FROM vp JOIN sp sa ON sa.doc_id = vp.id_a
+              |JOIN sp sb ON sb.doc_id = vp.id_b
+              |WHERE sa.split <> sb.split
+              |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
+
     // ---- x67: per-source document cap (domain balancing) ------------------
     // The crawl-curation staple: keep at most k documents per source,
     // best quality first (ties by id). Runs through the SALTED two-phase

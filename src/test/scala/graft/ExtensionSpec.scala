@@ -1194,6 +1194,28 @@ class ExtensionSpec extends SparkSuite {
       s"diff: ${(salted diff plain) ++ (plain diff salted)}")
   }
 
+  test("splitLeakage: counts equal a driver-side recomputation from the " +
+      "collected pairs + assignments; canonical pair order; empty-pair safe") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val verified = Dedup.jaccard(d, Dedup.lshCandidatePairs(d, 2, 4))
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+    val got = Splits.splitLeakage(d, verified, "doc_id", fracs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val split = Splits.assignSplit(d.select("doc_id"), "doc_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = verified.collect()
+      .map(r => (split(r.getLong(0)), split(r.getLong(1))))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (Seq(a, b).min, Seq(a, b).max) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.values.sum > 0, "fixture should exhibit leakage")
+    assert(got.keys.forall { case (a, b) => a < b }, "non-canonical pair order")
+    val none = Splits.splitLeakage(d, verified.limit(0), "doc_id", fracs)
+    assert(none.count() == 0)
+  }
+
   test("quantizeInt8: zero vector guarded to qscale 0, nonzero vectors hit " +
       "max|q| == 127; quantizedTopK preserves a separable ranking") {
     val vecs = frame(
