@@ -75,15 +75,46 @@ object Splits {
     * beyond what producing `pairs` already paid.
     */
   def splitLeakage(docs: DataFrame, pairs: DataFrame, idCol: String,
-      fracs: Seq[(String, Double)], salt: String = "split"): DataFrame = {
-    val sp = assignSplit(docs.select(col(idCol)), idCol, fracs, salt)
-    val a = sp.select(col(idCol).as("id_a"), col("split").as("_sa"))
-    val b = sp.select(col(idCol).as("id_b"), col("split").as("_sb"))
+      fracs: Seq[(String, Double)], salt: String = "split"): DataFrame =
+    leakage(assignSplit(docs.select(col(idCol)), idCol, fracs, salt),
+      pairs, idCol)
+
+  /** The audit core behind [[splitLeakage]], over ANY (idCol, split)
+    * assignment — id-based, cluster-aware, or externally produced. */
+  def leakage(assignments: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val a = assignments.select(col(idCol).as("id_a"), col("split").as("_sa"))
+    val b = assignments.select(col(idCol).as("id_b"), col("split").as("_sb"))
     pairs.join(a, "id_a").join(b, "id_b")
       .filter(col("_sa") =!= col("_sb"))
       .select(least(col("_sa"), col("_sb")).as("split_a"),
         greatest(col("_sa"), col("_sb")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_leaked_pairs"))
+  }
+
+  /** Cluster-aware split assignment — the canonical FIX for what
+    * [[splitLeakage]] detects: every member of a near-dup cluster hashes
+    * the CLUSTER label (its min member id), so near-duplicates land in
+    * the same split by construction; documents outside any cluster hash
+    * their own id, bit-identical to [[assignSplit]]. Pass clusters built
+    * over the RAW LSH candidate pairs (Dedup.clusterPairs): for split
+    * placement you want recall, not precision — a banding false positive
+    * merely co-locates two extra docs (harmless), while a missed true
+    * pair is leakage. Zero-leakage over any pair subset of the
+    * clustering's input is structural: both endpoints of a candidate
+    * pair carry the same label.
+    *
+    * Scale: one left join of the corpus against the (distilled) cluster
+    * table by id, then the same pure-projection assignment.
+    */
+  def assignSplitByCluster(docs: DataFrame, clusters: DataFrame,
+      idCol: String, fracs: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    val keyed = docs
+      .join(clusters.select(col(idCol), col("cluster").as("_cl")),
+        Seq(idCol), "left")
+      .withColumn("_skey", coalesce(col("_cl"), col(idCol)))
+    assignSplit(keyed, "_skey", fracs, salt).drop("_cl", "_skey")
   }
 }

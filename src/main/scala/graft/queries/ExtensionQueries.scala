@@ -2016,6 +2016,33 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x70: cluster-aware split assignment (the leakage FIX) ------------
+    // x69 detects; this prevents: split by the near-dup CLUSTER label
+    // (min member id) so every member lands in one split, singletons
+    // hash their own id exactly like x33. Clusters come from RAW LSH
+    // candidates — recall over precision for placement (over-merging
+    // co-locates harmlessly; a missed pair is leakage). The oracle
+    // replays clustering + the shared split CASE over COALESCE(lbl, id).
+    QueryDef(
+      "x70_split_by_cluster",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clusters = Dedup.clusterPairs(
+          Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4), rounds = 3)
+        graft.ops.Splits.assignSplitByCluster(docs, clusters, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH $lshPairsCtes,
+              |${clusterCtes(3)},
+              |sp AS (SELECT d.doc_id, ${graft.ops.Splits.assignSplitSql(
+                 "COALESCE(l.lbl, d.doc_id)",
+                 Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))} AS split
+              |  FROM documents d LEFT JOIN l3 l ON l.id = d.doc_id)
+              |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+              |FROM sp GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // ---- x67: per-source document cap (domain balancing) ------------------
     // The crawl-curation staple: keep at most k documents per source,
     // best quality first (ties by id). Runs through the SALTED two-phase

@@ -1214,6 +1214,22 @@ class ExtensionSpec extends SparkSuite {
     assert(got.keys.forall { case (a, b) => a < b }, "non-canonical pair order")
     val none = Splits.splitLeakage(d, verified.limit(0), "doc_id", fracs)
     assert(none.count() == 0)
+
+    // the FIX: cluster-aware assignment drives leakage to structural zero
+    // (verified pairs are a subset of the raw candidates the clustering
+    // consumed), while singletons keep their id-based split bit-identical
+    val raw = Dedup.lshCandidatePairs(d, 2, 4)
+    val clusters = Dedup.clusterPairs(raw, rounds = 3)
+    val byCluster = Splits.assignSplitByCluster(d, clusters, "doc_id", fracs)
+    assert(Splits.leakage(byCluster, verified, "doc_id").count() == 0,
+      "cluster-aware split still leaks")
+    val clustered = clusters.select("doc_id").collect().map(_.getLong(0)).toSet
+    val idBased = Splits.assignSplit(d.select("doc_id"), "doc_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mixed = byCluster.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    mixed.foreach { case (id, s) =>
+      if (!clustered(id)) assert(s == idBased(id), s"singleton $id moved") }
   }
 
   test("quantizeInt8: zero vector guarded to qscale 0, nonzero vectors hit " +
