@@ -365,6 +365,27 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contamination]] with the denominator: per contaminated document,
+    * its distinct-shingle count, the count shared with the eval set, and
+    * the shared FRACTION — the evidence a pipeline owner reads to pick
+    * the x47-style drop threshold (an 0.9-ratio doc is a benchmark copy;
+    * an 0.02-ratio doc shares a common idiom). Same join shape as
+    * [[contamination]] plus one map-side size() per doc — no new
+    * corpus-scale pass.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+      shingleN: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val shared = contamination(corpus, evalSet, shingleN, textCol, idCol)
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(shingles(col(textCol), shingleN)))
+        .cast("long").as("n_shingles"))
+    shared.join(totals, idCol)
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("contamination_ratio"))
+  }
+
   /** LSH candidate pairs: documents sharing any band key (a < b).
     *
     * Bands are stacked into (band_id, band_key) rows before ONE self-join,

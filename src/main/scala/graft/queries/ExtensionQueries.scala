@@ -2016,6 +2016,39 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x71: contamination-fraction report -------------------------------
+    // x47 gates on an absolute shared-shingle count; this reports the
+    // per-doc shared FRACTION — the evidence for choosing that
+    // threshold. Same broadcast shingle-key join, one extra map-side
+    // size(); integer counts + one round(6) ratio, engine-exact.
+    QueryDef(
+      "x71_contamination_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationReport(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH evsh AS (SELECT DISTINCT md5(tok) AS sk FROM (
+             |  SELECT unnest(CASE WHEN len(a) >= 5
+             |      THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+             |      ELSE [array_to_string(a, ' ')] END) AS tok
+             |  FROM (SELECT string_split(text, ' ') AS a FROM documents
+             |        WHERE doc_id % 97 = 0) t) u),
+             |csh AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM (
+             |  SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+             |      THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
+             |      ELSE [array_to_string(a, ' ')] END) AS tok
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents
+             |        WHERE doc_id % 97 != 0) t) u),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM csh GROUP BY doc_id),
+             |sh AS (SELECT c.doc_id, COUNT(*) AS n_shared
+             |  FROM csh c JOIN evsh e USING (sk) GROUP BY c.doc_id)
+             |SELECT s.doc_id, t.n_shingles, s.n_shared,
+             |  round(CAST(s.n_shared AS DOUBLE) / t.n_shingles, 6) AS contamination_ratio
+             |FROM sh s JOIN tot t USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
+
     // ---- x70: cluster-aware split assignment (the leakage FIX) ------------
     // x69 detects; this prevents: split by the near-dup CLUSTER label
     // (min member id) so every member lands in one split, singletons

@@ -1194,6 +1194,23 @@ class ExtensionSpec extends SparkSuite {
       s"diff: ${(salted diff plain) ++ (plain diff salted)}")
   }
 
+  test("contaminationReport: exact shared fraction on planted shingle " +
+      "overlap; clean docs emit no row") {
+    val corpus = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq(
+        "a b c d e f",                     // shingles {abcde, bcdef}: 1 shared
+        "totally clean text with no benchmark overlap at all"))
+    val eval_ = frame(
+      "doc_id" -> Seq[Any](100L),
+      "text" -> Seq("a b c d e x"))        // shingles {abcde, bcdex}
+    val rep = Dedup.contaminationReport(corpus, eval_)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep(1L) == ((2L, 1L, 0.5)), s"got ${rep.get(1L)}")
+    assert(!rep.contains(2L), "clean doc produced a row")
+  }
+
   test("splitLeakage: counts equal a driver-side recomputation from the " +
       "collected pairs + assignments; canonical pair order; empty-pair safe") {
     val d = Tables.documents(spark, "/root/testdata/sf0.01")
