@@ -293,6 +293,46 @@ object Similarity {
       .drop("_eb")
   }
 
+  /** [[corpusEmbeddingBuckets]] with int8-QUANTIZED stored vectors —
+    * (bucket, qce ARRAY<TINYINT>): the corpus-side state shrinks ~8×
+    * in flight (8-byte doubles → 1-byte ints) while bucket ids stay
+    * computed on the ORIGINAL floats, so collision behavior is
+    * unchanged. For a billion-vector corpus this is the difference
+    * between a state table that broadcasts and one that doesn't.
+    */
+  def quantizedCorpusBuckets(corpus: DataFrame, nPlanes: Int, dim: Int,
+      embCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(embCol).cast("array<double>").as("ce"))
+      .distinct()
+      .withColumn("bucket", lshBucket(col("ce"), nPlanes, dim))
+    quantizeInt8(b, idCol = "bucket", embCol = "ce")
+      .select(col("bucket"), col("qvec").cast("array<tinyint>").as("qce"))
+  }
+
+  /** [[embeddingNearDupReject]] against QUANTIZED corpus state: the
+    * incoming float embedding buckets exactly as before; the cosine
+    * residual runs against the int8 corpus vector (scale cancels on the
+    * corpus side — cosine normalizes per vector). Precision tradeoff
+    * (documented, spec-pinned): rounding perturbs the residual by
+    * O(1/127) per pair, so a pair sitting exactly at `minCosine` can
+    * flip; set the threshold with that margin. Same stateless
+    * bucket-projection + hash anti-join shape — streaming-legal.
+    */
+  def quantizedEmbeddingNearDupReject(docs: DataFrame, qBuckets: DataFrame,
+      nPlanes: Int, dim: Int, minCosine: Double,
+      embCol: String = "embedding"): DataFrame = {
+    val withB = docs.withColumn("_eb",
+      lshBucket(col(embCol).cast("array<double>"), nPlanes, dim))
+    val r = qBuckets.select(col("bucket").as("_cb"),
+      col("qce").cast("array<double>").as("_ce"))
+    withB.join(r,
+        withB("_eb") === r("_cb") &&
+          round(cosine(withB(embCol).cast("array<double>"), r("_ce")), 6)
+            >= minCosine,
+        "left_anti")
+      .drop("_eb")
+  }
+
   /** Per-vector symmetric int8 quantization: `qscale` = 127 / max|x|
     * (0 for an all-zero vector) and `qvec_i` = round(x_i * qscale) — the
     * standard 4× memory/bandwidth cut for billion-vector ANN (store qvec

@@ -228,6 +228,18 @@ object StreamingWindows {
     graft.functions.Similarity.embeddingNearDupReject(docs, corpusBuckets,
       nPlanes, dim, minCosine, embCol)
 
+  /** [[streamingEmbeddingNearDupFilter]] against int8-QUANTIZED corpus
+    * state ([[graft.functions.Similarity.quantizedCorpusBuckets]], ~8×
+    * smaller in flight) — the ingest shape for corpora whose float
+    * embedding state outgrows the per-batch join budget. Same stateless
+    * plan; the documented O(1/127) residual perturbation is the price.
+    */
+  def streamingQuantizedEmbeddingNearDupFilter(docs: DataFrame,
+      qBuckets: DataFrame, nPlanes: Int, dim: Int,
+      minCosine: Double, embCol: String = "embedding"): DataFrame =
+    graft.functions.Similarity.quantizedEmbeddingNearDupReject(docs,
+      qBuckets, nPlanes, dim, minCosine, embCol)
+
   /** Exact-dup rejection at streaming ingest via a pre-built Bloom
     * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only
     * probe of the broadcast bit array — no state store, no join, no

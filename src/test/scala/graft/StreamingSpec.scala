@@ -343,6 +343,54 @@ class StreamingSpec extends SparkSuite {
       s"scaled dup must drop, dissimilar vector must pass; kept $kept")
   }
 
+  test("streaming QUANTIZED embedding gate == batch; state ships as " +
+      "ARRAY<TINYINT>; scaled dup rejected through int8 residual") {
+    import graft.functions.Similarity
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val dir = "/root/testdata/sf0.001"
+    val embs = Tables.embeddings(spark, dir)
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val qb = Similarity.quantizedCorpusBuckets(
+      embs.filter(col("vec_id") < 200), nPlanes = 4, dim = dim)
+    // the 8x-in-flight claim rests on the state actually being int8
+    assert(qb.schema("qce").dataType == ArrayType(ByteType),
+      s"state not tinyint: ${qb.schema("qce").dataType}")
+    val stream = spark.readStream.schema(embs.schema)
+      .parquet(s"$dir/embeddings.parque[t]")
+    val q = StreamingWindows.streamingQuantizedEmbeddingNearDupFilter(
+        stream, qb, nPlanes = 4, dim = dim, minCosine = 0.95)
+      .select("vec_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_qembgate").start()
+    try {
+      q.processAllAvailable()
+      val got = collectCol[Long](
+        spark.table("stream_qembgate").orderBy("vec_id"), "vec_id")
+      val want = collectCol[Long](
+        StreamingWindows.streamingQuantizedEmbeddingNearDupFilter(
+            embs, qb, nPlanes = 4, dim = dim, minCosine = 0.95)
+          .select("vec_id").orderBy("vec_id"), "vec_id")
+      assert(got == want)
+      assert(got.nonEmpty && !got.exists(_ < 200),
+        "corpus members must still self-reject through the int8 residual " +
+          "(quantization preserves direction: cos(v, q(v)) ~ 1)")
+    } finally q.stop()
+
+    // planted: scale-invariant bucket + int8 residual still rejects the
+    // scaled copy; the dissimilar bucket-mate still survives
+    val corpus2 = frame("vec_id" -> Seq(1L),
+      "embedding" -> Seq(Seq(1.0, 2.0, 3.0, 4.0)))
+    val qb2 = Similarity.quantizedCorpusBuckets(corpus2, nPlanes = 4, dim = 4)
+    val incoming = frame(
+      "vec_id" -> Seq[Any](10L, 11L),
+      "embedding" -> Seq(Seq(2.0, 4.0, 6.0, 8.0), Seq(-3.0, 1.0, 2.0, -2.0)))
+    val kept2 = collectCol[Long](
+      Similarity.quantizedEmbeddingNearDupReject(incoming, qb2,
+        nPlanes = 4, dim = 4, minCosine = 0.95).select("vec_id"), "vec_id")
+    assert(kept2 == Seq(11L), s"kept $kept2")
+  }
+
   test("foreachBatch parquet sink: streaming agg lands as queryable parquet == batch") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
