@@ -61,4 +61,43 @@ object Mixing {
       case parts => parts.reduce(_ unionByName _)
     }
   }
+
+  /** Temperature-based sampling weights over a grouping column — the
+    * multilingual-training rebalance (sample share q_i ∝ p_i^α where
+    * p_i is the natural share): α=1 keeps natural proportions, α→0
+    * approaches uniform, α≈0.3-0.7 is the usual compromise. Returns one
+    * row per group: (group, n_docs, p, q, boost) with `boost` = q/p —
+    * the EPOCHS multiplier to feed [[mixCorpora]].
+    *
+    * Cross-engine determinism: q_i ∝ p_i^α ∝ n_i^α (the N^α normalizer
+    * cancels), so the per-group terms are computed on the raw COUNTS and
+    * snapped to integer micro-units (floor ×1e6) BEFORE the normalizing
+    * sum — exact integer arithmetic, no float-summation order
+    * dependence. α = 0.5 computes via sqrt (correctly-rounded IEEE on
+    * every engine); other α go through libm pow (the x39/x62-class ulp
+    * tolerance).
+    *
+    * Scale: one map-side-combinable count per group, two ONE-ROW
+    * broadcasts (total docs, total micro-units) — the x57 scalar
+    * pattern; O(groups) rows everywhere after the first aggregate.
+    */
+  def temperatureWeights(docs: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val n = col("n_docs").cast("double")
+    val powed = if (alpha == 0.5) sqrt(n) else pow(n, alpha)
+    def snap = floor(powed * 1e6).cast("long")
+    val snapped = counts.withColumn("_s", snap)
+    // the one-row totals are SIBLING derivations of `counts` (not of the
+    // join's left side) — the self-join shape the analyzer resolves
+    val total = counts.agg(sum(col("n_docs")).as("_N"))
+    val ssum = counts.select(snap.as("_sx")).agg(sum(col("_sx")).as("_st"))
+    snapped.crossJoin(broadcast(total)).crossJoin(broadcast(ssum))
+      .select(col(groupCol), col("n_docs"),
+        round(n / col("_N"), 6).as("p"),
+        round(col("_s").cast("double") / col("_st"), 6).as("q"),
+        round((col("_s").cast("double") / col("_st")) / (n / col("_N")), 6)
+          .as("boost"))
+  }
 }

@@ -2016,6 +2016,29 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x72: temperature sampling weights (multilingual rebalance) -------
+    // q_i ∝ p_i^0.5 over the skewed lang distribution — the knob that
+    // turns "en is 44% of the corpus" into a flatter training mix. The
+    // p^α terms snap to integer micro-units BEFORE the normalizing sum
+    // (order-free integer arithmetic); α=0.5 rides sqrt, IEEE-exact on
+    // both engines. `boost` is the epochs multiplier for x51's mixer.
+    QueryDef(
+      "x72_temperature_weights",
+      (s, dir) =>
+        Mixing.temperatureWeights(Tables.documents(s, dir), "lang", alpha = 0.5)
+          .orderBy(col("lang")),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_docs,
+             |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+             |  FROM c),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM c),
+             |s2 AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM w)
+             |SELECT lang, n_docs,
+             |  round(CAST(n_docs AS DOUBLE) / N, 6) AS p,
+             |  round(CAST(s AS DOUBLE) / st, 6) AS q,
+             |  round((CAST(s AS DOUBLE) / st) / (CAST(n_docs AS DOUBLE) / N), 6) AS boost
+             |FROM w CROSS JOIN t CROSS JOIN s2 ORDER BY lang""".stripMargin)),
+
     // ---- x71: contamination-fraction report -------------------------------
     // x47 gates on an absolute shared-shingle count; this reports the
     // per-doc shared FRACTION — the evidence for choosing that

@@ -1194,6 +1194,31 @@ class ExtensionSpec extends SparkSuite {
       s"diff: ${(salted diff plain) ++ (plain diff salted)}")
   }
 
+  test("temperatureWeights: exact micro-unit arithmetic on a planted skew; " +
+      "alpha=1 is neutral; q flatter than p for alpha<1") {
+    val d = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "lang" -> Seq("en", "en", "en", "en", "fr"))   // 4:1 skew
+    val rows = Mixing.temperatureWeights(d, "lang", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // recompute with the operator's own contract: floor(sqrt(n)*1e6)
+    // (the N^alpha normalizer cancels in q, so counts are snapped raw)
+    val sEn = math.floor(math.sqrt(4.0) * 1e6).toLong
+    val sFr = math.floor(math.sqrt(1.0) * 1e6).toLong
+    val S = (sEn + sFr).toDouble
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rows("en")._1 == 4L && rows("fr")._1 == 1L)
+    assert(rows("en")._3 == r6(sEn / S) && rows("fr")._3 == r6(sFr / S))
+    assert(rows("en")._4 == r6((sEn / S) / 0.8) && rows("fr")._4 == r6((sFr / S) / 0.2))
+    // temperature flattens: minority boosted above 1, majority below
+    assert(rows("fr")._4 > 1.0 && rows("en")._4 < 1.0)
+    // alpha = 1 keeps natural proportions (q == p up to micro-unit snap)
+    val neutral = Mixing.temperatureWeights(d, "lang", alpha = 1.0)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3))).toSeq
+    neutral.foreach { case (p, q) => assert(math.abs(p - q) < 2e-6, s"$p vs $q") }
+  }
+
   test("contaminationReport: exact shared fraction on planted shingle " +
       "overlap; clean docs emit no row") {
     val corpus = frame(

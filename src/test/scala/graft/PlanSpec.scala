@@ -28,7 +28,8 @@ class PlanSpec extends SparkSuite {
     "x57_length_buckets", // broadcast ONE-ROW count (scalar-subquery shape)
     "x60_curation_semantic", // k-means centroid broadcast (x44's stage inside)
     "x62_bigram_logprob", // broadcast ONE-ROW vocabulary size
-    "x66_quantized_recall") // x10's broadcast-queries shape, quantized twin
+    "x66_quantized_recall", // x10's broadcast-queries shape, quantized twin
+    "x72_temperature_weights") // two ONE-ROW totals broadcast (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
