@@ -182,6 +182,31 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("start_tok"),
         col("first_bin").as("shard"))
 
+  /** Integrity manifest for a token-sharded layout: one row per OCCUPIED
+    * shard with its doc count, token mass, and an order-independent
+    * content digest (sum of per-doc 32-bit md5 prefixes — commutative,
+    * so any re-read order or partitioning reproduces it; 32-bit terms
+    * over ≤ 2^31 docs/shard stay far inside a BIGINT). A loader
+    * recomputes the digest over what it read and compares — truncated,
+    * duplicated, or bit-rotted shards surface as a digest mismatch
+    * before any training step consumes them.
+    *
+    * Scale: the assignment reuses packSequences' decomposed prefix sum;
+    * the digest join is one hash join on the unique id; the manifest
+    * aggregate is map-side combinable, O(shards) rows out.
+    */
+  def shardManifest(docs: DataFrame, tokensPerShard: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val asg = tokenShardAssignment(docs, tokensPerShard, textCol, idCol)
+    val dig = docs.select(col(idCol),
+      expr(TextAnalysis.hexToIntSql(s"md5($textCol)", 8)).as("_h"))
+    asg.join(dig, idCol)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_mass"),
+        sum(col("_h")).as("content_digest"))
+  }
+
   /** TOKEN-bounded training shards — the capacity contract trainers
     * actually specify (a shard feeds a data-loader budgeted in tokens,
     * not documents). A document lands in the shard where its FIRST token

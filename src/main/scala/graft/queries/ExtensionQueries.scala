@@ -2016,6 +2016,31 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x73: token-shard integrity manifest ------------------------------
+    // The producer/consumer handshake for shipped shards: per occupied
+    // shard, doc count, token mass, and an ORDER-INDEPENDENT content
+    // digest (sum of 32-bit md5 prefixes) a loader re-derives from what
+    // it read. Integer arithmetic end to end — engine-exact.
+    QueryDef(
+      "x73_shard_manifest",
+      (s, dir) =>
+        Packing.shardManifest(Tables.documents(s, dir), tokensPerShard = 512L)
+          .orderBy(col("shard")),
+      Some(s"""WITH toks AS (SELECT doc_id, text,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |offs AS (SELECT doc_id, text, n_tokens,
+              |    COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS start_tok
+              |  FROM toks)
+              |SELECT CAST(start_tok // 512 AS BIGINT) AS shard,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+              |  CAST(SUM(${TextAnalysis.hexToIntSql("md5(text)", 8)}) AS BIGINT)
+              |    AS content_digest
+              |FROM offs GROUP BY 1 ORDER BY shard""".stripMargin)),
+
     // ---- x72: temperature sampling weights (multilingual rebalance) -------
     // q_i ∝ p_i^0.5 over the skewed lang distribution — the knob that
     // turns "en is 44% of the corpus" into a flatter training mix. The

@@ -169,6 +169,42 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("shardManifest: digest recomputed from the read-back shards equals " +
+      "the producer manifest (order-independent); tampering surfaces") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(words(50, "a"), words(300, "b"), words(40, "c")))
+    val manifest = graft.ops.Packing.shardManifest(docs, 100L)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(manifest.map(_._1) == Seq(0L, 3L), "sparse ids must carry over")
+
+    graft.ops.Packing.writeTokenShards(docs, dir, 100L)
+    val (back, _) = graft.ops.Packing.readTokenShards(spark, dir)
+    // consumer-side digest over WHATEVER ORDER the shard scan yields
+    val dig = expr(graft.ops.TextAnalysis.hexToIntSql("md5(text)", 8))
+    val recomputed = back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(split(text, ' ')) AS BIGINT)")).as("token_mass"),
+        sum(dig).as("content_digest"))
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(recomputed == manifest,
+      s"read-back digest drifted: $recomputed vs $manifest")
+    // a tampered doc flips the digest (the integrity property)
+    val tampered = back.withColumn("text",
+      org.apache.spark.sql.functions.when(col("doc_id") === 3L,
+        lit("corrupted payload")).otherwise(col("text")))
+    val tDig = tampered.groupBy(col("shard").cast("long").as("shard"))
+      .agg(sum(dig).as("d"))
+      .orderBy("shard").collect().map(_.getLong(1)).toSeq
+    assert(tDig != manifest.map(_._4), "tamper must change the digest")
+  }
+
   test("readMedia: binary files round-trip byte-exact through the " +
       "binaryFile source with ids from file names, types from extensions") {
     val dir = java.nio.file.Files.createTempDirectory("media_in")
