@@ -100,4 +100,35 @@ object Mixing {
         round((col("_s").cast("double") / col("_st")) / (n / col("_N")), 6)
           .as("boost"))
   }
+
+  /** The end-to-end rebalance: [[temperatureWeights]] composed with the
+    * epochs-mixture semantics of [[mixCorpora]], FULLY DISTRIBUTED — the
+    * O(groups) weight table joins back as a broadcast instead of a
+    * driver collect, so data-derived weights never round-trip through
+    * the driver (mixCorpora's Scala-literal weights stay the right tool
+    * for hand-written recipes). Every document gets floor(boost) full
+    * copies plus a fractional copy kept by the deterministic
+    * md5-Bernoulli (salted by group AND id), exactly mixCorpora's
+    * convention; `epoch` numbers the copies. Majority groups thin
+    * (boost < 1 → a p=boost Bernoulli on epoch 0), minority groups
+    * oversample (epoch 0 guaranteed, more by the fraction).
+    *
+    * Scale: one broadcast hash join on the group key + a ≤⌈boost⌉-row
+    * explode + a codegen'd hash filter — map work, no shuffle beyond
+    * the weight aggregate's own.
+    */
+  def temperatureMix(docs: DataFrame, groupCol: String, alpha: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = temperatureWeights(docs, groupCol, alpha)
+      .select(col(groupCol), col("boost"))
+    val whole = floor(col("boost")).cast("long")
+    val frac = col("boost") - floor(col("boost"))
+    val thr = floor(frac * lit(281474976710656.0)).cast("long") // 2^48
+    val h = expr(TextAnalysis.hexToIntSql(
+      s"md5(concat('tmix:', $groupCol, ':', $idCol))", 12))
+    docs.join(broadcast(w), groupCol)
+      .withColumn("epoch", explode(sequence(lit(0L), whole)))
+      .filter(col("epoch") < whole || h < thr)
+      .drop("boost")
+  }
 }

@@ -2016,6 +2016,39 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x74: temperature-rebalanced mixture (x72 ∘ x51, distributed) -----
+    // The materialized rebalance: every doc gets floor(boost) copies
+    // plus a deterministic md5-Bernoulli fractional copy, with boosts
+    // computed FROM the data and joined back as a broadcast — no driver
+    // round-trip. en (44% of the corpus) thins to ~0.75x; fr oversamples
+    // to ~1.4x. The oracle replays weights, epochs range, and the
+    // threshold comparison bit-for-bit.
+    QueryDef(
+      "x74_temperature_mix",
+      (s, dir) =>
+        Mixing.temperatureMix(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            "lang", alpha = 0.5)
+          .orderBy(col("doc_id"), col("epoch")),
+      Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+              |w AS (SELECT lang, n_docs,
+              |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+              |  FROM c),
+              |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS N FROM c),
+              |s2 AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM w),
+              |wq AS (SELECT lang,
+              |    round((CAST(s AS DOUBLE) / st) / (CAST(n_docs AS DOUBLE) / N), 6) AS boost
+              |  FROM w CROSS JOIN t CROSS JOIN s2),
+              |mix AS (SELECT d.doc_id, d.lang, e AS epoch, q.boost
+              |  FROM documents d JOIN wq q USING (lang),
+              |  LATERAL unnest(range(0, CAST(floor(q.boost) AS BIGINT) + 1)) u(e))
+              |SELECT doc_id, lang, epoch FROM mix
+              |WHERE epoch < floor(boost)
+              |   OR ${TextAnalysis.hexToIntSql(
+                      "md5('tmix:' || lang || ':' || doc_id)", 12)}
+              |     < CAST(floor((boost - floor(boost)) * 281474976710656.0) AS BIGINT)
+              |ORDER BY doc_id, epoch""".stripMargin)),
+
     // ---- x73: token-shard integrity manifest ------------------------------
     // The producer/consumer handshake for shipped shards: per occupied
     // shard, doc count, token mass, and an ORDER-INDEPENDENT content

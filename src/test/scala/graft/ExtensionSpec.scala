@@ -1219,6 +1219,30 @@ class ExtensionSpec extends SparkSuite {
     neutral.foreach { case (p, q) => assert(math.abs(p - q) < 2e-6, s"$p vs $q") }
   }
 
+  test("temperatureMix: per-group mass within [floor, ceil]·n of boost, " +
+      "majority thinned / minority boosted, epochs contiguous from 0") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("lang"))
+    val w = Mixing.temperatureWeights(d, "lang", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    val mix = Mixing.temperatureMix(d, "lang", alpha = 0.5)
+    val per = mix.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    w.foreach { case (lang, (nd, boost)) =>
+      val lo = math.floor(boost).toLong * nd
+      val hi = math.ceil(boost).toLong * nd
+      assert(per(lang) >= lo && per(lang) <= hi,
+        s"$lang: ${per(lang)} outside [$lo, $hi] for boost $boost")
+    }
+    assert(per("en") < w("en")._1, "majority lang must thin below its count")
+    assert(per("fr") > w("fr")._1, "minority lang must oversample")
+    // no gaps: a doc's epochs are exactly 0..k
+    val bad = mix.groupBy("doc_id")
+      .agg(max(col("epoch")).as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c") - 1).count()
+    assert(bad == 0, "non-contiguous epoch numbering")
+  }
+
   test("contaminationReport: exact shared fraction on planted shingle " +
       "overlap; clean docs emit no row") {
     val corpus = frame(

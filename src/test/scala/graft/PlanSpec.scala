@@ -29,7 +29,8 @@ class PlanSpec extends SparkSuite {
     "x60_curation_semantic", // k-means centroid broadcast (x44's stage inside)
     "x62_bigram_logprob", // broadcast ONE-ROW vocabulary size
     "x66_quantized_recall", // x10's broadcast-queries shape, quantized twin
-    "x72_temperature_weights") // two ONE-ROW totals broadcast (x57 pattern)
+    "x72_temperature_weights", // two ONE-ROW totals broadcast (x57 pattern)
+    "x74_temperature_mix") // x72's scalar broadcasts inside the weight join
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
