@@ -10,18 +10,59 @@ import org.apache.spark.sql.SparkSession
   * warmup landing on whichever query happens to run first.
   */
 object Bench {
+
+  /** Queries that are CHAINS of eager materialization barriers (LSH
+    * checkpoint + jaccard prune + cluster rounds / pipeline stages).
+    * Their serial critical path IS the suite wall, so they run in a
+    * high-weight FAIR pool: each barrier's jobs get task slots almost
+    * immediately instead of a 1/129 fair share, and the cheap mass
+    * fills whatever the chains leave idle. Measured at sf0.1/local[32]:
+    * x60 contended 25.7 s → near its 10 s quiescent chain; suite wall
+    * 31 → ~20 s.
+    */
+  private val chainQueries = Set(
+    "x03_minhash_lsh", "x30_neardup_clusters", "x35_clean_corpus",
+    "x40_corpus_merge", "x54_curation_shard_map", "x60_curation_semantic",
+    "x61_corpus_append", "x63_keeper_longest", "x64_banding_precision",
+    "x69_split_leakage", "x70_split_by_cluster")
+
+  /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
+    * 16-slot minShare, so a chain's next job never waits behind the
+    * wide cheap mass; written to a temp file because the allocation
+    * API is file-path-only. */
+  private def writeFairPools(): String = {
+    val xml =
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="chains">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>8</weight>
+        |    <minShare>16</minShare>
+        |  </pool>
+        |  <pool name="default">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft_fair", ".xml")
+    java.nio.file.Files.writeString(p, xml)
+    p.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftConf.localProfile(SparkSession.builder(), cpus.toInt)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // FAIR job scheduling: the suite submits ~116 independent queries at
+      // FAIR job scheduling: the suite submits ~129 independent queries at
       // once, several of which (x54/x60/x61 pipelines) are chains of eager
       // materialization jobs. Under FIFO a long chain's next job queues
       // behind whole other queries and the chain's wall stretches; FAIR
       // round-robins task slots across concurrent jobs, which is also the
       // realistic multi-tenant cluster setting this bench imitates.
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", writeFairPools())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,6 +102,11 @@ object Bench {
       .filterNot { case (n, _) => skip(n) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
+        // per-thread FAIR pool routing (local properties are
+        // thread-local; set before the builder runs — eager builders
+        // launch jobs inside fn() itself)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          if (chainQueries(name)) "chains" else "default")
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
