@@ -291,6 +291,61 @@ object Packing {
     (docs, report)
   }
 
+  /** Content-defined chunking: a chunk boundary falls AFTER token i
+    * whenever the hash of the k-token window ending at i is ≡ 0 mod
+    * `divisor` — boundaries depend only on LOCAL content, so an edit
+    * anywhere perturbs at most the chunks it touches and the stream
+    * re-synchronizes at the next boundary (fixed-size chunking shifts
+    * every downstream chunk — zero dedup overlap after a one-token
+    * insertion; the spec pins the contrast). Expected chunk length ≈
+    * `divisor` tokens. Returns one row per chunk: (idCol, chunk_idx,
+    * start_tok, n_tokens, chunk_digest) with an md5 digest for
+    * chunk-level dedup/fingerprinting downstream.
+    *
+    * Scale: entirely map-side — array HOFs + one Generate per doc, no
+    * shuffle at any corpus size; the per-token window hash is the same
+    * md5 budget class as the shingle/minhash family.
+    */
+  def cdcChunks(docs: DataFrame, window: Int, divisor: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && divisor >= 1, "window and divisor must be >= 1")
+    // one native conv() per position (the minhash fast-path lesson —
+    // digestModSql's portable 8-term parse would inline md5 8×); value
+    // equality of conv vs the oracle's hex parse is the spec-pinned
+    // bandKeys identity
+    val h = s"CAST(conv(substring(md5(concat_ws(' ', " +
+      s"slice(_a, i - ${window - 1} + 1, $window))), 1, 8), 16, 10) AS BIGINT)"
+    val staged = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("_a"))
+      .filter(size(col("_a")) > 0)
+      // boundary = 0-based position i (>= window-1) whose k-window hash
+      // divides; -1 sentinels filtered out keeps the lambda single-pass.
+      // Docs shorter than the window get NO boundaries (one whole-doc
+      // chunk) — the guard also keeps sequence() from descending on a
+      // negative range (the chunkText portability lesson)
+      .withColumn("_bnd", expr(
+        s"""IF(size(_a) >= $window,
+           |  filter(transform(sequence(${window - 1}, size(_a) - 1),
+           |    i -> IF($h % $divisor = 0, i, -1)), x -> x >= 0),
+           |  CAST(array() AS ARRAY<INT>))""".stripMargin))
+      .withColumn("_starts", concat(array(lit(0)),
+        expr("transform(_bnd, b -> b + 1)")))
+      .withColumn("_ends", concat(col("_bnd"), array(size(col("_a")) - 1)))
+      // a boundary at the last token would open an empty chunk past the
+      // end — only the LAST zip element can be degenerate, so filtering
+      // keeps chunk indexes contiguous
+      .withColumn("_chunks", expr(
+        "filter(zip_with(_starts, _ends, (s, e) -> struct(s AS s, e AS e)), c -> c.s <= c.e)"))
+    staged
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("chunk_idx", "_c")),
+        col("_a"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("_c.s").cast("long").as("start_tok"),
+        (col("_c.e") - col("_c.s") + 1).cast("long").as("n_tokens"),
+        expr("md5(concat_ws(' ', slice(_a, _c.s + 1, _c.e - _c.s + 1)))")
+          .as("chunk_digest"))
+  }
+
   /** Bin packing WITHOUT document splitting — the other batching scheme
     * trainers use: documents stay whole, each context window (bin) is
     * filled next-fit in `idCol` order until the next document would

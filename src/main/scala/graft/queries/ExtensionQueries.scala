@@ -2016,6 +2016,36 @@ object ExtensionQueries {
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
 
+    // ---- x75: content-defined chunking ------------------------------------
+    // Rolling-hash chunk boundaries (4-token window, divisor 16): edits
+    // shift fixed-size chunks (x50) everywhere downstream, but CDC
+    // boundaries depend only on local content and re-synchronize — the
+    // chunk-level dedup substrate. Map-only; md5 digests per chunk.
+    QueryDef(
+      "x75_cdc_chunks",
+      (s, dir) =>
+        Packing.cdcChunks(Tables.documents(s, dir), window = 4, divisor = 16)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+              |bnd AS (SELECT doc_id, a,
+              |    COALESCE(list_filter(list_transform(range(4, len(a) + 1),
+              |      j -> CASE WHEN ${TextAnalysis.hexToIntSql(
+                       "md5(array_to_string(a[j-3:j], ' '))", 8)} % 16 = 0
+              |        THEN j - 1 ELSE CAST(-1 AS BIGINT) END), x -> x >= 0), []) AS b
+              |  FROM arr),
+              |ch AS (SELECT doc_id, a,
+              |    list_concat([CAST(0 AS BIGINT)], list_transform(b, x -> x + 1)) AS ss,
+              |    list_concat(b, [CAST(len(a) - 1 AS BIGINT)]) AS ee
+              |  FROM bnd),
+              |rws AS (SELECT doc_id, a, j - 1 AS chunk_idx, ss[j] AS s, ee[j] AS e
+              |  FROM ch, LATERAL unnest(range(1, len(ss) + 1)) u(j)
+              |  WHERE ss[j] <= ee[j])
+              |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+              |  CAST(s AS BIGINT) AS start_tok,
+              |  CAST(e - s + 1 AS BIGINT) AS n_tokens,
+              |  md5(array_to_string(a[s+1:e+1], ' ')) AS chunk_digest
+              |FROM rws ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- x74: temperature-rebalanced mixture (x72 ∘ x51, distributed) -----
     // The materialized rebalance: every doc gets floor(boost) copies
     // plus a deterministic md5-Bernoulli fractional copy, with boosts

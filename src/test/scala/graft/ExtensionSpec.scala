@@ -1219,6 +1219,49 @@ class ExtensionSpec extends SparkSuite {
     neutral.foreach { case (p, q) => assert(math.abs(p - q) < 2e-6, s"$p vs $q") }
   }
 
+  test("cdcChunks: boundaries re-synchronize after an insertion (shared " +
+      "chunk digests downstream) where fixed windows share nothing; " +
+      "chunks tile each doc exactly; short docs = one whole chunk") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id") === 0L).select("doc_id", "text")
+    val baseText = base.head().getString(1)
+    val edited = frame(
+      "doc_id" -> Seq(1L),
+      "text" -> Seq("inserted preamble tokens " + baseText))
+    val both = base.unionByName(edited)
+    val ch = Packing.cdcChunks(both, window = 4, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val a = ch.filter(_._1 == 0L).sortBy(_._2)
+    val b = ch.filter(_._1 == 1L).sortBy(_._2)
+    // tiling: chunks cover 0..len-1 with no gaps or overlaps
+    for (doc <- Seq(a, b)) {
+      assert(doc.head._3 == 0L)
+      doc.sliding(2).foreach { case Array(p, n) =>
+        assert(n._3 == p._3 + p._4, s"gap/overlap at ${n._2}") }
+    }
+    // CDC property: the edited doc re-synchronizes — some chunk digests
+    // are SHARED with the original (all chunks past the first boundary
+    // after the insertion have identical content and identical local
+    // boundaries)
+    val shared = a.map(_._5).toSet intersect b.map(_._5).toSet
+    assert(shared.nonEmpty,
+      s"no shared chunks after re-sync: a=${a.length} b=${b.length}")
+    // contrast: fixed windows at the same granularity share NOTHING
+    // after a 3-token shift (chunk content all offset)
+    val fa = Packing.chunkText(base, chunkTokens = 16, stride = 16)
+      .select("chunk_text").collect().map(_.getString(0)).toSet
+    val fb = Packing.chunkText(edited, chunkTokens = 16, stride = 16)
+      .select("chunk_text").collect().map(_.getString(0)).toSet
+    assert((fa intersect fb).isEmpty,
+      "fixed-size chunks unexpectedly survived the shift")
+    // short doc: a single chunk spanning the whole text
+    val tiny = Packing.cdcChunks(
+      frame("doc_id" -> Seq(9L), "text" -> Seq("two tokens")), 4, 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tiny.toSeq == Seq((0L, 0L, 2L)))
+  }
+
   test("temperatureMix: per-group mass within [floor, ceil]·n of boost, " +
       "majority thinned / minority boosted, epochs contiguous from 0") {
     val d = Tables.documents(spark, "/root/testdata/sf0.01")
