@@ -45,11 +45,26 @@ object Pipeline {
       minJaccard: Double = 0.5,
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
-      embedSaltBuckets: Int = 1): Seq[(String, DataFrame)] = {
-    val good = docs.join(
+      embedSaltBuckets: Int = 1,
+      maxPerSource: Option[Int] = None): Seq[(String, DataFrame)] = {
+    val passing = docs.join(
       TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
         .filter(col("quality") > minQuality).select("doc_id"),
       "doc_id")
+    // optional DOMAIN-BALANCING stage (x67 as a pipeline citizen): cap
+    // each source at its best-quality `maxPerSource` docs BEFORE the
+    // expensive dedup stages — the salted two-phase top-k, so one hot
+    // domain never funnels a task. Ordering (quality DESC, id) is a
+    // total order → deterministic, oracle-replayable.
+    val good = maxPerSource match {
+      case None => passing
+      case Some(n) => Ranking.topKPerGroup(
+          passing.withColumn("_q", TextAnalysis.qualityExpr(col("text"))),
+          "source", n,
+          Seq(col("_q").desc, col("doc_id").asc),
+          saltCol = col("doc_id"), salts = 8)
+        .drop("_q", "rnk")
+    }
 
     // `good` feeds both sides of the keeper self-join below — persist it
     // for the duration of exact's materialization so the quality subtree
@@ -115,9 +130,11 @@ object Pipeline {
       minJaccard: Double = 0.5,
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
-      embedSaltBuckets: Int = 1): DataFrame =
+      embedSaltBuckets: Int = 1,
+      maxPerSource: Option[Int] = None): DataFrame =
     curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard,
-      embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets)
+      embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets,
+      maxPerSource)
       .last._2
 
   /** INCREMENTAL corpus maintenance — the operational twin of [[curate]]

@@ -172,7 +172,7 @@ object ExtensionQueries {
     * AS MATERIALIZED pins DuckDB's CTE materialization for the
     * multiply-referenced stages — semantics unchanged, ~10x faster.
     */
-  private def curationSql(semantic: Boolean): String = {
+  private def curationSql(semantic: Boolean, cap: Option[Int] = None): String = {
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     val semanticCtes = if (!semantic) "" else
@@ -188,9 +188,24 @@ object ExtensionQueries {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
          |""".stripMargin
     val dsrc = if (semantic) "sem" else "dedup"
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0),
-       |good AS (SELECT doc_id, text FROM corpus
-       |  WHERE $qualityExprSql > 0.3),
+    val corpusCols = if (cap.isDefined) "doc_id, text, source" else "doc_id, text"
+    val goodCte = cap match {
+      case None =>
+        s"""good AS (SELECT doc_id, text FROM corpus
+           |  WHERE $qualityExprSql > 0.3)""".stripMargin
+      case Some(n) =>
+        // the domain-balancing stage: best-quality n per source among
+        // the quality survivors, the plain-window replay of the salted
+        // two-phase cap (x67's oracle contract, inside the pipeline)
+        s"""goodq AS (SELECT doc_id, text, source, $qualityExprSql AS q
+           |  FROM corpus WHERE $qualityExprSql > 0.3),
+           |good AS (SELECT doc_id, text FROM (
+           |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY source
+           |    ORDER BY q DESC, doc_id) AS rn FROM goodq) t
+           |  WHERE rn <= $n)""".stripMargin
+    }
+    s"""WITH corpus AS (SELECT $corpusCols FROM documents WHERE doc_id % 97 != 0),
+       |$goodCte,
        |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
        |        FROM good GROUP BY 1) k
@@ -2015,6 +2030,28 @@ object ExtensionQueries {
               |JOIN sp sb ON sb.doc_id = vp.id_b
               |WHERE sa.split <> sb.split
               |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
+
+    // ---- x76: curation pipeline with domain balancing ---------------------
+    // x54's 6-stage pipeline with the per-source cap (x67) as a
+    // first-class stage between quality and exact dedup: at most 12
+    // best-quality docs per source enter the dedup machinery. The
+    // oracle replays the whole chain with the plain-window cap; the
+    // Spark side runs the salted two-phase form — same rows, shard map
+    // bitwise-checked like x54/x60.
+    QueryDef(
+      "x76_curation_capped",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.shardAssignment(
+            Pipeline.curate(
+              docs.filter(col("doc_id") % 97 =!= 0),
+              docs.filter(col("doc_id") % 97 === 0),
+              maxPerSource = Some(12)),
+            docsPerShard = 64L)
+          .select(col("doc_id"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(curationSql(semantic = false, cap = Some(12)))),
 
     // ---- x75: content-defined chunking ------------------------------------
     // Rolling-hash chunk boundaries (4-token window, divisor 16): edits

@@ -1219,6 +1219,24 @@ class ExtensionSpec extends SparkSuite {
     neutral.foreach { case (p, q) => assert(math.abs(p - q) < 2e-6, s"$p vs $q") }
   }
 
+  test("curate maxPerSource: quality stage respects the cap, is a subset " +
+      "of the uncapped stage, and downstream stages stay monotone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 97 === 0)
+    val capped = Pipeline.curateStages(corpus, eval_, maxPerSource = Some(12))
+    val good = capped.head._2
+    good.groupBy("source").count().collect().foreach { r =>
+      assert(r.getLong(1) <= 12, s"${r.getString(0)} over cap: ${r.getLong(1)}") }
+    val uncappedIds = Pipeline.curateStages(corpus, eval_)
+      .head._2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cappedIds = good.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cappedIds.subsetOf(uncappedIds), "cap must only REMOVE docs")
+    assert(cappedIds.size < uncappedIds.size, "fixture cap should bind")
+    val sizes = capped.map(_._2.count())
+    assert(sizes == sizes.sorted.reverse, s"stages must shrink: $sizes")
+  }
+
   test("cdcChunks: boundaries re-synchronize after an insertion (shared " +
       "chunk digests downstream) where fixed windows share nothing; " +
       "chunks tile each doc exactly; short docs = one whole chunk") {
