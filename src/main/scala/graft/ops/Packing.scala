@@ -346,6 +346,34 @@ object Packing {
           .as("chunk_digest"))
   }
 
+  /** Chunk-level dedup report over [[cdcChunks]] — the shift-robust twin
+    * of Dedup.duplicatedSpanReport: a chunk is DUPLICATED iff its digest
+    * occurs anywhere earlier in global (doc, start) order. Because CDC
+    * boundaries re-synchronize across edits, an inserted preamble does
+    * not hide downstream duplication the way it breaks fixed W-gram
+    * positions; and because chunks TILE the document disjointly, the
+    * covered-token count is a plain sum — no interval union.
+    *
+    * Same scale shape as the span report: map-side-combinable keeper
+    * MIN per digest, one build-side-keeper hash join, per-doc aggregate.
+    */
+  def chunkDedupReport(docs: DataFrame, window: Int, divisor: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ch = cdcChunks(docs, window, divisor, textCol, idCol)
+    val keep = ch.groupBy(col("chunk_digest"))
+      .agg(min(struct(col(idCol), col("start_tok"))).as("_k"))
+    val dups = ch.join(keep, "chunk_digest")
+      .filter(struct(col(idCol), col("start_tok")) =!= col("_k"))
+    val nTok = docs.select(col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("_n"))
+    dups.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_chunks"),
+        sum(col("n_tokens")).as("dup_tokens"))
+      .join(nTok, idCol)
+      .select(col(idCol), col("n_dup_chunks"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("_n"), 6).as("dup_ratio"))
+  }
+
   /** Bin packing WITHOUT document splitting — the other batching scheme
     * trainers use: documents stay whole, each context window (bin) is
     * filled next-fit in `idCol` order until the next document would

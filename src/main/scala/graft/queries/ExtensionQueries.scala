@@ -2083,6 +2083,46 @@ object ExtensionQueries {
               |  md5(array_to_string(a[s+1:e+1], ' ')) AS chunk_digest
               |FROM rws ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // ---- x77: chunk-level dedup report (shift-robust, over x75) -----------
+    // Keep-first dedup at CDC-chunk granularity: chunks tile disjointly
+    // so covered tokens are a plain sum, and re-synchronizing
+    // boundaries keep duplication visible across edits that would shift
+    // every fixed W-gram. Same keeper-MIN + build-side join shape as
+    // x65.
+    QueryDef(
+      "x77_chunk_dedup",
+      (s, dir) =>
+        Packing.chunkDedupReport(Tables.documents(s, dir),
+            window = 4, divisor = 16)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+              |bnd AS (SELECT doc_id, a,
+              |    COALESCE(list_filter(list_transform(range(4, len(a) + 1),
+              |      j -> CASE WHEN ${TextAnalysis.hexToIntSql(
+                       "md5(array_to_string(a[j-3:j], ' '))", 8)} % 16 = 0
+              |        THEN j - 1 ELSE CAST(-1 AS BIGINT) END), x -> x >= 0), []) AS b
+              |  FROM arr),
+              |ch AS (SELECT doc_id, a,
+              |    list_concat([CAST(0 AS BIGINT)], list_transform(b, x -> x + 1)) AS ss,
+              |    list_concat(b, [CAST(len(a) - 1 AS BIGINT)]) AS ee
+              |  FROM bnd),
+              |rws AS (SELECT doc_id, ss[j] AS s, ee[j] - ss[j] + 1 AS n_tokens,
+              |    md5(array_to_string(a[ss[j]+1:ee[j]+1], ' ')) AS h
+              |  FROM ch, LATERAL unnest(range(1, len(ss) + 1)) u(j)
+              |  WHERE ss[j] <= ee[j]),
+              |k AS (SELECT h, doc_id AS kd, s AS ks FROM (
+              |  SELECT h, doc_id, s,
+              |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+              |  FROM rws) t WHERE rn = 1),
+              |dups AS (SELECT o.doc_id, o.n_tokens FROM rws o JOIN k ON k.h = o.h
+              |  WHERE NOT (o.doc_id = k.kd AND o.s = k.ks)),
+              |nt AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n FROM arr)
+              |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+              |  CAST(SUM(d.n_tokens) AS BIGINT) AS dup_tokens,
+              |  round(CAST(SUM(d.n_tokens) AS DOUBLE) / MAX(nt.n), 6) AS dup_ratio
+              |FROM dups d JOIN nt ON nt.doc_id = d.doc_id
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // ---- x74: temperature-rebalanced mixture (x72 ∘ x51, distributed) -----
     // The materialized rebalance: every doc gets floor(boost) copies
     // plus a deterministic md5-Bernoulli fractional copy, with boosts

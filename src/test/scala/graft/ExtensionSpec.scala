@@ -1278,6 +1278,14 @@ class ExtensionSpec extends SparkSuite {
       frame("doc_id" -> Seq(9L), "text" -> Seq("two tokens")), 4, 16)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(tiny.toSeq == Seq((0L, 0L, 2L)))
+
+    // chunk-level dedup sees THROUGH the shift: the edited copy is
+    // flagged with exactly the re-synchronized shared chunks
+    val rep = Packing.chunkDedupReport(both, window = 4, divisor = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep.get(1L).contains(shared.size.toLong),
+      s"edited copy should carry ${shared.size} dup chunks, got ${rep.get(1L)}")
+    assert(!rep.contains(0L), "the keeper doc must not be flagged")
   }
 
   test("temperatureMix: per-group mass within [floor, ceil]·n of boost, " +
