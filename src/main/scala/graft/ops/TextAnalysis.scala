@@ -235,4 +235,109 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(max(col("c")).as("top_2gram_n"), sum(col("c")).as("n_2grams"))
   }
+
+  /** Gopher-style composite rule filter (Rae et al. 2021 appendix A1.1 —
+    * the published MassiveText web filters, thresholds parameterized):
+    * one boolean flag per rule plus their conjunction, so a pipeline can
+    * both gate on `ok_gopher` and report which rule killed a document.
+    * Rules kept from the paper that are meaningful for whitespace
+    * corpora: word-count bounds, mean-word-length window, minimum
+    * alphabetic-word fraction, minimum stopword count (the `en` list of
+    * [[stopwords]]). Pure column expressions over one `split` — map-only,
+    * codegen'd end to end, no shuffle at any scale; mean length uses the
+    * exact identity sum(len(w)) = len(text) - n + 1, and every ratio is a
+    * single correctly-rounded IEEE division, so flags are engine-exact.
+    */
+  def gopherFlags(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val meanLen = (length(col(textCol)) - n + 1).cast("double") / n.cast("double")
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n.cast("double")
+    val enWords = stopwords.head._2
+    val nStop = size(filter(toks, t => t.isin(enWords.map(lit): _*)))
+    docs.select(col(idCol), n.cast("long").as("n_words"),
+        (n >= minWords && n <= maxWords).as("ok_words"),
+        (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("ok_mean_len"),
+        (alphaFrac >= minAlphaFrac).as("ok_alpha"),
+        (nStop >= minStopwords).as("ok_stopwords"))
+      .withColumn("ok_gopher",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each corpus
+    * document by the mean log-likelihood ratio of a TARGET hashed-unigram
+    * LM to the CORPUS LM — the published recipe for selecting pretraining
+    * data that "looks like" a small high-quality target set. Features are
+    * hashed token buckets (md5-prefix parse — engine-portable, reference
+    * DSIR uses hashed n-grams for exactly this dimensionality bound);
+    * add-one smoothing on both sides; score = mean over tokens of
+    * ln(p_target/p_corpus), rounded to 6 (the x39-proven tolerance for
+    * libm 1-ulp + float-sum-order divergence between engines).
+    *
+    * Scale shape: both LM tables are `buckets` rows and both totals one
+    * row → all broadcast (sibling aggregates of the token subtree, never
+    * containing the probe side); the corpus pass is one explode + one
+    * broadcast join + a per-doc aggregate. Nothing global, nothing
+    * quadratic — the target set is read twice (counts + total), which at
+    * DSIR scale is the small side by construction.
+    */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+      buckets: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def bucketed(d: DataFrame) =
+      d.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % buckets)
+    val corpusToks = bucketed(docs)
+    val targetToks = bucketed(target)
+    val corpusCnt = corpusToks.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+    val targetCnt = targetToks.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val corpusTot = corpusToks.agg(count(lit(1)).as("cn"))
+    val targetTot = targetToks.agg(count(lit(1)).as("tn"))
+    // per-bucket weight: ln of the add-one-smoothed probability ratio,
+    // associated EXACTLY as (tc'/tn') / (cc'/cn') on both engines so the
+    // correctly-rounded divisions feed ln the identical double
+    val w = broadcast(corpusCnt.join(targetCnt, Seq("b"), "left")
+      .crossJoin(broadcast(targetTot)).crossJoin(broadcast(corpusTot))
+      .select(col("b"),
+        log(((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+              (col("tn") + buckets)) /
+            ((col("cc") + 1).cast("double") / (col("cn") + buckets))).as("w")))
+    corpusToks.join(w, "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("w")) / count(lit(1)), 6).as("dsir_score"))
+  }
+
+  /** Vocabulary coverage report: the top-k corpus tokens by frequency
+    * (ties by token) with each prefix's cumulative share of total token
+    * mass — the evidence for sizing a tokenizer vocabulary ("the top
+    * 20 types cover 38% of the corpus"). Scale shape: one (token) count
+    * shuffle with map-side combine, then a TakeOrdered top-k; the rank /
+    * cumulative-sum window runs on the k-row RESULT (bounded by
+    * construction, like x57's quantile tail), and the corpus total rides
+    * along as a broadcast one-row aggregate. Integer cumulative sum →
+    * order-free; one division + round(6) → engine-exact.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("corpus_n"))
+    val top = cnt.orderBy(col("n").desc, col("tok").asc).limit(k)
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_frac", round(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / col("corpus_n"), 6))
+      .select(col("rnk"), col("tok"), col("n"), col("cum_frac"))
+  }
 }

@@ -262,6 +262,93 @@ object ExtensionQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- x78: Gopher composite rule filter ---------------------------------
+    // The published MassiveText web filters as per-rule flags — a pipeline
+    // gates on ok_gopher and reports which rule killed each doc. Map-only
+    // codegen; thresholds picked to actually split this corpus (word
+    // counts run 10-99, so the paper's 50..100k word window is the live
+    // rule; mean length / alpha-fraction stay at published values).
+    QueryDef(
+      "x78_gopher_rules",
+      (s, dir) =>
+        TextAnalysis.gopherFlags(Tables.documents(s, dir),
+            minWords = 20, maxWords = 90)
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, CAST(len(a) AS BIGINT) AS n_words,
+              |  len(a) >= 20 AND len(a) <= 90 AS ok_words,
+              |  CAST(len(text) - len(a) + 1 AS DOUBLE) / len(a) >= 3.0 AND
+              |    CAST(len(text) - len(a) + 1 AS DOUBLE) / len(a) <= 10.0
+              |    AS ok_mean_len,
+              |  CAST(len(list_filter(a, t -> regexp_matches(t, '[A-Za-z]')))
+              |    AS DOUBLE) / len(a) >= 0.8 AS ok_alpha,
+              |  len(list_filter(a, t -> t IN
+              |    ('the','a','of','and','to','in','is','it'))) >= 2
+              |    AS ok_stopwords,
+              |  (len(a) >= 20 AND len(a) <= 90)
+              |    AND (CAST(len(text) - len(a) + 1 AS DOUBLE) / len(a) >= 3.0
+              |      AND CAST(len(text) - len(a) + 1 AS DOUBLE) / len(a) <= 10.0)
+              |    AND (CAST(len(list_filter(a, t -> regexp_matches(t, '[A-Za-z]')))
+              |      AS DOUBLE) / len(a) >= 0.8)
+              |    AND (len(list_filter(a, t -> t IN
+              |      ('the','a','of','and','to','in','is','it'))) >= 2)
+              |    AS ok_gopher
+              |FROM (SELECT doc_id, text, string_split(text, ' ') AS a
+              |      FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    // ---- x79: DSIR importance weights (data selection) --------------------
+    // Mean log-ratio of target vs corpus hashed-unigram LMs — the
+    // importance-resampling selection signal. Target = the % 97 eval-ish
+    // slice (x71's convention); corpus = the rest. LM tables: 64 hashed
+    // buckets, broadcast; totals: one-row sibling broadcasts.
+    QueryDef(
+      "x79_dsir_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.importanceWeights(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), buckets = 64)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH cb AS (SELECT doc_id,
+              |    (${TextAnalysis.tokenHashSql("tok")} % 64) AS b
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents WHERE doc_id % 97 != 0) t),
+              |tb AS (SELECT (${TextAnalysis.tokenHashSql("tok")} % 64) AS b
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              |        FROM documents WHERE doc_id % 97 = 0) t),
+              |cc AS (SELECT b, COUNT(*) AS cc FROM cb GROUP BY b),
+              |tc AS (SELECT b, COUNT(*) AS tc FROM tb GROUP BY b),
+              |cn AS (SELECT COUNT(*) AS cn FROM cb),
+              |tn AS (SELECT COUNT(*) AS tn FROM tb),
+              |w AS (SELECT cc.b,
+              |    ln(((COALESCE(tc.tc, 0) + 1.0) / (tn.tn + 64)) /
+              |       ((cc.cc + 1.0) / (cn.cn + 64))) AS w
+              |  FROM cc LEFT JOIN tc USING (b) CROSS JOIN cn CROSS JOIN tn)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |  round(SUM(w) / COUNT(*), 6) AS dsir_score
+              |FROM cb JOIN w USING (b)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- x80: vocabulary coverage (tokenizer sizing) -----------------------
+    // Top-k corpus tokens with cumulative token-mass share. The window
+    // runs on the k-row top-k result; integer cumsum → order-free.
+    QueryDef(
+      "x80_vocab_coverage",
+      (s, dir) =>
+        TextAnalysis.vocabCoverage(Tables.documents(s, dir), k = 20)
+          .orderBy(col("rnk")),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+             |tot AS (SELECT COUNT(*) AS corpus_n FROM toks),
+             |top AS (SELECT tok, n,
+             |    ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+             |  FROM cnt ORDER BY n DESC, tok LIMIT 20)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, tok, n,
+             |  round(CAST(SUM(n) OVER (ORDER BY rnk) AS DOUBLE) / corpus_n, 6)
+             |    AS cum_frac
+             |FROM top CROSS JOIN tot ORDER BY rnk""".stripMargin)),
+
     // ---- x01: exact dedup — hash-groupBy over the full corpus -------------
     QueryDef(
       "x01_dedup_exact",

@@ -30,7 +30,9 @@ class PlanSpec extends SparkSuite {
     "x62_bigram_logprob", // broadcast ONE-ROW vocabulary size
     "x66_quantized_recall", // x10's broadcast-queries shape, quantized twin
     "x72_temperature_weights", // two ONE-ROW totals broadcast (x57 pattern)
-    "x74_temperature_mix") // x72's scalar broadcasts inside the weight join
+    "x74_temperature_mix", // x72's scalar broadcasts inside the weight join
+    "x79_dsir_weights", // two ONE-ROW LM totals broadcast (x57 pattern)
+    "x80_vocab_coverage") // broadcast ONE-ROW corpus total onto k rows
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
