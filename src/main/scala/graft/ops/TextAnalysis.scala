@@ -257,7 +257,9 @@ object TextAnalysis {
     val meanLen = (length(col(textCol)) - n + 1).cast("double") / n.cast("double")
     val alphaFrac =
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n.cast("double")
-    val enWords = stopwords.head._2
+    // keyed lookup, not positional — reordering/prepending a language in
+    // `stopwords` must not silently switch the Gopher stopword rule
+    val enWords = stopwords.collectFirst { case ("en", ws) => ws }.get
     val nStop = size(filter(toks, t => t.isin(enWords.map(lit): _*)))
     docs.select(col(idCol), n.cast("long").as("n_words"),
         (n >= minWords && n <= maxWords).as("ok_words"),
@@ -278,7 +280,12 @@ object TextAnalysis {
     * DSIR uses hashed n-grams for exactly this dimensionality bound);
     * add-one smoothing on both sides; score = mean over tokens of
     * ln(p_target/p_corpus), rounded to 6 (the x39-proven tolerance for
-    * libm 1-ulp + float-sum-order divergence between engines).
+    * libm 1-ulp + float-sum-order divergence between engines). Residual
+    * risk, accepted per the x39 convention: the per-doc sum(w) is an
+    * order-dependent double sum, so a document landing within ~5e-7 of a
+    * round(6) boundary could still flip the last digit between engines or
+    * partitionings; if such a flake ever appears, sum in a deterministic
+    * order (e.g. sort_array over collected (b, w) pairs) instead.
     *
     * Scale shape: both LM tables are `buckets` rows and both totals one
     * row → all broadcast (sibling aggregates of the token subtree, never

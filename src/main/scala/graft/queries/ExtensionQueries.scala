@@ -310,12 +310,14 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH cb AS (SELECT doc_id,
-              |    (${TextAnalysis.tokenHashSql("tok")} % 64) AS b
-              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              |        FROM documents WHERE doc_id % 97 != 0) t),
-              |tb AS (SELECT (${TextAnalysis.tokenHashSql("tok")} % 64) AS b
-              |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
-              |        FROM documents WHERE doc_id % 97 = 0) t),
+              |    (${TextAnalysis.hexToIntSql("h", 8)} % 64) AS b
+              |  FROM (SELECT doc_id, md5(tok) AS h FROM
+              |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |     FROM documents WHERE doc_id % 97 != 0) u) t),
+              |tb AS (SELECT (${TextAnalysis.hexToIntSql("h", 8)} % 64) AS b
+              |  FROM (SELECT md5(tok) AS h FROM
+              |    (SELECT unnest(string_split(text, ' ')) AS tok
+              |     FROM documents WHERE doc_id % 97 = 0) u) t),
               |cc AS (SELECT b, COUNT(*) AS cc FROM cb GROUP BY b),
               |tc AS (SELECT b, COUNT(*) AS tc FROM tb GROUP BY b),
               |cn AS (SELECT COUNT(*) AS cn FROM cb),
