@@ -254,6 +254,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SEMANTIC benchmark decontamination: corpus vectors whose embedding
+    * cosine-matches ANY eval-set vector at or above `minCosine` — the
+    * embedding-space complement of the n-gram overlap gate
+    * ([[graft.ops.Dedup.contamination]], x47): paraphrased or reformatted
+    * eval material shares few exact shingles but still lands next to the
+    * eval vector in embedding space. Both sets are assigned to the SAME
+    * k-means quantizer, TRAINED ON THE CORPUS ONLY (the eval set must not
+    * shape the cells — it is the probe, not the data), and only same-cell
+    * cross-set pairs are cosine-checked. Output: one row per contaminated
+    * corpus vector with its best eval match (max sim, ties to the
+    * smallest eval id).
+    *
+    * Scale shape: the eval side is small BY CONSTRUCTION (a benchmark),
+    * so its (cell, embedding) assignment is broadcast — the corpus-side
+    * pass is map-only (no corpus shuffle, no skew funnel: corpus rows
+    * are checked where they sit against the ~|eval|/nCells vectors of
+    * their cell). The best-match argmax is a map-side-combinable
+    * max(struct) aggregate over only the ABOVE-THRESHOLD pairs, not a
+    * window over the corpus. The published recipe: embedding-similarity
+    * decontamination as used alongside n-gram checks in modern LLM data
+    * curation (the semantic analogue of Brown et al. 2020's 13-gram
+    * eval-overlap filter).
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      nCells: Int, iters: Int, minCosine: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      col(embCol).cast("array<double>").as("ee"))
+    val cents = kmeansCentroids(corpus, nCells, iters, idCol, embCol)
+    val cv = v.join(assignToCentroids(v, cents, "vec_id", "e"), "vec_id")
+    val ea = broadcast(
+      ev.join(assignToCentroids(ev, cents, "eval_id", "ee"), "eval_id"))
+    cv.join(ea, "cell")
+      .withColumn("sim", round(cosine(col("e"), col("ee")), 6))
+      .filter(col("sim") >= minCosine)
+      // argmax without a window: max over (sim, -eval_id) structs gives
+      // max sim with the SMALLEST eval id on ties, combinable map-side
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).cast("long").as("eval_id"),
+        col("m.sim").as("sim"))
+  }
+
   /** The corpus's (sign-LSH bucket, embedding) state — what the SEMANTIC
     * ingest gate ([[embeddingNearDupReject]]) joins against: one row per
     * corpus vector, bucketed by the deterministic hyperplane signs. Build

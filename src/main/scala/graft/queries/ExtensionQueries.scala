@@ -2373,6 +2373,48 @@ object ExtensionQueries {
               |    PARTITION BY source
               |    ORDER BY $qualityExprSql DESC, doc_id) AS rnk
               |  FROM documents) t
-              |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin))
+              |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x81: semantic benchmark decontamination --------------------------
+    // Embedding-space eval-set contamination: the k-means quantizer is
+    // trained on the CORPUS slice only (% 13 != 0), the eval slice is
+    // assigned to the trained cells, and only same-cell cross-set pairs
+    // are cosine-checked — the semantic complement of x47's n-gram gate.
+    // The oracle replays the full training (kmeansCtes) plus the
+    // eval-side assignment against the final centroids, then the same
+    // best-match argmax (max sim, ties to smallest eval id).
+    QueryDef(
+      "x81_semantic_decontam",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") % 13 =!= 0),
+            emb.filter(col("vec_id") % 13 === 0),
+            nCells = 8, iters = 2, minCosine = 0.3)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${kmeansCtes(8, 2, "",
+               "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings " +
+                 "WHERE vec_id < 2000 AND vec_id % 13 != 0")},
+              |ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ee
+              |  FROM embeddings WHERE vec_id < 2000 AND vec_id % 13 = 0),
+              |ea AS (SELECT eval_id, cell, ee FROM (
+              |  SELECT v.eval_id, c.cent_id AS cell, v.ee,
+              |    ROW_NUMBER() OVER (PARTITION BY v.eval_id
+              |      ORDER BY round(list_dot_product(v.ee, c.ce)
+              |        / sqrt(list_dot_product(v.ee, v.ee)
+              |             * list_dot_product(c.ce, c.ce)), 6) DESC,
+              |        c.cent_id ASC) AS rn
+              |  FROM ev v CROSS JOIN c2 c) t WHERE rn = 1),
+              |p AS (SELECT a.vec_id, e2.eval_id,
+              |    round(list_dot_product(a.e, e2.ee)
+              |      / sqrt(list_dot_product(a.e, a.e)
+              |           * list_dot_product(e2.ee, e2.ee)), 6) AS sim
+              |  FROM af a JOIN ea e2 ON a.cell = e2.cell)
+              |SELECT vec_id, eval_id, sim FROM (
+              |  SELECT vec_id, eval_id, sim, ROW_NUMBER() OVER (
+              |    PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rn
+              |  FROM p WHERE sim >= 0.3) t
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
   )
 }

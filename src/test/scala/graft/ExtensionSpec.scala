@@ -1388,4 +1388,29 @@ class ExtensionSpec extends SparkSuite {
       .orderBy(col("rk")).collect().map(_.getLong(2)).toSeq
     assert(top == Seq(2L, 3L), s"got $top")
   }
+
+  test("semanticContamination: planted eval copy is flagged with best-match " +
+      "tie to the smallest eval id; orthogonal docs pass clean (x81 form)") {
+    // corpus: 0=(0,1,0,0), 1=(1,0,0,0), 2≈1, 3 orthogonal to all evals;
+    // eval: 100/101 = identical scaled copies of corpus 1, 102 orthogonal.
+    val corpus = frame(
+      "vec_id" -> Seq[Any](0L, 1L, 2L, 3L),
+      "embedding" -> Seq(
+        Seq(0.0, 1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 0.0),
+        Seq(1.0, 0.001, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0)))
+    val eval = frame(
+      "vec_id" -> Seq[Any](100L, 101L, 102L),
+      "embedding" -> Seq(
+        Seq(2.0, 0.0, 0.0, 0.0), Seq(2.0, 0.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 0.0, 1.0)))
+    val got = Similarity.semanticContamination(corpus, eval,
+        nCells = 2, iters = 1, minCosine = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L), s"flagged ${got.keySet}")
+    // both identical eval copies match at the same sim — the argmax must
+    // break the tie to the SMALLEST eval id, on the aggregate path too
+    assert(got(1L) == ((100L, 1.0)), s"got ${got(1L)}")
+    assert(got(2L)._1 == 100L && got(2L)._2 >= 0.999999, s"got ${got(2L)}")
+  }
 }
