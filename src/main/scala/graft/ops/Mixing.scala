@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.MDFrame
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus mixture assembly: combine several sources with
@@ -99,6 +100,68 @@ object Mixing {
         round(col("_s").cast("double") / col("_st"), 6).as("q"),
         round((col("_s").cast("double") / col("_st")) / (n / col("_N")), 6)
           .as("boost"))
+  }
+
+  /** UniMax token-budget allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total training-token budget across sources
+    * as UNIFORMLY as possible subject to a per-source epoch cap —
+    * capacity c_g = epochCap · n_g tokens; waterfilling gives every
+    * source min(c_g, W) where the waterline W exhausts the budget.
+    * Published alternative to temperature sampling ([[temperatureWeights]])
+    * that caps repetition of small sources explicitly.
+    *
+    * INTEGER-EXACT closed form (engine-portable, no float in the
+    * allocation): sources sorted by (capacity, name); a source is capped
+    * iff c_k · (G−k+1) ≤ B − prefix_{k−1} — capacity at or below the
+    * would-be equal share at its sort position (waterfilling's monotone
+    * cap test, division-free). Uncapped sources get the integer base
+    * share of the residual budget, with the remainder distributed one
+    * token each to the first `rem` uncapped sources in sort order —
+    * exact conservation: allocations sum to min(B, Σc). If B ≥ Σc every
+    * source is capped and the surplus is intentionally unallocated.
+    *
+    * Scale shape: ONE map-side-combinable token-count aggregate touches
+    * the corpus; every window below it runs on the O(groups) result
+    * (the x57/x80 bounded-result convention — the partition-less window
+    * holds G rows, never data). `epochs` is one correctly-rounded
+    * division of two integers, round(6) → engine-exact.
+    */
+  def unimaxBudget(docs: DataFrame, groupCol: String, budget: Long,
+      epochCap: Int, textCol: String = "text"): DataFrame = {
+    require(budget >= 0L && epochCap >= 1,
+      s"budget >= 0 and epochCap >= 1, got $budget / $epochCap")
+    val counts = docs.groupBy(col(groupCol).as("source"))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol)))).cast("long")
+        .as("n_tokens"))
+      .withColumn("capacity", col("n_tokens") * epochCap)
+    val ord = Window.orderBy(col("capacity").asc, col("source").asc)
+    val full = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = counts
+      .withColumn("_rn", row_number().over(ord).cast("long"))
+      .withColumn("_pfx", coalesce(sum(col("capacity"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_g", count(lit(1)).over(full))
+      .withColumn("_capped",
+        col("capacity") * (col("_g") - col("_rn") + 1L) <=
+          lit(budget) - col("_pfx"))
+    val t = flagged
+      .withColumn("_k", sum(when(col("_capped"), 1L).otherwise(0L)).over(full))
+      .withColumn("_pc", coalesce(
+        sum(when(col("_capped"), col("capacity"))).over(full), lit(0L)))
+      .withColumn("_ur",
+        sum(when(col("_capped"), 0L).otherwise(1L)).over(run))
+    val m = t("_g") - t("_k")
+    val residual = lit(budget) - t("_pc")
+    t.withColumn("alloc_tokens", when(col("_capped"), col("capacity"))
+        .otherwise(expr(s"($budget - _pc) div (_g - _k)") +
+          when(col("_ur") <= pmod(residual, m), 1L).otherwise(0L)))
+      .select(col("source"), col("n_tokens"), col("capacity"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("epochs"))
   }
 
   /** The end-to-end rebalance: [[temperatureWeights]] composed with the

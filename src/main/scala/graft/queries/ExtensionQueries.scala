@@ -2415,6 +2415,48 @@ object ExtensionQueries {
               |  SELECT vec_id, eval_id, sim, ROW_NUMBER() OVER (
               |    PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rn
               |  FROM p WHERE sim >= 0.3) t
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ---- x82: UniMax token-budget allocation ------------------------------
+    // Waterfilling a 70k-token budget across sources at a 3-epoch cap
+    // (Chung et al. 2023). The allocation is INTEGER arithmetic end to
+    // end (division-free cap test, integer base share + largest-remainder
+    // top-up), so both engines agree bitwise; only the final epochs
+    // column divides, once, under round(6).
+    QueryDef(
+      "x82_unimax_budget",
+      (s, dir) =>
+        Mixing.unimaxBudget(Tables.documents(s, dir), "source",
+            budget = 70000L, epochCap = 3)
+          .orderBy(col("source")),
+      Some("""WITH counts AS (SELECT source,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source),
+              |c AS (SELECT source, n_tokens, n_tokens * 3 AS capacity
+              |  FROM counts),
+              |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY capacity, source) AS rn,
+              |    CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, source
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS pfx,
+              |    COUNT(*) OVER () AS g FROM c),
+              |f AS (SELECT *,
+              |    (capacity * (g - rn + 1) <= 70000 - pfx) AS capped FROM r),
+              |t AS (SELECT *,
+              |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+              |      AS BIGINT) AS k,
+              |    CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END)
+              |      OVER (), 0) AS BIGINT) AS pc,
+              |    CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+              |      OVER (ORDER BY capacity, source
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS ur FROM f),
+              |a AS (SELECT source, n_tokens, capacity,
+              |    CASE WHEN capped THEN capacity
+              |    ELSE ((70000 - pc) // (g - k)) +
+              |      (CASE WHEN ur <= ((70000 - pc) % (g - k)) THEN 1 ELSE 0 END)
+              |    END AS alloc_tokens FROM t)
+              |SELECT source, n_tokens, capacity, alloc_tokens,
+              |  round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs
+              |FROM a ORDER BY source""".stripMargin))
   )
 }

@@ -1389,6 +1389,39 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("unimaxBudget: exact conservation, caps respected, uncapped shares " +
+      "within one token, and the all-capped surplus branch (x82 form)") {
+    // four sources: 2, 5, 40, 40 tokens → capacities 4, 10, 80, 80 at cap 2
+    val docs = frame(
+      "doc_id" -> Seq[Any](0L, 1L, 2L, 3L),
+      "source" -> Seq("tiny", "small", "big_a", "big_b"),
+      "text" -> Seq("a b", "a b c d e",
+        Seq.fill(40)("w").mkString(" "), Seq.fill(40)("w").mkString(" ")))
+    def run(budget: Long) = Mixing.unimaxBudget(docs, "source", budget,
+        epochCap = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // budget 100 < Σcap 174: tiny+small capped (4+10), the 86 left splits
+    // 43/43 between the equal big sources
+    val a = run(100L)
+    assert(a("tiny") == ((2L, 4L, 4L, 2.0)), s"${a("tiny")}")
+    assert(a("small") == ((5L, 10L, 10L, 2.0)), s"${a("small")}")
+    assert(a("big_a")._3 == 43L && a("big_b")._3 == 43L, s"$a")
+    assert(a.values.map(_._3).sum == 100L, "budget must be fully spent")
+    // odd residual: remainder token goes to the FIRST uncapped source in
+    // (capacity, source) order — big_a before big_b
+    val b = run(101L)
+    assert(b("big_a")._3 == 44L && b("big_b")._3 == 43L, s"$b")
+    assert(b.values.map(_._3).sum == 101L)
+    // budget above Σcap: every source capped, surplus unallocated
+    val c = run(1000L)
+    assert(c.values.forall(v => v._3 == v._2), s"$c")
+    assert(c.values.map(_._3).sum == 174L)
+    // epochs never exceed the cap
+    Seq(a, b, c).foreach(m => m.values.foreach(v =>
+      assert(v._4 <= 2.0 + 1e-9, s"epoch cap breached: $m")))
+  }
+
   test("semanticContamination: planted eval copy is flagged with best-match " +
       "tie to the smallest eval id; orthogonal docs pass clean (x81 form)") {
     // corpus: 0=(0,1,0,0), 1=(1,0,0,0), 2≈1, 3 orthogonal to all evals;
