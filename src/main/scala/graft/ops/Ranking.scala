@@ -95,4 +95,48 @@ object Ranking {
     survivors.withColumn(rankName, row_number().over(w2).cast("long"))
       .filter(col(rankName) <= k)
   }
+
+  /** Exact PER-GROUP row numbers without the per-group window funnel —
+    * the group-keyed sibling of [[withGlobalRanks]]. A window partitioned
+    * by group routes each group through ONE task, which is fatal exactly
+    * when it matters (ranking all of one language's documents inside a
+    * 100 TB corpus). Decomposition:
+    *
+    *   1. range-partition on (group, keys...) — each group occupies a
+    *      CONTIGUOUS run of partitions, ordered within;
+    *   2. row_number within (physical partition, group) in parallel;
+    *   3. add per-(partition, group) offsets. Because groups are
+    *      contiguous under the range partitioning, the offsets summary
+    *      has at most partitions + groups − 1 rows — O(small) — and its
+    *      per-group running sum is a window over that summary only.
+    *
+    * Same ReusedExchange invariant as [[withGlobalRanks]]: the summary
+    * subtree shares the ranking subtree's range exchange, so both see
+    * identical bucket boundaries and the input executes once. `keys`
+    * must totally order rows WITHIN a group (append a unique id) for a
+    * deterministic result — the plain window's contract.
+    */
+  def withGroupRanks(df: DataFrame, groupCol: String,
+      keys: Seq[(String, Boolean)], rankCol: String = "rnk"): DataFrame = {
+    require(keys.nonEmpty, "ranking needs at least one sort key")
+    val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val fullOrd = col(groupCol).asc +: ord
+
+    val ranged = df.repartitionByRange(fullOrd: _*)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket"), col(groupCol)).orderBy(ord: _*)
+    val local = ranged.withColumn("_lrank", row_number().over(w))
+
+    val sums = local.groupBy(col("_bucket"), col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_roff", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col(groupCol), col("_roff"))
+
+    local.join(broadcast(offsets), Seq("_bucket", groupCol))
+      .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("long"))
+      .drop("_bucket", "_lrank", "_roff")
+  }
 }

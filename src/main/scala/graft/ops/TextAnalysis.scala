@@ -347,4 +347,44 @@ object TextAnalysis {
           Window.currentRow)).cast("double") / col("corpus_n"), 6))
       .select(col("rnk"), col("tok"), col("n"), col("cum_frac"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per language, split the corpus into head / middle / tail thirds by
+    * LM fluency — head = the most fluent third, the published coarse
+    * quality tiering that lets a recipe train on "head+middle" or weight
+    * tiers differently. Fluency is [[unigramLogProb]] (higher = more
+    * fluent), language is [[langId]]'s argmax, and the thirds are EXACT
+    * rank tertiles: rank within language by (logprob desc, id), head iff
+    * 3·rank ≤ n+2 (integer form of rank ≤ ⌈n/3⌉), middle iff
+    * 3·rank ≤ 2n+2. Output: one row per (lang, bucket) with doc count
+    * and token mass — all integers, engine-exact.
+    *
+    * Scale shape: scoring is x39's one explode + broadcast join; the
+    * per-language rank runs through [[Ranking.withGroupRanks]] (range
+    * partition + per-(partition, group) offsets), so a language holding
+    * most of a 100 TB crawl never funnels through one window task; group
+    * sizes join back as an O(languages) broadcast.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val score = unigramLogProb(docs, textCol, idCol)
+    val lang = langId(docs, textCol, idCol)
+      .select(col(idCol), col("pred_lang").as("lang"))
+    val base = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    val scored = base.join(score, idCol).join(lang, idCol)
+    val ranked = Ranking.withGroupRanks(scored, "lang",
+      Seq(("logprob", false), (idCol, true)), "_r")
+    val sizes = broadcast(
+      scored.groupBy(col("lang")).agg(count(lit(1)).as("_nl")))
+    ranked.join(sizes, "lang")
+      .withColumn("bucket",
+        when(col("_r") * 3 <= col("_nl") + 2, lit("head"))
+          .when(col("_r") * 3 <= col("_nl") * 2 + 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+  }
 }

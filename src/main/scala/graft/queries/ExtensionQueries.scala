@@ -2457,6 +2457,45 @@ object ExtensionQueries {
               |    END AS alloc_tokens FROM t)
               |SELECT source, n_tokens, capacity, alloc_tokens,
               |  round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs
-              |FROM a ORDER BY source""".stripMargin))
+              |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- x83: CCNet perplexity head/middle/tail buckets --------------------
+    // Wenzek et al. 2020's coarse quality tiering: per language, exact
+    // rank tertiles by LM fluency (x39's unigram logprob), reported as
+    // per-(lang, bucket) doc counts + token mass — integers only. The
+    // Spark side ranks through the DECOMPOSED per-group rank
+    // (Ranking.withGroupRanks); the oracle is the plain per-language
+    // window the decomposition must be indistinguishable from.
+    QueryDef(
+      "x83_ccnet_buckets",
+      (s, dir) =>
+        TextAnalysis.ccnetBuckets(Tables.documents(s, dir))
+          .orderBy(col("lang"), col("bucket")),
+      Some(s"""WITH toks AS (SELECT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM documents),
+              |freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+              |total AS (SELECT COUNT(*) AS corpus_n FROM toks),
+              |lp AS (SELECT doc_id,
+              |    round(SUM(ln(CAST(tf AS DOUBLE) / corpus_n))
+              |      / COUNT(*), 6) AS logprob
+              |  FROM toks JOIN freq USING (tok) CROSS JOIN total
+              |  GROUP BY doc_id),
+              |lg AS (SELECT doc_id, $langPredSql AS lang FROM
+              |  (SELECT doc_id, $langScoresSql FROM documents) s),
+              |nt AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |r AS (SELECT lg.lang, nt.n_toks,
+              |    ROW_NUMBER() OVER (PARTITION BY lg.lang
+              |      ORDER BY lp.logprob DESC, lp.doc_id) AS rnk,
+              |    COUNT(*) OVER (PARTITION BY lg.lang) AS nl
+              |  FROM lp JOIN lg USING (doc_id) JOIN nt USING (doc_id))
+              |SELECT lang,
+              |  CASE WHEN rnk * 3 <= nl + 2 THEN 'head'
+              |       WHEN rnk * 3 <= nl * 2 + 2 THEN 'middle'
+              |       ELSE 'tail' END AS bucket,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
   )
 }

@@ -1389,6 +1389,44 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("withGroupRanks: identical to the per-group window on a skewed " +
+      "group layout (decomposed per-group rank, x83 substrate)") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 5000
+    val ids = (0 until n).map(_.toLong)
+    val df = frame(
+      "id" -> ids.map(identity[Any]),
+      "grp" -> ids.map(i => if (i < 3000) "hot" else s"g${i % 7}"),
+      "k" -> ids.map(i => (i * 2654435761L) % 1000L))
+    val got = Ranking.withGroupRanks(df, "grp",
+        Seq(("k", true), ("id", true)), "r")
+      .select("grp", "id", "r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("k").asc, col("id").asc)
+    val exp = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("grp", "id", "r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, "decomposed per-group ranks diverge from the window")
+  }
+
+  test("ccnetBuckets: exact tertile boundaries on a planted 4-doc corpus " +
+      "(x83 form)") {
+    // fluency order doc0 > doc1 > doc2 > doc3 by construction; all docs
+    // carry 'the' so langId = en for the whole group of 4: head = ranks
+    // 1-2 (3r <= n+2), middle = rank 3, tail = rank 4
+    val docs = frame(
+      "doc_id" -> Seq[Any](0L, 1L, 2L, 3L),
+      "text" -> Seq("the the the the", "the the the a",
+        "the a of and", "the zz yy xx"))
+    val got = TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("en", "head") -> ((2L, 8L)),
+      ("en", "middle") -> ((1L, 4L)),
+      ("en", "tail") -> ((1L, 4L))), s"got $got")
+  }
+
   test("unimaxBudget: exact conservation, caps respected, uncapped shares " +
       "within one token, and the all-capped surplus branch (x82 form)") {
     // four sources: 2, 5, 40, 40 tokens → capacities 4, 10, 80, 80 at cap 2
