@@ -299,6 +299,30 @@ object Similarity {
         col("m.sim").as("sim"))
   }
 
+  /** Cluster-balanced subsample: assign every vector to a k-means cell,
+    * then keep at most `k` per cell in deterministic content-hash order —
+    * the diversity-preserving pruning recipe (Sorscher et al. 2022,
+    * "Beyond neural scaling laws": prune within clusters, never whole
+    * clusters) that a uniform random subsample violates by thinning rare
+    * clusters to extinction. The hash order (md5 of the id) is an
+    * unbiased within-cell shuffle, reproducible across runs and engines.
+    *
+    * Scale shape: the cap runs through [[graft.ops.Ranking.topKPerGroup]]
+    * — salted two-phase top-k, so the hottest cell (dense embedding
+    * regions are exactly where mass concentrates) never funnels through
+    * one task; survivors are ≤ nCells·k rows. Training is
+    * [[kmeansCentroids]]'s broadcast-assign loop.
+    */
+  def clusterBalancedSample(df: DataFrame, nCells: Int, iters: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      salts: Int = 4): DataFrame = {
+    val cells = ivfAssignKmeans(df, nCells, iters, idCol, embCol)
+    graft.ops.Ranking.topKPerGroup(cells, "cell", k,
+        ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc),
+        saltCol = col("vec_id"), salts = salts)
+      .select(col("vec_id"), col("cell"), col("rnk"))
+  }
+
   /** The corpus's (sign-LSH bucket, embedding) state — what the SEMANTIC
     * ingest gate ([[embeddingNearDupReject]]) joins against: one row per
     * corpus vector, bucketed by the deterministic hyperplane signs. Build

@@ -2496,6 +2496,28 @@ object ExtensionQueries {
               |       ELSE 'tail' END AS bucket,
               |  CAST(COUNT(*) AS BIGINT) AS n_docs,
               |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
-              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin))
+              |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
+
+    // ---- x84: cluster-balanced subsample ----------------------------------
+    // Diversity-preserving pruning (Sorscher et al. 2022): at most 20
+    // vectors per trained k-means cell, kept in deterministic md5-of-id
+    // order (an unbiased within-cell shuffle). The Spark side runs the
+    // SALTED two-phase cap; the oracle is the plain per-cell window over
+    // the same kmeans replay — decomposition must be invisible, ranks
+    // included.
+    QueryDef(
+      "x84_cluster_balanced",
+      (s, dir) =>
+        Similarity.clusterBalancedSample(
+            Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+            nCells = 8, iters = 2, k = 20)
+          .orderBy(col("vec_id")),
+      Some(kmeansSql(nCells = 8, iters = 2, where = " WHERE vec_id < 2000",
+        finalSelect =
+          """SELECT vec_id, cell, rnk FROM (
+            |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+            |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+            |  FROM af) t
+            |WHERE rnk <= 20 ORDER BY vec_id""".stripMargin)))
   )
 }

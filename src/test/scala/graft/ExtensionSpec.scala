@@ -1389,6 +1389,28 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("clusterBalancedSample: dense cell capped, rare cell kept whole, " +
+      "salted == unsalted (x84 form)") {
+    // same planted layout as the x44 spec: ids 1..41 collapse into one
+    // hot cell, ids 0 + 42..51 into the other (11 members)
+    val rows = (0 until 52).map { i =>
+      val e: Seq[Double] =
+        if (i == 0) Seq(0.0, 1.0, 0.0, 0.0)
+        else if (i < 42) Seq(1.0, 0.001 * i, 0.0, 0.0)
+        else Seq(0.0, 1.0, 0.002 * i, 0.0)
+      (i.toLong, e)
+    }
+    val vecs = frame("vec_id" -> rows.map(_._1), "embedding" -> rows.map(_._2))
+    def sample(s: Int) = Similarity.clusterBalancedSample(vecs, nCells = 2,
+        iters = 1, k = 15, salts = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = sample(4)
+    assert(got == sample(1), "salted cap must be result-identical")
+    val perCell = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perCell.values.toSet == Set(15, 11),
+      s"expected dense cell capped at 15 and rare cell (11) whole: $perCell")
+  }
+
   test("withGroupRanks: identical to the per-group window on a skewed " +
       "group layout (decomposed per-group rank, x83 substrate)") {
     import org.apache.spark.sql.expressions.Window
