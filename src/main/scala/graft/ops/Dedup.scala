@@ -505,6 +505,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** MinHash estimator calibration over the LSH candidate pairs: for
+    * every candidate, the SIGNATURE-agreement estimate of shingle-set
+    * Jaccard (agreeing components / k — the unbiased MinHash estimator,
+    * Broder 1997) next to the EXACT shingle-set Jaccard, with the
+    * absolute error. This is the evidence for tuning (bands, rowsPerBand):
+    * x64 reports banding precision at fixed thresholds; this exposes the
+    * estimator itself, pair by pair.
+    *
+    * Scale shape: the signature frame is computed ONCE and materialized
+    * ([[Checkpoints.materialize]]) — it feeds band-key pair generation
+    * AND the per-pair agreement count without re-running the per-shingle
+    * md5 pass (the x54 backbone rule). Exact Jaccard tokenizes only
+    * semi-joined pair members (the [[verifiedCandidatePairs]] prune) —
+    * O(pairs), never a corpus pass. All joins are hash equi-joins on ids
+    * or uniform md5 band keys.
+    */
+  def minhashCalibration(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = Checkpoints.materialize(
+      minhashSignature(docs, k, textCol, idCol, shingleN))
+    val banded = bandKeys(sig, bands, rowsPerBand)
+    val stacked = (0 until bands).map(b =>
+        banded.select(col(idCol), lit(b).as("_bid"), col(s"band$b").as("_bk")))
+      .reduce(_.union(_))
+    val pairs = stacked.alias("a").join(stacked.alias("b"),
+        col("a._bid") === col("b._bid") && col("a._bk") === col("b._bk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val members = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val pruned = Checkpoints.materialize(
+      docs.join(members, Seq(idCol), "left_semi")
+        .select(col(idCol), col(textCol)))
+    val shArr = array_distinct(shingles(col(textCol), shingleN))
+    val sets = pruned.select(col(idCol).as("jid"), explode(shArr).as("tok"))
+    val sizes = pruned.select(col(idCol).as("jid"),
+      size(shArr).cast("long").as("sz"))
+    val inter = pairs
+      .join(sets.select(col("jid").as("id_a"), col("tok")), "id_a")
+      .join(sets.select(col("jid").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val agree = (0 until k).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sig.alias("sa"), col(s"sa.$idCol") === col("id_a"))
+      .join(sig.alias("sb"), col(s"sb.$idCol") === col("id_b"))
+      .withColumn("n_agree", agree.cast("long"))
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("jid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("jid").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / k, 6))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .select(col("id_a"), col("id_b"), col("n_agree"), col("est_jaccard"),
+        col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Exact token-set Jaccard of two text columns as ONE scalar expression
     * — codegen'd array functions, no join or aggregation, so it is legal
     * inside any streaming plan and evaluates only on rows a join has

@@ -2518,6 +2518,42 @@ object ExtensionQueries {
             |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
             |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
             |  FROM af) t
-            |WHERE rnk <= 20 ORDER BY vec_id""".stripMargin)))
+            |WHERE rnk <= 20 ORDER BY vec_id""".stripMargin))),
+
+    // ---- x85: MinHash estimator calibration -------------------------------
+    // Per LSH candidate pair: the signature-agreement Jaccard estimate
+    // (Broder 1997) vs the EXACT shingle-set Jaccard, with abs error —
+    // the per-pair evidence behind x64's threshold-level precision. The
+    // oracle reuses the shared band-key CTEs (sig carries mh0..mh7,
+    // toks the distinct shingles).
+    QueryDef(
+      "x85_minhash_calibration",
+      (s, dir) =>
+        Dedup.minhashCalibration(Tables.documents(s, dir),
+            bands = 2, rowsPerBand = 4)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $lshPairsCtes,
+              |est AS (SELECT p.id_a, p.id_b, CAST(${(0 until 8).map(i =>
+                s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+                .mkString(" + ")} AS BIGINT) AS n_agree
+              |  FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+              |  JOIN sig b ON b.doc_id = p.id_b),
+              |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks
+              |  GROUP BY doc_id),
+              |inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS i FROM pairs p
+              |  JOIN toks sa ON sa.doc_id = p.id_a
+              |  JOIN toks sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+              |  GROUP BY p.id_a, p.id_b),
+              |j AS (SELECT e.id_a, e.id_b, e.n_agree,
+              |    round(CAST(e.n_agree AS DOUBLE) / 8, 6) AS est_jaccard,
+              |    round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+              |      / (za.sz + zb.sz - COALESCE(i.i, 0)), 6) AS jaccard
+              |  FROM est e
+              |  LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+              |  JOIN sizes za ON za.doc_id = e.id_a
+              |  JOIN sizes zb ON zb.doc_id = e.id_b)
+              |SELECT id_a, id_b, n_agree, est_jaccard, jaccard,
+              |  round(abs(est_jaccard - jaccard), 6) AS abs_err
+              |FROM j ORDER BY id_a, id_b""".stripMargin))
   )
 }

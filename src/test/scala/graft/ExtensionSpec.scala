@@ -1389,6 +1389,33 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("minhashCalibration: identical pair estimates 1.0 exactly; planted " +
+      "near-dup carries the hand-computed shingle Jaccard (x85 form)") {
+    // docs 1/2 identical; doc 3 differs from 1 only in the final token:
+    // 10 tokens → 6 5-gram shingles, 5 shared → exact Jaccard 5/7
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tail = (1 to 9).map(i => s"w$i").mkString(" ") + " zz"
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(base, base, tail))
+    val got = Dedup.minhashCalibration(docs, bands = 2, rowsPerBand = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (n12, e12, j12, err12) = got((1L, 2L))
+    assert(n12 == 8L && e12 == 1.0 && j12 == 1.0 && err12 == 0.0,
+      s"identical pair: ${got((1L, 2L))}")
+    got.get((1L, 3L)).foreach { case (n, e, j, err) =>
+      assert(j == math.rint(5.0 / 7.0 * 1e6) / 1e6, s"exact jaccard $j")
+      assert(e == n / 8.0 && err == math.abs(e - j), s"estimator fields")
+    }
+    // every reported pair is a real band collision with both scores bound
+    got.values.foreach { case (n, e, j, _) =>
+      assert(n >= 0L && n <= 8L && e >= 0.0 && e <= 1.0 && j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("clusterBalancedSample: dense cell capped, rare cell kept whole, " +
       "salted == unsalted (x84 form)") {
     // same planted layout as the x44 spec: ids 1..41 collapse into one
