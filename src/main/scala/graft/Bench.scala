@@ -24,7 +24,9 @@ object Bench {
     "x03_minhash_lsh", "x30_neardup_clusters", "x35_clean_corpus",
     "x40_corpus_merge", "x54_curation_shard_map", "x60_curation_semantic",
     "x61_corpus_append", "x63_keeper_longest", "x64_banding_precision",
-    "x69_split_leakage", "x70_split_by_cluster", "x76_curation_capped")
+    "x69_split_leakage", "x70_split_by_cluster", "x76_curation_capped",
+    "x81_semantic_decontam", "x84_cluster_balanced",
+    "x85_minhash_calibration")
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the
