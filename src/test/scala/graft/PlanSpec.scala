@@ -32,7 +32,10 @@ class PlanSpec extends SparkSuite {
     "x72_temperature_weights", // two ONE-ROW totals broadcast (x57 pattern)
     "x74_temperature_mix", // x72's scalar broadcasts inside the weight join
     "x79_dsir_weights", // two ONE-ROW LM totals broadcast (x57 pattern)
-    "x80_vocab_coverage") // broadcast ONE-ROW corpus total onto k rows
+    "x80_vocab_coverage", // broadcast ONE-ROW corpus total onto k rows
+    "x81_semantic_decontam", // k-means centroid broadcast (x44's stage)
+    "x83_ccnet_buckets", // x39's ONE-ROW corpus total inside the scorer
+    "x84_cluster_balanced") // k-means centroid broadcast (x44's stage)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
@@ -60,7 +63,8 @@ class PlanSpec extends SparkSuite {
     // x56/x57 build on the same decomposition (packSequences buckets /
     // withGlobalRanks) — their bucket ids inherit the same invariant
     for (name <- Seq("q29_rank_dense", "x49_pack_sequences",
-        "x56_bin_pack_nosplit", "x57_length_buckets")) {
+        "x56_bin_pack_nosplit", "x57_length_buckets",
+        "x83_ccnet_buckets")) { // withGroupRanks: same _bucket contract
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize THIS df so its AdaptiveSparkPlan finalizes
       val plan = df.queryExecution.executedPlan.toString
