@@ -770,23 +770,40 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, nBits: Int, nBands: Int,
       maxHamming: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    hashNearDupPairs(simhash(docs, nBits, textCol, idCol), "simhash",
+      nBits, nBands, maxHamming, idCol)
+  }
+
+  /** Pigeonhole-banded Hamming near-dup pairs over ANY precomputed
+    * bit-signature column (SimHash, perceptual image hash, …): ids whose
+    * signatures share at least one of `nBands` contiguous bit bands are
+    * candidates; pairs at Hamming ≤ `maxHamming` survive. maxHamming <
+    * nBands makes the banding EXACT (a pair within the threshold differs
+    * in fewer bands than exist, so some band matches). Band extraction is
+    * shift+mask — sign-safe for full-64-bit signatures because the mask
+    * keeps only the extracted bits regardless of arithmetic-shift fill.
+    * Scale: candidates per (band, value) bucket ≈ n/2^bandBits; narrow
+    * bands (high thresholds) collide more — at corpus scale prefer wider
+    * bands with a lower threshold, the x31 tuning rule.
+    */
+  def hashNearDupPairs(sig: DataFrame, hashCol: String, nBits: Int,
+      nBands: Int, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
     require(nBits % nBands == 0, "bands must divide the signature width")
     require(maxHamming < nBands,
       "pigeonhole guarantee needs maxHamming < nBands")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
-    val sig = simhash(docs, nBits, textCol, idCol)
-    val stacked = sig.select(col(idCol), col("simhash"),
+    val stacked = sig.select(col(idCol), col(hashCol).as("_sig"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("bid"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+          shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("band"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col("_sig"),
         col("band.bid").as("bid"), col("band.bv").as("bv"))
     val l = stacked.select(col("bid"), col("bv"),
-      col(idCol).as("id_a"), col("simhash").as("sa"))
+      col(idCol).as("id_a"), col("_sig").as("sa"))
     val r = stacked.select(col("bid"), col("bv"),
-      col(idCol).as("id_b"), col("simhash").as("sb"))
+      col(idCol).as("id_b"), col("_sig").as("sb"))
     // hamming is a pure function of the pair, so filtering BEFORE the
     // distinct is equivalent — and shrinks the dedup shuffle from every
     // band-sharing candidate to just the qualifying pairs

@@ -181,6 +181,102 @@ object Multimodal {
     buf.array()
   }
 
+  /** [[synthBmp]] with parameterized content: byte i of the pixel data is
+    * (i·mult) mod 256, except that when noise > 0 a sparse deterministic
+    * ~1% of positions ((i·2654435761 + noise) mod 101 == 0) are blown to
+    * 255 — localized "sensor noise" on a shared base pattern. Two
+    * payloads with the same `mult` and different `noise` are perceptual
+    * near-duplicates (the aHash is robust to sparse local damage); two
+    * different `mult`s decorrelate. The formula is plain integer
+    * arithmetic so a SQL oracle can replay the expected pixels without
+    * parsing bytes.
+    */
+  def synthBmpNoisy(w: Int, h: Int, mult: Int, noise: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until dataSize).foreach { i =>
+      val v =
+        if (noise > 0 && (i.toLong * 2654435761L + noise) % 101L == 0L) 255
+        else (i * mult) % 256
+      buf.put(v.toByte)
+    }
+    buf.array()
+  }
+
+  /** REAL perceptual average-hash over the payload's actual pixel bytes —
+    * the pHash-family baseline (aHash): decode the 24-bpp uncompressed
+    * BMP pixel array (bottom-up rows, 4-byte row padding, per the header
+    * walked by [[decodeImageHeader]]'s BMP branch), block-average the
+    * grayscale into an 8×8 grid, and set bit (row·8+col) when the cell
+    * exceeds the global mean. INTEGER-EXACT by construction: "grayscale"
+    * is the per-pixel byte sum (3× luma — a monotone rescale that cannot
+    * change any threshold comparison), cells are exact integer sums
+    * (dimensions must be multiples of 8 so cells are equal-sized;
+    * anything else → None, like any other undecodable payload — a
+    * production pipeline would resample first, which needs a codec), and
+    * the threshold is the cross-multiplied 64·cell > total — no division
+    * anywhere, so Spark and a SQL replay agree bit for bit.
+    */
+  def ahashBmp(p: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOffset = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    if (le16(28) != 24 || le32(30) != 0) return None // 24bpp BI_RGB only
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + rowSize.toLong * h > p.length) return None
+    val cells = new Array[Long](64)
+    var r = 0
+    while (r < h) {
+      val y = if (bottomUp) h - 1 - r else r
+      val cy = y / (h / 8)
+      val base = dataOffset + r * rowSize
+      var x = 0
+      while (x < w) {
+        val o = base + 3 * x
+        cells(cy * 8 + x / (w / 8)) += u8(o) + u8(o + 1) + u8(o + 2)
+        x += 1
+      }
+      r += 1
+    }
+    val total = cells.sum
+    var bits = 0L
+    var c = 0
+    while (c < 64) {
+      if (cells(c) * 64 > total) bits |= (1L << c)
+      c += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-image perceptual hashes as a DataFrame (doc_id, phash) —
+    * [[ahashBmp]] over a media Dataset in the [[extractFeatures]]
+    * mapPartitions shape (decoder state would init once per partition).
+    * Undecodable payloads produce NO row, never a fabricated hash (the
+    * x16 contract).
+    */
+  def imageAHashes(media: Dataset[MediaDoc]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(m => ahashBmp(m.payload).map(h => (m.doc_id, h)))
+    }.toDF("doc_id", "phash")
+  }
+
   /** REAL WAV (RIFF/WAVE) header decode: strict "RIFF....WAVE" magic, then
     * a chunk walk (id + le32 size, payloads padded to even offsets) to the
     * PCM `fmt ` chunk — channels le16@2, sample rate le32@4, bits le16@14

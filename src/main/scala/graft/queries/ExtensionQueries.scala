@@ -2554,6 +2554,53 @@ object ExtensionQueries {
               |  JOIN sizes zb ON zb.doc_id = e.id_b)
               |SELECT id_a, id_b, n_agree, est_jaccard, jaccard,
               |  round(abs(est_jaccard - jaccard), 6) AS abs_err
-              |FROM j ORDER BY id_a, id_b""".stripMargin))
+              |FROM j ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- x86: perceptual image near-dup (aHash over real pixels) ----------
+    // Real 24-bpp BMP pixel decode → integer-exact 8×8 average hash →
+    // pigeonhole-banded Hamming pairs. Fixtures: groups of 4 docs share a
+    // base pattern (multiplier 31+2·(id div 4)); members differ by sparse
+    // deterministic noise — perceptual near-dups the hash must group while
+    // different base patterns stay apart (Hamming ≥ 14 by construction vs
+    // threshold 11). The oracle replays the pixel FORMULA + the full hash
+    // + banding arithmetic in SQL — the decoder's byte walk is pinned by
+    // SourcesSpec against the same formula.
+    QueryDef(
+      "x86_image_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/image",
+            Multimodal.synthBmpNoisy(16, 16,
+              mult = (31 + 2 * (id / 4)).toInt, noise = (id % 4).toInt)))
+        Dedup.hashNearDupPairs(Multimodal.imageAHashes(media), "phash",
+            nBits = 64, nBands = 16, maxHamming = 11, idCol = "doc_id")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
+              |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
+              |b AS (SELECT doc_id,
+              |    ((15 - (o // 48)) // 2) * 8 + ((o % 48) // 3) // 2 AS cell,
+              |    CASE WHEN noise > 0 AND (o * 2654435761 + noise) % 101 = 0
+              |      THEN 255 ELSE (o * mult) % 256 END AS v
+              |  FROM media, range(0, 768) r(o)),
+              |sums AS (SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS s
+              |  FROM b GROUP BY 1, 2),
+              |tots AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t
+              |  FROM sums GROUP BY 1),
+              |ph AS (SELECT s.doc_id, CAST(SUM(CASE WHEN 64 * s.s <= t.t THEN 0
+              |      WHEN s.cell = 63 THEN (-9223372036854775807::BIGINT - 1)
+              |      ELSE (1::BIGINT << s.cell) END) AS BIGINT) AS phash
+              |  FROM sums s JOIN tots t USING (doc_id) GROUP BY s.doc_id),
+              |st AS (SELECT doc_id, phash, bb.band,
+              |    (phash >> (bb.band * 4)) & 15 AS bv
+              |  FROM ph, range(0, 16) bb(band)),
+              |p AS (SELECT l.doc_id AS id_a, rr.doc_id AS id_b,
+              |    CAST(bit_count(xor(l.phash, rr.phash)) AS BIGINT) AS hamming
+              |  FROM st l JOIN st rr
+              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
+              |SELECT DISTINCT id_a, id_b, hamming FROM p
+              |WHERE hamming <= 11 ORDER BY id_a, id_b""".stripMargin))
   )
 }

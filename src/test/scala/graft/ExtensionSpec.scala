@@ -1389,6 +1389,60 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("ahashBmp: real byte-walk decode matches the pixel formula; noisy " +
+      "variants group, different base patterns separate (x86 form)") {
+    // expected hash computed from the FORMULA (storage order + bottom-up
+    // flip), independently of the decoder's byte walk
+    def expected(mult: Int, noise: Int): Long = {
+      val cells = new Array[Long](64)
+      for (o <- 0 until 768) {
+        val y = 15 - o / 48; val x = (o % 48) / 3
+        val v =
+          if (noise > 0 && (o.toLong * 2654435761L + noise) % 101L == 0L) 255
+          else (o * mult) % 256
+        cells((y / 2) * 8 + x / 2) += v
+      }
+      val tot = cells.sum
+      (0 until 64).foldLeft(0L)((acc, c) =>
+        if (cells(c) * 64 > tot) acc | (1L << c) else acc)
+    }
+    for (m <- Seq(31, 33, 97); n <- 0 to 3) {
+      val got = Multimodal.ahashBmp(Multimodal.synthBmpNoisy(16, 16, m, n))
+      assert(got.contains(expected(m, n)), s"decoder diverges at mult=$m noise=$n")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val g1 = (0 to 3).map(n => expected(31, n))
+    val g2 = (0 to 3).map(n => expected(33, n))
+    val within = for (a <- g1; b <- g1 if a != b) yield ham(a, b)
+    val across = for (a <- g1; b <- g2) yield ham(a, b)
+    assert(within.max <= 11, s"noisy variants too far apart: ${within.max}")
+    assert(across.min > 11, s"base patterns collide: ${across.min}")
+    // undecodable payloads produce no hash, never a fabricated one
+    assert(Multimodal.ahashBmp("not a bmp".getBytes).isEmpty)
+    assert(Multimodal.ahashBmp(Multimodal.synthBmp(15, 16)).isEmpty,
+      "non-8-divisible width must refuse, not mis-hash")
+  }
+
+  test("hashNearDupPairs on planted phashes: banded pairs == brute force " +
+      "within the pigeonhole guarantee (x86 substrate)") {
+    // 1024 signatures in 64 groups of 16: group base = md5-ish scatter,
+    // member flips `m` low bits → Hamming m within group
+    val sigs = (0L until 1024L).map { i =>
+      val base = (i / 16) * 0x9E3779B97F4A7C15L
+      val flips = (0 until (i % 16).toInt).foldLeft(0L)((a, b) => a | (1L << (b * 4)))
+      (i, base ^ flips)
+    }
+    val df = frame("doc_id" -> sigs.map(_._1: Any), "phash" -> sigs.map(_._2: Any))
+    val got = Dedup.hashNearDupPairs(df, "phash", 64, 16, maxHamming = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) if h <= 11
+    } yield (a._1, b._1, h.toLong)).toSet
+    assert(got == brute,
+      s"banded (${got.size}) != brute (${brute.size}) within guarantee")
+  }
+
   test("minhashCalibration: identical pair estimates 1.0 exactly; planted " +
       "near-dup carries the hand-computed shingle Jaccard (x85 form)") {
     // docs 1/2 identical; doc 3 differs from 1 only in the final token:
