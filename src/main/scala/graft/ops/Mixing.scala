@@ -102,6 +102,42 @@ object Mixing {
           .as("boost"))
   }
 
+  /** Deterministic low-discrepancy interleave of a multi-source corpus —
+    * the training-time CONSUMPTION ORDER for a mixture: source g's j-th
+    * document is keyed by j/c_g (its fractional progress through the
+    * source) and the global schedule is the ascending sort of those keys
+    * — stride scheduling (Waldspurger & Weihl 1995), the deterministic
+    * counterpart of sampling-with-probabilities interleaving: every
+    * source's documents spread evenly across the whole schedule (a
+    * source with 1% of the data appears ~once per 100 steps, never
+    * bunched), the property that makes per-step mixture ratios stable
+    * for resumable training.
+    *
+    * Determinism: within-source order is (idCol) ascending; the progress
+    * key is ONE correctly-rounded double division j/c_g; ties (e.g. every
+    * source's final j/c_g = 1.0) break by (group, j). Engine-exact.
+    *
+    * Scale shape: the within-source index runs through
+    * [[graft.ops.Ranking.withGroupRanks]] and the global step through
+    * [[graft.ops.Ranking.withGlobalRanks]] — both decomposed (range
+    * partition + offset summaries), so neither a dominant source nor the
+    * global sort funnels one task; counts join back as an O(sources)
+    * broadcast.
+    */
+  def interleaveSchedule(docs: DataFrame, groupCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol))
+    val counts = broadcast(
+      base.groupBy(col(groupCol)).agg(count(lit(1)).as("_n")))
+    val idx = graft.ops.Ranking.withGroupRanks(base, groupCol,
+      Seq((idCol, true)), "_i")
+    val keyed = idx.join(counts, groupCol)
+      .withColumn("_p", col("_i").cast("double") / col("_n"))
+    graft.ops.Ranking.withGlobalRanks(keyed,
+        Seq(("_p", true), (groupCol, true), ("_i", true)), "step", "_d")
+      .select(col("step"), col(groupCol), col(idCol))
+  }
+
   /** UniMax token-budget allocation (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): split a total training-token budget across sources

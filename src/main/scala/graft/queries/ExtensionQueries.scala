@@ -2601,6 +2601,27 @@ object ExtensionQueries {
               |  FROM st l JOIN st rr
               |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
               |SELECT DISTINCT id_a, id_b, hamming FROM p
-              |WHERE hamming <= 11 ORDER BY id_a, id_b""".stripMargin))
+              |WHERE hamming <= 11 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- x87: deterministic stride-scheduled interleave -------------------
+    // The mixture's consumption order: source g's j-th doc keyed by
+    // j/c_g, schedule = ascending sort (stride scheduling) — every
+    // source spreads evenly over the run. Spark ranks through BOTH
+    // decomposed rank primitives; the oracle is the plain-window form
+    // they must be indistinguishable from.
+    QueryDef(
+      "x87_interleave_schedule",
+      (s, dir) =>
+        Mixing.interleaveSchedule(Tables.documents(s, dir), "source")
+          .orderBy(col("step")),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+              |  GROUP BY source),
+              |i AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+              |    PARTITION BY source ORDER BY doc_id) AS i FROM documents),
+              |k AS (SELECT doc_id, source, i, CAST(i AS DOUBLE) / n AS p
+              |  FROM i JOIN c USING (source))
+              |SELECT ROW_NUMBER() OVER (ORDER BY p, source, i) AS step,
+              |  source, doc_id
+              |FROM k ORDER BY step""".stripMargin))
   )
 }

@@ -1389,6 +1389,42 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("interleaveSchedule: exact hand-computed order on 1/2/3 sources and " +
+      "the stride-scheduling spread bound on a skewed corpus (x87 form)") {
+    val small = frame(
+      "doc_id" -> Seq[Any](10L, 20L, 21L, 30L, 31L, 32L),
+      "source" -> Seq("a", "b", "b", "c", "c", "c"))
+    // progress keys: a1=1.0; b=0.5,1.0; c=1/3,2/3,1.0 →
+    // order: c30, b20, c31, a10, b21, c32
+    val got = Mixing.interleaveSchedule(small, "source")
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq(1L -> 30L, 2L -> 20L, 3L -> 31L, 4L -> 10L,
+      5L -> 21L, 6L -> 32L), s"got $got")
+
+    // skewed corpus: sources of 900 / 90 / 10 docs; each source's j-th
+    // doc must land within #sources of its ideal stride position j·N/c
+    val n = 1000
+    val big = frame(
+      "doc_id" -> (0 until n).map(_.toLong: Any),
+      "source" -> (0 until n).map(i =>
+        if (i < 900) "big" else if (i < 990) "mid" else "rare"))
+    val sched = Mixing.interleaveSchedule(big, "source")
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((src, c) <- Seq("big" -> 900, "mid" -> 90, "rare" -> 10)) {
+      val steps = sched(src)
+      assert(steps.size == c)
+      steps.zipWithIndex.foreach { case (st, j0) =>
+        val ideal = (j0 + 1).toDouble * n / c
+        assert(math.abs(st - ideal) <= 3 + 1e-9,
+          s"$src doc ${j0 + 1} at step $st, ideal $ideal")
+      }
+    }
+    // the whole schedule is a permutation of 1..N
+    assert(sched.values.flatten.toSet == (1L to n.toLong).toSet)
+  }
+
   test("ahashBmp: real byte-walk decode matches the pixel formula; noisy " +
       "variants group, different base patterns separate (x86 form)") {
     // expected hash computed from the FORMULA (storage order + bottom-up
