@@ -505,6 +505,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** Corpus snapshot diff by CONTENT: classify every distinct document
+    * text as `added` (only in the new snapshot), `removed` (only in the
+    * old) or `retained`, with document and token mass per class — the
+    * between-versions audit a dataset release needs (what changed, and
+    * how much training signal moved), keyed by content digest so renames
+    * and id reshuffles between snapshots do not show up as churn.
+    *
+    * Per class: `n_contents` distinct texts, `n_docs` document count and
+    * `n_tokens` token mass measured on the side that HAS them (the new
+    * side for added/retained — the current census — the old side for
+    * removed). Scale shape: one map-side-combinable digest aggregate per
+    * snapshot, then ONE full-outer hash join on the uniform md5 digest;
+    * the 3-row report aggregates with map-side combine. No windows, no
+    * skew (digests are uniform by construction).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def byDigest(d: DataFrame) = d
+      .select(md5(col(textCol)).as("h"),
+        size(tokens(col(textCol))).cast("long").as("_t"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("_docs"), sum(col("_t")).as("_toks"))
+    val o = byDigest(oldDocs)
+      .select(col("h"), col("_docs").as("_od"), col("_toks").as("_ot"))
+    val n = byDigest(newDocs)
+      .select(col("h"), col("_docs").as("_nd"), col("_toks").as("_nt"))
+    o.join(n, Seq("h"), "full_outer")
+      .withColumn("status",
+        when(col("_od").isNull, lit("added"))
+          .when(col("_nd").isNull, lit("removed"))
+          .otherwise(lit("retained")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("long").as("n_contents"),
+        sum(coalesce(col("_nd"), col("_od"))).cast("long").as("n_docs"),
+        sum(coalesce(col("_nt"), col("_ot"))).cast("long").as("n_tokens"))
+  }
+
   /** MinHash estimator calibration over the LSH candidate pairs: for
     * every candidate, the SIGNATURE-agreement estimate of shingle-set
     * Jaccard (agreeing components / k — the unbiased MinHash estimator,

@@ -2622,6 +2622,36 @@ object ExtensionQueries {
               |  FROM i JOIN c USING (source))
               |SELECT ROW_NUMBER() OVER (ORDER BY p, source, i) AS step,
               |  source, doc_id
-              |FROM k ORDER BY step""".stripMargin))
+              |FROM k ORDER BY step""".stripMargin)),
+
+    // ---- x88: corpus snapshot diff by content -----------------------------
+    // Two overlapping snapshot slices (% 5 / % 7 of doc ids) diffed by
+    // content digest: added / removed / retained with doc + token mass,
+    // counted on the side that has them. One full-outer hash join on
+    // uniform md5 digests.
+    QueryDef(
+      "x88_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.corpusDiff(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 7 =!= 0))
+          .orderBy(col("status"))
+      },
+      Some("""WITH o AS (SELECT md5(text) AS h, COUNT(*) AS od,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ot
+              |  FROM documents WHERE doc_id % 5 != 0 GROUP BY 1),
+              |n AS (SELECT md5(text) AS h, COUNT(*) AS nd,
+              |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+              |  FROM documents WHERE doc_id % 7 != 0 GROUP BY 1),
+              |j AS (SELECT CASE WHEN o.h IS NULL THEN 'added'
+              |    WHEN n.h IS NULL THEN 'removed'
+              |    ELSE 'retained' END AS status,
+              |    COALESCE(n.nd, o.od) AS d, COALESCE(n.nt, o.ot) AS t
+              |  FROM o FULL OUTER JOIN n ON o.h = n.h)
+              |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_contents,
+              |  CAST(SUM(d) AS BIGINT) AS n_docs,
+              |  CAST(SUM(t) AS BIGINT) AS n_tokens
+              |FROM j GROUP BY status ORDER BY status""".stripMargin))
   )
 }

@@ -1389,6 +1389,24 @@ class ExtensionSpec extends SparkSuite {
     assert(top == Seq(2L, 3L), s"got $top")
   }
 
+  test("corpusDiff: planted add/remove/retain classified by content, not " +
+      "id — renames are no churn; duplicate texts collapse (x88 form)") {
+    val old_ = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq("kept text here", "kept text here", "dropped doc", "stable"))
+    val new_ = frame(
+      "doc_id" -> Seq[Any](100L, 101L, 102L),
+      // id 100: same content as old 1/2 (rename + dedup); 102: brand new
+      "text" -> Seq("kept text here", "stable", "fresh arrival"))
+    val got = Dedup.corpusDiff(old_, new_).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("added") == ((1L, 1L, 2L)), s"${got("added")}")      // fresh arrival
+    assert(got("removed") == ((1L, 1L, 2L)), s"${got("removed")}")  // dropped doc
+    // retained: 2 contents; doc/token mass counted on the NEW side
+    assert(got("retained") == ((2L, 2L, 4L)), s"${got("retained")}")
+  }
+
   test("interleaveSchedule: exact hand-computed order on 1/2/3 sources and " +
       "the stride-scheduling spread bound on a skewed corpus (x87 form)") {
     val small = frame(
