@@ -505,6 +505,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** The corpus's (band-id, band-value, signature) state for the banded
+    * Hamming ingest gate ([[hashNearDupReject]]): `nBands` rows per
+    * distinct signature. Build once per corpus version, reuse across
+    * batches/micro-batches — the perceptual-hash twin of
+    * [[corpusBandDocs]].
+    */
+  def corpusHashBands(sig: DataFrame, hashCol: String, nBits: Int,
+      nBands: Int): DataFrame = {
+    require(nBits % nBands == 0, "bands must divide the signature width")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    sig.select(col(hashCol).as("_sig")).distinct()
+      .select(col("_sig"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("bid"),
+          shiftright(col("_sig"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("band"))
+      .select(col("band.bid").as("bid"), col("band.bv").as("bv"), col("_sig"))
+  }
+
+  /** Banded Hamming rejection against a corpus signature state: drop
+    * every row whose `hashCol` is within `maxHamming` of ANY corpus
+    * signature sharing a band — one chained hash LEFT ANTI join per band
+    * (the [[graft.streaming.StreamingWindows]] ingest shape: stateless,
+    * no watermark, streaming-legal), each an equi-join on the band value
+    * with the exact bit_count residual at the join site. maxHamming <
+    * nBands keeps the pigeonhole guarantee: nothing within the threshold
+    * can slip past every band.
+    */
+  def hashNearDupReject(docs: DataFrame, corpusBands: DataFrame,
+      nBits: Int, nBands: Int, maxHamming: Int,
+      hashCol: String = "phash"): DataFrame = {
+    require(nBits % nBands == 0, "bands must divide the signature width")
+    require(maxHamming < nBands,
+      "pigeonhole guarantee needs maxHamming < nBands")
+    val bandBits = nBits / nBands
+    val mask = (1L << bandBits) - 1
+    (0 until nBands).foldLeft(docs) { (d, b) =>
+      val r = corpusBands.filter(col("bid") === b)
+        .select(col("bv").as("_cbv"), col("_sig").as("_csig"))
+      d.join(r,
+        shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
+          === col("_cbv") &&
+          expr(s"CAST(bit_count($hashCol ^ _csig) AS INT) <= $maxHamming"),
+        "left_anti")
+    }
+  }
+
   /** Corpus snapshot diff by CONTENT: classify every distinct document
     * text as `added` (only in the new snapshot), `removed` (only in the
     * old) or `retained`, with document and token mass per class — the

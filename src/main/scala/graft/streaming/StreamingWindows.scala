@@ -240,6 +240,24 @@ object StreamingWindows {
     graft.functions.Similarity.quantizedEmbeddingNearDupReject(docs,
       qBuckets, nPlanes, dim, minCosine, embCol)
 
+  /** PERCEPTUAL image near-dup rejection at streaming ingest: incoming
+    * media decode to real-pixel average hashes
+    * ([[graft.ops.Multimodal.imageAHashes]] — a stateless mapPartitions,
+    * streaming-legal), then banded Hamming anti-joins against the
+    * corpus's distilled (band, signature) state
+    * ([[graft.ops.Dedup.corpusHashBands]]) with the exact bit_count
+    * residual at each join site ([[graft.ops.Dedup.hashNearDupReject]]).
+    * Undecodable payloads hash to no row and are DROPPED by this gate —
+    * an ingest pipeline that wants to keep them routes them around the
+    * image path instead. Returns the surviving (doc_id, phash) rows.
+    */
+  def streamingImageNearDupFilter(media: Dataset[graft.ops.MediaDoc],
+      corpusBands: DataFrame, nBits: Int = 64, nBands: Int = 16,
+      maxHamming: Int = 11): DataFrame =
+    graft.ops.Dedup.hashNearDupReject(
+      graft.ops.Multimodal.imageAHashes(media), corpusBands,
+      nBits, nBands, maxHamming)
+
   /** Exact-dup rejection at streaming ingest via a pre-built Bloom
     * filter ([[graft.ops.Dedup.buildExactBloom]]): a stateless map-only
     * probe of the broadcast bit array — no state store, no join, no

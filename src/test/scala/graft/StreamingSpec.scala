@@ -442,4 +442,39 @@ class StreamingSpec extends SparkSuite {
         == streamed.count())
     } finally q.stop()
   }
+
+  test("streaming perceptual image gate == batch: noisy variant of a corpus " +
+      "image rejects through the banded Hamming residual, novel base " +
+      "pattern passes, undecodable payloads emit no row") {
+    import graft.ops.{Dedup, MediaDoc, Multimodal}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpusMedia = Seq(31, 41, 51).zipWithIndex.map { case (m, i) =>
+      MediaDoc(i.toLong, "media/image", Multimodal.synthBmpNoisy(16, 16, m, 0))
+    }
+    val corpusBands = Dedup.corpusHashBands(
+      Multimodal.imageAHashes(spark.createDataset(corpusMedia)),
+      "phash", nBits = 64, nBands = 16)
+    val incoming = Seq(
+      MediaDoc(10L, "media/image", Multimodal.synthBmpNoisy(16, 16, 31, 2)),
+      MediaDoc(11L, "media/image", Multimodal.synthBmpNoisy(16, 16, 97, 0)),
+      MediaDoc(12L, "media/image", "not an image".getBytes))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[MediaDoc]
+    mem.addData(incoming: _*)
+    val q = StreamingWindows.streamingImageNearDupFilter(mem.toDS(), corpusBands)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_imggate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_imggate")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = StreamingWindows.streamingImageNearDupFilter(
+          spark.createDataset(incoming), corpusBands)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"stream $got != batch $want")
+      assert(got == Seq(11L),
+        s"noisy near-dup must reject, novel must pass, junk must vanish: $got")
+    } finally q.stop()
+  }
 }
