@@ -342,6 +342,120 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthesize a mono 16-bit PCM WAV whose waveform is a 64-segment
+    * step tone: sample i holds the pseudo-random amplitude of its
+    * segment (`(i/w)·mult·2654435761 mod 2^16 − 2^15`, w = nSamples/64),
+    * with `noise > 0` overriding a sparse deterministic ~1% of samples
+    * to full-scale 32767 — the audio twin of [[synthBmpNoisy]]: same
+    * `mult` = near-identical energy envelope (perceptual near-dups the
+    * fingerprint must group), different `mult` = an independent envelope.
+    */
+  def synthWavTone(nSamples: Int, sampleRate: Int, mult: Int,
+      noise: Int): Array[Byte] = {
+    require(nSamples > 0 && nSamples % 64 == 0 && sampleRate > 0 && mult > 0)
+    val dataSize = nSamples * 2
+    val w = nSamples / 64
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val s =
+        if (noise > 0 && (i.toLong * 2654435761L + noise) % 101L == 0L) 32767
+        else ((i / w).toLong * mult * 2654435761L % 65536L).toInt - 32768
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL PCM sample decode: [[decodeWavHeader]]'s RIFF chunk walk, but
+    * yielding the `data` chunk's actual samples — 16-bit PCM only (the
+    * `fmt ` chunk must declare format 1 / 16 bits), little-endian
+    * sign-extended, clamped to the bytes actually present. None for
+    * anything malformed — undecodable payloads produce no samples, never
+    * fabricated ones (the x16 contract).
+    */
+  def pcmSamples(p: Array[Byte]): Option[Array[Int]] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)).toLong & 0xffffffffL
+    if (p.length < 44 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+        && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+    var i = 12L // Long cursor: a hostile 4 GiB chunk size just ends the walk
+    var pcm16 = false
+    var dataAt = -1L
+    var dataBytes = -1L
+    while (i + 8 <= p.length && (!pcm16 || dataAt < 0)) {
+      val at = i.toInt
+      val id = new String(p, at, 4, "US-ASCII")
+      val size = le32(at + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= p.length) {
+        if (le16(at + 8) != 1 || le16(at + 22) != 16) return None
+        pcm16 = true
+      } else if (id == "data") {
+        dataAt = i + 8
+        dataBytes = math.min(size, p.length - i - 8) // clamp to real bytes
+      }
+      i += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    if (!pcm16 || dataAt < 0) None
+    else {
+      val n = (dataBytes / 2).toInt
+      val out = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        out(j) = (le16((dataAt + 2L * j).toInt) << 16) >> 16 // sign-extend
+        j += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** REAL perceptual fingerprint over the payload's actual PCM samples —
+    * the audio twin of [[ahashBmp]]: decode 16-bit PCM via
+    * [[pcmSamples]], sum |amplitude| over 64 equal windows (the energy
+    * envelope), and set bit w when window w's energy exceeds the global
+    * mean. INTEGER-EXACT: energies are exact integer sums (sample count
+    * must be a multiple of 64 so windows are equal-sized; anything else
+    * → None — a production pipeline would resample first, which needs a
+    * codec), the threshold is the cross-multiplied 64·E > total — no
+    * division anywhere, so Spark and a SQL replay agree bit for bit.
+    */
+  def audioAHash(p: Array[Byte]): Option[Long] =
+    pcmSamples(p).filter(s => s.length > 0 && s.length % 64 == 0).map { s =>
+      val w = s.length / 64
+      val cells = new Array[Long](64)
+      var i = 0
+      while (i < s.length) { cells(i / w) += math.abs(s(i)); i += 1 }
+      val tot = cells.sum
+      var bits = 0L
+      var c = 0
+      while (c < 64) {
+        if (cells(c) * 64 > tot) bits |= (1L << c)
+        c += 1
+      }
+      bits
+    }
+
+  /** Per-clip audio fingerprints as a DataFrame (doc_id, ahash) —
+    * [[audioAHash]] over a media Dataset in the [[extractFeatures]]
+    * mapPartitions shape (decoder state would init once per partition).
+    * Undecodable payloads produce NO row, never a fabricated hash.
+    */
+  def audioAHashes(media: Dataset[MediaDoc]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(m => audioAHash(m.payload).map(h => (m.doc_id, h)))
+    }.toDF("doc_id", "ahash")
+  }
+
   /** REAL MP4 (ISO 14496-12) movie-header decode: top-level box walk
     * (be32 size + fourcc; size 0 = "to end of file", size 1 = 64-bit
     * largesize) requiring a leading `ftyp`, then inside `moov` the `mvhd`

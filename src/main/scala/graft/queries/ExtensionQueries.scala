@@ -2652,6 +2652,55 @@ object ExtensionQueries {
               |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_contents,
               |  CAST(SUM(d) AS BIGINT) AS n_docs,
               |  CAST(SUM(t) AS BIGINT) AS n_tokens
-              |FROM j GROUP BY status ORDER BY status""".stripMargin))
+              |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- x89: audio fingerprint near-dup (energy hash over real PCM) ------
+    // Real 16-bit PCM chunk-walk decode → integer-exact 64-window energy
+    // hash → pigeonhole-banded Hamming pairs — the audio twin of x86.
+    // Fixtures: groups of 4 clips share a 64-segment step tone
+    // (multiplier 31+2·(id div 4)); members differ by sparse full-scale
+    // noise samples. Verified over the full 200-clip grid: within-group
+    // Hamming ≤ 4, cross-group ≥ 5 — threshold 4 keeps exactly the 300
+    // within pairs. The oracle replays the sample FORMULA + hash +
+    // banding arithmetic in SQL; the decoder's byte walk is pinned by
+    // ExtensionSpec against the same formula.
+    QueryDef(
+      "x89_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/audio",
+            Multimodal.synthWavTone(1024, 16000,
+              mult = (31 + 2 * (id / 4)).toInt, noise = (id % 4).toInt)))
+        Dedup.hashNearDupPairs(Multimodal.audioAHashes(media), "ahash",
+            nBits = 64, nBands = 16, maxHamming = 4, idCol = "doc_id")
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
+              |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
+              |b AS (SELECT doc_id, o // 16 AS cell,
+              |    CASE WHEN noise > 0 AND (o * 2654435761 + noise) % 101 = 0
+              |      THEN 32767
+              |      ELSE abs(((o // 16) * mult * 2654435761) % 65536 - 32768)
+              |    END AS e
+              |  FROM media, range(0, 1024) r(o)),
+              |sums AS (SELECT doc_id, cell, CAST(SUM(e) AS BIGINT) AS s
+              |  FROM b GROUP BY 1, 2),
+              |tots AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t
+              |  FROM sums GROUP BY 1),
+              |ph AS (SELECT s.doc_id, CAST(SUM(CASE WHEN 64 * s.s <= t.t THEN 0
+              |      WHEN s.cell = 63 THEN (-9223372036854775807::BIGINT - 1)
+              |      ELSE (1::BIGINT << s.cell) END) AS BIGINT) AS ahash
+              |  FROM sums s JOIN tots t USING (doc_id) GROUP BY s.doc_id),
+              |st AS (SELECT doc_id, ahash, bb.band,
+              |    (ahash >> (bb.band * 4)) & 15 AS bv
+              |  FROM ph, range(0, 16) bb(band)),
+              |p AS (SELECT l.doc_id AS id_a, rr.doc_id AS id_b,
+              |    CAST(bit_count(xor(l.ahash, rr.ahash)) AS BIGINT) AS hamming
+              |  FROM st l JOIN st rr
+              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
+              |SELECT DISTINCT id_a, id_b, hamming FROM p
+              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin))
   )
 }

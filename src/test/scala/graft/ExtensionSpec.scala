@@ -1477,6 +1477,43 @@ class ExtensionSpec extends SparkSuite {
       "non-8-divisible width must refuse, not mis-hash")
   }
 
+  test("audioAHash: real chunk-walk PCM decode matches the sample formula; " +
+      "noisy variants group, different tones separate (x89 form)") {
+    // expected hash computed from the FORMULA, independently of the
+    // decoder's RIFF chunk walk
+    def expected(mult: Int, noise: Int): Long = {
+      val cells = new Array[Long](64)
+      for (i <- 0 until 1024) {
+        val s =
+          if (noise > 0 && (i.toLong * 2654435761L + noise) % 101L == 0L) 32767
+          else ((i / 16).toLong * mult * 2654435761L % 65536L).toInt - 32768
+        cells(i / 16) += math.abs(s)
+      }
+      val tot = cells.sum
+      (0 until 64).foldLeft(0L)((acc, c) =>
+        if (cells(c) * 64 > tot) acc | (1L << c) else acc)
+    }
+    for (m <- Seq(31, 33, 97); n <- 0 to 3) {
+      val got = Multimodal.audioAHash(Multimodal.synthWavTone(1024, 16000, m, n))
+      assert(got.contains(expected(m, n)), s"decoder diverges at mult=$m noise=$n")
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val g1 = (0 to 3).map(n => expected(31, n))
+    val g2 = (0 to 3).map(n => expected(33, n))
+    val within = for (a <- g1; b <- g1 if a != b) yield ham(a, b)
+    val across = for (a <- g1; b <- g2) yield ham(a, b)
+    assert(within.max <= 4, s"noisy variants too far apart: ${within.max}")
+    assert(across.min > 4, s"tones collide: ${across.min}")
+    // undecodable payloads produce no hash, never a fabricated one
+    assert(Multimodal.audioAHash("not audio".getBytes).isEmpty)
+    assert(Multimodal.audioAHash(Multimodal.synthWav(1000, 16000, 1)).isEmpty,
+      "non-64-divisible sample count must refuse, not mis-hash")
+    // the sample decoder itself round-trips the synth's formula
+    val samples = Multimodal.pcmSamples(Multimodal.synthWavTone(1024, 8000, 31, 0))
+    assert(samples.exists(s => s.length == 1024 &&
+      s(17) == ((17 / 16).toLong * 31 * 2654435761L % 65536L).toInt - 32768))
+  }
+
   test("hashNearDupPairs on planted phashes: banded pairs == brute force " +
       "within the pigeonhole guarantee (x86 substrate)") {
     // 1024 signatures in 64 groups of 16: group base = md5-ish scatter,
