@@ -70,6 +70,39 @@ object Packing {
         col("first_bin"), col("last_bin"))
   }
 
+  /** Per-bin SEGMENT MAP for concat-and-split packing — the consumer
+    * contract [[packSequences]] implies: one row per (bin, document
+    * fragment) with the bin-local token span [seg_start, seg_end), a
+    * 1-based seg_idx in bin order, and head/tail flags marking the
+    * fragments holding the document's first/last token. This is what a
+    * trainer turns into attention-segment ids and loss masks (e.g. "mask
+    * out fragments of split documents" filters is_head·is_tail = 0).
+    *
+    * Pure integer arithmetic on top of [[packSequences]]'s decomposed
+    * prefix sums: the explode is bounded by n_tokens/capacity + 1 bins
+    * per document, and the only added shuffle is the per-bin rank —
+    * bins are capacity-bounded by construction, so those window groups
+    * are uniform and tiny (no skew at any corpus size).
+    */
+  def packSegmentMap(docs: DataFrame, capacity: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val packed = packSequences(docs, capacity, textCol, idCol)
+    val bs = col("bin") * capacity
+    val segs = packed
+      .withColumn("bin", explode(sequence(col("first_bin"), col("last_bin"))))
+      .withColumn("seg_start", greatest(col("start_tok"), bs) - bs)
+      .withColumn("seg_end",
+        least(col("start_tok") + col("n_tokens"), bs + capacity) - bs)
+      .withColumn("is_head", (col("start_tok") >= bs).cast("int"))
+      .withColumn("is_tail",
+        (col("start_tok") + col("n_tokens") <= bs + capacity).cast("int"))
+    segs
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("bin")).orderBy(col("seg_start"))).cast("long"))
+      .select(col("bin"), col("seg_idx"), col(idCol), col("seg_start"),
+        col("seg_end"), col("is_head"), col("is_tail"))
+  }
+
   /** Write the corpus as size-bounded, order-preserving TRAINING SHARDS —
     * the sink end of the pipeline: data loaders stream shard k as one
     * parquet file holding documents [k·docsPerShard, (k+1)·docsPerShard)

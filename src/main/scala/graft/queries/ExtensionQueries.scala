@@ -2701,6 +2701,38 @@ object ExtensionQueries {
               |  FROM st l JOIN st rr
               |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
               |SELECT DISTINCT id_a, id_b, hamming FROM p
-              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin))
+              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- x90: packed-bin segment map (attention spans / loss masks) -------
+    // The consumer contract of x49's concat-and-split packing: per-bin
+    // fragment spans with head/tail flags — what a trainer turns into
+    // attention-segment ids and loss masks. Same capacity as x49 so the
+    // two results cross-check (every x49 row reappears as first_bin..
+    // last_bin fragments).
+    QueryDef(
+      "x90_pack_segments",
+      (s, dir) =>
+        Packing.packSegmentMap(Tables.documents(s, dir), capacity = 256L)
+          .orderBy(col("bin"), col("seg_idx")),
+      Some("""WITH toks AS (SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              |  FROM documents),
+              |offs AS (SELECT doc_id, n,
+              |    COALESCE(CAST(SUM(n) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS BIGINT), 0) AS st FROM toks),
+              |g AS (SELECT doc_id, n, st,
+              |    unnest(range(st // 256, (st + n - 1) // 256 + 1)) AS bin
+              |  FROM offs),
+              |seg AS (SELECT bin, doc_id,
+              |    greatest(st, bin * 256) - bin * 256 AS seg_start,
+              |    least(st + n, bin * 256 + 256) - bin * 256 AS seg_end,
+              |    CAST(st >= bin * 256 AS INT) AS is_head,
+              |    CAST(st + n <= bin * 256 + 256 AS INT) AS is_tail
+              |  FROM g)
+              |SELECT bin, CAST(ROW_NUMBER() OVER (PARTITION BY bin
+              |    ORDER BY seg_start) AS BIGINT) AS seg_idx,
+              |  doc_id, seg_start, seg_end, is_head, is_tail
+              |FROM seg ORDER BY bin, seg_idx""".stripMargin))
   )
 }

@@ -674,6 +674,49 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
+  test("packSegmentMap: fragments tile every bin gaplessly, mass equals " +
+      "token mass, head/tail flags mark exactly the boundary fragments " +
+      "(x90 form)") {
+    val rnd = new scala.util.Random(9090L)
+    val docs = (0 until 300).map(id =>
+      (id.toLong, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+    val df = frame("doc_id" -> docs.map(_._1: Any), "text" -> docs.map(_._2))
+      .repartition(7)
+    val cap = 64L
+    val segs = ops.Packing.packSegmentMap(df, capacity = cap)
+      .orderBy("bin", "seg_idx").collect()
+    val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+    // span mass conserves the corpus token mass
+    assert(segs.map(r => r.getAs[Long]("seg_end") - r.getAs[Long]("seg_start"))
+      .sum == totalTokens)
+    // within each bin: seg_idx is 1..k and fragments tile [0, fill) with
+    // no gaps or overlaps; every bin but the last fills to capacity
+    val byBin = segs.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1)
+    byBin.foreach { case (bin, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("seg_idx"))
+      assert(sorted.map(_.getAs[Long]("seg_idx")).toSeq ==
+        (1L to rows.length.toLong))
+      var at = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seg_start") == at, s"gap in bin $bin")
+        at = r.getAs[Long]("seg_end")
+      }
+      if (bin != byBin.last._1) assert(at == cap, s"bin $bin underfull")
+    }
+    // head/tail flags: set exactly when the fragment holds the doc's
+    // first/last token — fragments of a doc across bins: head on the
+    // first, tail on the last, middles neither
+    val byDoc = segs.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rows) =>
+      val inBinOrder = rows.sortBy(_.getAs[Long]("bin"))
+      inBinOrder.zipWithIndex.foreach { case (r, i) =>
+        assert((r.getAs[Int]("is_head") == 1) == (i == 0), s"doc $id head")
+        assert((r.getAs[Int]("is_tail") == 1) == (i == inBinOrder.length - 1),
+          s"doc $id tail")
+      }
+    }
+  }
+
   test("packSequences property: random corpora at adversarial input " +
       "partitionings all match the single-task global window") {
     import org.apache.spark.sql.expressions.Window
