@@ -130,6 +130,53 @@ object Dedup {
     withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Group-level MinHash signature by MERGE: the elementwise min of the
+    * per-document signatures. MinHash sketches are mergeable —
+    * min-merge(sig(A), sig(B)) = sig(A ∪ B) — which is what lets a
+    * 100 TB pipeline keep per-shard or per-source sketches and combine
+    * them without re-scanning text. The x91 oracle computes the
+    * group signature DIRECTLY from the union of shingle sets, so the
+    * correctness gate itself proves the merge property; the spec pins
+    * it again in-process against [[minhashSignature]] keyed by group.
+    */
+  def mergedGroupSignature(docs: DataFrame, k: Int, groupCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 5): DataFrame = {
+    val sig = minhashSignature(docs, k, textCol, idCol, shingleN)
+    val aggs = (0 until k).map(i => min(col(s"mh$i")).as(s"mh$i"))
+    sig.join(docs.select(col(idCol), col(groupCol)), idCol)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pairwise between-group similarity from merged sketches: est_jaccard
+    * = agreeing signature positions / k. The corpus-scale work is
+    * exactly the ONE per-shingle digest pass inside the signatures;
+    * everything downstream operates on groups × k sketch rows (explode
+    * to (group, position, value), ONE equi-join on the position, count
+    * agreements) — group-pair similarity at 100 TB costs a scan plus
+    * sketch-sized joins, with no text re-read and no BNLJ.
+    */
+  def groupSimilarityByMinhash(docs: DataFrame, k: Int, groupCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 5): DataFrame = {
+    val merged = mergedGroupSignature(docs, k, groupCol, textCol, idCol,
+      shingleN)
+    val stacked = merged.select(col(groupCol).as("g"),
+      explode(array((0 until k).map(i =>
+        struct(lit(i).as("pos"), col(s"mh$i").as("v"))): _*)).as("pv"))
+      .select(col("g"), col("pv.pos").as("pos"), col("pv.v").as("v"))
+    val l = stacked.select(col("g").as("group_a"), col("pos"),
+      col("v").as("va"))
+    val r = stacked.select(col("g").as("group_b"), col("pos"),
+      col("v").as("vb"))
+    l.join(r, Seq("pos")).filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L))
+        .cast("long").as("n_agree"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / k, 6))
+  }
+
   /** Band keys over a minhash signature: `bands` groups of `rowsPerBand`
     * hashes, each band key = md5 of the ':'-joined mins.
     */

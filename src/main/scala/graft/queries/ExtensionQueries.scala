@@ -2733,6 +2733,44 @@ object ExtensionQueries {
               |SELECT bin, CAST(ROW_NUMBER() OVER (PARTITION BY bin
               |    ORDER BY seg_start) AS BIGINT) AS seg_idx,
               |  doc_id, seg_start, seg_end, is_head, is_tail
-              |FROM seg ORDER BY bin, seg_idx""".stripMargin))
+              |FROM seg ORDER BY bin, seg_idx""".stripMargin)),
+
+    // ---- x91: between-source similarity via MERGED MinHash sketches -------
+    // Spark merges per-DOCUMENT signatures (elementwise min — the
+    // mergeable-sketch path a 100 TB pipeline uses to combine per-shard
+    // stats without re-scanning text); the oracle computes each source's
+    // signature DIRECTLY from the union of its distinct shingles — so a
+    // hash match here is an end-to-end proof of min-merge(sig A, sig B)
+    // = sig(A ∪ B), not just a replay.
+    QueryDef(
+      "x91_source_similarity",
+      (s, dir) =>
+        Dedup.groupSimilarityByMinhash(Tables.documents(s, dir), k = 8,
+            groupCol = "source")
+          .orderBy(col("group_a"), col("group_b")),
+      Some {
+        import graft.ops.Dedup.{MinhashA, MinhashB, MinhashP}
+        val mins = (0 until 8).map(i =>
+          s"min((hm * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i")
+          .mkString(", ")
+        val agree = (0 until 8).map(i =>
+          s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH arr AS (SELECT source, string_split(text, ' ') AS a
+           |  FROM documents),
+           |sh AS (SELECT source, unnest(CASE WHEN len(a) >= 5
+           |    THEN list_transform(range(1, len(a) - 3),
+           |      i -> array_to_string(a[i:i+4], ' '))
+           |    ELSE [array_to_string(a, ' ')] END) AS tok FROM arr),
+           |toks AS (SELECT DISTINCT source, tok FROM sh),
+           |h AS (SELECT source, ${Dedup.digestModSql("md5h")} AS hm
+           |  FROM (SELECT source, md5(tok) AS md5h FROM toks) d),
+           |sig AS (SELECT source, $mins FROM h GROUP BY source),
+           |p AS (SELECT a.source AS group_a, b.source AS group_b,
+           |    CAST($agree AS BIGINT) AS n_agree
+           |  FROM sig a JOIN sig b ON a.source < b.source)
+           |SELECT group_a, group_b, n_agree,
+           |  round(CAST(n_agree AS DOUBLE) / 8, 6) AS est_jaccard
+           |FROM p ORDER BY group_a, group_b""".stripMargin
+      })
   )
 }

@@ -1520,6 +1520,38 @@ class ExtensionSpec extends SparkSuite {
       "non-8-divisible width must refuse, not mis-hash")
   }
 
+  test("mergedGroupSignature: min-merge of per-doc sketches == signature " +
+      "of the shingle-set union, and pair agreement is symmetric-consistent " +
+      "(x91 form)") {
+    import graft.ops.Dedup
+    // short docs (whole-doc shingles) + long docs, with cross-group
+    // overlap: group a and b share documents 2/3's exact text
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L),
+      "source" -> Seq[Any]("a", "a", "b", "b", "c", "c"),
+      "text" -> Seq[Any](
+        "alpha beta", "the quick brown fox jumps over the lazy dog",
+        "alpha beta", "the quick brown fox jumps over the lazy dog",
+        "gamma delta", "entirely different words in this corpus here now"))
+    val merged = Dedup.mergedGroupSignature(docs, k = 8, groupCol = "source")
+      .orderBy("source").collect()
+    // direct union form: minhashSignature keyed by the group column
+    // min-aggregates over every row's shingles — sig(A ∪ B) in one pass
+    val direct = Dedup.minhashSignature(docs, k = 8, idCol = "source")
+      .orderBy("source").collect()
+    assert(merged.length == 3 && direct.length == 3)
+    merged.zip(direct).foreach { case (m, d) =>
+      (0 until 8).foreach(i => assert(m.getAs[Long](s"mh$i") ==
+        d.getAs[Long](s"mh$i"), s"merge diverges at ${m.getString(0)} mh$i"))
+    }
+    // groups a and b hold identical shingle sets → all 8 positions agree
+    val sims = Dedup.groupSimilarityByMinhash(docs, k = 8,
+      groupCol = "source").collect()
+    assert(sims.length == 3) // (a,b) (a,c) (b,c)
+    val ab = sims.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Long]("n_agree") == 8L && ab.getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("audioAHash: real chunk-walk PCM decode matches the sample formula; " +
       "noisy variants group, different tones separate (x89 form)") {
     // expected hash computed from the FORMULA, independently of the
