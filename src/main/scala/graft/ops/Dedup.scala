@@ -177,6 +177,44 @@ object Dedup {
         round(col("n_agree").cast("double") / k, 6))
   }
 
+  /** EXACT inter-source shingle overlap matrix — the ground-truth twin
+    * of [[groupSimilarityByMinhash]]'s sketch estimate: for every source
+    * pair sharing at least one n-gram, the exact intersection size plus
+    * Jaccard and containment (inter / smaller set). A curation engineer
+    * reads containment to find sources that are subsets of others
+    * (mirror crawls) even when Jaccard is diluted by size imbalance.
+    *
+    * Scale shape: one shingle pass reduced to DISTINCT (source, digest)
+    * rows, then a self equi-join on the digest — md5 keys are uniform so
+    * the join shuffles evenly, and each digest contributes at most
+    * C(sources, 2) pairs (sources is small cardinality), so the join
+    * output is bounded by distinct-shingles · pairs-per-shingle, never
+    * corpus bytes squared. Set sizes broadcast back (O(sources) rows).
+    */
+  def sourceOverlapMatrix(docs: DataFrame, shingleN: Int = 5,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(groupCol).as("g"),
+        explode(shingles(col(textCol), shingleN)).as("tok"))
+      .select(col("g"), md5(col("tok")).as("d"))
+      .distinct()
+    val sizes = broadcast(sh.groupBy(col("g")).agg(count(lit(1)).as("sz")))
+    val inter = sh.select(col("g").as("source_a"), col("d"))
+      .join(sh.select(col("g").as("source_b"), col("d")), Seq("d"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    inter
+      .join(sizes.select(col("g").as("source_a"), col("sz").as("_sza")), "source_a")
+      .join(sizes.select(col("g").as("source_b"), col("sz").as("_szb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        round(col("n_inter").cast("double")
+          / (col("_sza") + col("_szb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_inter").cast("double")
+          / least(col("_sza"), col("_szb")).cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Band keys over a minhash signature: `bands` groups of `rowsPerBand`
     * hashes, each band key = md5 of the ':'-joined mins.
     */

@@ -387,4 +387,56 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_toks")).cast("long").as("n_tokens"))
   }
+
+  /** Per-document n-gram novelty — the memorization-risk signal: what
+    * fraction of a doc's DISTINCT n-gram shingles also occur in some
+    * OTHER document. High shared fraction = boilerplate / near-copy
+    * mass the dedup stages should have caught; per-doc it flags the
+    * documents a model would memorize cheapest.
+    *
+    * Scale shape: one shingle pass (digests, not strings, shuffle), one
+    * map-side-combined doc-frequency aggregation on uniform md5 keys,
+    * one join back on the same key — no self-join, no pairs. Integer
+    * counts; the ratio divides two exact longs (round 6).
+    */
+  def ngramNovelty(docs: DataFrame, shingleN: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), shingleN)).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("d"))
+      .distinct()
+    val freq = sh.groupBy(col("d")).agg(count(lit(1)).as("_df"))
+    sh.join(freq, "d")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared").cast("double")
+          / col("n_shingles").cast("double"), 6))
+  }
+
+  /** Per-source percentile quality gate: keep each source's top
+    * `keepNum/keepDen` fraction of documents by [[qualityExpr]] (ties
+    * broken by id — total order). The cut is pure integer arithmetic
+    * (rank · den <= n · num), so no float percentile estimation; the
+    * per-source rank runs through [[Ranking.withGroupRanks]] — a source
+    * holding most of the crawl never funnels through one window task —
+    * and the per-source sizes join back as an O(sources) broadcast.
+    */
+  def qualityPercentileGate(docs: DataFrame, keepNum: Int, keepDen: Int,
+      srcCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepNum >= 1 && keepDen >= keepNum,
+      s"need 1 <= keepNum <= keepDen, got $keepNum/$keepDen")
+    val scored = docs.select(col(idCol), col(srcCol),
+      qualityExpr(col(textCol)).as("_q"))
+    val ranked = Ranking.withGroupRanks(scored, srcCol,
+      Seq(("_q", false), (idCol, true)), "qrank")
+    val sizes = broadcast(
+      scored.groupBy(col(srcCol)).agg(count(lit(1)).as("_n")))
+    ranked.join(sizes, srcCol)
+      .filter(col("qrank") * keepDen <= col("_n") * keepNum)
+      .select(col(idCol), col(srcCol), col("qrank"))
+  }
 }

@@ -2771,6 +2771,160 @@ object ExtensionQueries {
            |SELECT group_a, group_b, n_agree,
            |  round(CAST(n_agree AS DOUBLE) / 8, 6) AS est_jaccard
            |FROM p ORDER BY group_a, group_b""".stripMargin
-      })
+      }),
+
+    // ---- x92: distributed BPE merge induction -----------------------------
+    // The tokenizer-training step that produces the vocabulary every
+    // token-level op (x25/x49/x55/x82…) consumes. ONE corpus pass builds
+    // the word-frequency table; each merge is then an O(vocab) pair-count
+    // aggregation plus a 1-row argmax collect (inherently sequential in
+    // BPE) and a single engine-portable `replace` that applies the merge
+    // greedily left-to-right (see Bpe.scala for the boundary-encoding
+    // proof). The oracle replays all 3 iterations unrolled — pair counts,
+    // argmax tie-breaks AND the greedy apply must match bitwise.
+    QueryDef(
+      "x92_bpe_merges",
+      (s, dir) =>
+        graft.ops.Bpe.learnMerges(Tables.documents(s, dir), nMerges = 3)
+          .orderBy(col("step")),
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""p$i AS (SELECT a[i] AS lhs, a[i+1] AS rhs, SUM(cnt) AS c
+             |  FROM (SELECT string_split(trim(seq), '  ') AS a, cnt FROM w${i - 1}) t,
+             |  LATERAL unnest(range(1, len(a))) u(i)
+             |  WHERE len(a) >= 2 GROUP BY 1, 2),
+             |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+             |w$i AS (SELECT replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+             |    ' ' || lhs || rhs || ' ') AS seq, cnt
+             |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH words AS (SELECT w, COUNT(*) AS cnt
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+           |  WHERE w <> '' GROUP BY w),
+           |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq,
+           |    cnt FROM words),
+           |$iters
+           |SELECT * FROM (
+           |  SELECT 1 AS step, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m1
+           |  UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM m2
+           |  UNION ALL SELECT 3, lhs, rhs, CAST(c AS BIGINT) FROM m3)
+           |ORDER BY step""".stripMargin
+      }),
+
+    // ---- x93: per-document n-gram novelty (memorization risk) -------------
+    // Fraction of each doc's distinct 8-gram shingles that occur in some
+    // OTHER document — the per-doc signal that flags boilerplate and
+    // near-copy mass a model would memorize cheapest. One digest pass,
+    // one doc-frequency agg on uniform md5 keys, one join back; no
+    // self-join, no pairs.
+    QueryDef(
+      "x93_ngram_novelty",
+      (s, dir) =>
+        TextAnalysis.ngramNovelty(Tables.documents(s, dir), shingleN = 8)
+          .orderBy(col("doc_id")),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 8
+             |    THEN list_transform(range(1, len(a) - 6),
+             |      i -> array_to_string(a[i:i+7], ' '))
+             |    ELSE [array_to_string(a, ' ')] END) AS tok FROM arr),
+             |dsh AS (SELECT DISTINCT doc_id, md5(tok) AS d FROM sh),
+             |f AS (SELECT d, COUNT(*) AS df FROM dsh GROUP BY d)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |  round(1.0 - CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+             |FROM dsh JOIN f USING (d)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- x94: per-source percentile quality gate --------------------------
+    // Keep each source's top 3/4 by the x07 quality score — the
+    // calibrated-threshold variant of the fixed-cut gate (a fixed 0.3
+    // threshold keeps different fractions of different sources; corpus
+    // curation usually wants a per-source percentile). Rank runs through
+    // the decomposed per-group primitive; the cut is pure integer
+    // arithmetic (rank·4 <= n·3), no float percentile estimation.
+    QueryDef(
+      "x94_quality_gate",
+      (s, dir) =>
+        TextAnalysis.qualityPercentileGate(Tables.documents(s, dir),
+            keepNum = 3, keepDen = 4)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH q AS (SELECT doc_id, source, $qualityExprSql AS _q
+              |  FROM documents),
+              |r AS (SELECT doc_id, source,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY _q DESC, doc_id ASC) AS qrank,
+              |    COUNT(*) OVER (PARTITION BY source) AS n FROM q)
+              |SELECT doc_id, source, CAST(qrank AS BIGINT) AS qrank
+              |FROM r WHERE qrank * 4 <= n * 3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x95: KMV distinct-cardinality sketches (mergeable) ---------------
+    // Per-source distinct-token estimates from k-minimum-values sketches,
+    // plus the `__all__` row merged FROM the per-source sketches; the
+    // oracle computes the merged sketch directly from the corpus — the
+    // hash match proves merge(sketch A, sketch B) = sketch(A ∪ B)
+    // end-to-end (x91's mergeability contract, for cardinality). Exact
+    // counts ride alongside for error inspection.
+    QueryDef(
+      "x95_kmv_distinct",
+      (s, dir) =>
+        graft.ops.Sketches.kmvReport(Tables.documents(s, dir), k = 64)
+          .orderBy(col("source")),
+      Some {
+        val hv = TextAnalysis.hexToIntSql("md5(tok)", 8)
+        val est = """CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                    |    ELSE round(63 * 4294967296.0 / CAST(kth_hash AS DOUBLE), 6)
+                    |    END AS kmv_estimate""".stripMargin
+        s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |dh AS (SELECT DISTINCT source, $hv AS hv FROM toks),
+           |rk AS (SELECT source, hv,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn FROM dh),
+           |sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           |    MAX(hv) AS kth_hash FROM rk WHERE rn <= 64 GROUP BY source),
+           |ex AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+           |  FROM toks GROUP BY source),
+           |adh AS (SELECT DISTINCT hv FROM dh),
+           |ark AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM adh),
+           |ask AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           |    MAX(hv) AS kth_hash FROM ark WHERE rn <= 64),
+           |aex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact FROM toks)
+           |SELECT * FROM (
+           |  SELECT s.source, n_sketch, kth_hash, $est, n_exact
+           |  FROM sk s JOIN ex USING (source)
+           |  UNION ALL
+           |  SELECT '__all__' AS source, n_sketch, kth_hash, $est, n_exact
+           |  FROM ask CROSS JOIN aex)
+           |ORDER BY source""".stripMargin
+      }),
+
+    // ---- x96: exact inter-source shingle-overlap matrix -------------------
+    // The ground-truth twin of x91's sketch estimate: exact intersection,
+    // Jaccard AND containment per source pair — containment finds mirror
+    // crawls (one source a subset of another) that size-diluted Jaccard
+    // hides. Distinct (source, digest) rows self-join on uniform md5
+    // keys; each digest contributes at most C(sources, 2) pairs.
+    QueryDef(
+      "x96_source_overlap",
+      (s, dir) =>
+        Dedup.sourceOverlapMatrix(Tables.documents(s, dir), shingleN = 5)
+          .orderBy(col("source_a"), col("source_b")),
+      Some("""WITH arr AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+             |sh AS (SELECT source, unnest(CASE WHEN len(a) >= 5
+             |    THEN list_transform(range(1, len(a) - 3),
+             |      i -> array_to_string(a[i:i+4], ' '))
+             |    ELSE [array_to_string(a, ' ')] END) AS tok FROM arr),
+             |d AS (SELECT DISTINCT source AS g, md5(tok) AS d FROM sh),
+             |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM d GROUP BY g),
+             |i AS (SELECT a.g AS source_a, b.g AS source_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_inter
+             |  FROM d a JOIN d b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_inter,
+             |  round(CAST(n_inter AS DOUBLE)
+             |    / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 6) AS jaccard,
+             |  round(CAST(n_inter AS DOUBLE)
+             |    / CAST(least(za.sz, zb.sz) AS DOUBLE), 6) AS containment
+             |FROM i JOIN sz za ON za.g = source_a JOIN sz zb ON zb.g = source_b
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }
