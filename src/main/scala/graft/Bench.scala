@@ -172,7 +172,24 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     println(line)
     System.out.flush()
-    System.err.println(line)
+    // The driver keeps only the LAST ~2000 chars of output, and with 140
+    // queries the full line is ~6 KB — it has NEVER fit (BENCH_r01-r08 all
+    // record parsed:null, with the line's head cut off mid-map). So the
+    // LAST thing printed is a compact summary line that always fits: the
+    // headline metric, failure count, the slowest queries, and a pointer
+    // to the full per-query map written above.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val nFail = results.count(_._2 < 0)
+    val qtot = if (quiescent.isEmpty) -1.0
+      else math.round(quiescent.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
+    // "queries" here is the SLOWEST-8 subset (driver contract keeps the
+    // key); the complete map is the `queries` of the full line in $outPath
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,"quiescent_total":$qtot,"n_queries":${results.size},"n_failed":$nFail,"queries":$slowest,"queries_truncated":true,"queries_full":"$outPath","sf":$sfNum,"sf_dir":"$sfDir"}"""
+    println(compact)
+    System.out.flush()
+    System.err.println(compact)
     System.err.flush()
     spark.stop()
   }

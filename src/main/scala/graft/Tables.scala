@@ -24,18 +24,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default. Read it as a nanos-since-epoch long (exposed as
-    * `ts_ns`) plus a microsecond-truncated TimestampType `ts`.
+  /** The events table's `ts` arrives in either of two parquet physical
+    * types depending on the generator vintage: TIMESTAMP(NANOS) (which
+    * Spark only reads as a long, via `nanosAsLong`) or TIMESTAMP(MICROS)
+    * (read natively, as NTZ under `inferTimestampNTZ`). Both are exposed
+    * under one loader contract: `ts_ns` = nanos-since-epoch long, `ts` =
+    * microsecond TimestampType — so every downstream query and oracle is
+    * schema-vintage-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // 64-bit integer division: `/` would go through double and lose
-    // sub-256ns precision at 2024-era epochs (±1µs on real rows)
-    apply(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // 64-bit integer division: `/` would go through double and lose
+        // sub-256ns precision at 2024-era epochs (±1µs on real rows)
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // TIMESTAMP(MICROS): NTZ→LTZ cast is value-preserving because the
+        // session timezone is pinned to UTC (GraftConf); nanos = micros·1000
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

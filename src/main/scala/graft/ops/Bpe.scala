@@ -36,9 +36,15 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Wrap a word into its initial per-character symbol string. */
+  /** Wrap a word into its initial per-character symbol string. Spark's
+    * `split(word, "")` keeps a trailing empty string (Java split with
+    * limit -1); it is filtered so the encoding is exactly the documented
+    * " h  i  s " — one leading/trailing space, two spaces between
+    * symbols — matching the DuckDB oracle's w0 CTE byte for byte. */
   private[graft] def charSeq(word: Column): Column =
-    concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
+    concat(lit(" "),
+      array_join(filter(split(word, ""), x => x =!= ""), "  "),
+      lit(" "))
 
   /** The (symbol-seq, count) vocabulary table: the one corpus-scale pass. */
   def wordTable(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -79,11 +85,8 @@ object Bpe {
         val row = top(0)
         val (l, r) = (row.getString(0), row.getString(1))
         merges += ((step, l, r, row.getLong(2)))
-        val next = words
-          .withColumn("lhs", lit(l)).withColumn("rhs", lit(r))
-          .select(
-            expr("replace(seq, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ')").as("seq"),
-            col("cnt"))
+        val next = words.select(mergePair(col("seq"), l, r).as("seq"),
+          col("cnt"))
         val applied = next.persist()
         applied.count() // materialize before unpersisting the parent
         words.unpersist()
@@ -94,17 +97,19 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** One non-overlapping left-to-right merge of pair (l, r) over a
+    * boundary-encoded symbol string. Patterns are built with `lit()`
+    * columns — never spliced into SQL text — so symbols containing
+    * quotes or backslashes can't break or change the pattern. */
+  private def mergePair(seq: Column, l: String, r: String): Column =
+    replace(seq, lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+
   /** Re-tokenize `docs` words under the learned merges: returns
     * (seq, cnt) — the vocabulary after applying every merge in order.
     * Used by specs to assert the final segmentation. */
   def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame =
     merges.foldLeft(wordTable(docs, textCol)) { case (w, (l, r)) =>
-      w.select(
-        expr(s"replace(seq, ' ' || ${sqlLit(l)} || '  ' || ${sqlLit(r)} || ' ', " +
-          s"' ' || ${sqlLit(l)} || ${sqlLit(r)} || ' ')").as("seq"),
-        col("cnt"))
+      w.select(mergePair(col("seq"), l, r).as("seq"), col("cnt"))
     }
-
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 }

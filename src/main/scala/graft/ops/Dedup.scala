@@ -193,10 +193,14 @@ object Dedup {
     */
   def sourceOverlapMatrix(docs: DataFrame, shingleN: Int = 5,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(groupCol).as("g"),
-        explode(shingles(col(textCol), shingleN)).as("tok"))
-      .select(col("g"), md5(col("tok")).as("d"))
-      .distinct()
+    // the distinct (g, digest) table is consumed three times (sizes +
+    // both self-join sides): materialize it once so the corpus-scale
+    // shingle pass executes once, not three times
+    val sh = Checkpoints.materialize(
+      docs.select(col(groupCol).as("g"),
+          explode(shingles(col(textCol), shingleN)).as("tok"))
+        .select(col("g"), md5(col("tok")).as("d"))
+        .distinct())
     val sizes = broadcast(sh.groupBy(col("g")).agg(count(lit(1)).as("sz")))
     val inter = sh.select(col("g").as("source_a"), col("d"))
       .join(sh.select(col("g").as("source_b"), col("d")), Seq("d"))

@@ -29,20 +29,23 @@ object Sketches {
 
   private val HashSpace = 4294967296.0 // 2^32; tokenHash yields [0, 2^32)
 
-  /** 32-bit token hash: integer value of the first 8 hex chars of
-    * md5(tok) — the engine-portable TextAnalysis convention. */
-  private def tokenHash = expr(TextAnalysis.hexToIntSql("md5(tok)", 8))
-
   /** Per-group KMV sketch over the DISTINCT token set of `textCol`:
     * (group, hv, rnk) — the k smallest distinct hash values per group.
-    * Two-phase salted top-k (Ranking.topKPerGroup) so no group funnels
-    * through one task; the hash itself salts phase 1 (uniform by
-    * construction). */
+    * Token occurrences reduce to DISTINCT (group, tok) BEFORE hashing,
+    * so md5 runs once per distinct token (not once per occurrence, and
+    * never inlined 8× through hexToIntSql's digest re-reference — the
+    * digest is a materialized column). Two-phase salted top-k
+    * (Ranking.topKPerGroup) so no group funnels through one task; the
+    * hash itself salts phase 1 (uniform by construction). */
   def kmvSketch(docs: DataFrame, k: Int, groupCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val hashes = docs
       .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
-      .select(col(groupCol), tokenHash.as("hv"))
+      .distinct()
+      .select(col(groupCol), md5(col("tok")).as("_d"))
+      .select(col(groupCol), expr(TextAnalysis.hexToIntSql("_d", 8)).as("hv"))
+      // two tokens can share an 8-hex md5 prefix: the sketch is a SET of
+      // hash values, so re-distinct on the (small, integer) hv rows
       .distinct()
     Ranking.topKPerGroup(hashes, groupCol, k, Seq(col("hv").asc),
       saltCol = col("hv"), salts = 16)

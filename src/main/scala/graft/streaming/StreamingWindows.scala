@@ -27,24 +27,40 @@ final case class ClosedSession(user_id: Long, session_id: Long,
   */
 object StreamingWindows {
 
-  val eventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read with nanosAsLong)
+    StructField("ts", tsType), // nanos-long or micros-timestamp vintage
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming twin of [[graft.Tables.events]]: same two parquet vintages
+    * (TIMESTAMP(NANOS) → nanos-long via `nanosAsLong`, TIMESTAMP(MICROS) →
+    * native NTZ), same output contract (`ts` micros TimestampType, `ts_ns`
+    * nanos long). FileStreamSource needs a DECLARED schema, so the actual
+    * `ts` physical type is sniffed from one batch-side footer read — a
+    * driver-only metadata call, no data scan.
+    */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       // the sf layout stores one file per table; FileStreamSource wants a
       // directory or a glob — the trailing [t] makes this a glob pattern
       // matching exactly events.parquet, so the parent dir becomes the base
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        // NTZ→LTZ cast is value-preserving: session timezone pinned to UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Tumbling event-time window counts with a watermark. */

@@ -1753,4 +1753,108 @@ class ExtensionSpec extends SparkSuite {
     assert(got(1L) == ((100L, 1.0)), s"got ${got(1L)}")
     assert(got(2L)._1 == 100L && got(2L)._2 >= 0.999999, s"got ${got(2L)}")
   }
+
+  /** JVM replica of TextAnalysis.hexToIntSql(md5, 8): independent of the
+    * Spark SQL expression under test. */
+  private def jvmTokenHash(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("kmvReport matches a JVM-hash reference: per-source sketches, the " +
+      "m<k exact branch, and a merged row built only from sketches (x95 form)") {
+    val k = 4
+    // s1: 10 distinct tokens (m >= k), s2: 3 (m < k → exact), overlap t5..t7
+    val s1Toks = (1 to 10).map(i => s"t$i")
+    val s2Toks = (5 to 7).map(i => s"t$i")
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "source" -> Seq("s1", "s1", "s2"),
+      "text" -> Seq(s1Toks.take(6).mkString(" "), s1Toks.drop(4).mkString(" "),
+        (s2Toks ++ s2Toks).mkString(" ")))
+    def expect(toks: Seq[String]): (Long, Long, Double) = {
+      val hs = toks.map(jvmTokenHash).distinct.sorted
+      val m = math.min(k, hs.size)
+      val kth = hs(m - 1)
+      val est = if (hs.size < k) hs.size.toDouble
+        else math.round((k - 1).toDouble * 4294967296.0 / kth * 1e6) / 1e6
+      (m.toLong, kth, est)
+    }
+    val got = graft.ops.Sketches.kmvReport(docs, k).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    val e1 = expect(s1Toks)
+    assert(got("s1") == ((e1._1, e1._2, e1._3, 10L)), s"s1: ${got("s1")} vs $e1")
+    val e2 = expect(s2Toks)
+    assert(got("s2") == ((e2._1, e2._2, e2._3, 3L)), s"s2: ${got("s2")} vs $e2")
+    // merged row: k smallest over the UNION of the per-source k-min sets
+    // must equal the k smallest of the full union (mergeability), and the
+    // report's __all__ row is required to be built from the sketches
+    val unionKmin = (s1Toks ++ s2Toks).map(jvmTokenHash).distinct.sorted.take(k)
+    val sketchKmin = (expectSketch(s1Toks, k) ++ expectSketch(s2Toks, k))
+      .distinct.sorted.take(k)
+    assert(unionKmin == sketchKmin, "KMV mergeability violated in fixture")
+    val eAll = expect(s1Toks ++ s2Toks)
+    assert(got("__all__") == ((eAll._1, eAll._2, eAll._3, 10L)),
+      s"__all__: ${got("__all__")} vs $eAll")
+  }
+
+  private def expectSketch(toks: Seq[String], k: Int): Seq[Long] =
+    toks.map(jvmTokenHash).distinct.sorted.take(k)
+
+  test("ngramNovelty: shared shingles counted once per doc, novelty exact") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(
+        "a b c",       // shingles(2): {a b, b c}
+        "a b x a b",   // {a b, b x, x a} — 'a b' twice but distinct-once
+        "z z z"))      // {z z} — unshared
+    val got = graft.ops.TextAnalysis.ngramNovelty(docs, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 0.666667)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, 1.0)), s"got ${got(3L)}")
+  }
+
+  test("qualityPercentileGate keeps exactly floor(n*num/den) per source, " +
+      "top-quality first, ties broken to the smaller id") {
+    // quality = ttr * (1 - short_ratio): 'aa bb cc dd' (1.0) beats
+    // 'aa aa aa aa' (0.25) beats 'a a a a' (0); the two identical
+    // mid-quality docs in s1 tie → id decides who makes the 50% cut
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      "source" -> Seq("s1", "s1", "s1", "s1", "s2", "s2", "s2", "s2", "s2"),
+      "text" -> Seq(
+        "aa bb cc dd", "aa aa aa aa", "aa aa aa aa", "a a a a",
+        "aa bb cc dd", "ee ff gg hh", "aa aa aa aa", "a a a a", "a a a a"))
+    val got = graft.ops.TextAnalysis.qualityPercentileGate(docs, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // s1: n=4 → keep 2 (doc 1, then tie 2-vs-3 → 2); s2: n=5 → rank*2<=5
+    // → keep 2 (docs 5 and 6 at quality 1.0, tie → both ranks 1,2 by id)
+    assert(got == Set((1L, "s1", 1L), (2L, "s1", 2L),
+      (5L, "s2", 1L), (6L, "s2", 2L)), s"got $got")
+  }
+
+  test("sourceOverlapMatrix: exact intersections, jaccard, containment; " +
+      "disjoint pairs absent; subset source hits containment 1.0") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "source" -> Seq("s1", "s1", "s2", "s3", "s4"),
+      "text" -> Seq(
+        "a b c d",   // s1 shingles(2): {a b, b c, c d}
+        "a b c",     //   (adds nothing: a b, b c already present)
+        "a b c e",   // s2: {a b, b c, c e}
+        "x y",       // s3: {x y} — disjoint from everything
+        "a b c"))    // s4: {a b, b c} ⊂ s1
+    val got = graft.ops.Dedup.sourceOverlapMatrix(docs, shingleN = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("s1", "s2"), ("s1", "s4"), ("s2", "s4")),
+      s"pairs ${got.keySet}")
+    assert(got(("s1", "s2")) == ((2L, 0.5, 0.666667)), s"${got(("s1", "s2"))}")
+    assert(got(("s1", "s4")) == ((2L, 0.666667, 1.0)), s"${got(("s1", "s4"))}")
+    assert(got(("s2", "s4")) == ((2L, 0.666667, 1.0)), s"${got(("s2", "s4"))}")
+  }
 }
