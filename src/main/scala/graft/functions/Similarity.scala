@@ -465,4 +465,55 @@ object Similarity {
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Per-group centroid outliers: the `bottomK` vectors of each group
+    * (label/source/cluster) by cosine to the group's own mean vector —
+    * the standard "weird members of a topic" audit before training on a
+    * clustered corpus.
+    *
+    * Determinism at scale: a float mean over a shuffled group is
+    * order-DEPENDENT (double addition does not commute bitwise), so the
+    * centroid here is computed in EXACT integer arithmetic — components
+    * quantize to `round(x·scale)` longs, group sums of longs are exact
+    * under any arrival order, and the cosine's scaling factors cancel:
+    * cos(v, Σw) = cos(v, mean(w)). Doubles appear only in the final
+    * per-row division, computed from exact integers — bit-identical in
+    * any engine, any partitioning.
+    *
+    * Scale shape: one posexplode (rows·dim, map-side combinable into
+    * groups·dim centroid cells), one join of rows·dim against the tiny
+    * groups·dim centroid table (broadcastable), one map-side-combined
+    * per-row reduction, then the salted two-phase top-k
+    * ([[graft.ops.Ranking.topKPerGroup]]) so a giant group never funnels
+    * through one task. Long-range check: |v|≤scale·|x|, centroid sums
+    * ≤ n·scale·|x| — products stay under 2^63 for corpora up to ~10^9
+    * rows at scale=10^4 and unit-norm embeddings.
+    */
+  def centroidOutliers(emb: DataFrame, groupCol: String = "label",
+      bottomK: Int = 10, scale: Int = 10000,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol), col(groupCol),
+      transform(col(embCol).cast("array<double>"),
+        x => round(x * scale).cast("long")).as("qv"))
+    val pos = q.select(col(idCol), col(groupCol),
+      posexplode(col("qv")).as(Seq("pos", "v")))
+    val cent = pos.groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("v")).as("cs"))
+    val centNorm = cent.groupBy(col(groupCol))
+      .agg(sum(col("cs") * col("cs")).as("cc"))
+    val perRow = pos.join(cent, Seq(groupCol, "pos"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(sum(col("v") * col("cs")).as("dot"),
+        sum(col("v") * col("v")).as("qq"))
+    val scored = perRow.join(broadcast(centNorm), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        round(col("dot").cast("double")
+          / (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))),
+          6).as("cos_centroid"))
+    graft.ops.Ranking.topKPerGroup(scored, groupCol, bottomK,
+      Seq(col("cos_centroid").asc, col(idCol).asc), saltCol = col(idCol),
+      salts = 16)
+      .select(col(groupCol), col(idCol), col("cos_centroid"),
+        col("rnk").as("rk"))
+  }
 }

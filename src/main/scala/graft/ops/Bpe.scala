@@ -112,4 +112,44 @@ object Bpe {
     merges.foldLeft(wordTable(docs, textCol)) { case (w, (l, r)) =>
       w.select(mergePair(col("seq"), l, r).as("seq"), col("cnt"))
     }
+
+  /** End-to-end tokenizer audit: learn `nMerges` BPE merges on the whole
+    * corpus, segment the vocabulary under them, and report the per-source
+    * compression the tokenizer achieves — total words / chars / tokens
+    * and chars-per-token. The number a tokenizer team actually tracks
+    * per data source before committing a vocab.
+    *
+    * Scale shape: learning is [[learnMerges]] (one corpus pass + O(vocab)
+    * iterations); the audit adds ONE more corpus pass (the per-source
+    * word-count reduction) and applies the merges to the DISTINCT
+    * vocabulary only — per-source totals then come from an O(sources ·
+    * vocab) join + map-side-combined aggregation, never a re-walk of the
+    * corpus text. The merge list itself is nMerges driver-side rows
+    * (inherently sequential argmax output — see learnMerges' doc).
+    */
+  def tokenizeReport(docs: DataFrame, nMerges: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val merges = learnMerges(docs, nMerges, textCol)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val srcWords = docs
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(srcCol), col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = srcWords.select(col("w")).distinct()
+      .select(col("w"), charSeq(col("w")).as("seq"))
+    val segmented = merges.foldLeft(vocab) { case (v, (l, r)) =>
+      v.select(col("w"), mergePair(col("seq"), l, r).as("seq"))
+    }
+    val toks = segmented.select(col("w"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("_ntok"))
+    srcWords.join(toks, "w")
+      .groupBy(col(srcCol))
+      .agg(sum(col("cnt")).cast("long").as("total_words"),
+        sum(col("cnt") * length(col("w"))).cast("long").as("total_chars"),
+        sum(col("cnt") * col("_ntok")).cast("long").as("total_tokens"))
+      .withColumn("chars_per_token",
+        round(col("total_chars").cast("double")
+          / col("total_tokens").cast("double"), 6))
+  }
 }

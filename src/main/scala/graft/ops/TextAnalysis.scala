@@ -439,4 +439,60 @@ object TextAnalysis {
       .filter(col("qrank") * keepDen <= col("_n") * keepNum)
       .select(col(idCol), col(srcCol), col("qrank"))
   }
+
+  /** C4/FineWeb-style LINE-level quality curation: documents are split
+    * into fixed-width token lines (the x48 convention — the corpus has no
+    * newlines), each line passes three integer-exact gates, and documents
+    * are rebuilt from their surviving lines in order; documents keeping
+    * fewer than `docKeepNum/docKeepDen` of their lines are dropped
+    * entirely (a mostly-boilerplate page is not rescued by its two good
+    * lines).
+    *
+    * Line gates (all pure integer arithmetic — no float thresholds):
+    *   - length: word count >= `minWords` (kills truncated tails/stubs);
+    *   - repetition: `distinctDen`·distinct >= `distinctNum`·words
+    *     (kills "spam spam spam" lines);
+    *   - short-token mass: 2·(1-char tokens) < words (kills separator
+    *     and bullet-soup lines).
+    *
+    * Scale shape: one map-side explode per document (lines), one
+    * groupBy(doc) re-assembly — the collect_list is bounded by the
+    * document's own line count (document-sized state, the same bound any
+    * per-doc reducer has), sorted in-array so the result is
+    * order-deterministic regardless of shuffle arrival. No joins, no
+    * windows: at 100 TB this is two map-side-combinable passes.
+    */
+  def lineQualityCuration(docs: DataFrame, wordsPerLine: Int = 5,
+      minWords: Int = 3, distinctNum: Int = 4, distinctDen: Int = 5,
+      docKeepNum: Int = 3, docKeepDen: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(wordsPerLine >= 1 && minWords >= 1, "need positive line params")
+    val lines = docs
+      .select(col(idCol), split(col(textCol), " ").as("_t"))
+      .select(col(idCol), explode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(_t) / ${wordsPerLine}.0d) as int) - 1),
+           |  i -> struct(i AS line_no,
+           |              slice(_t, i * $wordsPerLine + 1, $wordsPerLine) AS lw))
+           |""".stripMargin)).as("l"))
+      .select(col(idCol), col("l.line_no").as("line_no"), col("l.lw").as("lw"))
+    val keep =
+      (size(col("lw")) >= minWords) &&
+        (size(array_distinct(col("lw"))) * distinctDen >=
+          size(col("lw")) * distinctNum) &&
+        (size(filter(col("lw"), t => length(t) === 1)) * 2 < size(col("lw")))
+    lines
+      .select(col(idCol), col("line_no"),
+        array_join(col("lw"), " ").as("line"), keep.as("_keep"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("line_no"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+      .filter(col("n_kept") * docKeepDen >= col("n_lines") * docKeepNum)
+  }
 }

@@ -2925,6 +2925,111 @@ object ExtensionQueries {
              |  round(CAST(n_inter AS DOUBLE)
              |    / CAST(least(za.sz, zb.sz) AS DOUBLE), 6) AS containment
              |FROM i JOIN sz za ON za.g = source_a JOIN sz zb ON zb.g = source_b
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---- x97: line-level quality curation (C4/FineWeb line filter) --------
+    // Integer-exact per-line gates (length, repetition, short-token mass)
+    // over x48-convention 5-word lines; docs rebuilt from surviving lines
+    // in order and dropped entirely below a 3/4 retention floor. Two
+    // map-side passes, no joins/windows; per-doc collect_list is bounded
+    // by the doc's own line count and array_sort makes the re-assembly
+    // arrival-order-proof.
+    QueryDef(
+      "x97_line_quality",
+      (s, dir) =>
+        TextAnalysis.lineQualityCuration(Tables.documents(s, dir))
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |lines AS (SELECT doc_id, i AS line_no, t[(i*5+1):(i*5+5)] AS lw
+             |  FROM toks, LATERAL unnest(
+             |    range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) u(i)),
+             |flagged AS (SELECT doc_id, line_no, array_to_string(lw, ' ') AS line,
+             |    (len(lw) >= 3 AND 5*len(list_distinct(lw)) >= 4*len(lw)
+             |      AND 2*len(list_filter(lw, x -> length(x) = 1)) < len(lw)) AS keep
+             |  FROM lines),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |    coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+             |      ORDER BY line_no), '') AS clean_text
+             |  FROM flagged GROUP BY doc_id)
+             |SELECT doc_id, n_lines, n_kept, clean_text FROM agg
+             |WHERE n_kept * 4 >= n_lines * 3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- x98: BPE tokenizer audit (learn + segment + per-source report) ---
+    // x92's learned merges applied to the DISTINCT vocabulary, then joined
+    // back to per-source word counts: total words/chars/tokens and
+    // chars-per-token per source — the compression number a tokenizer team
+    // tracks per data source. Corpus touched twice (learn pass + source
+    // word counts); merge application is O(vocab).
+    QueryDef(
+      "x98_bpe_tokenize",
+      (s, dir) =>
+        graft.ops.Bpe.tokenizeReport(Tables.documents(s, dir), nMerges = 3)
+          .orderBy(col("source")),
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""p$i AS (SELECT a[i] AS lhs, a[i+1] AS rhs, SUM(cnt) AS c
+             |  FROM (SELECT string_split(trim(seq), '  ') AS a, cnt FROM w${i - 1}) t,
+             |  LATERAL unnest(range(1, len(a))) u(i)
+             |  WHERE len(a) >= 2 GROUP BY 1, 2),
+             |m$i AS (SELECT lhs, rhs FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+             |w$i AS (SELECT w, replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+             |    ' ' || lhs || rhs || ' ') AS seq, cnt
+             |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+           |        FROM documents) t
+           |  WHERE w <> '' GROUP BY 1, 2),
+           |cw AS (SELECT w, SUM(cnt) AS cnt FROM sw GROUP BY w),
+           |w0 AS (SELECT w,
+           |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq,
+           |    cnt FROM cw),
+           |$iters,
+           |tok AS (SELECT w,
+           |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS ntok
+           |  FROM w3)
+           |SELECT source, CAST(SUM(cnt) AS BIGINT) AS total_words,
+           |  CAST(SUM(cnt * length(w)) AS BIGINT) AS total_chars,
+           |  CAST(SUM(cnt * ntok) AS BIGINT) AS total_tokens,
+           |  round(CAST(SUM(cnt * length(w)) AS DOUBLE)
+           |    / CAST(SUM(cnt * ntok) AS DOUBLE), 6) AS chars_per_token
+           |FROM sw JOIN tok USING (w)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    // ---- x99: per-label centroid outliers (exact-integer centroids) -------
+    // Bottom-10 of each label by cosine to the label's mean vector. The
+    // centroid is exact-integer (quantized longs, order-independent group
+    // sums; scaling cancels inside the cosine), so the result is
+    // bit-reproducible under any partitioning — the property that makes a
+    // distributed outlier audit trustworthy. Salted two-phase top-k; the
+    // labels·dim centroid table broadcasts.
+    QueryDef(
+      "x99_centroid_outliers",
+      (s, dir) =>
+        Similarity.centroidOutliers(Tables.embeddings(s, dir), "label",
+            bottomK = 10)
+          .orderBy(col("label"), col("rk")),
+      Some("""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding::DOUBLE[],
+             |      x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |p AS (SELECT vec_id, label, i AS pos, qv[i + 1] AS v
+             |  FROM v, LATERAL unnest(range(0, len(qv))) u(i)),
+             |cent AS (SELECT label, pos, SUM(v) AS cs FROM p GROUP BY 1, 2),
+             |cn AS (SELECT label, SUM(cs * cs) AS cc FROM cent GROUP BY 1),
+             |d AS (SELECT vec_id, p.label, SUM(v * cs) AS dot, SUM(v * v) AS qq
+             |  FROM p JOIN cent USING (label, pos) GROUP BY 1, 2),
+             |s AS (SELECT label, vec_id,
+             |    round(CAST(dot AS DOUBLE)
+             |      / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))), 6)
+             |      AS cos_centroid
+             |  FROM d JOIN cn USING (label))
+             |SELECT label, vec_id, cos_centroid, rk FROM (
+             |  SELECT label, vec_id, cos_centroid, ROW_NUMBER() OVER (
+             |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rk
+             |  FROM s) t
+             |WHERE rk <= 10 ORDER BY label, rk""".stripMargin))
   )
 }

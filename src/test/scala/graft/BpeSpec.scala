@@ -110,6 +110,36 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.learnMerges(docs, 10).count() == 0L)
   }
 
+  test("tokenizeReport: per-source totals match the reference segmentation") {
+    val texts = Map(
+      "s1" -> Seq("low low lower", "newest low"),
+      "s2" -> Seq("newest newest wider"))
+    val all = texts.values.flatten.toSeq
+    val n = 4
+    val (want, _) = refLearn(all, n)
+    // reference per-source totals: segment each word with the learned
+    // merges, weight by per-source occurrences
+    def segLen(w: String): Long = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      want.foreach { case (_, l, r, _) => syms = refMergeWord(syms, l, r) }
+      syms.length.toLong
+    }
+    val expect = texts.map { case (src, ts) =>
+      val ws = ts.flatMap(_.split(" ").filter(_.nonEmpty))
+      val chars = ws.map(_.length.toLong).sum
+      val toks = ws.map(segLen).sum
+      src -> ((ws.size.toLong, chars, toks,
+        math.round(chars.toDouble / toks * 1e6) / 1e6))
+    }
+    val docs = frame(
+      "source" -> texts.toSeq.flatMap { case (s, ts) => ts.map(_ => s) },
+      "text" -> texts.toSeq.flatMap(_._2))
+    val got = graft.ops.Bpe.tokenizeReport(docs, nMerges = n).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got == expect, s"\n got  $got\n want $expect")
+  }
+
   test("charSeq has no trailing-empty artifact: ' h  i  s ' exactly") {
     val got = frame("w" -> Seq("his", "a"))
       .select(Bpe.charSeq(col("w")).as("s"))

@@ -1837,6 +1837,64 @@ class ExtensionSpec extends SparkSuite {
       (5L, "s2", 1L), (6L, "s2", 2L)), s"got $got")
   }
 
+  test("lineQualityCuration: gates fire per line, docs rebuilt in order, " +
+      "mostly-boilerplate docs dropped entirely") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq(
+        // doc 1: line0 clean, line1 repetitive (2 distinct of 5),
+        // line2 short tail (2 words) → keeps 1 of 3 → dropped (< 3/4)
+        "alpha beta gamma delta eps spam spam spam spam ham tail end",
+        // doc 2: two clean lines + clean 3-word tail → keeps 3/3
+        "one two three four five six seven eight nine ten red green blue",
+        // doc 3: line0 clean, line1 all 1-char tokens → keeps 1 of 2 → dropped
+        "alpha beta gamma delta eps a b c d e"))
+    val got = graft.ops.TextAnalysis.lineQualityCuration(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(2L), s"kept ${got.keySet}")
+    assert(got(2L) == ((3L, 3L,
+      "one two three four five six seven eight nine ten red green blue")))
+  }
+
+  test("lineQualityCuration keeps partially-filtered docs above the floor " +
+      "and re-assembles only surviving lines, in line order") {
+    // 4 lines: clean, clean, repetitive, clean → keeps 3/4 (exactly at
+    // the 3/4 floor) and the repetitive line vanishes from clean_text
+    val docs = frame(
+      "doc_id" -> Seq[Any](7L),
+      "text" -> Seq("a1 b1 c1 d1 e1 a2 b2 c2 d2 e2 " +
+        "spam spam spam spam ham a3 b3 c3 d3 e3"))
+    val got = graft.ops.TextAnalysis.lineQualityCuration(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 4L && got(0).getLong(2) == 3L)
+    assert(got(0).getString(3) ==
+      "a1 b1 c1 d1 e1 a2 b2 c2 d2 e2 a3 b3 c3 d3 e3")
+  }
+
+  test("centroidOutliers: orthogonal member ranks first; exact-integer " +
+      "centroid gives the hand-computed cosine") {
+    // label 0: three copies of e1 and one e2 → centroid ∝ (3,1,0,0);
+    // cos(e2, centroid) = 1/sqrt(10); cos(e1, centroid) = 3/sqrt(10)
+    val emb = frame(
+      "vec_id" -> Seq[Any](0L, 1L, 2L, 3L, 10L, 11L),
+      "label" -> Seq(0, 0, 0, 0, 1, 1),
+      "embedding" -> Seq(
+        Seq(1.0, 0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 0.0),
+        Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+        Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0)))
+    val got = graft.functions.Similarity
+      .centroidOutliers(emb, "label", bottomK = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // rank 1 in label 0 is the orthogonal vec 3 at 1/sqrt(10) = 0.316228
+    assert(got((0, 1L)) == ((3L, 0.316228)), s"${got((0, 1L))}")
+    // rank 2: the e1 triplet ties at 3/sqrt(10) = 0.948683 → smallest id
+    assert(got((0, 2L)) == ((0L, 0.948683)), s"${got((0, 2L))}")
+    // label 1: both members identical → cosine 1.0, id tie-break
+    assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
+  }
+
   test("sourceOverlapMatrix: exact intersections, jaccard, containment; " +
       "disjoint pairs absent; subset source hits containment 1.0") {
     val docs = frame(
