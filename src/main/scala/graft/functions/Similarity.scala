@@ -516,4 +516,36 @@ object Similarity {
       .select(col(groupCol), col(idCol), col("cos_centroid"),
         col("rnk").as("rk"))
   }
+
+  /** Contrastive hard-negative mining: for each anchor vector, the `k`
+    * highest-cosine vectors carrying a DIFFERENT label — the pairs a
+    * contrastive/embedding trainer wants most (similar content, opposite
+    * class). Candidates come from the sign-LSH bucket equi-join (the x11
+    * path), so the cross product never materializes: an anchor is only
+    * compared against its own bucket, and the per-anchor top-k runs
+    * through the salted two-phase rank. Approximate by construction —
+    * an anchor whose bucket holds no cross-label member emits no row
+    * (more planes → finer buckets → fewer, closer candidates).
+    */
+  def hardNegativeMining(emb: DataFrame, labelCol: String = "label",
+      nPlanes: Int = 6, dim: Int = 64, k: Int = 3,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = emb.select(col(idCol), col(labelCol),
+        col(embCol).cast("array<double>").as("e"))
+      .withColumn("bucket", lshBucket(col("e"), nPlanes, dim))
+    val l = b.select(col("bucket"), col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col("e").as("_ea"))
+    val r = b.select(col("bucket"), col(idCol).as("neg_id"),
+      col(labelCol).as("neg_label"), col("e").as("_en"))
+    val cands = l.join(r, "bucket")
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("sim", round(cosine(col("_ea"), col("_en")), 6))
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("sim"))
+    graft.ops.Ranking.topKPerGroup(cands, "anchor_id", k,
+      Seq(col("sim").desc, col("neg_id").asc), saltCol = col("neg_id"),
+      salts = 16)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("sim"), col("rnk").as("rk"))
+  }
 }

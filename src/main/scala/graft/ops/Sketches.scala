@@ -90,4 +90,52 @@ object Sketches {
       .select(col(groupCol), col("n_sketch"), col("kth_hash"),
         col("kmv_estimate"), col("n_exact"))
   }
+
+  /** Snapshot-to-snapshot distinct-token cardinality diff WITHOUT a
+    * union re-scan: the union estimate is built by merging the two
+    * snapshots' k-min sketches (the KMV merge property), so an
+    * incremental pipeline can answer "how many new tokens did this crawl
+    * add?" from per-snapshot sketches alone. The exact distinct counts
+    * ride along for error inspection (the one whole-corpus aggregation,
+    * same audit posture as [[kmvReport]]).
+    *
+    * One wide row: sketch estimates for old / new / union, the derived
+    * added/removed estimates (union−old is mass only the new snapshot
+    * contributes, union−new the mass only the old one did), and the
+    * three exact counts.
+    */
+  def kmvSnapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val tagged = oldDocs.select(lit("old").as("_snap"), col(textCol))
+      .unionByName(newDocs.select(lit("new").as("_snap"), col(textCol)))
+    val sketch = kmvSketch(tagged, k, "_snap", textCol).persist()
+    val perSnap = estimate(sketch, "_snap", k)
+    // union sketch: k smallest distinct hvs across BOTH k-min sets —
+    // O(2k) rows, no text re-read
+    val w = Window.partitionBy(col("_snap")).orderBy(col("hv").asc)
+    val mergedTop = sketch.select(col("hv")).distinct()
+      .withColumn("_snap", lit("union"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val est = perSnap.unionByName(estimate(mergedTop, "_snap", k))
+    val toks = tagged
+      .select(col("_snap"), explode(split(col(textCol), " ")).as("tok"))
+    val exact = toks.groupBy(col("_snap"))
+      .agg(countDistinct(col("tok")).as("n_exact"))
+      .unionByName(toks.select(lit("union").as("_snap"), col("tok"))
+        .groupBy(col("_snap")).agg(countDistinct(col("tok")).as("n_exact")))
+    def pick(snap: String, c: String) =
+      max(when(col("_snap") === snap, col(c)))
+    est.join(exact, Seq("_snap"))
+      .groupBy()
+      .agg(pick("old", "kmv_estimate").as("est_old"),
+        pick("new", "kmv_estimate").as("est_new"),
+        pick("union", "kmv_estimate").as("est_union"),
+        pick("old", "n_exact").as("exact_old"),
+        pick("new", "n_exact").as("exact_new"),
+        pick("union", "n_exact").as("exact_union"))
+      .select(col("est_old"), col("est_new"), col("est_union"),
+        round(col("est_union") - col("est_old"), 6).as("est_added"),
+        round(col("est_union") - col("est_new"), 6).as("est_removed"),
+        col("exact_old"), col("exact_new"), col("exact_union"))
+  }
 }

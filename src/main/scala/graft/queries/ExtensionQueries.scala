@@ -3030,6 +3030,85 @@ object ExtensionQueries {
              |  SELECT label, vec_id, cos_centroid, ROW_NUMBER() OVER (
              |    PARTITION BY label ORDER BY cos_centroid ASC, vec_id) AS rk
              |  FROM s) t
-             |WHERE rk <= 10 ORDER BY label, rk""".stripMargin))
+             |WHERE rk <= 10 ORDER BY label, rk""".stripMargin)),
+
+    // ---- x100: contrastive hard-negative mining ---------------------------
+    // Per anchor, the top-3 highest-cosine DIFFERENT-label vectors among
+    // its sign-LSH bucket mates (x11's deterministic md5 planes) — the
+    // pairs a contrastive trainer wants. Bucket equi-join keeps the
+    // cross product unmaterialized; salted two-phase per-anchor top-k.
+    QueryDef(
+      "x100_hard_negatives",
+      (s, dir) =>
+        Similarity.hardNegativeMining(Tables.embeddings(s, dir), "label",
+            nPlanes = 6, dim = 64, k = 3)
+          .orderBy(col("anchor_id"), col("rk")),
+      Some(s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+              |    ${lshBucketSql(6, 64, "embedding::DOUBLE[]")} AS bucket
+              |  FROM embeddings),
+              |c AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+              |    n.vec_id AS neg_id, n.label AS neg_label,
+              |    round(list_dot_product(a.e, n.e)
+              |      / sqrt(list_dot_product(a.e, a.e)
+              |             * list_dot_product(n.e, n.e)), 6) AS sim
+              |  FROM b a JOIN b n
+              |    ON a.bucket = n.bucket AND a.label <> n.label)
+              |SELECT anchor_id, anchor_label, neg_id, neg_label, sim, rk
+              |FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |    ORDER BY sim DESC, neg_id) AS rk FROM c) t
+              |WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin)),
+
+    // ---- x101: KMV sketch snapshot diff -----------------------------------
+    // "How many new tokens did this crawl add?" answered from per-snapshot
+    // k-min sketches alone: the union estimate merges the two sketches
+    // (KMV merge property — the oracle computes the union k-min DIRECTLY
+    // from all distinct hashes, so the bitwise gate proves mergeability).
+    // Snapshots follow x88's doc_id-residue convention; exact counts ride
+    // along as the audit twin.
+    QueryDef(
+      "x101_sketch_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.ops.Sketches.kmvSnapshotDiff(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0), k = 64)
+      },
+      Some {
+        val hv = TextAnalysis.hexToIntSql("md5(tok)", 8)
+        def est(pfx: String) =
+          s"""CASE WHEN ${pfx}n < 64 THEN CAST(${pfx}n AS DOUBLE)
+             |    ELSE round(63 * 4294967296.0 / CAST(${pfx}kth AS DOUBLE), 6)
+             |    END""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT 'old' AS snap, unnest(string_split(text, ' ')) AS tok
+           |    FROM documents WHERE doc_id % 5 != 0
+           |  UNION ALL
+           |  SELECT 'new', unnest(string_split(text, ' '))
+           |    FROM documents WHERE doc_id % 7 != 0),
+           |dh AS (SELECT DISTINCT snap, $hv AS hv FROM toks),
+           |rk AS (SELECT snap, hv,
+           |    ROW_NUMBER() OVER (PARTITION BY snap ORDER BY hv) AS rn FROM dh),
+           |sk AS (SELECT snap, CAST(COUNT(*) AS BIGINT) AS n, MAX(hv) AS kth
+           |  FROM rk WHERE rn <= 64 GROUP BY snap),
+           |udh AS (SELECT DISTINCT hv FROM dh),
+           |urk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM udh),
+           |usk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(hv) AS kth
+           |  FROM urk WHERE rn <= 64),
+           |ex AS (SELECT snap, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+           |  FROM toks GROUP BY snap),
+           |uex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact
+           |  FROM toks),
+           |w AS (SELECT
+           |    (SELECT ${est("")} FROM sk WHERE snap = 'old') AS est_old,
+           |    (SELECT ${est("")} FROM sk WHERE snap = 'new') AS est_new,
+           |    (SELECT ${est("")} FROM usk) AS est_union,
+           |    (SELECT n_exact FROM ex WHERE snap = 'old') AS exact_old,
+           |    (SELECT n_exact FROM ex WHERE snap = 'new') AS exact_new,
+           |    (SELECT n_exact FROM uex) AS exact_union)
+           |SELECT est_old, est_new, est_union,
+           |  round(est_union - est_old, 6) AS est_added,
+           |  round(est_union - est_new, 6) AS est_removed,
+           |  exact_old, exact_new, exact_union FROM w""".stripMargin
+      })
   )
 }

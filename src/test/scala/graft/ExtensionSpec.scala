@@ -1895,6 +1895,42 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("hardNegativeMining: cross-label bucket mates ranked by cosine with " +
+      "id tie-break; same-label mates never pair; isolated bucket emits none") {
+    // ids 1-4 share a direction (same sign-LSH bucket by construction);
+    // id 9's OPPOSITE direction flips every plane sign → complement
+    // bucket, guaranteed isolated → contributes no row
+    val emb = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L, 4L, 9L),
+      "label" -> Seq(0, 0, 1, 1, 2),
+      "embedding" -> Seq(
+        Seq(2.0, 0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 0.0),
+        Seq(3.0, 0.0, 0.0, 0.0), Seq(0.5, 0.0, 0.0, 0.0),
+        Seq(-1.0, 0.0, 0.0, 0.0)))
+    val got = graft.functions.Similarity
+      .hardNegativeMining(emb, "label", nPlanes = 4, dim = 4, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getLong(2)).toMap
+    // every anchor's negatives are exactly the two cross-label mates at
+    // cosine 1.0 — ties broken to the smaller neg_id
+    assert(got == Map(
+      (1L, 1L) -> 3L, (1L, 2L) -> 4L, (2L, 1L) -> 3L, (2L, 2L) -> 4L,
+      (3L, 1L) -> 1L, (3L, 2L) -> 2L, (4L, 1L) -> 1L, (4L, 2L) -> 2L),
+      s"got $got")
+  }
+
+  test("kmvSnapshotDiff: m<k exact branch makes estimates equal the exact " +
+      "counts and added/removed come from the merged sketch") {
+    val old = frame("text" -> Seq("t1 t2 t3", "t3 t4 t5"))
+    val nw = frame("text" -> Seq("t3 t4 t5 t6", "t6 t7 t8"))
+    val r = graft.ops.Sketches.kmvSnapshotDiff(old, nw, k = 64).collect()(0)
+    // est_old, est_new, est_union, est_added, est_removed, exacts
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 6.0
+      && r.getDouble(2) == 8.0, s"$r")
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 2.0, s"$r")
+    assert(r.getLong(5) == 5L && r.getLong(6) == 6L && r.getLong(7) == 8L)
+  }
+
   test("sourceOverlapMatrix: exact intersections, jaccard, containment; " +
       "disjoint pairs absent; subset source hits containment 1.0") {
     val docs = frame(
