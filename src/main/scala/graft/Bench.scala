@@ -26,7 +26,10 @@ object Bench {
     "x61_corpus_append", "x63_keeper_longest", "x64_banding_precision",
     "x69_split_leakage", "x70_split_by_cluster", "x76_curation_capped",
     "x81_semantic_decontam", "x84_cluster_balanced",
-    "x85_minhash_calibration")
+    "x85_minhash_calibration",
+    // BPE argmax loops (nMerges sequential collect iterations) and the
+    // budgeted schedule's two materialization barriers
+    "x92_bpe_merges", "x98_bpe_tokenize", "x102_budget_schedule")
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the

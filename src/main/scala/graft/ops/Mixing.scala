@@ -230,4 +230,58 @@ object Mixing {
       .filter(col("epoch") < whole || h < thr)
       .drop("boost")
   }
+
+  /** The token-BUDGETED training schedule: [[unimaxBudget]]'s waterfilled
+    * per-source allocations realized as an actual consumption order —
+    * each source contributes `alloc div n_tokens` full epochs plus the
+    * doc-granular PREFIX of one more epoch (docs in id order while their
+    * cumulative token mass fits `alloc mod n_tokens` — allocation is
+    * token-exact, realization is document-granular, so a source never
+    * exceeds its budget), and the resulting multiset is stride-interleaved
+    * ([[interleaveSchedule]]'s low-discrepancy key, here over the repeated
+    * stream): source g's j-th scheduled doc is keyed j/n_sched_g, so
+    * epochs of a small source spread across the whole run instead of
+    * repeating back-to-back.
+    *
+    * Scale shape: unimaxBudget's ONE corpus token aggregate; ONE
+    * decomposed per-source prefix-sum pass
+    * ([[graft.ops.Ranking.withGroupPrefixSums]] — no per-source window
+    * funnel); an O(sources) broadcast of allocations and schedule sizes;
+    * an ≤(epochCap+1)-row explode; and the decomposed global rank for
+    * `step`. Both multiply-consumed intermediates (allocations, the
+    * prefix table) are materialized once ([[graft.ops.Checkpoints]]) —
+    * no corpus-scale re-execution.
+    */
+  def budgetedSchedule(docs: DataFrame, groupCol: String, budget: Long,
+      epochCap: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val alloc = graft.ops.Checkpoints.materialize(
+      unimaxBudget(docs, groupCol, budget, epochCap, textCol)
+        .select(col("source").as(groupCol), col("n_tokens"),
+          col("alloc_tokens")))
+    val perDoc = docs.select(col(groupCol), col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("_tok"))
+    val pre = graft.ops.Checkpoints.materialize(
+      graft.ops.Ranking.withGroupPrefixSums(perDoc, groupCol,
+        Seq((idCol, true)), "_tok", "_i", "_ctok"))
+    val joined = pre.join(broadcast(alloc), groupCol)
+      .withColumn("_full", expr("alloc_tokens div n_tokens"))
+      .withColumn("_part", col("alloc_tokens") % col("n_tokens"))
+    // per-source schedule sizes: full epochs × docs + partial-prefix docs
+    val counts = broadcast(joined.groupBy(col(groupCol))
+      .agg(max(col("_i")).as("_nd"),
+        sum(when(col("_ctok") <= col("_part"), 1L).otherwise(0L)).as("_np"),
+        max(col("_full")).as("_f"))
+      .withColumn("_ns", col("_f") * col("_nd") + col("_np"))
+      .select(col(groupCol), col("_nd"), col("_ns")))
+    val sched = joined
+      .withColumn("epoch", explode(sequence(lit(0L), col("_full"))))
+      .filter(col("epoch") < col("_full") || col("_ctok") <= col("_part"))
+      .join(counts, groupCol)
+      .withColumn("_j", col("epoch") * col("_nd") + col("_i"))
+      .withColumn("_p", col("_j").cast("double") / col("_ns"))
+    graft.ops.Ranking.withGlobalRanks(sched,
+        Seq(("_p", true), (groupCol, true), ("_j", true)), "step", "_d")
+      .select(col("step"), col(groupCol), col(idCol), col("epoch"))
+  }
 }

@@ -139,4 +139,39 @@ object Ranking {
       .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("long"))
       .drop("_bucket", "_lrank", "_roff")
   }
+
+  /** [[withGroupRanks]] extended to also carry an INCLUSIVE per-group
+    * running sum of `valCol` (token prefix mass, byte offsets, …): same
+    * decomposition — range partition on (group, keys), local windows per
+    * (partition, group), and an O(partitions · groups) summary carrying
+    * row counts AND value mass, broadcast back — so neither a dominant
+    * group nor a global window funnels one task. Both outputs are Long. */
+  def withGroupPrefixSums(df: DataFrame, groupCol: String,
+      keys: Seq[(String, Boolean)], valCol: String,
+      rankCol: String = "rnk", prefixCol: String = "ctot"): DataFrame = {
+    require(keys.nonEmpty, "prefix sums need at least one sort key")
+    val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val fullOrd = col(groupCol).asc +: ord
+
+    val ranged = df.repartitionByRange(fullOrd: _*)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket"), col(groupCol)).orderBy(ord: _*)
+    val local = ranged.withColumn("_lrank", row_number().over(w))
+      .withColumn("_lsum", sum(col(valCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    val sums = local.groupBy(col("_bucket"), col(groupCol))
+      .agg(count(lit(1)).as("_n"), sum(col(valCol)).as("_v"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_roff", coalesce(sum(col("_n")).over(wCum), lit(0L)))
+      .withColumn("_voff", coalesce(sum(col("_v")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col(groupCol), col("_roff"), col("_voff"))
+
+    local.join(broadcast(offsets), Seq("_bucket", groupCol))
+      .withColumn(rankCol, (col("_lrank") + col("_roff")).cast("long"))
+      .withColumn(prefixCol, (col("_lsum") + col("_voff")).cast("long"))
+      .drop("_bucket", "_lrank", "_lsum", "_roff", "_voff")
+  }
 }

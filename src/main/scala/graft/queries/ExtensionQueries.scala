@@ -3109,6 +3109,74 @@ object ExtensionQueries {
            |  round(est_union - est_old, 6) AS est_added,
            |  round(est_union - est_new, 6) AS est_removed,
            |  exact_old, exact_new, exact_union FROM w""".stripMargin
-      })
+      }),
+
+    // ---- x102: token-budgeted training schedule ---------------------------
+    // x82's waterfilled allocations realized as an actual consumption
+    // order: full epochs + a doc-granular prefix epoch per source (never
+    // over budget), stride-interleaved so a small source's epochs spread
+    // across the run. The oracle replays the whole composition — the
+    // integer waterfilling closed form, the per-source prefix sums, the
+    // epoch explode, and the stride sort — in plain windows, proving
+    // every decomposed Spark stage (group prefix sums, global rank)
+    // indistinguishable from the single-window semantics.
+    QueryDef(
+      "x102_budget_schedule",
+      (s, dir) =>
+        Mixing.budgetedSchedule(Tables.documents(s, dir), "source",
+            budget = 60000L, epochCap = 2)
+          .orderBy(col("step")),
+      Some("""WITH counts AS (SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |c AS (SELECT source, n_tokens, n_tokens * 2 AS capacity
+             |  FROM counts),
+             |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY capacity, source) AS rn,
+             |    CAST(COALESCE(SUM(capacity) OVER (ORDER BY capacity, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS pfx,
+             |    COUNT(*) OVER () AS g FROM c),
+             |f AS (SELECT *,
+             |    (capacity * (g - rn + 1) <= 60000 - pfx) AS capped FROM r),
+             |t AS (SELECT *,
+             |    CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+             |      AS BIGINT) AS k,
+             |    CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END)
+             |      OVER (), 0) AS BIGINT) AS pc,
+             |    CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+             |      OVER (ORDER BY capacity, source
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS ur FROM f),
+             |a AS (SELECT source, n_tokens,
+             |    CASE WHEN capped THEN capacity
+             |    ELSE ((60000 - pc) // (g - k)) +
+             |      (CASE WHEN ur <= ((60000 - pc) % (g - k)) THEN 1 ELSE 0 END)
+             |    END AS alloc_tokens FROM t),
+             |dt AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents),
+             |pre AS (SELECT source, doc_id, tok,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+             |      AS BIGINT) AS i,
+             |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok FROM dt),
+             |j AS (SELECT p.source, p.doc_id, p.i, p.ctok,
+             |    a.alloc_tokens // a.n_tokens AS fullep,
+             |    a.alloc_tokens % a.n_tokens AS part
+             |  FROM pre p JOIN a USING (source)),
+             |cn AS (SELECT source, MAX(i) AS nd,
+             |    CAST(SUM(CASE WHEN ctok <= part THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS np,
+             |    MAX(fullep) AS f FROM j GROUP BY source),
+             |sched AS (SELECT j.source, j.doc_id, u.e AS epoch,
+             |    (u.e * cn.nd + j.i) AS jj, (cn.f * cn.nd + cn.np) AS ns
+             |  FROM j JOIN cn USING (source),
+             |  LATERAL unnest(range(0, j.fullep + 1)) u(e)
+             |  WHERE u.e < j.fullep OR j.ctok <= j.part)
+             |SELECT CAST(ROW_NUMBER() OVER (
+             |    ORDER BY CAST(jj AS DOUBLE) / ns, source, jj) AS BIGINT)
+             |    AS step,
+             |  source, doc_id, epoch
+             |FROM sched ORDER BY step""".stripMargin))
   )
 }

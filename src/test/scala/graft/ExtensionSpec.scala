@@ -1895,6 +1895,31 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("budgetedSchedule: capped source runs full epochs, uncapped source " +
+      "takes a doc-granular prefix, stride interleave spreads both") {
+    // a: 2 docs x 5 tokens (capacity 20 at cap 2) — capped, alloc 20 = 2
+    // full epochs; b: 3 docs x 10 tokens (capacity 60) — uncapped, alloc
+    // 40-20=20 tokens → prefix docs 11,12 (ctok 10,20), doc 13 over
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 11L, 12L, 13L),
+      "source" -> Seq("a", "a", "b", "b", "b"),
+      "text" -> Seq("w w w w w", "v v v v v",
+        Seq.fill(10)("x").mkString(" "), Seq.fill(10)("y").mkString(" "),
+        Seq.fill(10)("z").mkString(" ")))
+    val got = graft.ops.Mixing.budgetedSchedule(docs, "source",
+        budget = 40L, epochCap = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "a", 1L, 0L), (2L, "a", 2L, 0L), (3L, "b", 11L, 0L),
+      (4L, "a", 1L, 1L), (5L, "a", 2L, 1L), (6L, "b", 12L, 0L)),
+      s"got $got")
+    // budget respected at token granularity: a spends 20, b spends 20 of
+    // its 20 (docs 11+12) — doc 13 would overshoot and is excluded
+    assert(!got.exists(_._3 == 13L))
+  }
+
   test("hardNegativeMining: cross-label bucket mates ranked by cosine with " +
       "id tie-break; same-label mates never pair; isolated bucket emits none") {
     // ids 1-4 share a direction (same sign-LSH bucket by construction);
