@@ -455,44 +455,40 @@ object TextAnalysis {
     *   - short-token mass: 2·(1-char tokens) < words (kills separator
     *     and bullet-soup lines).
     *
-    * Scale shape: one map-side explode per document (lines), one
-    * groupBy(doc) re-assembly — the collect_list is bounded by the
-    * document's own line count (document-sized state, the same bound any
-    * per-doc reducer has), sorted in-array so the result is
-    * order-deterministic regardless of shuffle arrival. No joins, no
-    * windows: at 100 TB this is two map-side-combinable passes.
+    * Scale shape: MAP-ONLY — the line split, the three gates, and the
+    * re-assembly all run inside higher-order functions over the
+    * document's own token array, so there is NO shuffle of any kind (no
+    * explode/groupBy round trip, no window): one codegen'd pass over the
+    * scan, the best possible 100 TB plan. Stateless per row, which also
+    * makes the operator directly streamable
+    * ([[graft.streaming.StreamingWindows.streamingLineQualityGate]] —
+    * no watermark, no state store).
     */
   def lineQualityCuration(docs: DataFrame, wordsPerLine: Int = 5,
       minWords: Int = 3, distinctNum: Int = 4, distinctDen: Int = 5,
       docKeepNum: Int = 3, docKeepDen: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(wordsPerLine >= 1 && minWords >= 1, "need positive line params")
-    val lines = docs
+    val kept = docs
       .select(col(idCol), split(col(textCol), " ").as("_t"))
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), expr(
         s"""transform(
            |  sequence(0, cast(ceil(size(_t) / ${wordsPerLine}.0d) as int) - 1),
-           |  i -> struct(i AS line_no,
-           |              slice(_t, i * $wordsPerLine + 1, $wordsPerLine) AS lw))
-           |""".stripMargin)).as("l"))
-      .select(col(idCol), col("l.line_no").as("line_no"), col("l.lw").as("lw"))
-    val keep =
-      (size(col("lw")) >= minWords) &&
-        (size(array_distinct(col("lw"))) * distinctDen >=
-          size(col("lw")) * distinctNum) &&
-        (size(filter(col("lw"), t => length(t) === 1)) * 2 < size(col("lw")))
-    lines
-      .select(col(idCol), col("line_no"),
-        array_join(col("lw"), " ").as("line"), keep.as("_keep"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_lines"),
-        sum(when(col("_keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+           |  i -> slice(_t, i * $wordsPerLine + 1, $wordsPerLine))
+           |""".stripMargin).as("_lines"))
+      .select(col(idCol), size(col("_lines")).cast("long").as("n_lines"),
+        filter(col("_lines"), lw =>
+          (size(lw) >= minWords) &&
+            (size(array_distinct(lw)) * distinctDen >=
+              size(lw) * distinctNum) &&
+            (size(filter(lw, t => length(t) === 1)) * 2 < size(lw)))
+          .as("_kept"))
+    kept
+      .select(col(idCol), col("n_lines"),
+        size(col("_kept")).cast("long").as("n_kept"),
         array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("_keep"), struct(col("line_no"), col("line"))))),
-            x => x.getField("line")),
-          " ").as("clean_text"))
+          transform(col("_kept"), lw => array_join(lw, " ")), " ")
+          .as("clean_text"))
       .filter(col("n_kept") * docKeepDen >= col("n_lines") * docKeepNum)
   }
 }

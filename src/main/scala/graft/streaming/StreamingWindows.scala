@@ -330,6 +330,18 @@ object StreamingWindows {
     }
   }
 
+  /** Streaming twin of [[graft.ops.TextAnalysis.lineQualityCuration]]:
+    * the line gates and re-assembly are higher-order functions over each
+    * document's own token array — stateless, map-only, no watermark, no
+    * state store — so the batch function applies to a streaming frame
+    * UNCHANGED. Ingest throughput scales with executors; StreamingSpec
+    * pins stream == batch.
+    */
+  def streamingLineQualityGate(docs: DataFrame, wordsPerLine: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.ops.TextAnalysis.lineQualityCuration(docs,
+      wordsPerLine = wordsPerLine, textCol = textCol, idCol = idCol)
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

@@ -477,4 +477,28 @@ class StreamingSpec extends SparkSuite {
         s"noisy near-dup must reject, novel must pass, junk must vanish: $got")
     } finally q.stop()
   }
+
+  test("streaming line-quality gate == batch lineQualityCuration (stateless " +
+      "map-only, append mode, no watermark)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingLineQualityGate(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_linequality").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_linequality").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      val want = graft.ops.TextAnalysis.lineQualityCuration(batchDocs)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      assert(got == want, s"stream and batch line gates diverge")
+      assert(got.nonEmpty && got.size < batchDocs.count(),
+        "gate must pass some docs and drop some docs on this corpus")
+    } finally q.stop()
+  }
 }
