@@ -491,4 +491,51 @@ object TextAnalysis {
           .as("clean_text"))
       .filter(col("n_kept") * docKeepDen >= col("n_lines") * docKeepNum)
   }
+
+  /** Unigram-distribution drift between two corpus snapshots: the
+    * Jensen–Shannon divergence of the token frequency distributions plus
+    * vocabulary turnover counts — the crawl-over-crawl distribution-shift
+    * monitor a training pipeline alarms on (a new crawl whose token
+    * distribution jumped is investigated before it trains).
+    *
+    * Determinism: counts and totals are exact longs; each per-token JS
+    * term is one double expression over exact integers, rounded to 12
+    * decimals and summed as DECIMAL — so the cross-token sum is
+    * order-independent and engine-exact (the round-12 absorbs libm's
+    * 1-ulp ln differences; the decimal sum removes float-addition order
+    * sensitivity — the q01 DECIMAL-sum-then-DOUBLE convention applied to
+    * a log-space reduction).
+    *
+    * Scale shape: two map-side-combinable token-count passes, ONE
+    * full-outer hash join on uniform token keys, totals broadcast as a
+    * 1-row frame (bounded scalar-subquery shape), one global agg.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(d: DataFrame, c: String) =
+      d.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(c))
+    val j = counts(oldDocs, "oc").join(counts(newDocs, "nc"),
+        Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("oc", "nc"))
+    val totals = broadcast(j.agg(sum(col("oc")).as("_ot"),
+      sum(col("nc")).as("_nt")))
+    val p = col("oc").cast("double") / col("_ot").cast("double")
+    val q = col("nc").cast("double") / col("_nt").cast("double")
+    val term = (when(col("oc") > 0,
+        p * log(p * 2.0 / (p + q))).otherwise(lit(0.0)) +
+      when(col("nc") > 0,
+        q * log(q * 2.0 / (p + q))).otherwise(lit(0.0))) * 0.5
+    j.crossJoin(totals)
+      .select(col("oc"), col("nc"), col("_ot"), col("_nt"),
+        round(term, 12).cast("decimal(28,12)").as("_jst"))
+      .groupBy()
+      .agg(max(col("_ot")).as("tokens_old"),
+        max(col("_nt")).as("tokens_new"),
+        sum(when(col("oc") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("nc") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        sum(when(col("oc") > 0 && col("nc") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        round(sum(col("_jst")).cast("double"), 6).as("js_divergence"))
+  }
 }

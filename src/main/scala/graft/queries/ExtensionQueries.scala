@@ -3177,6 +3177,52 @@ object ExtensionQueries {
              |    ORDER BY CAST(jj AS DOUBLE) / ns, source, jj) AS BIGINT)
              |    AS step,
              |  source, doc_id, epoch
-             |FROM sched ORDER BY step""".stripMargin))
+             |FROM sched ORDER BY step""".stripMargin)),
+
+    // ---- x103: snapshot vocabulary drift (Jensen–Shannon) -----------------
+    // Crawl-over-crawl distribution-shift monitor: JS divergence of the
+    // two snapshots' unigram distributions + vocabulary turnover. Exact
+    // integer counts; per-token JS terms rounded to 12 decimals and
+    // DECIMAL-summed, so the cross-token log-space reduction is
+    // order-independent and engine-exact. One full-outer hash join on
+    // uniform token keys; snapshots follow the x88 residue convention.
+    QueryDef(
+      "x103_vocab_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.vocabDrift(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0))
+      },
+      Some("""WITH o AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS oc FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok
+             |    FROM documents WHERE doc_id % 5 != 0) t GROUP BY tok),
+             |n AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nc FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok
+             |    FROM documents WHERE doc_id % 7 != 0) t GROUP BY tok),
+             |j AS (SELECT COALESCE(o.oc, 0) AS oc, COALESCE(n.nc, 0) AS nc
+             |  FROM o FULL OUTER JOIN n USING (tok)),
+             |tt AS (SELECT CAST(SUM(oc) AS BIGINT) AS ot,
+             |    CAST(SUM(nc) AS BIGINT) AS nt FROM j),
+             |terms AS (SELECT oc, nc, ot, nt,
+             |    CAST(round(0.5 * (
+             |      CASE WHEN oc > 0 THEN (oc / CAST(ot AS DOUBLE))
+             |        * ln((oc / CAST(ot AS DOUBLE)) * 2.0
+             |          / ((oc / CAST(ot AS DOUBLE)) + (nc / CAST(nt AS DOUBLE))))
+             |        ELSE 0.0 END +
+             |      CASE WHEN nc > 0 THEN (nc / CAST(nt AS DOUBLE))
+             |        * ln((nc / CAST(nt AS DOUBLE)) * 2.0
+             |          / ((oc / CAST(ot AS DOUBLE)) + (nc / CAST(nt AS DOUBLE))))
+             |        ELSE 0.0 END), 12) AS DECIMAL(28,12)) AS jst
+             |  FROM j CROSS JOIN tt)
+             |SELECT MAX(ot) AS tokens_old, MAX(nt) AS tokens_new,
+             |  CAST(SUM(CASE WHEN oc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS vocab_old,
+             |  CAST(SUM(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS vocab_new,
+             |  CAST(SUM(CASE WHEN oc > 0 AND nc > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS vocab_shared,
+             |  round(CAST(SUM(jst) AS DOUBLE), 6) AS js_divergence
+             |FROM terms""".stripMargin))
   )
 }

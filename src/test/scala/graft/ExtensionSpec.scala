@@ -1895,6 +1895,22 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("vocabDrift: JS divergence is 0 for identical snapshots, ln 2 for " +
+      "disjoint vocabularies, and turnover counts are exact") {
+    val a = frame("text" -> Seq("w x w y", "z w"))
+    val b = frame("text" -> Seq("p q p", "r r"))
+    val same = graft.ops.TextAnalysis.vocabDrift(a, a).collect()(0)
+    assert(same.getLong(0) == 6L && same.getLong(1) == 6L)
+    assert(same.getLong(2) == 4L && same.getLong(3) == 4L
+      && same.getLong(4) == 4L)
+    assert(same.getDouble(5) == 0.0, s"JS(X,X) must be 0: $same")
+    val disj = graft.ops.TextAnalysis.vocabDrift(a, b).collect()(0)
+    assert(disj.getLong(2) == 4L && disj.getLong(3) == 3L
+      && disj.getLong(4) == 0L)
+    // disjoint distributions: JS = ln 2 = 0.693147 at round-6
+    assert(disj.getDouble(5) == 0.693147, s"JS(disjoint) must be ln 2: $disj")
+  }
+
   test("budgetedSchedule: capped source runs full epochs, uncapped source " +
       "takes a doc-granular prefix, stride interleave spreads both") {
     // a: 2 docs x 5 tokens (capacity 20 at cap 2) — capped, alloc 20 = 2
