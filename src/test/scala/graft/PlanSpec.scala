@@ -36,7 +36,8 @@ class PlanSpec extends SparkSuite {
     "x81_semantic_decontam", // k-means centroid broadcast (x44's stage)
     "x83_ccnet_buckets", // x39's ONE-ROW corpus total inside the scorer
     "x84_cluster_balanced", // k-means centroid broadcast (x44's stage)
-    "x95_kmv_distinct") // broadcast ONE-ROW corpus n_exact onto the merged row (x57 pattern)
+    "x95_kmv_distinct", // broadcast ONE-ROW corpus n_exact onto the merged row (x57 pattern)
+    "x103_vocab_drift") // broadcast ONE-ROW snapshot totals onto the term table (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
