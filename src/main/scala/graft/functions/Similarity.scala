@@ -548,4 +548,44 @@ object Similarity {
       .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
         col("neg_label"), col("sim"), col("rnk").as("rk"))
   }
+
+  /** Embedding-table health audit — the validation gate a pipeline runs
+    * BEFORE any similarity/ANN stage trusts the vectors: per group, the
+    * counts of null / wrong-dimension / non-finite (NaN or ±Inf) /
+    * zero-norm rows, plus the valid-vector norm range. A zero-norm or
+    * NaN vector silently poisons every cosine it touches (NaN
+    * propagates through the fold and breaks top-k ordering), so the
+    * audit runs first and the counts alarm.
+    *
+    * Map-only + one map-side-combinable aggregation; norms are the same
+    * sequential fold as [[norm2]], so the reported range is
+    * bit-identical to what the similarity operators will compute.
+    */
+  def embeddingAudit(emb: DataFrame, expectedDim: Int,
+      groupCol: String = "label", idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    val isNullV = col(embCol).isNull
+    val wrongDim = !isNullV && size(e) =!= expectedDim
+    val nonFinite = !isNullV && exists(e, x =>
+      isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity)
+    val valid = !isNullV && !wrongDim && !nonFinite
+    val norm = sqrt(norm2(e))
+    emb.select(col(groupCol),
+        isNullV.as("_n"), wrongDim.as("_w"), nonFinite.as("_f"),
+        (valid && norm === 0.0).as("_z"),
+        when(valid, norm).as("_norm"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("_n"), 1L).otherwise(0L)).cast("long").as("n_null"),
+        sum(when(col("_w"), 1L).otherwise(0L)).cast("long")
+          .as("n_wrong_dim"),
+        sum(when(col("_f"), 1L).otherwise(0L)).cast("long")
+          .as("n_nonfinite"),
+        sum(when(col("_z"), 1L).otherwise(0L)).cast("long")
+          .as("n_zero_norm"),
+        round(min(col("_norm")), 6).as("min_norm"),
+        round(max(col("_norm")), 6).as("max_norm"))
+  }
 }

@@ -3223,6 +3223,39 @@ object ExtensionQueries {
              |  CAST(SUM(CASE WHEN oc > 0 AND nc > 0 THEN 1 ELSE 0 END)
              |    AS BIGINT) AS vocab_shared,
              |  round(CAST(SUM(jst) AS DOUBLE), 6) AS js_divergence
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // ---- x104: embedding-table health audit -------------------------------
+    // The validation gate before any ANN stage: per label, null /
+    // wrong-dim / non-finite / zero-norm counts plus the valid-vector
+    // norm range (the same sequential fold the similarity operators use,
+    // so the range is bit-identical to what they will see). Map-only +
+    // one map-side-combinable agg.
+    QueryDef(
+      "x104_embedding_audit",
+      (s, dir) =>
+        Similarity.embeddingAudit(Tables.embeddings(s, dir), expectedDim = 64)
+          .orderBy(col("label")),
+      Some("""WITH v AS (SELECT label, embedding::DOUBLE[] AS e,
+             |    embedding IS NULL AS isn,
+             |    embedding IS NOT NULL AND len(embedding) != 64 AS wd,
+             |    embedding IS NOT NULL AND len(list_filter(embedding::DOUBLE[],
+             |      x -> isnan(x) OR isinf(x))) > 0 AS nf
+             |  FROM embeddings),
+             |s AS (SELECT label, isn, wd, nf,
+             |    (NOT isn AND NOT wd AND NOT nf) AS valid,
+             |    CASE WHEN (NOT isn AND NOT wd AND NOT nf)
+             |      THEN sqrt(list_dot_product(e, e)) END AS nrm FROM v)
+             |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  CAST(SUM(CASE WHEN wd THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_wrong_dim,
+             |  CAST(SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nonfinite,
+             |  CAST(SUM(CASE WHEN valid AND nrm = 0.0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_zero_norm,
+             |  round(MIN(nrm), 6) AS min_norm,
+             |  round(MAX(nrm), 6) AS max_norm
+             |FROM s GROUP BY label ORDER BY label""".stripMargin))
   )
 }

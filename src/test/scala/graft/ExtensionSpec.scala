@@ -1895,6 +1895,26 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("embeddingAudit: planted null / wrong-dim / NaN / Inf / zero-norm " +
+      "rows each counted once, norm range over valid rows only") {
+    val emb = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "label" -> Seq(0, 0, 0, 0, 0, 0, 1),
+      "embedding" -> Seq[Any](
+        Seq(3.0, 4.0),                 // valid, norm 5
+        Seq(0.6, 0.8),                 // valid, norm 1
+        null,                          // null
+        Seq(1.0, 2.0, 3.0),            // wrong dim
+        Seq(Double.NaN, 1.0),          // NaN
+        Seq(0.0, 0.0),                 // zero norm (valid but degenerate)
+        Seq(Double.PositiveInfinity, 0.0))) // Inf
+    val got = graft.functions.Similarity.embeddingAudit(emb, expectedDim = 2)
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    assert(got(0) == Seq(6L, 1L, 1L, 1L, 1L, 0.0, 5.0), s"${got(0)}")
+    // label 1's only row is non-finite → no valid norms → nulls
+    assert(got(1) == Seq(1L, 0L, 0L, 1L, 0L, null, null), s"${got(1)}")
+  }
+
   test("vocabDrift: JS divergence is 0 for identical snapshots, ln 2 for " +
       "disjoint vocabularies, and turnover counts are exact") {
     val a = frame("text" -> Seq("w x w y", "z w"))

@@ -176,6 +176,28 @@ class PropertySpec extends SparkSuite {
     }).passed, "property failed: global-ranks")
   }
 
+  test("withGroupPrefixSums == reference per-group running sums, any layout") {
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1)
+    assert(SCTest.check(few, Prop.forAll(smallInts) { xs =>
+      // group = value mod 3 → several groups, duplicate keys across them
+      val df = frame("g" -> xs.map(v => math.floorMod(v, 3)),
+        "id" -> xs.indices.toList, "v" -> xs.map(v => math.abs(v) + 1))
+      val got = graft.ops.Ranking
+        .withGroupPrefixSums(df, "g", Seq(("id", true)), "v", "i", "c")
+        .collect().map(r => (r.getAs[Int]("id"),
+          r.getAs[Long]("i"), r.getAs[Long]("c"))).sortBy(_._1).toList
+      val want = xs.indices.groupBy(i => math.floorMod(xs(i), 3)).toList
+        .flatMap { case (_, ids) =>
+          val sorted = ids.sorted
+          sorted.zipWithIndex.map { case (id, k) =>
+            (id, (k + 1).toLong,
+              sorted.take(k + 1).map(j => math.abs(xs(j)) + 1L).sum)
+          }
+        }.sortBy(_._1)
+      got == want
+    }).passed, "property failed: group-prefix-sums")
+  }
+
   test("clusterPairs: connected docs share a label = their component minimum") {
     // iterative Spark jobs per case — keep the case count small
     val few = SCTest.Parameters.default.withMinSuccessfulTests(3).withWorkers(1)
