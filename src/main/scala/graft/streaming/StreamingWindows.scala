@@ -16,6 +16,13 @@ final case class OpenSession(session_id: Long, start_sec: Long,
 final case class ClosedSession(user_id: Long, session_id: Long,
     n_events: Long, sess_start: Long, duration_s: Long)
 
+/** Per-source KMV sketch state: the k smallest distinct token hashes. */
+final case class KmvState(hvs: Seq[Long])
+
+/** One streaming cardinality estimate emission (per source, per batch). */
+final case class KmvEstimate(source: String, n_sketch: Long,
+    kth_hash: Long, kmv_estimate: Double)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -341,6 +348,48 @@ object StreamingWindows {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     graft.ops.TextAnalysis.lineQualityCuration(docs,
       wordsPerLine = wordsPerLine, textCol = textCol, idCol = idCol)
+
+  /** Streaming distinct-token cardinality monitor: a per-source KMV
+    * sketch ([[graft.ops.Sketches]]) maintained as mapGroupsWithState
+    * state and re-estimated every micro-batch. The state is the k-min
+    * set itself — O(k) longs per source — and merging a batch is a
+    * set-min: order-independent, so the estimate after N batches equals
+    * the batch sketch over the union of their input (the KMV merge
+    * property, here across TIME instead of across sources; StreamingSpec
+    * pins streaming == batch through multi-batch ingestion).
+    *
+    * Estimate formula matches [[graft.ops.Sketches]] exactly (m < k →
+    * exact m; else (k-1)·2^32/h_k rounded 6), so monitors and batch
+    * reports never disagree on the same data.
+    */
+  def streamingKmvMonitor(docs: DataFrame, k: Int,
+      groupCol: String = "source",
+      textCol: String = "text"): Dataset[KmvEstimate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
+      .select(col(groupCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(col("source"), md5(col("tok")).as("_d"))
+      .select(col("source"),
+        expr(graft.ops.TextAnalysis.hexToIntSql("_d", 8)).as("hv"))
+      .as[(String, Long)]
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvEstimate](
+        GroupStateTimeout.NoTimeout()) { (source, rows, state) =>
+        val prior = state.getOption.map(_.hvs).getOrElse(Seq.empty)
+        val merged = (prior.iterator ++ rows.map(_._2))
+          .toSeq.distinct.sorted.take(k)
+        state.update(KmvState(merged))
+        val m = merged.size
+        val kth = merged.last
+        val est =
+          if (m < k) m.toDouble
+          else BigDecimal((k - 1).toDouble * 4294967296.0 / kth)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        KmvEstimate(source, m.toLong, kth, est)
+      }
+  }
 
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream

@@ -478,6 +478,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV monitor: sketch state merged across micro-batches " +
+      "converges to the batch sketch (KMV merge across TIME)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    // half the corpus first, the other half only after the first batch is
+    // fully processed → two micro-batches BY CONSTRUCTION, so the state
+    // merge path is actually exercised
+    val splitDir = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingKmvMonitor(stream, k = 32)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_kmv").start()
+    try {
+      q.processAllAvailable()
+      batchDocs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      // update mode emits one row per source per batch; the FINAL state
+      // is the most refined sketch: max n_sketch, then min kth_hash
+      val got = spark.sql(
+        """SELECT source, n_sketch, kth_hash, kmv_estimate FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+          |    ORDER BY n_sketch DESC, kth_hash ASC) rn FROM stream_kmv)
+          |WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val want = graft.ops.Sketches.kmvReport(batchDocs, k = 32)
+        .filter(col("source") =!= "__all__")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == want, s"streaming sketch diverges from batch:\n" +
+        s" got  $got\n want $want")
+      // the state-merge path must actually have run across batches: two
+      // micro-batches, each with real input (the memory sink's update
+      // mode retention is an implementation detail; progress is not)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming line-quality gate == batch lineQualityCuration (stateless " +
       "map-only, append mode, no watermark)") {
     val dir = "/root/testdata/sf0.001"
