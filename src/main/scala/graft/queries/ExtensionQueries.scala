@@ -172,7 +172,9 @@ object ExtensionQueries {
     * AS MATERIALIZED pins DuckDB's CTE materialization for the
     * multiply-referenced stages — semantics unchanged, ~10x faster.
     */
-  private def curationSql(semantic: Boolean, cap: Option[Int] = None): String = {
+  private def curationSql(semantic: Boolean, cap: Option[Int] = None,
+      lines: Boolean = false): String = {
+    require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     val semanticCtes = if (!semantic) "" else
@@ -204,7 +206,30 @@ object ExtensionQueries {
            |    ORDER BY q DESC, doc_id) AS rn FROM goodq) t
            |  WHERE rn <= $n)""".stripMargin
     }
-    s"""WITH corpus AS (SELECT $corpusCols FROM documents WHERE doc_id % 97 != 0),
+    // optional LINE-quality pre-stage (x97 as a pipeline citizen): the
+    // corpus entering the pipeline is each doc's re-assembled surviving
+    // lines, docs below the 3/4 retention floor dropped entirely
+    val corpusCte =
+      if (!lines)
+        s"corpus AS (SELECT $corpusCols FROM documents WHERE doc_id % 97 != 0)"
+      else
+        """ltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |  FROM documents WHERE doc_id % 97 != 0),
+          |llines AS (SELECT doc_id, i AS line_no, t[(i*5+1):(i*5+5)] AS lw
+          |  FROM ltoks, LATERAL unnest(
+          |    range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) u(i)),
+          |lflag AS (SELECT doc_id, line_no, array_to_string(lw, ' ') AS line,
+          |    (len(lw) >= 3 AND 5*len(list_distinct(lw)) >= 4*len(lw)
+          |      AND 2*len(list_filter(lw, x -> length(x) = 1)) < len(lw)) AS keep
+          |  FROM llines),
+          |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |    coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+          |      ORDER BY line_no), '') AS clean_text
+          |  FROM lflag GROUP BY doc_id),
+          |corpus AS (SELECT doc_id, clean_text AS text FROM lagg
+          |  WHERE n_kept * 4 >= n_lines * 3)""".stripMargin
+    s"""WITH $corpusCte,
        |$goodCte,
        |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
@@ -3256,6 +3281,27 @@ object ExtensionQueries {
              |    AS BIGINT) AS n_zero_norm,
              |  round(MIN(nrm), 6) AS min_norm,
              |  round(MAX(nrm), 6) AS max_norm
-             |FROM s GROUP BY label ORDER BY label""".stripMargin))
+             |FROM s GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- x105: curation pipeline with the line-quality pre-stage ----------
+    // x97 composed INTO the one-call pipeline: the corpus entering
+    // quality→dedup→decontaminate→shard is each document's re-assembled
+    // surviving lines (3/4 floor). The line stage is map-only so the
+    // pipeline's shuffle count is unchanged; the oracle replays all
+    // seven stages including the line gates.
+    QueryDef(
+      "x105_curation_lines",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lineClean = TextAnalysis
+          .lineQualityCuration(docs.filter(col("doc_id") % 97 =!= 0))
+          .select(col("doc_id"), col("clean_text").as("text"))
+        Pipeline.shardAssignment(
+            Pipeline.curate(lineClean, docs.filter(col("doc_id") % 97 === 0)),
+            docsPerShard = 64L)
+          .select(col("doc_id"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(curationSql(semantic = false, lines = true)))
   )
 }

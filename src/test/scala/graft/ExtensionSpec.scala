@@ -1895,6 +1895,27 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("line-stage pipeline composition: line-dropped docs never reappear " +
+      "downstream, survivors carry line-cleaned text, deterministic") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "alpha beta gamma delta eps one two three four five",
+        "alpha beta gamma delta eps spam spam spam spam ham x y", // 1/3 kept → dropped by line floor
+        "six seven eight nine ten eleven twelve thirteen fourteen fifteen",
+        "p q r s t u v w x y")) // all 1-char tokens → both lines fail
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("nothing shared here at all"))
+    val lineClean = graft.ops.TextAnalysis.lineQualityCuration(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val out1 = graft.ops.Pipeline.curate(lineClean, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out1 == Seq(1L, 3L), s"got $out1")
+    val out2 = graft.ops.Pipeline.curate(lineClean, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out1 == out2, "pipeline must be deterministic across runs")
+  }
+
   test("embeddingAudit: planted null / wrong-dim / NaN / Inf / zero-norm " +
       "rows each counted once, norm range over valid rows only") {
     val emb = frame(
