@@ -122,6 +122,32 @@ object Pipeline {
       "decontaminated_kept" -> clean)
   }
 
+  /** Per-source survival funnel: for every source, how many documents
+    * entered the pipeline and how many survived each stage — the report
+    * a curation team reads to see WHICH source is losing its mass to
+    * which gate (a mirror crawl dies at exact dedup, a spam domain at
+    * quality, a benchmark-scraping domain at decontamination).
+    *
+    * Stage frames carry the input's `srcCol` through untouched, so the
+    * funnel is O(sources·stages) aggregates over already-materialized
+    * survivor sets — no extra corpus pass beyond [[curateStages]]' own.
+    */
+  def curationFunnel(docs: DataFrame, evalSet: DataFrame,
+      srcCol: String = "source", minQuality: Double = 0.3,
+      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5): DataFrame = {
+    val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
+      minJaccard).toMap
+    val named = Seq("quality_kept" -> "n_quality", "exact_kept" -> "n_exact",
+      "neardup_kept" -> "n_neardup", "decontaminated_kept" -> "n_clean")
+    val base = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_input"))
+    named.foldLeft(base) { case (acc, (stage, cn)) =>
+      acc.join(stages(stage).groupBy(col(srcCol))
+          .agg(count(lit(1)).cast("long").as(cn)),
+        Seq(srcCol), "left")
+    }.na.fill(0L, named.map(_._2))
+  }
+
   /** Curate `docs` against `evalSet`: the clean corpus, no writes.
     * `embeddings` (columns `doc_id`, `embedding`) enables the semantic
     * near-dup stage between token near-dup and decontamination. */

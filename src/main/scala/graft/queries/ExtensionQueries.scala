@@ -172,7 +172,10 @@ object ExtensionQueries {
     * AS MATERIALIZED pins DuckDB's CTE materialization for the
     * multiply-referenced stages — semantics unchanged, ~10x faster.
     */
-  private def curationSql(semantic: Boolean, cap: Option[Int] = None,
+  /** The shared WITH-body of the curation pipeline replay, up to and
+    * including the `clean` survivor CTE — curationSql appends the
+    * shuffle+shard tail, curationFunnelSql the per-source stage counts. */
+  private def curationCtes(semantic: Boolean, cap: Option[Int] = None,
       lines: Boolean = false): String = {
     require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
     def cos(a: String, b: String) =
@@ -271,14 +274,35 @@ object ExtensionQueries {
        |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
        |  GROUP BY doc_id HAVING COUNT(*) > 4),
        |clean AS (SELECT doc_id FROM $dsrc
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+  }
+
+  private def curationSql(semantic: Boolean, cap: Option[Int] = None,
+      lines: Boolean = false): String =
+    s"""${curationCtes(semantic, cap, lines)},
        |ord AS (SELECT doc_id,
        |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)), doc_id)
        |      - 1 AS pos
        |  FROM clean)
        |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard
        |FROM ord ORDER BY doc_id""".stripMargin
-  }
+
+  /** Per-source survival funnel over the same stage CTEs. */
+  private def curationFunnelSql: String =
+    s"""${curationCtes(semantic = false)}
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_input,
+       |  CAST(COUNT(g.doc_id) AS BIGINT) AS n_quality,
+       |  CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(n.doc_id) AS BIGINT) AS n_neardup,
+       |  CAST(COUNT(cl.doc_id) AS BIGINT) AS n_clean
+       |FROM corpus c
+       |JOIN documents d ON d.doc_id = c.doc_id
+       |LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = c.doc_id
+       |LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = c.doc_id
+       |LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = c.doc_id
+       |LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
     Similarity.planeSigns(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
@@ -3302,6 +3326,23 @@ object ExtensionQueries {
           .select(col("doc_id"), col("shard"))
           .orderBy(col("doc_id"))
       },
-      Some(curationSql(semantic = false, lines = true)))
+      Some(curationSql(semantic = false, lines = true))),
+
+    // ---- x106: per-source curation funnel ---------------------------------
+    // WHICH source loses its mass to WHICH gate: per-source survivor
+    // counts through quality → exact → verified near-dup →
+    // decontamination, over the same materialized stage sets the
+    // pipeline itself computes (no extra corpus pass). The oracle
+    // replays the identical stage CTEs and counts per source.
+    QueryDef(
+      "x106_curation_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.curationFunnel(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .orderBy(col("source"))
+      },
+      Some(curationFunnelSql))
   )
 }

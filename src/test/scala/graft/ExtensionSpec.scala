@@ -1895,6 +1895,31 @@ class ExtensionSpec extends SparkSuite {
     assert(got((1, 1L)) == ((10L, 1.0)) && got((1, 2L)) == ((11L, 1.0)))
   }
 
+  test("curationFunnel: per-source stage counts are monotone and attribute " +
+      "each loss to the right gate") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "source" -> Seq("dups", "dups", "spam", "leak", "clean"),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta", // exact dup of 1 → dies at exact
+        "a a a a a a",                          // quality 0 → dies at quality
+        // 10 tokens → 6 shared 5-gram shingles > threshold 4 → contaminated
+        "shared eval text tokens one two three four five six",
+        "totally fine document with plenty distinct words"))
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("shared eval text tokens one two three four five six"))
+    val got = Pipeline.curationFunnel(docs, evalSet)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("dups") == ((2L, 2L, 1L, 1L, 1L)), s"${got("dups")}")
+    assert(got("spam") == ((1L, 0L, 0L, 0L, 0L)), s"${got("spam")}")
+    assert(got("leak") == ((1L, 1L, 1L, 1L, 0L)), s"${got("leak")}")
+    assert(got("clean") == ((1L, 1L, 1L, 1L, 1L)), s"${got("clean")}")
+    got.values.foreach { case (a, b, c, d, e) =>
+      assert(a >= b && b >= c && c >= d && d >= e, s"funnel must be monotone") }
+  }
+
   test("line-stage pipeline composition: line-dropped docs never reappear " +
       "downstream, survivors carry line-cleaned text, deterministic") {
     val docs = frame(
