@@ -148,6 +148,51 @@ object Pipeline {
     }.na.fill(0L, named.map(_._2))
   }
 
+  /** The DROP LEDGER: one row per document the pipeline rejects, with
+    * the gate that rejected it and — where one exists — the document it
+    * lost to (`keeper`): exact dups point at the kept copy, near-dups at
+    * their cluster keeper; quality and contamination drops have no
+    * keeper. The audit artifact for "where did my document go?" — and
+    * the complement proof of the pipeline: ledger ∪ survivors partitions
+    * the input corpus exactly (spec-pinned).
+    *
+    * Same operator calls as [[curateStages]] (same thresholds ⇒ same
+    * sets); the extra cost over a curate call is only the per-stage
+    * anti-join projections, all on materialized survivor sets.
+    */
+  def curationLedger(docs: DataFrame, evalSet: DataFrame,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val noKeeper = lit(null).cast("long")
+    val good = Checkpoints.materialize(docs.join(
+      TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+        .filter(col("quality") > minQuality).select("doc_id"),
+      "doc_id"))
+    val qualityDrops = docs.join(good.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("quality").as("reason"), noKeeper.as("keeper"))
+    val keepers = good.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val withKeeper = good.withColumn("h", md5(col("text"))).join(keepers, "h")
+    val exactDrops = withKeeper.filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit("exact_dup").as("reason"), col("keeper"))
+    val exact = Checkpoints.materialize(
+      withKeeper.filter(col("doc_id") === col("keeper")).drop("h", "keeper"))
+    val clusters = Dedup.clusterPairs(
+      Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
+        minJaccard = minJaccard), rounds = 3)
+    val nearDrops = clusters.filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"), lit("near_dup").as("reason"),
+        col("cluster").as("keeper"))
+    val deduped = exact.join(
+      nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
+    val contamDrops = Dedup.contamination(deduped, evalSet, shingleN = 5)
+      .filter(col("n_shared") > maxSharedShingles)
+      .select(col("doc_id"), lit("contaminated").as("reason"),
+        noKeeper.as("keeper"))
+    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
+      .unionByName(contamDrops)
+  }
+
   /** Curate `docs` against `evalSet`: the clean corpus, no writes.
     * `embeddings` (columns `doc_id`, `embedding`) enables the semantic
     * near-dup stage between token near-dup and decontamination. */

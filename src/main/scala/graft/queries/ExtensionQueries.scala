@@ -3343,6 +3343,36 @@ object ExtensionQueries {
             docs.filter(col("doc_id") % 97 === 0))
           .orderBy(col("source"))
       },
-      Some(curationFunnelSql))
+      Some(curationFunnelSql)),
+
+    // ---- x107: the drop ledger --------------------------------------------
+    // "Where did my document go?": one row per rejected doc with the
+    // gate and (for dup gates) the keeper it lost to. Same stage
+    // semantics as x35/x54/x106 — the oracle reuses the identical CTEs
+    // and derives each reason set from them.
+    QueryDef(
+      "x107_curation_ledger",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.curationLedger(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .orderBy(col("doc_id"), col("reason"))
+      },
+      Some(s"""${curationCtes(semantic = false)}
+              |SELECT c.doc_id, 'quality' AS reason,
+              |    CAST(NULL AS BIGINT) AS keeper
+              |  FROM corpus c
+              |  WHERE c.doc_id NOT IN (SELECT doc_id FROM good)
+              |UNION ALL
+              |SELECT g.doc_id, 'exact_dup', k.keeper FROM good g
+              |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              |        FROM good GROUP BY 1) k ON md5(g.text) = k.h
+              |  WHERE g.doc_id <> k.keeper
+              |UNION ALL
+              |SELECT id, 'near_dup', lbl FROM l3 WHERE lbl <> id
+              |UNION ALL
+              |SELECT doc_id, 'contaminated', CAST(NULL AS BIGINT) FROM contam
+              |ORDER BY doc_id, reason""".stripMargin))
   )
 }

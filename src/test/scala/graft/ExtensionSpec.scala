@@ -1920,6 +1920,49 @@ class ExtensionSpec extends SparkSuite {
       assert(a >= b && b >= c && c >= d && d >= e, s"funnel must be monotone") }
   }
 
+  test("curationLedger: ledger + survivors partition the corpus exactly, " +
+      "reasons agree with the funnel's per-gate deltas, keepers correct") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L),
+      "source" -> Seq("s", "s", "s", "s", "s", "s"),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta", // exact dup of 1
+        "a a a a a a",                          // quality fail
+        "shared eval text tokens one two three four five six", // contaminated
+        "totally fine document with plenty distinct words",
+        "alpha beta gamma delta epsilon zeta eta")) // superset of 1: near-dup candidate
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("shared eval text tokens one two three four five six"))
+    val ledger = Pipeline.curationLedger(docs, evalSet).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val survivors = Pipeline.curate(docs, evalSet)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact partition of the input corpus
+    val dropped = ledger.map(_._1).toSet
+    assert((dropped & survivors).isEmpty, s"overlap: ${dropped & survivors}")
+    assert(dropped ++ survivors == (1L to 6L).toSet,
+      s"not a partition: dropped=$dropped survivors=$survivors")
+    // deterministic gates attribute correctly
+    assert(ledger.contains((3L, "quality", -1L)), s"$ledger")
+    assert(ledger.contains((2L, "exact_dup", 1L)), s"$ledger")
+    assert(ledger.contains((4L, "contaminated", -1L)), s"$ledger")
+    // ledger reason counts == funnel per-gate deltas, every gate
+    val f = Pipeline.curationFunnel(docs, evalSet).collect()(0)
+    val (ni, nq, ne, nn, nc) =
+      (f.getLong(1), f.getLong(2), f.getLong(3), f.getLong(4), f.getLong(5))
+    def n(reason: String) = ledger.count(_._2 == reason).toLong
+    assert(n("quality") == ni - nq && n("exact_dup") == nq - ne
+      && n("near_dup") == ne - nn && n("contaminated") == nn - nc,
+      s"ledger $ledger vs funnel ($ni,$nq,$ne,$nn,$nc)")
+    // near-dup drops (if the planted superset collides in a band) must
+    // point at their cluster keeper
+    ledger.filter(_._2 == "near_dup").foreach { case (id, _, k) =>
+      assert(k >= 1L && k < id, s"near-dup keeper must be the cluster min: $id -> $k")
+    }
+  }
+
   test("line-stage pipeline composition: line-dropped docs never reappear " +
       "downstream, survivors carry line-cleaned text, deterministic") {
     val docs = frame(
