@@ -29,7 +29,9 @@ object Bench {
     "x85_minhash_calibration",
     // BPE argmax loops (nMerges sequential collect iterations) and the
     // budgeted schedule's two materialization barriers
-    "x92_bpe_merges", "x98_bpe_tokenize", "x102_budget_schedule")
+    "x92_bpe_merges", "x98_bpe_tokenize", "x102_budget_schedule",
+    // pipeline-variant chains (curateStages materialization barriers)
+    "x105_curation_lines", "x106_curation_funnel", "x107_curation_ledger")
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the
