@@ -492,6 +492,39 @@ object TextAnalysis {
       .filter(col("n_kept") * docKeepDen >= col("n_lines") * docKeepNum)
   }
 
+  /** Exact per-source token-length percentiles — the length-distribution
+    * report (p50/p90/p99-style) a packing/batching configuration is
+    * tuned from. Percentiles are ORDER STATISTICS, not interpolations:
+    * the reported pXX is the value at rank ceil(q·n/100) under
+    * (n_tokens, doc_id) order — integer-exact and engine-identical,
+    * where an interpolated quantile would hit float disagreements.
+    *
+    * Scale shape: one map-side token count, ONE decomposed per-source
+    * rank pass ([[Ranking.withGroupRanks]] — no per-source window
+    * funnel), an O(sources) broadcast of group sizes, and a rank-set
+    * semi-filter: rows at the wanted ranks only. No sort of the corpus.
+    */
+  def lengthPercentiles(docs: DataFrame, percentiles: Seq[Int] = Seq(50, 90, 99),
+      srcCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100), "percentiles in 1..100")
+    val counted = docs.select(col(srcCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ranked = Ranking.withGroupRanks(counted, srcCol,
+      Seq(("n_tokens", true), (idCol, true)), "_r")
+    val sizes = broadcast(counted.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("_n")))
+    val pArr = array(percentiles.map(lit): _*)
+    // rank == ceil(pct·n/100), division-free: r·100 ≥ pct·n ∧ (r−1)·100 < pct·n
+    ranked.join(sizes, srcCol)
+      .withColumn("pct", explode(filter(pArr, p =>
+        (col("_r") * 100L >= p.cast("long") * col("_n")) &&
+          ((col("_r") - 1L) * 100L < p.cast("long") * col("_n")))))
+      .groupBy(col(srcCol), col("pct").cast("long").as("pct"))
+      .agg(min(col("n_tokens")).as("n_tokens"))
+  }
+
   /** Unigram-distribution drift between two corpus snapshots: the
     * Jensen–Shannon divergence of the token frequency distributions plus
     * vocabulary turnover counts — the crawl-over-crawl distribution-shift

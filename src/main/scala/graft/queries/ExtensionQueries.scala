@@ -3373,6 +3373,30 @@ object ExtensionQueries {
               |SELECT id, 'near_dup', lbl FROM l3 WHERE lbl <> id
               |UNION ALL
               |SELECT doc_id, 'contaminated', CAST(NULL AS BIGINT) FROM contam
-              |ORDER BY doc_id, reason""".stripMargin))
+              |ORDER BY doc_id, reason""".stripMargin)),
+
+    // ---- x108: exact per-source length percentiles ------------------------
+    // The packing/batching tuning report: p50/p90/p99 tokens-per-doc per
+    // source as ORDER STATISTICS (value at rank ceil(q·n/100) under a
+    // total order) — integer-exact, no interpolation, no float
+    // disagreement. Decomposed per-source rank (no window funnel) + an
+    // O(sources) size broadcast + a division-free rank-set filter.
+    QueryDef(
+      "x108_length_percentiles",
+      (s, dir) =>
+        TextAnalysis.lengthPercentiles(Tables.documents(s, dir))
+          .orderBy(col("source"), col("pct")),
+      Some("""WITH c AS (SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+             |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM c)
+             |SELECT source, CAST(pct AS BIGINT) AS pct,
+             |  MIN(n_tokens) AS n_tokens
+             |FROM r, LATERAL unnest([50, 90, 99]) u(pct)
+             |WHERE rk * 100 >= pct * n AND (rk - 1) * 100 < pct * n
+             |GROUP BY source, pct ORDER BY source, pct""".stripMargin))
   )
 }

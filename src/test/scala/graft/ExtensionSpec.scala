@@ -1920,6 +1920,22 @@ class ExtensionSpec extends SparkSuite {
       assert(a >= b && b >= c && c >= d && d >= e, s"funnel must be monotone") }
   }
 
+  test("lengthPercentiles: order statistics at ceil(q*n/100), id tie-break, " +
+      "p100-free edges exact on a tiny known distribution") {
+    // source s: lengths 1..10 → p50 = rank 5 → 5; p90 = rank 9 → 9;
+    // p99 = rank ceil(9.9)=10 → 10. source t: single doc → all ranks 1
+    val docs = frame(
+      "doc_id" -> (1L to 11L).map(x => x: Any),
+      "source" -> (Seq.fill(10)("s") ++ Seq("t")),
+      "text" -> ((1 to 10).map(n => Seq.fill(n)("w").mkString(" "))
+        ++ Seq("only three words")))
+    val got = graft.ops.TextAnalysis.lengthPercentiles(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("s", 50L) -> 5L, ("s", 90L) -> 9L, ("s", 99L) -> 10L,
+      ("t", 50L) -> 3L, ("t", 90L) -> 3L, ("t", 99L) -> 3L), s"got $got")
+  }
+
   test("curationLedger: ledger + survivors partition the corpus exactly, " +
       "reasons agree with the funnel's per-gate deltas, keepers correct") {
     val docs = frame(
