@@ -844,6 +844,24 @@ object Dedup {
     * unpersisted before returning — repeated invocations leave no cache
     * entries behind.
     */
+  /** Multi-signal near-dup clustering: union several candidate-pair
+    * edge lists (text LSH, image aHash, audio fingerprint, semantic
+    * cosine — any (id_a, id_b) source) into ONE graph and propagate
+    * min-labels over it, so a document cluster forms when ANY modality
+    * links it. This is the cross-modal dedup contract: a meme reposted
+    * with new caption text joins its image-mates' cluster; a
+    * transcript-edited video joins its audio-mates'. Each pair source
+    * keeps its own bucketing scale story; the union and the propagation
+    * operate on the distilled edge lists only.
+    */
+  def multiSignalClusters(pairSets: Seq[DataFrame], rounds: Int): DataFrame = {
+    require(pairSets.nonEmpty, "need at least one pair source")
+    clusterPairs(
+      pairSets.map(_.select(col("id_a"), col("id_b"))).reduce(_ unionByName _)
+        .distinct(),
+      rounds)
+  }
+
   def clusterPairs(pairs: DataFrame, rounds: Int,
       checkpointEvery: Int = 0): DataFrame = {
     // The edge list is consumed once per round — persist it, or every

@@ -3397,6 +3397,61 @@ object ExtensionQueries {
              |  MIN(n_tokens) AS n_tokens
              |FROM r, LATERAL unnest([50, 90, 99]) u(pct)
              |WHERE rk * 100 >= pct * n AND (rk - 1) * 100 < pct * n
-             |GROUP BY source, pct ORDER BY source, pct""".stripMargin))
+             |GROUP BY source, pct ORDER BY source, pct""".stripMargin)),
+
+    // ---- x109: cross-modal near-dup clusters ------------------------------
+    // Text-LSH pairs and image-aHash pairs (x86's real-BMP fixture)
+    // unioned into ONE edge graph, min-label propagated — a doc joins a
+    // cluster when ANY modality links it. Union + propagation run on the
+    // distilled edge lists only; each pair source keeps its own
+    // bucketed scale shape.
+    QueryDef(
+      "x109_crossmodal_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val tpairs = Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4)
+        val media = docs.select(col("doc_id")).as[Long]
+          .map(id => graft.ops.MediaDoc(id, "media/image",
+            Multimodal.synthBmpNoisy(16, 16,
+              mult = (31 + 2 * (id / 4)).toInt, noise = (id % 4).toInt)))
+        val ipairs = Dedup.hashNearDupPairs(Multimodal.imageAHashes(media),
+          "phash", nBits = 64, nBands = 16, maxHamming = 11, idCol = "doc_id")
+        Dedup.multiSignalClusters(Seq(tpairs, ipairs), rounds = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${bandKeyCtes("", " WHERE doc_id < 200")},
+              |tpairs AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM stacked a JOIN stacked b
+              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+              |media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
+              |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
+              |ib AS (SELECT doc_id,
+              |    ((15 - (o // 48)) // 2) * 8 + ((o % 48) // 3) // 2 AS cell,
+              |    CASE WHEN noise > 0 AND (o * 2654435761 + noise) % 101 = 0
+              |      THEN 255 ELSE (o * mult) % 256 END AS v
+              |  FROM media, range(0, 768) r(o)),
+              |isums AS (SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS s
+              |  FROM ib GROUP BY 1, 2),
+              |itots AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS t
+              |  FROM isums GROUP BY 1),
+              |iph AS (SELECT s.doc_id, CAST(SUM(CASE WHEN 64 * s.s <= t.t THEN 0
+              |      WHEN s.cell = 63 THEN (-9223372036854775807::BIGINT - 1)
+              |      ELSE (1::BIGINT << s.cell) END) AS BIGINT) AS phash
+              |  FROM isums s JOIN itots t USING (doc_id) GROUP BY s.doc_id),
+              |ist AS (SELECT doc_id, phash, bb.band,
+              |    (phash >> (bb.band * 4)) & 15 AS bv
+              |  FROM iph, range(0, 16) bb(band)),
+              |ipairs AS (SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b
+              |  FROM ist l JOIN ist rr
+              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id
+              |  WHERE bit_count(xor(l.phash, rr.phash)) <= 11),
+              |upairs AS MATERIALIZED (
+              |  SELECT id_a, id_b FROM tpairs
+              |  UNION SELECT id_a, id_b FROM ipairs),
+              |${clusterCtes(3, "u", "upairs")}
+              |SELECT id AS doc_id, lbl AS cluster FROM ul3
+              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1920,6 +1920,32 @@ class ExtensionSpec extends SparkSuite {
       assert(a >= b && b >= c && c >= d && d >= e, s"funnel must be monotone") }
   }
 
+  test("multiSignalClusters: a text edge (1-2) and an image edge (2-3) " +
+      "bridge into one cluster; unlinked docs emit no row") {
+    import spark.implicits._
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "the quick brown fox jumps over the lazy dog again",
+        "the quick brown fox jumps over the lazy dog again", // text dup of 1
+        "completely different words about spark engines running fast",
+        "yet another unrelated document with its own topic entirely"))
+    val tpairs = Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4)
+    // images: docs 2 and 3 share a base pattern (noisy variants), 1 and 4
+    // get distinct patterns
+    val media = Seq(
+      (1L, 31), (2L, 77), (3L, 77), (4L, 131)).toDF("doc_id", "mult")
+      .as[(Long, Int)]
+      .map { case (id, mult) => graft.ops.MediaDoc(id, "media/image",
+        Multimodal.synthBmpNoisy(16, 16, mult, noise = (id % 2).toInt)) }
+    val ipairs = Dedup.hashNearDupPairs(Multimodal.imageAHashes(media),
+      "phash", nBits = 64, nBands = 16, maxHamming = 11, idCol = "doc_id")
+    val got = Dedup.multiSignalClusters(Seq(tpairs, ipairs), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"cross-modal bridge must merge 1-2-3 under keeper 1, got $got")
+  }
+
   test("lengthPercentiles: order statistics at ceil(q*n/100), id tie-break, " +
       "p100-free edges exact on a tiny known distribution") {
     // source s: lengths 1..10 → p50 = rank 5 → 5; p90 = rank 9 → 9;
