@@ -392,7 +392,11 @@ object Packing {
     */
   def chunkDedupReport(docs: DataFrame, window: Int, divisor: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ch = cdcChunks(docs, window, divisor, textCol, idCol)
+    // the chunk table is consumed twice (keeper agg + the dup join side):
+    // materialize it once so the corpus-scale rolling-hash chunking pass
+    // executes once, not twice
+    val ch = Checkpoints.materialize(
+      cdcChunks(docs, window, divisor, textCol, idCol))
     val keep = ch.groupBy(col("chunk_digest"))
       .agg(min(struct(col(idCol), col("start_tok"))).as("_k"))
     val dups = ch.join(keep, "chunk_digest")
