@@ -260,4 +260,57 @@ class SourcesSpec extends SparkSuite {
       assert(got.length == expected, s"shard $k size ${got.length}")
     }
   }
+
+  test("events loader vintage split: nanos-long and micros-timestamp parquet " +
+      "produce identical (ts, ts_ns) through Tables.events AND the stream " +
+      "reader (the round-8 silent-loss regression)") {
+    import org.apache.spark.sql.types._
+    // one instant, expressed in both physical vintages
+    val micros = Seq(1700000000000001L, 1700000123456789L)
+    val schemaCommon = Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType))
+    def row(i: Int, ts: Any) = org.apache.spark.sql.Row(
+      i.toLong, ts, 7L, "click", 1.5, "{}")
+    // vintage A: ts as a plain int64 of NANOS (what nanosAsLong yields)
+    val dirA = java.nio.file.Files.createTempDirectory("ev_nanos").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          micros.zipWithIndex.map { case (m, i) => row(i, m * 1000L) }),
+        StructType(StructField("event_id", LongType) +:
+          StructField("ts", LongType) +: schemaCommon.tail))
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+    // vintage B: ts as a micros TIMESTAMP_NTZ (the regenerated testdata)
+    val dirB = java.nio.file.Files.createTempDirectory("ev_micros").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          micros.zipWithIndex.map { case (m, i) =>
+            row(i, java.time.LocalDateTime.ofEpochSecond(
+              m / 1000000L, (m % 1000000L).toInt * 1000,
+              java.time.ZoneOffset.UTC)) }),
+        StructType(StructField("event_id", LongType) +:
+          StructField("ts", TimestampNTZType) +: schemaCommon.tail))
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    def dump(dir: String) = Tables.events(spark, dir)
+      .select("event_id", "ts", "ts_ns").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(dump(dirA) == dump(dirB),
+      s"vintages diverge:\n A ${dump(dirA)}\n B ${dump(dirB)}")
+    assert(dump(dirA).map(_(2)) == micros.map(_ * 1000L),
+      "ts_ns must be exact nanos")
+    // the streaming reader must agree with the batch loader on BOTH
+    def streamDump(dir: String) = {
+      val q = graft.streaming.StreamingWindows.readEventsStream(spark, dir)
+        .select("event_id", "ts", "ts_ns")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ev_vintage").start()
+      try { q.processAllAvailable()
+        spark.table("ev_vintage").orderBy("event_id")
+          .collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    assert(streamDump(dirA) == dump(dirA))
+    assert(streamDump(dirB) == dump(dirB))
+  }
 }
