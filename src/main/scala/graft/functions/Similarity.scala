@@ -549,6 +549,40 @@ object Similarity {
         col("neg_label"), col("sim"), col("rnk").as("rk"))
   }
 
+  /** Full contrastive PAIR mining: for each anchor, its best same-label
+    * bucket mate (the positive) AND its best different-label bucket mate
+    * (the hard negative) — the (anchor, positive, negative) triple a
+    * contrastive loss consumes directly. One sign-LSH bucket equi-join
+    * feeds both sides; each side runs the salted top-1; a full-outer
+    * join on the anchor pairs them up (an anchor can have one side and
+    * not the other — nulls say so rather than dropping the row).
+    */
+  def contrastivePairs(emb: DataFrame, labelCol: String = "label",
+      nPlanes: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = emb.select(col(idCol), col(labelCol),
+        col(embCol).cast("array<double>").as("e"))
+      .withColumn("bucket", lshBucket(col("e"), nPlanes, dim))
+    val l = b.select(col("bucket"), col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col("e").as("_ea"))
+    val r = b.select(col("bucket"), col(idCol).as("mate_id"),
+      col(labelCol).as("mate_label"), col("e").as("_em"))
+    val mates = l.join(r, "bucket")
+      .filter(col("anchor_id") =!= col("mate_id"))
+      .withColumn("sim", round(cosine(col("_ea"), col("_em")), 6))
+      .select(col("anchor_id"), col("anchor_label"), col("mate_id"),
+        col("mate_label"), col("sim"))
+    def top1(side: DataFrame, prefix: String) =
+      graft.ops.Ranking.topKPerGroup(side, "anchor_id", 1,
+        Seq(col("sim").desc, col("mate_id").asc), saltCol = col("mate_id"),
+        salts = 16)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("mate_id").as(s"${prefix}_id"), col("sim").as(s"${prefix}_sim"))
+    val pos = top1(mates.filter(col("anchor_label") === col("mate_label")), "pos")
+    val neg = top1(mates.filter(col("anchor_label") =!= col("mate_label")), "neg")
+    pos.join(neg, Seq("anchor_id", "anchor_label"), "full_outer")
+  }
+
   /** Embedding-table health audit — the validation gate a pipeline runs
     * BEFORE any similarity/ANN stage trusts the vectors: per group, the
     * counts of null / wrong-dimension / non-finite (NaN or ±Inf) /

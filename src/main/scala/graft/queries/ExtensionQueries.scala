@@ -3452,6 +3452,44 @@ object ExtensionQueries {
               |  UNION SELECT id_a, id_b FROM ipairs),
               |${clusterCtes(3, "u", "upairs")}
               |SELECT id AS doc_id, lbl AS cluster FROM ul3
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- x110: contrastive (anchor, positive, negative) triples -----------
+    // x100 completed: per anchor, the best same-label bucket mate AND
+    // the best different-label bucket mate, full-outer-paired so anchors
+    // with only one side keep their row (nulls mark the gap). One bucket
+    // equi-join feeds both top-1 passes.
+    QueryDef(
+      "x110_contrastive_pairs",
+      (s, dir) =>
+        Similarity.contrastivePairs(Tables.embeddings(s, dir), "label",
+            nPlanes = 6, dim = 64)
+          .orderBy(col("anchor_id")),
+      Some(s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+              |    ${lshBucketSql(6, 64, "embedding::DOUBLE[]")} AS bucket
+              |  FROM embeddings),
+              |m AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+              |    n.vec_id AS mate_id, n.label AS mate_label,
+              |    round(list_dot_product(a.e, n.e)
+              |      / sqrt(list_dot_product(a.e, a.e)
+              |             * list_dot_product(n.e, n.e)), 6) AS sim
+              |  FROM b a JOIN b n
+              |    ON a.bucket = n.bucket AND a.vec_id <> n.vec_id),
+              |pos AS (SELECT anchor_id, anchor_label, mate_id AS pos_id,
+              |    sim AS pos_sim FROM (
+              |  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |      ORDER BY sim DESC, mate_id) AS rk
+              |  FROM m WHERE anchor_label = mate_label) t WHERE rk = 1),
+              |neg AS (SELECT anchor_id, anchor_label, mate_id AS neg_id,
+              |    sim AS neg_sim FROM (
+              |  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |      ORDER BY sim DESC, mate_id) AS rk
+              |  FROM m WHERE anchor_label <> mate_label) t WHERE rk = 1)
+              |SELECT COALESCE(p.anchor_id, n.anchor_id) AS anchor_id,
+              |  COALESCE(p.anchor_label, n.anchor_label) AS anchor_label,
+              |  p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+              |FROM pos p FULL OUTER JOIN neg n
+              |  ON p.anchor_id = n.anchor_id
+              |ORDER BY anchor_id""".stripMargin))
   )
 }

@@ -2111,6 +2111,27 @@ class ExtensionSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("contrastivePairs: best same-label mate and best cross-label mate " +
+      "per anchor; a missing side yields null, not a dropped anchor") {
+    // same direction → one bucket: ids 1,2 label 0; id 3 label 1 (no
+    // same-label mate → pos side null)
+    val emb = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L),
+      "label" -> Seq(0, 0, 1),
+      "embedding" -> Seq(
+        Seq(2.0, 0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 0.0),
+        Seq(3.0, 0.0, 0.0, 0.0)))
+    val got = graft.functions.Similarity
+      .contrastivePairs(emb, "label", nPlanes = 4, dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5))))).toMap
+    assert(got(1L) == ((Some(2L), Some(1.0), Some(3L), Some(1.0))), s"${got(1L)}")
+    assert(got(2L) == ((Some(1L), Some(1.0), Some(3L), Some(1.0))), s"${got(2L)}")
+    // anchor 3 has no same-label mate: pos side null, neg side = id 1
+    assert(got(3L) == ((None, None, Some(1L), Some(1.0))), s"${got(3L)}")
+  }
+
   test("kmvSnapshotDiff: m<k exact branch makes estimates equal the exact " +
       "counts and added/removed come from the merged sketch") {
     val old = frame("text" -> Seq("t1 t2 t3", "t3 t4 t5"))
