@@ -153,4 +153,27 @@ class PlanSpec extends SparkSuite {
     assert(readSchema.split(",").length < 11,
       s"q02 reads unpruned schema: $readSchema")
   }
+
+  test("map-only claims hold mechanically: x97's ONLY exchange is the " +
+      "output ordering; x104 plans exactly one aggregation exchange") {
+    // lineQualityCuration documents ZERO shuffle (gates + re-assembly in
+    // higher-order functions, keep-predicate pushed into the scan). The
+    // x97 query adds one orderBy for the oracle's deterministic dump —
+    // so the whole plan must contain EXACTLY ONE Exchange (the range
+    // partitioning for that sort) and no aggregate/join at all.
+    val p97 = SparkEntry.queries("x97_line_quality")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges97 = "(?m)^.*Exchange".r.findAllIn(p97).size
+    assert(exchanges97 == 1, s"x97 must shuffle only for the output sort " +
+      s"(found $exchanges97 exchanges):\n" + p97.take(3000))
+    assert(!p97.contains("Join"), "x97 must plan no join:\n" + p97.take(2000))
+    // embeddingAudit: map + ONE map-side-combinable agg → its plan is a
+    // single hash-aggregate exchange plus the output sort
+    val p104 = SparkEntry.queries("x104_embedding_audit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges104 = "(?m)^.*Exchange".r.findAllIn(p104).size
+    assert(exchanges104 <= 2, s"x104 must plan one agg exchange + the " +
+      s"output sort (found $exchanges104):\n" + p104.take(3000))
+    assert(!p104.contains("Join"), "x104 must plan no join:\n" + p104.take(2000))
+  }
 }

@@ -198,6 +198,34 @@ class PropertySpec extends SparkSuite {
     }).passed, "property failed: group-prefix-sums")
   }
 
+  test("lineQualityCuration == reference line gates on random token streams") {
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(6).withWorkers(1)
+    // tokens drawn from a tiny alphabet with 1-char members so every gate
+    // (length, repetition, short-token mass) fires with real probability
+    val tokGen = Gen.oneOf("a", "b", "spam", "ham", "word", "x")
+    val textGen = Gen.chooseNum(1, 23)
+      .flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+    assert(SCTest.check(few, Prop.forAll(Gen.listOfN(4, textGen)) { texts =>
+      val docs = frame("doc_id" -> texts.indices.map(_.toLong: Any),
+        "text" -> texts)
+      val got = graft.ops.TextAnalysis.lineQualityCuration(docs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val lines = t.split(" ").filter(_.nonEmpty).grouped(5).toSeq
+        val kept = lines.filter { lw =>
+          lw.length >= 3 && 5 * lw.distinct.length >= 4 * lw.length &&
+            2 * lw.count(_.length == 1) < lw.length
+        }
+        if (kept.size * 4 >= lines.size * 3)
+          Some(i.toLong -> ((lines.size.toLong, kept.size.toLong,
+            kept.map(_.mkString(" ")).mkString(" "))))
+        else None
+      }.toMap
+      got == want
+    }).passed, "property failed: line-quality")
+  }
+
   test("clusterPairs: connected docs share a label = their component minimum") {
     // iterative Spark jobs per case — keep the case count small
     val few = SCTest.Parameters.default.withMinSuccessfulTests(3).withWorkers(1)
