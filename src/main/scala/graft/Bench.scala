@@ -155,6 +155,14 @@ object Bench {
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => skip(n) }
         .map { case (name, fn) =>
+          // COLD stage cache per query: the contended suite above runs
+          // with the session StageCache on (shared-snapshot semantics —
+          // the curation reports legitimately share one backbone run);
+          // the quiescent pass is the per-query cold-cost comparator, so
+          // a warm cache here would make pipeline queries report cached
+          // lookup time as execution time and break round-over-round
+          // comparison.
+          graft.ops.StageCache.clear()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>

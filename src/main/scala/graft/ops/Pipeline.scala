@@ -18,6 +18,67 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** The memoized corpus-scale backbone every curation view shares:
+    * quality gate → (optional per-source cap) → exact dedup (min-id
+    * keeper) → Jaccard-verified LSH near-dup clusters → deduped
+    * survivors. Returns (good, exact, clusters, deduped), each
+    * MATERIALIZED (checkpoint-backed, lineage-truncated):
+    *
+    *   - `good`: quality survivors, docs.* columns.
+    *   - `exact`: exact-dedup survivors (one doc per distinct text).
+    *   - `clusters`: (doc_id, cluster) labels over verified near-dup
+    *     pairs — exposed so the drop ledger can attribute each near-dup
+    *     drop to its cluster keeper without recomputing LSH.
+    *   - `deduped`: near-dup survivors (cluster keepers only).
+    *
+    * Memo key = (corpus plan, minQuality, minJaccard, maxPerSource) per
+    * session — the shard map (x54), funnel (x106), ledger (x107) and
+    * the semantic variant's prefix (x60) all hit the same entry, so the
+    * corpus-scale passes execute once per snapshot, not once per report.
+    */
+  private def backbone(docs: DataFrame, minQuality: Double,
+      minJaccard: Double, maxPerSource: Option[Int])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    StageCache.memo("curation_backbone", Seq(docs),
+        Seq(minQuality, minJaccard, maxPerSource)) {
+      val passing = docs.join(
+        TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+          .filter(col("quality") > minQuality).select("doc_id"),
+        "doc_id")
+      // optional DOMAIN-BALANCING stage (x67 as a pipeline citizen): cap
+      // each source at its best-quality `maxPerSource` docs BEFORE the
+      // expensive dedup stages — the salted two-phase top-k, so one hot
+      // domain never funnels a task. Ordering (quality DESC, id) is a
+      // total order → deterministic, oracle-replayable.
+      val good = Checkpoints.materialize(maxPerSource match {
+        case None => passing
+        case Some(n) => Ranking.topKPerGroup(
+            passing.withColumn("_q", TextAnalysis.qualityExpr(col("text"))),
+            "source", n,
+            Seq(col("_q").desc, col("doc_id").asc),
+            saltCol = col("doc_id"), salts = 8)
+          .drop("_q", "rnk")
+      })
+      // `good` is checkpointed, so the keeper self-join's two sides both
+      // read the materialized blocks — the quality subtree runs once.
+      val exactKeep = good.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val exact = Checkpoints.materialize(
+        good.withColumn("h", md5(col("text")))
+          .join(exactKeep, "h")
+          .filter(col("doc_id") === col("keeper"))
+          .drop("h", "keeper"))
+      val clusters = Dedup.clusterPairs(
+        Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
+          minJaccard = minJaccard), rounds = 3)
+      val nearDrop = clusters
+        .filter(col("cluster") =!= col("doc_id"))
+        .select(col("doc_id"))
+      val deduped = Checkpoints.materialize(
+        exact.join(nearDrop, Seq("doc_id"), "left_anti"))
+      (good, exact, clusters, deduped)
+    }
+
   /** The curation stages, write-free and in order, as (stage name,
     * survivors-so-far). `last._2` is the clean corpus; the names feed
     * [[curateAndShard]]'s run report. Thresholds: quality > minQuality;
@@ -28,7 +89,8 @@ object Pipeline {
     * dropped as contaminated.
     *
     * The corpus-scale BACKBONE is MATERIALIZED ([[Checkpoints.materialize]]
-    * — eager, lineage-truncating): `exact` feeds the LSH signature
+    * — eager, lineage-truncating) and MEMOIZED ([[StageCache]], keyed on
+    * the corpus plan + thresholds): `exact` feeds the LSH signature
     * subtree, the jaccard member prune AND the near-dup anti-join;
     * `deduped` feeds contamination AND the final anti-join. Without the
     * materialization each consumer replays the scan + quality join +
@@ -36,6 +98,12 @@ object Pipeline {
     * at 100 TB (the round-6 verdict's one perf-weak finding). With it,
     * every corpus-scale stage executes exactly once per call; downstream
     * consumers re-read the (much smaller) checkpointed survivor set.
+    * The memo extends "once per call" to ONCE PER SNAPSHOT PER SESSION:
+    * the shard map, funnel, ledger and semantic-variant reports are all
+    * views of one pipeline run, so a session computing several of them
+    * executes the backbone once and derives the rest (the semantics a
+    * real curation run wants; StageCache documents the immutable-snapshot
+    * assumption and the [[StageCache.clear]] rotation hook).
     * PlanSpec proves the plan shape: the final stage's plan contains NO
     * scan of the corpus input — only the eval-set scan and checkpoint
     * reads.
@@ -47,46 +115,8 @@ object Pipeline {
       embedCells: Int = 8, embedIters: Int = 2,
       embedSaltBuckets: Int = 1,
       maxPerSource: Option[Int] = None): Seq[(String, DataFrame)] = {
-    val passing = docs.join(
-      TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
-        .filter(col("quality") > minQuality).select("doc_id"),
-      "doc_id")
-    // optional DOMAIN-BALANCING stage (x67 as a pipeline citizen): cap
-    // each source at its best-quality `maxPerSource` docs BEFORE the
-    // expensive dedup stages — the salted two-phase top-k, so one hot
-    // domain never funnels a task. Ordering (quality DESC, id) is a
-    // total order → deterministic, oracle-replayable.
-    val good = maxPerSource match {
-      case None => passing
-      case Some(n) => Ranking.topKPerGroup(
-          passing.withColumn("_q", TextAnalysis.qualityExpr(col("text"))),
-          "source", n,
-          Seq(col("_q").desc, col("doc_id").asc),
-          saltCol = col("doc_id"), salts = 8)
-        .drop("_q", "rnk")
-    }
-
-    // `good` feeds both sides of the keeper self-join below — persist it
-    // for the duration of exact's materialization so the quality subtree
-    // runs once, then release (the checkpoint is the durable copy).
-    good.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exactKeep = good.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"))
-    val exact =
-      try Checkpoints.materialize(
-        good.withColumn("h", md5(col("text")))
-          .join(exactKeep, "h")
-          .filter(col("doc_id") === col("keeper"))
-          .drop("h", "keeper"))
-      finally good.unpersist()
-
-    val nearDrop = Dedup.clusterPairs(
-        Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
-          minJaccard = minJaccard), rounds = 3)
-      .filter(col("cluster") =!= col("doc_id"))
-      .select(col("doc_id"))
-    val deduped = Checkpoints.materialize(
-      exact.join(nearDrop, Seq("doc_id"), "left_anti"))
+    val (good, exact, _, deduped) =
+      backbone(docs, minQuality, minJaccard, maxPerSource)
 
     // optional SEMANTIC near-dup stage (multi-modal curation): embedding
     // cosine catches paraphrases token LSH cannot see. Same-cell pairs
@@ -96,7 +126,9 @@ object Pipeline {
     // Docs WITHOUT an embedding pass through (no vector, no evidence).
     val semantic = embeddings match {
       case None => deduped
-      case Some(emb) =>
+      case Some(emb) => StageCache.memo("curation_semantic",
+          Seq(deduped, emb),
+          Seq(embedMinCosine, embedCells, embedIters, embedSaltBuckets)) {
         val survivorVecs = emb
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .join(deduped.select(col("doc_id").as("vec_id")),
@@ -110,11 +142,19 @@ object Pipeline {
           .select(col("doc_id"))
         Checkpoints.materialize(
           deduped.join(semDrop, Seq("doc_id"), "left_anti"))
+      }
     }
 
-    val contaminated = Dedup.contamination(semantic, evalSet, shingleN = 5)
-      .filter(col("n_shared") > maxSharedShingles)
-      .select(col("doc_id"))
+    // the contaminated-id set is tiny (drop ids only) and consumed by
+    // every report over this snapshot — materialize + memoize it so the
+    // shingle pass over the survivors runs once per (snapshot, eval set)
+    val contaminated = StageCache.memo("curation_contam",
+        Seq(semantic, evalSet), Seq(5, maxSharedShingles)) {
+      Checkpoints.materialize(
+        Dedup.contamination(semantic, evalSet, shingleN = 5)
+          .filter(col("n_shared") > maxSharedShingles)
+          .select(col("doc_id")))
+    }
     val clean = semantic.join(contaminated, Seq("doc_id"), "left_anti")
 
     Seq("quality_kept" -> good, "exact_kept" -> exact,
@@ -156,37 +196,42 @@ object Pipeline {
     * the complement proof of the pipeline: ledger ∪ survivors partitions
     * the input corpus exactly (spec-pinned).
     *
-    * Same operator calls as [[curateStages]] (same thresholds ⇒ same
-    * sets); the extra cost over a curate call is only the per-stage
-    * anti-join projections, all on materialized survivor sets.
+    * Derives every drop set from the SAME memoized [[backbone]] frames
+    * the other curation views read (same thresholds ⇒ same memo entry ⇒
+    * provably the same sets): the extra cost over a curate call is one
+    * anti-join of the raw corpus against the materialized quality
+    * survivors (the quality-drop listing — irreducible, the ledger's
+    * whole point) plus per-stage projections over materialized frames.
     */
   def curationLedger(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5): DataFrame = {
     val noKeeper = lit(null).cast("long")
-    val good = Checkpoints.materialize(docs.join(
-      TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
-        .filter(col("quality") > minQuality).select("doc_id"),
-      "doc_id"))
+    val (good, exact, clusters, deduped) =
+      backbone(docs, minQuality, minJaccard, None)
     val qualityDrops = docs.join(good.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("quality").as("reason"), noKeeper.as("keeper"))
+    // keeper attribution re-derived over the CHECKPOINTED quality
+    // survivors (one linear pass over survivors, no corpus scan)
     val keepers = good.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
-    val withKeeper = good.withColumn("h", md5(col("text"))).join(keepers, "h")
-    val exactDrops = withKeeper.filter(col("doc_id") =!= col("keeper"))
+    val exactDrops = good.withColumn("h", md5(col("text"))).join(keepers, "h")
+      .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), lit("exact_dup").as("reason"), col("keeper"))
-    val exact = Checkpoints.materialize(
-      withKeeper.filter(col("doc_id") === col("keeper")).drop("h", "keeper"))
-    val clusters = Dedup.clusterPairs(
-      Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
-        minJaccard = minJaccard), rounds = 3)
     val nearDrops = clusters.filter(col("cluster") =!= col("doc_id"))
       .select(col("doc_id"), lit("near_dup").as("reason"),
         col("cluster").as("keeper"))
-    val deduped = exact.join(
-      nearDrops.select("doc_id"), Seq("doc_id"), "left_anti")
-    val contamDrops = Dedup.contamination(deduped, evalSet, shingleN = 5)
-      .filter(col("n_shared") > maxSharedShingles)
+    // same memo key as curateStages' contamination stage (no semantic
+    // stage here, so `semantic` ≡ `deduped`): a session that ran the
+    // shard map already holds this drop set
+    val contamIds = StageCache.memo("curation_contam",
+        Seq(deduped, evalSet), Seq(5, maxSharedShingles)) {
+      Checkpoints.materialize(
+        Dedup.contamination(deduped, evalSet, shingleN = 5)
+          .filter(col("n_shared") > maxSharedShingles)
+          .select(col("doc_id")))
+    }
+    val contamDrops = contamIds
       .select(col("doc_id"), lit("contaminated").as("reason"),
         noKeeper.as("keeper"))
     qualityDrops.unionByName(exactDrops).unionByName(nearDrops)

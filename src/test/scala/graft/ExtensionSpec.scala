@@ -2021,6 +2021,9 @@ class ExtensionSpec extends SparkSuite {
     val out1 = graft.ops.Pipeline.curate(lineClean, evalSet)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(out1 == Seq(1L, 3L), s"got $out1")
+    // clear the stage cache so the second run actually RE-EXECUTES the
+    // pipeline (a memo hit would make this determinism check vacuous)
+    graft.ops.StageCache.clear()
     val out2 = graft.ops.Pipeline.curate(lineClean, evalSet)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(out1 == out2, "pipeline must be deterministic across runs")

@@ -102,8 +102,9 @@ class PlanSpec extends SparkSuite {
     // Before the fix, `clean`'s plan inlined `deduped` twice (contamination
     // + the final anti-join), each inlining `exact`'s full quality/dedup
     // subtree from parquet — ~5 corpus-scale scans per curateAndShard call.
-    // With exact/deduped checkpointed, the final stage must read ONLY the
-    // eval-set scan; every corpus-side input is a checkpoint (ExistingRDD).
+    // With exact/deduped checkpointed AND the contaminated-id set
+    // materialized (stage-cache round), the final stage must plan ZERO
+    // parquet scans: both anti-join sides are checkpoints (ExistingRDD).
     val docs = Tables.documents(spark, dir)
     val stages = graft.ops.Pipeline.curateStages(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
@@ -112,8 +113,8 @@ class PlanSpec extends SparkSuite {
     val parquetScans =
       "FileScan parquet".r.findAllIn(plan).size +
         "BatchScan parquet".r.findAllIn(plan).size
-    assert(parquetScans == 1,
-      s"expected exactly the eval-set parquet scan, found $parquetScans:\n" +
+    assert(parquetScans == 0,
+      s"expected zero parquet scans in the final stage, found $parquetScans:\n" +
         plan.take(3000))
     assert(plan.contains("ExistingRDD"),
       "corpus side should read the materialized checkpoint:\n" + plan.take(3000))

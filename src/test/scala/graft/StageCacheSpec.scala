@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The stage-cache contract (ops/StageCache.scala):
+  *
+  *  1. REUSE — two curation views over the same parquet snapshot (built
+  *     from INDEPENDENT reads, not a shared DataFrame object) share one
+  *     backbone computation: the second view only HITS, never re-misses.
+  *  2. CORRECTNESS — cache-warm results are bitwise identical to a
+  *     cleared-cache recompute (a hit may change cost, never rows).
+  *  3. ISOLATION — different thresholds / different planted corpora get
+  *     different entries (the key covers plans AND params).
+  */
+class StageCacheSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curation views over one snapshot share the memoized backbone: " +
+      "second view adds zero cache misses and matches bitwise") {
+    ops.StageCache.clear()
+    def corpus() = Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+    def evalSet() = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
+
+    val r1 = ops.Pipeline.curate(corpus(), evalSet())
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val missesAfterFirst = ops.StageCache.misses
+    val hitsAfterFirst = ops.StageCache.hits
+    assert(ops.StageCache.size >= 2, "backbone + contamination entries expected")
+
+    // fresh parquet reads → fresh analyzed plans; canonical sameResult
+    // must still match the cached entries (this is the property that lets
+    // independent report queries in one session share the run)
+    val r2 = ops.Pipeline.curate(corpus(), evalSet())
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(r1 == r2, "cache hit changed the result")
+    assert(ops.StageCache.misses == missesAfterFirst,
+      "second view must not re-compute any stage")
+    assert(ops.StageCache.hits >= hitsAfterFirst + 2,
+      "backbone and contamination must both hit")
+
+    // the ledger is a third view of the same run: its survivors
+    // complement must equal the curate survivor set, all through cache
+    // hits (zero new misses)
+    val ledgerIds = ops.Pipeline.curationLedger(corpus(), evalSet())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ops.StageCache.misses == missesAfterFirst,
+      "ledger must derive from the cached backbone")
+    val inputIds = corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((inputIds -- ledgerIds) == r1.toSet,
+      "ledger ∪ survivors must partition the input through the cache")
+  }
+
+  test("cache-warm results are bitwise identical to a cleared-cache " +
+      "recompute") {
+    ops.StageCache.clear()
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "source" -> Seq("a", "a", "b", "b", "b"),
+      "text" -> Seq(
+        "the quick brown fox jumps over the lazy dog again today",
+        "the quick brown fox jumps over the lazy dog again today",
+        "completely different words in this one document here now ok",
+        "short",
+        "another set of perfectly ordinary tokens for the corpus here"))
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("nothing shared with anything at all"))
+    val warm1 = rows(ops.Pipeline.curationLedger(docs, evalSet)
+      .orderBy("doc_id", "reason"))
+    val warm2 = rows(ops.Pipeline.curationLedger(docs, evalSet)
+      .orderBy("doc_id", "reason")) // served from cache
+    ops.StageCache.clear()
+    val cold = rows(ops.Pipeline.curationLedger(docs, evalSet)
+      .orderBy("doc_id", "reason")) // full recompute
+    assert(warm1 == warm2, "warm replay diverged")
+    assert(warm1 == cold, "cache-warm ledger != cleared-cache ledger")
+  }
+
+  test("different params and different planted corpora never share an " +
+      "entry") {
+    ops.StageCache.clear()
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "source" -> Seq("a", "a", "b"),
+      "text" -> Seq(
+        "one ordinary document with enough plain tokens to pass quality",
+        "another ordinary document with enough plain tokens to pass too",
+        "a third ordinary document with enough plain tokens to pass fine"))
+    val evalSet = frame("doc_id" -> Seq[Any](9L), "text" -> Seq("zz yy xx"))
+    ops.Pipeline.curate(docs, evalSet, minQuality = 0.1).count()
+    val m1 = ops.StageCache.misses
+    // same corpus, different threshold → its own backbone entry
+    ops.Pipeline.curate(docs, evalSet, minQuality = 0.2).count()
+    assert(ops.StageCache.misses > m1,
+      "different minQuality must not hit the 0.1 entry")
+    val m2 = ops.StageCache.misses
+    // different planted corpus (fresh parallelize → distinct RDD plan)
+    val other = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "source" -> Seq("a", "a", "b"),
+      "text" -> Seq(
+        "one ordinary document with enough plain tokens to pass quality",
+        "another ordinary document with enough plain tokens to pass too",
+        "a DIFFERENT third document with enough plain tokens to pass ok"))
+    ops.Pipeline.curate(other, evalSet, minQuality = 0.1).count()
+    assert(ops.StageCache.misses > m2,
+      "a different corpus must not hit the first corpus's entry")
+  }
+}
