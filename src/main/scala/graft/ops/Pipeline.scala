@@ -289,7 +289,14 @@ object Pipeline {
     // exact keeper — both on md5(text), one shuffle each on uniform keys.
     // freshExact feeds both sides of the keeper self-join: persist it for
     // the duration of the materialization (the curateStages discipline).
-    val corpusDigests = corpus.select(md5(col("text")).as("_ch")).distinct()
+    // The corpus DIGEST SET is per-corpus-version state: memoized +
+    // materialized, so a session appending several batches against one
+    // corpus snapshot scans the corpus once, not once per batch.
+    val corpusDigests = StageCache.memo("corpus_digest_set",
+        Seq(corpus), Nil) {
+      Checkpoints.materialize(
+        corpus.select(md5(col("text")).as("_ch")).distinct())
+    }
     val freshExact = good.withColumn("_h", md5(col("text")))
       .join(corpusDigests, col("_h") <=> col("_ch"), "left_anti")
     freshExact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -305,11 +312,15 @@ object Pipeline {
     // verified near-dup vs corpus: the streaming gate's batch form —
     // per-band hash anti-joins whose residual is the exact Jaccard. The
     // corpus band state feeds ONE anti-join per band — materialize it so
-    // the corpus-scale banding pass runs once, not `bands` times (in
-    // steady-state production this frame is precomputed per corpus
-    // version and simply read here).
-    val bandState = Checkpoints.materialize(
-      Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4))
+    // the corpus-scale banding pass runs once, not `bands` times, and
+    // MEMOIZE it per corpus version: steady-state production precomputes
+    // this frame once per corpus snapshot and reads it for every batch,
+    // which is now literally what a session does.
+    val bandState = StageCache.memo("corpus_band_state",
+        Seq(corpus), Seq(2, 4)) {
+      Checkpoints.materialize(
+        Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4))
+    }
     // vsCorpus feeds three consumers (LSH candidates, the jaccard member
     // prune, the dedup anti-join) — materialize it or each re-executes
     // the per-band verified anti-joins

@@ -44,7 +44,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object StageCache {
 
-  @volatile private var enabled = true
+  // SPARK_GRAFT_STAGE_CACHE=0 disables memoization process-wide (A/B
+  // measurement and forced-cold debugging); default on.
+  @volatile private var enabled =
+    !sys.env.get("SPARK_GRAFT_STAGE_CACHE").contains("0")
 
   /** Disable to force every stage to recompute (A/B and spec use). */
   def setEnabled(on: Boolean): Unit = { enabled = on; if (!on) clear() }

@@ -76,6 +76,42 @@ class StageCacheSpec extends SparkSuite {
     assert(warm1 == cold, "cache-warm ledger != cleared-cache ledger")
   }
 
+  test("appendCurated reuses per-corpus-version state across batches: " +
+      "second batch hits the digest-set and band-state entries") {
+    ops.StageCache.clear()
+    val corpus = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "source" -> Seq("a", "b"),
+      "text" -> Seq(
+        "existing corpus document with plenty of ordinary tokens here one",
+        "second existing corpus document with plenty of ordinary tokens"))
+    val evalSet = frame("doc_id" -> Seq[Any](9L), "text" -> Seq("zz yy xx"))
+    val batch1 = frame(
+      "doc_id" -> Seq[Any](10L),
+      "source" -> Seq("c"),
+      "text" -> Seq("a brand new incoming document with its own fresh tokens"))
+    val batch2 = frame(
+      "doc_id" -> Seq[Any](11L),
+      "source" -> Seq("c"),
+      "text" -> Seq("another unrelated incoming document carrying novel words"))
+    val r1 = collectCol[Long](
+      ops.Pipeline.appendCurated(corpus, batch1, evalSet), "doc_id")
+    val missesAfterFirst = ops.StageCache.misses
+    val r2 = collectCol[Long](
+      ops.Pipeline.appendCurated(corpus, batch2, evalSet), "doc_id")
+    // batch2 is new data (fresh plans) but the CORPUS side must be served
+    // from the per-version entries computed for batch1
+    assert(ops.StageCache.misses == missesAfterFirst,
+      "second batch must not recompute corpus digest/band state")
+    assert(r1 == Seq(10L) && r2 == Seq(11L),
+      s"both novel batches must be accepted, got $r1 / $r2")
+    // and the cached-corpus-state result must equal a cold recompute
+    ops.StageCache.clear()
+    val r2cold = collectCol[Long](
+      ops.Pipeline.appendCurated(corpus, batch2, evalSet), "doc_id")
+    assert(r2 == r2cold, "warm corpus state changed the append result")
+  }
+
   test("different params and different planted corpora never share an " +
       "entry") {
     ops.StageCache.clear()
