@@ -51,6 +51,39 @@ class StageCacheSpec extends SparkSuite {
       "ledger ∪ survivors must partition the input through the cache")
   }
 
+  test("concurrent queries racing for the same backbone serialize on ONE " +
+      "computation (the contended-bench path)") {
+    ops.StageCache.clear()
+    def corpus() = Tables.documents(spark, dir).filter(col("doc_id") % 97 =!= 0)
+    def evalSet() = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // four views of the run, launched simultaneously — the insert-then-
+    // force-lazily design must yield exactly ONE backbone miss; the
+    // losers block on the winner's lazy holder and reuse its frames
+    val results = Await.result(Future.sequence(Seq(
+      Future(ops.Pipeline.curate(corpus(), evalSet())
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq),
+      Future(ops.Pipeline.curate(corpus(), evalSet())
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq),
+      Future(ops.Pipeline.curationFunnel(corpus(), evalSet())
+        .agg(org.apache.spark.sql.functions.sum("n_clean")).collect()
+        .map(_.getLong(0)).toSeq),
+      Future(ops.Pipeline.curationLedger(corpus(), evalSet())
+        .count() :: Nil))), Duration.Inf)
+    assert(results(0) == results(1), "racing curate calls diverged")
+    val backboneMisses = ops.StageCache.misses
+    // exactly one backbone + one contamination entry exist; re-running
+    // sequentially adds no misses (everything already cached)
+    ops.Pipeline.curate(corpus(), evalSet()).count()
+    assert(ops.StageCache.misses == backboneMisses,
+      "post-race rerun must be fully cached")
+    assert(ops.StageCache.size == 2,
+      s"expected exactly backbone+contam entries, got ${ops.StageCache.size}")
+  }
+
   test("cache-warm results are bitwise identical to a cleared-cache " +
       "recompute") {
     ops.StageCache.clear()
