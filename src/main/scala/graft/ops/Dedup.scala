@@ -73,6 +73,55 @@ object Dedup {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** RefinedWeb/Dolma-style BOILERPLATE line removal — the complement of
+    * [[lineDedup]]: lineDedup keeps the FIRST occurrence of a duplicated
+    * line (C4 §2.2); template boilerplate (navigation bars, footers,
+    * cookie banners) instead wants EVERY occurrence of a line removed
+    * when the line appears in at least `minDocs` DISTINCT documents of
+    * the SAME source (templates are per-site; a line legitimately shared
+    * across sources is not template evidence). Lines are the same
+    * fixed-width word windows as [[lineDedup]]. Returns EVERY input
+    * document with its kept-line reassembly, kept/removed counts — fully
+    * boilerplate documents stay in the report (clean_text = '') so the
+    * caller owns the drop policy, unlike lineDedup's C4 empty-doc drop.
+    *
+    * Scale shape: segmentation is map-only (codegen HOFs); the frequency
+    * pass reduces to DISTINCT (source, line, doc) rows then one count
+    * per (source, line) — a hot template line contributes ONE row per
+    * containing doc to the count (distinct-first), never #occurrences.
+    * The boiler set (lines in ≥ minDocs docs) is orders of magnitude
+    * smaller than the corpus and rejoins as the build side of a hash
+    * equi-join on (source, line) — AQE broadcasts it when it fits.
+    * Reassembly shuffles once keyed by doc id, as lineDedup.
+    */
+  def boilerplateStrip(docs: DataFrame, wordsPerLine: Int = 5,
+      minDocs: Int = 2, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val lines = transform(
+      sequence(lit(0), ceil(size(toks) / lit(wordsPerLine.toDouble)).cast("long") - 1),
+      i => concat_ws(" ", slice(toks, (i * wordsPerLine + 1).cast("int"), lit(wordsPerLine))))
+    val exploded = docs
+      .select(col(idCol), col(groupCol), posexplode(lines).as(Seq("line_no", "line")))
+    val boiler = exploded.select(col(groupCol), col("line"), col(idCol))
+      .distinct()
+      .groupBy(col(groupCol), col("line"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col(groupCol), col("line"), lit(true).as("_boiler"))
+    exploded.join(boiler, Seq(groupCol, "line"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("_boiler").isNull, 1)).as("n_lines_kept"),
+        count(when(col("_boiler").isNotNull, 1)).as("n_boiler_removed"),
+        // when() is NULL for boiler lines and collect_list drops NULLs,
+        // so only kept lines are reassembled; empty → '' via concat_ws
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_boiler").isNull,
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** MinHash permutation constants: one (a, b) pair per hash function for
     * the universal family h_i(x) = (a_i·x + b_i) mod P. P = 2^31 - 1;
     * a_i < 2^15 keeps a_i·(x mod P) < 2^46 — no overflow in any engine's

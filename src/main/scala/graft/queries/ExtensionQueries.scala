@@ -3490,6 +3490,40 @@ object ExtensionQueries {
               |  p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
               |FROM pos p FULL OUTER JOIN neg n
               |  ON p.anchor_id = n.anchor_id
-              |ORDER BY anchor_id""".stripMargin))
+              |ORDER BY anchor_id""".stripMargin)),
+
+    // ---- x111: per-source boilerplate line removal ------------------------
+    // The complement of x48's keep-first line dedup: template lines
+    // (navigation, footers) appearing in >= 2 DISTINCT docs of the SAME
+    // source are removed from EVERY document; cross-source line sharing
+    // is not template evidence and survives. Every doc stays in the
+    // report (fully-templated docs show clean_text='') — drop policy is
+    // the caller's. Distinct-first frequency count, so a hot template
+    // line costs one row per containing doc, never per occurrence.
+    QueryDef(
+      "x111_boilerplate_strip",
+      (s, dir) =>
+        Dedup.boilerplateStrip(Tables.documents(s, dir), wordsPerLine = 5,
+            minDocs = 2)
+          .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             |  FROM documents),
+             |lines AS (SELECT doc_id, source, i AS line_no,
+             |    array_to_string(t[(i*5+1):(i*5+5)], ' ') AS line
+             |  FROM toks, LATERAL unnest(
+             |    range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i)),
+             |boiler AS (SELECT source, line FROM (
+             |    SELECT source, line, COUNT(DISTINCT doc_id) AS n_docs
+             |    FROM lines GROUP BY 1, 2) f WHERE n_docs >= 2),
+             |flagged AS (SELECT l.doc_id, l.line_no, l.line,
+             |    (b.line IS NOT NULL) AS is_boiler
+             |  FROM lines l LEFT JOIN boiler b
+             |    ON l.source = b.source AND l.line = b.line)
+             |SELECT doc_id,
+             |  COUNT(*) FILTER (WHERE NOT is_boiler) AS n_lines_kept,
+             |  COUNT(*) FILTER (WHERE is_boiler) AS n_boiler_removed,
+             |  COALESCE(string_agg(line, ' ' ORDER BY line_no)
+             |    FILTER (WHERE NOT is_boiler), '') AS clean_text
+             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -2167,4 +2167,31 @@ class ExtensionSpec extends SparkSuite {
     assert(got(("s1", "s4")) == ((2L, 0.666667, 1.0)), s"${got(("s1", "s4"))}")
     assert(got(("s2", "s4")) == ((2L, 0.666667, 1.0)), s"${got(("s2", "s4"))}")
   }
+
+  test("boilerplateStrip: per-source template lines removed from EVERY " +
+      "occurrence; cross-source copies survive; fully-templated docs " +
+      "stay with empty clean_text") {
+    val tpl = "home about contact privacy terms" // one 5-word line
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "source" -> Seq("a", "a", "a", "b"),
+      "text" -> Seq(
+        s"$tpl real content words number one",
+        s"$tpl different real content words two",
+        tpl, // only the template → reassembles to ''
+        s"$tpl unique content in source b here"))
+    val got = graft.ops.Dedup.boilerplateStrip(docs, wordsPerLine = 5,
+        minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // source a: tpl in 3 distinct docs → removed everywhere (incl. doc 3,
+    // which keeps its report row with clean_text '')
+    assert(got(1L) == ((1L, 1L, "real content words number one")), s"${got(1L)}")
+    assert(got(2L) == ((1L, 1L, "different real content words two")), s"${got(2L)}")
+    assert(got(3L) == ((0L, 1L, "")), s"${got(3L)}")
+    // source b: the same line appears in only ONE doc of b → not template
+    // (doc 4 is 11 tokens → 3 windows: tpl, 5-word line, 1-word tail)
+    assert(got(4L) == ((3L, 0L, s"$tpl unique content in source b here")),
+      s"${got(4L)}")
+  }
 }
