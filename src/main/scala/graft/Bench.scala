@@ -32,7 +32,8 @@ object Bench {
     "x92_bpe_merges", "x98_bpe_tokenize", "x102_budget_schedule",
     // pipeline-variant chains (curateStages materialization barriers)
     "x105_curation_lines", "x106_curation_funnel", "x107_curation_ledger",
-    "x109_crossmodal_clusters") // materialized LSH pairs + propagation rounds
+    "x109_crossmodal_clusters", // materialized LSH pairs + propagation rounds
+    "x112_curation_transitions") // TWO pipeline backbones (old + new snapshot)
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the

@@ -238,6 +238,59 @@ object Pipeline {
       .unionByName(contamDrops)
   }
 
+  /** Per-document curation STATUS over one snapshot: `kept` or the gate
+    * that removed the doc (`quality` / `exact_dup` / `near_dup` /
+    * `contaminated`) — the reason-only projection of the ledger, derived
+    * from the same memoized stage frames (id+flag left joins over the
+    * materialized survivor sets; the stages are monotone subsets, so the
+    * first missing stage IS the removing gate).
+    */
+  def curationStatus(docs: DataFrame, evalSet: DataFrame,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
+      minJaccard).toMap
+    def flag(stage: String, name: String) =
+      stages(stage).select(col("doc_id"), lit(true).as(name))
+    docs.select(col("doc_id"))
+      .join(flag("quality_kept", "_g"), Seq("doc_id"), "left")
+      .join(flag("exact_kept", "_e"), Seq("doc_id"), "left")
+      .join(flag("neardup_kept", "_n"), Seq("doc_id"), "left")
+      .join(flag("decontaminated_kept", "_c"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_g").isNull, "quality")
+          .when(col("_e").isNull, "exact_dup")
+          .when(col("_n").isNull, "near_dup")
+          .when(col("_c").isNull, "contaminated")
+          .otherwise("kept").as("status"))
+  }
+
+  /** Snapshot-to-snapshot curation TRANSITION report — the regression
+    * diff a curation team reads after re-running the pipeline on a new
+    * corpus version: one row per document whose curation status CHANGED
+    * between the two snapshots (null status = absent from that
+    * snapshot). This catches the non-local effects snapshot diffs by
+    * content (x88) cannot: adding a document can flip another document's
+    * status (the returning exact-dup keeper demotes yesterday's
+    * survivor), which is invisible to any per-doc comparison of inputs.
+    *
+    * Scale shape: each snapshot's status frame is id+flag joins over its
+    * memoized backbone ([[StageCache]] holds one entry per snapshot, so
+    * a session that already curated either snapshot pays nothing for
+    * it); the diff is one full-outer id join producing only changed
+    * rows.
+    */
+  def curationTransitions(oldDocs: DataFrame, newDocs: DataFrame,
+      evalSet: DataFrame, minQuality: Double = 0.3,
+      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5): DataFrame = {
+    val o = curationStatus(oldDocs, evalSet, minQuality, maxSharedShingles,
+      minJaccard).withColumnRenamed("status", "status_old")
+    val n = curationStatus(newDocs, evalSet, minQuality, maxSharedShingles,
+      minJaccard).withColumnRenamed("status", "status_new")
+    o.join(n, Seq("doc_id"), "full_outer")
+      .filter(!(col("status_old") <=> col("status_new")))
+  }
+
   /** Curate `docs` against `evalSet`: the clean corpus, no writes.
     * `embeddings` (columns `doc_id`, `embedding`) enables the semantic
     * near-dup stage between token near-dup and decontamination. */

@@ -175,38 +175,44 @@ object ExtensionQueries {
   /** The shared WITH-body of the curation pipeline replay, up to and
     * including the `clean` survivor CTE — curationSql appends the
     * shuffle+shard tail, curationFunnelSql the per-source stage counts. */
+  /** The shared curation-stage CTE chain. `p` prefixes every CTE name so
+    * one query can replay the pipeline over TWO corpus snapshots (x112);
+    * `corpusPred` is the snapshot predicate over `documents`. Defaults
+    * reproduce the historical single-snapshot text byte-for-byte.
+    */
   private def curationCtes(semantic: Boolean, cap: Option[Int] = None,
-      lines: Boolean = false): String = {
+      lines: Boolean = false, p: String = "",
+      corpusPred: String = "doc_id % 97 != 0"): String = {
     require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     val semanticCtes = if (!semantic) "" else
-      s"""${kmeansCtes(8, 2, "s",
-           """SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-             |  WHERE vec_id IN (SELECT doc_id FROM dedup)""".stripMargin)},
-         |spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM saf a JOIN saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      s"""${kmeansCtes(8, 2, s"${p}s",
+           s"""SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+             |  WHERE vec_id IN (SELECT doc_id FROM ${p}dedup)""".stripMargin)},
+         |${p}spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM ${p}saf a JOIN ${p}saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${cos("a.e", "b.e")} >= 0.4),
-         |${clusterCtes(3, "sem", "spairs")},
-         |sem_drop AS (SELECT id AS doc_id FROM seml3 WHERE lbl <> id),
-         |sem AS MATERIALIZED (SELECT doc_id, text FROM dedup
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+         |${clusterCtes(3, s"${p}sem", s"${p}spairs")},
+         |${p}sem_drop AS (SELECT id AS doc_id FROM ${p}seml3 WHERE lbl <> id),
+         |${p}sem AS MATERIALIZED (SELECT doc_id, text FROM ${p}dedup
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}sem_drop)),
          |""".stripMargin
-    val dsrc = if (semantic) "sem" else "dedup"
+    val dsrc = if (semantic) s"${p}sem" else s"${p}dedup"
     val corpusCols = if (cap.isDefined) "doc_id, text, source" else "doc_id, text"
     val goodCte = cap match {
       case None =>
-        s"""good AS (SELECT doc_id, text FROM corpus
+        s"""${p}good AS (SELECT doc_id, text FROM ${p}corpus
            |  WHERE $qualityExprSql > 0.3)""".stripMargin
       case Some(n) =>
         // the domain-balancing stage: best-quality n per source among
         // the quality survivors, the plain-window replay of the salted
         // two-phase cap (x67's oracle contract, inside the pipeline)
-        s"""goodq AS (SELECT doc_id, text, source, $qualityExprSql AS q
-           |  FROM corpus WHERE $qualityExprSql > 0.3),
-           |good AS (SELECT doc_id, text FROM (
+        s"""${p}goodq AS (SELECT doc_id, text, source, $qualityExprSql AS q
+           |  FROM ${p}corpus WHERE $qualityExprSql > 0.3),
+           |${p}good AS (SELECT doc_id, text FROM (
            |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY source
-           |    ORDER BY q DESC, doc_id) AS rn FROM goodq) t
+           |    ORDER BY q DESC, doc_id) AS rn FROM ${p}goodq) t
            |  WHERE rn <= $n)""".stripMargin
     }
     // optional LINE-quality pre-stage (x97 as a pipeline citizen): the
@@ -214,67 +220,67 @@ object ExtensionQueries {
     // lines, docs below the 3/4 retention floor dropped entirely
     val corpusCte =
       if (!lines)
-        s"corpus AS (SELECT $corpusCols FROM documents WHERE doc_id % 97 != 0)"
+        s"${p}corpus AS (SELECT $corpusCols FROM documents WHERE $corpusPred)"
       else
-        """ltoks AS (SELECT doc_id, string_split(text, ' ') AS t
-          |  FROM documents WHERE doc_id % 97 != 0),
-          |llines AS (SELECT doc_id, i AS line_no, t[(i*5+1):(i*5+5)] AS lw
-          |  FROM ltoks, LATERAL unnest(
+        s"""${p}ltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+          |  FROM documents WHERE $corpusPred),
+          |${p}llines AS (SELECT doc_id, i AS line_no, t[(i*5+1):(i*5+5)] AS lw
+          |  FROM ${p}ltoks, LATERAL unnest(
           |    range(0, CAST(ceil(len(t)/5.0) AS BIGINT))) u(i)),
-          |lflag AS (SELECT doc_id, line_no, array_to_string(lw, ' ') AS line,
+          |${p}lflag AS (SELECT doc_id, line_no, array_to_string(lw, ' ') AS line,
           |    (len(lw) >= 3 AND 5*len(list_distinct(lw)) >= 4*len(lw)
           |      AND 2*len(list_filter(lw, x -> length(x) = 1)) < len(lw)) AS keep
-          |  FROM llines),
-          |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |  FROM ${p}llines),
+          |${p}lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
           |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |    coalesce(string_agg(CASE WHEN keep THEN line END, ' '
           |      ORDER BY line_no), '') AS clean_text
-          |  FROM lflag GROUP BY doc_id),
-          |corpus AS (SELECT doc_id, clean_text AS text FROM lagg
+          |  FROM ${p}lflag GROUP BY doc_id),
+          |${p}corpus AS (SELECT doc_id, clean_text AS text FROM ${p}lagg
           |  WHERE n_kept * 4 >= n_lines * 3)""".stripMargin
     s"""WITH $corpusCte,
        |$goodCte,
-       |exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM good g
+       |${p}exact AS MATERIALIZED (SELECT g.doc_id, g.text FROM ${p}good g
        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
-       |        FROM good GROUP BY 1) k
+       |        FROM ${p}good GROUP BY 1) k
        |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
-       |${bandKeyCtes("", "", "exact")},
-       |rawpairs AS (
+       |${bandKeyCtes(p, "", s"${p}exact")},
+       |${p}rawpairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM stacked a JOIN stacked b
+       |  FROM ${p}stacked a JOIN ${p}stacked b
        |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
-       |jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
-       |    unnest(string_split(text, ' ')) AS tok FROM exact),
-       |jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM jsets GROUP BY doc_id),
-       |jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM rawpairs p
-       |  JOIN jsets sa ON sa.doc_id = p.id_a
-       |  JOIN jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+       |${p}jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(string_split(text, ' ')) AS tok FROM ${p}exact),
+       |${p}jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM ${p}jsets GROUP BY doc_id),
+       |${p}jinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM ${p}rawpairs p
+       |  JOIN ${p}jsets sa ON sa.doc_id = p.id_a
+       |  JOIN ${p}jsets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
        |  GROUP BY p.id_a, p.id_b),
-       |pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM rawpairs p
-       |  JOIN jsizes za ON za.doc_id = p.id_a
-       |  JOIN jsizes zb ON zb.doc_id = p.id_b
-       |  LEFT JOIN jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |${p}pairs AS MATERIALIZED (SELECT p.id_a, p.id_b FROM ${p}rawpairs p
+       |  JOIN ${p}jsizes za ON za.doc_id = p.id_a
+       |  JOIN ${p}jsizes zb ON zb.doc_id = p.id_b
+       |  LEFT JOIN ${p}jinter i ON i.id_a = p.id_a AND i.id_b = p.id_b
        |  WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE)
        |      / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5),
-       |${clusterCtes(3)},
-       |near_drop AS (SELECT id AS doc_id FROM l3 WHERE lbl <> id),
-       |dedup AS MATERIALIZED (SELECT doc_id, text FROM exact
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
-       |${semanticCtes}darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $dsrc),
-       |dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+       |${clusterCtes(3, p, s"${p}pairs")},
+       |${p}near_drop AS (SELECT id AS doc_id FROM ${p}l3 WHERE lbl <> id),
+       |${p}dedup AS MATERIALIZED (SELECT doc_id, text FROM ${p}exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}near_drop)),
+       |${semanticCtes}${p}darr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $dsrc),
+       |${p}dsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
        |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
-       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM darr),
-       |dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM dsh),
-       |evarr AS (SELECT doc_id, string_split(text, ' ') AS a
+       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM ${p}darr),
+       |${p}dkeys AS (SELECT DISTINCT doc_id, md5(tok) AS sk FROM ${p}dsh),
+       |${p}evarr AS (SELECT doc_id, string_split(text, ' ') AS a
        |  FROM documents WHERE doc_id % 97 = 0),
-       |evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
+       |${p}evsh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
        |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
-       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM evarr),
-       |evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM evsh),
-       |contam AS (SELECT doc_id FROM dkeys JOIN evkeys USING (sk)
+       |    ELSE [array_to_string(a, ' ')] END) AS tok FROM ${p}evarr),
+       |${p}evkeys AS (SELECT DISTINCT md5(tok) AS sk FROM ${p}evsh),
+       |${p}contam AS (SELECT doc_id FROM ${p}dkeys JOIN ${p}evkeys USING (sk)
        |  GROUP BY doc_id HAVING COUNT(*) > 4),
-       |clean AS (SELECT doc_id FROM $dsrc
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+       |${p}clean AS (SELECT doc_id FROM $dsrc
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}contam))""".stripMargin
   }
 
   private def curationSql(semantic: Boolean, cap: Option[Int] = None,
@@ -3524,6 +3530,50 @@ object ExtensionQueries {
              |  COUNT(*) FILTER (WHERE is_boiler) AS n_boiler_removed,
              |  COALESCE(string_agg(line, ' ' ORDER BY line_no)
              |    FILTER (WHERE NOT is_boiler), '') AS clean_text
-             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- x112: snapshot-to-snapshot curation transitions ------------------
+    // The regression diff after re-running the pipeline on a new corpus
+    // version: docs whose curation STATUS changed. The old snapshot
+    // additionally excludes doc_id % 89 == 0, so the new snapshot
+    // contains ~1% returning documents — including returning exact-dup
+    // keepers that DEMOTE a doc kept yesterday, the non-local effect a
+    // per-doc input diff cannot see. Oracle replays BOTH pipelines in
+    // one query via prefixed stage CTEs (o_/n_) and derives status from
+    // the monotone stage sets.
+    QueryDef(
+      "x112_curation_transitions",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.curationTransitions(
+            docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def statusCte(p: String) =
+          s"""${p}status AS (SELECT c.doc_id, CASE
+             |    WHEN g.doc_id IS NULL THEN 'quality'
+             |    WHEN e.doc_id IS NULL THEN 'exact_dup'
+             |    WHEN d.doc_id IS NULL THEN 'near_dup'
+             |    WHEN cl.doc_id IS NULL THEN 'contaminated'
+             |    ELSE 'kept' END AS status
+             |  FROM ${p}corpus c
+             |  LEFT JOIN (SELECT doc_id FROM ${p}good) g ON g.doc_id = c.doc_id
+             |  LEFT JOIN (SELECT doc_id FROM ${p}exact) e ON e.doc_id = c.doc_id
+             |  LEFT JOIN (SELECT doc_id FROM ${p}dedup) d ON d.doc_id = c.doc_id
+             |  LEFT JOIN (SELECT doc_id FROM ${p}clean) cl ON cl.doc_id = c.doc_id)""".stripMargin
+        s"""${curationCtes(semantic = false, p = "o_",
+               corpusPred = "doc_id % 97 != 0 AND doc_id % 89 != 0")},
+           |${curationCtes(semantic = false, p = "n_").stripPrefix("WITH ")},
+           |${statusCte("o_")},
+           |${statusCte("n_")}
+           |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           |  o.status AS status_old, n.status AS status_new
+           |FROM o_status o FULL OUTER JOIN n_status n ON o.doc_id = n.doc_id
+           |WHERE o.status IS DISTINCT FROM n.status
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }

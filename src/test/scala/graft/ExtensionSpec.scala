@@ -2194,4 +2194,30 @@ class ExtensionSpec extends SparkSuite {
     assert(got(4L) == ((3L, 0L, s"$tpl unique content in source b here")),
       s"${got(4L)}")
   }
+
+  test("curationTransitions: a returning lower-id exact-dup keeper DEMOTES " +
+      "yesterday's survivor — the non-local effect an input diff misses") {
+    graft.ops.StageCache.clear()
+    val dupText = "the very same duplicated document text with plenty tokens"
+    val mk = (ids: Seq[Long], texts: Seq[String]) => frame(
+      "doc_id" -> ids.map(x => x: Any),
+      "source" -> ids.map(_ => "s"),
+      "text" -> texts)
+    val oldSnap = mk(Seq(2L, 3L),
+      Seq(dupText, "a completely different ordinary document body here now"))
+    val newSnap = mk(Seq(1L, 2L, 3L),
+      Seq(dupText, dupText,
+        "a completely different ordinary document body here now"))
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("nothing shared with the corpus at all"))
+    val got = graft.ops.Pipeline.curationTransitions(oldSnap, newSnap, evalSet)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    // doc 1 appears and takes the keeper slot; doc 2 was kept yesterday
+    // but is demoted to exact_dup by the returning min-id copy; doc 3 is
+    // unchanged and must NOT appear in the report
+    assert(got == Map(
+      1L -> ((None, Some("kept"))),
+      2L -> ((Some("kept"), Some("exact_dup")))), s"$got")
+  }
 }
