@@ -3574,6 +3574,49 @@ object ExtensionQueries {
            |FROM o_status o FULL OUTER JOIN n_status n ON o.doc_id = n.doc_id
            |WHERE o.status IS DISTINCT FROM n.status
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- x113: JSONL shard write → read round-trip ------------------------
+    // The loader-facing export: REAL shard=N/*.json files on disk
+    // (Jsonl.writeJsonlShards over the deterministic md5 shuffle), read
+    // back DISTRIBUTED with an explicit schema, and integrity-summarized
+    // per shard — count, char mass, and the x73 order-independent content
+    // digest over the ROUND-TRIPPED text (JSON escaping must hand back
+    // the exact bytes md5 saw before the write). Fixed 300-doc slice:
+    // the fixture cost is the point, not corpus scale (x59 convention).
+    // The oracle replays the shard arithmetic from the base table.
+    QueryDef(
+      "x113_jsonl_shard_roundtrip",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        val outDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_x113_${Integer.toHexString(dir.hashCode)}").toString
+        graft.sources.Jsonl.writeJsonlShards(docs, outDir, docsPerShard = 64L)
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("source", org.apache.spark.sql.types.StringType)
+          .add("n_chars", org.apache.spark.sql.types.LongType)
+        graft.sources.Jsonl.readJsonlShards(s, outDir, schema)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(expr(TextAnalysis.hexToIntSql("md5(text)", 8)))
+              .as("content_digest"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH c AS (SELECT * FROM documents WHERE doc_id < 300),
+              |ord AS (SELECT doc_id, n_chars, text,
+              |    row_number() OVER (ORDER BY md5(concat('shuf:', doc_id)), doc_id)
+              |      - 1 AS pos
+              |  FROM c)
+              |SELECT CAST(pos // 64 AS BIGINT) AS shard,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |  CAST(SUM(${TextAnalysis.hexToIntSql("md5(text)", 8)}) AS BIGINT)
+              |    AS content_digest
+              |FROM ord GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

@@ -313,4 +313,48 @@ class SourcesSpec extends SparkSuite {
     assert(streamDump(dirA) == dump(dirA))
     assert(streamDump(dirB) == dump(dirB))
   }
+
+  test("Jsonl shards: escape-hostile text round-trips byte-exact, shard " +
+      "id is the directory key (never a line field), within-shard order " +
+      "is the md5 permutation") {
+    import org.apache.spark.sql.functions._
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+      "text" -> Seq(
+        "plain ordinary text",
+        "quotes \" and \\ backslash and / slash",
+        "tabs\tnewline\nand carriage\rreturn",
+        "unicode é中😀 mixed",
+        "{\"looks\": \"like json\", \"n\": [1,2]}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val nShards = graft.sources.Jsonl.writeJsonlShards(docs, dir,
+      docsPerShard = 2L)
+    assert(nShards == 3, s"5 docs / 2 per shard -> 3 dirs, got $nShards")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val back = graft.sources.Jsonl.readJsonlShards(spark, dir, schema)
+    // byte-exact content round-trip
+    assert(back.select("doc_id", "text").collect().map(_.toSeq).toSet
+      == docs.collect().map(_.toSeq).toSet, "text mutated in transit")
+    // the shard column came from the DIRECTORY, and every line is free of it
+    assert(back.groupBy("shard").count().collect().map(_.getLong(1)).sum == 5)
+    val rawLines = spark.read.text(s"$dir/shard=*/").collect()
+      .map(_.getString(0))
+    assert(rawLines.forall(!_.contains("\"shard\"")),
+      "shard leaked into JSONL lines")
+    // within-shard order: the file order equals the md5 permutation order
+    val expected = docs
+      .withColumn("_k", md5(concat(lit("shuf:"), col("doc_id"))))
+      .orderBy("_k", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val firstShardIds = graft.ops.Packing.shardIds(spark, dir)
+    assert(firstShardIds == Seq(0L, 1L, 2L))
+    val inFileOrder = firstShardIds.flatMap { sid =>
+      spark.read.schema(schema).json(s"$dir/shard=$sid")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(inFileOrder == expected,
+      s"file order $inFileOrder != permutation $expected")
+  }
 }
