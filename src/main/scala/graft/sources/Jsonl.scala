@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *     dropCols discipline: no pipeline internals in training data);
   *   - within-shard line order is the deterministic md5 shuffle
   *     permutation ([[graft.ops.Pipeline.shardAssignment]]), so the
-  *     same corpus produces byte-identical shard files on any run or
-  *     cluster layout;
+  *     same corpus produces line-identical shard contents on any run
+  *     or cluster layout (part-file NAMES carry run-specific task ids;
+  *     the lines and their order do not vary);
   *   - reads take an EXPLICIT schema: on 100 TB, schema inference is a
   *     full extra pass over the layout and can widen types on skewed
   *     fields — a loader knows its schema.
@@ -29,17 +30,22 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object Jsonl {
 
   /** Shuffle-shard `docs` and write the JSONL layout under `outDir`
-    * (`shard=N/part-*.json`, overwrite). Returns the shard count.
+    * (`shard=N/part-*.json`, overwrite). `compression = Some("gzip")`
+    * writes `.json.gz` parts (the `.jsonl.gz` convention most corpus
+    * distributions ship; the reader decompresses transparently).
+    * Returns the shard count.
     */
   def writeJsonlShards(docs: DataFrame, outDir: String,
-      docsPerShard: Long = 256L, idCol: String = "doc_id"): Long = {
+      docsPerShard: Long = 256L, idCol: String = "doc_id",
+      compression: Option[String] = None): Long = {
     val sharded = graft.ops.Pipeline.shardAssignment(docs, docsPerShard, idCol)
-    sharded
+    val w = sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("_shufkey"))
       .drop("_shufkey")
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("shard").json(outDir)
+    compression.foreach(c => w.option("compression", c))
+    w.partitionBy("shard").json(outDir)
     graft.ops.Packing.countShardDirs(docs.sparkSession, outDir)
   }
 
@@ -49,4 +55,22 @@ object Jsonl {
   def readJsonlShards(spark: SparkSession, dir: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema.add("shard", LongType)).json(dir)
+
+  /** STREAMING JSONL ingestion — crawlers drop `.jsonl(.gz)` files into
+    * a landing directory; Structured Streaming's file source discovers
+    * each new file exactly once (checkpointed file index), so the drop
+    * directory becomes an ingest stream the streaming curation gates
+    * ([[graft.streaming.StreamingWindows]] dedup / near-dup / Bloom /
+    * quality filters) compose over unchanged — they are plan-neutral
+    * stream-static forms. Explicit schema is REQUIRED by streaming file
+    * sources (no inference), which is also the 100 TB-correct posture.
+    * `maxFilesPerTrigger` bounds a micro-batch (backpressure when a
+    * backfill dumps thousands of files at once).
+    */
+  def readJsonlStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dir)
+  }
 }

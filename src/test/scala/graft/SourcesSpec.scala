@@ -357,4 +357,62 @@ class SourcesSpec extends SparkSuite {
     assert(inFileOrder == expected,
       s"file order $inFileOrder != permutation $expected")
   }
+
+  test("Jsonl gzip shards: .json.gz parts, contents identical to the " +
+      "uncompressed layout, reader decompresses transparently") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "text" -> Seq("alpha beta", "gamma \"quoted\"", "delta\nnewline"))
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_jl").toString
+    val gzDir = java.nio.file.Files.createTempDirectory("graft_jlgz").toString
+    graft.sources.Jsonl.writeJsonlShards(docs, plainDir, docsPerShard = 2L)
+    graft.sources.Jsonl.writeJsonlShards(docs, gzDir, docsPerShard = 2L,
+      compression = Some("gzip"))
+    val gzParts = java.nio.file.Files.walk(java.nio.file.Paths.get(gzDir))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .map[String](_.getFileName.toString).toArray.map(_.toString)
+    assert(gzParts.nonEmpty && gzParts.forall(_.endsWith(".json.gz")),
+      s"expected .json.gz parts, got ${gzParts.toSeq}")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val a = graft.sources.Jsonl.readJsonlShards(spark, plainDir, schema)
+      .collect().map(_.toSeq).toSet
+    val b = graft.sources.Jsonl.readJsonlShards(spark, gzDir, schema)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3, "gzip layout diverged from plain layout")
+  }
+
+  test("Jsonl streaming ingestion: the landing-directory stream delivers " +
+      "exactly the batch rows, and a composed quality gate filters the " +
+      "stream like the batch form") {
+    import org.apache.spark.sql.functions._
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "a perfectly ordinary document body with several plain tokens",
+        "another ordinary document body carrying enough distinct tokens",
+        "spam spam spam spam spam spam spam spam spam spam",
+        "a third ordinary document with a reasonable token variety"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jlstream").toString
+    graft.sources.Jsonl.writeJsonlShards(docs, dir, docsPerShard = 2L)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(graft.ops.TextAnalysis.qualityExpr(col("text")) > 0.3)
+        .select("doc_id")
+    val q = gate(graft.sources.Jsonl.readJsonlStream(spark, dir, schema,
+        maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jl_ingest").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("jl_ingest").collect().map(_.getLong(0)).sorted.toSeq
+    } finally q.stop()
+    val batch = gate(graft.sources.Jsonl.readJsonlShards(spark, dir, schema))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got == Seq(1L, 2L, 4L), s"quality gate failed on the stream: $got")
+  }
 }
