@@ -191,16 +191,25 @@ object Packing {
     * session default is dynamic — stale shards from a previous larger run
     * must not survive into (or inflate the count of) this layout. Returns
     * the count of occupied `<shardCol>=` directories from the written
-    * layout. */
+    * layout.
+    *
+    * `format` selects the file format: `"parquet"` (engine-native
+    * default) or `"json"` (JSONL, the loader-facing interchange layout —
+    * [[graft.sources.Jsonl]] documents its contract). Same shuffle, same
+    * within-shard order, same directory scheme either way. */
   def writePreSharded(docs: DataFrame, outDir: String,
       shardCol: String = "shard", orderCol: String = "doc_id",
-      dropCols: Seq[String] = Nil): Long = {
+      dropCols: Seq[String] = Nil, format: String = "parquet",
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    require(format == "parquet" || format == "json",
+      s"unsupported shard format '$format' (parquet|json)")
     docs
       .repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
       .drop(dropCols: _*)
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy(shardCol).parquet(outDir)
+      .options(writerOptions)
+      .partitionBy(shardCol).format(format).save(outDir)
     countShardDirs(docs.sparkSession, outDir, s"$shardCol=")
   }
 

@@ -426,6 +426,10 @@ object Pipeline {
     * ([[Packing.writePreSharded]]), so no pipeline internals ship in the
     * training data (round-5 verdict #2).
     *
+    * `format` ships the shards as `"parquet"` (engine-native default) or
+    * `"json"` (JSONL, the loader-facing interchange —
+    * [[graft.sources.Jsonl]]); layout, order and columns are identical.
+    *
     * `withStats=true` runs one count() per stage. The `exact_kept` and
     * `neardup_kept` counts read their checkpoints (cheap at any scale);
     * `input`/`quality_kept`/`decontaminated_kept` each re-execute one
@@ -438,13 +442,15 @@ object Pipeline {
       withStats: Boolean = true,
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
-      embedSaltBuckets: Int = 1): (Long, Map[String, Long]) = {
+      embedSaltBuckets: Int = 1,
+      format: String = "parquet"): (Long, Map[String, Long]) = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
       minJaccard, embeddings, embedMinCosine, embedCells, embedIters,
       embedSaltBuckets)
     val sharded = shardAssignment(stages.last._2, docsPerShard)
     val nShards = Packing.writePreSharded(sharded, outDir,
-      shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"))
+      shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"),
+      format = format)
     val counts =
       if (!withStats) Map.empty[String, Long]
       else (("input" -> docs.count()) +: stages.map { case (n, df) =>

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** JSONL shard layout — the interchange format most training loaders
@@ -37,17 +36,12 @@ object Jsonl {
     */
   def writeJsonlShards(docs: DataFrame, outDir: String,
       docsPerShard: Long = 256L, idCol: String = "doc_id",
-      compression: Option[String] = None): Long = {
-    val sharded = graft.ops.Pipeline.shardAssignment(docs, docsPerShard, idCol)
-    val w = sharded
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("_shufkey"))
-      .drop("_shufkey")
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-    compression.foreach(c => w.option("compression", c))
-    w.partitionBy("shard").json(outDir)
-    graft.ops.Packing.countShardDirs(docs.sparkSession, outDir)
-  }
+      compression: Option[String] = None): Long =
+    graft.ops.Packing.writePreSharded(
+      graft.ops.Pipeline.shardAssignment(docs, docsPerShard, idCol),
+      outDir, orderCol = "_shufkey", dropCols = Seq("_shufkey"),
+      format = "json",
+      writerOptions = compression.map("compression" -> _).toMap)
 
   /** Read a [[writeJsonlShards]] layout. `schema` lists the corpus
     * columns (line fields); the `shard` partition column is appended by

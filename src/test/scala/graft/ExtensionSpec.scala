@@ -847,6 +847,21 @@ class ExtensionSpec extends SparkSuite {
     val byShard2 = spark.read.parquet(dir2).select(col("shard").cast("long"), col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byShard1 == byShard2)
+    // format="json": the SAME layout as JSONL (loader interchange) —
+    // identical (shard, doc_id) sets, no internal columns in the lines
+    val dir3 = java.nio.file.Files.createTempDirectory("pipe3").toString
+    ops.Pipeline.curateAndShard(docs, evalSet, dir3, docsPerShard = 64L,
+      withStats = false, format = "json")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("shard", org.apache.spark.sql.types.LongType)
+    val byShard3 = spark.read.schema(schema).json(dir3)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(byShard3 == byShard1, "jsonl shards diverge from parquet shards")
+    val jsonLines = spark.read.text(s"$dir3/shard=*/").collect()
+      .map(_.getString(0))
+    assert(jsonLines.forall(l => !l.contains("\"_shufkey\"")
+      && !l.contains("\"shard\"")), "internal/shard fields leaked into JSONL")
   }
 
   test("pipeline near-dup stage is jaccard-verified: sub-threshold banding " +
