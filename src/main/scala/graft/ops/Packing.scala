@@ -180,6 +180,49 @@ object Packing {
       outDir: String, prefix: String = "shard="): Long =
     shardIds(spark, outDir, prefix).size.toLong
 
+  /** APPEND a new batch to an existing shard layout WITHOUT touching the
+    * shards already written — the sink counterpart of
+    * [[graft.ops.Pipeline.appendCurated]]'s daily-crawl path. Written
+    * shards are immutable once shipped (loaders checksum and cache
+    * them; a mutated shard invalidates every consumer), so the batch
+    * lands exclusively in FRESH shard ids starting at max(existing)+1:
+    * the batch gets its own deterministic md5-shuffle shard assignment
+    * ([[graft.ops.Pipeline.shardAssignment]] — within-batch
+    * deterministic, like every shipped layout here), offset past the
+    * existing ids, and the write runs in append mode (no truncation —
+    * [[writePreSharded]]'s static overwrite is exactly what must NOT
+    * happen here). The last pre-existing shard keeps its short tail:
+    * immutability beats bin-packing the seam, the same tradeoff every
+    * log-structured layout makes. Returns (firstNewShardId,
+    * newShardCount).
+    *
+    * Scale shape: the existing layout contributes an O(shards) metadata
+    * LISTING only — no data read, no recompute; the batch pays its own
+    * one shuffle. Concurrent appends to one layout are the caller's
+    * lock to take (two writers would interleave ids), exactly as with
+    * any file-layout sink.
+    */
+  def appendShards(docs: DataFrame, outDir: String,
+      docsPerShard: Long = 256L, idCol: String = "doc_id",
+      format: String = "parquet",
+      writerOptions: Map[String, String] = Map.empty): (Long, Long) = {
+    require(format == "parquet" || format == "json",
+      s"unsupported shard format '$format' (parquet|json)")
+    val spark = docs.sparkSession
+    val existing = shardIds(spark, outDir)
+    val base = if (existing.isEmpty) 0L else existing.max + 1
+    val sharded = graft.ops.Pipeline.shardAssignment(docs, docsPerShard, idCol)
+      .withColumn("shard", col("shard") + lit(base))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_shufkey"))
+      .drop("_shufkey")
+      .write.mode("append")
+      .options(writerOptions)
+      .partitionBy("shard").format(format).save(outDir)
+    (base, countShardDirs(spark, outDir) - existing.size)
+  }
+
   /** Write a frame that already carries its shard assignment (`shardCol`)
     * as the standard shard layout: one shuffle on the shard id co-locates
     * each shard in one task, rows sorted by (`shardCol`, `orderCol`) so

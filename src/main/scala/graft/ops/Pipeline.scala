@@ -104,9 +104,9 @@ object Pipeline {
     * executes the backbone once and derives the rest (the semantics a
     * real curation run wants; StageCache documents the immutable-snapshot
     * assumption and the [[StageCache.clear]] rotation hook).
-    * PlanSpec proves the plan shape: the final stage's plan contains NO
-    * scan of the corpus input — only the eval-set scan and checkpoint
-    * reads.
+    * PlanSpec proves the plan shape: the final stage's plan contains
+    * ZERO parquet scans — both sides of the final anti-join are
+    * checkpoint reads (the contaminated-id set is materialized too).
     */
   def curateStages(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,

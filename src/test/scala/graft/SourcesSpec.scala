@@ -383,6 +383,54 @@ class SourcesSpec extends SparkSuite {
     assert(a == b && a.size == 3, "gzip layout diverged from plain layout")
   }
 
+  test("appendShards: existing shards stay byte-immutable, the batch lands " +
+      "in fresh ids past max(existing), read-back is the union (parquet " +
+      "and json)") {
+    import org.apache.spark.sql.functions.col
+    for (fmt <- Seq("parquet", "json")) {
+      val base = frame(
+        "doc_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L),
+        "text" -> Seq("one a", "two b", "three c", "four d", "five e"))
+      val batch = frame(
+        "doc_id" -> Seq[Any](10L, 11L, 12L),
+        "text" -> Seq("ten x", "eleven y", "twelve z"))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_app_$fmt").toString
+      graft.ops.Packing.writePreSharded(
+        graft.ops.Pipeline.shardAssignment(base, 2L), dir,
+        orderCol = "_shufkey", dropCols = Seq("_shufkey"), format = fmt)
+      def partBytes(): Map[String, Seq[Byte]] = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        try s.filter(p => p.getFileName.toString.startsWith("part-"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map(p => p.toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq).toMap
+        finally s.close()
+      }
+      val before = partBytes()
+      val (firstNew, nNew) = graft.ops.Packing.appendShards(batch, dir,
+        docsPerShard = 2L, format = fmt)
+      assert(firstNew == 3L && nNew == 2L, s"$fmt: got ($firstNew, $nNew)")
+      // every pre-existing part file byte-identical after the append
+      val after = partBytes()
+      assert(before.forall { case (p, b) => after.get(p).contains(b) },
+        s"$fmt: an existing shard file was rewritten")
+      assert(graft.ops.Packing.shardIds(spark, dir) == Seq(0L, 1L, 2L, 3L, 4L))
+      val back =
+        if (fmt == "parquet") spark.read.parquet(dir)
+        else spark.read.schema(new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("shard", org.apache.spark.sql.types.LongType)).json(dir)
+      assert(back.select("doc_id").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L), s"$fmt: union mismatch")
+      // batch rows live only in the new ids (partition discovery infers
+      // INT for parquet dirs — normalize)
+      assert(back.filter(col("doc_id") >= 10L)
+        .select(col("shard").cast("long")).collect()
+        .map(_.getLong(0)).forall(_ >= 3L))
+    }
+  }
+
   test("Jsonl streaming ingestion: the landing-directory stream delivers " +
       "exactly the batch rows, and a composed quality gate filters the " +
       "stream like the batch form") {
