@@ -397,6 +397,28 @@ object Pipeline {
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The daily-crawl one-call: gate `newDocs` against the existing
+    * curated corpus ([[appendCurated]] — quality, exact/near-dup vs
+    * corpus and within batch, decontamination) and land the survivors
+    * in FRESH shards of the existing layout ([[Packing.appendShards]]
+    * — shipped shards stay byte-immutable). Returns (firstNewShardId,
+    * newShardCount, acceptedCount). Corpus-side distilled state (digest
+    * set, band state) is served from the per-version [[StageCache]]
+    * entries, so a session appending N batches scans the corpus once.
+    */
+  def appendCuratedAndShard(corpus: DataFrame, newDocs: DataFrame,
+      evalSet: DataFrame, outDir: String, docsPerShard: Long = 256L,
+      minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
+      minJaccard: Double = 0.5,
+      format: String = "parquet"): (Long, Long, Long) = {
+    val accepted = Checkpoints.materialize(
+      appendCurated(corpus, newDocs, evalSet, minQuality,
+        maxSharedShingles, minJaccard))
+    val (first, n) = Packing.appendShards(accepted, outDir,
+      docsPerShard, format = format)
+    (first, n, accepted.count())
+  }
+
   /** Deterministic corpus shuffle + shard assignment, write-free:
     * training wants corpus order decorrelated from crawl/id order, so the
     * permutation key is md5("shuf:" + id) — deterministic and

@@ -431,6 +431,37 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("appendCuratedAndShard: gated batch survivors land in fresh shards " +
+      "of the existing layout; rejected docs never reach disk") {
+    import org.apache.spark.sql.functions.col
+    graft.ops.StageCache.clear()
+    val corpus = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq(
+        "existing corpus document with plenty of ordinary tokens here",
+        "second existing corpus document with plenty ordinary tokens"))
+    val evalSet = frame("doc_id" -> Seq[Any](9L), "text" -> Seq("zz yy xx"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_acs").toString
+    graft.ops.Packing.writePreSharded(
+      graft.ops.Pipeline.shardAssignment(corpus, 2L), dir,
+      orderCol = "_shufkey", dropCols = Seq("_shufkey"))
+    val batch = frame(
+      "doc_id" -> Seq[Any](10L, 11L, 12L),
+      "text" -> Seq(
+        "a genuinely new incoming document with novel fresh tokens",
+        "existing corpus document with plenty of ordinary tokens here", // dup
+        "spam spam spam spam spam spam spam spam spam spam")) // quality
+    val (first, n, accepted) = graft.ops.Pipeline.appendCuratedAndShard(
+      corpus, batch, evalSet, dir, docsPerShard = 2L)
+    assert(first == 1L && n == 1L && accepted == 1L,
+      s"expected 1 survivor in shard 1, got ($first, $n, $accepted)")
+    val back = spark.read.parquet(dir)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 10L), "layout must hold corpus + the one survivor")
+    assert(back.filter(col("doc_id") === 10L)
+      .select(col("shard").cast("long")).head().getLong(0) == 1L)
+  }
+
   test("Jsonl streaming ingestion: the landing-directory stream delivers " +
       "exactly the batch rows, and a composed quality gate filters the " +
       "stream like the batch form") {
