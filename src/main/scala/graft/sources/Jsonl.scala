@@ -45,10 +45,18 @@ object Jsonl {
 
   /** Read a [[writeJsonlShards]] layout. `schema` lists the corpus
     * columns (line fields); the `shard` partition column is appended by
-    * directory discovery. */
+    * directory discovery.
+    *
+    * `mode` defaults to FAILFAST — Spark's JSON default (PERMISSIVE)
+    * turns a corrupt line into an all-null row SILENTLY, which for
+    * training data means a truncated upload quietly feeds null
+    * documents to the tokenizer. A curation engine fails loudly;
+    * callers that really want salvage-what-parses pass "PERMISSIVE"
+    * explicitly. */
   def readJsonlShards(spark: SparkSession, dir: String,
-      schema: StructType): DataFrame =
-    spark.read.schema(schema.add("shard", LongType)).json(dir)
+      schema: StructType, mode: String = "FAILFAST"): DataFrame =
+    spark.read.schema(schema.add("shard", LongType))
+      .option("mode", mode).json(dir)
 
   /** STREAMING JSONL ingestion — crawlers drop `.jsonl(.gz)` files into
     * a landing directory; Structured Streaming's file source discovers

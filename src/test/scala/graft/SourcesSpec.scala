@@ -383,6 +383,35 @@ class SourcesSpec extends SparkSuite {
     assert(a == b && a.size == 3, "gzip layout diverged from plain layout")
   }
 
+  test("Jsonl corrupt line: FAILFAST default raises on read, PERMISSIVE " +
+      "opt-in salvages the parseable lines") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L),
+      "text" -> Seq("good line one", "good line two"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_jlbad").toString
+    graft.sources.Jsonl.writeJsonlShards(docs, dir, docsPerShard = 10L)
+    // simulate a truncated upload: a torn .json file LANDS in the shard
+    // dir (as from a crawler/object-store upload — no Hadoop .crc
+    // sidecar; mutating a Spark-written part would instead trip the
+    // local filesystem's checksum, a different failure)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "shard=0", "part-upload.json"),
+      "{\"doc_id\": 3, \"tex\n")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    // default: loud failure — a truncated shard must never silently
+    // feed null documents to training
+    intercept[org.apache.spark.SparkException] {
+      graft.sources.Jsonl.readJsonlShards(spark, dir, schema).collect()
+    }
+    // explicit PERMISSIVE: the two intact lines survive
+    val salvaged = graft.sources.Jsonl.readJsonlShards(spark, dir, schema,
+        mode = "PERMISSIVE")
+      .collect().flatMap(r => Option(r.get(1)).map(_ => r.getLong(0)))
+    assert(salvaged.sorted.toSeq == Seq(1L, 2L), s"got ${salvaged.toSeq}")
+  }
+
   test("appendShards: existing shards stay byte-immutable, the batch lands " +
       "in fresh ids past max(existing), read-back is the union (parquet " +
       "and json)") {

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle suite — the bench comparator.
+
+Runs every SQL in <verifyOutDir>/oracle_sql.json sequentially against
+the <sfDir> parquet tables (32 threads, like the driver host) and
+prints total + slowest-N wall seconds. This is the apples-to-apples
+comparator for BENCH_OUT.json's `wall` (Spark runs the same logical
+queries as plans; DuckDB replays the oracle SQL renderings).
+
+Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir> [topN]
+"""
+import json, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, top_n=10):
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    times = {}
+    t0 = time.time()
+    for name in sorted(oracle):
+        q0 = time.time()
+        con.execute(oracle[name]).fetchall()
+        times[name] = time.time() - q0
+    total = time.time() - t0
+    print(f"total {total:.1f} s over {len(times)} queries")
+    for name, s in sorted(times.items(), key=lambda x: -x[1])[:int(top_n)]:
+        print(f"  {name}: {s:.2f} s")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
