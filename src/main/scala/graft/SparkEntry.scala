@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.WindowQueries.defs ++
       graft.queries.MiscQueries.defs ++
       graft.queries.DeepQueries.defs ++
-      graft.queries.ExtensionQueries.defs
+      graft.queries.ExtensionQueries.defs ++
+      graft.queries.AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

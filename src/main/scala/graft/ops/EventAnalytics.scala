@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events table: ordered funnels, cohort
+  * retention, event-transition matrices, rolling active-user counts.
+  * (North-star extension surface; the reference's event consumers — see
+  * medvedi's README usage examples — run exactly these shapes downstream
+  * of its DataFrame ops.)
+  *
+  * All time arithmetic is integer epoch math on the `ts_ns` column
+  * (Tables.events contract) so every query replays bitwise in the DuckDB
+  * oracle — no timezone, DST, or float-precision traps.
+  *
+  * Scale notes (100 TB events):
+  *  - Every operator here shuffles by `user_id` (or by day for
+  *    [[rollingActives]]) exactly once per stage, and every aggregation is
+  *    map-side combinable. Nothing partitions by a low-cardinality key.
+  *  - [[funnel]]'s per-stage frames shrink monotonically (stage k+1 users
+  *    ⊆ stage k users); Catalyst reuses the hash partitioning on user_id
+  *    across the stage joins, so the chain is one exchange of the events
+  *    table plus tiny shrinking per-stage states.
+  */
+object EventAnalytics {
+
+  private def sec: Column = expr(EventWindows.floorDivSql("ts_ns", 1000000000L))
+
+  /** Ordered conversion funnel: for each prefix of `steps`, the number of
+    * users who performed those event types in order (each step strictly
+    * after the previous one; the earliest qualifying occurrence is taken,
+    * the classic "unbounded window, first touch" funnel semantics).
+    *
+    * Returns (step, event_type, n_users, rate_vs_first, rate_vs_prev),
+    * one row per step, ordered; rates are round(·, 6) doubles and 1.0 for
+    * the first step.
+    *
+    * Scale: stage 1 is one map-side-combined min-aggregate of the events
+    * scan; each later stage joins the (user_id, t_prev) state — which only
+    * ever shrinks — against the pre-filtered events of that type. All
+    * joins and aggregates key on user_id: the plan is a chain of
+    * hash-partitioned stages with no skewed or low-cardinality key, and
+    * AQE can broadcast the state side as soon as it fits.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"))
+    // state after step k: (user_id, t) = earliest completion time of the
+    // ordered prefix steps(0..k)
+    val stage1 = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+    val states = steps.tail.scanLeft(stage1) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts_ns") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+    }
+    val counts = states.zipWithIndex.map { case (st, i) =>
+      st.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+    // default frame (unbounded preceding → current row): first() is the
+    // step-1 count on every row, same as the oracle's first_value
+    val wPrev = Window.orderBy(col("step"))
+    counts
+      .withColumn("rate_vs_first",
+        round(col("n_users").cast("double") / first(col("n_users")).over(wPrev), 6))
+      .withColumn("rate_vs_prev",
+        round(col("n_users").cast("double")
+          / coalesce(lag(col("n_users"), 1).over(wPrev), col("n_users")), 6))
+  }
+
+  /** Event-type transition matrix: per user, events ordered by
+    * (ts_ns, event_id) — the id breaks timestamp ties deterministically —
+    * each consecutive pair contributes one (from_type, to_type) count.
+    * Returns (from_type, to_type, n, p) where p = n / Σ n over from_type,
+    * round 6.
+    *
+    * Scale: one window sort partitioned by user_id (cardinality = users,
+    * no funnel key), then a map-side-combinable count over ≤ |types|²
+    * groups; the probability normalization joins the tiny per-from totals
+    * back broadcast-style. Per-user event counts bound the sort buffer —
+    * for power users beyond memory, sessionize first (EventWindows
+    * .sessions) and feed sessions through the same shape.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("p"))
+  }
+
+  /** Weekly cohort retention: cohort = floor(first event / period); for
+    * every (cohort, offset) cell, the distinct users of that cohort active
+    * `offset` periods after their cohort period. Returns (cohort_start,
+    * offset, n_active, cohort_size, retention) with retention round 6;
+    * offset 0 is the cohort size itself by construction.
+    *
+    * Scale: two shuffles — the per-user first-event min (map-side
+    * combined) and the distinct over (cohort, offset, user). The join
+    * bringing each event its user's cohort keys on user_id (hash, high
+    * cardinality); cohort sizes re-derive from the offset-0 cells, so no
+    * extra pass.
+    */
+  def retentionCohorts(events: DataFrame, periodSec: Long = 7L * 86400): DataFrame = {
+    val period = events
+      .select(col("user_id"), (sec - pmod(sec, lit(periodSec))).as("p"))
+    val firsts = period.groupBy(col("user_id")).agg(min(col("p")).as("cohort_start"))
+    val cells = period.join(firsts, "user_id")
+      .select(col("cohort_start"),
+        ((col("p") - col("cohort_start")) / periodSec).cast("long").as("offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_start"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter(col("offset") === 0)
+      .select(col("cohort_start"), col("n_active").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_start")
+      .select(col("cohort_start"), col("offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
+  }
+
+  /** Daily + trailing-window active users: for every day with any
+    * activity, (day, dau, wau) where day = epoch days, dau = distinct
+    * users that day, wau = distinct users over [day − windowDays + 1,
+    * day]. Returns only days present in the data (a day grid join would
+    * add empty days; at pipeline scale the consumer left-joins its own
+    * calendar dimension).
+    *
+    * Scale: the trailing count explodes each (day, user) — already
+    * reduced to distinct per day, NOT each raw event — into `windowDays`
+    * trailing day slots, then distinct-counts per day: a bounded
+    * windowDays× blowup of the small per-day-distinct frame, all
+    * map-side; no self-join of the events table and no per-day window
+    * funnel.
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val dayUser = events.select(day.as("day"), col("user_id")).distinct()
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val slots = dayUser
+      .select(explode(sequence(col("day"),
+        col("day") + lit(windowDays.toLong - 1))).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(slots, "day").select(col("day"), col("dau"), col("wau"))
+  }
+}

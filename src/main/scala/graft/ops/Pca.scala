@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix statistics: exact covariance + top principal component
+  * (power iteration), for auditing embedding spaces before clustering /
+  * ANN bucketing (north-star extension; complements Similarity's
+  * centroid/outlier surface).
+  *
+  * Everything is computed in FIXED-POINT integer arithmetic (components
+  * quantized to floor(x·10^6), sums exact in BIGINT/DECIMAL(38,0)) so the
+  * result is order-independent and bitwise identical to the DuckDB oracle
+  * — the same convention as Similarity.kmeansCentroids.
+  *
+  * Scale shape (100 TB of embeddings, dimension d):
+  *  - [[covariance]] is ONE map-only expansion of each row into its d²
+  *    outer-product cells followed by a map-side-combined sum over d²
+  *    groups — no self-join of the embedding table, no shuffle of row
+  *    data; the only exchange carries ≤ d²·partitions partial sums.
+  *  - [[topComponent]] collects the d² rounded covariance cells to the
+  *    driver (d ≤ ~2000 → ≤ a few MB — the matrix is small BY
+  *    CONSTRUCTION once the distributed pass has reduced n rows to d²
+  *    cells) and runs the d×d power iteration there, exactly like
+  *    Bpe.learnMerges runs its inherently-sequential argmax driver-side.
+  */
+object Pca {
+
+  /** Scale of the fixed-point quantization (6 decimal digits). */
+  val Scale = 1000000L
+
+  /** Per-cell quantized moments: (i, j, sij DECIMAL, mi, mj DECIMAL, n).
+    * sij = Σ qᵢ·qⱼ, mi = Σ qᵢ with q = floor(x·10^6) — the exact integer
+    * sufficient statistics of the covariance matrix. */
+  private def moments(emb: DataFrame, vecCol: String): DataFrame = {
+    val q = emb.select(
+      expr(s"transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))").as("q"))
+    // map-only outer product: one row → d² (i, j, qi·qj) cells. |q|≤~10^7
+    // keeps the per-cell product ≤ 10^14 (exact in BIGINT); the sums go
+    // through DECIMAL(38,0) so no row count can overflow them.
+    val cells = q.select(explode(expr(
+      "flatten(transform(q, (x, i) -> transform(q, (y, j) -> " +
+        "struct(i AS i, j AS j, x * y AS p, x AS qi, y AS qj))))")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"), col("c.qj"))
+    cells.groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sij"),
+        sum(col("qi").cast("decimal(38,0)")).as("mi"),
+        sum(col("qj").cast("decimal(38,0)")).as("mj"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Sample covariance matrix of the embedding column, as (i, j, cov)
+    * rows with cov = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n·(n−1)·10^12), round 6.
+    * The numerator is exact integer; only the final division is floating.
+    */
+  def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    moments(emb, vecCol).select(col("i").cast("long").as("i"),
+      col("j").cast("long").as("j"),
+      // + 0.0 normalizes a rounded −0.0 to +0.0 (both engines), so the
+      // near-zero off-diagonal cells compare bitwise
+      (round((col("n") * col("sij") - col("mi") * col("mj")).cast("double")
+        / (col("n").cast("double") * (col("n") - 1).cast("double") * 1e12), 6)
+        + 0.0).as("cov"))
+
+  /** Top principal component by `iters` fixed-point power iterations over
+    * the quantized covariance (cInt = round(cov·10^6) BIGINT; v₀ = all
+    * ones; each step y = cInt·w exactly in integers, then re-quantized to
+    * w' = floor(y/max|y|·10^6)). Returns one row per dimension:
+    * (pos, loading, eigenvalue, var_ratio) where loading is the
+    * L2-normalized eigenvector component, eigenvalue the Rayleigh
+    * quotient wᵀCw/wᵀw and var_ratio = eigenvalue/trace(C) — all round 6.
+    *
+    * Every floating-point step (the one division per iteration, the final
+    * sqrt/divisions) runs on exactly-representable integer inputs in an
+    * identical operation order in the SQL oracle, so the output is
+    * engine-bitwise-stable.
+    */
+  def topComponent(emb: DataFrame, iters: Int = 6,
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val covRows = covariance(emb, vecCol).collect()
+    val d = covRows.map(_.getLong(0)).max.toInt + 1
+    val c = Array.ofDim[Long](d, d) // round(cov·10^6): |cov| small, fits easily
+    covRows.foreach { r =>
+      c(r.getLong(0).toInt)(r.getLong(1).toInt) = Math.round(r.getDouble(2) * 1e6)
+    }
+    var w = Array.fill[Long](d)(Scale)
+    for (_ <- 1 to iters) {
+      // y_i = Σ_j c_ij·w_j: |c|≤~10^8, |w|≤10^6, d terms → exact in Long
+      val y = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * w(j)).sum)
+      val m = y.map(Math.abs).max
+      w = y.map(v => Math.floor(v.toDouble / m.toDouble * 1e6).toLong)
+    }
+    val nsq = w.map(v => v * v).sum // ≤ d·10^12
+    val norm = Math.sqrt(nsq.toDouble)
+    // Rayleigh numerator Σ w_i·c_ij·w_j can pass 2^63 — BigInt, like the
+    // DECIMAL(38,0)/HUGEINT sums on the engine sides
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(w(i) * c(i)(j)) * w(j)).sum
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    val eig = sround(num.toDouble / nsq.toDouble / 1e6)
+    val ratio = sround(num.toDouble / nsq.toDouble / tr.toDouble)
+    spark.createDataFrame(
+      (0 until d).map(i => (i.toLong, sround(w(i).toDouble / norm), eig, ratio)))
+      .toDF("pos", "loading", "eigenvalue", "var_ratio")
+  }
+
+  /** HALF_UP round to 6 decimals — the same rule as SQL round(x, 6). */
+  private def sround(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{EventAnalytics, Pca}
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
+  * transition matrices, cohort retention, rolling actives over the events
+  * table; exact covariance + power-iteration PCA over the embeddings
+  * table. Oracle parity: integer epoch arithmetic (epoch_ns on the DuckDB
+  * side ↔ ts_ns on the Spark side) and fixed-point quantized linear
+  * algebra (see ops/Pca.scala).
+  */
+object AnalyticsQueries {
+
+  /** The funnel step list shared by the query and its oracle. */
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** DuckDB replay of EventAnalytics.funnel(FunnelSteps): one chained
+    * min-after-previous CTE per step, then the window-rate epilogue. */
+  private def funnelSql(steps: Seq[String]): String = {
+    val stages = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, MIN(tns) AS t FROM e
+           |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, MIN(e.tns) AS t FROM e
+           |  JOIN s$i ON e.user_id = s$i.user_id AND e.tns > s$i.t
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type, COUNT(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+       |$stages,
+       |counts AS ($counts)
+       |SELECT step, event_type, n_users,
+       |  round(CAST(n_users AS DOUBLE)
+       |    / first_value(n_users) OVER (ORDER BY step), 6) AS rate_vs_first,
+       |  round(CAST(n_users AS DOUBLE)
+       |    / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6) AS rate_vs_prev
+       |FROM counts ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB replay of Pca.covariance: the quantized-moment CTE chain,
+    * reused (via prefix-free CTE names) by the x119 power iteration. */
+  private def covCtes: String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i,
+       |    CAST(floor(unnest(e) * 1000000.0) AS BIGINT) AS q FROM v),
+       |mo AS (SELECT a.i AS i, b.i AS j,
+       |    SUM(a.q::HUGEINT * b.q) AS sij,
+       |    SUM(a.q::HUGEINT) AS mi, SUM(b.q::HUGEINT) AS mj, COUNT(*) AS n
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |    round(CAST(n * sij - mi * mj AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12), 6) + 0.0 AS cov
+       |  FROM mo)""".stripMargin
+
+  /** DuckDB replay of Pca.topComponent(iters): quantize the covariance,
+    * unroll `iters` exact-integer mat-vec + re-quantize steps, then the
+    * Rayleigh/normalization epilogue — identical op order to the Scala
+    * fixed-point loop. */
+  private def pcaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""y$k AS (SELECT c.i, SUM(c.c * w.w) AS y
+         |  FROM cint c JOIN w${k - 1} w ON w.j = c.j GROUP BY c.i),
+         |m$k AS (SELECT MAX(abs(y)) AS m FROM y$k),
+         |w$k AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+         |    * 1000000.0) AS BIGINT) AS w FROM y$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covCtes,
+       |cint AS (SELECT i, j, CAST(round(cov * 1000000.0) AS BIGINT) AS c FROM cov),
+       |w0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS w FROM cint),
+       |$steps,
+       |nsq AS (SELECT SUM(w::HUGEINT * w) AS nsq FROM w$iters),
+       |ray AS (SELECT SUM((wa.w * c.c)::HUGEINT * wb.w) AS num
+       |  FROM cint c JOIN w$iters wa ON wa.j = c.i JOIN w$iters wb ON wb.j = c.j),
+       |tr AS (SELECT SUM(c) AS tr FROM cint WHERE i = j)
+       |SELECT w.j AS pos,
+       |  round(CAST(w.w AS DOUBLE) / sqrt(CAST(nsq.nsq AS DOUBLE)), 6) + 0.0 AS loading,
+       |  round(CAST(ray.num AS DOUBLE) / CAST(nsq.nsq AS DOUBLE) / 1000000.0, 6)
+       |    AS eigenvalue,
+       |  round(CAST(ray.num AS DOUBLE) / CAST(nsq.nsq AS DOUBLE)
+       |    / CAST(tr.tr AS DOUBLE), 6) AS var_ratio
+       |FROM w$iters w, nsq, ray, tr ORDER BY pos""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- x114: ordered conversion funnel ----------------------------------
+    // First-touch funnel over strictly-increasing event times; the oracle
+    // replays the chained min-after-previous joins stage by stage.
+    QueryDef(
+      "x114_event_funnel",
+      (s, dir) =>
+        EventAnalytics.funnel(Tables.events(s, dir), FunnelSteps)
+          .orderBy(col("step")),
+      Some(funnelSql(FunnelSteps))),
+
+    // ---- x115: event-type transition matrix -------------------------------
+    QueryDef(
+      "x115_event_transitions",
+      (s, dir) =>
+        EventAnalytics.transitionMatrix(Tables.events(s, dir))
+          .orderBy(col("from_type"), col("to_type")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns, event_id
+             |  FROM events),
+             |p AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS to_type FROM e),
+             |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+             |SELECT c.from_type, c.to_type, c.n,
+             |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- x116: weekly cohort retention ------------------------------------
+    QueryDef(
+      "x116_retention_cohorts",
+      (s, dir) =>
+        EventAnalytics.retentionCohorts(Tables.events(s, dir))
+          .orderBy(col("cohort_start"), col("offset")),
+      Some("""WITH p AS (SELECT user_id,
+             |    sec - (((sec % 604800) + 604800) % 604800) AS p
+             |  FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+             |        FROM events) e),
+             |f AS (SELECT user_id, MIN(p) AS cohort_start FROM p GROUP BY user_id),
+             |cells AS (SELECT cohort_start,
+             |    CAST((p.p - f.cohort_start) / 604800 AS BIGINT) AS "offset",
+             |    COUNT(DISTINCT p.user_id) AS n_active
+             |  FROM p JOIN f ON p.user_id = f.user_id GROUP BY 1, 2),
+             |sizes AS (SELECT cohort_start, n_active AS cohort_size FROM cells
+             |  WHERE "offset" = 0)
+             |SELECT c.cohort_start, c."offset", c.n_active, s.cohort_size,
+             |  round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+             |FROM cells c JOIN sizes s USING (cohort_start)
+             |ORDER BY cohort_start, "offset"""".stripMargin)),
+
+    // ---- x117: daily + trailing-7-day active users ------------------------
+    QueryDef(
+      "x117_rolling_actives",
+      (s, dir) =>
+        EventAnalytics.rollingActives(Tables.events(s, dir), windowDays = 7)
+          .orderBy(col("day")),
+      Some("""WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+             |    user_id FROM events),
+             |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+             |slots AS (SELECT DISTINCT d.day + o.off AS day, d.user_id FROM du d
+             |  CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o),
+             |wau AS (SELECT day, COUNT(*) AS wau FROM slots GROUP BY 1)
+             |SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
+    // ---- x118: exact embedding covariance matrix --------------------------
+    // One map-only outer-product expansion + d²-group sum; exact integer
+    // numerator, single rounded division (see ops/Pca.scala).
+    QueryDef(
+      "x118_embedding_covariance",
+      (s, dir) =>
+        Pca.covariance(Tables.embeddings(s, dir))
+          .orderBy(col("i"), col("j")),
+      Some(s"WITH $covCtes\nSELECT i, j, cov FROM cov ORDER BY i, j")),
+
+    // ---- x119: top principal component (fixed-point power iteration) ------
+    QueryDef(
+      "x119_pca_power",
+      (s, dir) =>
+        Pca.topComponent(Tables.embeddings(s, dir), iters = 6)
+          .orderBy(col("pos")),
+      Some(pcaSql(iters = 6))),
+  )
+}

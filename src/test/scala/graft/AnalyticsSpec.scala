@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.{EventAnalytics, Pca}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the behavioral-analytics + embedding-
+  * statistics surface (x114-x119).
+  */
+class AnalyticsSpec extends SparkSuite {
+
+  private def sec(n: Long): Long = n * 1000000000L
+
+  // user 1: full ordered funnel; user 2 skips 'view'; user 3 views BEFORE
+  // signup (and never after) so stops at stage 1; user 4 has view at the
+  // SAME instant as signup — strict ordering must reject it.
+  private def funnelEvents = frame(
+    "user_id" -> Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L),
+    "event_type" -> Seq("signup", "view", "click", "purchase",
+      "signup", "click", "view", "signup", "signup", "view"),
+    "ts_ns" -> Seq(sec(10), sec(20), sec(30), sec(40),
+      sec(10), sec(30), sec(5), sec(10), sec(10), sec(10)),
+    "event_id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+
+  test("funnel: ordered, strict, first-touch") {
+    val out = EventAnalytics.funnel(funnelEvents,
+      Seq("signup", "view", "click", "purchase")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(4L, 1L, 1L, 1L)) // n_users
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("signup", "view", "click", "purchase"))
+    assert(out(0).getDouble(3) === 1.0) // rate_vs_first of step 1
+    assert(out(1).getDouble(3) === 0.25)
+    assert(out(1).getDouble(4) === 0.25) // vs prev
+    assert(out(2).getDouble(4) === 1.0) // click after view: 1/1
+  }
+
+  test("funnel: single step degenerates to per-type user count") {
+    val out = EventAnalytics.funnel(funnelEvents, Seq("view")).collect()
+    assert(out.length === 1 && out(0).getLong(2) === 3L)
+    assert(out(0).getDouble(3) === 1.0 && out(0).getDouble(4) === 1.0)
+  }
+
+  test("transitionMatrix: counts, probabilities, tie broken by event_id") {
+    // user 1 at identical ts: a(id=1) -> b(id=2) -> ordered by event_id
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 2L, 2L),
+      "event_type" -> Seq("a", "b", "a", "a", "b"),
+      "ts_ns" -> Seq(sec(1), sec(1), sec(2), sec(1), sec(2)),
+      "event_id" -> Seq(1L, 2L, 3L, 4L, 5L))
+    val m = EventAnalytics.transitionMatrix(ev)
+      .orderBy("from_type", "to_type").collect()
+    // pairs: u1 a->b (tie), b->a; u2 a->b  => a->b:2, b->a:1
+    assert(m.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("a", "b", 2L), ("b", "a", 1L)))
+    assert(m(0).getDouble(3) === 1.0 && m(1).getDouble(3) === 1.0)
+  }
+
+  test("retentionCohorts: offsets and rates") {
+    val week = 604800L
+    // users 1,2 first in week 0; user 1 returns week 1 and 3; user 2 never
+    val ev = frame(
+      "user_id" -> Seq(1L, 2L, 1L, 1L),
+      "ts_ns" -> Seq(sec(10), sec(20), sec(week + 5), sec(3 * week + 5)))
+    val out = EventAnalytics.retentionCohorts(ev, week)
+      .orderBy("offset").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L), (1L, 1L), (3L, 1L)))
+    assert(out.forall(_.getLong(3) === 2L)) // cohort_size
+    assert(out.map(_.getDouble(4)).toSeq === Seq(1.0, 0.5, 0.5))
+  }
+
+  test("rollingActives: dau vs trailing-7-day wau") {
+    val day = 86400L
+    // user 1 active day 0 and day 8; user 2 active day 6
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L),
+      "ts_ns" -> Seq(sec(10), sec(8 * day + 10), sec(6 * day + 10)))
+    val out = EventAnalytics.rollingActives(ev, 7)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // day 0: dau 1, wau {u1}; day 6: dau 1, wau {u1 (day0 in window), u2};
+    // day 8: dau 1, wau {u2 (day6), u1 (day8)}
+    assert(out === Seq((0L, 1L, 1L), (6L, 1L, 2L), (8L, 1L, 2L)))
+  }
+
+  test("covariance: exact on a hand matrix") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 4.0)), (3L, Seq(3.0, 6.0)))
+      .toDF("vec_id", "embedding")
+    val cov = Pca.covariance(emb).orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cov === Seq((0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 0L, 2.0), (1L, 1L, 4.0)))
+  }
+
+  test("topComponent: rank-1 matrix recovers the exact eigenpair") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 4.0)), (3L, Seq(3.0, 6.0)))
+      .toDF("vec_id", "embedding")
+    val out = Pca.topComponent(emb, iters = 6).orderBy("pos").collect()
+    // C = [[1,2],[2,4]]: eigenvalues {0, 5}, top eigvec (1,2)/sqrt(5)
+    assert(out.map(_.getDouble(1)).toSeq === Seq(0.447214, 0.894427))
+    assert(out.forall(_.getDouble(2) === 5.0))
+    assert(out.forall(_.getDouble(3) === 1.0))
+  }
+
+  test("topComponent: eigenvalue dominates every coordinate variance") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Pca.topComponent(emb, iters = 6).collect()
+    val eig = out.head.getDouble(2)
+    val diag = Pca.covariance(emb).filter(col("i") === col("j"))
+      .agg(max(col("cov"))).head.getDouble(0)
+    assert(eig >= diag - 1e-3, s"eig $eig < max coordinate variance $diag")
+    // loadings are L2-normalized (within quantization)
+    val nrm = out.map(r => r.getDouble(1) * r.getDouble(1)).sum
+    assert(math.abs(nrm - 1.0) < 1e-4)
+    val ratio = out.head.getDouble(3)
+    assert(ratio > 0.0 && ratio <= 1.0)
+  }
+}
