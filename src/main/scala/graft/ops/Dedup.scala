@@ -1178,4 +1178,39 @@ object Dedup {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col(idCol), hash.as("simhash"))
   }
+
+  /** Edit-distance-verified near-duplicate pairs: LSH candidate pairs
+    * (the x03 banding) re-checked with a character-level Levenshtein
+    * distance over each document's first `capChars` characters, kept when
+    * 10·dist ≤ `maxDistPct`·max(len_a, len_b) — an integer comparison, so
+    * no float threshold ambiguity. Returns (id_a, id_b, dist, len_a,
+    * len_b).
+    *
+    * The cap bounds the O(len²) DP per pair — the standard trade on web
+    * corpora, where near-dups diverge in boilerplate head/tail but the
+    * capped prefix still separates template-sharing pairs (small edit
+    * distance) from topic-sharing ones. `maxDistPct` is tenths-of-percent
+    * of the longer capped length, e.g. 3 → dist ≤ 30 % of max(len).
+    *
+    * Scale: candidates are the banded self-join (uniform md5 keys); the
+    * verify is a map-only pass after two hash joins re-attaching the
+    * capped texts by doc id. CPU is capChars² per candidate pair —
+    * Spark's codegen'd Levenshtein on UTF8String, no UDF.
+    */
+  def editDistancePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxDistPct: Int, capChars: Int = 400, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDistPct >= 0 && maxDistPct <= 10, "maxDistPct is in [0, 10]")
+    val cand = lshCandidatePairs(docs, bands, rowsPerBand, textCol, idCol)
+    val capped = docs.select(col(idCol),
+      substring(col(textCol), 1, capChars).as("_s"))
+    cand
+      .join(capped.select(col(idCol).as("id_a"), col("_s").as("_sa")), "id_a")
+      .join(capped.select(col(idCol).as("id_b"), col("_s").as("_sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_sa"), col("_sb")).cast("long").as("dist"),
+        length(col("_sa")).cast("long").as("len_a"),
+        length(col("_sb")).cast("long").as("len_b"))
+      .filter(col("dist") * 10 <= greatest(col("len_a"), col("len_b")) * maxDistPct)
+  }
 }

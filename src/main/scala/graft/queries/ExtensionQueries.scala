@@ -3617,6 +3617,30 @@ object ExtensionQueries {
               |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
               |  CAST(SUM(${TextAnalysis.hexToIntSql("md5(text)", 8)}) AS BIGINT)
               |    AS content_digest
-              |FROM ord GROUP BY 1 ORDER BY shard""".stripMargin))
+              |FROM ord GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ---- x120: edit-distance-verified near-dup pairs ----------------------
+    // The LSH candidates re-checked with capped character-level
+    // Levenshtein (integer threshold: 10·dist ≤ 3·max(len)); splits
+    // template-sharing near-dups from mere shingle-overlap pairs. Both
+    // engines run their native codegen'd Levenshtein on the same capped
+    // prefixes.
+    QueryDef(
+      "x120_edit_neardup",
+      (s, dir) =>
+        Dedup.editDistancePairs(Tables.documents(s, dir), bands = 2,
+            rowsPerBand = 4, maxDistPct = 3, capChars = 400)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $lshPairsCtes,
+              |t AS (SELECT doc_id, substr(text, 1, 400) AS s FROM documents),
+              |j AS (SELECT p.id_a, p.id_b,
+              |    CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+              |    CAST(length(a.s) AS BIGINT) AS len_a,
+              |    CAST(length(b.s) AS BIGINT) AS len_b
+              |  FROM pairs p JOIN t a ON a.doc_id = p.id_a
+              |  JOIN t b ON b.doc_id = p.id_b)
+              |SELECT id_a, id_b, dist, len_a, len_b FROM j
+              |WHERE dist * 10 <= greatest(len_a, len_b) * 3
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -40,6 +40,33 @@ class ExtensionSpec extends SparkSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("editDistancePairs keeps low-edit candidates, drops high-edit ones " +
+      "(x120)") {
+    // docs 1/2: identical text -> band collision, dist 0, kept. docs 3/4:
+    // single-token repetition gives BOTH the same one-element shingle set
+    // {"a a a a a"} -> identical signatures, guaranteed collision — but
+    // the strings differ by 30 chars of 39 (77 % > 30 %), so the verify
+    // pass must drop the pair.
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq[Any]("the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "a a a a a",
+        ("a " * 19) + "a"))
+    val out = Dedup.editDistancePairs(docs, bands = 2, rowsPerBand = 4,
+        maxDistPct = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 2L, 0L)))
+    // ...and the dropped pair WAS a candidate (the verify did the work)
+    val cand = Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((3L, 4L)))
+    // the cap bounds the DP: capChars=4 truncates every string to <= 4
+    val capped = Dedup.editDistancePairs(docs, bands = 2, rowsPerBand = 4,
+        maxDistPct = 10, capChars = 4).collect()
+    assert(capped.forall(r => r.getLong(3) <= 4 && r.getLong(4) <= 4))
+  }
+
   test("shingled minhash pairs near-dups differing by one token") {
     val near = frame(
       "doc_id" -> Seq[Any](1L, 2L, 3L),
