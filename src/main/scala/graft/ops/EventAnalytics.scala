@@ -144,12 +144,17 @@ object EventAnalytics {
     * trailing day slots, then distinct-counts per day: a bounded
     * windowDays× blowup of the small per-day-distinct frame, all
     * map-side; no self-join of the events table and no per-day window
-    * funnel.
+    * funnel. The (day, user) distinct — the one events-scale pass — is
+    * MATERIALIZED before fan-out: its two consumers (dau and the slot
+    * explode) get different pushed-down filters, so Spark's exchange
+    * reuse cannot collapse them and an unmaterialized frame would scan
+    * and shuffle the events table twice (PlanSpec pins one scan).
     */
   def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
     val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
-    val dayUser = events.select(day.as("day"), col("user_id")).distinct()
+    val dayUser = Checkpoints.materialize(
+      events.select(day.as("day"), col("user_id")).distinct())
     val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val slots = dayUser
       .select(explode(sequence(col("day"),

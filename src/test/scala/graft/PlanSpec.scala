@@ -120,6 +120,37 @@ class PlanSpec extends SparkSuite {
       "corpus side should read the materialized checkpoint:\n" + plan.take(3000))
   }
 
+  test("embedding covariance is ONE map-side-combined aggregation: a " +
+      "single exchange, no join, no second embeddings scan (x118)") {
+    // the d² outer-product cells come from a map-only flatten/explode of
+    // each row — a self-join formulation would shuffle the embedding
+    // table; this guard fails if the op ever regresses to one
+    val plan = graft.ops.Pca.covariance(Tables.embeddings(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "covariance should shuffle exactly once (the d²-group agg):\n" +
+        plan.take(3000))
+    assert(!plan.contains("Join"), "covariance must not plan a join:\n" +
+      plan.take(3000))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one embeddings scan, found $scans")
+  }
+
+  test("rollingActives materializes the per-day distinct: the final plan " +
+      "scans the events table ZERO times (x117)") {
+    // dau and the trailing-slot explode consume the same (day, user)
+    // distinct but acquire different pushed-down filters, so exchange
+    // reuse can't collapse them — without the materialize boundary the
+    // events scan+distinct-shuffle would run twice
+    val plan = graft.ops.EventAnalytics
+      .rollingActives(Tables.events(spark, dir))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected zero event scans after the materialize, found $scans:\n" +
+        plan.take(3000))
+  }
+
   test("ingest gates (verified text, semantic embedding) plan hash " +
       "anti-joins — residual conditions must not degrade the join to a " +
       "nested loop") {
