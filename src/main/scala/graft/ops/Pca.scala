@@ -31,8 +31,16 @@ object Pca {
 
   /** Per-cell quantized moments: (i, j, sij DECIMAL, mi, mj DECIMAL, n).
     * sij = Σ qᵢ·qⱼ, mi = Σ qᵢ with q = floor(x·10^6) — the exact integer
-    * sufficient statistics of the covariance matrix. */
-  private def moments(emb: DataFrame, vecCol: String): DataFrame = {
+    * sufficient statistics of the covariance matrix.
+    *
+    * Mergeable by construction: every field is a plain sum/count, so the
+    * moments of corpus A ∪ B are the cell-wise sums of A's and B's
+    * moments ([[mergeMoments]]) — the incremental path when a daily batch
+    * lands: compute moments of the delta only, merge with the stored
+    * frame, re-derive the covariance ([[covarianceFromMoments]]). The
+    * x121 oracle pins merged == monolithic bitwise.
+    */
+  def moments(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val q = emb.select(
       expr(s"transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))").as("q"))
     // map-only outer product: one row → d² (i, j, qi·qj) cells. |q|≤~10^7
@@ -54,7 +62,25 @@ object Pca {
     * The numerator is exact integer; only the final division is floating.
     */
   def covariance(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
-    moments(emb, vecCol).select(col("i").cast("long").as("i"),
+    covarianceFromMoments(moments(emb, vecCol))
+
+  /** Cell-wise sum of two (or more) moment frames — the union's exact
+    * moments, because every field is a sum. Scale: the frames are d²
+    * rows; this is a tiny co-grouped aggregation, never an embedding
+    * pass. */
+  def mergeMoments(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "mergeMoments needs at least one frame")
+    frames.reduce(_.unionByName(_)).groupBy(col("i"), col("j"))
+      .agg(sum(col("sij")).cast("decimal(38,0)").as("sij"),
+        sum(col("mi")).cast("decimal(38,0)").as("mi"),
+        sum(col("mj")).cast("decimal(38,0)").as("mj"),
+        sum(col("n")).as("n"))
+  }
+
+  /** The covariance projection over a moments frame (exact integer
+    * numerator, one rounded division). */
+  def covarianceFromMoments(m: DataFrame): DataFrame =
+    m.select(col("i").cast("long").as("i"),
       col("j").cast("long").as("j"),
       // + 0.0 normalizes a rounded −0.0 to +0.0 (both engines), so the
       // near-zero off-diagonal cells compare bitwise
@@ -77,9 +103,30 @@ object Pca {
     */
   def topComponent(emb: DataFrame, iters: Int = 6,
       vecCol: String = "embedding"): DataFrame = {
-    require(iters >= 1, s"need iters >= 1, got $iters")
     val spark = emb.sparkSession
     import spark.implicits._
+    val (w, c, d) = topVector(emb, iters, vecCol)
+    val nsq = w.map(v => v * v).sum // ≤ d·10^12
+    val norm = Math.sqrt(nsq.toDouble)
+    // Rayleigh numerator Σ w_i·c_ij·w_j can pass 2^63 — BigInt, like the
+    // DECIMAL(38,0)/HUGEINT sums on the engine sides
+    val num = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(w(i) * c(i)(j)) * w(j)).sum
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    val eig = sround(num.toDouble / nsq.toDouble / 1e6)
+    val ratio = sround(num.toDouble / nsq.toDouble / tr.toDouble)
+    spark.createDataFrame(
+      (0 until d).map(i => (i.toLong, sround(w(i).toDouble / norm), eig, ratio)))
+      .toDF("pos", "loading", "eigenvalue", "var_ratio")
+  }
+
+  /** The fixed-point power-iteration loop itself: returns (w, cInt, d)
+    * where w is the max-abs-normalized integer eigenvector (scale 10^6)
+    * and cInt the quantized covariance — the reusable core shared by
+    * [[topComponent]] and [[projectionByGroup]]. */
+  private def topVector(emb: DataFrame, iters: Int,
+      vecCol: String): (Array[Long], Array[Array[Long]], Int) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
     val covRows = covariance(emb, vecCol).collect()
     val d = covRows.map(_.getLong(0)).max.toInt + 1
     val c = Array.ofDim[Long](d, d) // round(cov·10^6): |cov| small, fits easily
@@ -93,18 +140,45 @@ object Pca {
       val m = y.map(Math.abs).max
       w = y.map(v => Math.floor(v.toDouble / m.toDouble * 1e6).toLong)
     }
-    val nsq = w.map(v => v * v).sum // ≤ d·10^12
-    val norm = Math.sqrt(nsq.toDouble)
-    // Rayleigh numerator Σ w_i·c_ij·w_j can pass 2^63 — BigInt, like the
-    // DECIMAL(38,0)/HUGEINT sums on the engine sides
-    val num = (for (i <- 0 until d; j <- 0 until d)
-      yield BigInt(w(i) * c(i)(j)) * w(j)).sum
-    val tr = (0 until d).map(i => c(i)(i)).sum
-    val eig = sround(num.toDouble / nsq.toDouble / 1e6)
-    val ratio = sround(num.toDouble / nsq.toDouble / tr.toDouble)
-    spark.createDataFrame(
-      (0 until d).map(i => (i.toLong, sround(w(i).toDouble / norm), eig, ratio)))
-      .toDF("pos", "loading", "eigenvalue", "var_ratio")
+    (w, c, d)
+  }
+
+  /** Per-group distribution of the projection onto the top principal
+    * component: (group, n, mean_proj, min_proj, max_proj), round 6 — the
+    * "does the leading variance direction separate my labels / sources?"
+    * audit, run before trusting cluster-balanced splits.
+    *
+    * The per-row score is the exact integer dot product Σ qᵢ·wᵢ
+    * (zip_with + aggregate — codegen'd, no UDF), normalized once by
+    * 10^6·‖w‖; group stats aggregate the integer scores exactly
+    * (DECIMAL sums, min/max) before the single rounded division.
+    *
+    * Scale: the power iteration collects only the d² covariance cells;
+    * the scoring pass is map-only over the embeddings (w ships as a
+    * literal array in the plan) into a map-side-combined per-group
+    * aggregate — two embedding passes total, no join, no shuffle of
+    * vector data.
+    */
+  def projectionByGroup(emb: DataFrame, iters: Int = 6,
+      groupCol: String = "label", vecCol: String = "embedding"): DataFrame = {
+    val (w, _, _) = topVector(emb, iters, vecCol)
+    val norm = Math.sqrt(w.map(v => v * v).sum.toDouble)
+    val wCol = array(w.map(lit(_)): _*)
+    val scored = emb.select(col(groupCol),
+      aggregate(
+        zip_with(
+          expr(s"transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))"),
+          wCol, (q, wv) => q * wv),
+        lit(0L), (acc, x) => acc + x).as("s"))
+    scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(38,0)")).as("_sum"),
+        min(col("s")).as("_min"), max(col("s")).as("_max"))
+      .select(col(groupCol), col("n"),
+        (round(col("_sum").cast("double") / col("n").cast("double")
+          / 1e6 / norm, 6) + 0.0).as("mean_proj"),
+        (round(col("_min").cast("double") / 1e6 / norm, 6) + 0.0).as("min_proj"),
+        (round(col("_max").cast("double") / 1e6 / norm, 6) + 0.0).as("max_proj"))
   }
 
   /** HALF_UP round to 6 decimals — the same rule as SQL round(x, 6). */

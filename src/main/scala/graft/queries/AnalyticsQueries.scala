@@ -57,11 +57,11 @@ object AnalyticsQueries {
        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e12), 6) + 0.0 AS cov
        |  FROM mo)""".stripMargin
 
-  /** DuckDB replay of Pca.topComponent(iters): quantize the covariance,
-    * unroll `iters` exact-integer mat-vec + re-quantize steps, then the
-    * Rayleigh/normalization epilogue — identical op order to the Scala
-    * fixed-point loop. */
-  private def pcaSql(iters: Int): String = {
+  /** The shared power-iteration CTE chain: quantize the covariance,
+    * unroll `iters` exact-integer mat-vec + re-quantize steps, ending in
+    * `w$iters(j, w)` and `nsq` — identical op order to the Scala
+    * fixed-point loop in Pca.topVector. */
+  private def powerCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""y$k AS (SELECT c.i, SUM(c.c * w.w) AS y
          |  FROM cint c JOIN w${k - 1} w ON w.j = c.j GROUP BY c.i),
@@ -69,11 +69,17 @@ object AnalyticsQueries {
          |w$k AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
          |    * 1000000.0) AS BIGINT) AS w FROM y$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $covCtes,
+    s"""$covCtes,
        |cint AS (SELECT i, j, CAST(round(cov * 1000000.0) AS BIGINT) AS c FROM cov),
        |w0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS w FROM cint),
        |$steps,
-       |nsq AS (SELECT SUM(w::HUGEINT * w) AS nsq FROM w$iters),
+       |nsq AS (SELECT SUM(w::HUGEINT * w) AS nsq FROM w$iters)""".stripMargin
+  }
+
+  /** DuckDB replay of Pca.topComponent(iters): the power chain plus the
+    * Rayleigh/normalization epilogue. */
+  private def pcaSql(iters: Int): String =
+    s"""WITH ${powerCtes(iters)},
        |ray AS (SELECT SUM((wa.w * c.c)::HUGEINT * wb.w) AS num
        |  FROM cint c JOIN w$iters wa ON wa.j = c.i JOIN w$iters wb ON wb.j = c.j),
        |tr AS (SELECT SUM(c) AS tr FROM cint WHERE i = j)
@@ -84,7 +90,24 @@ object AnalyticsQueries {
        |  round(CAST(ray.num AS DOUBLE) / CAST(nsq.nsq AS DOUBLE)
        |    / CAST(tr.tr AS DOUBLE), 6) AS var_ratio
        |FROM w$iters w, nsq, ray, tr ORDER BY pos""".stripMargin
-  }
+
+  /** DuckDB replay of Pca.projectionByGroup(iters): the power chain, the
+    * exact per-vector integer dot product, then per-label stats with a
+    * single rounded division each — op order mirrors the Spark side. */
+  private def projSql(iters: Int): String =
+    s"""WITH ${powerCtes(iters)},
+       |sc AS (SELECT q.vec_id, SUM(q.q * w.w) AS s
+       |  FROM q JOIN w$iters w ON w.j = q.i GROUP BY q.vec_id),
+       |g AS (SELECT l.label, sc.s FROM sc
+       |  JOIN (SELECT vec_id, label FROM embeddings) l ON l.vec_id = sc.vec_id)
+       |SELECT label, COUNT(*) AS n,
+       |  round(CAST(SUM(s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+       |    / sqrt(CAST(nsq.nsq AS DOUBLE)), 6) + 0.0 AS mean_proj,
+       |  round(CAST(MIN(s) AS DOUBLE) / 1000000.0
+       |    / sqrt(CAST(nsq.nsq AS DOUBLE)), 6) + 0.0 AS min_proj,
+       |  round(CAST(MAX(s) AS DOUBLE) / 1000000.0
+       |    / sqrt(CAST(nsq.nsq AS DOUBLE)), 6) + 0.0 AS max_proj
+       |FROM g, nsq GROUP BY label, nsq.nsq ORDER BY label""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -171,5 +194,31 @@ object AnalyticsQueries {
         Pca.topComponent(Tables.embeddings(s, dir), iters = 6)
           .orderBy(col("pos")),
       Some(pcaSql(iters = 6))),
+
+    // ---- x121: incremental covariance via mergeable moments ---------------
+    // The daily-batch path: moments of two disjoint halves, cell-wise
+    // merged, covariance re-derived — pinned bitwise against the
+    // MONOLITHIC oracle (x118's SQL), which is exactly the merge-
+    // correctness claim.
+    QueryDef(
+      "x121_incremental_covariance",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val halves = Seq(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1)).map(Pca.moments(_))
+        Pca.covarianceFromMoments(Pca.mergeMoments(halves))
+          .orderBy(col("i"), col("j"))
+      },
+      Some(s"WITH $covCtes\nSELECT i, j, cov FROM cov ORDER BY i, j")),
+
+    // ---- x122: per-label projection onto the top principal component ------
+    // zip_with + aggregate integer dot product (codegen'd, no UDF); the
+    // label-separation audit over the leading variance direction.
+    QueryDef(
+      "x122_pca_projection",
+      (s, dir) =>
+        Pca.projectionByGroup(Tables.embeddings(s, dir), iters = 6)
+          .orderBy(col("label")),
+      Some(projSql(iters = 6))),
   )
 }

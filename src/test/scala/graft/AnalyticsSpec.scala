@@ -102,6 +102,37 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.forall(_.getDouble(3) === 1.0))
   }
 
+  test("mergeMoments: covariance from 3-way split == monolithic, bitwise") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val parts = Seq(0, 1, 2).map(k =>
+      Pca.moments(emb.filter(col("vec_id") % 3 === k)))
+    val merged = Pca.covarianceFromMoments(Pca.mergeMoments(parts))
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val whole = Pca.covariance(emb)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(merged === whole)
+  }
+
+  test("projectionByGroup: exact projections on the rank-1 fixture") {
+    import spark.implicits._
+    // top eigvec (1,2)/sqrt(5); projections: (1,2)->sqrt(5), (2,4)->
+    // 2*sqrt(5), (3,6)->3*sqrt(5). Group a={rows 1,2}, b={row 3}.
+    val emb = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(2.0, 4.0)), ("b", Seq(3.0, 6.0)))
+      .toDF("label", "embedding")
+    val out = Pca.projectionByGroup(emb, iters = 6).orderBy("label").collect()
+    val s5 = math.sqrt(5.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 1L)))
+    val a = out(0)
+    assert(math.abs(a.getDouble(2) - 1.5 * s5) < 1e-5) // mean
+    assert(math.abs(a.getDouble(3) - s5) < 1e-5) // min
+    assert(math.abs(a.getDouble(4) - 2 * s5) < 1e-5) // max
+    val b = out(1)
+    assert(math.abs(b.getDouble(2) - 3 * s5) < 1e-5)
+    assert(r6(b.getDouble(3)) === r6(b.getDouble(4)))
+  }
+
   test("topComponent: eigenvalue dominates every coordinate variance") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Pca.topComponent(emb, iters = 6).collect()
