@@ -38,10 +38,13 @@ object EventAnalytics {
     *
     * Scale: stage 1 is one map-side-combined min-aggregate of the events
     * scan; each later stage joins the (user_id, t_prev) state — which only
-    * ever shrinks — against the pre-filtered events of that type. All
-    * joins and aggregates key on user_id: the plan is a chain of
-    * hash-partitioned stages with no skewed or low-cardinality key, and
-    * AQE can broadcast the state side as soon as it fits.
+    * ever shrinks — against the pre-filtered events of that type (the
+    * type predicate reaches each parquet scan). All joins and aggregates
+    * key on user_id: no skewed or low-cardinality key, and AQE broadcasts
+    * the state side as soon as it fits. Each stage state is MATERIALIZED:
+    * the lazy chain would inline every earlier stage's subtree into every
+    * later one (k(k+1)/2 events scans for k steps — PlanSpec pins the
+    * returned plan at zero parquet scans instead).
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
@@ -50,13 +53,15 @@ object EventAnalytics {
     val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"))
     // state after step k: (user_id, t) = earliest completion time of the
     // ordered prefix steps(0..k)
-    val stage1 = ev.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+    val stage1 = Checkpoints.materialize(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t")))
     val states = steps.tail.scanLeft(stage1) { (prev, step) =>
-      ev.filter(col("event_type") === step)
-        .join(prev, "user_id")
-        .filter(col("ts_ns") > col("t"))
-        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+      Checkpoints.materialize(
+        ev.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ts_ns") > col("t"))
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t")))
     }
     val counts = states.zipWithIndex.map { case (st, i) =>
       st.agg(count(lit(1)).as("n_users"))

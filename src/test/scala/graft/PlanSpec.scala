@@ -136,6 +136,18 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"expected one embeddings scan, found $scans")
   }
 
+  test("funnel materializes each stage state: the returned plan scans the " +
+      "events table ZERO times — the lazy chain would scan k(k+1)/2 " +
+      "times (x114)") {
+    val plan = graft.ops.EventAnalytics.funnel(Tables.events(spark, dir),
+        Seq("signup", "view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected zero event scans in the returned funnel plan, found " +
+        s"$scans:\n" + plan.take(3000))
+  }
+
   test("rollingActives materializes the per-day distinct: the final plan " +
       "scans the events table ZERO times (x117)") {
     // dau and the trailing-slot explode consume the same (day, user)
