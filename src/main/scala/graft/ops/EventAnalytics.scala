@@ -63,13 +63,48 @@ object EventAnalytics {
           .filter(col("ts_ns") > col("t"))
           .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t")))
     }
+    funnelEpilogue(states, steps)
+  }
+
+  /** Time-bounded funnel: like [[funnel]], but later steps only count
+    * within `horizonSec` of the user's FIRST-step time — the "converted
+    * within 7 days of signup" form every product funnel actually ships.
+    * Same output shape and scale behavior; each stage state carries
+    * (user_id, t0, t) so the horizon check is a per-row filter, not an
+    * extra join.
+    */
+  def funnelWithin(events: DataFrame, steps: Seq[String],
+      horizonSec: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonSec > 0, s"need horizonSec > 0, got $horizonSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonNs = horizonSec * 1000000000L
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"))
+    val stage1 = Checkpoints.materialize(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+        .select(col("user_id"), col("t").as("t0"), col("t")))
+    val states = steps.tail.scanLeft(stage1) { (prev, step) =>
+      Checkpoints.materialize(
+        ev.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ts_ns") > col("t") &&
+            col("ts_ns") <= col("t0") + horizonNs)
+          .groupBy(col("user_id"), col("t0")).agg(min(col("ts_ns")).as("t"))
+          .select(col("user_id"), col("t0"), col("t")))
+    }
+    funnelEpilogue(states, steps)
+  }
+
+  /** The shared count/rate epilogue over materialized stage states. */
+  private def funnelEpilogue(states: Seq[DataFrame],
+      steps: Seq[String]): DataFrame = {
     val counts = states.zipWithIndex.map { case (st, i) =>
       st.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"),
           col("n_users"))
     }.reduce(_.unionAll(_))
-    // default frame (unbounded preceding → current row): first() is the
-    // step-1 count on every row, same as the oracle's first_value
     val wPrev = Window.orderBy(col("step"))
     counts
       .withColumn("rate_vs_first",

@@ -91,6 +91,34 @@ object AnalyticsQueries {
        |    / CAST(tr.tr AS DOUBLE), 6) AS var_ratio
        |FROM w$iters w, nsq, ray, tr ORDER BY pos""".stripMargin
 
+  /** DuckDB replay of EventAnalytics.funnelWithin(steps, horizonSec):
+    * the funnel chain with each later stage bounded to t0 + horizon. */
+  private def funnelWithinSql(steps: Seq[String], horizonSec: Long): String = {
+    val hNs = horizonSec * 1000000000L
+    val stages = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, MIN(tns) AS t0, MIN(tns) AS t FROM e
+           |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, s$i.t0, MIN(e.tns) AS t FROM e
+           |  JOIN s$i ON e.user_id = s$i.user_id AND e.tns > s$i.t
+           |    AND e.tns <= s$i.t0 + $hNs
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id, s$i.t0)""".stripMargin
+    }.mkString(",\n")
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type, COUNT(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+       |$stages,
+       |counts AS ($counts)
+       |SELECT step, event_type, n_users,
+       |  round(CAST(n_users AS DOUBLE)
+       |    / first_value(n_users) OVER (ORDER BY step), 6) AS rate_vs_first,
+       |  round(CAST(n_users AS DOUBLE)
+       |    / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6) AS rate_vs_prev
+       |FROM counts ORDER BY step""".stripMargin
+  }
+
   /** DuckDB replay of Pca.projectionByGroup(iters): the power chain, the
     * exact per-vector integer dot product, then per-label stats with a
     * single rounded division each — op order mirrors the Spark side. */
@@ -210,6 +238,17 @@ object AnalyticsQueries {
           .orderBy(col("i"), col("j"))
       },
       Some(s"WITH $covCtes\nSELECT i, j, cov FROM cov ORDER BY i, j")),
+
+    // ---- x123: time-bounded funnel ----------------------------------------
+    // Conversion counted only within 2 days of the user's first signup —
+    // the horizon form of x114 (same chain, per-row horizon filter).
+    QueryDef(
+      "x123_funnel_within",
+      (s, dir) =>
+        EventAnalytics.funnelWithin(Tables.events(s, dir), FunnelSteps,
+            horizonSec = 2L * 86400)
+          .orderBy(col("step")),
+      Some(funnelWithinSql(FunnelSteps, 2L * 86400))),
 
     // ---- x122: per-label projection onto the top principal component ------
     // zip_with + aggregate integer dot product (codegen'd, no UDF); the

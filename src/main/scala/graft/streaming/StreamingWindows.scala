@@ -23,6 +23,18 @@ final case class KmvState(hvs: Seq[Long])
 final case class KmvEstimate(source: String, n_sketch: Long,
     kth_hash: Long, kmv_estimate: Double)
 
+/** One funnel input event (streaming funnel's typed row). */
+final case class FunnelEvent(user_id: Long, event_type: String,
+    ts_ns: Long, event_id: Long)
+
+/** Per-user funnel state: first-step time, completed-stage count, last
+  * completed stage's time. O(1) per user, independent of event volume. */
+final case class FunnelUserState(t0: Long, stage: Int, t: Long)
+
+/** Per-user funnel progress emission (per batch, update mode). */
+final case class FunnelProgress(user_id: Long, stage: Long,
+    t0_ns: Long, t_ns: Long)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -388,6 +400,49 @@ object StreamingWindows {
           else BigDecimal((k - 1).toDouble * 4294967296.0 / kth)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         KmvEstimate(source, m.toLong, kth, est)
+      }
+  }
+
+  /** Streaming ordered-funnel tracker: per-user O(1) state machine over
+    * `steps`, advanced in (ts_ns, event_id) order within each micro-batch
+    * — the streaming twin of EventAnalytics.funnel / funnelWithin
+    * (horizonSec = Some(h)). Emits each user's (stage, t0, t) per batch
+    * in update mode; stage counts are one aggregation over the sink.
+    *
+    * Equivalence contract (StreamingSpec): with events delivered in
+    * event-time order ACROSS batches (arbitrary order within a batch —
+    * the group's rows are sorted before folding), the final per-user
+    * stage equals batch-funnel membership exactly: both take the minimal
+    * qualifying time at every stage. A stage-k event arriving before the
+    * stage-(k-1) state exists is dropped, never buffered — the standard
+    * monotone streaming approximation; out-of-order tolerance at scale
+    * comes from widening micro-batches (each batch re-sorts its rows),
+    * not from unbounded event buffering.
+    */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+      horizonSec: Option[Long] = None): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hNs = horizonSec.map(_ * 1000000000L)
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"),
+      col("event_id")).as[FunnelEvent]
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelUserState, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(FunnelUserState(0L, 0, 0L))
+        rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+          if (st.stage == 0) {
+            if (e.event_type == steps.head)
+              st = FunnelUserState(e.ts_ns, 1, e.ts_ns)
+          } else if (st.stage < steps.length &&
+              e.event_type == steps(st.stage) && e.ts_ns > st.t &&
+              hNs.forall(h => e.ts_ns <= st.t0 + h)) {
+            st = st.copy(stage = st.stage + 1, t = e.ts_ns)
+          }
+        }
+        if (st.stage > 0) state.update(st)
+        FunnelProgress(uid, st.stage.toLong, st.t0, st.t)
       }
   }
 

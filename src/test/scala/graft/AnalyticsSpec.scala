@@ -39,6 +39,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(out(0).getDouble(3) === 1.0 && out(0).getDouble(4) === 1.0)
   }
 
+  test("funnelWithin: horizon bounds later steps from the FIRST-step time") {
+    // user 1 views at exactly t0 + horizon (inclusive — counts); user 2
+    // views one second past it (dropped); user 3 views within horizon of
+    // a LATER signup but not the first one (dropped — first-touch t0)
+    val h = 100L
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 2L, 3L, 3L, 3L),
+      "event_type" -> Seq("signup", "view", "signup", "view",
+        "signup", "signup", "view"),
+      "ts_ns" -> Seq(sec(10), sec(110), sec(10), sec(111),
+        sec(10), sec(200), sec(250)))
+    val out = EventAnalytics.funnelWithin(ev, Seq("signup", "view"), h)
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(3L, 1L))
+    // and without the horizon every user converts
+    val unbounded = EventAnalytics.funnel(ev, Seq("signup", "view"))
+      .orderBy("step").collect()
+    assert(unbounded.map(_.getLong(2)).toSeq === Seq(3L, 3L))
+  }
+
   test("transitionMatrix: counts, probabilities, tie broken by event_id") {
     // user 1 at identical ts: a(id=1) -> b(id=2) -> ordered by event_id
     val ev = frame(

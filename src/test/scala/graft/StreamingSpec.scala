@@ -478,6 +478,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: per-user state machine across in-order " +
+      "micro-batches == batch funnel, bounded and unbounded") {
+    val dir = "/root/testdata/sf0.001"
+    val steps = Seq("signup", "view", "click", "purchase")
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    // two micro-batches split at the median event time: in-order ACROSS
+    // batches (the equivalence contract), arbitrary order within each
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("funstream").toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val horizon = 2L * 86400
+    val q = StreamingWindows.streamingFunnel(stream, steps, Some(horizon))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_funnel").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      // stage is monotone per user: the final state is the max emission
+      val gotStages = spark.sql(
+        "SELECT user_id, MAX(stage) AS stage FROM stream_funnel GROUP BY 1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = graft.ops.EventAnalytics
+        .funnelWithin(batchEvents, steps, horizon)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val got = (1 to steps.length).map(i =>
+        gotStages.count { case (_, s) => s >= i }.toLong)
+      assert(got == want,
+        s"streaming stage counts $got != batch funnel $want")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming KMV monitor: sketch state merged across micro-batches " +
       "converges to the batch sketch (KMV merge across TIME)") {
     val dir = "/root/testdata/sf0.001"
