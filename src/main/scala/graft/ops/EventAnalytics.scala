@@ -172,6 +172,53 @@ object EventAnalytics {
         round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention"))
   }
 
+  /** Per-type event-rate anomaly scores: tumbling-window counts per
+    * event_type, each scored against its own `trailing` PREVIOUS windows
+    * with a z-score — the "error rate spiked" alert query. Returns
+    * (win_start, event_type, n, z, is_anomaly) for windows with a full
+    * trailing history; z = (n·W − Σ) / √(W·Σsq − Σ²) over the trailing
+    * counts — an exact-integer numerator and radicand (counts are longs,
+    * the window frame sum is sequential and deterministic), so one sqrt +
+    * one division produce the engine-stable rounded score. Windows with
+    * zero trailing variance score null (is_anomaly false unless n
+    * differs — then true with null z, the division-free branch).
+    *
+    * Scale: the tumbling aggregation is x13's (map-side combined, one
+    * exchange on (win, type)); the scoring window partitions by
+    * event_type over ALREADY-AGGREGATED window rows — its per-partition
+    * row count is #windows (time/width), bounded by the time span, not
+    * by event volume.
+    */
+  def anomalyScores(events: DataFrame, widthSec: Long,
+      trailing: Int = 8, threshold: Double = 3.0): DataFrame = {
+    require(trailing >= 2, s"need trailing >= 2, got $trailing")
+    val wins = events
+      .withColumn("win_start", sec - pmod(sec, lit(widthSec)))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+      .rowsBetween(-trailing, -1)
+    val wl = trailing.toLong
+    val scored = wins
+      .withColumn("_k", count(lit(1)).over(w))
+      .withColumn("_s", sum(col("n")).over(w))
+      .withColumn("_sq", sum(col("n") * col("n")).over(w))
+      .filter(col("_k") === wl)
+      // DECIMAL products: Σ² would pass 2^63 once a window holds > ~3·10^9
+      // events of one type (DuckDB's HUGEINT path on the oracle side)
+      .withColumn("_num", col("n").cast("decimal(38,0)") * wl - col("_s"))
+      .withColumn("_rad", col("_sq").cast("decimal(38,0)") * wl
+        - col("_s").cast("decimal(38,0)") * col("_s"))
+    scored.select(col("win_start"), col("event_type"), col("n"),
+      (round(when(col("_rad") > 0,
+        col("_num").cast("double") / sqrt(col("_rad").cast("double")))
+        .otherwise(lit(null)), 6) + 0.0).as("z"),
+      when(col("_rad") > 0,
+        col("_num").cast("double") / sqrt(col("_rad").cast("double"))
+          >= threshold)
+        .otherwise(col("_num") =!= 0).as("is_anomaly"))
+  }
+
   /** Daily + trailing-window active users: for every day with any
     * activity, (day, dau, wau) where day = epoch days, dau = distinct
     * users that day, wau = distinct users over [day − windowDays + 1,

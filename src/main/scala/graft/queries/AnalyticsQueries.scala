@@ -250,6 +250,36 @@ object AnalyticsQueries {
           .orderBy(col("step")),
       Some(funnelWithinSql(FunnelSteps, 2L * 86400))),
 
+    // ---- x124: per-type event-rate anomaly scores -------------------------
+    // Tumbling counts scored against each type's trailing 8 windows:
+    // exact-integer z numerator/radicand, one sqrt + one division. 10-min
+    // windows at the driver corpus's event density.
+    QueryDef(
+      "x124_window_anomaly",
+      (s, dir) =>
+        EventAnalytics.anomalyScores(Tables.events(s, dir), widthSec = 600,
+            trailing = 8, threshold = 3.0)
+          .orderBy(col("win_start"), col("event_type")),
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS s, event_type
+             |  FROM events),
+             |wn AS (SELECT s - (((s % 600) + 600) % 600) AS win_start,
+             |    event_type, COUNT(*) AS n FROM e GROUP BY 1, 2),
+             |t AS (SELECT win_start, event_type, n,
+             |    COUNT(*) OVER fr AS k, SUM(n) OVER fr AS su,
+             |    SUM(n * n) OVER fr AS sq
+             |  FROM wn WINDOW fr AS (PARTITION BY event_type
+             |    ORDER BY win_start ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+             |f AS (SELECT *, n * 8 - su AS num, sq * 8 - su * su AS rad
+             |  FROM t WHERE k = 8)
+             |SELECT win_start, event_type, n,
+             |  round(CASE WHEN rad > 0
+             |    THEN CAST(num AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)) END, 6)
+             |    + 0.0 AS z,
+             |  CASE WHEN rad > 0
+             |    THEN CAST(num AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)) >= 3.0
+             |    ELSE num <> 0 END AS is_anomaly
+             |FROM f ORDER BY win_start, event_type""".stripMargin)),
+
     // ---- x122: per-label projection onto the top principal component ------
     // zip_with + aggregate integer dot product (codegen'd, no UDF); the
     // label-separation audit over the leading variance direction.

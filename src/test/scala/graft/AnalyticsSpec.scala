@@ -88,6 +88,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.map(_.getDouble(4)).toSeq === Seq(1.0, 0.5, 0.5))
   }
 
+  test("anomalyScores: planted spike flags; zero-variance branches") {
+    val width = 10L
+    // type "a": 2,1,2,1,2,1,2,1 trailing, then a 20-count spike window
+    //   mean 1.5, var 0.25 → z = (20-1.5)/0.5 = 37.0
+    // type "b": constant 1 for 8 windows, then 1 (rad=0, num=0 → calm)
+    //   and after that window another with 2 (rad=0, num≠0 → anomaly, z null)
+    def burst(tpe: String, win: Int, k: Int, base: Long): Seq[(Long, String, Long)] =
+      (0 until k).map(i => (base + win * width + i % width, tpe,
+        base * 1000 + win * 100 + i))
+    val rows =
+      (0 until 8).flatMap(w => burst("a", w, if (w % 2 == 0) 2 else 1, 0)) ++
+        burst("a", 8, 20, 0) ++
+        (0 until 9).flatMap(w => burst("b", w, 1, 0)) ++
+        burst("b", 9, 2, 0)
+    val ev = frame(
+      "ts_ns" -> rows.map(r => r._1 * 1000000000L),
+      "event_type" -> rows.map(r => r._2),
+      "event_id" -> rows.map(r => r._3))
+    val out = EventAnalytics.anomalyScores(ev, width, trailing = 8)
+      .orderBy("event_type", "win_start").collect()
+    val a = out.filter(_.getString(1) == "a")
+    assert(a.length === 1 && a(0).getLong(2) === 20L)
+    assert(a(0).getDouble(3) === 37.0 && a(0).getBoolean(4))
+    val b = out.filter(_.getString(1) == "b")
+    assert(b.length === 2)
+    assert(b(0).isNullAt(3) && !b(0).getBoolean(4)) // calm: n == trailing mean
+    assert(b(1).isNullAt(3) && b(1).getBoolean(4)) // jump on zero variance
+  }
+
   test("rollingActives: dau vs trailing-7-day wau") {
     val day = 86400L
     // user 1 active day 0 and day 8; user 2 active day 6
