@@ -46,7 +46,7 @@ object AnalyticsQueries {
     * reused (via prefix-free CTE names) by the x119 power iteration. */
   private def covCtes: String =
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |q AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i,
+       |q AS MATERIALIZED (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i,
        |    CAST(floor(unnest(e) * 1000000.0) AS BIGINT) AS q FROM v),
        |mo AS (SELECT a.i AS i, b.i AS j,
        |    SUM(a.q::HUGEINT * b.q) AS sij,
@@ -66,11 +66,11 @@ object AnalyticsQueries {
       s"""y$k AS (SELECT c.i, SUM(c.c * w.w) AS y
          |  FROM cint c JOIN w${k - 1} w ON w.j = c.j GROUP BY c.i),
          |m$k AS (SELECT MAX(abs(y)) AS m FROM y$k),
-         |w$k AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+         |w$k AS MATERIALIZED (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
          |    * 1000000.0) AS BIGINT) AS w FROM y$k, m$k)""".stripMargin
     }.mkString(",\n")
     s"""$covCtes,
-       |cint AS (SELECT i, j, CAST(round(cov * 1000000.0) AS BIGINT) AS c FROM cov),
+       |cint AS MATERIALIZED (SELECT i, j, CAST(round(cov * 1000000.0) AS BIGINT) AS c FROM cov),
        |w0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS w FROM cint),
        |$steps,
        |nsq AS (SELECT SUM(w::HUGEINT * w) AS nsq FROM w$iters)""".stripMargin

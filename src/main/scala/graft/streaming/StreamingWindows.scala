@@ -35,6 +35,16 @@ final case class FunnelUserState(t0: Long, stage: Int, t: Long)
 final case class FunnelProgress(user_id: Long, stage: Long,
     t0_ns: Long, t_ns: Long)
 
+/** Per-type anomaly-tracker state: the open tumbling window's (start,
+  * count) plus the trailing closed-window counts — O(trailing) per event
+  * type, independent of event volume. */
+final case class AnomalyState(openWin: Long, openN: Long, trail: Seq[Long])
+
+/** One closed-window anomaly emission (see EventAnalytics.anomalyScores
+  * for the z-score contract). */
+final case class AnomalyScore(win_start: Long, event_type: String, n: Long,
+    z: Option[Double], is_anomaly: Boolean)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -443,6 +453,73 @@ object StreamingWindows {
         }
         if (st.stage > 0) state.update(st)
         FunnelProgress(uid, st.stage.toLong, st.t0, st.t)
+      }
+  }
+
+  /** Streaming per-type event-rate anomaly monitor: the mapGroupsWithState
+    * twin of EventAnalytics.anomalyScores. State per event_type is the
+    * open tumbling window's count plus the trailing `trailing` closed
+    * counts — O(trailing) longs, never raw events. A window is scored and
+    * emitted the moment a later-window event closes it (flatMap output:
+    * several windows can close inside one micro-batch).
+    *
+    * Same in-order-across-batches contract as [[streamingFunnel]]; the
+    * final still-open window is never emitted (it is incomplete by
+    * definition — exactly the row the batch form also lacks until the
+    * next window starts). Keying by event_type bounds parallelism at
+    * |types| — inherent to per-type trailing semantics, and the state is
+    * a few longs, so a single state-store partition per type is the
+    * right trade (the volume reduction happens in the group function's
+    * per-batch win→count map before any window logic runs).
+    */
+  def streamingAnomalyScores(events: DataFrame, widthSec: Long,
+      trailing: Int = 8, threshold: Double = 3.0): Dataset[AnomalyScore] = {
+    require(trailing >= 2, s"need trailing >= 2, got $trailing")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // a streaming AGGREGATION can't precede a stateful op (unsupported
+    // plan), so the per-batch (win → count) reduction happens inside the
+    // group function with a hash map — memory is windows-per-batch, not
+    // events-per-batch; raw rows stream through the iterator unsorted
+    val winOf = events
+      .select(col("event_type"),
+        expr(graft.ops.EventWindows.floorDivSql("ts_ns", 1000000000L)).as("s"))
+      .select(col("event_type"),
+        (col("s") - pmod(col("s"), lit(widthSec))).as("win"))
+      .as[(String, Long)]
+    winOf.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe, rows, state) =>
+          var st = state.getOption.getOrElse(AnomalyState(Long.MinValue, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyScore]
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { case (_, win) => counts(win) = counts.getOrElse(win, 0L) + 1L }
+          def score(win: Long, n: Long): Unit =
+            if (st.trail.length == trailing) {
+              val su = st.trail.sum
+              val sq = st.trail.map(v => v * v).sum
+              val num = n * trailing - su
+              val rad = sq * trailing - su * su
+              if (rad > 0) {
+                val z = num.toDouble / Math.sqrt(rad.toDouble)
+                out += AnomalyScore(win, tpe, n,
+                  Some(BigDecimal(z).setScale(6,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble),
+                  z >= threshold)
+              } else out += AnomalyScore(win, tpe, n, None, num != 0)
+            }
+          def close(): Unit = if (st.openWin != Long.MinValue) {
+            score(st.openWin, st.openN)
+            st = AnomalyState(Long.MinValue, 0L,
+              (st.trail :+ st.openN).takeRight(trailing))
+          }
+          counts.toSeq.sortBy(_._1).foreach { case (win, n) =>
+            if (win == st.openWin) st = st.copy(openN = st.openN + n)
+            else { close(); st = st.copy(openWin = win, openN = n) }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -519,6 +519,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly monitor: closed-window scores across in-order " +
+      "micro-batches == batch anomalyScores minus each type's open window") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("anostream").toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingAnomalyScores(stream, widthSec = 600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_anomaly").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_anomaly")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4)))).toMap
+      // the batch form also scores each type's FINAL window; the stream
+      // never emits a still-open window — drop those rows from the oracle
+      val batch = graft.ops.EventAnalytics
+        .anomalyScores(batchEvents, widthSec = 600)
+      val lastWin = batch.groupBy(col("event_type"))
+        .agg(max(col("win_start")).as("_last"))
+      val want = batch.join(lastWin, "event_type")
+        .filter(col("win_start") < col("_last"))
+        .collect().map(r => (r.getLong(1), r.getString(0)) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            r.getBoolean(4)))).toMap
+      assert(got == want,
+        s"streaming scores diverge: got ${got.size} rows, want ${want.size}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming KMV monitor: sketch state merged across micro-batches " +
       "converges to the batch sketch (KMV merge across TIME)") {
     val dir = "/root/testdata/sf0.001"
