@@ -97,7 +97,9 @@ object EventAnalytics {
     funnelEpilogue(states, steps)
   }
 
-  /** The shared count/rate epilogue over materialized stage states. */
+  /** The shared count/rate epilogue over materialized stage states.
+    * Rates over an empty predecessor are null, not a division error
+    * (ANSI mode) — the funnel can legitimately be empty from step 1. */
   private def funnelEpilogue(states: Seq[DataFrame],
       steps: Seq[String]): DataFrame = {
     val counts = states.zipWithIndex.map { case (st, i) =>
@@ -106,12 +108,13 @@ object EventAnalytics {
           col("n_users"))
     }.reduce(_.unionAll(_))
     val wPrev = Window.orderBy(col("step"))
+    def rate(denom: Column): Column =
+      when(denom =!= 0,
+        round(col("n_users").cast("double") / denom, 6))
     counts
-      .withColumn("rate_vs_first",
-        round(col("n_users").cast("double") / first(col("n_users")).over(wPrev), 6))
+      .withColumn("rate_vs_first", rate(first(col("n_users")).over(wPrev)))
       .withColumn("rate_vs_prev",
-        round(col("n_users").cast("double")
-          / coalesce(lag(col("n_users"), 1).over(wPrev), col("n_users")), 6))
+        rate(coalesce(lag(col("n_users"), 1).over(wPrev), col("n_users"))))
   }
 
   /** Event-type transition matrix: per user, events ordered by

@@ -292,4 +292,87 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  /** Random event frames for the behavioral-analytics invariants. */
+  private val eventGen: Gen[List[(Long, String, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.oneOf("a", "b", "c")
+      ts <- Gen.chooseNum(0L, 2000L)
+    } yield (u, t, ts))
+  } yield rows
+
+  private def eventFrame(rows: List[(Long, String, Long)]) = frame(
+    "user_id" -> rows.map(_._1),
+    "event_type" -> rows.map(_._2),
+    "ts_ns" -> rows.map(_._3 * 1000000000L),
+    "event_id" -> rows.indices.map(_.toLong))
+
+  test("funnel counts are non-increasing; step 1 == distinct first-step " +
+      "users; horizon never increases any stage") {
+    check("funnel-mono", Prop.forAll(eventGen) { rows =>
+      val ev = eventFrame(rows)
+      val steps = Seq("a", "b", "c")
+      val ns = graft.ops.EventAnalytics.funnel(ev, steps)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val nsH = graft.ops.EventAnalytics.funnelWithin(ev, steps, 500L)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val firstUsers = rows.filter(_._2 == "a").map(_._1).distinct.size.toLong
+      ns.zip(ns.tail).forall { case (a, b) => a >= b } &&
+        ns.head == firstUsers &&
+        nsH.zip(ns).forall { case (h, u) => h <= u } &&
+        nsH.head == ns.head
+    })
+  }
+
+  test("transitionMatrix: per-user pair conservation and row-stochastic p") {
+    check("transitions", Prop.forAll(eventGen) { rows =>
+      val m = graft.ops.EventAnalytics.transitionMatrix(eventFrame(rows))
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      val nPairs = rows.groupBy(_._1).values.map(g => (g.size - 1).toLong).sum
+      m.map(_._2).sum == nPairs &&
+        m.groupBy(_._1).values.forall { g =>
+          math.abs(g.map(_._3).sum - 1.0) < 1e-4 // rounded p per from-type
+        }
+    })
+  }
+
+  test("retentionCohorts: offset-0 cells are the cohort sizes; actives " +
+      "never exceed them; user-cell conservation") {
+    check("retention", Prop.forAll(eventGen) { rows =>
+      val out = graft.ops.EventAnalytics
+        .retentionCohorts(eventFrame(rows), periodSec = 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      out.filter(_._2 == 0L).forall(c => c._3 == c._4) &&
+        out.forall(c => c._3 <= c._4) &&
+        out.filter(_._2 == 0L).map(_._3).sum ==
+          rows.map(_._1).distinct.size.toLong
+    })
+  }
+
+  test("covariance is symmetric with non-negative diagonal on random " +
+      "vectors; merged moments equal monolithic on any split") {
+    val vecGen = for {
+      n <- Gen.chooseNum(2, 10)
+      d <- Gen.chooseNum(1, 4)
+      vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-100, 100)))
+    } yield vs.map(_.map(_ / 10.0))
+    check("cov", Prop.forAll(vecGen) { vs =>
+      import spark.implicits._
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cov = graft.ops.Pca.covariance(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val halves = Seq(0, 1).map(k => graft.ops.Pca.moments(
+        emb.filter(col("vec_id") % 2 === k)))
+      val merged = graft.ops.Pca.covarianceFromMoments(
+        graft.ops.Pca.mergeMoments(halves)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      cov.forall { case ((i, j), v) => cov((j, i)) == v } &&
+        cov.forall { case ((i, j), v) => i != j || v >= 0.0 } &&
+        merged == cov
+    })
+  }
 }
