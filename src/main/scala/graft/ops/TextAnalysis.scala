@@ -571,4 +571,47 @@ object TextAnalysis {
           .as("vocab_shared"),
         round(sum(col("_jst")).cast("double"), 6).as("js_divergence"))
   }
+
+  /** Per-source unigram-distribution diagnostics: token count, vocab
+    * size, entropy H(pₛ), cross-entropy H(pₛ, p_corpus) and their
+    * difference KL(pₛ ‖ p_corpus) — the numbers a mixture designer reads
+    * before weighting sources (a source with high KL is lexically far
+    * from the corpus average; DSIR/x79 weights upweight exactly that
+    * tail). Natural-log (nats), round 6.
+    *
+    * Determinism: the [[vocabDrift]] convention — each per-token term is
+    * computed in doubles, rounded to 12 decimals, and summed as
+    * DECIMAL(28,12), so the reduction is order-independent and the KL is
+    * the difference of the two decimal sums (never a re-summation).
+    * p_corpus > 0 wherever a source term exists (source tokens are a
+    * subset of corpus tokens), so no log(0) branch is needed.
+    *
+    * Scale: ONE tokenize pass into (source, token) counts (materialized —
+    * it feeds both the corpus re-aggregation and the term join); corpus
+    * counts re-aggregate that frame, never the text. The term join keys
+    * on token (uniform); per-source totals and the corpus grand total
+    * broadcast (O(sources) and one row).
+    */
+  def sourceEntropy(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val cst = Checkpoints.materialize(
+      docs.select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c")))
+    val corpus = cst.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val totals = broadcast(cst.groupBy(col("g"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("v")))
+    val grand = broadcast(corpus.agg(sum(col("ct")).as("gt")))
+    val p = col("c").cast("double") / col("t").cast("double")
+    val pc = col("ct").cast("double") / col("gt").cast("double")
+    cst.join(corpus, "tok").join(totals, "g").crossJoin(grand)
+      .select(col("g"), col("t"), col("v"),
+        round(-(p * log(p)), 12).cast("decimal(28,12)").as("_h"),
+        round(-(p * log(pc)), 12).cast("decimal(28,12)").as("_ce"))
+      .groupBy(col("g"))
+      .agg(max(col("t")).as("n_tokens"), max(col("v")).as("vocab"),
+        round(sum(col("_h")).cast("double"), 6).as("entropy"),
+        round(sum(col("_ce")).cast("double"), 6).as("cross_entropy"),
+        round((sum(col("_ce")) - sum(col("_h"))).cast("double"), 6).as("kl"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

@@ -280,6 +280,37 @@ object AnalyticsQueries {
              |    ELSE num <> 0 END AS is_anomaly
              |FROM f ORDER BY win_start, event_type""".stripMargin)),
 
+    // ---- x125: per-source unigram entropy / cross-entropy / KL ------------
+    // Mixture-design diagnostics; x103's round-12-DECIMAL-sum convention
+    // makes the log-space reduction order-independent on both engines.
+    QueryDef(
+      "x125_source_entropy",
+      (s, dir) =>
+        graft.ops.TextAnalysis.sourceEntropy(Tables.documents(s, dir))
+          .orderBy(col("source")),
+      Some("""WITH cst AS MATERIALIZED (SELECT source AS g, tok, COUNT(*) AS c
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) t GROUP BY 1, 2),
+             |corpus AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM cst
+             |  GROUP BY 1),
+             |totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t,
+             |    COUNT(*) AS v FROM cst GROUP BY 1),
+             |grand AS (SELECT CAST(SUM(ct) AS BIGINT) AS gt FROM corpus),
+             |terms AS (SELECT cst.g, totals.t, totals.v,
+             |    CAST(round(-((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+             |      * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 12)
+             |      AS DECIMAL(28,12)) AS h,
+             |    CAST(round(-((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+             |      * ln(CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))), 12)
+             |      AS DECIMAL(28,12)) AS ce
+             |  FROM cst JOIN corpus USING (tok) JOIN totals USING (g)
+             |  CROSS JOIN grand)
+             |SELECT g AS source, MAX(t) AS n_tokens, MAX(v) AS vocab,
+             |  round(CAST(SUM(h) AS DOUBLE), 6) AS entropy,
+             |  round(CAST(SUM(ce) AS DOUBLE), 6) AS cross_entropy,
+             |  round(CAST(SUM(ce) - SUM(h) AS DOUBLE), 6) AS kl
+             |FROM terms GROUP BY g ORDER BY source""".stripMargin)),
+
     // ---- x122: per-label projection onto the top principal component ------
     // zip_with + aggregate integer dot product (codegen'd, no UDF); the
     // label-separation audit over the leading variance direction.

@@ -131,6 +131,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(out === Seq((0L, 1L, 1L), (6L, 1L, 2L), (8L, 1L, 2L)))
   }
 
+  test("sourceEntropy: hand-computed H/CE/KL; single source has KL 0") {
+    val docs = frame(
+      "source" -> Seq("A", "B"),
+      "text" -> Seq("x x y", "x"))
+    val out = graft.ops.TextAnalysis.sourceEntropy(docs)
+      .orderBy("source").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: p = (2/3, 1/3), H = ln3 - (2/3)ln2; corpus p_c = (3/4, 1/4)
+    val hA = math.log(3.0) - 2.0 / 3.0 * math.log(2.0)
+    val ceA = -(2.0 / 3.0 * math.log(3.0 / 4.0) + 1.0 / 3.0 * math.log(1.0 / 4.0))
+    val a = out(0)
+    assert((a.getLong(1), a.getLong(2)) === ((3L, 2L)))
+    assert(math.abs(a.getDouble(3) - hA) < 1e-6)
+    assert(math.abs(a.getDouble(4) - ceA) < 1e-6)
+    assert(math.abs(a.getDouble(5) - (ceA - hA)) < 1e-6)
+    // B: one token -> H = 0, CE = -ln(3/4), KL = CE
+    val b = out(1)
+    assert(b.getDouble(3) === 0.0)
+    assert(math.abs(b.getDouble(4) - (-math.log(0.75))) < 1e-6)
+    assert(b.getDouble(5) === r6(b.getDouble(4)))
+    // KL >= 0 everywhere; a lone source IS the corpus -> KL exactly 0
+    assert(out.forall(_.getDouble(5) >= 0.0))
+    val lone = graft.ops.TextAnalysis.sourceEntropy(
+      frame("source" -> Seq("A", "A"), "text" -> Seq("x y", "y z"))).head()
+    assert(lone.getDouble(5) === 0.0 &&
+      lone.getDouble(3) === lone.getDouble(4))
+  }
+
   test("covariance: exact on a hand matrix") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 4.0)), (3L, Seq(3.0, 6.0)))
