@@ -97,6 +97,51 @@ object EventAnalytics {
     funnelEpilogue(states, steps)
   }
 
+  /** One-pass funnel: the same result as [[funnel]]/[[funnelWithin]]
+    * from ONE shuffle of the events table — each user's events fold
+    * through the stage machine in (ts_ns, event_id) order inside
+    * mapGroups (the batch twin of StreamingWindows.streamingFunnel's
+    * state update; greedy-first == chained-min because both take the
+    * minimal qualifying time at every stage).
+    *
+    * The trade vs the chained form: k type-pruned scans + k shrinking
+    * joins there, one full exchange + per-user in-memory sort here.
+    * At 100 TB pick by step-type selectivity — rare funnel steps favor
+    * the chain (its scans skip most row groups), broad steps favor this
+    * pass. Per-user memory is that user's event count — sessionize
+    * first (EventWindows.sessions) for pathological power users.
+    */
+  def funnelOnePass(events: DataFrame, steps: Seq[String],
+      horizonSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hNs = horizonSec.map(_ * 1000000000L)
+    val k = steps.length
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"),
+      col("event_id")).as[(Long, String, Long, Long)]
+    val stageOf = ev.groupByKey(_._1).mapGroups { (uid, it) =>
+      var t0 = 0L; var stage = 0; var t = 0L
+      it.toSeq.sortBy(e => (e._3, e._4)).foreach { e =>
+        if (stage == 0) {
+          if (e._2 == steps.head) { t0 = e._3; stage = 1; t = e._3 }
+        } else if (stage < k && e._2 == steps(stage) && e._3 > t &&
+            hNs.forall(h => e._3 <= t0 + h)) {
+          stage += 1; t = e._3
+        }
+      }
+      (uid, stage)
+    }
+    val byStage = stageOf.toDF("user_id", "stage")
+      .filter(col("stage") >= 1)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = spark.createDataFrame((1 to k).map(i =>
+        (i.toLong, steps(i - 1), (i to k).map(j => byStage.getOrElse(j, 0L)).sum)))
+      .toDF("step", "event_type", "n_users")
+    funnelRates(counts)
+  }
+
   /** The shared count/rate epilogue over materialized stage states.
     * Rates over an empty predecessor are null, not a division error
     * (ANSI mode) — the funnel can legitimately be empty from step 1. */
@@ -107,6 +152,11 @@ object EventAnalytics {
         .select(lit(i + 1L).as("step"), lit(steps(i)).as("event_type"),
           col("n_users"))
     }.reduce(_.unionAll(_))
+    funnelRates(counts)
+  }
+
+  /** Rate columns over a (step, event_type, n_users) frame. */
+  private def funnelRates(counts: DataFrame): DataFrame = {
     val wPrev = Window.orderBy(col("step"))
     def rate(denom: Column): Column =
       when(denom =!= 0,

@@ -280,6 +280,16 @@ object AnalyticsQueries {
              |    ELSE num <> 0 END AS is_anomaly
              |FROM f ORDER BY win_start, event_type""".stripMargin)),
 
+    // ---- x126: one-pass funnel (single-shuffle twin of x114) --------------
+    // Same oracle SQL as x114: the bitwise gate proves the per-user fold
+    // equals the chained-min formulation.
+    QueryDef(
+      "x126_funnel_onepass",
+      (s, dir) =>
+        EventAnalytics.funnelOnePass(Tables.events(s, dir), FunnelSteps)
+          .orderBy(col("step")),
+      Some(funnelSql(FunnelSteps))),
+
     // ---- x125: per-source unigram entropy / cross-entropy / KL ------------
     // Mixture-design diagnostics; x103's round-12-DECIMAL-sum convention
     // makes the log-space reduction order-independent on both engines.

@@ -318,11 +318,16 @@ class PropertySpec extends SparkSuite {
         .orderBy("step").collect().map(_.getLong(2)).toSeq
       val nsH = graft.ops.EventAnalytics.funnelWithin(ev, steps, 500L)
         .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val ns1 = graft.ops.EventAnalytics.funnelOnePass(ev, steps)
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
+      val ns1H = graft.ops.EventAnalytics.funnelOnePass(ev, steps, Some(500L))
+        .orderBy("step").collect().map(_.getLong(2)).toSeq
       val firstUsers = rows.filter(_._2 == "a").map(_._1).distinct.size.toLong
       ns.zip(ns.tail).forall { case (a, b) => a >= b } &&
         ns.head == firstUsers &&
         nsH.zip(ns).forall { case (h, u) => h <= u } &&
-        nsH.head == ns.head
+        nsH.head == ns.head &&
+        ns1 == ns && ns1H == nsH // one-pass fold == chained-min, both forms
     })
   }
 
