@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  private def sec: Column = expr(EventWindows.floorDivSql("ts_ns", 1000000000L))
+  private def sec: Column = EventWindows.epochSec
 
   /** Ordered conversion funnel: for each prefix of `steps`, the number of
     * users who performed those event types in order (each step strictly
@@ -114,6 +114,8 @@ object EventAnalytics {
   def funnelOnePass(events: DataFrame, steps: Seq[String],
       horizonSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonSec.forall(_ > 0),
+      s"need horizonSec > 0, got $horizonSec") // same contract as funnelWithin
     val spark = events.sparkSession
     import spark.implicits._
     val hNs = horizonSec.map(_ * 1000000000L)
@@ -132,14 +134,22 @@ object EventAnalytics {
       }
       (uid, stage)
     }
-    val byStage = stageOf.toDF("user_id", "stage")
+    // stay LAZY (no collect — Explain/plan tooling must not execute the
+    // shuffle): a user at stage s counts toward steps 1..s via a bounded
+    // k-slot explode, and the step frame left-joins so empty stages
+    // still emit their zero row
+    val stepsDf = spark.createDataFrame(
+      (1 to k).map(i => (i.toLong, steps(i - 1)))).toDF("step", "event_type")
+    val counts = stageOf.toDF("user_id", "stage")
       .filter(col("stage") >= 1)
-      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val counts = spark.createDataFrame((1 to k).map(i =>
-        (i.toLong, steps(i - 1), (i to k).map(j => byStage.getOrElse(j, 0L)).sum)))
-      .toDF("step", "event_type", "n_users")
-    funnelRates(counts)
+      .select(explode(expr("sequence(1L, CAST(stage AS BIGINT))")).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("_n"))
+    // broadcast the RIGHT side (k-row counts) — a left-outer join can't
+    // build on its left side, so broadcasting stepsDf would be a no-op
+    val full = stepsDf.join(broadcast(counts), Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("_n"), lit(0L)).as("n_users"))
+    funnelRates(full)
   }
 
   /** The shared count/rate epilogue over materialized stage states.
@@ -209,7 +219,7 @@ object EventAnalytics {
     */
   def retentionCohorts(events: DataFrame, periodSec: Long = 7L * 86400): DataFrame = {
     val period = events
-      .select(col("user_id"), (sec - pmod(sec, lit(periodSec))).as("p"))
+      .select(col("user_id"), EventWindows.winStart(sec, periodSec).as("p"))
     val firsts = period.groupBy(col("user_id")).agg(min(col("p")).as("cohort_start"))
     val cells = period.join(firsts, "user_id")
       .select(col("cohort_start"),
@@ -246,7 +256,7 @@ object EventAnalytics {
       trailing: Int = 8, threshold: Double = 3.0): DataFrame = {
     require(trailing >= 2, s"need trailing >= 2, got $trailing")
     val wins = events
-      .withColumn("win_start", sec - pmod(sec, lit(widthSec)))
+      .withColumn("win_start", EventWindows.winStart(sec, widthSec))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))

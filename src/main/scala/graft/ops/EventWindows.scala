@@ -26,12 +26,14 @@ object EventWindows {
   def floorDivSql(e: String, d: Long): String =
     s"(($e div $d) + (CASE WHEN $e % $d < 0 THEN -1 ELSE 0 END))"
 
-  /** Exact integer epoch seconds from nanos (floor semantics). */
-  private def epochSec = expr(floorDivSql("ts_ns", 1000000000L))
+  /** Exact integer epoch seconds from nanos (floor semantics). Shared
+    * with EventAnalytics and the streaming twins — the single owner of
+    * the epoch/alignment convention. */
+  private[graft] def epochSec = expr(floorDivSql("ts_ns", 1000000000L))
 
   /** Floor-aligned window start: pmod keeps the offset non-negative, so
     * the start is the floor multiple even for negative seconds. */
-  private def winStart(sec: org.apache.spark.sql.Column, width: Long) =
+  private[graft] def winStart(sec: org.apache.spark.sql.Column, width: Long) =
     sec - pmod(sec, lit(width))
 
   /** Tumbling window aggregation: window length in seconds. */

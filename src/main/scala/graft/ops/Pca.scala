@@ -128,9 +128,15 @@ object Pca {
       vecCol: String): (Array[Long], Array[Array[Long]], Int) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val covRows = covariance(emb, vecCol).collect()
+    require(covRows.nonEmpty,
+      "power iteration needs a non-empty embedding table")
     val d = covRows.map(_.getLong(0)).max.toInt + 1
     val c = Array.ofDim[Long](d, d) // round(cov·10^6): |cov| small, fits easily
     covRows.foreach { r =>
+      // a single-row table makes the sample covariance 0/0 = NaN —
+      // Math.round would silently quantize that to 0, so fail loudly
+      require(!r.getDouble(2).isNaN,
+        "covariance undefined: need at least 2 embedding rows")
       c(r.getLong(0).toInt)(r.getLong(1).toInt) = Math.round(r.getDouble(2) * 1e6)
     }
     var w = Array.fill[Long](d)(Scale)

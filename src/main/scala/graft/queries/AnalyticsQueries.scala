@@ -16,8 +16,27 @@ object AnalyticsQueries {
   /** The funnel step list shared by the query and its oracle. */
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
 
+  /** The counts-UNION + rate epilogue shared by every funnel oracle.
+    * Rates guard their divisions exactly like the Spark side's
+    * funnelRates: an empty predecessor stage yields NULL, never NaN. */
+  private def funnelEpilogueSql(steps: Seq[String]): String = {
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type, COUNT(*) AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL ")
+    s"""counts AS ($counts)
+       |SELECT step, event_type, n_users,
+       |  CASE WHEN first_value(n_users) OVER (ORDER BY step) <> 0 THEN
+       |    round(CAST(n_users AS DOUBLE)
+       |      / first_value(n_users) OVER (ORDER BY step), 6) END AS rate_vs_first,
+       |  CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step), n_users) <> 0 THEN
+       |    round(CAST(n_users AS DOUBLE)
+       |      / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6) END
+       |    AS rate_vs_prev
+       |FROM counts ORDER BY step""".stripMargin
+  }
+
   /** DuckDB replay of EventAnalytics.funnel(FunnelSteps): one chained
-    * min-after-previous CTE per step, then the window-rate epilogue. */
+    * min-after-previous CTE per step, then the shared rate epilogue. */
   private def funnelSql(steps: Seq[String]): String = {
     val stages = steps.zipWithIndex.map { case (st, i) =>
       if (i == 0)
@@ -28,18 +47,9 @@ object AnalyticsQueries {
            |  JOIN s$i ON e.user_id = s$i.user_id AND e.tns > s$i.t
            |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
     }.mkString(",\n")
-    val counts = steps.zipWithIndex.map { case (st, i) =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type, COUNT(*) AS n_users FROM s${i + 1}"
-    }.mkString("\nUNION ALL ")
     s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
        |$stages,
-       |counts AS ($counts)
-       |SELECT step, event_type, n_users,
-       |  round(CAST(n_users AS DOUBLE)
-       |    / first_value(n_users) OVER (ORDER BY step), 6) AS rate_vs_first,
-       |  round(CAST(n_users AS DOUBLE)
-       |    / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6) AS rate_vs_prev
-       |FROM counts ORDER BY step""".stripMargin
+       |${funnelEpilogueSql(steps)}""".stripMargin
   }
 
   /** DuckDB replay of Pca.covariance: the quantized-moment CTE chain,
@@ -105,18 +115,9 @@ object AnalyticsQueries {
            |    AND e.tns <= s$i.t0 + $hNs
            |  WHERE e.event_type = '$st' GROUP BY e.user_id, s$i.t0)""".stripMargin
     }.mkString(",\n")
-    val counts = steps.zipWithIndex.map { case (st, i) =>
-      s"SELECT CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type, COUNT(*) AS n_users FROM s${i + 1}"
-    }.mkString("\nUNION ALL ")
     s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
        |$stages,
-       |counts AS ($counts)
-       |SELECT step, event_type, n_users,
-       |  round(CAST(n_users AS DOUBLE)
-       |    / first_value(n_users) OVER (ORDER BY step), 6) AS rate_vs_first,
-       |  round(CAST(n_users AS DOUBLE)
-       |    / coalesce(lag(n_users) OVER (ORDER BY step), n_users), 6) AS rate_vs_prev
-       |FROM counts ORDER BY step""".stripMargin
+       |${funnelEpilogueSql(steps)}""".stripMargin
   }
 
   /** DuckDB replay of Pca.projectionByGroup(iters): the power chain, the

@@ -483,9 +483,9 @@ object StreamingWindows {
     // events-per-batch; raw rows stream through the iterator unsorted
     val winOf = events
       .select(col("event_type"),
-        expr(graft.ops.EventWindows.floorDivSql("ts_ns", 1000000000L)).as("s"))
+        graft.ops.EventWindows.epochSec.as("s"))
       .select(col("event_type"),
-        (col("s") - pmod(col("s"), lit(widthSec))).as("win"))
+        graft.ops.EventWindows.winStart(col("s"), widthSec).as("win"))
       .as[(String, Long)]
     winOf.groupByKey(_._1)
       .flatMapGroupsWithState[AnomalyState, AnomalyScore](
@@ -497,9 +497,11 @@ object StreamingWindows {
           rows.foreach { case (_, win) => counts(win) = counts.getOrElse(win, 0L) + 1L }
           def score(win: Long, n: Long): Unit =
             if (st.trail.length == trailing) {
-              val su = st.trail.sum
-              val sq = st.trail.map(v => v * v).sum
-              val num = n * trailing - su
+              // BigInt, like the batch form's DECIMAL products — Σ² passes
+              // 2^63 once a window holds > ~3·10^9 events of one type
+              val su = st.trail.map(BigInt(_)).sum
+              val sq = st.trail.map(v => BigInt(v) * v).sum
+              val num = BigInt(n) * trailing - su
               val rad = sq * trailing - su * su
               if (rad > 0) {
                 val z = num.toDouble / Math.sqrt(rad.toDouble)
