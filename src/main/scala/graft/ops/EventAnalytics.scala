@@ -48,22 +48,33 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
+    funnelEpilogue(stateChain(events, steps, None), steps)
+  }
+
+  /** The materialized per-user stage-state chain shared by every funnel
+    * form: state k = (user_id, t0, t), the earliest completion of the
+    * ordered prefix steps(0..k) (bounded to t0 + horizon when given).
+    * t0 rides along so cohort segmentation and the horizon check are
+    * per-row expressions, never extra joins. */
+  private def stateChain(events: DataFrame, steps: Seq[String],
+      horizonNs: Option[Long]): Seq[DataFrame] = {
     val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"))
-    // state after step k: (user_id, t) = earliest completion time of the
-    // ordered prefix steps(0..k)
     val stage1 = Checkpoints.materialize(
       ev.filter(col("event_type") === steps.head)
-        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t")))
-    val states = steps.tail.scanLeft(stage1) { (prev, step) =>
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
+        .select(col("user_id"), col("t").as("t0"), col("t")))
+    steps.tail.scanLeft(stage1) { (prev, step) =>
+      val within = ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts_ns") > col("t"))
+      val bounded = horizonNs
+        .map(h => within.filter(col("ts_ns") <= col("t0") + h))
+        .getOrElse(within)
       Checkpoints.materialize(
-        ev.filter(col("event_type") === step)
-          .join(prev, "user_id")
-          .filter(col("ts_ns") > col("t"))
-          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t")))
+        bounded.groupBy(col("user_id"), col("t0"))
+          .agg(min(col("ts_ns")).as("t"))
+          .select(col("user_id"), col("t0"), col("t")))
     }
-    funnelEpilogue(states, steps)
   }
 
   /** Time-bounded funnel: like [[funnel]], but later steps only count
@@ -77,24 +88,41 @@ object EventAnalytics {
       horizonSec: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(horizonSec > 0, s"need horizonSec > 0, got $horizonSec")
-    val spark = events.sparkSession
-    import spark.implicits._
-    val horizonNs = horizonSec * 1000000000L
-    val ev = events.select(col("user_id"), col("event_type"), col("ts_ns"))
-    val stage1 = Checkpoints.materialize(
-      ev.filter(col("event_type") === steps.head)
-        .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t"))
-        .select(col("user_id"), col("t").as("t0"), col("t")))
-    val states = steps.tail.scanLeft(stage1) { (prev, step) =>
-      Checkpoints.materialize(
-        ev.filter(col("event_type") === step)
-          .join(prev, "user_id")
-          .filter(col("ts_ns") > col("t") &&
-            col("ts_ns") <= col("t0") + horizonNs)
-          .groupBy(col("user_id"), col("t0")).agg(min(col("ts_ns")).as("t"))
-          .select(col("user_id"), col("t0"), col("t")))
-    }
-    funnelEpilogue(states, steps)
+    funnelEpilogue(
+      stateChain(events, steps, Some(horizonSec * 1000000000L)), steps)
+  }
+
+  /** Cohort-segmented funnel: the [[funnelWithin]] chain grouped by the
+    * user's first-step period — "how does signup-week X convert?", the
+    * cross of x114 and x116. Returns (cohort_start, step, event_type,
+    * n_users, rate_vs_first) with the rate against the SAME cohort's
+    * step-1 count; only reached (cohort, step) cells are emitted, and
+    * step 1 is present for every emitted cohort by construction (stage-k
+    * membership implies stage 1).
+    *
+    * Scale: identical to the funnel chain (t0 already rides the states);
+    * the cohort key is a per-row expression over t0 — no extra join, and
+    * the rate window partitions by cohort over ≤ cohorts·steps rows.
+    */
+  def cohortFunnel(events: DataFrame, steps: Seq[String],
+      periodSec: Long = 7L * 86400,
+      horizonSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonSec.forall(_ > 0), s"need horizonSec > 0, got $horizonSec")
+    val states = stateChain(events, steps, horizonSec.map(_ * 1000000000L))
+    val t0sec = expr(EventWindows.floorDivSql("t0", 1000000000L))
+    val counts = states.zipWithIndex.map { case (st, i) =>
+      st.select(EventWindows.winStart(t0sec, periodSec).as("cohort_start"))
+        .groupBy(col("cohort_start"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_start"), lit(i + 1L).as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_.unionAll(_))
+    val w = Window.partitionBy(col("cohort_start")).orderBy(col("step"))
+    counts.withColumn("rate_vs_first",
+      when(first(col("n_users")).over(w) =!= 0,
+        round(col("n_users").cast("double")
+          / first(col("n_users")).over(w), 6)))
   }
 
   /** One-pass funnel: the same result as [[funnel]]/[[funnelWithin]]
@@ -175,6 +203,36 @@ object EventAnalytics {
       .withColumn("rate_vs_first", rate(first(col("n_users")).over(wPrev)))
       .withColumn("rate_vs_prev",
         rate(coalesce(lag(col("n_users"), 1).over(wPrev), col("n_users"))))
+  }
+
+  /** Last-touch attribution: for every conversion event, the type of the
+    * user's latest STRICTLY-EARLIER non-conversion event ('direct' when
+    * none) — the classic marketing-attribution query. Returns
+    * (attributed_type, n_conversions, share) with share = n / Σ n,
+    * round 6.
+    *
+    * Scale: one window pass partitioned by user_id (last(ignoreNulls)
+    * over the ordered frame — no self-join of events against events),
+    * then a ≤ |types|+1-group count; the share normalization broadcasts
+    * one row.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("_touch",
+        last(when(col("event_type") =!= conversionType, col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversionType)
+      .groupBy(coalesce(col("_touch"), lit("direct")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_conversions"))
+    val total = attr.agg(sum(col("n_conversions")).as("_t"))
+    attr.crossJoin(broadcast(total))
+      .select(col("attributed_type"), col("n_conversions"),
+        round(col("n_conversions").cast("double") / col("_t"), 6).as("share"))
   }
 
   /** Event-type transition matrix: per user, events ordered by

@@ -120,6 +120,39 @@ object AnalyticsQueries {
        |${funnelEpilogueSql(steps)}""".stripMargin
   }
 
+  /** DuckDB replay of EventAnalytics.cohortFunnel(steps, periodSec): the
+    * t0-carrying stage chain (no horizon), cohort-bucketed counts, rate
+    * against the same cohort's step-1 count. */
+  private def cohortFunnelSql(steps: Seq[String], periodSec: Long): String = {
+    val stages = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, MIN(tns) AS t0, MIN(tns) AS t FROM e
+           |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+      else
+        s"""s${i + 1} AS (SELECT e.user_id, s$i.t0, MIN(e.tns) AS t FROM e
+           |  JOIN s$i ON e.user_id = s$i.user_id AND e.tns > s$i.t
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id, s$i.t0)""".stripMargin
+    }.mkString(",\n")
+    val p = periodSec
+    val counts = steps.zipWithIndex.map { case (st, i) =>
+      s"""SELECT sec0 - ((((sec0 % $p) + $p) % $p)) AS cohort_start,
+         |    CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type,
+         |    COUNT(*) AS n_users
+         |  FROM (SELECT t0 // 1000000000 AS sec0 FROM s${i + 1}) x
+         |  GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+       |$stages,
+       |counts AS ($counts)
+       |SELECT cohort_start, step, event_type, n_users,
+       |  CASE WHEN first_value(n_users) OVER (PARTITION BY cohort_start
+       |      ORDER BY step) <> 0 THEN
+       |    round(CAST(n_users AS DOUBLE)
+       |      / first_value(n_users) OVER (PARTITION BY cohort_start
+       |        ORDER BY step), 6) END AS rate_vs_first
+       |FROM counts ORDER BY cohort_start, step""".stripMargin
+  }
+
   /** DuckDB replay of Pca.projectionByGroup(iters): the power chain, the
     * exact per-vector integer dot product, then per-label stats with a
     * single rounded division each — op order mirrors the Spark side. */
@@ -280,6 +313,42 @@ object AnalyticsQueries {
              |    THEN CAST(num AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)) >= 3.0
              |    ELSE num <> 0 END AS is_anomaly
              |FROM f ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- x127: cohort-segmented funnel ------------------------------------
+    // The funnel chain grouped by each user's signup week; rates against
+    // the same cohort's step-1 count.
+    QueryDef(
+      "x127_cohort_funnel",
+      (s, dir) =>
+        EventAnalytics.cohortFunnel(Tables.events(s, dir), FunnelSteps)
+          .orderBy(col("cohort_start"), col("step")),
+      Some(cohortFunnelSql(FunnelSteps, 604800L))),
+
+    // ---- x128: last-touch attribution -------------------------------------
+    // Latest strictly-earlier non-conversion touch per purchase; one
+    // ignore-nulls window pass, no events self-join.
+    QueryDef(
+      "x128_attribution",
+      (s, dir) =>
+        EventAnalytics.lastTouchAttribution(Tables.events(s, dir), "purchase")
+          .orderBy(col("attributed_type")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+             |    event_id FROM events),
+             |a AS (SELECT event_type,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS touch
+             |  FROM e),
+             |c AS (SELECT coalesce(touch, 'direct') AS attributed_type,
+             |    COUNT(*) AS n_conversions FROM a
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |t AS (SELECT SUM(n_conversions) AS tt FROM c)
+             |SELECT attributed_type, n_conversions,
+             |  round(CAST(n_conversions AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+             |    AS share
+             |FROM c, t ORDER BY attributed_type""".stripMargin)),
 
     // ---- x126: one-pass funnel (single-shuffle twin of x114) --------------
     // Same oracle SQL as x114: the bitwise gate proves the per-user fold

@@ -59,6 +59,41 @@ class AnalyticsSpec extends SparkSuite {
     assert(unbounded.map(_.getLong(2)).toSeq === Seq(3L, 3L))
   }
 
+  test("cohortFunnel: per-cohort counts and rates; conversion sticks to " +
+      "the first-step cohort") {
+    val week = 604800L
+    // user 1 signs up week 0, views week 1 (counts for cohort 0!);
+    // user 2 signs up week 0, never views; user 3 signs up week 1, views
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 3L, 3L),
+      "event_type" -> Seq("signup", "view", "signup", "signup", "view"),
+      "ts_ns" -> Seq(sec(10), sec(week + 10), sec(20),
+        sec(week + 20), sec(week + 30)))
+    val out = EventAnalytics.cohortFunnel(ev, Seq("signup", "view"), week)
+      .orderBy("cohort_start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out === Seq((0L, 1L, 2L, 1.0), (0L, 2L, 1L, 0.5),
+      (week, 1L, 1L, 1.0), (week, 2L, 1L, 1.0)))
+  }
+
+  test("lastTouchAttribution: touch lookback skips conversions; " +
+      "conversion-first users are 'direct'") {
+    // user 1: view -> purchase -> purchase (both purchases attribute to
+    // view — the intermediate purchase is skipped); user 2: purchase
+    // first (direct); user 3: click -> view -> purchase (view wins, last
+    // touch)
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 2L, 3L, 3L, 3L),
+      "event_type" -> Seq("view", "purchase", "purchase", "purchase",
+        "click", "view", "purchase"),
+      "ts_ns" -> Seq(sec(1), sec(2), sec(3), sec(1), sec(1), sec(2), sec(3)),
+      "event_id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    val out = EventAnalytics.lastTouchAttribution(ev, "purchase")
+      .orderBy("attributed_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq(("direct", 1L, 0.25), ("view", 3L, 0.75)))
+  }
+
   test("transitionMatrix: counts, probabilities, tie broken by event_id") {
     // user 1 at identical ts: a(id=1) -> b(id=2) -> ordered by event_id
     val ev = frame(
