@@ -235,6 +235,34 @@ object EventAnalytics {
         round(col("n_conversions").cast("double") / col("_t"), 6).as("share"))
   }
 
+  /** Touch→conversion pairs: every (touchType, convType) event pair of
+    * the same user with the conversion inside [touch, touch + lagSec] —
+    * the pair-level input behind windowed attribution models. Returns
+    * (user_id, touch_id, conv_id, gap_ns), exact nanos.
+    *
+    * Scale: an equi-join on user_id (both sides pre-filtered by type at
+    * the scan) with the range as a residual predicate — never a
+    * nested-loop; per-user fan-out is touches·convs within the lag
+    * window. StreamingWindows.streamingConversionPairs is the
+    * stream-stream twin (watermarked self-join, state bounded by the
+    * same lag).
+    */
+  def conversionPairs(events: DataFrame, touchType: String,
+      convType: String, lagSec: Long): DataFrame = {
+    require(lagSec > 0, s"need lagSec > 0, got $lagSec")
+    val t = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("ts_ns").as("_tns"),
+        col("event_id").as("touch_id"))
+    val c = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("ts_ns").as("_cns"),
+        col("event_id").as("conv_id"))
+    t.join(c, "user_id")
+      .filter(col("_cns") >= col("_tns") &&
+        col("_cns") <= col("_tns") + lagSec * 1000000000L)
+      .select(col("user_id"), col("touch_id"), col("conv_id"),
+        (col("_cns") - col("_tns")).as("gap_ns"))
+  }
+
   /** Event-type transition matrix: per user, events ordered by
     * (ts_ns, event_id) — the id breaks timestamp ties deterministically —
     * each consecutive pair contributes one (from_type, to_type) count.

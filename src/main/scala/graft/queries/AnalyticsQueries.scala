@@ -350,6 +350,24 @@ object AnalyticsQueries {
              |    AS share
              |FROM c, t ORDER BY attributed_type""".stripMargin)),
 
+    // ---- x129: touch-to-conversion interval pairs -------------------------
+    // view -> purchase pairs within 1 hour; equi-join on user_id with the
+    // range as a residual predicate (no nested loop).
+    QueryDef(
+      "x129_conversion_pairs",
+      (s, dir) =>
+        EventAnalytics.conversionPairs(Tables.events(s, dir), "view",
+            "purchase", lagSec = 3600)
+          .orderBy(col("user_id"), col("touch_id"), col("conv_id")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+             |    event_id FROM events)
+             |SELECT t.user_id, t.event_id AS touch_id, c.event_id AS conv_id,
+             |  c.tns - t.tns AS gap_ns
+             |FROM e t JOIN e c ON t.user_id = c.user_id
+             |  AND t.event_type = 'view' AND c.event_type = 'purchase'
+             |  AND c.tns >= t.tns AND c.tns <= t.tns + 3600000000000
+             |ORDER BY t.user_id, touch_id, conv_id""".stripMargin)),
+
     // ---- x126: one-pass funnel (single-shuffle twin of x114) --------------
     // Same oracle SQL as x114: the bitwise gate proves the per-user fold
     // equals the chained-min formulation.

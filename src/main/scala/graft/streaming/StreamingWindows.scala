@@ -525,6 +525,39 @@ object StreamingWindows {
       }
   }
 
+  /** STREAM-STREAM interval self-join: the streaming twin of
+    * EventAnalytics.conversionPairs. Both sides are the same watermarked
+    * events stream filtered by type; the join keys on user_id with the
+    * event-time range `conv_ts ∈ [touch_ts, touch_ts + lagSec]` — the
+    * condition Spark's stream-stream join machinery needs to BOUND the
+    * state store (each side retains only rows inside watermark + lag).
+    * The micros-precision time bound can admit a boundary pair the exact
+    * nanos bound would not, so the nanos predicate re-filters after the
+    * join — state stays bounded, results stay bitwise equal to batch
+    * (StreamingSpec).
+    */
+  def streamingConversionPairs(events: DataFrame, touchType: String,
+      convType: String, lagSec: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(lagSec > 0, s"need lagSec > 0, got $lagSec")
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("ts_ns").as("_tns"), col("event_id").as("touch_id"))
+      .withWatermark("touch_ts", watermark)
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("_cu"), col("ts").as("conv_ts"),
+        col("ts_ns").as("_cns"), col("event_id").as("conv_id"))
+      .withWatermark("conv_ts", watermark)
+    touches.join(convs,
+        col("user_id") === col("_cu") &&
+          col("conv_ts") >= col("touch_ts") &&
+          col("conv_ts") <= col("touch_ts") + expr(s"INTERVAL $lagSec SECOND"))
+      .filter(col("_cns") >= col("_tns") &&
+        col("_cns") <= col("_tns") + lagSec * 1000000000L)
+      .select(col("user_id"), col("touch_id"), col("conv_id"),
+        (col("_cns") - col("_tns")).as("gap_ns"))
+  }
+
   def runStatefulToMemory(ds: Dataset[UserRunningCount], name: String): StreamingQuery = {
     val q = ds.writeStream
       .outputMode("update")

@@ -562,6 +562,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval self-join == batch conversionPairs " +
+      "(watermarked state, pairs across the batch split)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val tsNs = Tables.events(spark, dir).select(col("event_id"), col("ts_ns"))
+    val withNs = src.join(tsNs, "event_id")
+    withNs.filter(col("ts_ns") <= cut).select(cols.map(col): _*).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val streamIn = spark.readStream
+      .schema(StreamingWindows.eventsSchema(src.schema("ts").dataType))
+      .parquet(s"$splitDir/in")
+    val evStream = src.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamIn.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        streamIn
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+    val q = StreamingWindows.streamingConversionPairs(evStream, "view",
+        "purchase", lagSec = 3600)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_pairs").start()
+    try {
+      q.processAllAvailable()
+      withNs.filter(col("ts_ns") > cut).select(cols.map(col): _*).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = graft.ops.EventAnalytics
+        .conversionPairs(batchEvents, "view", "purchase", 3600)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want,
+        s"stream-stream join diverges: got ${got.size}, want ${want.size}; " +
+          s"missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+      assert(want.nonEmpty, "fixture should produce pairs")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming KMV monitor: sketch state merged across micro-batches " +
       "converges to the batch sketch (KMV merge across TIME)") {
     val dir = "/root/testdata/sf0.001"
