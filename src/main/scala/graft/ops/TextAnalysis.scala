@@ -614,4 +614,44 @@ object TextAnalysis {
         round((sum(col("_ce")) - sum(col("_h"))).cast("double"), 6).as("kl"))
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Hashed linear classifier scoring — the fastText-shaped quality
+    * filter's SCALE PATH: each token hashes into one of `dims` feature
+    * buckets (md5-prefix, the engine-shared hash), the document score is
+    * the mean bucket weight, and the keep decision is score ≥ 0 — an
+    * EXACT integer-sum comparison, no float threshold ambiguity.
+    *
+    * Weights here are a deterministic stand-in (a Knuth-hash ramp over
+    * the bucket id, quantized to 10^-6) — production swaps in a trained
+    * weight table via the same bucket join; the plumbing (hash, feature
+    * aggregation, integer decision) is the real, tested part, exactly
+    * like the multimodal decode stubs. Returns (doc_id, n_tokens,
+    * score, prob, keep) with score/prob round 6 (prob = sigmoid; exp,
+    * like ln, is not bit-stable across libm implementations — hence the
+    * rounding and the integer keep rule).
+    *
+    * Scale: map-only explode + per-doc map-side-combined sum; no join,
+    * no broadcast, one exchange on doc_id.
+    */
+  def classifierScore(docs: DataFrame, dims: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2, s"need dims >= 2, got $dims")
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("_d", md5(col("tok")))
+      .select(col(idCol),
+        pmod(expr(hexToIntSql("_d", 8)), lit(dims.toLong)).as("b"))
+    val wInt = pmod(col("b") * 2654435761L, lit(2000001L)) - 1000000L
+    toks.select(col(idCol), wInt.as("_w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_w").cast("decimal(38,0)")).as("_s"))
+      .select(col(idCol), col("n_tokens"),
+        (round(col("_s").cast("double") / 1e6
+          / col("n_tokens").cast("double"), 6) + 0.0).as("score"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(col("_s").cast("double") / 1e6
+            / col("n_tokens").cast("double")))), 6).as("prob"),
+        (col("_s") >= 0).as("keep"))
+  }
 }

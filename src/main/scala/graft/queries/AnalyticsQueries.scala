@@ -368,6 +368,34 @@ object AnalyticsQueries {
              |  AND c.tns >= t.tns AND c.tns <= t.tns + 3600000000000
              |ORDER BY t.user_id, touch_id, conv_id""".stripMargin)),
 
+    // ---- x130: hashed linear classifier scoring ---------------------------
+    // fastText-shaped quality filter plumbing: md5-bucket features, mean
+    // bucket weight, integer keep decision (see TextAnalysis doc).
+    QueryDef(
+      "x130_classifier_score",
+      (s, dir) =>
+        graft.ops.TextAnalysis.classifierScore(Tables.documents(s, dir),
+            dims = 64)
+          .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, md5(tok) AS d FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |    FROM documents) t),
+              |b AS (SELECT doc_id,
+              |    ((${graft.ops.TextAnalysis.hexToIntSql("d", 8)} % 64) + 64) % 64
+              |      AS b FROM toks),
+              |w AS (SELECT doc_id,
+              |    (((b * 2654435761 % 2000001) + 2000001) % 2000001) - 1000000
+              |      AS w FROM b),
+              |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id)
+              |SELECT doc_id, n_tokens,
+              |  round(CAST(s AS DOUBLE) / 1000000.0
+              |    / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS score,
+              |  round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0
+              |    / CAST(n_tokens AS DOUBLE)))), 6) AS prob,
+              |  s >= 0 AS keep
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // ---- x126: one-pass funnel (single-shuffle twin of x114) --------------
     // Same oracle SQL as x114: the bitwise gate proves the per-user fold
     // equals the chained-min formulation.

@@ -194,6 +194,32 @@ class AnalyticsSpec extends SparkSuite {
       lone.getDouble(3) === lone.getDouble(4))
   }
 
+  test("classifierScore: JVM-reference buckets/weights; integer keep rule") {
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 64
+    }
+    def weight(b: Long): Long =
+      Math.floorMod(b * 2654435761L, 2000001L) - 1000000L
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("a a", "a b c"))
+    val out = graft.ops.TextAnalysis.classifierScore(docs, dims = 64)
+      .orderBy("doc_id").collect()
+    val w1 = weight(bucket("a"))
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) ===
+      BigDecimal(w1.toDouble / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getBoolean(4) === (w1 >= 0))
+    val s2 = Seq("a", "b", "c").map(t => weight(bucket(t))).sum
+    assert(out(1).getLong(1) === 3L)
+    assert(out(1).getBoolean(4) === (s2 >= 0))
+    val prob = 1.0 / (1.0 + math.exp(-(s2.toDouble / 1e6 / 3.0)))
+    assert(math.abs(out(1).getDouble(3) - prob) < 1e-6)
+  }
+
   test("covariance: exact on a hand matrix") {
     import spark.implicits._
     val emb = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 4.0)), (3L, Seq(3.0, 6.0)))
