@@ -33,7 +33,9 @@ object Bench {
     // pipeline-variant chains (curateStages materialization barriers)
     "x105_curation_lines", "x106_curation_funnel", "x107_curation_ledger",
     "x109_crossmodal_clusters", // materialized LSH pairs + propagation rounds
-    "x112_curation_transitions") // TWO pipeline backbones (old + new snapshot)
+    "x112_curation_transitions", // TWO pipeline backbones (old + new snapshot)
+    // funnel stage chains (k materialized per-stage states each)
+    "x114_event_funnel", "x123_funnel_within", "x127_cohort_funnel")
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the

@@ -38,7 +38,8 @@ class PlanSpec extends SparkSuite {
     "x84_cluster_balanced", // k-means centroid broadcast (x44's stage)
     "x95_kmv_distinct", // broadcast ONE-ROW corpus n_exact onto the merged row (x57 pattern)
     "x103_vocab_drift", // broadcast ONE-ROW snapshot totals onto the term table (x57 pattern)
-    "x125_source_entropy") // broadcast ONE-ROW corpus grand total onto the term table (x57 pattern)
+    "x125_source_entropy", // broadcast ONE-ROW corpus grand total onto the term table (x57 pattern)
+    "x128_attribution") // broadcast ONE-ROW conversions total onto <= |types|+1 rows (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
