@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *    [[rollingActives]]) exactly once per stage, and every aggregation is
   *    map-side combinable. Nothing partitions by a low-cardinality key.
   *  - [[funnel]]'s per-stage frames shrink monotonically (stage k+1 users
-  *    ⊆ stage k users); Catalyst reuses the hash partitioning on user_id
-  *    across the stage joins, so the chain is one exchange of the events
-  *    table plus tiny shrinking per-stage states.
+  *    ⊆ stage k users) and each stage is a materialization barrier, so
+  *    the chain is k type-pruned events scans joined against tiny,
+  *    shrinking, AQE-broadcastable states; [[funnelOnePass]] is the
+  *    single-exchange alternative when the step types are broad.
   */
 object EventAnalytics {
 
