@@ -630,22 +630,25 @@ object TextAnalysis {
     * like ln, is not bit-stable across libm implementations — hence the
     * rounding and the integer keep rule).
     *
-    * Scale: map-only explode + per-doc map-side-combined sum; no join,
-    * no broadcast, one exchange on doc_id.
+    * Scale: MAP-ONLY — the whole feature/score computation runs inside
+    * per-row higher-order functions (md5 materialized once per token via
+    * a staged transform), so the plan has NO shuffle at all (PlanSpec
+    * pins the output ordering as the only exchange) and the operator
+    * applies to a stream unchanged, statelessly
+    * (StreamingWindows.streamingClassifierGate).
     */
   def classifierScore(docs: DataFrame, dims: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(dims >= 2, s"need dims >= 2, got $dims")
-    val toks = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("_d", md5(col("tok")))
-      .select(col(idCol),
-        pmod(expr(hexToIntSql("_d", 8)), lit(dims.toLong)).as("b"))
-    val wInt = pmod(col("b") * 2654435761L, lit(2000001L)) - 1000000L
-    toks.select(col(idCol), wInt.as("_w"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("_w").cast("decimal(38,0)")).as("_s"))
+    // per-row integer weight list: token -> md5 (once) -> 8-hex bucket ->
+    // quantized weight; the per-doc sum is an exact integer fold
+    val wArr = s"""transform(
+      transform(split($textCol, ' '), t -> md5(t)),
+      d -> pmod(pmod(${hexToIntSql("d", 8)}, ${dims}L) * 2654435761L,
+        2000001L) - 1000000L)"""
+    docs.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s"))
       .select(col(idCol), col("n_tokens"),
         (round(col("_s").cast("double") / 1e6
           / col("n_tokens").cast("double"), 6) + 0.0).as("score"),

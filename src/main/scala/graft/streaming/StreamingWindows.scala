@@ -371,6 +371,18 @@ object StreamingWindows {
     graft.ops.TextAnalysis.lineQualityCuration(docs,
       wordsPerLine = wordsPerLine, textCol = textCol, idCol = idCol)
 
+  /** Streaming classifier gate: TextAnalysis.classifierScore applied to
+    * the stream unchanged — map-only (explode + per-doc aggregate is a
+    * per-batch group-by on doc_id, no cross-batch state, no watermark
+    * needed in append mode because each doc's tokens arrive in one row).
+    * The keep rule is the batch form's exact integer sum, so stream and
+    * batch gates can never disagree on a document (StreamingSpec).
+    */
+  def streamingClassifierGate(docs: DataFrame, dims: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.ops.TextAnalysis.classifierScore(docs, dims = dims,
+      textCol = textCol, idCol = idCol)
+
   /** Streaming distinct-token cardinality monitor: a per-source KMV
     * sketch ([[graft.ops.Sketches]]) maintained as mapGroupsWithState
     * state and re-estimated every micro-batch. The state is the k-min

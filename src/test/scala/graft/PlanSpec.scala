@@ -221,5 +221,14 @@ class PlanSpec extends SparkSuite {
     assert(exchanges104 <= 2, s"x104 must plan one agg exchange + the " +
       s"output sort (found $exchanges104):\n" + p104.take(3000))
     assert(!p104.contains("Join"), "x104 must plan no join:\n" + p104.take(2000))
+    // classifierScore: the whole feature/score pipeline is per-row
+    // higher-order functions — x97's contract: only the output sort
+    val p130 = SparkEntry.queries("x130_classifier_score")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges130 = "(?m)^.*Exchange".r.findAllIn(p130).size
+    assert(exchanges130 == 1, s"x130 must shuffle only for the output sort " +
+      s"(found $exchanges130 exchanges):\n" + p130.take(3000))
+    assert(!p130.contains("Join") && !p130.contains("HashAggregate"),
+      "x130 must plan no join/aggregate:\n" + p130.take(2000))
   }
 }

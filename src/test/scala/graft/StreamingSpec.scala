@@ -680,4 +680,29 @@ class StreamingSpec extends SparkSuite {
         "gate must pass some docs and drop some docs on this corpus")
     } finally q.stop()
   }
+
+  test("streaming classifier gate == batch classifierScore (stateless " +
+      "map-only, append mode, no watermark, no streaming aggregation)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingClassifierGate(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_classifier").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_classifier").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(4))).toSeq
+      val want = graft.ops.TextAnalysis.classifierScore(batchDocs)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(4))).toSeq
+      assert(got == want, "stream and batch classifier gates diverge")
+      val kept = got.count(_._4)
+      assert(kept > 0 && kept < got.size,
+        "gate must keep some docs and drop some docs on this corpus")
+    } finally q.stop()
+  }
 }
