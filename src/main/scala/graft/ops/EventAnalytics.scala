@@ -400,4 +400,45 @@ object EventAnalytics {
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     dau.join(slots, "day").select(col("day"), col("dau"), col("wau"))
   }
+
+  /** Exponentially-weighted daily event-count smoothing, the classic
+    * monitoring baseline: for each (event_type, day),
+    * `ewma = (1-a) * Σ_{i ≤ d, i > d-windowDays} cnt_i * a^(d-i)` with
+    * decay a = 0.5.
+    *
+    * The dyadic decay is deliberate: counts are integers and 0.5^k is an
+    * exact binary fraction, so every term — and therefore the sum, in
+    * ANY addition order — is exact in a double (counts < 2^33 with
+    * windowDays ≤ 20 keep the whole sum inside the 53-bit mantissa).
+    * That makes the result bitwise reproducible across engines with no
+    * DECIMAL staging and no dependence on window iteration order. The
+    * weight is computed as division by an integer `1 << k` (shiftleft),
+    * NOT `power(0.5, k)` — libm pow is only 1-ulp-accurate and differs
+    * across implementations; integer shift + IEEE division is exact.
+    *
+    * Scale: the ONE events-scale op is the (event_type, day) count —
+    * map-side combinable, one shuffle. The trailing-window convolution
+    * runs on that aggregate, whose size is |types| × |days| regardless
+    * of row count; it is a range self-join keyed on event_type (low
+    * cardinality, but over the tiny aggregate — the blast radius is
+    * days² per type, not events²). Returns (event_type, day, cnt, ewma).
+    */
+  def ewmaDaily(events: DataFrame, windowDays: Int = 20): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = Checkpoints.materialize(
+      events.groupBy(col("event_type"), day.as("day"))
+        .agg(count(lit(1)).as("cnt")))
+    val past = daily.select(col("event_type").as("_et"),
+      col("day").as("d2"), col("cnt").as("c2"))
+    daily.join(past,
+        col("_et") === col("event_type") &&
+          col("d2") <= col("day") &&
+          col("d2") > col("day") - lit(windowDays.toLong))
+      .groupBy(col("event_type"), col("day"), col("cnt"))
+      .agg((lit(0.5) * sum(col("c2").cast("double") /
+        expr("cast(shiftleft(cast(1 as bigint), cast(day - d2 as int)) as double)")))
+        .as("ewma"))
+      .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
+  }
 }

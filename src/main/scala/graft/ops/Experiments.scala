@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online-experiment (A/B test) analysis over the events table.
+  *
+  * Reference precedent: the reference frame is the backing store of an
+  * analytics product (athenianco/medvedi README — "pandas replacement"
+  * for the Athenian web-app's computations); experiment readouts are the
+  * canonical such computation. Everything here is deterministic hash
+  * assignment + exact counting + one closed-form z-score, so the DuckDB
+  * oracle replays it bitwise.
+  *
+  * Scale shape (100 TB events): ONE groupBy(user_id) shuffle with map-side
+  * combine reduces the corpus to one row per user; the variant hash is
+  * map-only on that reduced set; the per-variant rollup is a second,
+  * cardinality-`nVariants` aggregate; the control row joins back by
+  * broadcast. No window, no self-join, nothing driver-side.
+  */
+object Experiments {
+
+  /** Deterministic variant assignment: first 8 hex chars of
+    * md5("ab:<salt>:" + user_id) mod nVariants. Engine-portable (the
+    * same SQL text runs in Spark and DuckDB via [[TextAnalysis.hexToIntSql]]);
+    * stable across runs, machines, and engines — the property a real
+    * experiment system needs so a user never flips variants.
+    */
+  def variantSql(userCol: String, nVariants: Int, salt: String): String = {
+    val h = TextAnalysis.hexToIntSql(s"md5(concat('ab:$salt:', $userCol))", 8)
+    s"($h % $nVariants)"
+  }
+
+  /** Per-variant experiment readout with a two-proportion z-test against
+    * variant 0 (control).
+    *
+    * A user is "in" the experiment if they have any event; they convert
+    * if they have at least one `convType` event with `value >= minValue`
+    * (a bare "has the event" predicate saturates on dense clickstreams —
+    * every user purchases eventually — and a saturated pooled rate makes
+    * the z-test degenerate). Output per variant: `variant, n_users,
+    * n_conv, rate, lift_vs_control, z_score` — rate and lift rounded to
+    * 6, z from the pooled-proportion formula
+    * z = (p_i - p_0) / sqrt(p*(1-p)*(1/n_0+1/n_i)), p pooled. Control's
+    * lift/z are NULL (not 0) so downstream code cannot mistake the
+    * control row for a no-op treatment; z is also NULL when the pooled
+    * rate is exactly 0 or 1 (zero standard error — ANSI-mode division
+    * by zero otherwise, and the statistic is undefined there anyway).
+    */
+  def abTest(events: DataFrame, convType: String = "purchase",
+      minValue: Double = 150.0, nVariants: Int = 3,
+      salt: String = "exp1"): DataFrame = {
+    // digest materialized once per user, then bucketed (the Sketches
+    // convention: never inline md5 through hexToIntSql on a bulk column)
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType &&
+        col("value") >= minValue, 1).otherwise(0)).as("conv"))
+      .withColumn("_d", expr(s"md5(concat('ab:$salt:', user_id))"))
+      .withColumn("variant",
+        expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+    val perVariant = perUser
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val control = perVariant.filter(col("variant") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+    val d = (c: Column) => c.cast("double")
+    val joined = perVariant.crossJoin(broadcast(control))
+    val p0 = d(col("c0")) / d(col("n0"))
+    val pi = d(col("n_conv")) / d(col("n_users"))
+    val pooled = d(col("c0") + col("n_conv")) / d(col("n0") + col("n_users"))
+    val se = sqrt(pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / d(col("n0")) + lit(1.0) / d(col("n_users"))))
+    joined.select(
+      col("variant"), col("n_users"), col("n_conv"),
+      round(pi, 6).as("rate"),
+      when(col("variant") =!= 0, round(pi - p0, 6)).as("lift_vs_control"),
+      when(col("variant") =!= 0 && se =!= 0.0, round((pi - p0) / se, 6))
+        .as("z_score"))
+  }
+}

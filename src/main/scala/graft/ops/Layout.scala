@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout: interleave the bits of two
+  * dimension keys so rows close in BOTH dimensions land close in the
+  * sort order. Sorting/range-partitioning by the z-value is the standard
+  * lakehouse trick for multi-dimensional data skipping — per-file min/max
+  * stats become tight rectangles instead of full-range stripes, so a
+  * predicate on EITHER dimension prunes files.
+  *
+  * Scale shape (100 TB): the z-value is pure map-side integer arithmetic
+  * (quantize each dimension to `bits` bits against broadcast min/max,
+  * then interleave with shifts/masks — all codegen'd, no UDF). The actual
+  * layout write is `repartitionByRange($"z") .sortWithinPartitions($"z")`
+  * — one range-exchange, the same cost as any global sort. The stats
+  * query here audits the result: per z-bucket bounding boxes, whose
+  * areas should be ~uniform small tiles (a naive single-column sort
+  * yields full-height stripes instead).
+  */
+object Layout {
+
+  /** Quantize `c` to [0, 2^bits) as BIGINT against inclusive min/max
+    * columns: floor(((c - mn) * (2^bits - 1)) / max(mx - mn, 1)).
+    * The division runs in doubles on BOTH engines (identical op
+    * sequence); it is exact-equal to integer floor division here because
+    * the numerator stays under 2^52 (key span < 2^42 × 10-bit scale), so
+    * the quotient's 1/denominator tail always exceeds the ulp at the
+    * boundary — no cross-integer rounding is possible.
+    */
+  def quantize(c: Column, mn: Column, mx: Column, bits: Int): Column =
+    floor(((c - mn).cast("long") * lit((1L << bits) - 1)).cast("double") /
+      greatest(mx.cast("long") - mn.cast("long"), lit(1L)).cast("double"))
+      .cast("long")
+
+  /** Morton interleave of two quantized values: bit b of x → bit 2b+1,
+    * bit b of y → bit 2b. Pure shifts/masks, codegen'd. */
+  def interleave(xq: Column, yq: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      shiftright(xq, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)) +
+        shiftright(yq, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))
+    }.reduce(_ + _)
+
+  /** DuckDB-portable rendering of quantize+interleave for the oracle:
+    * the SAME op sequence (floor of a double division, then `>>`/`&`
+    * shifts/masks on BIGINT). */
+  def zValueSql(x: String, y: String, xmn: String, xmx: String,
+      ymn: String, ymx: String, bits: Int): String = {
+    val m = (1L << bits) - 1
+    def q(c: String, mn: String, mx: String) =
+      s"CAST(floor(CAST(($c - $mn) * $m AS DOUBLE) / " +
+        s"CAST(GREATEST($mx - $mn, 1) AS DOUBLE)) AS BIGINT)"
+    val xq = q(x, xmn, xmx)
+    val yq = q(y, ymn, ymx)
+    (0 until bits).map { b =>
+      s"((($xq) >> $b) & 1) * ${1L << (2 * b + 1)} + " +
+        s"((($yq) >> $b) & 1) * ${1L << (2 * b)}"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Per-z-bucket bounding-box audit of a two-dimensional layout.
+    *
+    * Output: `bucket, n, x_min, x_max, y_min, y_max` for each
+    * `z >> bucketShift` bucket — the rectangles a file-level min/max
+    * index would hold if the table were written in z order with
+    * ~2^bucketShift rows' worth of z-range per file.
+    */
+  def zOrderStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 10, bucketShift: Int = 14): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"),
+      min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx"))
+    df.crossJoin(broadcast(bounds))
+      // quantized dims materialized once so the 2·bits interleave taps
+      // reference columns, not 2·bits copies of the quantize subtree
+      .select(col(xCol), col(yCol),
+        quantize(col(xCol), col("xmn"), col("xmx"), bits).as("_xq"),
+        quantize(col(yCol), col("ymn"), col("ymx"), bits).as("_yq"))
+      .select(col(xCol), col(yCol),
+        shiftright(interleave(col("_xq"), col("_yq"), bits), bucketShift)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+
+  /** The write path the stats audit models: range-partition by z-value
+    * and sort within partitions, so parquet row-group min/max stats form
+    * tight tiles over (x, y). `numFiles` bounds output file count.
+    */
+  def zOrderedWrite(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 10): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("xmn"), max(col(xCol)).as("xmx"),
+      min(col(yCol)).as("ymn"), max(col(yCol)).as("ymx"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_xq", quantize(col(xCol), col("xmn"), col("xmx"), bits))
+      .withColumn("_yq", quantize(col(yCol), col("ymn"), col("ymx"), bits))
+      .withColumn("_z", interleave(col("_xq"), col("_yq"), bits))
+      .drop("xmn", "xmx", "ymn", "ymx", "_xq", "_yq")
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+}

@@ -638,7 +638,8 @@ object TextAnalysis {
     * (StreamingWindows.streamingClassifierGate).
     */
   def classifierScore(docs: DataFrame, dims: Int = 64,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      carry: Seq[String] = Nil): DataFrame = {
     require(dims >= 2, s"need dims >= 2, got $dims")
     // per-row integer weight list: token -> md5 (once) -> 8-hex bucket ->
     // quantized weight; the per-doc sum is an exact integer fold
@@ -646,15 +647,135 @@ object TextAnalysis {
       transform(split($textCol, ' '), t -> md5(t)),
       d -> pmod(pmod(${hexToIntSql("d", 8)}, ${dims}L) * 2654435761L,
         2000001L) - 1000000L)"""
-    docs.select(col(idCol),
+    val carried = carry.map(col)
+    docs.select(Seq(col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
-        expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s"))
-      .select(col(idCol), col("n_tokens"),
+        expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s")) ++
+        carried: _*)
+      .select(Seq(col(idCol), col("n_tokens"),
         (round(col("_s").cast("double") / 1e6
           / col("n_tokens").cast("double"), 6) + 0.0).as("score"),
         round(lit(1.0) / (lit(1.0)
           + exp(-(col("_s").cast("double") / 1e6
             / col("n_tokens").cast("double")))), 6).as("prob"),
-        (col("_s") >= 0).as("keep"))
+        (col("_s") >= 0).as("keep")) ++ carried: _*)
+  }
+
+  /** BM25 retrieval scoring (Robertson, k1/b variant with the
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf): top-`k` documents for a fixed
+    * term set — the query-based corpus-filtering primitive ("give me the
+    * training docs most like this probe query").
+    *
+    * Determinism: per-term scores are round(·,12)-DECIMAL summed (ln is
+    * not bit-stable across libm builds — the x125 convention), the final
+    * score is round 6, and the top-k cut is totally ordered by
+    * (score DESC, doc_id) so boundary ties are deterministic.
+    *
+    * Scale: ONE tokenize pass feeds both per-doc lengths (map-side
+    * combinable groupBy) and query-term tfs (the `isin` filter on the
+    * tiny term set is pushed below the shuffle, so the tf aggregate
+    * shuffles only matching (doc, term) rows). df and the N/avgdl row
+    * are aggregate-of-aggregate; N/avgdl joins broadcast. The top-k is
+    * Spark's TakeOrdered — per-partition heaps, no global sort.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 100,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = Checkpoints.materialize(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("tok")))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot")))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("tot").cast("double") / nD
+    val idf = log(lit(1.0) + (nD - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val term = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) *
+        (col("dl").cast("double") / avgdl)))
+    tf.join(broadcast(df), "tok").join(dl, idCol).crossJoin(stats)
+      .select(col(idCol), round(term, 12).cast("decimal(28,12)").as("_t"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_t")).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-group winsorized statistics: clip `valCol` at the group's
+    * `lo`/`hi` quantiles (linear-interpolated, the x23 percentile
+    * convention) and report the robust mean alongside the clip counts —
+    * the outlier-resistant length audit a curation run uses to set
+    * truncation thresholds.
+    *
+    * Scale: pass 1 is an exact per-group percentile (state proportional
+    * to the group — the documented exact-stats tradeoff vs x27's GK
+    * sketch, which is the 100 TB default); pass 2 re-scans with the tiny
+    * bounds frame broadcast back, so clipping is map-only and the final
+    * rollup map-side combines. No window over raw rows.
+    */
+  def winsorizedStats(docs: DataFrame, groupCol: String = "source",
+      valCol: String = "n_chars", lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile bounds [$lo, $hi]")
+    val bounds = docs.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $lo)").as("p_lo"),
+      expr(s"percentile($valCol, $hi)").as("p_hi"))
+    val v = col(valCol).cast("double")
+    val clipped = least(greatest(v, col("p_lo")), col("p_hi"))
+    docs.join(broadcast(bounds), groupCol)
+      .select(col(groupCol), v.as("_v"), col("p_lo"), col("p_hi"),
+        round(clipped, 12).cast("decimal(28,12)").as("_c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_v") < col("p_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("_v") > col("p_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(sum(col("_c")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("wmean"),
+        round(max(col("p_lo")), 6).as("p_lo"),
+        round(max(col("p_hi")), 6).as("p_hi"))
+  }
+
+  /** Reliability (calibration) diagram for [[classifierScore]]'s
+    * probability output against a reference label: bin prob into
+    * `bins` equal-width buckets, report per-bin mean predicted prob vs
+    * empirical positive rate and the gap. The label here is `lang ==
+    * 'en'` — a stand-in ground truth exactly like the classifier's
+    * stand-in weights; the binning/rate plumbing is the tested part.
+    *
+    * Determinism: prob is already round-6 (classifierScore contract), so
+    * `floor(prob*bins)` is exact on both engines; per-bin prob mass sums
+    * in DECIMAL(18,6) (probs are 6-dp fixed-point by construction).
+    *
+    * Scale: classifierScore is map-only and the label column rides along
+    * via its `carry` hook — ONE scan, NO doc_id self-join — so the whole
+    * diagram is a single pass plus a ≤`bins`-group map-side-combined
+    * aggregate.
+    */
+  def scoreCalibration(docs: DataFrame, dims: Int = 64, bins: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val scored = classifierScore(docs, dims, textCol, idCol,
+      carry = Seq("lang"))
+    scored
+      .withColumn("_pos", (col("lang") === "en").cast("long"))
+      .select(least(floor(col("prob") * bins), lit(bins - 1).cast("long"))
+          .cast("long").as("bin"),
+        col("prob").cast("decimal(18,6)").as("_p"), col("_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_p")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_prob"),
+        sum(col("_pos")).as("n_pos"),
+        round(sum(col("_pos")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pos_rate"))
+      .select(col("bin"), col("n"), col("mean_prob"), col("n_pos"),
+        col("pos_rate"),
+        round(col("pos_rate") - col("mean_prob"), 6).as("gap"))
   }
 }

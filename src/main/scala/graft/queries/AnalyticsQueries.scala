@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{EventAnalytics, Pca}
+import graft.ops.{Baskets, EventAnalytics, Experiments, Layout, Pca,
+  TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -446,5 +447,218 @@ object AnalyticsQueries {
         Pca.projectionByGroup(Tables.embeddings(s, dir), iters = 6)
           .orderBy(col("label")),
       Some(projSql(iters = 6))),
+
+    // ---- x131: A/B experiment readout with two-proportion z-test ----------
+    // Deterministic md5 variant assignment, exact counting, closed-form
+    // pooled z vs control — ONE user_id shuffle then variant-cardinality
+    // rollups (see ops/Experiments.scala).
+    QueryDef(
+      "x131_ab_test",
+      (s, dir) =>
+        Experiments.abTest(Tables.events(s, dir), convType = "purchase",
+            nVariants = 3, salt = "exp1")
+          .orderBy(col("variant")),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+              |      THEN 1 ELSE 0 END) AS conv,
+              |    md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM events GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
+              |      AS variant,
+              |    COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+              |  FROM pu GROUP BY 1),
+              |c AS (SELECT n_users AS n0, n_conv AS c0 FROM pv
+              |  WHERE variant = 0),
+              |j AS (SELECT variant, n_users, n_conv,
+              |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS pi,
+              |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+              |    sqrt(CAST(c0 + n_conv AS DOUBLE)
+              |        / CAST(n0 + n_users AS DOUBLE)
+              |      * (1.0 - CAST(c0 + n_conv AS DOUBLE)
+              |        / CAST(n0 + n_users AS DOUBLE))
+              |      * (1.0 / CAST(n0 AS DOUBLE)
+              |        + 1.0 / CAST(n_users AS DOUBLE))) AS se
+              |  FROM pv CROSS JOIN c)
+              |SELECT variant, n_users, n_conv, round(pi, 6) AS rate,
+              |  CASE WHEN variant <> 0 THEN round(pi - p0, 6) END
+              |    AS lift_vs_control,
+              |  CASE WHEN variant <> 0 AND se <> 0 THEN
+              |    round((pi - p0) / se, 6) END AS z_score
+              |FROM j ORDER BY variant""".stripMargin)),
+
+    // ---- x132: market-basket pair support + lift --------------------------
+    // Pairs generated per basket (bounded blast radius), never by a
+    // corpus self-join — see ops/Baskets.scala. The oracle replays the
+    // pair space with the self-join formulation; same set, same counts.
+    QueryDef(
+      "x132_basket_pairs",
+      (s, dir) =>
+        Baskets.pairLift(Tables.lineitem(s, dir), minSupport = 2)
+          .orderBy(col("part_a"), col("part_b")),
+      Some("""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem),
+             |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+             |    COUNT(*) AS n_pair
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2),
+             |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY 1),
+             |no AS (SELECT COUNT(*) AS n_orders FROM
+             |  (SELECT DISTINCT ok FROM items) o)
+             |SELECT part_a, part_b, n_pair,
+             |  round(CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE), 6)
+             |    AS support,
+             |  round(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             |    / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)), 6)
+             |    AS lift
+             |FROM pairs
+             |JOIN ic na ON na.pk = part_a
+             |JOIN ic nb ON nb.pk = part_b
+             |CROSS JOIN no
+             |WHERE n_pair >= 2 ORDER BY part_a, part_b""".stripMargin)),
+
+    // ---- x133: z-order layout audit ---------------------------------------
+    // Morton-curve bucketing of (l_partkey, l_suppkey): per-bucket
+    // bounding boxes — the tiles a z-ordered write's file stats would
+    // hold (see ops/Layout.scala for the write path).
+    QueryDef(
+      "x133_zorder_layout",
+      (s, dir) =>
+        Layout.zOrderStats(Tables.lineitem(s, dir), "l_partkey",
+            "l_suppkey", bits = 10, bucketShift = 14)
+          .orderBy(col("bucket")),
+      Some(s"""WITH b AS (SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+              |    MIN(CAST(l_suppkey AS BIGINT)) AS ymn,
+              |    MAX(CAST(l_suppkey AS BIGINT)) AS ymx FROM lineitem),
+              |z AS (SELECT l_partkey, l_suppkey,
+              |    (${Layout.zValueSql("l_partkey", "CAST(l_suppkey AS BIGINT)",
+                     "xmn", "xmx", "ymn", "ymx", 10)}) >> 14 AS bucket
+              |  FROM lineitem CROSS JOIN b)
+              |SELECT bucket, COUNT(*) AS n,
+              |  MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max,
+              |  MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max
+              |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- x134: EWMA daily event-count smoothing ---------------------------
+    // Dyadic decay (0.5^k via integer shift + exact IEEE division) makes
+    // the smoothed value bitwise identical in any summation order on any
+    // engine — see EventAnalytics.ewmaDaily.
+    QueryDef(
+      "x134_ewma_daily",
+      (s, dir) =>
+        EventAnalytics.ewmaDaily(Tables.events(s, dir), windowDays = 20)
+          .orderBy(col("event_type"), col("day")),
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |d AS MATERIALIZED (SELECT event_type, day, COUNT(*) AS cnt
+             |  FROM e GROUP BY 1, 2)
+             |SELECT a.event_type, a.day, a.cnt,
+             |  0.5 * SUM(CAST(b.cnt AS DOUBLE)
+             |    / CAST(CAST(1 AS BIGINT) << CAST(a.day - b.day AS INTEGER)
+             |        AS DOUBLE)) AS ewma
+             |FROM d a JOIN d b ON a.event_type = b.event_type
+             |  AND b.day <= a.day AND b.day > a.day - 20
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- x135: BM25 query-based corpus retrieval --------------------------
+    // One tokenize pass; per-term round-12-DECIMAL sums (the x125 libm
+    // convention); total order (score DESC, doc_id) makes the top-k cut
+    // deterministic on both engines.
+    QueryDef(
+      "x135_bm25_topk",
+      (s, dir) =>
+        TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          Seq("join", "hash", "window", "spark"), k = 100),
+      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+              |    unnest(string_split(text, ' ')) AS tok FROM documents),
+              |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks
+              |  GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT)
+              |    AS tot FROM dl),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+              |  WHERE tok IN ('join', 'hash', 'window', 'spark')
+              |  GROUP BY 1, 2),
+              |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+              |t AS (SELECT tf.doc_id,
+              |    CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE)
+              |          - CAST(df AS DOUBLE) + 0.5)
+              |        / (CAST(df AS DOUBLE) + 0.5))
+              |      * (CAST(tf AS DOUBLE) * ${1.2 + 1.0})
+              |      / (CAST(tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+              |        + ${0.75} * (CAST(dl AS DOUBLE)
+              |          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+              |      12) AS DECIMAL(28,12)) AS t
+              |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+              |  CROSS JOIN st)
+              |SELECT doc_id, round(CAST(SUM(t) AS DOUBLE), 6) AS score,
+              |  COUNT(*) AS n_terms
+              |FROM t GROUP BY 1 ORDER BY score DESC, doc_id
+              |LIMIT 100""".stripMargin)),
+
+    // ---- x136: per-source winsorized length statistics --------------------
+    QueryDef(
+      "x136_winsorize",
+      (s, dir) =>
+        TextAnalysis.winsorizedStats(Tables.documents(s, dir),
+            groupCol = "source", valCol = "n_chars", lo = 0.05, hi = 0.95)
+          .orderBy(col("source")),
+      Some("""WITH b AS (SELECT source,
+             |    quantile_cont(n_chars, 0.05) AS p_lo,
+             |    quantile_cont(n_chars, 0.95) AS p_hi
+             |  FROM documents GROUP BY 1),
+             |c AS (SELECT d.source, CAST(n_chars AS DOUBLE) AS v,
+             |    p_lo, p_hi,
+             |    CAST(round(LEAST(GREATEST(CAST(n_chars AS DOUBLE), p_lo),
+             |      p_hi), 12) AS DECIMAL(28,12)) AS cv
+             |  FROM documents d JOIN b USING (source))
+             |SELECT source, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  round(CAST(SUM(cv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS wmean,
+             |  round(MAX(p_lo), 6) AS p_lo, round(MAX(p_hi), 6) AS p_hi
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- x137: classifier-probability reliability diagram -----------------
+    // One map-only scoring pass (label rides via classifierScore's carry
+    // hook — no doc_id self-join), one bins-cardinality rollup.
+    QueryDef(
+      "x137_score_calibration",
+      (s, dir) =>
+        TextAnalysis.scoreCalibration(Tables.documents(s, dir), dims = 64,
+            bins = 10)
+          .orderBy(col("bin")),
+      Some(s"""WITH toks AS (SELECT doc_id, md5(tok) AS d FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |    FROM documents) t),
+              |b AS (SELECT doc_id,
+              |    ((${TextAnalysis.hexToIntSql("d", 8)} % 64) + 64) % 64
+              |      AS b FROM toks),
+              |w AS (SELECT doc_id,
+              |    (((b * 2654435761 % 2000001) + 2000001) % 2000001) - 1000000
+              |      AS w FROM b),
+              |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+              |sc AS (SELECT doc_id,
+              |    round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0
+              |      / CAST(n_tokens AS DOUBLE)))), 6) AS prob FROM agg),
+              |lb AS (SELECT doc_id,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |j AS (SELECT LEAST(CAST(floor(prob * 10) AS BIGINT),
+              |      CAST(9 AS BIGINT)) AS bin,
+              |    CAST(prob AS DECIMAL(18,6)) AS p, pos
+              |  FROM sc JOIN lb USING (doc_id)),
+              |r AS (SELECT bin, COUNT(*) AS n,
+              |    round(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              |      AS mean_prob,
+              |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |    round(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+              |      AS pos_rate
+              |  FROM j GROUP BY bin)
+              |SELECT bin, n, mean_prob, n_pos, pos_rate,
+              |  round(pos_rate - mean_prob, 6) AS gap
+              |FROM r ORDER BY bin""".stripMargin)),
   )
 }

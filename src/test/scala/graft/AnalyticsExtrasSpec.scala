@@ -1,0 +1,192 @@
+package graft
+
+import graft.ops.{Baskets, EventAnalytics, Experiments, Layout, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the x131-x137 surface: A/B readouts,
+  * basket pairs, z-order layout, EWMA smoothing, BM25, winsorized stats,
+  * calibration bins.
+  */
+class AnalyticsExtrasSpec extends SparkSuite {
+
+  private def sec(n: Long): Long = n * 1000000000L
+  private def day(n: Long): Long = n * 86400L * 1000000000L
+
+  /** JVM reference of Experiments' md5 variant assignment. */
+  private def refVariant(userId: Long, n: Int, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ab:$salt:$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) % n).toInt
+  }
+
+  test("abTest: JVM-reference variants, exact counts, pooled z formula") {
+    // 12 users; conversion = purchase with value >= 150
+    val users = (1L to 12L)
+    val ev = frame(
+      "user_id" -> (users ++ users).toSeq,
+      "event_type" -> (users.map(_ => "view") ++
+        users.map(u => if (u % 2 == 0) "purchase" else "view")).toSeq,
+      "value" -> (users.map(_ => 10.0) ++
+        users.map(u => if (u % 4 == 0) 200.0 else 100.0)).toSeq)
+    val out = Experiments.abTest(ev, nVariants = 2, salt = "s")
+      .orderBy("variant").collect()
+    // reference: converted users are u % 4 == 0 AND the event is a purchase
+    // (u % 2 == 0), i.e. u in {4, 8, 12}
+    val byVariant = users.groupBy(u => refVariant(u, 2, "s"))
+    val conv = users.filter(u => u % 4 == 0).groupBy(u => refVariant(u, 2, "s"))
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    for (r <- out) {
+      val v = r.getLong(0).toInt
+      assert(r.getLong(1) === byVariant(v).size.toLong, s"n_users v$v")
+      assert(r.getLong(2) === conv.getOrElse(v, Seq()).size.toLong, s"n_conv v$v")
+    }
+    // z for the treatment row, recomputed with the documented formula
+    val (n0, c0) = (byVariant(0).size.toDouble, conv.getOrElse(0, Seq()).size.toDouble)
+    val (n1, c1) = (byVariant(1).size.toDouble, conv.getOrElse(1, Seq()).size.toDouble)
+    val p = (c0 + c1) / (n0 + n1)
+    val z = (c1 / n1 - c0 / n0) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n0 + 1.0 / n1))
+    assert(out(0).isNullAt(4) && out(0).isNullAt(5)) // control: NULL lift/z
+    assert(out(1).getDouble(5) === BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("abTest: saturated pooled rate yields NULL z, not a crash") {
+    // every user converts -> pooled p = 1 -> zero standard error
+    val ev = frame(
+      "user_id" -> Seq(1L, 2L, 3L, 4L),
+      "event_type" -> Seq("purchase", "purchase", "purchase", "purchase"),
+      "value" -> Seq(500.0, 500.0, 500.0, 500.0))
+    val out = Experiments.abTest(ev, nVariants = 2, salt = "s")
+      .orderBy("variant").collect()
+    assert(out.forall(r => r.getDouble(3) === 1.0)) // rate
+    assert(out.filter(_.getLong(0) != 0L).forall(_.isNullAt(5))) // z NULL
+  }
+
+  test("pairLift: per-basket pairs, distinct lines, support and lift") {
+    // o1 {1,2,3}, o2 {1,2} (part 1 twice -> counted once), o3 {2,3}, o4 {1}
+    val li = frame(
+      "l_orderkey" -> Seq(1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 4L),
+      "l_partkey" -> Seq(1L, 2L, 3L, 1L, 1L, 2L, 2L, 3L, 1L))
+    val out = Baskets.pairLift(li, minSupport = 2)
+      .orderBy("part_a", "part_b").collect()
+    assert(out.length === 2)
+    val p12 = out(0)
+    assert((p12.getLong(0), p12.getLong(1), p12.getLong(2)) === ((1L, 2L, 2L)))
+    assert(p12.getDouble(3) === 0.5) // 2 of 4 orders
+    assert(p12.getDouble(4) === BigDecimal(2.0 * 4 / (3 * 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val p23 = out(1)
+    assert((p23.getLong(0), p23.getLong(1), p23.getLong(2)) === ((2L, 3L, 2L)))
+    assert(p23.getDouble(4) === BigDecimal(2.0 * 4 / (3 * 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("zOrderStats: a 4x4 grid under 2-bit z-order buckets into exact " +
+      "quadrants (the locality a single-column sort cannot give)") {
+    val pts = for { x <- 0 to 3; y <- 0 to 3 } yield (x.toLong, y.toLong)
+    val df = frame("x" -> pts.map(_._1), "y" -> pts.map(_._2))
+    val out = Layout.zOrderStats(df, "x", "y", bits = 2, bucketShift = 2)
+      .orderBy("bucket").collect()
+    assert(out.length === 4)
+    for (r <- out) {
+      assert(r.getLong(1) === 4L) // 4 points per quadrant
+      assert(r.getLong(3) - r.getLong(2) === 1L) // x span within quadrant
+      assert(r.getLong(5) - r.getLong(4) === 1L) // y span within quadrant
+    }
+    // quadrant 0 is the (x<2, y<2) corner
+    assert(out(0).getLong(2) === 0L && out(0).getLong(3) === 1L)
+    assert(out(0).getLong(4) === 0L && out(0).getLong(5) === 1L)
+  }
+
+  test("ewmaDaily: exact dyadic smoothing, window cut, per-type isolation") {
+    // type A: day0 cnt2, day1 cnt4, day2 cnt1; type B: day1 cnt8
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 2L, 2L, 2L, 2L, 2L, 2L, 2L),
+      "event_type" -> (Seq.fill(2)("A") ++ Seq.fill(4)("A") ++ Seq("A") ++
+        Seq.fill(8)("B")),
+      "ts_ns" -> (Seq(day(0) + 1, day(0) + 2) ++
+        (1L to 4L).map(i => day(1) + i) ++ Seq(day(2) + 1) ++
+        (1L to 8L).map(i => day(1) + i)))
+    val out = EventAnalytics.ewmaDaily(ev, windowDays = 2)
+      .orderBy("event_type", "day").collect()
+    val rows = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("A", 0L)) === ((2L, 0.5 * 2.0)))
+    assert(rows(("A", 1L)) === ((4L, 0.5 * (4.0 + 2.0 / 2)))) // 2.5
+    // windowDays=2: day0's count falls OUT of day2's window
+    assert(rows(("A", 2L)) === ((1L, 0.5 * (1.0 + 4.0 / 2)))) // 1.5
+    assert(rows(("B", 1L)) === ((8L, 4.0))) // B unaffected by A
+  }
+
+  test("bm25TopK: hand-checked scores, doc without terms absent") {
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("a b", "a a b", "c"))
+    val out = TextAnalysis.bm25TopK(docs, Seq("a"), k = 10)
+      .orderBy(col("score").desc, col("doc_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 1L)) // doc 3 has no 'a'
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf: Double, dl: Double): Double = {
+      val avgdl = 6.0 / 3.0
+      val term = idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      val t12 = BigDecimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      t12.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0).getDouble(1) === s(2.0, 3.0))
+    assert(out(1).getDouble(1) === s(1.0, 2.0))
+    assert(out.forall(_.getLong(2) === 1L)) // n_terms
+  }
+
+  test("winsorizedStats: interpolated bounds clip exactly one outlier " +
+      "per tail; robust mean matches hand computation") {
+    val vals = (1L to 9L) :+ 100L
+    val docs = frame(
+      "source" -> Seq.fill(10)("s"),
+      "n_chars" -> vals.toSeq)
+    val out = TextAnalysis.winsorizedStats(docs, "source", "n_chars",
+      lo = 0.05, hi = 0.95).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 10L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 1L) // one clip each tail
+    // p05 = 1 + 0.45*(2-1) = 1.45 ; p95 = 9 + 0.55*(100-9) = 59.05
+    assert(r.getDouble(5) === 1.45 && r.getDouble(6) === 59.05)
+    val wmean = (1.45 + (2L to 9L).map(_.toDouble).sum + 59.05) / 10.0
+    assert(r.getDouble(4) === BigDecimal(wmean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("scoreCalibration: bins partition the corpus; probs stay in-bin; " +
+      "gap is the rounded difference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.scoreCalibration(docs, dims = 64, bins = 10)
+      .collect()
+    val total = docs.count()
+    assert(out.map(_.getLong(1)).sum === total)
+    for (r <- out) {
+      val bin = r.getLong(0)
+      assert(bin >= 0 && bin <= 9)
+      val meanProb = r.getDouble(2)
+      // mean of in-bin probs lies in the bin (bin 9 also holds prob=1.0)
+      assert(meanProb >= bin / 10.0 - 1e-6 &&
+        meanProb <= (bin + 1) / 10.0 + 1e-6)
+      val posRate = r.getDouble(4)
+      assert(posRate >= 0.0 && posRate <= 1.0)
+      assert(r.getDouble(5) === BigDecimal(posRate - meanProb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("classifierScore carry: label column rides through unchanged") {
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("x y", "z"),
+      "lang" -> Seq("en", "fr"))
+    val out = TextAnalysis.classifierScore(docs, dims = 4, carry = Seq("lang"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(5)).toSeq === Seq("en", "fr"))
+  }
+}

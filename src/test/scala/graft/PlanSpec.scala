@@ -39,7 +39,11 @@ class PlanSpec extends SparkSuite {
     "x95_kmv_distinct", // broadcast ONE-ROW corpus n_exact onto the merged row (x57 pattern)
     "x103_vocab_drift", // broadcast ONE-ROW snapshot totals onto the term table (x57 pattern)
     "x125_source_entropy", // broadcast ONE-ROW corpus grand total onto the term table (x57 pattern)
-    "x128_attribution") // broadcast ONE-ROW conversions total onto <= |types|+1 rows (x57 pattern)
+    "x128_attribution", // broadcast ONE-ROW conversions total onto <= |types|+1 rows (x57 pattern)
+    "x131_ab_test", // broadcast ONE-ROW control arm onto <= nVariants rows (x57 pattern)
+    "x132_basket_pairs", // broadcast ONE-ROW order count onto the pair table (x57 pattern)
+    "x133_zorder_layout", // broadcast ONE-ROW min/max bounds frame (x57 pattern)
+    "x135_bm25_topk") // broadcast ONE-ROW N/avgdl corpus stats (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
