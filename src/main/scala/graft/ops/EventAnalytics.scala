@@ -292,6 +292,32 @@ object EventAnalytics {
         round(col("n").cast("double") / col("_tot"), 6).as("p"))
   }
 
+  /** Top event paths: the `k` most frequent length-3 event-type
+    * sequences over each user's time-ordered stream (ties broken by
+    * event_id, the transitionMatrix convention; the top-k cut is totally
+    * ordered by (n DESC, path) so it is deterministic). The 3-gram
+    * generalization of [[transitionMatrix]] — the "what do users
+    * actually do" Sankey feed.
+    *
+    * Scale: ONE user_id exchange feeds the lead window (per-user state
+    * is two lookahead rows); the path aggregate is map-side combinable
+    * on ≤ |types|³ keys and the top-k is a TakeOrdered heap, no global
+    * sort.
+    */
+  def topPaths(events: DataFrame, k: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Weekly cohort retention: cohort = floor(first event / period); for
     * every (cohort, offset) cell, the distinct users of that cohort active
     * `offset` periods after their cohort period. Returns (cohort_start,

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Baskets, EventAnalytics, Experiments, Layout, Pca,
-  TextAnalysis}
+import graft.ops.{Baskets, CustomerAnalytics, EventAnalytics, Experiments,
+  Integrity, Layout, Pca, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -660,5 +660,110 @@ object AnalyticsQueries {
               |SELECT bin, n, mean_prob, n_pos, pos_rate,
               |  round(pos_rate - mean_prob, 6) AS gap
               |FROM r ORDER BY bin""".stripMargin)),
+
+    // ---- x138: top event paths (3-grams) ----------------------------------
+    QueryDef(
+      "x138_event_paths",
+      (s, dir) =>
+        EventAnalytics.topPaths(Tables.events(s, dir), k = 25),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+             |    event_id FROM events),
+             |p AS (SELECT event_type AS e1,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS e2,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS e3
+             |  FROM e)
+             |SELECT e1, e2, e3, COUNT(*) AS n FROM p WHERE e3 IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3
+             |LIMIT 25""".stripMargin)),
+
+    // ---- x139: RFM customer segmentation ----------------------------------
+    // One custkey shuffle; max-day + quintile thresholds as one-row
+    // broadcasts; scoring map-only (see ops/CustomerAnalytics.scala).
+    QueryDef(
+      "x139_rfm",
+      (s, dir) =>
+        CustomerAnalytics.rfm(Tables.orders(s, dir))
+          .orderBy(col("o_custkey")),
+      Some {
+        def qs(v: String, arr: String) = (1 to 4)
+          .map(i => s"CASE WHEN $v > $arr[$i] THEN 1 ELSE 0 END")
+          .mkString("CAST(1 + ", " + ", " AS BIGINT)")
+        val rs = qs("CAST(recency_days AS DOUBLE)", "tr")
+        val fs = qs("CAST(frequency AS DOUBLE)", "tf")
+        val ms = qs("monetary", "tm")
+        s"""WITH per AS (SELECT o_custkey,
+           |    MAX(CAST(epoch(o_orderdate) AS BIGINT) // 86400) AS last_day,
+           |    COUNT(*) AS frequency,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+           |  FROM orders GROUP BY 1),
+           |mx AS (SELECT MAX(last_day) AS max_day FROM per),
+           |wr AS (SELECT o_custkey, max_day - last_day AS recency_days,
+           |    frequency, CAST(m AS DOUBLE) AS monetary
+           |  FROM per CROSS JOIN mx),
+           |thr AS (SELECT
+           |    quantile_cont(CAST(recency_days AS DOUBLE),
+           |      [0.2, 0.4, 0.6, 0.8]) AS tr,
+           |    quantile_cont(CAST(frequency AS DOUBLE),
+           |      [0.2, 0.4, 0.6, 0.8]) AS tf,
+           |    quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm
+           |  FROM wr),
+           |sc AS (SELECT o_custkey, recency_days, frequency, monetary,
+           |    $rs AS r_score, $fs AS f_score, $ms AS m_score
+           |  FROM wr CROSS JOIN thr)
+           |SELECT o_custkey, recency_days, frequency, monetary,
+           |  r_score, f_score, m_score,
+           |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+           |FROM sc ORDER BY o_custkey""".stripMargin
+      }),
+
+    // ---- x140: referential-integrity audit --------------------------------
+    // Each leg reduces the child to distinct fk counts before the
+    // anti-join (see ops/Integrity.scala); the oracle replays with
+    // NOT EXISTS row predicates — same counts.
+    QueryDef(
+      "x140_fk_audit",
+      (s, dir) =>
+        Integrity.fkAudit(Seq(
+            ("lineitem.l_orderkey->orders.o_orderkey",
+              Tables.lineitem(s, dir), "l_orderkey",
+              Tables.orders(s, dir), "o_orderkey"),
+            ("lineitem.l_partkey->part.p_partkey",
+              Tables.lineitem(s, dir), "l_partkey",
+              Tables.part(s, dir), "p_partkey"),
+            ("lineitem.l_suppkey->supplier.s_suppkey",
+              Tables.lineitem(s, dir), "l_suppkey",
+              Tables.supplier(s, dir), "s_suppkey"),
+            ("orders.o_custkey->customer.c_custkey",
+              Tables.orders(s, dir), "o_custkey",
+              Tables.customer(s, dir), "c_custkey")))
+          .orderBy(col("relationship")),
+      Some {
+        def leg(name: String, child: String, fk: String, parent: String,
+            pk: String) =
+          s"""SELECT '$name' AS relationship,
+             |  (SELECT COUNT(*) FROM $child) AS n_child,
+             |  (SELECT COUNT(*) FROM $child WHERE $fk IS NULL) AS n_null_fk,
+             |  (SELECT COUNT(*) FROM $child c WHERE c.$fk IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM $parent p
+             |      WHERE p.$pk = c.$fk)) AS n_orphan""".stripMargin
+        val legs = Seq(
+          leg("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          leg("lineitem.l_partkey->part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey"),
+          leg("lineitem.l_suppkey->supplier.s_suppkey",
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          leg("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString("\nUNION ALL\n")
+        s"""WITH l AS ($legs)
+           |SELECT relationship, n_child, n_null_fk, n_orphan,
+           |  CASE WHEN n_child <> 0 THEN
+           |    round(CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+           |  END AS orphan_rate
+           |FROM l ORDER BY relationship""".stripMargin
+      }),
   )
 }

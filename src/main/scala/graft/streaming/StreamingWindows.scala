@@ -45,6 +45,18 @@ final case class AnomalyState(openWin: Long, openN: Long, trail: Seq[Long])
 final case class AnomalyScore(win_start: Long, event_type: String, n: Long,
     z: Option[Double], is_anomaly: Boolean)
 
+/** One closed day's count in EWMA trailing state. */
+final case class DayCount(day: Long, n: Long)
+
+/** Per-type EWMA state: the open day's accumulator plus the trailing
+  * closed (day, count) pairs — O(windowDays) per event type. */
+final case class EwmaState(openDay: Long, openN: Long, trail: Seq[DayCount])
+
+/** One closed-day EWMA emission (see EventAnalytics.ewmaDaily for the
+  * dyadic-decay contract). */
+final case class EwmaPoint(event_type: String, day: Long, cnt: Long,
+    ewma: Double)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -465,6 +477,61 @@ object StreamingWindows {
         }
         if (st.stage > 0) state.update(st)
         FunnelProgress(uid, st.stage.toLong, st.t0, st.t)
+      }
+  }
+
+  /** Streaming per-type daily EWMA monitor: the flatMapGroupsWithState
+    * twin of EventAnalytics.ewmaDaily. State per event_type is the open
+    * day's count plus the trailing `windowDays` closed (day, count)
+    * pairs — O(windowDays) longs, never raw events. A day is smoothed
+    * and emitted the moment a later-day event closes it.
+    *
+    * BITWISE equal to the batch form on closed days, in any arrival
+    * order WITHIN the day semantics: the dyadic 0.5^k weights make
+    * every term exact in a double, so the streaming sum (trail order)
+    * and the batch sum (shuffle order) are the same value — the
+    * property that makes a stream==batch pin possible without DECIMAL
+    * staging. Same in-order-across-batches contract as
+    * [[streamingFunnel]]; each type's final still-open day is never
+    * emitted (incomplete by definition).
+    */
+  def streamingEwmaDaily(events: DataFrame,
+      windowDays: Int = 20): Dataset[EwmaPoint] = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayOf = events
+      .select(col("event_type"),
+        expr(graft.ops.EventWindows.floorDivSql(
+          "ts_ns", 86400L * 1000000000L)).as("day"))
+      .as[(String, Long)]
+    dayOf.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe, rows, state) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { case (_, d) => counts(d) = counts.getOrElse(d, 0L) + 1L }
+          def emit(day: Long, n: Long): Unit = {
+            val terms = st.trail :+ DayCount(day, n)
+            val e = 0.5 * terms.iterator
+              .filter(dc => dc.day > day - windowDays && dc.day <= day)
+              .map(dc => dc.n.toDouble / (1L << (day - dc.day)).toDouble)
+              .sum
+            out += EwmaPoint(tpe, day, n, e)
+          }
+          def close(): Unit = if (st.openDay != Long.MinValue) {
+            emit(st.openDay, st.openN)
+            st = st.copy(trail =
+              (st.trail :+ DayCount(st.openDay, st.openN)).takeRight(windowDays))
+          }
+          counts.toSeq.sortBy(_._1).foreach { case (d, n) =>
+            if (d == st.openDay) st = st.copy(openN = st.openN + n)
+            else { close(); st = st.copy(openDay = d, openN = n) }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ops.{Baskets, EventAnalytics, Experiments, Layout, TextAnalysis}
+import graft.ops.{Baskets, CustomerAnalytics, EventAnalytics, Experiments,
+  Integrity, Layout, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Hand-computed fixtures for the x131-x137 surface: A/B readouts,
@@ -178,6 +179,80 @@ class AnalyticsExtrasSpec extends SparkSuite {
       assert(r.getDouble(5) === BigDecimal(posRate - meanProb)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
+  }
+
+  test("topPaths: 3-gram counts, per-user isolation, tie-broken cut") {
+    // user 1: a b c b c  -> abc, bcb, cbc ; user 2: a b c -> abc
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 1L, 2L, 2L, 2L),
+      "event_type" -> Seq("a", "b", "c", "b", "c", "a", "b", "c"),
+      "ts_ns" -> Seq(sec(1), sec(2), sec(3), sec(4), sec(5),
+        sec(1), sec(2), sec(3)),
+      "event_id" -> (1L to 8L))
+    val out = EventAnalytics.topPaths(ev, k = 10).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+      r.getLong(3)).toMap
+    assert(m === Map(("a", "b", "c") -> 2L, ("b", "c", "b") -> 1L,
+      ("c", "b", "c") -> 1L))
+    // k cuts deterministically on (n DESC, path)
+    val top1 = EventAnalytics.topPaths(ev, k = 1).collect()
+    assert(top1.length === 1 &&
+      top1(0).getString(0) === "a" && top1(0).getLong(3) === 2L)
+  }
+
+  test("rfm: quintile scores honor strict-greater thresholds; code " +
+      "composes digits") {
+    // 5 customers, one order each on distinct days/amounts: the
+    // dimensions are perfectly rank-correlated, so scores are 1..5
+    // (recency: LATER last order = smaller recency_days = LOWER score
+    // under the monotone-in-value rule)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(d: Int) = new java.sql.Timestamp(
+      base.getTime + d.toLong * 86400 * 1000)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.TimestampType)))
+    val rows = (1 to 5).map(i => org.apache.spark.sql.Row(
+      i.toLong, i * 100.0, ts(i))).asJava
+    val orders = spark.createDataFrame(rows, schema)
+    val out = CustomerAnalytics.rfm(orders).orderBy("o_custkey").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(4L, 3L, 2L, 1L, 0L)) // recency
+    assert(out.map(_.getLong(4)).toSeq === Seq(5L, 4L, 3L, 2L, 1L)) // r_score
+    assert(out.map(_.getLong(6)).toSeq === Seq(1L, 2L, 3L, 4L, 5L)) // m_score
+    // equal frequencies: every value ties at every threshold -> all score 1
+    assert(out.map(_.getLong(5)).toSet === Set(1L))
+    for (r <- out)
+      assert(r.getLong(7) ===
+        r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+  }
+
+  test("fkAudit: planted orphans and null fks counted apart") {
+    val child = frame(
+      "fk" -> Seq[Any](1L, 1L, 2L, 99L, null, null),
+      "v" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L))
+    val parent = frame("pk" -> Seq(1L, 2L, 3L))
+    val out = Integrity.fkLeg("child.fk->parent.pk", child, "fk",
+      parent, "pk").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(0) === "child.fk->parent.pk")
+    assert(r.getLong(1) === 6L) // n_child
+    assert(r.getLong(2) === 2L) // n_null_fk
+    assert(r.getLong(3) === 1L) // n_orphan (the 99)
+    assert(r.getDouble(4) === BigDecimal(1.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("fkAudit: clean relationship reports zero orphans, not null") {
+    val child = frame("fk" -> Seq(1L, 2L), "v" -> Seq(1L, 2L))
+    val parent = frame("pk" -> Seq(1L, 2L, 3L))
+    val r = Integrity.fkLeg("c->p", child, "fk", parent, "pk").collect()(0)
+    assert(r.getLong(3) === 0L && r.getDouble(4) === 0.0)
   }
 
   test("classifierScore carry: label column rides through unchanged") {

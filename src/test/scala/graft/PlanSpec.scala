@@ -43,7 +43,9 @@ class PlanSpec extends SparkSuite {
     "x131_ab_test", // broadcast ONE-ROW control arm onto <= nVariants rows (x57 pattern)
     "x132_basket_pairs", // broadcast ONE-ROW order count onto the pair table (x57 pattern)
     "x133_zorder_layout", // broadcast ONE-ROW min/max bounds frame (x57 pattern)
-    "x135_bm25_topk") // broadcast ONE-ROW N/avgdl corpus stats (x57 pattern)
+    "x135_bm25_topk", // broadcast ONE-ROW N/avgdl corpus stats (x57 pattern)
+    "x139_rfm", // broadcast ONE-ROW max-day + quintile thresholds (x57 pattern)
+    "x140_fk_audit") // per-leg ONE-ROW totals x orphans crossJoin (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {

@@ -523,4 +523,40 @@ class SourcesSpec extends SparkSuite {
     assert(got == batch, s"stream $got != batch $batch")
     assert(got == Seq(1L, 2L, 4L), s"quality gate failed on the stream: $got")
   }
+
+  test("zOrderedWrite: files tile BOTH dimensions (every file sees a " +
+      "bounded x-range AND y-range — the data-skipping property), " +
+      "content round-trips exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val n = 32
+    val pts = for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)
+    val df = spark.createDataFrame(pts).toDF("x", "y")
+    graft.ops.Layout.zOrderedWrite(df, "x", "y", numFiles = 16, bits = 5)
+      .write.mode("overwrite").parquet(s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    // content identical
+    assert(back.count() === n.toLong * n)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    assert(back.columns.toSeq === Seq("x", "y"), "_z must not ship")
+    // per-file bounding boxes: a z-ordered layout bounds BOTH spans in
+    // (almost) every file; a plain sort by x would give full-range y
+    // stripes (y_span = n-1 for every file)
+    val boxes = back
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+    assert(boxes.length > 8, s"expected ~16 files, got ${boxes.length}")
+    val fullSpan = (n - 1).toLong
+    assert(boxes.count(b => b.getLong(1) < fullSpan &&
+        b.getLong(2) < fullSpan) >= boxes.length - 2,
+      "z-order must bound both dimensions in nearly every file")
+    // and the skipping payoff is real: average box area well under the
+    // full domain (a striped layout averages ~ n * (n/files))
+    val avgArea = boxes.map(b =>
+      (b.getLong(1) + 1.0) * (b.getLong(2) + 1.0)).sum / boxes.length
+    assert(avgArea < 0.35 * n * n,
+      s"avg bounding-box area $avgArea not tile-like for $n x $n")
+  }
 }

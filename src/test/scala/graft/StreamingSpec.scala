@@ -705,4 +705,44 @@ class StreamingSpec extends SparkSuite {
         "gate must keep some docs and drop some docs on this corpus")
     } finally q.stop()
   }
+
+  test("streaming EWMA monitor: closed-day smoothing across in-order " +
+      "micro-batches == batch ewmaDaily minus each type's open day, " +
+      "BITWISE (dyadic weights)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("ewmastream").toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingEwmaDaily(stream, windowDays = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ewma").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_ewma")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val batch = graft.ops.EventAnalytics
+        .ewmaDaily(batchEvents, windowDays = 5)
+      val lastDay = batch.groupBy(col("event_type"))
+        .agg(max(col("day")).as("_last"))
+      val want = batch.join(lastDay, "event_type")
+        .filter(col("day") < col("_last"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == want,
+        s"streaming ewma diverges: got ${got.size} rows, want ${want.size}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
 }
