@@ -28,24 +28,35 @@ object Baskets {
     * DISTINCT (order, item) — duplicate lines of the same part in one
     * order count once, the standard basket semantics.
     */
-  def pairLift(lineitem: DataFrame, minSupport: Long = 2,
+  /** The co-occurrence pair stage alone: (part_a, part_b, n_pair) with
+    * a < b and n_pair >= minSupport — the edge list feeding both
+    * [[pairLift]] and graph analytics (Graphs.pageRank). */
+  def coPairs(lineitem: DataFrame, minSupport: Long = 2,
       orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
     val items = lineitem.select(col(orderCol).as("ok"), col(itemCol).as("pk"))
       .distinct()
-    // One basket row per order; sort_array makes pair order canonical.
-    val baskets = items.groupBy(col("ok"))
+    // One basket row per order; sort_array makes pair order canonical;
+    // i<j pairs generated inside the row (codegen'd lambda, no join).
+    items.groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("arr"))
-    // i<j pairs, generated inside the row (codegen'd lambda, no join).
-    val pairs = baskets.select(explode(expr(
-      """flatten(transform(arr, (a, i) ->
-        |  transform(slice(arr, i + 2, size(arr)), b ->
-        |    named_struct('part_a', a, 'part_b', b))))""".stripMargin)).as("p"))
+      .select(explode(expr(
+        """flatten(transform(arr, (a, i) ->
+          |  transform(slice(arr, i + 2, size(arr)), b ->
+          |    named_struct('part_a', a, 'part_b', b))))""".stripMargin)).as("p"))
       .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
+  }
+
+  def pairLift(lineitem: DataFrame, minSupport: Long = 2,
+      orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
+    val items = lineitem.select(col(orderCol).as("ok"), col(itemCol).as("pk"))
+      .distinct()
+    val pairs = coPairs(lineitem, minSupport, orderCol, itemCol)
     val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
     val joined = pairs
       .join(itemCounts.withColumnRenamed("pk", "part_a")
         .withColumnRenamed("n_item", "n_a"), Seq("part_a"))

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge lists — PageRank in exact
+  * fixed-point integer arithmetic, the Pca.scala convention: quantized
+  * updates make every iteration bitwise reproducible on any engine and
+  * in any reduction order, so a cross-engine oracle can replay the
+  * whole chain. (Connected components live in Dedup.nearDupClusters —
+  * same edge-list iteration shape.)
+  *
+  * Scale shape (billions of edges): each iteration is TWO hash
+  * shuffles — ranks join edges on src, contributions aggregate by dst —
+  * plus a left join back onto the node set for dangling/in-degree-0
+  * nodes; every aggregate is map-side combinable and each iteration is
+  * MATERIALIZED (lineage cut: k iterations of lazy plans would nest k
+  * self-joins into one exploding tree, the nearDupClusters lesson).
+  * Degree skew (celebrity nodes) is a fan-IN skew: the dst aggregate
+  * hashes uniformly over dst and combines map-side, so hot destinations
+  * cost memory-bounded partial rows, not a single hot task.
+  */
+object Graphs {
+
+  private val Scale = 1000000L
+
+  /** PageRank with damping 17/20 (= 0.85 exactly, as a rational) over a
+    * directed edge list, `iters` rounds of
+    * `r' = (3/20)·SCALE + (17/20)·Σ_in floor(r_src / outdeg_src)`,
+    * all in BIGINT floor arithmetic (unnormalized: Σr ≈ N·SCALE).
+    * Returns (node, rank) with rank = r/SCALE as an exact double.
+    *
+    * Fixed-point floor division loses < 1 ulp-of-SCALE per hop vs float
+    * PageRank — the price of determinism, same trade as Pca.topVector.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = Checkpoints.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Checkpoints.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(e, "src")
+        .selectExpr("dst AS node", "r div outdeg AS c")
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = Checkpoints.materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .selectExpr("node",
+            s"${Scale * 3 / 20} + (17 * coalesce(s, 0L)) div 20 AS r"))
+    }
+    ranks.select(col("node"),
+      (col("r").cast("double") / Scale.toDouble).as("rank"))
+  }
+
+  /** The oracle-side rendering of the same chain: unrolled CTEs `r0..rN`
+    * over an `e(src, dst)` CTE the caller provides (the Pca.powerCtes
+    * pattern). Ends with `rN(node, r)`. */
+  def pageRankCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(${Scale * 3 / 20} + (17 * COALESCE(s.s, 0)) // 20
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+         |    FROM r${k - 1} r JOIN deg d ON d.src = r.node
+         |    JOIN e ON e.src = r.node GROUP BY 1) s ON s.node = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION SELECT dst FROM e) u),
+       |r0 AS (SELECT node, CAST($Scale AS BIGINT) AS r FROM nodes),
+       |$steps""".stripMargin
+  }
+}

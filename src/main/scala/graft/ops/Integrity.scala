@@ -46,4 +46,32 @@ object Integrity {
   def fkAudit(legs: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     legs.map { case (n, c, fk, p, pk) => fkLeg(n, c, fk, p, pk) }
       .reduce(_ union _)
+
+  /** k-anonymity audit over a quasi-identifier column set: how
+    * re-identifiable is this table if `qi` leaks? Reports the group-size
+    * floor and how much of the table sits in groups smaller than `k`
+    * (those rows are the privacy risk — small QI groups pin individuals).
+    * Output (one row): `k, n_rows, n_groups, min_group, n_small_groups,
+    * n_rows_small, small_rate` with rate round 6.
+    *
+    * Scale: ONE map-side-combined groupBy on the QI tuple, then a
+    * one-row rollup over group sizes. Null QI values group as their own
+    * key (null-safe grouping, the SQL GROUP BY default) — nulls are a
+    * quasi-identifier value like any other for linkage purposes.
+    */
+  def kAnonymity(df: DataFrame, qi: Seq[String], k: Long = 5): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val sizes = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("_n"))
+    sizes.agg(
+        sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("_n")).as("min_group"),
+        coalesce(sum(when(col("_n") < k, 1L)), lit(0L)).as("n_small_groups"),
+        coalesce(sum(when(col("_n") < k, col("_n"))), lit(0L))
+          .as("n_rows_small"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("min_group"), col("n_small_groups"), col("n_rows_small"),
+        round(col("n_rows_small").cast("double") /
+          col("n_rows").cast("double"), 6).as("small_rate"))
+  }
 }

@@ -138,4 +138,64 @@ object Sketches {
         round(col("est_union") - col("est_new"), 6).as("est_removed"),
         col("exact_old"), col("exact_new"), col("exact_union"))
   }
+
+  /** Count-min sketch over the token stream: `depth` independent
+    * md5-salted hash rows × `width` buckets, each cell the count of
+    * tokens hashing into it. The sketch is MERGEABLE (cell-wise add
+    * across partitions, shards, or stream micro-batches) and bounded:
+    * depth×width longs regardless of corpus size — the 100 TB
+    * frequency-estimation path when the exact (group, token) aggregate
+    * is too wide.
+    *
+    * Built as ONE aggregate: every token occurrence explodes into
+    * `depth` (d, bucket) cells map-side (digest materialized once per
+    * row per depth), the groupBy combines map-side into ≤ depth×width
+    * rows. Returns (d, bucket, cnt).
+    */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape $depth x $width")
+    // digests materialized once per (token, depth) BEFORE the hex fold
+    // references them 8x — the tokenHashSql bulk-column rule
+    val withD = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .select((0 until depth).map(d =>
+        md5(concat(lit(s"cms:$d:"), col("tok"))).as(s"_d$d")): _*)
+    val cells = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        expr(s"(${TextAnalysis.hexToIntSql(s"_d$d", 8)} % $width)")
+          .as("bucket"))
+    }
+    withD.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS heavy-hitter audit: estimate the counts of the `topK` true
+    * heaviest tokens from the sketch and report estimate vs exact — the
+    * overestimate (always ≥ 0; CMS never undercounts) is the
+    * collision-error the width bound buys. Output (token, exact, est,
+    * overestimate), ordered (exact DESC, token) — deterministic cut.
+    *
+    * Scale: exact counts are the one corpus-scale aggregate (needed for
+    * the audit only — production queries the sketch alone); the probe
+    * join touches topK×depth cells against the depth×width sketch.
+    */
+  def cmsHeavyHitters(docs: DataFrame, topK: Int = 10, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): DataFrame = {
+    val sketch = cmsSketch(docs, depth, width, textCol)
+    val exact = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(topK)
+    val probes = exact.select(col("tok"), col("exact"),
+        explode(array((0 until depth).map(d => struct(lit(d).as("d"),
+          expr(s"(${TextAnalysis.hexToIntSql(s"md5(concat('cms:$d:', tok))", 8)}" +
+            s" % $width)").as("bucket"))): _*)).as("c"))
+      .select(col("tok"), col("exact"), col("c.d"), col("c.bucket"))
+    probes.join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("tok").as("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("token"))
+  }
 }

@@ -765,5 +765,80 @@ object AnalyticsQueries {
            |  END AS orphan_rate
            |FROM l ORDER BY relationship""".stripMargin
       }),
+
+    // ---- x141: PageRank over the co-purchase graph ------------------------
+    // Exact fixed-point integer iterations (the Pca convention) so the
+    // 5-round chain replays bitwise in unrolled CTEs; each Spark round
+    // is materialized (lineage cut), two hash shuffles per round.
+    QueryDef(
+      "x141_pagerank",
+      (s, dir) => {
+        val pairs = Baskets.coPairs(Tables.lineitem(s, dir), minSupport = 2)
+          .select(col("part_a"), col("part_b"))
+        val edges = pairs
+          .select(col("part_a").as("src"), col("part_b").as("dst"))
+          .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+        graft.ops.Graphs.pageRank(edges, iters = 5).orderBy(col("node"))
+      },
+      Some(s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+              |    l_partkey AS pk FROM lineitem),
+              |p2 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+              |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM p2
+              |  UNION ALL SELECT pb, pa FROM p2),
+              |${graft.ops.Graphs.pageRankCtes(5)}
+              |SELECT node, CAST(r AS DOUBLE) / 1000000.0 AS rank FROM r5
+              |ORDER BY node""".stripMargin)),
+
+    // ---- x142: count-min sketch heavy-hitter audit ------------------------
+    // Mergeable bounded-memory frequency sketch: depth x width cells from
+    // ONE aggregate; estimates never undercount (overestimate >= 0 is
+    // asserted by the spec and visible in the result).
+    QueryDef(
+      "x142_cms_heavy_hitters",
+      (s, dir) =>
+        graft.ops.Sketches.cmsHeavyHitters(Tables.documents(s, dir),
+          topK = 10, depth = 4, width = 1024),
+      Some {
+        val depths = 0 until 4
+        def cells(src: String, extra: String) = depths.map(d =>
+          s"SELECT $extra ${d} AS d, md5(concat('cms:$d:', tok)) AS dg FROM $src")
+          .mkString("\nUNION ALL ")
+        s"""WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' '))
+           |    AS tok FROM documents),
+           |cells AS (${cells("toks", "")}),
+           |sk AS MATERIALIZED (SELECT d,
+           |    (${TextAnalysis.hexToIntSql("dg", 8)} % 1024) AS bucket,
+           |    COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+           |ex AS (SELECT tok, COUNT(*) AS exact FROM toks GROUP BY 1
+           |  ORDER BY exact DESC, tok LIMIT 10),
+           |prc AS (${cells("ex", "tok, exact,")}),
+           |pb AS (SELECT tok, exact, d,
+           |    (${TextAnalysis.hexToIntSql("dg", 8)} % 1024) AS bucket
+           |  FROM prc)
+           |SELECT pb.tok AS token, pb.exact, MIN(sk.cnt) AS est,
+           |  MIN(sk.cnt) - pb.exact AS overestimate
+           |FROM pb JOIN sk USING (d, bucket) GROUP BY 1, 2
+           |ORDER BY exact DESC, token""".stripMargin
+      }),
+
+    // ---- x143: k-anonymity audit ------------------------------------------
+    QueryDef(
+      "x143_k_anonymity",
+      (s, dir) =>
+        Integrity.kAnonymity(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_mktsegment"), k = 5),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(5 AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_groups, CAST(MIN(n) AS BIGINT) AS min_group,
+             |  CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 END), 0) AS BIGINT)
+             |    AS n_small_groups,
+             |  CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             |    AS n_rows_small,
+             |  round(CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
+             |      AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS small_rate
+             |FROM g""".stripMargin)),
   )
 }

@@ -255,6 +255,59 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(r.getLong(3) === 0L && r.getDouble(4) === 0.0)
   }
 
+  test("pageRank: hand-iterated star graph; symmetric cycle is a fixed " +
+      "point; mass conserved up to floor loss") {
+    // undirected star: c - a, c - b
+    val edges = frame(
+      "src" -> Seq("c", "c", "a", "b"),
+      "dst" -> Seq("a", "b", "c", "c"))
+    val out = graft.ops.Graphs.pageRank(edges, iters = 2)
+      .orderBy("node").collect()
+    val m = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // r1: a=b=150000+17*(1e6/2)/20=575000 ; c=150000+17*2e6/20=1850000
+    // r2: a=b=150000+17*(1850000/2)/20=936250 ; c=150000+17*1150000/20=1127500
+    assert(m("a") === 0.93625 && m("b") === 0.93625 && m("c") === 1.1275)
+    assert(m.values.sum <= 3.0 + 1e-9 && m.values.sum > 2.99)
+    // a 2-cycle is exactly stationary at rank 1.0 forever
+    val cyc = frame("src" -> Seq("x", "y"), "dst" -> Seq("y", "x"))
+    val c = graft.ops.Graphs.pageRank(cyc, iters = 4).collect()
+      .map(_.getDouble(1)).toSeq
+    assert(c === Seq(1.0, 1.0))
+  }
+
+  test("cmsHeavyHitters: estimates never undercount; exact top-k exact; " +
+      "sketch mass = depth x token count") {
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("a a a b", "a b c", "d e a"))
+    val out = graft.ops.Sketches.cmsHeavyHitters(docs, topK = 3,
+      depth = 4, width = 8).collect()
+    assert(out.length === 3)
+    assert(out(0).getString(0) === "a" && out(0).getLong(1) === 5L)
+    for (r <- out) {
+      assert(r.getLong(2) >= r.getLong(1), s"CMS undercounted ${r.getString(0)}")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    val sketch = graft.ops.Sketches.cmsSketch(docs, depth = 4, width = 8)
+    val mass = sketch.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .head().getLong(0)
+    assert(mass === 4L * 10L) // 10 tokens x 4 depths
+  }
+
+  test("kAnonymity: small-group rows counted against k; clean table " +
+      "reports zero risk") {
+    val df = frame(
+      "qa" -> Seq("x", "y", "y", "z", "z", "z", "z", "z"),
+      "qb" -> Seq("1", "1", "1", "1", "1", "1", "1", "1"))
+    val r = Integrity.kAnonymity(df, Seq("qa", "qb"), k = 5).collect()(0)
+    assert(r.getLong(0) === 5L && r.getLong(1) === 8L && r.getLong(2) === 3L)
+    assert(r.getLong(3) === 1L) // min group
+    assert(r.getLong(4) === 2L && r.getLong(5) === 3L) // 2 small groups, 3 rows
+    assert(r.getDouble(6) === 0.375)
+    val clean = Integrity.kAnonymity(df, Seq("qb"), k = 5).collect()(0)
+    assert(clean.getLong(4) === 0L && clean.getDouble(6) === 0.0)
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),
