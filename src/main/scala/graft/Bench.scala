@@ -35,7 +35,9 @@ object Bench {
     "x109_crossmodal_clusters", // materialized LSH pairs + propagation rounds
     "x112_curation_transitions", // TWO pipeline backbones (old + new snapshot)
     // funnel stage chains (k materialized per-stage states each)
-    "x114_event_funnel", "x123_funnel_within", "x127_cohort_funnel")
+    "x114_event_funnel", "x123_funnel_within", "x127_cohort_funnel",
+    // PageRank: 5 materialized iteration barriers over the edge list
+    "x141_pagerank")
 
   /** FAIR allocation file: `chains` outweighs `default` 8:1 with a
     * 16-slot minShare, so a chain's next job never waits behind the

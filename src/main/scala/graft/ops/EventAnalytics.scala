@@ -206,6 +206,58 @@ object EventAnalytics {
         rate(coalesce(lag(col("n_users"), 1).over(wPrev), col("n_users"))))
   }
 
+  /** Per-variant conversion funnel: [[funnel]] segmented by an A/B
+    * variant — "did the treatment change the funnel shape". The variant
+    * is a PURE FUNCTION of user_id (Experiments.variantSql's md5
+    * bucket), so the stage chain runs ONCE, unsegmented; segmentation
+    * happens at the count epilogue by hashing each surviving state row's
+    * user_id — no per-variant scans, no extra joins. Returns (variant,
+    * step, event_type, n_users, rate_vs_first) with the rate within the
+    * variant, round 6; a variant absent from a stage simply has no row.
+    */
+  def funnelByVariant(events: DataFrame, steps: Seq[String],
+      nVariants: Int = 3, salt: String = "exp1"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val states = stateChain(events, steps, None)
+    val counts = states.zipWithIndex.map { case (st, i) =>
+      st.select(col("user_id"))
+        .withColumn("_d", expr(s"md5(concat('ab:$salt:', user_id))"))
+        .withColumn("variant",
+          expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("variant"), lit(i + 1L).as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ union _)
+    val wFirst = Window.partitionBy(col("variant")).orderBy(col("step"))
+    counts.withColumn("rate_vs_first",
+      when(first(col("n_users")).over(wFirst) =!= 0,
+        round(col("n_users").cast("double") /
+          first(col("n_users")).over(wFirst), 6)))
+  }
+
+  /** Time-to-convert distribution: for users completing the WHOLE step
+    * chain, the spread of (last-step time − first-step time) in whole
+    * seconds — the "how long does signup→purchase take" readout.
+    * Returns ONE row: (n_converted, p50_s, p90_s, mean_s, max_s), exact
+    * interpolated percentiles (x23 convention), mean round 6.
+    *
+    * Scale: the chain is [[funnel]]'s (k shrinking materialized
+    * stages); the epilogue is one aggregate over the FINAL state — a
+    * frame already reduced to converted users.
+    */
+  def timeToConvert(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two steps to measure a delay")
+    val last = stateChain(events, steps, None).last
+    last.select(expr("(t - t0) div 1000000000").as("secs"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(cast(secs as double), 0.5)").as("p50_s"),
+        expr("percentile(cast(secs as double), 0.9)").as("p90_s"),
+        round(sum(col("secs")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_s"),
+        max(col("secs")).as("max_s"))
+  }
+
   /** Last-touch attribution: for every conversion event, the type of the
     * user's latest STRICTLY-EARLIER non-conversion event ('direct' when
     * none) — the classic marketing-attribution query. Returns

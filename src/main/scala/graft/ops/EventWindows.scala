@@ -82,4 +82,24 @@ object EventWindows {
         min(col("sec")).as("sess_start"),
         (max(col("sec")) - min(col("sec"))).as("duration_s"))
   }
+
+  /** Per-user engagement rollup over [[sessions]]: session count, event
+    * count, mean events/session and mean/max session duration (means
+    * round 6). SHUFFLE-FREE on top of the sessionizer: the window, the
+    * (user, session) aggregate, and this user aggregate all share the
+    * one user_id exchange — Catalyst keeps the partitioning, so the
+    * whole engagement report costs exactly one shuffle of the events
+    * table at any scale.
+    */
+  def sessionSummary(events: DataFrame, gapSec: Long): DataFrame =
+    sessions(events, gapSec)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("n_events")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_events"),
+        round(sum(col("duration_s")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_duration_s"),
+        max(col("duration_s")).as("max_duration_s"))
 }

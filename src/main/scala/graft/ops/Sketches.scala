@@ -152,7 +152,10 @@ object Sketches {
     * row per depth), the groupBy combines map-side into ≤ depth×width
     * rows. Returns (d, bucket, cnt).
     */
-  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+  /** The map-side cell stage alone: one (d, bucket) row per token
+    * occurrence per depth — shared by the batch sketch aggregate and
+    * the streaming monitor's stateful cells. */
+  def cmsCells(docs: DataFrame, depth: Int, width: Int,
       textCol: String = "text"): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape $depth x $width")
     // digests materialized once per (token, depth) BEFORE the hex fold
@@ -166,9 +169,14 @@ object Sketches {
           .as("bucket"))
     }
     withD.select(explode(array(cells: _*)).as("c"))
-      .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("c.d").as("d"), col("c.bucket").as("bucket"))
   }
+
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): DataFrame =
+    cmsCells(docs, depth, width, textCol)
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** CMS heavy-hitter audit: estimate the counts of the `topK` true
     * heaviest tokens from the sketch and report estimate vs exact — the

@@ -840,5 +840,111 @@ object AnalyticsQueries {
              |  round(CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0)
              |      AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS small_rate
              |FROM g""".stripMargin)),
+
+    // ---- x144: per-user session engagement summary ------------------------
+    // SHUFFLE-FREE on top of x15's sessionizer: window, session agg and
+    // user rollup share one user_id exchange.
+    QueryDef(
+      "x144_session_summary",
+      (s, dir) =>
+        graft.ops.EventWindows.sessionSummary(Tables.events(s, dir), 1800)
+          .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch_ns(ts)//1000000000 AS sec, epoch_ns(ts) AS ns
+             |  FROM events),
+             |m AS (SELECT *, CASE
+             |    WHEN sec - lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY ns, event_id) > 1800 THEN 1
+             |    WHEN lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY ns, event_id) IS NULL THEN 1
+             |    ELSE 0 END AS new_sess
+             |  FROM e),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ns, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS session_id FROM m),
+             |g AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+             |    MAX(sec) - MIN(sec) AS duration_s
+             |  FROM s GROUP BY 1, 2)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+             |  round(CAST(SUM(n_events) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+             |  round(CAST(SUM(duration_s) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_duration_s,
+             |  CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- x145: per-variant conversion funnel ------------------------------
+    // The funnel chain runs ONCE; variants derive from the surviving
+    // user_ids at the count epilogue (variant is a pure function of
+    // user_id — no per-variant scans).
+    QueryDef(
+      "x145_variant_funnel",
+      (s, dir) =>
+        EventAnalytics.funnelByVariant(Tables.events(s, dir), FunnelSteps,
+            nVariants = 3, salt = "exp1")
+          .orderBy(col("variant"), col("step")),
+      Some {
+        val stages = FunnelSteps.zipWithIndex.map { case (st, i) =>
+          if (i == 0)
+            s"""s1 AS (SELECT user_id, MIN(tns) AS t FROM e
+               |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+          else
+            s"""s${i + 1} AS (SELECT e.user_id, MIN(e.tns) AS t FROM e
+               |  JOIN s$i ON e.user_id = s$i.user_id AND e.tns > s$i.t
+               |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+        }.mkString(",\n")
+        val counts = FunnelSteps.zipWithIndex.map { case (st, i) =>
+          s"""SELECT (${TextAnalysis.hexToIntSql(
+               s"md5(concat('ab:exp1:', user_id))", 8)} % 3) AS variant,
+             |    CAST(${i + 1} AS BIGINT) AS step, '$st' AS event_type,
+             |    COUNT(*) AS n_users
+             |  FROM s${i + 1} GROUP BY 1""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+           |  FROM events),
+           |$stages,
+           |counts AS ($counts)
+           |SELECT variant, step, event_type, n_users,
+           |  CASE WHEN first_value(n_users) OVER (PARTITION BY variant
+           |      ORDER BY step) <> 0 THEN
+           |    round(CAST(n_users AS DOUBLE)
+           |      / first_value(n_users) OVER (PARTITION BY variant
+           |        ORDER BY step), 6) END AS rate_vs_first
+           |FROM counts ORDER BY variant, step""".stripMargin
+      }),
+
+    // ---- x146: time-to-convert distribution -------------------------------
+    // One aggregate over the funnel chain's final (already tiny) state.
+    QueryDef(
+      "x146_time_to_convert",
+      (s, dir) =>
+        EventAnalytics.timeToConvert(Tables.events(s, dir), FunnelSteps),
+      Some {
+        val stages = FunnelSteps.zipWithIndex.map { case (st, i) =>
+          if (i == 0)
+            s"""s1 AS (SELECT user_id, MIN(tns) AS t0, MIN(tns) AS t FROM e
+               |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+          else
+            s"""s${i + 1} AS (SELECT e.user_id, s$i.t0, MIN(e.tns) AS t
+               |  FROM e JOIN s$i ON e.user_id = s$i.user_id
+               |    AND e.tns > s$i.t
+               |  WHERE e.event_type = '$st'
+               |  GROUP BY e.user_id, s$i.t0)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+           |  FROM events),
+           |$stages,
+           |d AS (SELECT (t - t0) // 1000000000 AS secs
+           |  FROM s${FunnelSteps.size})
+           |SELECT COUNT(*) AS n_converted,
+           |  quantile_cont(CAST(secs AS DOUBLE), 0.5) AS p50_s,
+           |  quantile_cont(CAST(secs AS DOUBLE), 0.9) AS p90_s,
+           |  round(CAST(SUM(secs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           |    AS mean_s,
+           |  CAST(MAX(secs) AS BIGINT) AS max_s
+           |FROM d""".stripMargin
+      }),
   )
 }

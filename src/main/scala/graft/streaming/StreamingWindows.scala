@@ -57,6 +57,9 @@ final case class EwmaState(openDay: Long, openN: Long, trail: Seq[DayCount])
 final case class EwmaPoint(event_type: String, day: Long, cnt: Long,
     ewma: Double)
 
+/** One count-min-sketch cell emission (latest running total). */
+final case class CmsCell(d: Int, bucket: Long, cnt: Long)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -477,6 +480,30 @@ object StreamingWindows {
         }
         if (st.stage > 0) state.update(st)
         FunnelProgress(uid, st.stage.toLong, st.t0, st.t)
+      }
+  }
+
+  /** Streaming count-min sketch: per-(depth, bucket) running cell
+    * totals via mapGroupsWithState — the CMS merge property (cell-wise
+    * ADD) realized as stream state, so the sketch after N micro-batches
+    * equals the batch sketch of the union corpus exactly (spec-pinned).
+    * State per key is ONE long; keys are bounded by depth×width
+    * regardless of corpus size — the bounded-memory frequency monitor
+    * for an ingest stream. Emits each touched cell's new total per
+    * batch (update mode).
+    */
+  def streamingCmsMonitor(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): Dataset[CmsCell] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Sketches.cmsCells(docs, depth, width, textCol)
+      .as[(Int, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout()) {
+        (key, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          CmsCell(key._1, key._2, total)
       }
   }
 

@@ -308,6 +308,37 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(clean.getLong(4) === 0L && clean.getDouble(6) === 0.0)
   }
 
+  test("sessionSummary: rollup over hand sessions; one-event session has " +
+      "zero duration") {
+    // user 1: events at 0s,10s | gap | 4000s  -> sessions of 2 and 1 events
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L),
+      "event_type" -> Seq("a", "a", "a"),
+      "ts_ns" -> Seq(sec(0), sec(10), sec(4000)),
+      "event_id" -> Seq(1L, 2L, 3L))
+    val r = graft.ops.EventWindows.sessionSummary(ev, 1800).collect()(0)
+    assert(r.getLong(1) === 2L) // n_sessions
+    assert(r.getLong(2) === 3L) // n_events
+    assert(r.getDouble(3) === 1.5) // mean events
+    assert(r.getDouble(4) === 5.0) // mean duration: (10 + 0) / 2
+    assert(r.getLong(5) === 10L)
+  }
+
+  test("funnelByVariant: segmented counts sum to the unsegmented funnel; " +
+      "rates are within-variant") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val steps = Seq("signup", "view", "click", "purchase")
+    val seg = EventAnalytics.funnelByVariant(ev, steps, nVariants = 2,
+      salt = "s").collect()
+    val whole = EventAnalytics.funnel(ev, steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val byStep = seg.groupBy(_.getLong(1))
+      .map { case (s, rows) => s -> rows.map(_.getLong(3)).sum }
+    assert(byStep === whole, "variant counts must partition the funnel")
+    for (r <- seg.filter(_.getLong(1) == 1L))
+      assert(r.getDouble(4) === 1.0, "step-1 rate is 1.0 within variant")
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),

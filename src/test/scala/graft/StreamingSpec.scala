@@ -706,6 +706,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS monitor: cell-wise state addition across " +
+      "micro-batches == batch sketch of the whole corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val splitDir = java.nio.file.Files.createTempDirectory("cmsstream").toString
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingCmsMonitor(stream, depth = 4,
+        width = 256)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_cms").start()
+    try {
+      q.processAllAvailable()
+      batchDocs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      // totals are monotone: the latest emission per cell is its max
+      val got = spark.table("stream_cms")
+        .groupBy(col("d"), col("bucket"))
+        .agg(max(col("cnt")).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = graft.ops.Sketches.cmsSketch(batchDocs, depth = 4,
+          width = 256)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want,
+        s"streaming sketch diverges: got ${got.size} cells, want ${want.size}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming EWMA monitor: closed-day smoothing across in-order " +
       "micro-batches == batch ewmaDaily minus each type's open day, " +
       "BITWISE (dyadic weights)") {
