@@ -236,6 +236,29 @@ object EventAnalytics {
           first(col("n_users")).over(wFirst), 6)))
   }
 
+  /** Hour-of-week activity heatmap: events and distinct users per
+    * (day-of-week, hour-of-day) cell, all in UTC integer epoch math
+    * (dow 0 = Monday: epoch day 0 was a Thursday, hence the +3).
+    * The "when are users active" product readout.
+    *
+    * Scale: the event count is ONE map-side-combined aggregate on ≤168
+    * keys; the distinct-user count shuffles the (cell, user) distinct —
+    * the same reduce-then-count shape as rollingActives.
+    */
+  def activityHeatmap(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val cell = events.select(
+      ((day + lit(3L)) % 7).as("dow"),
+      (expr(EventWindows.floorDivSql("ts_ns", 3600L * 1000000000L)) % 24)
+        .as("hod"),
+      col("user_id"))
+    val counts = cell.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val users = cell.distinct()
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n_users"))
+    counts.join(users, Seq("dow", "hod"))
+  }
+
   /** Time-to-convert distribution: for users completing the WHOLE step
     * chain, the spread of (last-step time − first-step time) in whole
     * seconds — the "how long does signup→purchase take" readout.

@@ -47,6 +47,35 @@ object Integrity {
     legs.map { case (n, c, fk, p, pk) => fkLeg(n, c, fk, p, pk) }
       .reduce(_ union _)
 
+  /** Right-to-be-forgotten propagation audit: for each (table, key)
+    * pair, how many rows a deletion list removes. Returns one row per
+    * table: (table, n_before, n_deleted, n_after, deleted_rate) —
+    * the accounting a GDPR/CCPA erasure job must emit; the cleaned
+    * frame itself is `df.join(ids, key, "left_anti")` with the id list
+    * broadcast (deletion lists are small by nature).
+    *
+    * Scale: ONE scan per table — the deleted count comes from a
+    * broadcast semi-join flag aggregated map-side, not a separate
+    * anti-join pass; no shuffle of the fact table at all.
+    */
+  def forgetAudit(tables: Seq[(String, DataFrame, String)],
+      ids: DataFrame, idCol: String = "user_id"): DataFrame = {
+    val idSet = broadcast(ids.select(col(idCol).as("_id")).distinct())
+    tables.map { case (name, df, key) =>
+      df.select(col(key).as("_k"))
+        .join(idSet, col("_k") === col("_id"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          coalesce(sum(when(col("_id").isNotNull, 1L)), lit(0L))
+            .as("n_deleted"))
+        .select(lit(name).as("table_name"), col("n_before"),
+          col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"),
+          when(col("n_before") =!= 0,
+            round(col("n_deleted").cast("double") /
+              col("n_before").cast("double"), 6)).as("deleted_rate"))
+    }.reduce(_ union _)
+  }
+
   /** k-anonymity audit over a quasi-identifier column set: how
     * re-identifiable is this table if `qi` leaks? Reports the group-size
     * floor and how much of the table sits in groups smaller than `k`

@@ -946,5 +946,54 @@ object AnalyticsQueries {
            |  CAST(MAX(secs) AS BIGINT) AS max_s
            |FROM d""".stripMargin
       }),
+
+    // ---- x147: right-to-be-forgotten propagation audit --------------------
+    // One scan per audited table: broadcast semi-flag + map-side counts,
+    // no anti-join pass (see Integrity.forgetAudit).
+    QueryDef(
+      "x147_forget_audit",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val ids = ev.select(col("user_id"))
+          .filter(col("user_id") % 17 === 0).distinct()
+        Integrity.forgetAudit(Seq(
+            ("customer", Tables.customer(s, dir), "c_custkey"),
+            ("events", ev, "user_id")), ids, "user_id")
+          .orderBy(col("table_name"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT user_id AS id FROM events
+             |  WHERE user_id % 17 = 0),
+             |l1 AS (SELECT 'customer' AS table_name, COUNT(*) AS n_before,
+             |    CAST(COALESCE(SUM(CASE WHEN i.id IS NOT NULL THEN 1 END), 0)
+             |      AS BIGINT) AS n_deleted
+             |  FROM customer c LEFT JOIN ids i ON c.c_custkey = i.id),
+             |l2 AS (SELECT 'events' AS table_name, COUNT(*) AS n_before,
+             |    CAST(COALESCE(SUM(CASE WHEN i.id IS NOT NULL THEN 1 END), 0)
+             |      AS BIGINT) AS n_deleted
+             |  FROM events e LEFT JOIN ids i ON e.user_id = i.id),
+             |u AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+             |SELECT table_name, n_before, n_deleted,
+             |  n_before - n_deleted AS n_after,
+             |  CASE WHEN n_before <> 0 THEN
+             |    round(CAST(n_deleted AS DOUBLE) / CAST(n_before AS DOUBLE), 6)
+             |  END AS deleted_rate
+             |FROM u ORDER BY table_name""".stripMargin)),
+
+    // ---- x148: hour-of-week activity heatmap ------------------------------
+    QueryDef(
+      "x148_activity_heatmap",
+      (s, dir) =>
+        EventAnalytics.activityHeatmap(Tables.events(s, dir))
+          .orderBy(col("dow"), col("hod")),
+      Some("""WITH c AS (SELECT
+             |    (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             |    user_id FROM events),
+             |n AS (SELECT dow, hod, COUNT(*) AS n_events FROM c
+             |  GROUP BY 1, 2),
+             |u AS (SELECT dow, hod, COUNT(*) AS n_users FROM
+             |  (SELECT DISTINCT dow, hod, user_id FROM c) d GROUP BY 1, 2)
+             |SELECT dow, hod, n_events, n_users FROM n JOIN u
+             |USING (dow, hod) ORDER BY dow, hod""".stripMargin)),
   )
 }

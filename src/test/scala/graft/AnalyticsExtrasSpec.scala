@@ -339,6 +339,38 @@ class AnalyticsExtrasSpec extends SparkSuite {
       assert(r.getDouble(4) === 1.0, "step-1 rate is 1.0 within variant")
   }
 
+  test("forgetAudit: deletion list counted per table, one scan, " +
+      "duplicate ids in the list count rows once") {
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 3L),
+      "v" -> Seq(1L, 2L, 3L, 4L))
+    val dim = frame("user_id" -> Seq(1L, 9L), "w" -> Seq(1L, 2L))
+    val ids = frame("user_id" -> Seq(1L, 1L, 7L))
+    val out = Integrity.forgetAudit(Seq(("ev", ev, "user_id"),
+        ("dim", dim, "user_id")), ids)
+      .orderBy("table_name").collect()
+    val m = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m("ev") === ((4L, 2L, 2L, 0.5)))
+    assert(m("dim") === ((2L, 1L, 1L, 0.5)))
+  }
+
+  test("activityHeatmap: epoch day 0 is Thursday (dow 3, Monday = 0); " +
+      "distinct users per cell") {
+    val h = 3600L * 1000000000L
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 1L),
+      "event_type" -> Seq("a", "a", "a", "a"),
+      // two events same user same cell (Thu 05h), one other user same
+      // cell, one event four days later (Monday 00h)
+      "ts_ns" -> Seq(5 * h, 5 * h + 1, 5 * h + 2, 4 * 24 * h))
+    val out = EventAnalytics.activityHeatmap(ev)
+      .orderBy("dow", "hod").collect()
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    assert(m === Map((3L, 5L) -> ((3L, 2L)), (0L, 0L) -> ((1L, 1L))))
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),
