@@ -20,21 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
-  /** Item-pair support + lift from an order-lines table.
-    *
-    * Output: `part_a, part_b (a < b), n_pair, support, lift` for pairs
-    * with `n_pair >= minSupport`; support = n_pair / n_orders, lift =
-    * n_pair * n_orders / (n_a * n_b), both rounded to 6. Counts are over
-    * DISTINCT (order, item) — duplicate lines of the same part in one
-    * order count once, the standard basket semantics.
-    */
-  /** The co-occurrence pair stage alone: (part_a, part_b, n_pair) with
-    * a < b and n_pair >= minSupport — the edge list feeding both
-    * [[pairLift]] and graph analytics (Graphs.pageRank). */
-  def coPairs(lineitem: DataFrame, minSupport: Long = 2,
-      orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
-    val items = lineitem.select(col(orderCol).as("ok"), col(itemCol).as("pk"))
+  /** The distinct (order, item) projection — computed ONCE and shared
+    * by the pair stage and the marginals (the module doc's one-scan
+    * promise; the same DataFrame instance means Spark reuses the
+    * exchange across consumers). */
+  private def itemsOf(lineitem: DataFrame, orderCol: String,
+      itemCol: String): DataFrame =
+    lineitem.select(col(orderCol).as("ok"), col(itemCol).as("pk"))
       .distinct()
+
+  private def coPairsFromItems(items: DataFrame, minSupport: Long): DataFrame =
     // One basket row per order; sort_array makes pair order canonical;
     // i<j pairs generated inside the row (codegen'd lambda, no join).
     items.groupBy(col("ok"))
@@ -47,13 +42,26 @@ object Baskets {
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
-  }
 
+  /** The co-occurrence pair stage alone: (part_a, part_b, n_pair) with
+    * a < b and n_pair >= minSupport — the edge list feeding both
+    * [[pairLift]] and graph analytics (Graphs.pageRank). */
+  def coPairs(lineitem: DataFrame, minSupport: Long = 2,
+      orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame =
+    coPairsFromItems(itemsOf(lineitem, orderCol, itemCol), minSupport)
+
+  /** Item-pair support + lift from an order-lines table.
+    *
+    * Output: `part_a, part_b (a < b), n_pair, support, lift` for pairs
+    * with `n_pair >= minSupport`; support = n_pair / n_orders, lift =
+    * n_pair * n_orders / (n_a * n_b), both rounded to 6. Counts are over
+    * DISTINCT (order, item) — duplicate lines of the same part in one
+    * order count once, the standard basket semantics.
+    */
   def pairLift(lineitem: DataFrame, minSupport: Long = 2,
       orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
-    val items = lineitem.select(col(orderCol).as("ok"), col(itemCol).as("pk"))
-      .distinct()
-    val pairs = coPairs(lineitem, minSupport, orderCol, itemCol)
+    val items = itemsOf(lineitem, orderCol, itemCol)
+    val pairs = coPairsFromItems(items, minSupport)
     val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val nOrders = items.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))

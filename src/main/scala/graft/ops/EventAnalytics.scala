@@ -208,7 +208,7 @@ object EventAnalytics {
 
   /** Per-variant conversion funnel: [[funnel]] segmented by an A/B
     * variant — "did the treatment change the funnel shape". The variant
-    * is a PURE FUNCTION of user_id (Experiments.variantSql's md5
+    * is a PURE FUNCTION of user_id (Experiments.withVariant's md5
     * bucket), so the stage chain runs ONCE, unsegmented; segmentation
     * happens at the count epilogue by hashing each surviving state row's
     * user_id — no per-variant scans, no extra joins. Returns (variant,
@@ -220,10 +220,8 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     val states = stateChain(events, steps, None)
     val counts = states.zipWithIndex.map { case (st, i) =>
-      st.select(col("user_id"))
-        .withColumn("_d", expr(s"md5(concat('ab:$salt:', user_id))"))
-        .withColumn("variant",
-          expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+      Experiments.withVariant(st.select(col("user_id")), "user_id",
+          nVariants, salt)
         .groupBy(col("variant"))
         .agg(count(lit(1)).as("n_users"))
         .select(col("variant"), lit(i + 1L).as("step"),
@@ -238,7 +236,9 @@ object EventAnalytics {
 
   /** Hour-of-week activity heatmap: events and distinct users per
     * (day-of-week, hour-of-day) cell, all in UTC integer epoch math
-    * (dow 0 = Monday: epoch day 0 was a Thursday, hence the +3).
+    * (dow 0 = Monday: epoch day 0 was a Thursday, hence the +3; pmod
+    * keeps pre-epoch timestamps in [0,6]/[0,23] — floorDivSql already
+    * handles their floor division).
     * The "when are users active" product readout.
     *
     * Scale: the event count is ONE map-side-combined aggregate on ≤168
@@ -248,9 +248,9 @@ object EventAnalytics {
   def activityHeatmap(events: DataFrame): DataFrame = {
     val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
     val cell = events.select(
-      ((day + lit(3L)) % 7).as("dow"),
-      (expr(EventWindows.floorDivSql("ts_ns", 3600L * 1000000000L)) % 24)
-        .as("hod"),
+      pmod(day + lit(3L), lit(7L)).as("dow"),
+      pmod(expr(EventWindows.floorDivSql("ts_ns", 3600L * 1000000000L)),
+        lit(24L)).as("hod"),
       col("user_id"))
     val counts = cell.groupBy(col("dow"), col("hod"))
       .agg(count(lit(1)).as("n_events"))
@@ -525,7 +525,10 @@ object EventAnalytics {
     * days² per type, not events²). Returns (event_type, day, cnt, ewma).
     */
   def ewmaDaily(events: DataFrame, windowDays: Int = 20): DataFrame = {
-    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    // upper bound 53: beyond it 1L << k wraps (Java shift mod 64) and the
+    // terms leave the 53-bit mantissa — the exactness contract's edge
+    require(windowDays >= 1 && windowDays <= 53,
+      s"need 1 <= windowDays <= 53, got $windowDays")
     val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
     val daily = Checkpoints.materialize(
       events.groupBy(col("event_type"), day.as("day"))

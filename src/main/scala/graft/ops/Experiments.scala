@@ -21,15 +21,22 @@ import org.apache.spark.sql.functions._
 object Experiments {
 
   /** Deterministic variant assignment: first 8 hex chars of
-    * md5("ab:<salt>:" + user_id) mod nVariants. Engine-portable (the
-    * same SQL text runs in Spark and DuckDB via [[TextAnalysis.hexToIntSql]]);
-    * stable across runs, machines, and engines — the property a real
-    * experiment system needs so a user never flips variants.
+    * md5("ab:<salt>:" + userCol) mod nVariants, appended as a `variant`
+    * column. Engine-portable (DuckDB oracles replay the same md5 +
+    * hexToIntSql arithmetic); stable across runs, machines, and engines
+    * — the property a real experiment system needs so a user never
+    * flips variants. The digest is materialized once per row before the
+    * hex fold references it 8× (the Sketches bulk-column rule). The ONE
+    * assignment implementation — abTest and
+    * EventAnalytics.funnelByVariant both route through here, so the
+    * hash spec cannot silently diverge between readouts.
     */
-  def variantSql(userCol: String, nVariants: Int, salt: String): String = {
-    val h = TextAnalysis.hexToIntSql(s"md5(concat('ab:$salt:', $userCol))", 8)
-    s"($h % $nVariants)"
-  }
+  def withVariant(df: DataFrame, userCol: String, nVariants: Int,
+      salt: String): DataFrame =
+    df.withColumn("_d", expr(s"md5(concat('ab:$salt:', $userCol))"))
+      .withColumn("variant",
+        expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+      .drop("_d")
 
   /** Per-variant experiment readout with a two-proportion z-test against
     * variant 0 (control).
@@ -46,24 +53,25 @@ object Experiments {
     * control row for a no-op treatment; z is also NULL when the pooled
     * rate is exactly 0 or 1 (zero standard error — ANSI-mode division
     * by zero otherwise, and the statistic is undefined there anyway).
+    * An EMPTY control arm (no user hashed to variant 0) keeps every
+    * treatment row, with NULL lift/z — the control frame is a one-row
+    * conditional aggregate, never an empty cross join that would
+    * silently discard the whole readout.
     */
   def abTest(events: DataFrame, convType: String = "purchase",
       minValue: Double = 150.0, nVariants: Int = 3,
       salt: String = "exp1"): DataFrame = {
-    // digest materialized once per user, then bucketed (the Sketches
-    // convention: never inline md5 through hexToIntSql on a bulk column)
-    val perUser = events
-      .groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === convType &&
-        col("value") >= minValue, 1).otherwise(0)).as("conv"))
-      .withColumn("_d", expr(s"md5(concat('ab:$salt:', user_id))"))
-      .withColumn("variant",
-        expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+    val perUser = withVariant(
+      events.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === convType &&
+          col("value") >= minValue, 1).otherwise(0)).as("conv")),
+      "user_id", nVariants, salt)
     val perVariant = perUser
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
-    val control = perVariant.filter(col("variant") === 0)
-      .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+    val control = perVariant.agg(
+      max(when(col("variant") === 0, col("n_users"))).as("n0"),
+      max(when(col("variant") === 0, col("n_conv"))).as("c0"))
     val d = (c: Column) => c.cast("double")
     val joined = perVariant.crossJoin(broadcast(control))
     val p0 = d(col("c0")) / d(col("n0"))

@@ -467,8 +467,10 @@ object AnalyticsQueries {
               |      AS variant,
               |    COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
               |  FROM pu GROUP BY 1),
-              |c AS (SELECT n_users AS n0, n_conv AS c0 FROM pv
-              |  WHERE variant = 0),
+              |c AS (SELECT MAX(CASE WHEN variant = 0 THEN n_users END)
+              |      AS n0,
+              |    MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0
+              |  FROM pv),
               |j AS (SELECT variant, n_users, n_conv,
               |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS pi,
               |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
@@ -986,8 +988,8 @@ object AnalyticsQueries {
         EventAnalytics.activityHeatmap(Tables.events(s, dir))
           .orderBy(col("dow"), col("hod")),
       Some("""WITH c AS (SELECT
-             |    (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
-             |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             |    (((epoch_ns(ts) // 86400000000000 + 3) % 7) + 7) % 7 AS dow,
+             |    (((epoch_ns(ts) // 3600000000000) % 24) + 24) % 24 AS hod,
              |    user_id FROM events),
              |n AS (SELECT dow, hod, COUNT(*) AS n_events FROM c
              |  GROUP BY 1, 2),

@@ -524,7 +524,10 @@ object StreamingWindows {
     */
   def streamingEwmaDaily(events: DataFrame,
       windowDays: Int = 20): Dataset[EwmaPoint] = {
-    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    // same <= 53 bound as the batch form: 1L << k wraps past 63 and the
+    // dyadic-exactness contract needs the terms inside the mantissa
+    require(windowDays >= 1 && windowDays <= 53,
+      s"need 1 <= windowDays <= 53, got $windowDays")
     val spark = events.sparkSession
     import spark.implicits._
     val dayOf = events
