@@ -997,5 +997,85 @@ object AnalyticsQueries {
              |  (SELECT DISTINCT dow, hod, user_id FROM c) d GROUP BY 1, 2)
              |SELECT dow, hod, n_events, n_users FROM n JOIN u
              |USING (dow, hod) ORDER BY dow, hod""".stripMargin)),
+
+    // ---- x149: DAU trend (exact OLS over integer moments) -----------------
+    // One distinct-user pass -> per-day DAU -> ONE moments aggregate;
+    // every moment is an exact integer sum (see ops/Stats.scala), so the
+    // fit replays bitwise.
+    QueryDef(
+      "x149_dau_trend",
+      (s, dir) => {
+        val day = expr(graft.ops.EventWindows.floorDivSql(
+          "ts_ns", 86400L * 1000000000L))
+        val dau = Tables.events(s, dir)
+          .select(day.as("day"), col("user_id")).distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        graft.ops.Stats.linearFit(dau, col("day"), col("dau"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+             |    epoch_ns(ts) // 86400000000000 AS day, user_id
+             |  FROM events),
+             |d AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+             |m AS (SELECT COUNT(*) AS n,
+             |    SUM(CAST(day AS HUGEINT)) AS sx,
+             |    SUM(CAST(dau AS HUGEINT)) AS sy,
+             |    SUM(CAST(day AS HUGEINT) * day) AS sxx,
+             |    SUM(CAST(dau AS HUGEINT) * dau) AS syy,
+             |    SUM(CAST(day AS HUGEINT) * dau) AS sxy
+             |  FROM d)
+             |SELECT n,
+             |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+             |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0 THEN
+             |    round((CAST(sy AS DOUBLE)
+             |      - CAST(n * sxy - sx * sy AS DOUBLE)
+             |        / CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END
+             |    AS intercept,
+             |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+             |      AND CAST(n * syy - sy * sy AS DOUBLE) <> 0 THEN
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+             |FROM m""".stripMargin)),
+
+    // ---- x150: pairwise column correlation (cents-quantized, exact) -------
+    QueryDef(
+      "x150_column_corr",
+      (s, dir) => {
+        def cents(c: String) = expr(s"cast(round($c * 100) as bigint)")
+        graft.ops.Stats.pairwiseCorr(Tables.lineitem(s, dir), Seq(
+            "disc" -> cents("l_discount"), "price" -> cents("l_extendedprice"),
+            "qty" -> cents("l_quantity"), "tax" -> cents("l_tax")))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val names = Seq("disc", "price", "qty", "tax")
+        val srcs = Map("disc" -> "l_discount", "price" -> "l_extendedprice",
+          "qty" -> "l_quantity", "tax" -> "l_tax")
+        val cs = names.map(n =>
+          s"CAST(round(${srcs(n)} * 100) AS BIGINT) AS $n").mkString(", ")
+        val sums = names.map(n => s"SUM(CAST($n AS HUGEINT)) AS s_$n") ++
+          names.map(n => s"SUM(CAST($n AS HUGEINT) * $n) AS ss_$n") ++
+          names.combinations(2).map { case Seq(a, b) =>
+            s"SUM(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b"
+          }
+        val rows = names.combinations(2).map { case Seq(a, b) =>
+          val num = s"CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)"
+          val da = s"CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)"
+          val db = s"CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)"
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  CASE WHEN $da <> 0 AND $db <> 0 THEN
+             |    round($num / sqrt($da * $db), 6) END AS corr FROM m"""
+            .stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH c AS (SELECT $cs FROM lineitem),
+           |m AS (SELECT COUNT(*) AS n, ${sums.mkString(",\n    ")}
+           |  FROM c)
+           |$rows
+           |ORDER BY col_a, col_b""".stripMargin
+      }),
   )
 }

@@ -371,6 +371,34 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(m === Map((3L, 5L) -> ((3L, 2L)), (0L, 0L) -> ((1L, 1L))))
   }
 
+  test("linearFit: exact line recovered exactly; constant x yields NULL " +
+      "slope, not a crash") {
+    val pts = frame("x" -> Seq(1L, 2L, 3L), "y" -> Seq(3L, 5L, 7L))
+    val r = graft.ops.Stats.linearFit(pts, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === 2.0 && r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 1.0)
+    val flat = frame("x" -> Seq(5L, 5L), "y" -> Seq(1L, 2L))
+    val f = graft.ops.Stats.linearFit(flat, col("x"), col("y")).collect()(0)
+    assert(f.isNullAt(1) && f.isNullAt(2) && f.isNullAt(3))
+  }
+
+  test("pairwiseCorr: perfect +/- correlation exact; constant column NULL") {
+    val df = frame(
+      "a" -> Seq(1L, 2L, 3L, 4L),
+      "b" -> Seq(2L, 4L, 6L, 8L),
+      "c" -> Seq(4L, 3L, 2L, 1L),
+      "k" -> Seq(7L, 7L, 7L, 7L))
+    val out = graft.ops.Stats.pairwiseCorr(df, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c"), "k" -> col("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("a", "b")) === Some(1.0))
+    assert(out(("a", "c")) === Some(-1.0))
+    assert(out(("a", "k")) === None && out(("b", "k")) === None)
+    assert(out.size === 6)
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),
