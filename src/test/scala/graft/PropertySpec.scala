@@ -380,4 +380,51 @@ class PropertySpec extends SparkSuite {
         merged == cov
     })
   }
+
+  test("ewmaDaily: windowDays=1 degenerates to cnt/2; ewma bounded by " +
+      "window total; per-type counts conserved") {
+    check("ewma", Prop.forAll(eventGen) { rows =>
+      val ev = eventFrame(rows)
+      val w1 = graft.ops.EventAnalytics.ewmaDaily(ev, windowDays = 1)
+        .collect()
+      val w5 = graft.ops.EventAnalytics.ewmaDaily(ev, windowDays = 5)
+        .collect()
+      w1.forall(r => r.getDouble(3) == r.getLong(2).toDouble / 2.0) &&
+        w5.forall(r => r.getDouble(3) > 0.0) &&
+        w5.map(_.getLong(2)).sum == rows.size.toLong
+    })
+  }
+
+  test("topPaths: total path count = sum over users of max(0, n_i - 2); " +
+      "segmented funnel partitions the plain funnel") {
+    check("paths", Prop.forAll(eventGen) { rows =>
+      val ev = eventFrame(rows)
+      val total = graft.ops.EventAnalytics.topPaths(ev, k = 1000)
+        .collect().map(_.getLong(3)).sum
+      val expect = rows.groupBy(_._1).values
+        .map(g => math.max(0, g.size - 2).toLong).sum
+      val steps = Seq("a", "b")
+      val seg = graft.ops.EventAnalytics
+        .funnelByVariant(ev, steps, nVariants = 2, salt = "p")
+        .collect().groupBy(_.getLong(1))
+        .map { case (s, rs) => s -> rs.map(_.getLong(3)).sum }
+      val whole = graft.ops.EventAnalytics.funnel(ev, steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .filter(_._2 > 0).toMap
+      total == expect && seg == whole
+    })
+  }
+
+  test("sessionSummary: event conservation and session-count sanity " +
+      "against the sessionizer") {
+    check("sessions", Prop.forAll(eventGen) { rows =>
+      val ev = eventFrame(rows)
+      val summary = graft.ops.EventWindows.sessionSummary(ev, 300L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val raw = rows.groupBy(_._1).map { case (u, g) => u -> g.size.toLong }
+      summary.view.mapValues(_._2).toMap == raw &&
+        summary.forall { case (_, (nSess, nEv)) => nSess >= 1 && nSess <= nEv }
+    })
+  }
 }
