@@ -234,6 +234,42 @@ object EventAnalytics {
           first(col("n_users")).over(wFirst), 6)))
   }
 
+  /** Cohort lifetime value: per (signup-cohort, period offset), the
+    * period's revenue, the running cumulative revenue, and cumulative
+    * LTV per cohort user — the monetized companion of
+    * [[retentionCohorts]]. Revenue sums in DECIMAL(18,2) (the dsum
+    * convention: exact, order-independent); the cumulative window also
+    * runs in DECIMAL, so every value replays bitwise.
+    *
+    * Scale: two shuffles — the per-user first-period min and the
+    * (cohort, offset) revenue aggregate, both map-side combined. The
+    * cumulative window partitions by cohort over the tiny aggregate;
+    * cohort sizes broadcast back.
+    */
+  def cohortLtv(events: DataFrame,
+      periodSec: Long = 7L * 86400): DataFrame = {
+    val p = events.select(col("user_id"),
+      EventWindows.winStart(sec, periodSec).as("per"), col("value"))
+    val firsts = p.groupBy(col("user_id"))
+      .agg(min(col("per")).as("cohort_start"))
+    val sizes = firsts.groupBy(col("cohort_start"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val g = p.join(firsts, "user_id")
+      .select(col("cohort_start"),
+        expr(s"(per - cohort_start) div $periodSec").as("offset"),
+        col("value").cast("decimal(18,2)").as("_v"))
+      .groupBy(col("cohort_start"), col("offset"))
+      .agg(sum(col("_v")).as("_rev"))
+    val w = Window.partitionBy(col("cohort_start")).orderBy(col("offset"))
+    g.withColumn("_cum", sum(col("_rev")).over(w))
+      .join(broadcast(sizes), "cohort_start")
+      .select(col("cohort_start"), col("offset"),
+        col("_rev").cast("double").as("revenue"),
+        col("_cum").cast("double").as("cum_revenue"),
+        round(col("_cum").cast("double") /
+          col("cohort_size").cast("double"), 6).as("ltv_per_user"))
+  }
+
   /** Hour-of-week activity heatmap: events and distinct users per
     * (day-of-week, hour-of-day) cell, all in UTC integer epoch math
     * (dow 0 = Monday: epoch day 0 was a Thursday, hence the +3; pmod

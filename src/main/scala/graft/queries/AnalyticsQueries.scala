@@ -1077,5 +1077,36 @@ object AnalyticsQueries {
            |$rows
            |ORDER BY col_a, col_b""".stripMargin
       }),
+
+    // ---- x151: cohort lifetime value --------------------------------------
+    // The monetized retention readout: DECIMAL revenue sums + DECIMAL
+    // cumulative window, bitwise on both engines.
+    QueryDef(
+      "x151_cohort_ltv",
+      (s, dir) =>
+        EventAnalytics.cohortLtv(Tables.events(s, dir))
+          .orderBy(col("cohort_start"), col("offset")),
+      Some("""WITH p AS (SELECT user_id,
+             |    sec - (((sec % 604800) + 604800) % 604800) AS per, value
+             |  FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+             |        value FROM events) e),
+             |f AS (SELECT user_id, MIN(per) AS cohort_start FROM p
+             |  GROUP BY user_id),
+             |sizes AS (SELECT cohort_start, COUNT(*) AS cohort_size FROM f
+             |  GROUP BY 1),
+             |g AS (SELECT f.cohort_start,
+             |    (p.per - f.cohort_start) // 604800 AS "offset",
+             |    SUM(CAST(value AS DECIMAL(18,2))) AS rev
+             |  FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+             |c AS (SELECT cohort_start, "offset", rev,
+             |    SUM(rev) OVER (PARTITION BY cohort_start ORDER BY "offset")
+             |      AS cum FROM g)
+             |SELECT c.cohort_start, c."offset",
+             |  CAST(rev AS DOUBLE) AS revenue,
+             |  CAST(cum AS DOUBLE) AS cum_revenue,
+             |  round(CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+             |    AS ltv_per_user
+             |FROM c JOIN sizes USING (cohort_start)
+             |ORDER BY cohort_start, "offset"""".stripMargin)),
   )
 }

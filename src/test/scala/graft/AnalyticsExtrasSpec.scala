@@ -399,6 +399,24 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(out.size === 6)
   }
 
+  test("cohortLtv: revenue conserved, cumulative monotone, hand LTV") {
+    val wk = 7L * 86400
+    // u1,u2 in cohort 0 (u2 active again in week 1); u3 in cohort 1
+    val ev = frame(
+      "user_id" -> Seq(1L, 2L, 2L, 3L),
+      "event_type" -> Seq("a", "a", "a", "a"),
+      "ts_ns" -> Seq(sec(10), sec(20), sec(wk + 5), sec(wk + 9)),
+      "value" -> Seq(10.0, 5.0, 2.5, 4.0))
+    val out = graft.ops.EventAnalytics.cohortLtv(ev, wk)
+      .orderBy("cohort_start", "offset").collect()
+    val m = out.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m((0L, 0L)) === ((15.0, 15.0, 7.5))) // 2 users in cohort 0
+    assert(m((0L, 1L)) === ((2.5, 17.5, 8.75)))
+    assert(m((wk, 0L)) === ((4.0, 4.0, 4.0)))
+    assert(out.map(_.getDouble(2)).sum === 21.5) // all revenue lands once
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),
