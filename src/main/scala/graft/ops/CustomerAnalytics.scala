@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Customer-value analytics over the orders table: RFM (recency /
@@ -55,5 +56,48 @@ object CustomerAnalytics {
         col("monetary"),
         rs.as("r_score"), fs.as("f_score"), ms.as("m_score"),
         (rs * 100 + fs * 10 + ms).as("rfm_code"))
+  }
+
+  /** Revenue concentration (Pareto) by spend decile: bucket users by
+    * nine exact revenue-percentile cut points (decile d = 1 + #{t_i
+    * strictly below the user's revenue} — boundary ties land LOW, so
+    * deciles are deterministic though not exactly 10% each), then per
+    * decile: users, DECIMAL-exact revenue, share of total, cumulative
+    * share. The "top decile drives X% of revenue" readout.
+    *
+    * Scale: ONE user_id shuffle reduces events to per-user revenue;
+    * cut points and the total are one-row broadcasts (scalar-subquery
+    * shape); bucketing is map-only; the rollup has ≤ 10 groups and the
+    * cumulative window runs over those 10 rows.
+    */
+  def revenueConcentration(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val perUser = events.filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("_rev"))
+      .select(col("user_id"), col("_rev").cast("double").as("rev"))
+    val cuts = (1 to 9).map(_ / 10.0)
+    val thr = broadcast(perUser.agg(
+      expr(s"percentile(rev, array(${cuts.mkString(", ")}))").as("_t")))
+    val decile = ((0 until 9)
+      .map(i => when(col("rev") > col("_t").getItem(i), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)).cast("long")
+    val byDecile = perUser.crossJoin(thr)
+      .select(decile.as("decile"), col("rev"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("rev").cast("decimal(18,2)")).as("_drev"))
+    val total = broadcast(byDecile.agg(sum(col("_drev")).as("_tot")))
+    val w = Window.orderBy(col("decile"))
+    byDecile.crossJoin(total)
+      .select(col("decile"), col("n_users"),
+        col("_drev").cast("double").as("revenue"),
+        round(col("_drev").cast("double") /
+          col("_tot").cast("double"), 6).as("share"),
+        col("_drev"), col("_tot"))
+      .withColumn("cum_share",
+        round(sum(col("_drev")).over(w).cast("double") /
+          col("_tot").cast("double"), 6))
+      .drop("_drev", "_tot")
   }
 }

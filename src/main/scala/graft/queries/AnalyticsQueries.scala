@@ -1108,5 +1108,32 @@ object AnalyticsQueries {
              |    AS ltv_per_user
              |FROM c JOIN sizes USING (cohort_start)
              |ORDER BY cohort_start, "offset"""".stripMargin)),
+
+    // ---- x152: revenue concentration (Pareto deciles) ---------------------
+    QueryDef(
+      "x152_revenue_pareto",
+      (s, dir) =>
+        CustomerAnalytics.revenueConcentration(Tables.events(s, dir))
+          .orderBy(col("decile")),
+      Some {
+        val cuts = (1 to 9).map(_ / 10.0).mkString(", ")
+        val cases = (1 to 9)
+          .map(i => s"CASE WHEN rev > t[$i] THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH pu AS (SELECT user_id,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |t AS (SELECT quantile_cont(rev, [$cuts]) AS t FROM pu),
+           |d AS (SELECT CAST(1 + ($cases) AS BIGINT) AS decile, rev
+           |  FROM pu CROSS JOIN t),
+           |g AS (SELECT decile, COUNT(*) AS n_users,
+           |    SUM(CAST(rev AS DECIMAL(18,2))) AS drev FROM d GROUP BY 1),
+           |tot AS (SELECT SUM(drev) AS tot FROM g)
+           |SELECT decile, n_users, CAST(drev AS DOUBLE) AS revenue,
+           |  round(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           |  round(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE)
+           |    / CAST(tot AS DOUBLE), 6) AS cum_share
+           |FROM g CROSS JOIN tot ORDER BY decile""".stripMargin
+      }),
   )
 }

@@ -417,6 +417,23 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(out.map(_.getDouble(2)).sum === 21.5) // all revenue lands once
   }
 
+  test("revenueConcentration: shares sum to 1, cum_share ends at 1, " +
+      "revenue conserved, deciles ordered by spend") {
+    val ev = frame(
+      "user_id" -> (1L to 20L),
+      "event_type" -> Seq.fill(20)("purchase"),
+      "value" -> (1L to 20L).map(_ * 10.0))
+    val out = graft.ops.CustomerAnalytics.revenueConcentration(ev)
+      .orderBy("decile").collect()
+    assert(out.map(_.getLong(1)).sum === 20L)
+    assert(out.map(_.getDouble(2)).sum === (1 to 20).map(_ * 10.0).sum)
+    assert(out.last.getDouble(4) === 1.0) // cum_share terminal
+    val shares = out.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+    // later deciles hold strictly more revenue on this ramp
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+  }
+
   test("classifierScore carry: label column rides through unchanged") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L),

@@ -45,7 +45,8 @@ class PlanSpec extends SparkSuite {
     "x133_zorder_layout", // broadcast ONE-ROW min/max bounds frame (x57 pattern)
     "x135_bm25_topk", // broadcast ONE-ROW N/avgdl corpus stats (x57 pattern)
     "x139_rfm", // broadcast ONE-ROW max-day + quintile thresholds (x57 pattern)
-    "x140_fk_audit") // per-leg ONE-ROW totals x orphans crossJoin (x57 pattern)
+    "x140_fk_audit", // per-leg ONE-ROW totals x orphans crossJoin (x57 pattern)
+    "x152_revenue_pareto") // broadcast ONE-ROW decile cuts + total (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
