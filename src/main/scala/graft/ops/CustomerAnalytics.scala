@@ -34,7 +34,11 @@ object CustomerAnalytics {
     * and the composite `rfm_code` = r*100 + f*10 + m.
     */
   def rfm(orders: DataFrame): DataFrame = {
-    val day = expr("unix_timestamp(o_orderdate) div 86400")
+    // pure DATE arithmetic: signed day count since epoch, timezone-free
+    // and floor-exact for pre-1970 dates (matches the oracle's
+    // epoch(date)//86400 — a bare unix_timestamp would be session-tz
+    // dependent and `div` would truncate toward zero)
+    val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
     val per = orders.groupBy(col("o_custkey"))
       .agg(max(day).as("last_day"),
         count(lit(1)).as("frequency"),
@@ -89,15 +93,18 @@ object CustomerAnalytics {
         sum(col("rev").cast("decimal(18,2)")).as("_drev"))
     val total = broadcast(byDecile.agg(sum(col("_drev")).as("_tot")))
     val w = Window.orderBy(col("decile"))
+    // zero-revenue corpus (all conversion values 0.0): shares are
+    // undefined, not an ANSI division-by-zero throw
+    val tot = col("_tot").cast("double")
     byDecile.crossJoin(total)
       .select(col("decile"), col("n_users"),
         col("_drev").cast("double").as("revenue"),
-        round(col("_drev").cast("double") /
-          col("_tot").cast("double"), 6).as("share"),
+        when(tot =!= 0.0,
+          round(col("_drev").cast("double") / tot, 6)).as("share"),
         col("_drev"), col("_tot"))
       .withColumn("cum_share",
-        round(sum(col("_drev")).over(w).cast("double") /
-          col("_tot").cast("double"), 6))
+        when(tot =!= 0.0,
+          round(sum(col("_drev")).over(w).cast("double") / tot, 6)))
       .drop("_drev", "_tot")
   }
 }

@@ -33,9 +33,11 @@ object Experiments {
     */
   def withVariant(df: DataFrame, userCol: String, nVariants: Int,
       salt: String): DataFrame =
-    df.withColumn("_d", expr(s"md5(concat('ab:$salt:', $userCol))"))
+    // typed-API digest (no SQL-string splicing: a quote in the salt or a
+    // non-identifier userCol must not change the expression's shape)
+    df.withColumn("_d", md5(concat(lit(s"ab:$salt:"), col(userCol))))
       .withColumn("variant",
-        expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % $nVariants)"))
+        expr(s"(${TextAnalysis.hexToIntSql("_d", 8)} % ${nVariants}L)"))
       .drop("_d")
 
   /** Per-variant experiment readout with a two-proportion z-test against

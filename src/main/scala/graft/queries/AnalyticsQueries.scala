@@ -1130,9 +1130,13 @@ object AnalyticsQueries {
            |    SUM(CAST(rev AS DECIMAL(18,2))) AS drev FROM d GROUP BY 1),
            |tot AS (SELECT SUM(drev) AS tot FROM g)
            |SELECT decile, n_users, CAST(drev AS DOUBLE) AS revenue,
-           |  round(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
-           |  round(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE)
-           |    / CAST(tot AS DOUBLE), 6) AS cum_share
+           |  CASE WHEN CAST(tot AS DOUBLE) <> 0 THEN
+           |    round(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           |  END AS share,
+           |  CASE WHEN CAST(tot AS DOUBLE) <> 0 THEN
+           |    round(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE)
+           |      / CAST(tot AS DOUBLE), 6)
+           |  END AS cum_share
            |FROM g CROSS JOIN tot ORDER BY decile""".stripMargin
       }),
   )

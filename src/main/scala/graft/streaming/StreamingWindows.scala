@@ -519,8 +519,10 @@ object StreamingWindows {
     * and the batch sum (shuffle order) are the same value — the
     * property that makes a stream==batch pin possible without DECIMAL
     * staging. Same in-order-across-batches contract as
-    * [[streamingFunnel]]; each type's final still-open day is never
-    * emitted (incomplete by definition).
+    * [[streamingFunnel]], and here it is ENFORCED: a micro-batch carrying
+    * a day older than the open day fails fast instead of silently
+    * re-opening (and double-counting) it. Each type's final still-open
+    * day is never emitted (incomplete by definition).
     */
   def streamingEwmaDaily(events: DataFrame,
       windowDays: Int = 20): Dataset[EwmaPoint] = {
@@ -558,6 +560,14 @@ object StreamingWindows {
           }
           counts.toSeq.sortBy(_._1).foreach { case (d, n) =>
             if (d == st.openDay) st = st.copy(openN = st.openN + n)
+            else if (d < st.openDay)
+              // ENFORCE the documented in-order contract: silently
+              // re-opening an older day would emit duplicate points and
+              // double-count the day in later windows, undetectably
+              throw new IllegalStateException(
+                s"streamingEwmaDaily($tpe): day $d arrived after day " +
+                  s"${st.openDay} opened — input violates the in-order-" +
+                  "across-batches contract")
             else { close(); st = st.copy(openDay = d, openN = n) }
           }
           state.update(st)
@@ -627,6 +637,13 @@ object StreamingWindows {
           }
           counts.toSeq.sortBy(_._1).foreach { case (win, n) =>
             if (win == st.openWin) st = st.copy(openN = st.openN + n)
+            else if (win < st.openWin)
+              // same enforced in-order contract as streamingEwmaDaily:
+              // a late window must fail fast, not re-open and double-count
+              throw new IllegalStateException(
+                s"streamingAnomalyScores($tpe): window $win arrived after " +
+                  s"window ${st.openWin} opened — input violates the " +
+                  "in-order-across-batches contract")
             else { close(); st = st.copy(openWin = win, openN = n) }
           }
           state.update(st)

@@ -53,6 +53,18 @@ class AnalyticsExtrasSpec extends SparkSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("withVariant: a salt containing a single quote assigns the same " +
+      "variants as the JVM reference (typed API, no SQL splicing)") {
+    val salt = "it's-q4'23"
+    val ev = frame("user_id" -> (1L to 40L).toSeq)
+    val out = Experiments.withVariant(ev, "user_id", 3, salt)
+      .orderBy("user_id").collect()
+    for (r <- out)
+      assert(r.getLong(1) === refVariant(r.getLong(0), 3, salt).toLong,
+        s"variant mismatch for user ${r.getLong(0)}")
+    assert(out.map(_.getLong(1)).toSet.size > 1, "degenerate assignment")
+  }
+
   test("abTest: saturated pooled rate yields NULL z, not a crash") {
     // every user converts -> pooled p = 1 -> zero standard error
     val ev = frame(

@@ -779,4 +779,30 @@ class StreamingSpec extends SparkSuite {
         s"need >= 2 non-empty micro-batches, saw ${batches.length}")
     } finally q.stop()
   }
+
+  test("streaming EWMA monitor: a micro-batch carrying a day OLDER than " +
+      "the open day fails fast (enforced in-order contract), never " +
+      "silently re-opens it") {
+    val splitDir = java.nio.file.Files.createTempDirectory("ewmalate").toString
+    def batch(dayN: Long) = frame(
+      "event_type" -> Seq("click", "click"),
+      "ts_ns" -> Seq(dayN * 86400L * 1000000000L + 1L,
+        dayN * 86400L * 1000000000L + 2L))
+    batch(10L).coalesce(1).write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batch(10L).schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingEwmaDaily(stream, windowDays = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ewma_late").start()
+    try {
+      q.processAllAvailable()
+      batch(9L).coalesce(1).write.mode("append").parquet(s"$splitDir/in")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        Option(t).map(t => t :: chain(t.getCause)).getOrElse(Nil)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("in-order"))),
+        s"expected the in-order contract violation, got: $ex")
+    } finally q.stop()
+  }
 }
