@@ -58,6 +58,62 @@ object Graphs {
       (col("r").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** Triangle census of an UNDIRECTED edge list (rows (a, b), a < b,
+    * already deduplicated — Baskets.coPairs' contract). Returns ONE row:
+    * `n_nodes, n_edges, n_wedges, n_triangles, global_clustering` where
+    * wedges = Σ deg·(deg−1)/2 (open+closed two-paths) and clustering =
+    * 3·triangles / wedges (round 6, NULL when the graph has no wedge).
+    *
+    * Scale shape: the classic all-pairs trap is wedge explosion at hub
+    * nodes (a degree-10⁶ node owns 5·10¹¹ wedges). Edges are therefore
+    * DEGREE-ORIENTED first — u → v iff (deg(u), u) < (deg(v), v), a
+    * total order, so every triangle is counted exactly once from its
+    * lowest-degree corner and each node's oriented out-degree is
+    * O(√m) — the O(m^1.5) bound. Wedge generation is then ONE self-join
+    * of the oriented list on the source and closure ONE hash semi-join
+    * against the same oriented list; the wedge COUNT never materializes
+    * wedges at all (integer moment over the degree table). The oriented
+    * list is MATERIALIZED — three consumers with different pushed
+    * filters would otherwise re-run the degree join.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("part_a").as("a"), col("part_b").as("b"))
+    val deg = e.select(col("a").as("node")).union(e.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lower-degree endpoint (ties by id) points out
+    val aFirst = struct(col("_da"), col("a")) < struct(col("_db"), col("b"))
+    val oriented = Checkpoints.materialize(
+      e.join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("_db")).otherwise(col("_da")).as("_dv")))
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("_dv").as("_dx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("_dv").as("_dy"))
+    // the wedge pair is canonicalized by the SAME (deg, id) total order
+    // the edges are oriented by — so a closing edge, if present, is
+    // stored exactly as (x, y) and closure is a pure equi semi-join
+    // (an id-order canon would need an OR condition = a BNLJ)
+    val wedges = w1.join(w2, "u")
+      .filter(struct(col("_dx"), col("x")) < struct(col("_dy"), col("y")))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // integer `div`, not `/` (double division would round at scale);
+    // deg·(deg−1) is even, so per-row div 2 is exact
+    val base = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum((deg * (deg - 1)) div 2)").as("n_wedges"))
+    base.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") =!= 0,
+          round(col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double"), 6)).as("global_clustering"))
+  }
+
   /** The oracle-side rendering of the same chain: unrolled CTEs `r0..rN`
     * over an `e(src, dst)` CTE the caller provides (the Pca.powerCtes
     * pattern). Ends with `rN(node, r)`. */

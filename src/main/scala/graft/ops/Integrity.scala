@@ -103,4 +103,38 @@ object Integrity {
         round(col("n_rows_small").cast("double") /
           col("n_rows").cast("double"), 6).as("small_rate"))
   }
+
+  /** l-diversity audit — [[kAnonymity]]'s companion: within each
+    * quasi-identifier group, how many DISTINCT values does the sensitive
+    * column take? A group where everyone shares one sensitive value
+    * leaks it to anyone who can link the QI tuple, even if the group is
+    * k-large. Output (one row): `l, n_rows, n_groups, min_diversity,
+    * n_failing, n_rows_failing, failing_rate` — groups with fewer than
+    * `l` distinct sensitive values fail.
+    *
+    * Scale: ONE map-side-combined groupBy on (QI tuple, sensitive) —
+    * the exact distinct reduction — then a QI-tuple rollup and a one-row
+    * summary. Null handling mirrors kAnonymity: null QI values group as
+    * keys; a null sensitive value counts as a distinct value (it is one
+    * more thing the linker learns the group may hold).
+    */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
+      l: Long = 2): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val perPair = df.groupBy((qi :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val perGroup = perPair.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("_div"), sum(col("_n")).as("_rows"))
+    perGroup.agg(
+        sum(col("_rows")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("_div")).as("min_diversity"),
+        coalesce(sum(when(col("_div") < l, 1L)), lit(0L)).as("n_failing"),
+        coalesce(sum(when(col("_div") < l, col("_rows"))), lit(0L))
+          .as("n_rows_failing"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
+        col("min_diversity"), col("n_failing"), col("n_rows_failing"),
+        round(col("n_rows_failing").cast("double") /
+          col("n_rows").cast("double"), 6).as("failing_rate"))
+  }
 }

@@ -63,4 +63,46 @@ object Skew {
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedLarge.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-distribution audit for a prospective join/groupBy key — the
+    * "should I salt this" readout the helpers above act on. ONE row:
+    * `key_col, n_rows, n_keys, max_key_n, hot_key, top_share, gini` —
+    * the hottest key (ties broken by key value, deterministically), its
+    * share of all rows, and the exact Gini coefficient of the key
+    * frequencies: 0 = perfectly uniform, → 1 = one key owns the table.
+    *
+    *   gini = (2·Σ pos_i·n_i − (K+1)·N) / (K·N)
+    *
+    * over frequencies sorted ascending by (n, key) — a total order, so
+    * positions are unambiguous and both engines rank identically. All
+    * moments are exact DECIMAL(38,0) integers (the Stats convention);
+    * one double division at the end, rounded 6.
+    *
+    * Scale: the frequency table is ONE map-side-combined shuffle; the
+    * position column comes from Ranking.withGlobalRanks' DECOMPOSED
+    * global rank (range partition + per-bucket window + O(partitions)
+    * offsets), never a single-partition global window — the audit of a
+    * billion-key corpus must not itself serialize on one task.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol).as("_k")).agg(count(lit(1)).as("_n"))
+    val ranked = Ranking.withGlobalRanks(freq,
+      Seq("_n" -> true, "_k" -> true), rankCol = "_pos", denseCol = "_dd")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val kn = d38(col("n_keys")) * d38(col("n_rows"))
+    ranked.agg(
+        sum(col("_n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("_n")).as("max_key_n"),
+        max(struct(col("_n"), col("_k"))).as("_hot"),
+        sum(d38(col("_pos")) * d38(col("_n"))).as("_s"))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_n"),
+        col("_hot").getField("_k").cast("string").as("hot_key"),
+        round(col("max_key_n").cast("double") /
+          col("n_rows").cast("double"), 6).as("top_share"),
+        round((lit(2).cast("decimal(38,0)") * col("_s") -
+          d38(col("n_keys") + 1) * d38(col("n_rows"))).cast("double") /
+          kn.cast("double"), 6).as("gini"))
+  }
 }

@@ -79,4 +79,44 @@ object Stats {
     }.toSeq
     pairRows.reduce(_ union _)
   }
+
+  /** Per-group robust outlier report via the median/MAD rule: for each
+    * group, the exact median of `valueCol`, the median absolute
+    * deviation, and how many rows the modified z-score
+    * 0.6745·(v − med)/MAD flags beyond `threshold`.
+    *
+    * The flag is evaluated DIVISION-FREE as
+    * `|v − med| · 0.6745 > threshold · MAD` — algebraically the same
+    * predicate, but it needs no MAD≠0 guard (ANSI double division) and
+    * multiplications keep both engines on the identical IEEE ops. At
+    * MAD = 0 the rule degenerates to "any deviation is an outlier",
+    * which is the correct limit of the statistic.
+    *
+    * Scale: two group shuffles (median pass, then MAD-of-deviations
+    * pass) plus a final per-group count — each map-side combined; the
+    * per-group median frame joins back as a broadcast (group counts are
+    * bounded: event types, sources — the exact-percentile state is the
+    * documented exact-vs-sketch tradeoff, x27's GK approx being the
+    * 100 TB default).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("median"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"),
+        col("median"),
+        abs(col(valueCol).cast("double") - col("median")).as("_ad"))
+    val mad = dev.groupBy(col(groupCol), col("median"))
+      .agg(expr("percentile(_ad, 0.5)").as("mad"))
+    dev.drop("median").join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol), col("median"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("_v") - col("median")) * 0.6745 >
+          col("mad") * threshold, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("median"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n").cast("double"), 6).as("outlier_rate"))
+  }
 }

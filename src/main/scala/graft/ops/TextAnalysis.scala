@@ -778,4 +778,38 @@ object TextAnalysis {
         col("pos_rate"),
         round(col("pos_rate") - col("mean_prob"), 6).as("gap"))
   }
+
+  /** Inverted index over the corpus: per token with document frequency
+    * >= `minDf`, `tok, df, total_tf, postings` where postings is the
+    * comma-joined ASCENDING list of the token's first `maxPostings`
+    * doc ids — the retrieval-side artifact BM25/tf-idf consume.
+    *
+    * Scale: the naive collect_list-per-token holds a stopword's ENTIRE
+    * posting list in one aggregation buffer (a 100 TB corpus has tokens
+    * in ~every document). The posting cut therefore goes through
+    * Ranking.topKPerGroup — salt-partitioned top-k, so no task ever
+    * ranks more than one salt cell of a hot token and at most
+    * salts·maxPostings rows per token reach the final collect. The
+    * (tok, doc) tf frame is MATERIALIZED: stats and postings consume it
+    * with different shapes, and lazily each would re-tokenize the corpus.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 16,
+      minDf: Long = 2, salts: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = Checkpoints.materialize(
+      docs.select(col(idCol).as("doc_id"),
+          explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")))
+    val stats = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .filter(col("df") >= minDf)
+    val top = Ranking.topKPerGroup(tf, "tok", maxPostings,
+      Seq(col("doc_id").asc), col("doc_id"), salts)
+    val postings = top.groupBy(col("tok"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("doc_id")))).as("postings"))
+    stats.join(postings, "tok")
+      .select(col("tok"), col("df"), col("total_tf"), col("postings"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.{Baskets, CustomerAnalytics, EventAnalytics, Experiments,
-  Integrity, Layout, Pca, TextAnalysis}
+  Graphs, Integrity, Layout, Pca, Profiling, Skew, Stats, Survival,
+  TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -16,6 +17,14 @@ object AnalyticsQueries {
 
   /** The funnel step list shared by the query and its oracle. */
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Profiled orders columns and their numeric-ness — ONE list shared by
+    * the Spark side and the generated oracle so the two can't drift.
+    * (Declared before `defs`, which captures it at object init.) */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+    "o_totalprice" -> true, "o_orderdate" -> false,
+    "o_orderpriority" -> false)
 
   /** The counts-UNION + rate epilogue shared by every funnel oracle.
     * Rates guard their divisions exactly like the Spark side's
@@ -1139,5 +1148,244 @@ object AnalyticsQueries {
            |  END AS cum_share
            |FROM g CROSS JOIN tot ORDER BY decile""".stripMargin
       }),
+
+    // ---- x153: Kaplan-Meier user survival (churn curve) --------------------
+    // One user shuffle to (first, last); the KM table is bounded by the
+    // time span; the survival prefix-product is a pinned-order fold on
+    // BOTH engines (recursive CTE, never DuckDB product()) — see
+    // ops/Survival.scala.
+    QueryDef(
+      "x153_survival",
+      (s, dir) =>
+        Survival.kaplanMeier(Tables.events(s, dir), censorDays = 7)
+          .orderBy(col("t_days")),
+      Some("""WITH RECURSIVE per AS (SELECT user_id,
+             |    min(epoch_ns(ts) // 86400000000000) AS f,
+             |    max(epoch_ns(ts) // 86400000000000) AS l
+             |  FROM events GROUP BY 1),
+             |mx AS (SELECT max(l) AS max_day FROM per),
+             |lt AS (SELECT l - f AS t, (l <= max_day - 7) AS churned
+             |  FROM per CROSS JOIN mx),
+             |pt AS (SELECT t,
+             |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+             |  FROM lt GROUP BY 1),
+             |km AS (SELECT t, d, c,
+             |    CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk,
+             |    ROW_NUMBER() OVER (ORDER BY t) AS rn FROM pt),
+             |run AS (
+             |  SELECT rn, t, n_risk, d, c,
+             |    CAST(1.0 AS DOUBLE) * (1 - CAST(d AS DOUBLE) / n_risk) AS surv
+             |  FROM km WHERE rn = 1
+             |  UNION ALL
+             |  SELECT km.rn, km.t, km.n_risk, km.d, km.c,
+             |    run.surv * (1 - CAST(km.d AS DOUBLE) / km.n_risk)
+             |  FROM km JOIN run ON km.rn = run.rn + 1)
+             |SELECT t AS t_days, n_risk, d AS n_churned, c AS n_censored,
+             |  round(surv, 6) AS survival
+             |FROM run ORDER BY t""".stripMargin)),
+
+    // ---- x154: median/MAD robust outlier report ----------------------------
+    // Division-free outlier predicate (|v−med|·0.6745 > thr·MAD): no
+    // MAD=0 guard needed and both engines run identical IEEE multiplies.
+    QueryDef(
+      "x154_mad_outliers",
+      (s, dir) =>
+        Stats.madOutliers(Tables.events(s, dir), "event_type", "value")
+          .orderBy(col("event_type")),
+      Some("""WITH med AS (SELECT event_type,
+             |    quantile_cont(value, 0.5) AS median FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+             |    abs(CAST(e.value AS DOUBLE) - m.median) AS ad
+             |  FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |  FROM dev GROUP BY 1)
+             |SELECT d.event_type, COUNT(*) AS n, me.median, ma.mad,
+             |  CAST(SUM(CASE WHEN abs(d.v - me.median) * 0.6745 >
+             |    ma.mad * 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  round(CAST(SUM(CASE WHEN abs(d.v - me.median) * 0.6745 >
+             |      ma.mad * 3.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS outlier_rate
+             |FROM dev d JOIN med me USING (event_type)
+             |  JOIN mad ma USING (event_type)
+             |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin)),
+
+    // ---- x155: l-diversity audit -------------------------------------------
+    // kAnonymity's companion (ops/Integrity.scala): does every
+    // (event_type, day) cell hold enough DISTINCT users to aggregate
+    // safely? One (QI, sensitive) reduce, then a QI rollup.
+    QueryDef(
+      "x155_l_diversity",
+      (s, dir) =>
+        Integrity.lDiversity(
+          Tables.events(s, dir).select(col("event_type"),
+            expr(graft.ops.EventWindows.floorDivSql(
+              "ts_ns", 86400L * 1000000000L)).as("day"),
+            col("user_id")),
+          Seq("event_type", "day"), "user_id", l = 50),
+      Some("""WITH pp AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, user_id,
+             |    COUNT(*) AS n FROM events GROUP BY 1, 2, 3),
+             |g AS (SELECT event_type, day, COUNT(*) AS div,
+             |    CAST(SUM(n) AS BIGINT) AS rows_g FROM pp GROUP BY 1, 2)
+             |SELECT CAST(50 AS BIGINT) AS l,
+             |  CAST(SUM(rows_g) AS BIGINT) AS n_rows,
+             |  COUNT(*) AS n_groups, CAST(MIN(div) AS BIGINT) AS min_diversity,
+             |  CAST(COALESCE(SUM(CASE WHEN div < 50 THEN 1 END), 0) AS BIGINT)
+             |    AS n_failing,
+             |  CAST(COALESCE(SUM(CASE WHEN div < 50 THEN rows_g END), 0)
+             |    AS BIGINT) AS n_rows_failing,
+             |  round(CAST(COALESCE(SUM(CASE WHEN div < 50 THEN rows_g END), 0)
+             |      AS DOUBLE) / CAST(SUM(rows_g) AS DOUBLE), 6) AS failing_rate
+             |FROM g""".stripMargin)),
+
+    // ---- x156: triangle census of the co-purchase graph --------------------
+    // Degree-oriented wedge join (O(m^1.5), no hub explosion); closure
+    // is a pure equi semi-join because the wedge pair is canonicalized
+    // by the SAME (deg, id) order the edges are oriented by — see
+    // ops/Graphs.triangleStats.
+    QueryDef(
+      "x156_triangles",
+      (s, dir) =>
+        Graphs.triangleStats(
+          Baskets.coPairs(Tables.lineitem(s, dir), minSupport = 2)),
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |pr AS (SELECT a.pk AS a, b.pk AS b FROM items a
+             |  JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+             |e AS MATERIALIZED (SELECT a, b FROM pr GROUP BY a, b
+             |  HAVING COUNT(*) >= 2),
+             |deg AS (SELECT node, COUNT(*) AS deg FROM
+             |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+             |  GROUP BY 1),
+             |o AS MATERIALIZED (SELECT
+             |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END
+             |      AS u,
+             |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END
+             |      AS v,
+             |    CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg
+             |      ELSE da.deg END AS dv
+             |  FROM e JOIN deg da ON da.node = e.a
+             |    JOIN deg db ON db.node = e.b),
+             |w AS (SELECT w1.v AS x, w2.v AS y FROM o w1
+             |  JOIN o w2 ON w1.u = w2.u
+             |  WHERE (w1.dv, w1.v) < (w2.dv, w2.v)),
+             |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM w
+             |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+             |base AS (SELECT COUNT(*) AS n_nodes,
+             |    CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+             |    CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+             |  FROM deg)
+             |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             |  CASE WHEN n_wedges <> 0 THEN
+             |    round(CAST(n_triangles AS DOUBLE) * 3.0 / n_wedges, 6)
+             |  END AS global_clustering
+             |FROM base CROSS JOIN t""".stripMargin)),
+
+    // ---- x157: join-key skew audit -----------------------------------------
+    // Exact Gini over key frequencies via the DECOMPOSED global rank
+    // (Ranking.withGlobalRanks) — the audit of a billion-key corpus must
+    // not itself serialize on one window task. See ops/Skew.keySkewAudit.
+    QueryDef(
+      "x157_skew_audit",
+      (s, dir) => Skew.keySkewAudit(Tables.lineitem(s, dir), "l_suppkey"),
+      Some("""WITH f AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem
+             |  GROUP BY 1),
+             |r AS (SELECT k, n, ROW_NUMBER() OVER (ORDER BY n, k) AS pos
+             |  FROM f),
+             |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             |    COUNT(*) AS n_keys, CAST(MAX(n) AS BIGINT) AS max_key_n,
+             |    SUM(CAST(pos AS HUGEINT) * n) AS s FROM r),
+             |hot AS (SELECT k FROM f ORDER BY n DESC, k DESC LIMIT 1)
+             |SELECT 'l_suppkey' AS key_col, n_rows, n_keys, max_key_n,
+             |  CAST(hot.k AS VARCHAR) AS hot_key,
+             |  round(CAST(max_key_n AS DOUBLE) / n_rows, 6) AS top_share,
+             |  round(CAST(2 * s - (n_keys + 1) * CAST(n_rows AS HUGEINT)
+             |      AS DOUBLE) / (CAST(n_keys AS HUGEINT) * n_rows), 6)
+             |    AS gini
+             |FROM a CROSS JOIN hot""".stripMargin)),
+
+    // ---- x158: Benford first-digit audit -----------------------------------
+    // Digit via exact INTEGER formatting (cents string), expected shares
+    // inlined as the same 6-dp literals on both sides — no query-time
+    // log10, no double formatting. See ops/Profiling.benford.
+    QueryDef(
+      "x158_benford",
+      (s, dir) =>
+        Profiling.benford(Tables.orders(s, dir), "o_totalprice")
+          .orderBy(col("digit")),
+      Some {
+        val expected = Profiling.BenfordExpected.map { case (dd, e) =>
+          s"WHEN $dd THEN CAST($e AS DOUBLE)"
+        }.mkString(" ")
+        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+           |      CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
+           |      1, 1) AS INTEGER) AS digit
+           |  FROM orders WHERE o_totalprice > 0),
+           |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+           |SELECT digit, n,
+           |  round(CAST(n AS DOUBLE) / tot, 6) AS share,
+           |  CASE digit $expected END AS expected,
+           |  round(CAST(n AS DOUBLE) / tot
+           |    - CASE digit $expected END, 6) AS dev
+           |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+      }),
+
+    // ---- x159: one-pass column profile -------------------------------------
+    // All null/distinct/min/max cells in ONE materialized aggregate
+    // (Catalyst Expand for the multi-distinct); the per-column rows are
+    // selects over that one row. See ops/Profiling.profile.
+    QueryDef(
+      "x159_profile",
+      (s, dir) =>
+        Profiling.profile(Tables.orders(s, dir), ProfileCols.map(_._1))
+          .orderBy(col("col_name")),
+      Some {
+        val cells = ProfileCols.map { case (c, num) =>
+          val mm = if (num)
+            s"CAST(MIN($c) AS DOUBLE) AS mn_$c, CAST(MAX($c) AS DOUBLE) AS mx_$c, "
+          else ""
+          s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS nu_$c, COUNT(DISTINCT $c) AS nd_$c, $mm""".stripMargin
+        }.mkString
+        val rows = ProfileCols.map { case (c, num) =>
+          val mm = if (num) s"mn_$c, mx_$c"
+          else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+          s"SELECT '$c', n, nu_$c, nd_$c, $mm FROM m"
+        }.mkString("\nUNION ALL ")
+        s"""WITH m AS MATERIALIZED (SELECT COUNT(*) AS n, $cells
+           |  1 AS _pad FROM orders)
+           |SELECT * FROM (
+           |SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num
+           |FROM ($rows) t(col_name, n_rows, n_nulls, n_distinct,
+           |  min_num, max_num)) ORDER BY col_name""".stripMargin
+      }),
+
+    // ---- x160: inverted index (bounded postings) ---------------------------
+    // Stopword-proof: the posting cut rides Ranking.topKPerGroup's
+    // salt-partitioned top-k, so no task holds a hot token's full
+    // posting list. See ops/TextAnalysis.invertedIndex.
+    QueryDef(
+      "x160_inverted_index",
+      (s, dir) =>
+        TextAnalysis.invertedIndex(Tables.documents(s, dir),
+          maxPostings = 16, minDf = 5)
+          .orderBy(col("tok")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS MATERIALIZED (SELECT tok, doc_id, COUNT(*) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |stats AS (SELECT tok, COUNT(*) AS df,
+             |    CAST(SUM(tf) AS BIGINT) AS total_tf
+             |  FROM tf GROUP BY 1 HAVING COUNT(*) >= 5),
+             |top AS (SELECT tok, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+             |  FROM tf),
+             |p AS (SELECT tok, string_agg(CAST(doc_id AS VARCHAR), ','
+             |    ORDER BY doc_id) AS postings
+             |  FROM top WHERE rn <= 16 GROUP BY 1)
+             |SELECT s.tok, s.df, s.total_tf, p.postings
+             |FROM stats s JOIN p USING (tok) ORDER BY tok""".stripMargin)),
   )
 }

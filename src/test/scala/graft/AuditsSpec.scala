@@ -1,0 +1,160 @@
+package graft
+
+import graft.ops.{Graphs, Integrity, Profiling, Skew, Stats, Survival,
+  TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the x153-x160 surface: Kaplan-Meier
+  * survival, MAD robust outliers, l-diversity, triangle census, key-skew
+  * Gini audit, Benford digits, one-pass profiling, inverted index.
+  */
+class AuditsSpec extends SparkSuite {
+
+  private def dayNs(n: Long): Long = n * 86400L * 1000000000L
+
+  test("kaplanMeier: hand-computed KM curve with censoring") {
+    // max day = 100, censorDays = 7 -> churned iff last_day <= 93
+    // (user, first, last): A(0,10) B(5,15) C(0,20) D(90,100) E(98,100)
+    // lifetimes: A t=10 churn, B t=10 churn, C t=20 churn,
+    //            D t=10 censored, E t=2 censored
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L),
+      "ts_ns" -> Seq(dayNs(0), dayNs(10), dayNs(5), dayNs(15),
+        dayNs(0), dayNs(20), dayNs(90), dayNs(100), dayNs(98), dayNs(100)))
+    val out = Survival.kaplanMeier(ev, censorDays = 7)
+      .orderBy("t_days").collect()
+    // t=2: n_risk 5, d 0, c 1, S = 1.0
+    // t=10: n_risk 4, d 2, c 1, S = 1 * (1 - 2/4) = 0.5
+    // t=20: n_risk 1, d 1, c 0, S = 0.5 * 0 = 0.0
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq === Seq(
+      (2L, 5L, 0L, 1L, 1.0),
+      (10L, 4L, 2L, 1L, 0.5),
+      (20L, 1L, 1L, 0L, 0.0)))
+  }
+
+  test("kaplanMeier: all users censored keeps survival at 1") {
+    // every user's last day is the corpus max day -> nobody churns
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 2L),
+      "ts_ns" -> Seq(dayNs(0), dayNs(50), dayNs(30), dayNs(50)))
+    val out = Survival.kaplanMeier(ev, censorDays = 7)
+      .orderBy("t_days").collect()
+    assert(out.forall(_.getDouble(4) === 1.0))
+    assert(out.map(_.getLong(2)).sum === 0L) // n_churned
+  }
+
+  test("madOutliers: planted extreme flagged; constant group has zero " +
+      "outliers at MAD 0") {
+    val df = frame(
+      "g" -> (Seq.fill(10)("a") ++ Seq.fill(4)("b")),
+      "v" -> (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0) ++
+        Seq(7.0, 7.0, 7.0, 7.0)))
+    val out = Stats.madOutliers(df, "g", "v").orderBy("g").collect()
+    val a = out(0)
+    // median of 1..9,1000 = 5.5; MAD = median of devs = 2.5;
+    // |v-5.5|*0.6745 > 8.75 <=> |v-5.5| > 12.97 -> only 1000
+    assert(a.getLong(1) === 10L && a.getDouble(2) === 5.5 &&
+      a.getDouble(3) === 2.5 && a.getLong(4) === 1L &&
+      a.getDouble(5) === 0.1)
+    val b = out(1)
+    // constant group: MAD 0, zero deviation -> zero outliers
+    assert(b.getDouble(2) === 7.0 && b.getDouble(3) === 0.0 &&
+      b.getLong(4) === 0L)
+  }
+
+  test("lDiversity: group with one sensitive value fails, mixed group " +
+      "passes") {
+    val df = frame(
+      "g" -> Seq("g1", "g1", "g1", "g2", "g2", "g2"),
+      "s" -> Seq(1L, 1L, 2L, 3L, 3L, 3L))
+    val r = Integrity.lDiversity(df, Seq("g"), "s", l = 2).collect()(0)
+    assert(r.getLong(0) === 2L)      // l
+    assert(r.getLong(1) === 6L)      // n_rows
+    assert(r.getLong(2) === 2L)      // n_groups
+    assert(r.getLong(3) === 1L)      // min_diversity (g2)
+    assert(r.getLong(4) === 1L)      // n_failing
+    assert(r.getLong(5) === 3L)      // n_rows_failing
+    assert(r.getDouble(6) === 0.5)   // failing_rate
+  }
+
+  test("triangleStats: one closed triangle plus a tail; open square has " +
+      "zero") {
+    val tri = frame(
+      "part_a" -> Seq(1L, 1L, 2L, 3L),
+      "part_b" -> Seq(2L, 3L, 3L, 4L))
+    val r = Graphs.triangleStats(tri).collect()(0)
+    // deg: 1->2, 2->2, 3->3, 4->1; wedges = 1+1+3+0 = 5; triangles = 1
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L &&
+      r.getLong(2) === 5L && r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 0.6) // 3*1/5
+    val square = frame(
+      "part_a" -> Seq(1L, 2L, 3L, 1L),
+      "part_b" -> Seq(2L, 3L, 4L, 4L))
+    val rs = Graphs.triangleStats(square).collect()(0)
+    assert(rs.getLong(3) === 0L && rs.getDouble(4) === 0.0)
+  }
+
+  test("keySkewAudit: hand-computed Gini, hot key, top share") {
+    val df = frame("k" -> Seq("a", "a", "a", "b", "c"))
+    val r = Skew.keySkewAudit(df, "k").collect()(0)
+    // freq a:3 b:1 c:1; positions asc (n, key): b=1, c=2, a=3
+    // gini = (2*(1+2+9) - 4*5) / (3*5) = 4/15
+    assert(r.getString(0) === "k")
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L && r.getLong(3) === 3L)
+    assert(r.getString(4) === "a")
+    assert(r.getDouble(5) === 0.6)
+    assert(r.getDouble(6) === BigDecimal(4.0 / 15.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform keys -> gini 0
+    val uni = Skew.keySkewAudit(frame("k" -> Seq("x", "y", "z")), "k")
+      .collect()(0)
+    assert(uni.getDouble(6) === 0.0)
+  }
+
+  test("benford: digits from exact cents; non-positive rows excluded") {
+    val df = frame("v" ->
+      Seq(1.0, 19.99, 2.5, 0.05, 30.0, -5.0, 0.0))
+    val out = Profiling.benford(df, "v").orderBy("digit").collect()
+    // digits: 1.0->1, 19.99->1, 2.5->2, 0.05->5, 30.0->3 (neg/zero out)
+    assert(out.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((1, 2L), (2, 1L), (3, 1L), (5, 1L)))
+    val d1 = out(0)
+    assert(d1.getDouble(2) === 0.4) // share 2/5
+    assert(d1.getDouble(3) === 0.30103) // log10(2) @ 6dp
+    assert(d1.getDouble(4) === BigDecimal(0.4 - 0.30103)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("profile: nulls, distincts, numeric min/max; strings get NULL " +
+      "min/max") {
+    val df = frame(
+      "x" -> Seq[Any](1L, 2L, 2L, null),
+      "s" -> Seq[Any]("p", "q", null, null))
+    val out = Profiling.profile(df, Seq("x", "s"))
+      .orderBy("col_name").collect()
+    val s = out(0); val x = out(1)
+    assert(s.getString(0) === "s" && s.getLong(1) === 4L &&
+      s.getLong(2) === 2L && s.getLong(3) === 2L &&
+      s.isNullAt(4) && s.isNullAt(5))
+    assert(x.getString(0) === "x" && x.getLong(2) === 1L &&
+      x.getLong(3) === 2L && x.getDouble(4) === 1.0 &&
+      x.getDouble(5) === 2.0)
+  }
+
+  test("invertedIndex: df/total_tf exact, postings ascending and capped, " +
+      "minDf filters singletons") {
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("a b a z", "a c", "b c c"))
+    val out = TextAnalysis.invertedIndex(docs, maxPostings = 1, minDf = 2)
+      .orderBy("tok").collect()
+    // z (df 1) filtered; postings capped at the FIRST doc id
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq === Seq(
+      ("a", 2L, 3L, "1"), ("b", 2L, 2L, "1"), ("c", 2L, 3L, "2")))
+    val full = TextAnalysis.invertedIndex(docs, maxPostings = 16, minDf = 2)
+      .orderBy("tok").collect()
+    assert(full.map(_.getString(3)).toSeq === Seq("1,2", "1,3", "2,3"))
+  }
+}
