@@ -46,7 +46,10 @@ class PlanSpec extends SparkSuite {
     "x135_bm25_topk", // broadcast ONE-ROW N/avgdl corpus stats (x57 pattern)
     "x139_rfm", // broadcast ONE-ROW max-day + quintile thresholds (x57 pattern)
     "x140_fk_audit", // per-leg ONE-ROW totals x orphans crossJoin (x57 pattern)
-    "x152_revenue_pareto") // broadcast ONE-ROW decile cuts + total (x57 pattern)
+    "x152_revenue_pareto", // broadcast ONE-ROW decile cuts + total (x57 pattern)
+    "x153_survival", // broadcast ONE-ROW max-day + the span-bounded factor list (x57 pattern)
+    "x156_triangles", // broadcast ONE-ROW triangle count onto the one-row degree rollup
+    "x158_benford") // broadcast ONE-ROW digit total onto <= 9 rows (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
