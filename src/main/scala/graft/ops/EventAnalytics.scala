@@ -581,4 +581,82 @@ object EventAnalytics {
         .as("ewma"))
       .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
   }
+
+  /** The 2^-k time-decay weights as DECIMAL(38,16) literal strings, one
+    * per whole-day gap 0..16 — shared verbatim by the Spark plan and the
+    * SQL oracle (each 2^-k, k <= 16, is EXACT in 16 decimal places, so
+    * the credit sums are order-independent decimals, the ewmaDaily
+    * dyadic convention carried into attribution). */
+  private[graft] val DecayWeights: Seq[(Int, String)] = (0 to 16).map { k =>
+    k -> BigDecimal(0.5).pow(k).setScale(16).toString
+  }
+
+  /** Multi-touch TIME-DECAY attribution — [[lastTouchAttribution]]'s
+    * sibling model: every non-conversion touch within `lagSec` before a
+    * conversion of the same user earns credit 2^-gap_days (whole-day
+    * gap, capped at 16 — older touches contribute < 2 parts in 10^5).
+    * Per channel: `channel, n_touches, credit, share` (credit an exact
+    * decimal sum cast to double; share of total credit, round 6).
+    *
+    * Scale: the pair stage is [[conversionPairs]]' shape — ONE user_id
+    * equi-join with the lag window as a residual predicate, per-user
+    * fan-out bounded by touches·conversions inside the lag; credit
+    * aggregation is map-side combined over ≤ |types| channels; the
+    * total joins back as a one-row broadcast.
+    */
+  def timeDecayAttribution(events: DataFrame,
+      convType: String = "purchase",
+      lagSec: Long = 7L * 86400): DataFrame = {
+    require(lagSec > 0, s"need lagSec > 0, got $lagSec")
+    val touches = events.filter(col("event_type") =!= convType)
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_ns").as("_tns"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("ts_ns").as("_cns"))
+    val gapDays = least(
+      expr(s"(_cns - _tns) div ${86400L * 1000000000L}"), lit(16L))
+    val weight = DecayWeights.foldLeft(
+      lit(null).cast("decimal(38,16)")) { case (acc, (k, lv)) =>
+      when(gapDays === k, expr(s"CAST('$lv' AS DECIMAL(38,16))"))
+        .otherwise(acc)
+    }
+    val perChannel = touches.join(convs, "user_id")
+      .filter(col("_cns") >= col("_tns") &&
+        col("_cns") <= col("_tns") + lagSec * 1000000000L)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(weight).as("_credit"))
+    val total = perChannel.agg(sum(col("_credit")).as("_tot"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_touches"),
+        col("_credit").cast("double").as("credit"),
+        round(col("_credit").cast("double") /
+          col("_tot").cast("double"), 6).as("share"))
+  }
+
+  /** SCD2 (slowly-changing-dimension) history build: compress a per-key
+    * event stream into attribute VALIDITY INTERVALS — per key, one row
+    * per value CHANGE with `value, valid_from, valid_to, is_current`
+    * (valid_to = the next change's timestamp, NULL while current; ties
+    * broken by `idCol`, the transitionMatrix total-order contract).
+    * Consecutive equal values collapse into one interval — the
+    * warehouse dimension-history operator.
+    *
+    * Scale: two windows partitioned by the KEY (cardinality = keys, no
+    * global funnel): lag to detect changes, lead over the already
+    * change-compressed rows to close intervals. Per-key event counts
+    * bound the sort buffer — sessionize first for power keys, the
+    * transitionMatrix note.
+    */
+  def scd2History(df: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val changes = df.select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col(attrCol) =!= col("_prev"))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol).as("value"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -206,4 +206,68 @@ object Sketches {
         (col("est") - col("exact")).as("overestimate"))
       .orderBy(col("exact").desc, col("token"))
   }
+
+  /** HyperLogLog distinct-token estimate (Flajolet et al. 2007), built
+    * so every step is EXACT integer arithmetic until one final division
+    * — the property that lets the DuckDB oracle replay it bitwise, which
+    * float 2^-M harmonic sums would forbid:
+    *
+    *  - 32-bit token hash (the KMV hash convention); top `p` bits pick
+    *    the register, rho = leading-zero rank of the remaining w = 32−p
+    *    bits via `length(bin(rest))` (both engines format integers to
+    *    minimal binary — no libm log2);
+    *  - the harmonic denominator Σ 2^−M_j is kept as the exact BIGINT
+    *    Σ 2^(E−M_j), E = w+1 (common denominator 2^E; ≤ m·2^E = 2^33 <
+    *    2^63), empty registers contributing 2^E each — an
+    *    order-independent integer sum;
+    *  - estimate = alpha_m · m² · 2^E / Σ — identical literal-derived
+    *    IEEE ops on both engines — with the standard SMALL-RANGE
+    *    correction: when zero registers remain and the raw estimate is
+    *    <= 2.5m, linear counting m·ln(m/V) applies (ln is libm — the
+    *    branch is rounded to 6, the x22 tf-idf convention). p >= 7 so
+    *    the single alpha formula applies.
+    *
+    * ONE row: `p, m, n_obs, n_exact, estimate, rel_err`. Registers merge
+    * by MAX — the sketch unions across shards without re-scanning text
+    * (the KMV posture). Scale: distinct-token reduce, m-row register
+    * aggregate, one-row math; the exact count rides along for the audit
+    * only.
+    */
+  def hllReport(docs: DataFrame, p: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(p >= 7 && p <= 16, s"need 7 <= p <= 16, got $p")
+    val m = 1 << p
+    val w = 32 - p
+    val e = w + 1
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+    val regs = toks.select(md5(col("tok")).as("_d"))
+      .select(expr(TextAnalysis.hexToIntSql("_d", 8)).as("hv"))
+      .select(expr(s"hv div ${1L << w}").as("bucket"),
+        expr(s"hv % ${1L << w}").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0, lit(e))
+          .otherwise(lit(e) - length(bin(col("rest")))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_j"))
+    val obs = regs.agg(count(lit(1)).as("n_obs"),
+      expr(s"sum(shiftleft(CAST(1 AS BIGINT), $e - m_j))").as("_sobs"))
+    val exact = broadcast(toks.agg(count(lit(1)).as("n_exact")))
+    val num = (col("_sobs") +
+      (lit(m.toLong) - col("n_obs")) * lit(1L << e)).cast("double")
+    // identical literal-derived arithmetic on both engines: the alpha
+    // expression and the m²·2^E factor are spelled the same way in the
+    // oracle SQL, left-associated
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / m) *
+      m * m * (1L << e).toDouble / num
+    val zeros = lit(m.toLong) - col("n_obs")
+    val est = when(zeros > 0 && raw <= 2.5 * m,
+      round(lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")), 6))
+      .otherwise(round(raw, 6))
+    obs.crossJoin(exact)
+      .select(lit(p).as("p"), lit(m.toLong).as("m"), col("n_obs"),
+        col("n_exact"), est.as("estimate"),
+        when(col("n_exact") =!= 0,
+          round((est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6)).as("rel_err"))
+  }
 }

@@ -119,4 +119,112 @@ object Stats {
         round(col("n_outliers").cast("double") /
           col("n").cast("double"), 6).as("outlier_rate"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov test: did the value distribution of
+    * `groupA` drift from `groupB`? ONE row: `group_a, group_b, n_a, n_b,
+    * d, d_crit_95` — d = sup |F_a − F_b| exactly, d_crit the 95%
+    * two-sample critical value 1.358·√((n_a+n_b)/(n_a·n_b)).
+    *
+    * Exactness: the sup runs over the distinct observed values with the
+    * CDF difference cross-multiplied into integers —
+    * max |cum_a·n_b − cum_b·n_a| as DECIMAL(38,0) — so the entire
+    * statistic is exact integer arithmetic until ONE final division
+    * (and sqrt, which is IEEE-correctly-rounded on any engine).
+    *
+    * Scale: per-value counts are one map-side-combined shuffle; the
+    * cumulative counts use the DECOMPOSED prefix-sum shape
+    * (range partition → per-bucket window → O(partitions) offsets, the
+    * Ranking.scala convention) — never a single-task global window over
+    * the distinct-value table, which at 100 TB is itself corpus-sized.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+    val ranged = counts.repartitionByRange(col("v").asc)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("_la", sum(col("a")).over(w))
+      .withColumn("_lb", sum(col("b")).over(w))
+    val sums = local.groupBy(col("_bucket"))
+      .agg(sum(col("a")).as("_sa"), sum(col("b")).as("_sb"))
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_ao", coalesce(sum(col("_sa")).over(wCum), lit(0L)))
+      .withColumn("_bo", coalesce(sum(col("_sb")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_ao"), col("_bo"))
+    val cum = local.join(broadcast(offsets), "_bucket")
+      .select((col("_la") + col("_ao")).as("ca"),
+        (col("_lb") + col("_bo")).as("cb"))
+    val tot = broadcast(counts.agg(sum(col("a")).as("na"),
+      sum(col("b")).as("nb")))
+    val sup = cum.crossJoin(tot)
+      .agg(max(abs(d38(col("ca")) * d38(col("nb")) -
+        d38(col("cb")) * d38(col("na")))).as("_sup"))
+    val nA = col("na").cast("double")
+    val nB = col("nb").cast("double")
+    tot.crossJoin(broadcast(sup))
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") =!= 0 && col("nb") =!= 0,
+          round(col("_sup").cast("double") / (nA * nB), 6)).as("d"),
+        when(col("na") =!= 0 && col("nb") =!= 0,
+          round(lit(1.358) * sqrt((nA + nB) / (nA * nB)), 6))
+          .as("d_crit_95"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns. ONE row: `n, n_rows_cat, n_cols_cat, dof, chi2` over the
+    * FULL contingency grid — absent cells contribute their full expected
+    * mass (row_tot·col_tot/N), which the observed-cells-only shortcut
+    * silently drops.
+    *
+    * Determinism: each cell's contribution
+    * (O·N − RT·CT)² / (N·RT·CT) is computed with an exact DECIMAL(38,0)
+    * integer numerator, rounded to 6 and SUMMED AS DECIMAL (the x103
+    * round-then-decimal-sum convention) — a decimal sum is
+    * order-independent where a double sum over shuffled cells is not,
+    * and the pre-round pins the double→decimal cast on both engines
+    * (contributions reach O(10³), where a raw 12-dp cast would sit at
+    * the engines' differing double-to-decimal rounding edges).
+    *
+    * Scale: one (a, b) cell aggregate + two marginal aggregates, all
+    * map-side combined; the grid is |a|·|b| cells (categoricals —
+    * bounded), built from the broadcast marginals.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rowTot = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_rt"))
+    val colTot = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_ct"))
+    val n = cells.agg(sum(col("_o")).as("_n"))
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("_a", "_b"), "left")
+      .select(col("_a"), col("_b"), col("_rt"), col("_ct"),
+        coalesce(col("_o"), lit(0L)).as("_o"))
+      .crossJoin(broadcast(n))
+    val num = (d38(col("_o")) * d38(col("_n")) -
+      d38(col("_rt")) * d38(col("_ct"))).cast("double")
+    val den = (d38(col("_n")) * d38(col("_rt")) * d38(col("_ct")))
+      .cast("double")
+    grid
+      .select(col("_n"), col("_a"), col("_b"),
+        round(num * num / den, 6).cast("decimal(28,6)").as("_contrib"))
+      .agg(max(col("_n")).as("n"),
+        count_distinct(col("_a")).as("_nr"),
+        count_distinct(col("_b")).as("_nc"),
+        sum(col("_contrib")).as("_chi"))
+      .select(col("n"), col("_nr").as("n_rows_cat"),
+        col("_nc").as("n_cols_cat"),
+        ((col("_nr") - 1) * (col("_nc") - 1)).as("dof"),
+        round(col("_chi").cast("double"), 6).as("chi2"))
+  }
 }

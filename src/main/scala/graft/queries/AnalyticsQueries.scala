@@ -1387,5 +1387,169 @@ object AnalyticsQueries {
              |  FROM top WHERE rn <= 16 GROUP BY 1)
              |SELECT s.tok, s.df, s.total_tf, p.postings
              |FROM stats s JOIN p USING (tok) ORDER BY tok""".stripMargin)),
+
+    // ---- x161: time-decay multi-touch attribution --------------------------
+    // conversionPairs' equi-join shape; dyadic 2^-day weights as exact
+    // DECIMAL(38,16) literals shared with the oracle (ewmaDaily's
+    // exactness convention carried into attribution).
+    QueryDef(
+      "x161_timedecay_attribution",
+      (s, dir) =>
+        EventAnalytics.timeDecayAttribution(Tables.events(s, dir))
+          .orderBy(col("channel")),
+      Some {
+        val cases = EventAnalytics.DecayWeights.map { case (k, lv) =>
+          s"WHEN $k THEN CAST('$lv' AS DECIMAL(38,16))"
+        }.mkString(" ")
+        s"""WITH t AS (SELECT user_id, event_type AS channel,
+           |    epoch_ns(ts) AS tns FROM events WHERE event_type <> 'purchase'),
+           |c AS (SELECT user_id, epoch_ns(ts) AS cns FROM events
+           |  WHERE event_type = 'purchase'),
+           |p AS (SELECT channel,
+           |    least((cns - tns) // 86400000000000, 16) AS k
+           |  FROM t JOIN c USING (user_id)
+           |  WHERE cns >= tns AND cns <= tns + ${7L * 86400 * 1000000000L}),
+           |w AS (SELECT channel, COUNT(*) AS n_touches,
+           |    SUM(CASE k $cases END) AS credit FROM p GROUP BY 1),
+           |tot AS (SELECT SUM(credit) AS tot FROM w)
+           |SELECT channel, n_touches, CAST(credit AS DOUBLE) AS credit,
+           |  round(CAST(credit AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+           |FROM w CROSS JOIN tot ORDER BY channel""".stripMargin
+      }),
+
+    // ---- x162: SCD2 dimension history --------------------------------------
+    // Change-compressed validity intervals per user (lag filter + lead
+    // close); user_id < 50 bounds the dumped result, the x22 convention.
+    QueryDef(
+      "x162_scd2_history",
+      (s, dir) =>
+        EventAnalytics.scd2History(
+          Tables.events(s, dir).filter(col("user_id") < 50),
+          "user_id", "event_type", "ts_ns", "event_id")
+          .orderBy(col("user_id"), col("valid_from")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |    event_id FROM events WHERE user_id < 50),
+             |m AS (SELECT user_id, event_type, ts_ns, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts_ns, event_id) AS prev FROM e),
+             |ch AS (SELECT user_id, event_type, ts_ns, event_id FROM m
+             |  WHERE prev IS NULL OR event_type <> prev)
+             |SELECT user_id, event_type AS value, ts_ns AS valid_from,
+             |  lead(ts_ns) OVER (PARTITION BY user_id
+             |    ORDER BY ts_ns, event_id) AS valid_to,
+             |  (lead(ts_ns) OVER (PARTITION BY user_id
+             |    ORDER BY ts_ns, event_id) IS NULL) AS is_current
+             |FROM ch ORDER BY user_id, valid_from""".stripMargin)),
+
+    // ---- x163: HyperLogLog distinct estimate -------------------------------
+    // Registers via length(bin(rest)) (no libm log2); harmonic
+    // denominator as the exact BIGINT Σ 2^(E-M_j) — see
+    // ops/Sketches.hllReport.
+    QueryDef(
+      "x163_hll_distinct",
+      (s, dir) => graft.ops.Sketches.hllReport(Tables.documents(s, dir)),
+      Some {
+        val hexSql = TextAnalysis.hexToIntSql("_d", 8)
+        val twoW = 1L << 22
+        val twoE = 1L << 23
+        s"""WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' '))
+           |    AS tok FROM documents),
+           |h AS (SELECT md5(tok) AS _d FROM toks),
+           |hv AS (SELECT $hexSql AS hv FROM h),
+           |reg AS (SELECT hv // $twoW AS bucket, hv % $twoW AS rest FROM hv),
+           |rho AS (SELECT bucket, CASE WHEN rest = 0 THEN 23
+           |    ELSE 23 - length(bin(rest)) END AS rho FROM reg),
+           |byb AS (SELECT bucket, MAX(rho) AS m_j FROM rho GROUP BY 1),
+           |obs AS (SELECT COUNT(*) AS n_obs,
+           |    CAST(SUM(CAST(1 AS BIGINT) << (23 - m_j)) AS BIGINT) AS sobs
+           |  FROM byb),
+           |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks),
+           |est AS (SELECT n_obs, n_exact,
+           |    CASE WHEN (1024 - n_obs) > 0 AND
+           |      0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024 * $twoE.0
+           |        / CAST(sobs + (1024 - n_obs) * $twoE AS DOUBLE)
+           |        <= 2560.0
+           |    THEN round(1024.0
+           |      * ln(1024.0 / CAST(1024 - n_obs AS DOUBLE)), 6)
+           |    ELSE round(0.7213 / (1.0 + 1.079 / 1024.0) * 1024 * 1024
+           |      * $twoE.0
+           |      / CAST(sobs + (1024 - n_obs) * $twoE AS DOUBLE), 6)
+           |    END AS estimate
+           |  FROM obs CROSS JOIN ex)
+           |SELECT CAST(10 AS INTEGER) AS p, CAST(1024 AS BIGINT) AS m,
+           |  n_obs, n_exact, estimate,
+           |  CASE WHEN n_exact <> 0 THEN
+           |    round((estimate - CAST(n_exact AS DOUBLE))
+           |      / CAST(n_exact AS DOUBLE), 6)
+           |  END AS rel_err
+           |FROM est""".stripMargin
+      }),
+
+    // ---- x164: two-sample Kolmogorov-Smirnov drift test ---------------------
+    // Integer cross-multiplied sup distance over DECOMPOSED prefix sums
+    // (no single-task window over the distinct-value table) — see
+    // ops/Stats.ksTest.
+    QueryDef(
+      "x164_ks_test",
+      (s, dir) =>
+        Stats.ksTest(Tables.events(s, dir), "event_type", "value",
+          "view", "click"),
+      Some("""WITH c AS (SELECT CAST(value AS DOUBLE) AS v,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b
+             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |cum AS (SELECT SUM(a) OVER (ORDER BY v) AS ca,
+             |    SUM(b) OVER (ORDER BY v) AS cb FROM c),
+             |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             |    CAST(SUM(b) AS BIGINT) AS nb FROM c),
+             |sup AS (SELECT MAX(abs(CAST(ca AS HUGEINT) * nb
+             |    - CAST(cb AS HUGEINT) * na)) AS s FROM cum CROSS JOIN tot)
+             |SELECT 'view' AS group_a, 'click' AS group_b,
+             |  na AS n_a, nb AS n_b,
+             |  CASE WHEN na <> 0 AND nb <> 0 THEN
+             |    round(CAST(s AS DOUBLE)
+             |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS d,
+             |  CASE WHEN na <> 0 AND nb <> 0 THEN
+             |    round(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+             |  END AS d_crit_95
+             |FROM tot CROSS JOIN sup""".stripMargin)),
+
+    // ---- x165: chi-square independence test --------------------------------
+    // Full contingency grid (absent cells contribute expected mass);
+    // exact integer numerators, round-6 decimal-summed contributions —
+    // see ops/Stats.chiSquare.
+    QueryDef(
+      "x165_chi2_independence",
+      (s, dir) =>
+        Stats.chiSquare(Tables.orders(s, dir),
+          "o_orderstatus", "o_orderpriority"),
+      Some("""WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+             |    COUNT(*) AS o FROM orders GROUP BY 1, 2),
+             |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells
+             |  GROUP BY 1),
+             |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells
+             |  GROUP BY 1),
+             |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+             |grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct,
+             |    CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+             |contrib AS (SELECT a, b,
+             |    CAST(round(
+             |      CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+             |        AS DOUBLE)
+             |      * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+             |        AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE), 6)
+             |      AS DECIMAL(28,6)) AS contrib
+             |  FROM grid CROSS JOIN n)
+             |SELECT (SELECT n FROM n) AS n,
+             |  COUNT(DISTINCT a) AS n_rows_cat, COUNT(DISTINCT b) AS n_cols_cat,
+             |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
+             |  round(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2
+             |FROM contrib""".stripMargin)),
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
-import graft.ops.{Graphs, Integrity, Profiling, Skew, Stats, Survival,
-  TextAnalysis}
+import graft.ops.{EventAnalytics, Graphs, Integrity, Profiling, Sketches,
+  Skew, Stats, Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Hand-computed fixtures for the x153-x160 surface: Kaplan-Meier
@@ -156,5 +156,104 @@ class AuditsSpec extends SparkSuite {
     val full = TextAnalysis.invertedIndex(docs, maxPostings = 16, minDf = 2)
       .orderBy("tok").collect()
     assert(full.map(_.getString(3)).toSeq === Seq("1,2", "1,3", "2,3"))
+  }
+
+  test("timeDecayAttribution: dyadic day-gap credits, lag window cut") {
+    // conversion at day 10; touches at gaps 0, 1, 6 days (weights 1,
+    // 0.5, 0.015625) and one at 8 days — outside the 7-day lag
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 1L),
+      "event_type" -> Seq("purchase", "view", "click", "view", "click"),
+      "ts_ns" -> Seq(dayNs(10), dayNs(10), dayNs(9), dayNs(4), dayNs(2)))
+    val out = EventAnalytics.timeDecayAttribution(ev)
+      .orderBy("channel").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq === Seq(("click", 1L, 0.5), ("view", 2L, 1.015625)))
+    val total = 1.515625
+    assert(out(0).getDouble(3) === BigDecimal(0.5 / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getDouble(3) === BigDecimal(1.015625 / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("scd2History: consecutive equal values collapse; intervals chain; " +
+      "last is current") {
+    val df = frame(
+      "k" -> Seq(1L, 1L, 1L, 1L),
+      "attr" -> Seq("A", "A", "B", "A"),
+      "ts" -> Seq(100L, 200L, 300L, 400L),
+      "id" -> Seq(1L, 2L, 3L, 4L))
+    val out = EventAnalytics.scd2History(df, "k", "attr", "ts", "id")
+      .orderBy("valid_from").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSeq ===
+      Seq(("A", 100L, 300L, false), ("B", 300L, 400L, false),
+        ("A", 400L, -1L, true)))
+  }
+
+  test("hllReport: matches a JVM reference of the identical register " +
+      "algorithm; estimate within 20% on a real corpus slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Sketches.hllReport(docs, p = 10).collect()(0)
+    // JVM reference: same 32-bit md5 prefix hash, same registers
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = docs.select(explode(split(col("text"), " ")))
+      .distinct().collect().map(_.getString(0))
+    val regs = new Array[Int](1024)
+    for (t <- toks) {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      val v = java.lang.Long.parseLong(hex, 16)
+      val bucket = (v >> 22).toInt
+      val rest = v & ((1L << 22) - 1)
+      val rho = if (rest == 0) 23
+        else 23 - java.lang.Long.toBinaryString(rest).length
+      regs(bucket) = math.max(regs(bucket), rho)
+    }
+    val num = regs.map(mj => 1L << (23 - mj)).sum
+    val raw = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 *
+      (1L << 23).toDouble / num.toDouble
+    val zeros = regs.count(_ == 0)
+    val est = if (zeros > 0 && raw <= 2560.0)
+      1024.0 * math.log(1024.0 / zeros) else raw
+    assert(r.getLong(3) === toks.length.toLong) // n_exact
+    assert(r.getDouble(4) === BigDecimal(est)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(r.getDouble(5)) < 0.2,
+      s"HLL rel_err ${r.getDouble(5)} out of band")
+  }
+
+  test("ksTest: identical samples d=0, disjoint d=1, half-shifted d=0.5") {
+    def ks(a: Seq[Double], b: Seq[Double]) = Stats.ksTest(
+      frame("g" -> (a.map(_ => "A") ++ b.map(_ => "B")),
+        "v" -> (a ++ b)), "g", "v", "A", "B").collect()(0)
+    assert(ks(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)).getDouble(4) === 0.0)
+    assert(ks(Seq(1.0, 2.0), Seq(10.0, 11.0)).getDouble(4) === 1.0)
+    // a={1,2}, b={2,3}: sup|F_a-F_b| at v=1 is |1/2-0| = 0.5
+    val r = ks(Seq(1.0, 2.0), Seq(2.0, 3.0))
+    assert(r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === BigDecimal(1.358 * math.sqrt(4.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("chiSquare: exact independence scores 0; planted dependence and " +
+      "an ABSENT cell contribute expected mass") {
+    def cat(pairs: Seq[(String, String)]) = frame(
+      "a" -> pairs.map(_._1), "b" -> pairs.map(_._2))
+    // O = [[1,2],[3,6]] is exactly independent (E == O)
+    val ind = cat(
+      Seq.fill(1)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+        Seq.fill(3)(("y", "u")) ++ Seq.fill(6)(("y", "v")))
+    assert(Stats.chiSquare(ind, "a", "b").collect()(0).getDouble(4) === 0.0)
+    // diagonal [[10,0],[0,10]] -> chi2 = N = 20, dof 1; the two zero
+    // cells exist only in the GRID, not in the observed groupBy
+    val dep = cat(Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+    val d = Stats.chiSquare(dep, "a", "b").collect()(0)
+    assert(d.getLong(0) === 20L && d.getLong(3) === 1L &&
+      d.getDouble(4) === 20.0)
+    // hand-computed 2x2 with one absent cell: chi2 = 3.75 exactly
+    val part = cat(Seq.fill(5)(("x", "u")) ++ Seq.fill(5)(("x", "v")) ++
+      Seq.fill(5)(("y", "u")))
+    assert(Stats.chiSquare(part, "a", "b").collect()(0).getDouble(4) === 3.75)
   }
 }

@@ -49,7 +49,11 @@ class PlanSpec extends SparkSuite {
     "x152_revenue_pareto", // broadcast ONE-ROW decile cuts + total (x57 pattern)
     "x153_survival", // broadcast ONE-ROW max-day + the span-bounded factor list (x57 pattern)
     "x156_triangles", // broadcast ONE-ROW triangle count onto the one-row degree rollup
-    "x158_benford") // broadcast ONE-ROW digit total onto <= 9 rows (x57 pattern)
+    "x158_benford", // broadcast ONE-ROW digit total onto <= 9 rows (x57 pattern)
+    "x161_timedecay_attribution", // broadcast ONE-ROW credit total onto <= |types| rows (x57 pattern)
+    "x163_hll_distinct", // two ONE-ROW frames (register rollup x exact count)
+    "x164_ks_test", // ONE-ROW totals onto the cum table + ONE-ROW sup (x57 pattern)
+    "x165_chi2_independence") // bounded |a| x |b| categorical grid from broadcast marginals
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
