@@ -427,4 +427,114 @@ class PropertySpec extends SparkSuite {
         summary.forall { case (_, (nSess, nEv)) => nSess >= 1 && nSess <= nEv }
     })
   }
+
+  test("kaplanMeier: survival in [0,1] and non-increasing; user mass " +
+      "conserved; full at-risk pool at the first time") {
+    // eventGen's ts are re-read as DAYS (x86400e9) so lifetimes and the
+    // censor boundary actually vary; censorDays=100 mixes churned and
+    // censored outcomes across the 0..2000-day span
+    def kmFrame(rows: List[(Long, String, Long)]) = frame(
+      "user_id" -> rows.map(_._1),
+      "ts_ns" -> rows.map(_._3 * 86400L * 1000000000L))
+    check("km", Prop.forAll(eventGen) { rows =>
+      val out = graft.ops.Survival.kaplanMeier(kmFrame(rows), 100L)
+        .orderBy(col("t_days")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      val nUsers = rows.map(_._1).distinct.size.toLong
+      val surv = out.map(_._5)
+      out.map(r => r._3 + r._4).sum == nUsers &&
+        out.head._2 == nUsers &&
+        surv.forall(s => s >= 0.0 && s <= 1.0) &&
+        surv.zip(surv.drop(1)).forall { case (a, b) => b <= a }
+    })
+  }
+
+  test("triangleStats == brute-force census on random small graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, for {
+        a <- Gen.chooseNum(1L, 7L); b <- Gen.chooseNum(1L, 7L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))).map(_.distinct)
+    check("triangles", Prop.forAll(edgeGen) { es0 =>
+      val es = es0.distinct // gen yields >= 1 edge; distinct keeps >= 1
+      val r = graft.ops.Graphs.triangleStats(frame(
+        "part_a" -> es.map(_._1), "part_b" -> es.map(_._2))).collect()(0)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val set = es.toSet
+      val tri = nodes.combinations(3).count { c =>
+        val Seq(x, y, z) = c.sorted
+        set((x, y)) && set((x, z)) && set((y, z))
+      }
+      val deg = nodes.map(n => es.count(e => e._1 == n || e._2 == n))
+      val wedges = deg.map(d => d.toLong * (d - 1) / 2).sum
+      r.getLong(0) == nodes.size.toLong && r.getLong(1) == es.size.toLong &&
+        r.getLong(2) == wedges && r.getLong(3) == tri.toLong
+    })
+  }
+
+  test("ksTest: d in [0,1], symmetric in the two samples, 0 on equal " +
+      "samples") {
+    val valsGen = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 9).map(_.toDouble)))
+    check("ks", Prop.forAll(valsGen, valsGen) { (a, b) =>
+      def run(x: Seq[Double], y: Seq[Double]) = graft.ops.Stats.ksTest(
+        frame("g" -> (x.map(_ => "A") ++ y.map(_ => "B")),
+          "v" -> (x ++ y)), "g", "v", "A", "B").collect()(0).getDouble(4)
+      val d = run(a, b)
+      d >= 0.0 && d <= 1.0 && d == run(b, a) && run(a, a) == 0.0
+    })
+  }
+
+  test("chiSquare: non-negative, symmetric under column swap, dof from " +
+      "the marginals") {
+    val pairGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.oneOf("x", "y", "z"); b <- Gen.oneOf("u", "v")
+    } yield (a, b)))
+    check("chi2", Prop.forAll(pairGen) { ps =>
+      val df = frame("a" -> ps.map(_._1), "b" -> ps.map(_._2))
+      val r1 = graft.ops.Stats.chiSquare(df, "a", "b").collect()(0)
+      val r2 = graft.ops.Stats.chiSquare(df, "b", "a").collect()(0)
+      r1.getDouble(4) >= 0.0 && r1.getDouble(4) == r2.getDouble(4) &&
+        r1.getLong(3) == (r1.getLong(1) - 1) * (r1.getLong(2) - 1)
+    })
+  }
+
+  test("scd2History: intervals chain per key, exactly one current row, " +
+      "no consecutive equal values") {
+    check("scd2", Prop.forAll(eventGen) { rows =>
+      val out = graft.ops.EventAnalytics.scd2History(
+        eventFrame(rows), "user_id", "event_type", "ts_ns", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+          r.getBoolean(4)))
+        .groupBy(_._1)
+      out.values.forall { ivs0 =>
+        val ivs = ivs0.sortBy(_._3)
+        ivs.count(_._5) == 1 && ivs.last._5 &&
+          ivs.zip(ivs.drop(1)).forall { case (p, n) =>
+            p._4 == n._3 && p._2 != n._2
+          }
+      }
+    })
+  }
+
+  test("keySkewAudit: gini in [0,1), exact on uniform and two-level " +
+      "frequency mixes") {
+    val keysGen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 6L)))
+    check("gini", Prop.forAll(keysGen) { ks =>
+      val r = graft.ops.Skew.keySkewAudit(frame("k" -> ks), "k").collect()(0)
+      val freq = ks.groupBy(identity).values.map(_.size.toLong).toSeq
+      val sorted = freq.sorted
+      val kk = sorted.size.toLong
+      val nn = sorted.sum
+      val s = sorted.zipWithIndex.map { case (f, i) => (i + 1) * f }.sum
+      val gini = (2.0 * s - (kk + 1) * nn) / (kk.toDouble * nn)
+      r.getLong(1) == nn && r.getLong(2) == kk &&
+        r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0 &&
+        r.getDouble(6) == BigDecimal(gini)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    })
+  }
 }
