@@ -60,6 +60,15 @@ final case class EwmaPoint(event_type: String, day: Long, cnt: Long,
 /** One count-min-sketch cell emission (latest running total). */
 final case class CmsCell(d: Int, bucket: Long, cnt: Long)
 
+/** Open SCD2 interval per key: current value, when it opened, and the
+  * last (ts, id) seen — the in-order watermark for the fail-fast gate. */
+final case class Scd2State(value: String, validFrom: Long,
+  lastTs: Long, lastId: Long)
+
+/** A CLOSED validity interval (the still-open one is never emitted). */
+final case class Scd2Closed(user_id: Long, value: String,
+  valid_from: Long, valid_to: Long)
+
 /** Structured Streaming forms of the event-time windows (north-star
   * extension; batch forms in graft.ops.EventWindows share the window
   * logic).
@@ -647,6 +656,50 @@ object StreamingWindows {
             else { close(); st = st.copy(openWin = win, openN = n) }
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming SCD2 dimension-history builder: the flatMapGroupsWithState
+    * twin of EventAnalytics.scd2History. State per key is the OPEN
+    * validity interval (value, valid_from) plus the last (ts, id) seen —
+    * O(1), never raw events. A value change closes the open interval and
+    * emits it; consecutive equal values only advance the watermark.
+    *
+    * BITWISE equal to the batch form on CLOSED intervals in any
+    * micro-batch split (StreamingSpec): rows are sorted by (ts, id)
+    * inside each batch, and the in-order-across-batches contract is
+    * ENFORCED — an event at or before the key's last seen (ts, id)
+    * fails fast instead of silently rewriting history (the
+    * streamingEwmaDaily gate). Each key's final still-open interval is
+    * never emitted (batch marks it is_current).
+    */
+  def streamingScd2(events: DataFrame): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, it, state) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          it.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, v, ts, id) =>
+            if (st == null) st = Scd2State(v, ts, ts, id)
+            else if (ts < st.lastTs || (ts == st.lastTs && id <= st.lastId))
+              throw new IllegalStateException(
+                s"streamingScd2($uid): event ($ts, $id) arrived at or " +
+                  s"before (${st.lastTs}, ${st.lastId}) — input violates " +
+                  "the in-order-across-batches contract")
+            else if (v == st.value) st = st.copy(lastTs = ts, lastId = id)
+            else {
+              out += Scd2Closed(uid, st.value, st.validFrom, ts)
+              st = Scd2State(v, ts, ts, id)
+            }
+          }
+          if (st != null) state.update(st)
           out.iterator
       }
   }

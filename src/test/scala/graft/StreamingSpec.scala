@@ -780,6 +780,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed validity intervals across in-order " +
+      "micro-batches == batch scd2History minus each key's open interval") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("scd2stream").toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingScd2(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_scd2").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_scd2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = graft.ops.EventAnalytics
+        .scd2History(batchEvents, "user_id", "event_type", "ts_ns", "event_id")
+        .filter(!col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want,
+        s"streaming scd2 diverges: got ${got.size} rows, want ${want.size}")
+      assert(got.nonEmpty, "no closed intervals — degenerate fixture")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
   test("streaming EWMA monitor: a micro-batch carrying a day OLDER than " +
       "the open day fails fast (enforced in-order contract), never " +
       "silently re-opens it") {
