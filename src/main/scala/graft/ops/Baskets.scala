@@ -78,4 +78,27 @@ object Baskets {
       round(col("n_pair").cast("double") * col("n_orders").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
   }
+
+  /** Item-item cosine similarity over the binary basket matrix — the
+    * collaborative-filtering "customers also bought" score:
+    * cos(a, b) = n_pair / √(n_a·n_b) for co-occurring pairs with
+    * `n_pair >= minSupport` (a < b). Same per-basket pair generation as
+    * [[pairLift]] (never a corpus self-join); marginals join back on the
+    * bounded pair table; one sqrt + one division, round 6.
+    */
+  def itemCosine(lineitem: DataFrame, minSupport: Long = 2,
+      orderCol: String = "l_orderkey", itemCol: String = "l_partkey"): DataFrame = {
+    val items = itemsOf(lineitem, orderCol, itemCol)
+    val pairs = coPairsFromItems(items, minSupport)
+    val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    pairs
+      .join(itemCounts.withColumnRenamed("pk", "part_a")
+        .withColumnRenamed("n_item", "n_a"), Seq("part_a"))
+      .join(itemCounts.withColumnRenamed("pk", "part_b")
+        .withColumnRenamed("n_item", "n_b"), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        round(col("n_pair").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("cosine"))
+  }
 }

@@ -582,6 +582,39 @@ object EventAnalytics {
       .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
   }
 
+  /** One-day-ahead forecast backtest of [[ewmaDaily]]: treat each day's
+    * EWMA as the forecast for the NEXT observed day and score it —
+    * per type: `event_type, n_days, mae, mape` (mean absolute error and
+    * mean absolute percentage error over consecutive-day pairs, round 6).
+    * The "is the smoother a usable forecaster" readout a monitoring
+    * pipeline runs before alerting on EWMA deviations.
+    *
+    * Determinism: each per-day error |cnt − ewma| is one double op over
+    * the dyadic-exact EWMA; errors are rounded to 6 and summed AS
+    * DECIMAL (the x103 convention), then divided by the day count.
+    *
+    * Scale: rides ewmaDaily's aggregate (|types|·|days| rows); the
+    * backtest join is a self equi-join on (type, day+1) over that tiny
+    * frame.
+    */
+  def ewmaBacktest(events: DataFrame, windowDays: Int = 20): DataFrame = {
+    val e = ewmaDaily(events, windowDays)
+    val f = e.select(col("event_type"), (col("day") + 1).as("day"),
+      col("ewma").as("_forecast"))
+    e.join(f, Seq("event_type", "day"))
+      .select(col("event_type"),
+        round(abs(col("cnt").cast("double") - col("_forecast")), 6)
+          .cast("decimal(28,6)").as("_err"),
+        round(abs(col("cnt").cast("double") - col("_forecast")) /
+          col("cnt").cast("double"), 6).cast("decimal(28,6)").as("_ape"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("_err")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mae"),
+        round(sum(col("_ape")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mape"))
+  }
+
   /** The 2^-k time-decay weights as DECIMAL(38,16) literal strings, one
     * per whole-day gap 0..16 — shared verbatim by the Spark plan and the
     * SQL oracle (each 2^-k, k <= 16, is EXACT in 16 decimal places, so

@@ -88,4 +88,39 @@ object Experiments {
       when(col("variant") =!= 0 && se =!= 0.0, round((pi - p0) / se, 6))
         .as("z_score"))
   }
+
+  /** Per-variant Wilson 95% confidence interval for the conversion rate
+    * — [[abTest]]'s interval companion (the Wilson score interval stays
+    * sane at rates near 0/1 where the normal approximation collapses).
+    * Per variant: `variant, n_users, n_conv, rate, ci_low, ci_high`
+    * (round 6, unclamped — the raw Wilson bounds already sit in [0,1]).
+    * Same assignment hash as abTest ([[withVariant]]); z = 1.96 and its
+    * square are spelled as the same literals in the oracle, every
+    * arithmetic step mirrored, so the bounds replay bitwise.
+    *
+    * Scale: abTest's shape minus the control join — one user reduce,
+    * one |variants|-row rollup, closed-form scalar math.
+    */
+  def variantCi(events: DataFrame, convType: String = "purchase",
+      minValue: Double = 150.0, nVariants: Int = 3,
+      salt: String = "exp1"): DataFrame = {
+    val perVariant = withVariant(
+      events.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === convType &&
+          col("value") >= minValue, 1).otherwise(0)).as("conv")),
+      "user_id", nVariants, salt)
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / n
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    perVariant.select(col("variant"), col("n_users"), col("n_conv"),
+      round(p, 6).as("rate"),
+      round(center - half, 6).as("ci_low"),
+      round(center + half, 6).as("ci_high"))
+  }
 }

@@ -812,4 +812,39 @@ object TextAnalysis {
     stats.join(postings, "tok")
       .select(col("tok"), col("df"), col("total_tf"), col("postings"))
   }
+
+  /** Per-group character-class profile: letter / digit / space / other
+    * shares of all characters, the cheap charset signal a curation
+    * pipeline reads next to langid (a "prose" corpus whose digit share
+    * spikes is tables or logs, whatever its n-grams say). Per group:
+    * `<group>, n_docs, n_chars, letter_share, digit_share, space_share,
+    * other_share` (round 6; NULL shares for a group of empty texts).
+    *
+    * Map-only per-doc counting (length minus regexp_replace-stripped
+    * length — codegen'd, no explode), one group rollup.
+    */
+  def charsetProfile(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cls(re: String) =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val per = docs.select(col(groupCol),
+      length(t).cast("long").as("_c"),
+      cls("[A-Za-z]").as("_l"), cls("[0-9]").as("_d"), cls(" ").as("_s"))
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_chars"),
+        sum(col("_l")).as("_tl"), sum(col("_d")).as("_td"),
+        sum(col("_s")).as("_ts"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"),
+        when(col("n_chars") =!= 0, round(col("_tl").cast("double") /
+          col("n_chars").cast("double"), 6)).as("letter_share"),
+        when(col("n_chars") =!= 0, round(col("_td").cast("double") /
+          col("n_chars").cast("double"), 6)).as("digit_share"),
+        when(col("n_chars") =!= 0, round(col("_ts").cast("double") /
+          col("n_chars").cast("double"), 6)).as("space_share"),
+        when(col("n_chars") =!= 0, round(
+          (col("n_chars") - col("_tl") - col("_td") - col("_ts"))
+            .cast("double") / col("n_chars").cast("double"), 6))
+          .as("other_share"))
+  }
 }

@@ -1551,5 +1551,129 @@ object AnalyticsQueries {
              |  (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS dof,
              |  round(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2
              |FROM contrib""".stripMargin)),
+
+    // ---- x166: item-item cosine similarity ---------------------------------
+    // x132's per-basket pair generation with the collaborative-filtering
+    // cosine score — see ops/Baskets.itemCosine.
+    QueryDef(
+      "x166_item_cosine",
+      (s, dir) =>
+        Baskets.itemCosine(Tables.lineitem(s, dir), minSupport = 2)
+          .orderBy(col("part_a"), col("part_b")),
+      Some("""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+             |    l_partkey AS pk FROM lineitem),
+             |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b,
+             |    COUNT(*) AS n_pair
+             |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2),
+             |ic AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY 1)
+             |SELECT part_a, part_b, n_pair,
+             |  round(CAST(n_pair AS DOUBLE)
+             |    / sqrt(CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)),
+             |    6) AS cosine
+             |FROM pairs
+             |JOIN ic na ON na.pk = part_a
+             |JOIN ic nb ON nb.pk = part_b
+             |WHERE n_pair >= 2 ORDER BY part_a, part_b""".stripMargin)),
+
+    // ---- x167: EWMA one-day-ahead forecast backtest ------------------------
+    // Rides x134's dyadic-exact smoother; round-6 decimal-summed errors
+    // (the x103 convention) — see ops/EventAnalytics.ewmaBacktest.
+    QueryDef(
+      "x167_ewma_backtest",
+      (s, dir) =>
+        EventAnalytics.ewmaBacktest(Tables.events(s, dir), windowDays = 20)
+          .orderBy(col("event_type")),
+      Some("""WITH e AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |d AS MATERIALIZED (SELECT event_type, day, COUNT(*) AS cnt
+             |  FROM e GROUP BY 1, 2),
+             |ew AS (SELECT a.event_type, a.day, a.cnt,
+             |    0.5 * SUM(CAST(b.cnt AS DOUBLE)
+             |      / CAST(CAST(1 AS BIGINT) << CAST(a.day - b.day AS INTEGER)
+             |          AS DOUBLE)) AS ewma
+             |  FROM d a JOIN d b ON a.event_type = b.event_type
+             |    AND b.day <= a.day AND b.day > a.day - 20
+             |  GROUP BY 1, 2, 3),
+             |bt AS (SELECT act.event_type,
+             |    CAST(round(abs(CAST(act.cnt AS DOUBLE) - f.ewma), 6)
+             |      AS DECIMAL(28,6)) AS err,
+             |    CAST(round(abs(CAST(act.cnt AS DOUBLE) - f.ewma)
+             |      / CAST(act.cnt AS DOUBLE), 6) AS DECIMAL(28,6)) AS ape
+             |  FROM ew act JOIN ew f ON f.event_type = act.event_type
+             |    AND f.day + 1 = act.day)
+             |SELECT event_type, COUNT(*) AS n_days,
+             |  round(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS mae,
+             |  round(CAST(SUM(ape) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS mape
+             |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- x168: per-variant Wilson confidence intervals ---------------------
+    // abTest's interval companion; every arithmetic step mirrored in the
+    // oracle — see ops/Experiments.variantCi.
+    QueryDef(
+      "x168_variant_ci",
+      (s, dir) =>
+        Experiments.variantCi(Tables.events(s, dir), nVariants = 3,
+          salt = "exp1")
+          .orderBy(col("variant")),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+              |      THEN 1 ELSE 0 END) AS conv,
+              |    md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM events GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
+              |      AS variant,
+              |    COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+              |  FROM pu GROUP BY 1),
+              |w AS (SELECT variant, n_users, n_conv,
+              |    CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+              |    1.96 * 1.96 AS z2, CAST(n_users AS DOUBLE) AS n
+              |  FROM pv),
+              |ci AS (SELECT variant, n_users, n_conv, p,
+              |    (p + z2 / (2.0 * n)) / (1.0 + z2 / n) AS center,
+              |    1.96 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+              |      / (1.0 + z2 / n) AS half
+              |  FROM w)
+              |SELECT variant, n_users, n_conv, round(p, 6) AS rate,
+              |  round(center - half, 6) AS ci_low,
+              |  round(center + half, 6) AS ci_high
+              |FROM ci ORDER BY variant""".stripMargin)),
+
+    // ---- x169: per-language charset profile --------------------------------
+    // Map-only regexp_replace-length counting, one group rollup — see
+    // ops/TextAnalysis.charsetProfile.
+    QueryDef(
+      "x169_charset_profile",
+      (s, dir) =>
+        TextAnalysis.charsetProfile(Tables.documents(s, dir))
+          .orderBy(col("lang")),
+      Some("""WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS c,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+             |      AS BIGINT) AS l,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, '[0-9]', '', 'g'))
+             |      AS BIGINT) AS dg,
+             |    CAST(length(text)
+             |      - length(regexp_replace(text, ' ', '', 'g'))
+             |      AS BIGINT) AS sp
+             |  FROM documents),
+             |g AS (SELECT lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(c) AS BIGINT) AS n_chars,
+             |    CAST(SUM(l) AS BIGINT) AS tl, CAST(SUM(dg) AS BIGINT) AS td,
+             |    CAST(SUM(sp) AS BIGINT) AS ts FROM per GROUP BY 1)
+             |SELECT lang, n_docs, n_chars,
+             |  CASE WHEN n_chars <> 0 THEN round(CAST(tl AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE), 6) END AS letter_share,
+             |  CASE WHEN n_chars <> 0 THEN round(CAST(td AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE), 6) END AS digit_share,
+             |  CASE WHEN n_chars <> 0 THEN round(CAST(ts AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE), 6) END AS space_share,
+             |  CASE WHEN n_chars <> 0 THEN round(
+             |    CAST(n_chars - tl - td - ts AS DOUBLE)
+             |    / CAST(n_chars AS DOUBLE), 6) END AS other_share
+             |FROM g ORDER BY lang""".stripMargin)),
   )
 }

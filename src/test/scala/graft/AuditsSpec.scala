@@ -256,4 +256,70 @@ class AuditsSpec extends SparkSuite {
       Seq.fill(5)(("y", "u")))
     assert(Stats.chiSquare(part, "a", "b").collect()(0).getDouble(4) === 3.75)
   }
+
+  test("itemCosine: hand-computed cosine, minSupport cut") {
+    // baskets o1{1,2} o2{1,2} o3{1,3}: pair (1,2) co-occurs 2x,
+    // item counts 1->3, 2->2; cosine = 2/sqrt(6); (1,3) cut at support 2
+    val li = frame(
+      "l_orderkey" -> Seq(1L, 1L, 2L, 2L, 3L, 3L),
+      "l_partkey" -> Seq(1L, 2L, 1L, 2L, 1L, 3L))
+    val out = graft.ops.Baskets.itemCosine(li, minSupport = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L &&
+      out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ewmaBacktest: hand-computed MAE/MAPE over consecutive days") {
+    // type a: day counts 4, 2, 3 -> ewma 2, 2, 2.5; backtest pairs
+    // (f=2, act=2) err 0 and (f=2, act=3) err 1, ape 1/3
+    val rows = Seq.fill(4)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(3)(2L)
+    val ev = frame(
+      "event_type" -> rows.map(_ => "a"),
+      "ts_ns" -> rows.zipWithIndex.map { case (d, i) => dayNs(d) + i })
+    val r = EventAnalytics.ewmaBacktest(ev, windowDays = 5).collect()(0)
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5) // (0 + 1) / 2
+    assert(r.getDouble(3) === BigDecimal(0.333333 / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("variantCi: Wilson bounds match the closed form; p=0.5 centers " +
+      "exactly") {
+    // nVariants=1 puts all 4 users in variant 0; users 1,2 convert
+    val ev = frame(
+      "user_id" -> Seq(1L, 2L, 3L, 4L),
+      "event_type" -> Seq("purchase", "purchase", "purchase", "view"),
+      "value" -> Seq(200.0, 200.0, 100.0, 500.0))
+    val r = graft.ops.Experiments.variantCi(ev, nVariants = 1, salt = "s")
+      .collect()(0)
+    assert(r.getLong(0) === 0L && r.getLong(1) === 4L && r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.5)
+    val (p, n) = (0.5, 4.0)
+    val z2 = 1.96 * 1.96
+    val denom = 1.0 + z2 / n
+    val center = (p + z2 / (2.0 * n)) / denom
+    val half = 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === r6(center - half))
+    assert(r.getDouble(5) === r6(center + half))
+    assert(r6(center) === 0.5) // Wilson centers p=0.5 exactly
+  }
+
+  test("charsetProfile: hand-counted shares; empty-text group yields " +
+      "NULL shares") {
+    val docs = frame(
+      "lang" -> Seq("en", "en", "xx"),
+      "text" -> Seq("ab 12!", "zz", ""))
+    val out = TextAnalysis.charsetProfile(docs).orderBy("lang").collect()
+    val en = out(0)
+    // en: 8 chars, 4 letters, 2 digits, 1 space, 1 other
+    assert(en.getLong(1) === 2L && en.getLong(2) === 8L)
+    assert(en.getDouble(3) === 0.5 && en.getDouble(4) === 0.25 &&
+      en.getDouble(5) === 0.125 && en.getDouble(6) === 0.125)
+    val xx = out(1)
+    assert(xx.getLong(2) === 0L && xx.isNullAt(3) && xx.isNullAt(6))
+  }
 }
