@@ -643,6 +643,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment for candidate pairs — the quote/subset
+    * signal Jaccard dilutes: a tweet embedded verbatim in a long article
+    * has Jaccard ≈ 0 but containment_a = 1. Per pair: `id_a, id_b,
+    * inter, containment_a (=|A∩B|/|A|), containment_b, containment
+    * (the max — "one side is mostly inside the other")`. Same pruned
+    * token-set machinery as [[jaccard]] (pair members only, one
+    * checkpoint); |set| >= 1 always (an empty text still tokenizes to
+    * one empty token), so the divisions need no guard.
+    */
+  def containment(docs: DataFrame, pairs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val members = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+    val pruned = Checkpoints.materialize(
+      docs.join(members, Seq(idCol), "left_semi")
+        .select(col(idCol), col(textCol)))
+    val sets = pruned.select(col(idCol).as("jid"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val sizes = pruned.select(col(idCol).as("jid"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("sz"))
+    val inter = pairs
+      .join(sets.select(col("jid").as("id_a"), col("tok")), "id_a")
+      .join(sets.select(col("jid").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val ca = round(col("inter").cast("double") /
+      col("sz_a").cast("double"), 6)
+    val cb = round(col("inter").cast("double") /
+      col("sz_b").cast("double"), 6)
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("jid").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("jid").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        ca.as("containment_a"), cb.as("containment_b"),
+        greatest(ca, cb).as("containment"))
+  }
+
   /** The corpus's (band-id, band-value, signature) state for the banded
     * Hamming ingest gate ([[hashNearDupReject]]): `nBands` rows per
     * distinct signature. Build once per corpus version, reuse across

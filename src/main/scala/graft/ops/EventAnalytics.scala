@@ -582,6 +582,176 @@ object EventAnalytics {
       .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
   }
 
+  /** Fixed-point scale for the Markov removal-effect value iteration. */
+  private val MarkovScale = 1000000L
+
+  /** Per-user touch journeys compressed into Markov transition counts:
+    * `__start__` → first touch, consecutive touches (only BEFORE the
+    * user's first conversion, ties on (ts, id)), last touch →
+    * `__conv__`/`__null__`, and `__start__` → `__conv__` for users who
+    * converted without any touch. The ONE events-scale computation
+    * behind [[removalEffectAttribution]]; returned as (f, t, n).
+    */
+  def markovTransitions(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("ts_ns"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val conv1 = ev.filter(col("event_type") === convType)
+      .withColumn("_rn", row_number().over(wAll)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("ts_ns").as("_cts"),
+        col("event_id").as("_cid"))
+    val touches = Checkpoints.materialize(
+      ev.filter(col("event_type") =!= convType)
+        .join(conv1, Seq("user_id"), "left")
+        .filter(col("_cts").isNull ||
+          struct(col("ts_ns"), col("event_id")) <
+            struct(col("_cts"), col("_cid")))
+        .select(col("user_id"), col("event_type"), col("ts_ns"),
+          col("event_id"), col("_cts").isNotNull.as("_conv")))
+    val seq = touches
+      .withColumn("_nxt", lead(col("event_type"), 1).over(wAll))
+      .withColumn("_rn", row_number().over(wAll))
+    val edges = seq.filter(col("_nxt").isNotNull)
+        .select(col("event_type").as("f"), col("_nxt").as("t"))
+      .unionByName(seq.filter(col("_rn") === 1)
+        .select(lit("__start__").as("f"), col("event_type").as("t")))
+      .unionByName(seq.filter(col("_nxt").isNull)
+        .select(col("event_type").as("f"),
+          when(col("_conv"), "__conv__").otherwise("__null__").as("t")))
+      .unionByName(conv1.join(touches.select(col("user_id")).distinct(),
+          Seq("user_id"), "left_anti")
+        .select(lit("__start__").as("f"), lit("__conv__").as("t")))
+    edges.groupBy(col("f"), col("t")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014) — the
+    * data-driven multi-touch model: how much does total conversion
+    * probability drop when a channel vanishes (its inbound transitions
+    * redirected to `__null__`)? Per channel: `channel, conv_prob_full,
+    * conv_prob_without, removal_effect` with removal_effect =
+    * (V − V_c)/V round 6 (NULL when nobody converts).
+    *
+    * Determinism: conversion probability comes from `iters` rounds of
+    * absorbing-chain VALUE ITERATION in exact fixed-point integers —
+    * v'(s) = floor(Σ_t n(s,t)·v(t) / out(s)), v(conv) = 10^6 — the
+    * pageRank convention, so the DuckDB oracle replays every scenario
+    * bitwise with unrolled CTEs ([[removalEffectCtes]]).
+    *
+    * Scale: the events-scale work is [[markovTransitions]] (windows per
+    * user + one count shuffle). The iteration then runs DRIVER-SIDE on
+    * the collected (|channels|+3)² transition matrix — bounded by the
+    * type vocabulary, never by event volume (the k-means-centroid
+    * collect posture: O(states²), by design).
+    */
+  def removalEffectAttribution(events: DataFrame,
+      convType: String = "purchase", iters: Int = 16): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = events.sparkSession
+    val trans = markovTransitions(events, convType).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val channels = trans.keysIterator.flatMap { case (f, t) => Seq(f, t) }
+      .filterNot(_.startsWith("__")).toSeq.distinct.sorted
+    def startValue(removed: Option[String]): Long = {
+      val redirected = trans.toSeq
+        .map { case ((f, t), n) =>
+          (f, if (removed.contains(t)) "__null__" else t) -> n
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val outs = redirected.groupBy(_._1._1)
+        .map { case (f, m) => f -> m.values.sum }
+      val froms = outs.keys.toSeq
+      var v = Map[String, Long]("__conv__" -> MarkovScale).withDefaultValue(0L)
+      for (_ <- 1 to iters) {
+        val next = froms.map { s =>
+          val num = redirected.iterator.collect {
+            case ((f, t), n) if f == s => BigInt(n) * v(t)
+          }.sum
+          s -> (num / outs(s)).toLong
+        }.toMap
+        v = (next + ("__conv__" -> MarkovScale)).withDefaultValue(0L)
+      }
+      v("__start__")
+    }
+    val vFull = startValue(None)
+    val rows = channels.map { c =>
+      val vc = startValue(Some(c))
+      org.apache.spark.sql.Row(c, vFull.toDouble / 1e6, vc.toDouble / 1e6,
+        if (vFull != 0)
+          BigDecimal((vFull - vc).toDouble / vFull.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else null)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("conv_prob_full",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("conv_prob_without",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("removal_effect",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** The oracle-side rendering of [[removalEffectAttribution]]: given the
+    * STATIC channel list, unrolled value-iteration CTEs per scenario
+    * (full + one per removed channel) over a `trans(f, t, n)` CTE the
+    * caller provides. Ends with one row per channel. The caller appends
+    * this after its transition CTEs. */
+  def removalEffectCtes(channels: Seq[String], iters: Int): String = {
+    val states = ("__start__" +: channels) ++ Seq("__conv__", "__null__")
+    val stateValues = states.map(s => s"('$s')").mkString(", ")
+    def scenario(tag: String, removed: Option[String]): String = {
+      val redirect = removed.map(c =>
+        s"CASE WHEN t = '$c' THEN '__null__' ELSE t END").getOrElse("t")
+      val base =
+        s"""t_$tag AS (SELECT f, $redirect AS t, CAST(SUM(n) AS BIGINT) AS n
+           |  FROM trans GROUP BY 1, 2),
+           |o_$tag AS (SELECT f, CAST(SUM(n) AS BIGINT) AS o FROM t_$tag
+           |  GROUP BY 1),
+           |v_${tag}_0 AS (SELECT state, CAST(CASE state
+           |  WHEN '__conv__' THEN $MarkovScale ELSE 0 END AS HUGEINT) AS v
+           |  FROM states)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        s"""v_${tag}_$k AS (SELECT s.state, CASE
+           |    WHEN s.state = '__conv__' THEN CAST($MarkovScale AS HUGEINT)
+           |    WHEN s.state = '__null__' THEN CAST(0 AS HUGEINT)
+           |    ELSE COALESCE(
+           |      (SELECT SUM(CAST(t.n AS HUGEINT) * v.v)
+           |       FROM t_$tag t JOIN v_${tag}_${k - 1} v ON v.state = t.t
+           |       WHERE t.f = s.state)
+           |      // (SELECT o FROM o_$tag WHERE f = s.state), 0)
+           |  END AS v FROM states s)""".stripMargin
+      }.mkString(",\n")
+      s"$base,\n$steps"
+    }
+    val scenarios = (scenario("full", None) +:
+      channels.zipWithIndex.map { case (c, i) =>
+        scenario(s"r$i", Some(c))
+      }).mkString(",\n")
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT CAST(v AS DOUBLE) FROM v_full_$iters
+         |    WHERE state = '__start__') / 1000000.0 AS conv_prob_full,
+         |  (SELECT CAST(v AS DOUBLE) FROM v_r${i}_$iters
+         |    WHERE state = '__start__') / 1000000.0 AS conv_prob_without,
+         |  CASE WHEN (SELECT v FROM v_full_$iters WHERE state = '__start__')
+         |      <> 0 THEN
+         |    round(CAST((SELECT v FROM v_full_$iters WHERE state = '__start__')
+         |      - (SELECT v FROM v_r${i}_$iters WHERE state = '__start__')
+         |      AS DOUBLE)
+         |      / CAST((SELECT v FROM v_full_$iters WHERE state = '__start__')
+         |        AS DOUBLE), 6)
+         |  END AS removal_effect""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""states(state) AS (VALUES $stateValues),
+       |$scenarios
+       |SELECT * FROM ($rows) ORDER BY channel""".stripMargin
+  }
+
   /** One-day-ahead forecast backtest of [[ewmaDaily]]: treat each day's
     * EWMA as the forecast for the NEXT observed day and score it —
     * per type: `event_type, n_days, mae, mape` (mean absolute error and

@@ -1675,5 +1675,94 @@ object AnalyticsQueries {
              |    CAST(n_chars - tl - td - ts AS DOUBLE)
              |    / CAST(n_chars AS DOUBLE), 6) END AS other_share
              |FROM g ORDER BY lang""".stripMargin)),
+
+    // ---- x170: Markov removal-effect attribution ---------------------------
+    // Data-driven multi-touch model: absorbing-chain value iteration in
+    // exact fixed-point integers (the pageRank convention), driver math
+    // only on the collected O(states²) transition matrix — see
+    // ops/EventAnalytics.removalEffectAttribution. The oracle unrolls
+    // every scenario's iteration as CTEs (removalEffectCtes).
+    QueryDef(
+      "x170_removal_effect",
+      (s, dir) =>
+        EventAnalytics.removalEffectAttribution(Tables.events(s, dir)),
+      Some {
+        // the testdata channel vocabulary (event types minus purchase)
+        val channels = Seq("click", "error", "signup", "view")
+        s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+           |    event_id FROM events),
+           |conv1 AS (SELECT user_id, tns, event_id FROM (
+           |    SELECT user_id, tns, event_id, ROW_NUMBER() OVER (
+           |      PARTITION BY user_id ORDER BY tns, event_id) AS rn
+           |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+           |touches AS MATERIALIZED (SELECT e.user_id, e.event_type, e.tns,
+           |    e.event_id, (c.user_id IS NOT NULL) AS conv
+           |  FROM ev e LEFT JOIN conv1 c USING (user_id)
+           |  WHERE e.event_type <> 'purchase'
+           |    AND (c.user_id IS NULL
+           |      OR (e.tns, e.event_id) < (c.tns, c.event_id))),
+           |seq AS (SELECT user_id, event_type, conv,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY tns, event_id) AS nxt,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id
+           |      ORDER BY tns, event_id) AS rn
+           |  FROM touches),
+           |edges AS (
+           |  SELECT event_type AS f, nxt AS t FROM seq WHERE nxt IS NOT NULL
+           |  UNION ALL SELECT '__start__', event_type FROM seq WHERE rn = 1
+           |  UNION ALL SELECT event_type,
+           |    CASE WHEN conv THEN '__conv__' ELSE '__null__' END
+           |    FROM seq WHERE nxt IS NULL
+           |  UNION ALL SELECT '__start__', '__conv__' FROM conv1 c
+           |    WHERE NOT EXISTS (SELECT 1 FROM touches t
+           |      WHERE t.user_id = c.user_id)),
+           |trans AS MATERIALIZED (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM edges GROUP BY 1, 2),
+           |${EventAnalytics.removalEffectCtes(channels, iters = 16)}"""
+          .stripMargin
+      }),
+
+    // ---- x171: asymmetric containment for candidate pairs ------------------
+    // The quote/subset near-dup signal Jaccard dilutes — see
+    // ops/Dedup.containment; x04's consecutive-id pair fixture.
+    QueryDef(
+      "x171_containment",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.filter(col("doc_id") < 100)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+          .join(docs.select(col("doc_id").as("id_b")), "id_b")
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.containment(docs, pairs)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.doc_id < 100),
+             |sets AS (SELECT DISTINCT doc_id,
+             |    unnest(string_split(text, ' ')) AS tok FROM documents),
+             |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
+             |inter AS (
+             |  SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM pairs p
+             |  JOIN sets sa ON sa.doc_id = p.id_a
+             |  JOIN sets sb ON sb.doc_id = p.id_b AND sb.tok = sa.tok
+             |  GROUP BY p.id_a, p.id_b)
+             |SELECT p.id_a, p.id_b,
+             |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             |    / CAST(za.sz AS DOUBLE), 6) AS containment_a,
+             |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             |    / CAST(zb.sz AS DOUBLE), 6) AS containment_b,
+             |  greatest(
+             |    round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             |      / CAST(za.sz AS DOUBLE), 6),
+             |    round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             |      / CAST(zb.sz AS DOUBLE), 6)) AS containment
+             |FROM pairs p
+             |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             |JOIN sizes za ON za.doc_id = p.id_a
+             |JOIN sizes zb ON zb.doc_id = p.id_b
+             |ORDER BY p.id_a, p.id_b""".stripMargin)),
   )
 }

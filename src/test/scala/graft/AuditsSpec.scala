@@ -308,6 +308,69 @@ class AuditsSpec extends SparkSuite {
     assert(r6(center) === 0.5) // Wilson centers p=0.5 exactly
   }
 
+  test("markovTransitions: journeys truncate at the first conversion; " +
+      "touch-free converters go start->conv") {
+    // u1: view -> purchase -> click (click AFTER conv is ignored)
+    // u2: view (no conv) ; u3: purchase only
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 2L, 3L),
+      "event_type" -> Seq("view", "purchase", "click", "view", "purchase"),
+      "ts_ns" -> Seq(1L, 2L, 3L, 1L, 1L),
+      "event_id" -> Seq(1L, 2L, 3L, 4L, 5L))
+    val got = EventAnalytics.markovTransitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("__start__", "view") -> 2L,
+      ("view", "__conv__") -> 1L,
+      ("view", "__null__") -> 1L,
+      ("__start__", "__conv__") -> 1L))
+  }
+
+  test("removalEffectAttribution: hand-iterated two-channel chain") {
+    // start->view x2 (one converts, one drops), start->click x1
+    // (converts): V = floor((2*500000 + 1000000)/3) = 666666; removing
+    // either channel leaves V_c = 333333 -> removal effect 0.5 for both
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 3L, 3L),
+      "event_type" -> Seq("view", "purchase", "view", "click", "purchase"),
+      "ts_ns" -> Seq(1L, 2L, 1L, 1L, 2L),
+      "event_id" -> Seq(1L, 2L, 3L, 4L, 5L))
+    val out = EventAnalytics.removalEffectAttribution(ev)
+      .orderBy("channel").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("click", "view"))
+    for (r <- out) {
+      assert(r.getDouble(1) === 0.666666) // floor fixed-point
+      assert(r.getDouble(2) === 0.333333)
+      assert(r.getDouble(3) === 0.5)
+    }
+  }
+
+  test("removalEffectAttribution: no conversions yields NULL removal " +
+      "effects, zero probabilities") {
+    val ev = frame(
+      "user_id" -> Seq(1L, 2L),
+      "event_type" -> Seq("view", "click"),
+      "ts_ns" -> Seq(1L, 2L),
+      "event_id" -> Seq(1L, 2L))
+    val out = EventAnalytics.removalEffectAttribution(ev).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(1) === 0.0 && r.isNullAt(3)))
+  }
+
+  test("containment: subset doc scores 1.0 on its side, Jaccard-diluted " +
+      "pair still flagged") {
+    val docs = frame(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("a b c d", "a b"))
+    val pairs = frame("id_a" -> Seq(1L), "id_b" -> Seq(2L))
+    val r = graft.ops.Dedup.containment(docs, pairs).collect()(0)
+    assert(r.getLong(2) === 2L)
+    assert(r.getDouble(3) === 0.5)  // |A∩B|/|A|
+    assert(r.getDouble(4) === 1.0)  // B fully inside A
+    assert(r.getDouble(5) === 1.0)
+  }
+
   test("charsetProfile: hand-counted shares; empty-text group yields " +
       "NULL shares") {
     val docs = frame(
