@@ -708,23 +708,26 @@ object EventAnalytics {
       val redirect = removed.map(c =>
         s"CASE WHEN t = '$c' THEN '__null__' ELSE t END").getOrElse("t")
       val base =
-        s"""t_$tag AS (SELECT f, $redirect AS t, CAST(SUM(n) AS BIGINT) AS n
+        s"""t_$tag AS MATERIALIZED (SELECT f, $redirect AS t, CAST(SUM(n) AS BIGINT) AS n
            |  FROM trans GROUP BY 1, 2),
-           |o_$tag AS (SELECT f, CAST(SUM(n) AS BIGINT) AS o FROM t_$tag
+           |o_$tag AS MATERIALIZED (SELECT f, CAST(SUM(n) AS BIGINT) AS o FROM t_$tag
            |  GROUP BY 1),
-           |v_${tag}_0 AS (SELECT state, CAST(CASE state
+           |v_${tag}_0 AS MATERIALIZED (SELECT state, CAST(CASE state
            |  WHEN '__conv__' THEN $MarkovScale ELSE 0 END AS HUGEINT) AS v
            |  FROM states)""".stripMargin
+      // one grouped join per iteration (a correlated-subquery form costs
+      // O(states²) scalar queries per step and dominated the comparator)
       val steps = (1 to iters).map { k =>
-        s"""v_${tag}_$k AS (SELECT s.state, CASE
+        s"""v_${tag}_$k AS MATERIALIZED (SELECT s.state, CASE
            |    WHEN s.state = '__conv__' THEN CAST($MarkovScale AS HUGEINT)
            |    WHEN s.state = '__null__' THEN CAST(0 AS HUGEINT)
-           |    ELSE COALESCE(
-           |      (SELECT SUM(CAST(t.n AS HUGEINT) * v.v)
-           |       FROM t_$tag t JOIN v_${tag}_${k - 1} v ON v.state = t.t
-           |       WHERE t.f = s.state)
-           |      // (SELECT o FROM o_$tag WHERE f = s.state), 0)
-           |  END AS v FROM states s)""".stripMargin
+           |    ELSE COALESCE(agg.val, 0)
+           |  END AS v FROM states s LEFT JOIN (
+           |    SELECT t.f AS state, SUM(CAST(t.n AS HUGEINT) * v.v) // o.o
+           |      AS val
+           |    FROM t_$tag t JOIN v_${tag}_${k - 1} v ON v.state = t.t
+           |    JOIN o_$tag o ON o.f = t.f
+           |    GROUP BY t.f, o.o) agg ON agg.state = s.state)""".stripMargin
       }.mkString(",\n")
       s"$base,\n$steps"
     }
