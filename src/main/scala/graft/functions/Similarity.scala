@@ -622,4 +622,101 @@ object Similarity {
         round(min(col("_norm")), 6).as("min_norm"),
         round(max(col("_norm")), 6).as("max_norm"))
   }
+
+  /** Product-quantization codebook assignment (Jégou et al. 2011): the
+    * embedding splits into `m` contiguous `subDim`-wide blocks, each
+    * block trains its own `k`-centroid quantizer ([[kmeansCentroids]] —
+    * the fixed-point, oracle-reproducible Lloyd's), and every vector
+    * compresses to `m` small codes. 64 dims × 8 bytes become m=4 codes —
+    * the memory step that lets an ANN index hold billions of vectors.
+    * Returns (vec_id, code_0..code_{m-1}).
+    *
+    * Scale: each block's training sees only its slice (map-only
+    * projection); assignments are broadcast-centroid passes; the m
+    * assignment frames join back on vec_id (uniform key). Codes are
+    * centroid vec_ids (the kmeans init convention), not dense 0..k-1 —
+    * stable identifiers a codebook consumer resolves via the centroid
+    * table.
+    */
+  def pqCodes(df: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
+      iters: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1,
+      s"need positive m/subDim/k/iters, got $m/$subDim/$k/$iters")
+    val base = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("_full"))
+    (0 until m).map { b =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("_full"), b * subDim + 1, subDim).as("e"))
+      assignToCentroids(sliced,
+        kmeansCentroids(sliced, k, iters, "vec_id", "e"), "vec_id", "e")
+        .select(col("vec_id"), col("cell").as(s"code_$b"))
+    }.reduce(_.join(_, "vec_id"))
+  }
+
+  /** Asymmetric-distance (ADC) recall audit for [[pqCodes]]: per query,
+    * rank candidates by the PQ-approximated dot product
+    * Σ_b dot(q_b, centroid_{b, code_b}) and report the overlap with the
+    * exact dot-product top-`topK` — `query_id, n_hits, recall`. The
+    * per-block partials are rounded to 12 and summed AS DECIMAL (the
+    * x103 convention) so the cross-block sum is order-independent; both
+    * rankings break ties by neighbor id.
+    *
+    * Scale: the lookup table is queries × m·k centroid rows (broadcast,
+    * bounded); candidates join it by their (block, code) — never by raw
+    * vectors — so the ranking pass touches m codes per candidate, the
+    * whole point of PQ.
+    */
+  def pqRecall(queries: DataFrame, candidates: DataFrame, topK: Int = 10,
+      m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = candidates.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("_full"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("q_emb"))
+    // per-block centroids + codes (the pqCodes construction, kept in
+    // long form: one (vec_id, b, code) row per block)
+    val perBlock = (0 until m).map { b =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("_full"), b * subDim + 1, subDim).as("e"))
+      val cents = kmeansCentroids(sliced, k, iters, "vec_id", "e")
+        .select(lit(b).as("b"), col("cent_id"), col("ce"))
+      val codes = assignToCentroids(sliced, cents.select(col("cent_id"),
+          col("ce")), "vec_id", "e")
+        .select(col("vec_id"), lit(b).as("b"), col("cell").as("code"))
+      (cents, codes)
+    }
+    val cents = perBlock.map(_._1).reduce(_ unionByName _)
+    val codes = perBlock.map(_._2).reduce(_ unionByName _)
+    // lookup table: query × (block, centroid) partial dot products
+    val lut = broadcast(q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("b"), col("cent_id").as("code"),
+        round(dot(slice(col("q_emb"), col("b") * subDim + 1, lit(subDim)),
+          col("ce")), 12).cast("decimal(28,12)").as("_part")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("_approx").desc, col("vec_id").asc)
+    val approxTop = codes.join(lut, Seq("b", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("_part")).as("_approx"))
+      .withColumn("_rn", row_number().over(wA)).filter(col("_rn") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("_exact").desc, col("vec_id").asc)
+    val exactTop = q.crossJoin(base)
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("_full")), 6).as("_exact"))
+      .withColumn("_rn", row_number().over(wE)).filter(col("_rn") <= topK)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exactTop.join(approxTop, Seq("query_id", "vec_id"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    // denominator frame carries EVERY query (a zero-hit query must
+    // report recall 0, not vanish from the audit)
+    exactTop.groupBy(col("query_id")).agg(count(lit(1)).as("_k"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("_k").cast("double"), 6)
+          .as("recall"))
+  }
 }

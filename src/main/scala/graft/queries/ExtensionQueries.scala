@@ -3641,6 +3641,89 @@ object ExtensionQueries {
               |  JOIN t b ON b.doc_id = p.id_b)
               |SELECT id_a, id_b, dist, len_a, len_b FROM j
               |WHERE dist * 10 <= greatest(len_a, len_b) * 3
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- x172: product-quantization codebook assignment --------------------
+    // Four 16-dim blocks, each trained by the fixed-point Lloyd's
+    // (Similarity.kmeansCentroids) — the oracle replays all four chains
+    // with prefixed kmeansCtes and joins the assignments.
+    QueryDef(
+      "x172_pq_codes",
+      (s, dir) =>
+        graft.functions.Similarity.pqCodes(Tables.embeddings(s, dir))
+          .orderBy(col("vec_id")),
+      Some {
+        val blocks = (0 until 4).map { b =>
+          kmeansCtes(8, 2, s"b$b",
+            s"""SELECT vec_id,
+               |  list_slice(embedding::DOUBLE[], ${b * 16 + 1}, ${(b + 1) * 16})
+               |    AS e FROM embeddings""".stripMargin)
+        }.mkString(",\n")
+        s"""WITH $blocks
+           |SELECT b0af.vec_id, b0af.cell AS code_0, b1af.cell AS code_1,
+           |  b2af.cell AS code_2, b3af.cell AS code_3
+           |FROM b0af JOIN b1af USING (vec_id) JOIN b2af USING (vec_id)
+           |  JOIN b3af USING (vec_id) ORDER BY vec_id""".stripMargin
+      }),
+
+    // ---- x173: PQ asymmetric-distance recall audit --------------------------
+    // ADC ranking touches m codes per candidate (never raw vectors);
+    // per-block partials round-12 decimal-summed (the x103 convention);
+    // recall vs the exact dot-product top-k — see Similarity.pqRecall.
+    QueryDef(
+      "x173_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.functions.Similarity.pqRecall(
+          emb.filter(col("vec_id") < 5), emb, topK = 10)
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val blocks = (0 until 4).map { b =>
+          kmeansCtes(8, 2, s"b$b",
+            s"""SELECT vec_id,
+               |  list_slice(embedding::DOUBLE[], ${b * 16 + 1}, ${(b + 1) * 16})
+               |    AS e FROM embeddings""".stripMargin)
+        }.mkString(",\n")
+        val centsU = (0 until 4).map(b =>
+          s"SELECT $b AS b, cent_id, ce FROM b${b}c2").mkString(" UNION ALL ")
+        val codesU = (0 until 4).map(b =>
+          s"SELECT vec_id, $b AS b, cell AS code FROM b${b}af")
+          .mkString(" UNION ALL ")
+        s"""WITH $blocks,
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           |  FROM embeddings WHERE vec_id < 5),
+           |cents AS ($centsU),
+           |codes AS ($codesU),
+           |lut AS (SELECT query_id, b, cent_id AS code,
+           |    CAST(round(list_dot_product(
+           |      list_slice(q_emb, b * 16 + 1, (b + 1) * 16), ce), 12)
+           |      AS DECIMAL(28,12)) AS part
+           |  FROM q CROSS JOIN cents),
+           |ap AS (SELECT query_id, vec_id, SUM(part) AS approx
+           |  FROM codes JOIN lut USING (b, code) GROUP BY 1, 2),
+           |apt AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY approx DESC, vec_id) AS rn
+           |    FROM ap) WHERE rn <= 10),
+           |ex AS (SELECT q.query_id, v.vec_id,
+           |    round(list_dot_product(q.q_emb, v.e64), 6) AS exd
+           |  FROM q CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS e64
+           |    FROM embeddings) v),
+           |ext AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY exd DESC, vec_id) AS rn
+           |    FROM ex) WHERE rn <= 10),
+           |hits AS (SELECT e.query_id, COUNT(*) AS n_hits FROM ext e
+           |  JOIN apt a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+           |  GROUP BY 1),
+           |den AS (SELECT query_id, COUNT(*) AS k FROM ext GROUP BY 1)
+           |SELECT den.query_id,
+           |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           |  round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+           |    / CAST(den.k AS DOUBLE), 6) AS recall
+           |FROM den LEFT JOIN hits USING (query_id)
+           |ORDER BY den.query_id""".stripMargin
+      })
   )
 }
