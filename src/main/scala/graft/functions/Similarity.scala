@@ -637,12 +637,18 @@ object Similarity {
     * centroid vec_ids (the kmeans init convention), not dense 0..k-1 —
     * stable identifiers a codebook consumer resolves via the centroid
     * table.
+    *
+    * `dims` is the declared embedding width: m·subDim must cover it
+    * exactly, else `slice` would silently feed short/partial blocks into
+    * the quantizer (the x104-audit fail-loudly convention).
     */
   def pqCodes(df: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
-      iters: Int = 2, idCol: String = "vec_id",
+      iters: Int = 2, dims: Int = 64, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 1,
       s"need positive m/subDim/k/iters, got $m/$subDim/$k/$iters")
+    require(m * subDim == dims,
+      s"m*subDim must equal dims exactly: $m*$subDim != $dims")
     val base = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("_full"))
     (0 until m).map { b =>
@@ -665,11 +671,18 @@ object Similarity {
     * Scale: the lookup table is queries × m·k centroid rows (broadcast,
     * bounded); candidates join it by their (block, code) — never by raw
     * vectors — so the ranking pass touches m codes per candidate, the
-    * whole point of PQ.
+    * whole point of PQ. Both rankings run through the salted two-phase
+    * top-k ([[graft.ops.Ranking.topKPerGroup]]) so no query funnels its
+    * whole candidate set through one task. The exact-ground-truth side is
+    * a query×corpus pass — this is a SAMPLED AUDIT over a bounded query
+    * probe set, not a serving path (serving is [[ivfPqTopK]]).
     */
   def pqRecall(queries: DataFrame, candidates: DataFrame, topK: Int = 10,
       m: Int = 4, subDim: Int = 16, k: Int = 8, iters: Int = 2,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      dims: Int = 64, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(m * subDim == dims,
+      s"m*subDim must equal dims exactly: $m*$subDim != $dims")
     val base = candidates.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("_full"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -693,19 +706,19 @@ object Similarity {
       .select(col("query_id"), col("b"), col("cent_id").as("code"),
         round(dot(slice(col("q_emb"), col("b") * subDim + 1, lit(subDim)),
           col("ce")), 12).cast("decimal(28,12)").as("_part")))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("_approx").desc, col("vec_id").asc)
-    val approxTop = codes.join(lut, Seq("b", "code"))
+    val approxScores = codes.join(lut, Seq("b", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("_part")).as("_approx"))
-      .withColumn("_rn", row_number().over(wA)).filter(col("_rn") <= topK)
+    val approxTop = graft.ops.Ranking.topKPerGroup(approxScores,
+        "query_id", topK, Seq(col("_approx").desc, col("vec_id").asc),
+        saltCol = col("vec_id"), salts = 16)
       .select(col("query_id"), col("vec_id"))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("_exact").desc, col("vec_id").asc)
-    val exactTop = q.crossJoin(base)
+    val exactScored = q.crossJoin(base)
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q_emb"), col("_full")), 6).as("_exact"))
-      .withColumn("_rn", row_number().over(wE)).filter(col("_rn") <= topK)
+    val exactTop = graft.ops.Ranking.topKPerGroup(exactScored,
+        "query_id", topK, Seq(col("_exact").desc, col("vec_id").asc),
+        saltCol = col("vec_id"), salts = 16)
       .select(col("query_id"), col("vec_id"))
     val hits = exactTop.join(approxTop, Seq("query_id", "vec_id"),
         "left_semi")
@@ -718,5 +731,118 @@ object Similarity {
       .select(col("query_id"), col("n_hits"),
         round(col("n_hits").cast("double") / col("_k").cast("double"), 6)
           .as("recall"))
+  }
+
+  /** IVF×PQ approximate nearest-neighbor search (Jégou et al. 2011, the
+    * composed billion-vector serving shape): each query probes its
+    * `nprobe` nearest COARSE cells (k-means over the full vectors, the
+    * [[ivfTopK]] quantizer) and ranks only the candidates inside those
+    * cells by the ASYMMETRIC PQ distance — Σ_b lut(q, b, code_b) from
+    * the per-block codebooks ([[pqCodes]]' fixed-point Lloyd's) — never
+    * by raw candidate vectors. Returns `(query_id, rk, neighbor_id,
+    * adc)` with `rk` the per-query 1..k ADC rank.
+    *
+    * This is what [[pqRecall]] audits: that operator ranks ADC against
+    * ALL candidates to measure quantization loss in isolation; this one
+    * adds the IVF prune, which is the entire point of PQ — the ranking
+    * pass reads m small codes per candidate inside nprobe/nCells of the
+    * corpus.
+    *
+    * Determinism: per-block LUT partials are round-12 DECIMAL (the x103
+    * order-independent-sum convention); the cut is totally ordered by
+    * (exact decimal adc DESC, neighbor id) and runs through the salted
+    * two-phase top-k — no per-query single-task window.
+    *
+    * `reRank > 0` adds the IVFADC+R refinement (Jégou et al. §V): the
+    * ADC pass keeps a `reRank`-deep shortlist per query, the shortlist
+    * alone rejoins its RAW vectors, and the final top-`topK` ranks by
+    * exact dot — output column `score` instead of `adc`. Aggressive
+    * quantization (m·k small vs dims) makes raw ADC ranks noisy; the
+    * refinement recovers near-IVF recall while still reading raw vectors
+    * for only |queries|·reRank rows, not the probed cells.
+    *
+    * Scale: coarse centroids (O(nCells·dims)), probe list
+    * (O(|queries|·nprobe)) and LUT (O(|queries|·m·k)) broadcast — all
+    * bounded by the query probe set, not the corpus; cell membership and
+    * codes join on uniform keys. Candidates never rejoin their raw
+    * embeddings except the bounded re-rank shortlist.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, topK: Int = 10,
+      nCells: Int = 8, nprobe: Int = 2, m: Int = 4, subDim: Int = 16,
+      k: Int = 8, iters: Int = 2, dims: Int = 64, reRank: Int = 0,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m * subDim == dims,
+      s"m*subDim must equal dims exactly: $m*$subDim != $dims")
+    require(nprobe >= 1 && nprobe <= nCells,
+      s"need 1 <= nprobe <= nCells, got $nprobe/$nCells")
+    val base = candidates.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("_full"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("q_emb"))
+    // coarse quantizer: trained centroids over the FULL vectors, cell
+    // membership for every candidate (x28's ivfAssignKmeans shape)
+    val fullVecs = base.select(col("vec_id"), col("_full").as("e"))
+    val coarse = kmeansCentroids(fullVecs, nCells, iters, "vec_id", "e")
+    val cells = assignToCentroids(fullVecs, coarse, "vec_id", "e")
+    // per-block PQ codebooks + codes in long form (the pqRecall
+    // construction)
+    val perBlock = (0 until m).map { b =>
+      val sliced = base.select(col("vec_id"),
+        slice(col("_full"), b * subDim + 1, subDim).as("e"))
+      val cents = kmeansCentroids(sliced, k, iters, "vec_id", "e")
+        .select(lit(b).as("b"), col("cent_id"), col("ce"))
+      val codes = assignToCentroids(sliced, cents.select(col("cent_id"),
+          col("ce")), "vec_id", "e")
+        .select(col("vec_id"), lit(b).as("b"), col("cell").as("code"))
+      (cents, codes)
+    }
+    val cents = perBlock.map(_._1).reduce(_ unionByName _)
+    val codes = perBlock.map(_._2).reduce(_ unionByName _)
+    // per-query probe list: nprobe nearest coarse cells (bounded window
+    // over |queries| x nCells rows)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = broadcast(q.crossJoin(broadcast(coarse))
+      .withColumn("_csim", round(cosine(col("q_emb"), col("ce")), 6))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell")))
+    // ADC lookup table: query x (block, centroid) partial dot products
+    val lut = broadcast(q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("b"), col("cent_id").as("code"),
+        round(dot(slice(col("q_emb"), col("b") * subDim + 1, lit(subDim)),
+          col("ce")), 12).cast("decimal(28,12)").as("_part")))
+    val adc = cells.join(probes, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codes, "vec_id")
+      .join(lut, Seq("query_id", "b", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("_part")).as("_adc"))
+    if (reRank <= 0)
+      graft.ops.Ranking.topKPerGroup(adc, "query_id", topK,
+          Seq(col("_adc").desc, col("vec_id").asc),
+          saltCol = col("vec_id"), salts = 16)
+        .select(col("query_id"), col("rnk").as("rk"),
+          col("vec_id").as("neighbor_id"),
+          round(col("_adc").cast("double"), 6).as("adc"))
+    else {
+      // IVFADC+R: only the |queries| x reRank shortlist rejoins raw
+      // vectors (equi-join on vec_id — bounded side shuffles, corpus
+      // side streams), then an exact-dot salted top-k
+      val shortlist = graft.ops.Ranking.topKPerGroup(adc, "query_id",
+          math.max(topK, reRank), Seq(col("_adc").desc, col("vec_id").asc),
+          saltCol = col("vec_id"), salts = 16)
+        .select(col("query_id"), col("vec_id"))
+      val rescored = shortlist.join(base, "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("_full")), 6).as("_exact"))
+      graft.ops.Ranking.topKPerGroup(rescored, "query_id", topK,
+          Seq(col("_exact").desc, col("vec_id").asc),
+          saltCol = col("vec_id"), salts = 16)
+        .select(col("query_id"), col("rnk").as("rk"),
+          col("vec_id").as("neighbor_id"), col("_exact").as("score"))
+    }
   }
 }

@@ -702,11 +702,15 @@ object EventAnalytics {
     * caller provides. Ends with one row per channel. The caller appends
     * this after its transition CTEs. */
   def removalEffectCtes(channels: Seq[String], iters: Int): String = {
+    // channel names are data-derived event types in the Spark twin —
+    // escape quotes before splicing into SQL literals (the withVariant
+    // typed-API hardening, applied to the oracle generator)
+    def esc(s: String) = s.replace("'", "''")
     val states = ("__start__" +: channels) ++ Seq("__conv__", "__null__")
-    val stateValues = states.map(s => s"('$s')").mkString(", ")
+    val stateValues = states.map(s => s"('${esc(s)}')").mkString(", ")
     def scenario(tag: String, removed: Option[String]): String = {
       val redirect = removed.map(c =>
-        s"CASE WHEN t = '$c' THEN '__null__' ELSE t END").getOrElse("t")
+        s"CASE WHEN t = '${esc(c)}' THEN '__null__' ELSE t END").getOrElse("t")
       val base =
         s"""t_$tag AS MATERIALIZED (SELECT f, $redirect AS t, CAST(SUM(n) AS BIGINT) AS n
            |  FROM trans GROUP BY 1, 2),
@@ -736,7 +740,7 @@ object EventAnalytics {
         scenario(s"r$i", Some(c))
       }).mkString(",\n")
     val rows = channels.zipWithIndex.map { case (c, i) =>
-      s"""SELECT '$c' AS channel,
+      s"""SELECT '${esc(c)}' AS channel,
          |  (SELECT CAST(v AS DOUBLE) FROM v_full_$iters
          |    WHERE state = '__start__') / 1000000.0 AS conv_prob_full,
          |  (SELECT CAST(v AS DOUBLE) FROM v_r${i}_$iters

@@ -31,15 +31,22 @@ object Profiling {
     * format integers identically, unlike doubles (shortest-roundtrip vs
     * Java's legacy Double.toString) and unlike floor(log10) (libm).
     * Non-positive values are excluded (Benford applies to positive
-    * magnitudes).
+    * magnitudes), as are positives below half a cent — they'd round to 0
+    * cents, outside the 1-9 first-digit domain.
     *
     * Scale: map-only digit extraction + a 9-group aggregate with
     * map-side combine; the total joins back as a one-row broadcast.
     */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // positives below half a cent round to 0 cents — no leading digit in
+    // the 1-9 domain, so they are excluded from the denominator too (a
+    // digit-0 row would silently drop from a 1-9 grid left-join while
+    // still deflating every share)
+    val cents = round(col(valueCol).cast("double") * 100).cast("bigint")
     val digits = df.filter(col(valueCol) > 0)
-      .select(substring(round(col(valueCol).cast("double") * 100)
-        .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      .select(cents.as("_c")).filter(col("_c") >= 1)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val total = broadcast(digits.agg(sum(col("n")).as("_tot")))
     val expected = BenfordExpected.foldLeft(lit(null).cast("double")) {

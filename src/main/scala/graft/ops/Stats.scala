@@ -141,7 +141,12 @@ object Stats {
       groupA: String, groupB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    // NULL values are excluded, not grouped: Spark's ascending sort puts
+    // NULLS FIRST, DuckDB's cumulative window defaults NULLS LAST, so a
+    // NULL group would shift every cumulative count between engines —
+    // and a NULL observation has no place on an ECDF anyway
     val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))

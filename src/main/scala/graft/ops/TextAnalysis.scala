@@ -652,12 +652,23 @@ object TextAnalysis {
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s")) ++
         carried: _*)
+      // score = round(_s / (10^6 * n), 6) computed ENTIRELY in BIGINT:
+      // the 6-dp-scaled value is round_half_away(_s / n) =
+      // sign(_s) * ((2|_s| + n) div (2n)). A double quotient rounded to
+      // 6 dp is NOT engine-stable — when the true quotient lands on a
+      // half-way edge, Spark's HALF_UP-on-shortest-repr and DuckDB's
+      // binary-double rounding disagree by 1 ulp (seen at sf0.1, 4/5000
+      // rows). Integer div has no edge. prob is the sigmoid of the SAME
+      // exact 6-dp score (identical double input on every engine; the
+      // residual exp() libm 1-ulp risk is the documented rounding story).
+      .withColumn("_scaled",
+        expr("""(CASE WHEN _s < 0 THEN -1L ELSE 1L END)
+               | * ((2L * abs(_s) + n_tokens) div (2L * n_tokens))"""
+          .stripMargin))
       .select(Seq(col(idCol), col("n_tokens"),
-        (round(col("_s").cast("double") / 1e6
-          / col("n_tokens").cast("double"), 6) + 0.0).as("score"),
+        (col("_scaled").cast("double") / 1e6).as("score"),
         round(lit(1.0) / (lit(1.0)
-          + exp(-(col("_s").cast("double") / 1e6
-            / col("n_tokens").cast("double")))), 6).as("prob"),
+          + exp(-(col("_scaled").cast("double") / 1e6))), 6).as("prob"),
         (col("_s") >= 0).as("keep")) ++ carried: _*)
   }
 

@@ -397,14 +397,17 @@ object AnalyticsQueries {
               |    (((b * 2654435761 % 2000001) + 2000001) % 2000001) - 1000000
               |      AS w FROM b),
               |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
-              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id)
+              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+              |sc AS (SELECT doc_id, n_tokens, s,
+              |    (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              |      * ((2 * abs(s) + n_tokens) // (2 * n_tokens)) AS scaled
+              |  FROM agg)
               |SELECT doc_id, n_tokens,
-              |  round(CAST(s AS DOUBLE) / 1000000.0
-              |    / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS score,
-              |  round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0
-              |    / CAST(n_tokens AS DOUBLE)))), 6) AS prob,
+              |  CAST(scaled AS DOUBLE) / 1000000.0 AS score,
+              |  round(1.0 / (1.0
+              |    + exp(-(CAST(scaled AS DOUBLE) / 1000000.0))), 6) AS prob,
               |  s >= 0 AS keep
-              |FROM agg ORDER BY doc_id""".stripMargin)),
+              |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // ---- x126: one-pass funnel (single-shuffle twin of x114) --------------
     // Same oracle SQL as x114: the bitwise gate proves the per-user fold
@@ -652,8 +655,10 @@ object AnalyticsQueries {
               |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
               |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
               |sc AS (SELECT doc_id,
-              |    round(1.0 / (1.0 + exp(-(CAST(s AS DOUBLE) / 1000000.0
-              |      / CAST(n_tokens AS DOUBLE)))), 6) AS prob FROM agg),
+              |    round(1.0 / (1.0 + exp(-(CAST(
+              |      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              |        * ((2 * abs(s) + n_tokens) // (2 * n_tokens))
+              |      AS DOUBLE) / 1000000.0))), 6) AS prob FROM agg),
               |lb AS (SELECT doc_id,
               |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
               |  FROM documents),
@@ -1318,10 +1323,12 @@ object AnalyticsQueries {
         val expected = Profiling.BenfordExpected.map { case (dd, e) =>
           s"WHEN $dd THEN CAST($e AS DOUBLE)"
         }.mkString(" ")
-        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
-           |      CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS VARCHAR),
-           |      1, 1) AS INTEGER) AS digit
+        s"""WITH c AS (SELECT CAST(round(
+           |      CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
            |  FROM orders WHERE o_totalprice > 0),
+           |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+           |      AS digit
+           |  FROM c WHERE c >= 1),
            |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
            |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
            |SELECT digit, n,
@@ -1499,7 +1506,8 @@ object AnalyticsQueries {
              |      AS BIGINT) AS a,
              |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
              |      AS BIGINT) AS b
-             |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |    AND value IS NOT NULL GROUP BY 1),
              |cum AS (SELECT SUM(a) OVER (ORDER BY v) AS ca,
              |    SUM(b) OVER (ORDER BY v) AS cb FROM c),
              |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
@@ -1687,7 +1695,13 @@ object AnalyticsQueries {
       (s, dir) =>
         EventAnalytics.removalEffectAttribution(Tables.events(s, dir)),
       Some {
-        // the testdata channel vocabulary (event types minus purchase)
+        // The fixture's channel vocabulary: DISTINCT event_type minus the
+        // conversion event 'purchase' (TESTDATA.md events table, seed=42).
+        // The Spark side derives channels FROM THE DATA, so if the fixture
+        // vocabulary ever drifts this static list goes stale — but not
+        // silently: channels are output ROWS, so the correctness harness
+        // fails x170 on a row-set mismatch. Keep in sync with FunnelSteps
+        // (same vocabulary, conversion included there).
         val channels = Seq("click", "error", "signup", "view")
         s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
            |    event_id FROM events),

@@ -3724,6 +3724,69 @@ object ExtensionQueries {
            |    / CAST(den.k AS DOUBLE), 6) AS recall
            |FROM den LEFT JOIN hits USING (query_id)
            |ORDER BY den.query_id""".stripMargin
+      }),
+
+    // ---- x174: IVF×PQ composed ANN search -----------------------------------
+    // The billion-vector serving shape: probe nprobe coarse cells, rank
+    // ONLY their members by the asymmetric PQ distance (broadcast LUT,
+    // m codes per candidate — no raw candidate vectors in the ranking
+    // pass). The oracle replays the coarse kmeans chain (prefix g) plus
+    // all four block chains and the probe/LUT/ADC joins.
+    QueryDef(
+      "x174_ivfpq_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.functions.Similarity.ivfPqTopK(
+          emb.filter(col("vec_id") < 5), emb, topK = 10,
+          nCells = 8, nprobe = 2)
+          .orderBy(col("query_id"), col("rk"))
+      },
+      Some {
+        def cosSql(a: String, b: String) =
+          s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
+        val blocks = (0 until 4).map { b =>
+          kmeansCtes(8, 2, s"b$b",
+            s"""SELECT vec_id,
+               |  list_slice(embedding::DOUBLE[], ${b * 16 + 1}, ${(b + 1) * 16})
+               |    AS e FROM embeddings""".stripMargin)
+        }.mkString(",\n")
+        val coarse = kmeansCtes(8, 2, "g",
+          "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")
+        val centsU = (0 until 4).map(b =>
+          s"SELECT $b AS b, cent_id, ce FROM b${b}c2").mkString(" UNION ALL ")
+        val codesU = (0 until 4).map(b =>
+          s"SELECT vec_id, $b AS b, cell AS code FROM b${b}af")
+          .mkString(" UNION ALL ")
+        s"""WITH $coarse,
+           |$blocks,
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+           |  FROM embeddings WHERE vec_id < 5),
+           |probes AS (SELECT query_id, cell FROM (
+           |    SELECT q.query_id, c.cent_id AS cell, ROW_NUMBER() OVER (
+           |      PARTITION BY q.query_id
+           |      ORDER BY ${cosSql("q.q_emb", "c.ce")} DESC, c.cent_id)
+           |      AS pr
+           |    FROM q CROSS JOIN gc2 c) t WHERE pr <= 2),
+           |cents AS ($centsU),
+           |codes AS ($codesU),
+           |lut AS (SELECT query_id, b, cent_id AS code,
+           |    CAST(round(list_dot_product(
+           |      list_slice(q_emb, b * 16 + 1, (b + 1) * 16), ce), 12)
+           |      AS DECIMAL(28,12)) AS part
+           |  FROM q CROSS JOIN cents),
+           |adc AS (SELECT p.query_id, m.vec_id, SUM(l.part) AS a
+           |  FROM gaf m JOIN probes p ON p.cell = m.cell
+           |    AND p.query_id <> m.vec_id
+           |  JOIN codes c ON c.vec_id = m.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id AND l.b = c.b
+           |    AND l.code = c.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+           |  vec_id AS neighbor_id, round(CAST(a AS DOUBLE), 6) AS adc
+           |FROM (SELECT query_id, vec_id, a, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
+           |  FROM adc) t WHERE rk <= 10
+           |ORDER BY query_id, rk""".stripMargin
       })
   )
 }

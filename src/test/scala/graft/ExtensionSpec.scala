@@ -514,6 +514,113 @@ class ExtensionSpec extends SparkSuite {
     assert(recall >= 0.6, s"recall@3 = $recall")
   }
 
+  // Planted PQ fixture: dims=8, m=2 blocks of subDim=4; block patterns are
+  // DIRECTIONS (cosine assignment is scale-invariant, so constant-value
+  // blocks would all collide): A=(1,0,0,0), B=(0,1,0,0). k=2 init takes
+  // vec 1/2's blocks (= exactly A and B), every later Lloyd's update
+  // averages identical unit blocks, so the codebook is stable and codes
+  // are hand-derivable: code_b = 1 iff block b is A.
+  private def pqFixture = frame(
+    "vec_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L),
+    "embedding" -> Seq(
+      Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0), // A|A
+      Seq(0, 1.0, 0, 0, 0, 1.0, 0, 0), // B|B
+      Seq(1.0, 0, 0, 0, 0, 1.0, 0, 0), // A|B
+      Seq(0, 1.0, 0, 0, 1.0, 0, 0, 0), // B|A
+      Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0), // A|A
+      Seq(0, 1.0, 0, 0, 0, 1.0, 0, 0))) // B|B
+
+  test("pqCodes: planted direction-blocks recover the hand-computed codebook") {
+    import graft.functions.Similarity
+    val codes = Similarity.pqCodes(pqFixture, m = 2, subDim = 4, k = 2,
+        iters = 2, dims = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(codes === Map(
+      1L -> (1L, 1L), 2L -> (2L, 2L), 3L -> (1L, 2L),
+      4L -> (2L, 1L), 5L -> (1L, 1L), 6L -> (2L, 2L)))
+  }
+
+  test("pqRecall: lossless quantization reaches recall 1.0 on every query") {
+    import graft.functions.Similarity
+    // every block slice EQUALS its centroid, so ADC == exact dot and the
+    // two rankings (same tie-break) must agree perfectly
+    val out = Similarity.pqRecall(pqFixture, pqFixture, topK = 3,
+        m = 2, subDim = 4, k = 2, iters = 2, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 6)
+    assert(out.forall { case (_, hits, rec) => hits == 3L && rec == 1.0 })
+  }
+
+  test("pqRecall: a zero-hit query reports recall 0, it does not vanish") {
+    import graft.functions.Similarity
+    // k=1 collapses every candidate to ONE code per block -> all ADC
+    // scores tie -> approx top-3 is {1,2,3} by the vec_id tie-break; the
+    // query points at candidates 6/7/8, so exact top-3 = {6,7,8} and the
+    // intersection is empty. The audit row must still appear.
+    val flat = Seq(1.0, 0, 0, 0, 1.0, 0, 0, 0)
+    val cands = frame(
+      "vec_id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      "embedding" -> (Seq.fill(5)(flat) ++ Seq(
+        Seq(0, 0, 0, 3.0, 0, 0, 0, 3.0),
+        Seq(0, 0, 0, 2.0, 0, 0, 0, 2.0),
+        Seq(0, 0, 0, 1.0, 0, 0, 0, 1.0))))
+    val q = frame(
+      "vec_id" -> Seq[Any](99L),
+      "embedding" -> Seq(Seq(0, 0, 0, 1.0, 0, 0, 0, 1.0)))
+    val out = Similarity.pqRecall(q, cands, topK = 3,
+        m = 2, subDim = 4, k = 1, iters = 1, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((99L, 0L, 0.0)))
+  }
+
+  test("PQ family fails loudly when m*subDim != dims") {
+    import graft.functions.Similarity
+    intercept[IllegalArgumentException](
+      Similarity.pqCodes(pqFixture, m = 2, subDim = 3, dims = 8))
+    intercept[IllegalArgumentException](
+      Similarity.pqRecall(pqFixture, pqFixture, m = 4, subDim = 4, dims = 8))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(pqFixture, pqFixture, m = 2, subDim = 5, dims = 8))
+  }
+
+  test("ivfPqTopK: all-cells probe on the lossless fixture == exact dot " +
+      "ranking (composed operator sanity)") {
+    import graft.functions.Similarity
+    // nprobe = nCells removes the IVF prune; lossless codes make ADC the
+    // exact dot — so the composed search must equal the brute-force dot
+    // top-k (self excluded, same tie-break)
+    val out = Similarity.ivfPqTopK(pqFixture.filter(col("vec_id") === 3L),
+        pqFixture, topK = 3, nCells = 2, nprobe = 2,
+        m = 2, subDim = 4, k = 2, iters = 2, dims = 8)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // v3=A|B: dots v1=1, v2=1, v4=0, v5=1, v6=1 -> top3 ties at 1 break
+    // by id: 1, 2, 5
+    assert(out.toSeq === Seq((1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 5L, 1.0)))
+  }
+
+  test("IVF×PQ(nprobe=2) recall@3 vs brute force stays high (composed ANN " +
+      "quality gate)") {
+    import graft.functions.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.ivfPqTopK(queries, emb, topK = 3,
+        nCells = 8, nprobe = 2, reRank = 30)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = exact.intersect(ann).count().toDouble
+    val recall = hit / exact.count()
+    // deterministic for a fixed dataset; with the IVFADC+R exact re-rank
+    // of the 30-deep ADC shortlist the composed path must recover the
+    // large majority of true neighbors (embeddings are unit-norm, so the
+    // dot re-rank is commensurable with the cosine oracle). Raw ADC@3
+    // without refinement measures ~0.17 here — random 64-d unit vectors
+    // are maximally hostile to a 4x8-centroid codebook; the refinement
+    // stage is exactly what the PQ literature prescribes for that.
+    assert(recall >= 0.5, s"IVFxPQ+R recall@3 = $recall")
+  }
+
   test("batched multimodal extraction == per-row extraction") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -53,7 +53,10 @@ class PlanSpec extends SparkSuite {
     "x161_timedecay_attribution", // broadcast ONE-ROW credit total onto <= |types| rows (x57 pattern)
     "x163_hll_distinct", // two ONE-ROW frames (register rollup x exact count)
     "x164_ks_test", // ONE-ROW totals onto the cum table + ONE-ROW sup (x57 pattern)
-    "x165_chi2_independence") // bounded |a| x |b| categorical grid from broadcast marginals
+    "x165_chi2_independence", // bounded |a| x |b| categorical grid from broadcast marginals
+    "x172_pq_codes", // per-block k=8 centroid broadcasts (x17/x18 pattern, O(k*subDim) each)
+    "x173_pq_recall", // k-centroid broadcasts + broadcast m*k-row LUT x bounded query probe set
+    "x174_ivfpq_topk") // coarse + per-block centroid broadcasts, broadcast probe/LUT frames (bounded)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
