@@ -843,6 +843,133 @@ object EventAnalytics {
           col("_tot").cast("double"), 6).as("share"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: each converting
+    * user's journey (touches strictly before the FIRST conversion, the
+    * removal-effect convention) credits 40% to the first touch, 40% to
+    * the last, and splits 20% across the middles (one touch → 100%,
+    * two → 50/50). Per channel: `channel, n_touches, credit, share`
+    * (credit/share round 6).
+    *
+    * Determinism: per-touch weights are exact doubles (1, 0.5, 0.4) or
+    * one double division (0.2/(m−2)), rounded to 12 and summed AS
+    * DECIMAL (the x103 order-independent convention); every journey
+    * contributes exactly 1.0 total, so the share denominator is the
+    * conversion count by construction.
+    *
+    * Scale: one user_id equi-join against the first-conversion frame +
+    * two windows partitioned by user (cardinality = users, no global
+    * funnel); credit aggregation is map-side combined over ≤ |types|
+    * channels; the total rejoins as a one-row broadcast (x57 pattern).
+    */
+  def positionAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val conv1 = events.filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts_ns"), col("event_id"))).as("_fc"))
+    val touches = events.filter(col("event_type") =!= convType)
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts_ns"), col("event_id"))
+      .join(conv1, "user_id")
+      .filter(struct(col("ts_ns"), col("event_id")) < col("_fc"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val wc = Window.partitionBy(col("user_id"))
+    val pos = touches.withColumn("_pos", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(wc))
+    val weight = when(col("_m") === 1, lit(1.0))
+      .when(col("_pos") === 1 || col("_pos") === col("_m"),
+        when(col("_m") === 2, lit(0.5)).otherwise(lit(0.4)))
+      .otherwise(lit(0.2) / (col("_m") - 2).cast("double"))
+    val perChannel = pos
+      .select(col("channel"),
+        round(weight, 12).cast("decimal(28,12)").as("_w"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("_w")).as("_credit"))
+    val total = perChannel.agg(sum(col("_credit")).as("_tot"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_touches"),
+        round(col("_credit").cast("double"), 6).as("credit"),
+        round(col("_credit").cast("double")
+          / col("_tot").cast("double"), 6).as("share"))
+  }
+
+  /** Exact data-driven Shapley attribution (the removal-effect model's
+    * game-theoretic sibling): the characteristic value of a channel SET
+    * is the empirical conversion rate of users whose journey touched
+    * exactly that set (quantized to 10^-6 by EXACT integer rounding —
+    * the classifierScore div idiom); each channel's Shapley value
+    * averages its marginal contribution over all orderings. Per
+    * channel: `channel, shapley` (Σ shapley = v(all) − v(∅), the
+    * efficiency axiom — pinned by spec). Sets absent from the data
+    * value 0 (standard empirical practice).
+    *
+    * Determinism: v6 per set is exact BIGINT; the subset sum
+    * Σ |S|!(c−1−|S|)!·(v6(S∪{i}) − v6(S)) is exact BIGINT (bounded by
+    * c!·10^6); the ONLY float op is the final division by c!·10^6 —
+    * one IEEE division of exact integers, identical on every engine,
+    * so the output needs no rounding at all.
+    *
+    * Scale: events-scale work is one user groupBy (set assembly) + one
+    * set-cardinality aggregate; the 2^c subset enumeration runs
+    * driver-side on the collected ≤ min(2^c, 4096) set rows — the
+    * Markov-matrix collect posture, bounded by the type vocabulary
+    * (`require(c <= maxChannels)` fails loudly past it).
+    */
+  def shapleyAttribution(events: DataFrame, convType: String = "purchase",
+      maxChannels: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    val conv1 = events.filter(col("event_type") === convType)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts_ns"), col("event_id"))).as("_fc"))
+    val perUser = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .join(conv1, Seq("user_id"), "left")
+      .withColumn("_isTouch", col("event_type") =!= convType &&
+        (col("_fc").isNull ||
+          struct(col("ts_ns"), col("event_id")) < col("_fc")))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("|", array_sort(
+          collect_set(when(col("_isTouch"), col("event_type")))))
+          .as("set_key"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("_conv"))
+    val sets = perUser.groupBy(col("set_key"))
+      .agg(count(lit(1)).as("n_users"), sum(col("_conv")).as("n_conv"))
+      .withColumn("_v6",
+        expr("(2L * n_conv * 1000000L + n_users) div (2L * n_users)"))
+    val rows = sets.select(col("set_key"), col("_v6")).collect()
+    require(rows.length <= 4096,
+      s"set cardinality ${rows.length} exceeds the driver-side bound")
+    val v = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val channels =
+      v.keys.filter(_.nonEmpty).flatMap(_.split('|')).toSet.toSeq.sorted
+    val c = channels.size
+    require(c >= 1 && c <= maxChannels,
+      s"need 1..$maxChannels channels, got $c")
+    def fact(x: Int): Long = (1 to x).map(_.toLong).product
+    def key(s: Seq[String]): String = s.sorted.mkString("|")
+    val denom = fact(c).toDouble * 1e6
+    val out = channels.map { ch =>
+      val others = channels.filterNot(_ == ch)
+      val scaled = (0 until (1 << others.size)).map { mask =>
+        val s = others.zipWithIndex.collect {
+          case (x, i) if ((mask >> i) & 1) == 1 => x
+        }
+        fact(s.size) * fact(c - 1 - s.size) *
+          (v.getOrElse(key(ch +: s), 0L) - v.getOrElse(key(s), 0L))
+      }.sum
+      org.apache.spark.sql.Row(ch, scaled.toDouble / denom)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("channel",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("shapley",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** SCD2 (slowly-changing-dimension) history build: compress a per-key
     * event stream into attribute VALIDITY INTERVALS — per key, one row
     * per value CHANGE with `value, valid_from, valid_to, is_current`

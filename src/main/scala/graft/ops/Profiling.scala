@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -95,5 +95,60 @@ object Profiling {
         (if (numeric(c)) col(s"_max_$c") else lit(null).cast("double"))
           .as("max_num"))
     }.reduce(_ union _)
+  }
+
+  /** Population-stability-index drift report between a REFERENCE frame
+    * and a CURRENT frame over one numeric column — the standard "did
+    * the incoming data's distribution move" monitor a training pipeline
+    * runs per ingest batch. Bin edges are the reference's `bins`-tiles
+    * (exact interpolated percentiles, the x23/x152 convention,
+    * broadcast); returns one row per bin: `bin, n_ref, n_cur,
+    * share_ref, share_cur, psi_term` (shares round 6; psi_term =
+    * (p_ref − p_cur)·ln(p_ref/p_cur), round 6 — NULL when either side
+    * of the bin is empty, so the consumer chooses its own
+    * empty-bin/epsilon policy; Σ psi_term is the headline PSI).
+    *
+    * Determinism: bin membership is an exact cut-point comparison
+    * chain; shares divide exact counts; the ln ride follows the x103
+    * round-before-use convention. Scale: one percentile aggregate on
+    * the reference + one broadcast-join counting pass per frame —
+    * map-side combined, `bins` output rows.
+    */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val fracs = (1 until bins).map(i =>
+      i.toDouble / bins).mkString(", ")
+    val cuts = broadcast(ref.select(valueCol.cast("double").as("_v"))
+      .agg(expr(s"percentile(_v, array($fracs))").as("_t")))
+    def binned(df: DataFrame, n: String) = {
+      val bin = ((0 until bins - 1)
+        .map(i => when(col("_v") > col("_t").getItem(i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)).cast("long")
+      df.select(valueCol.cast("double").as("_v"))
+        .filter(col("_v").isNotNull)
+        .crossJoin(cuts)
+        .select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    }
+    // the full 1..bins grid: a bin can be empty on either side
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val grid = broadcast((1 to bins).map(_.toLong).toDF("bin"))
+    val joined = grid
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = broadcast(joined.agg(sum(col("n_ref")).as("_tr"),
+      sum(col("n_cur")).as("_tc")))
+    val pr = col("n_ref").cast("double") / col("_tr").cast("double")
+    val pc = col("n_cur").cast("double") / col("_tc").cast("double")
+    joined.crossJoin(tot)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("_tr") =!= 0, round(pr, 6)).as("share_ref"),
+        when(col("_tc") =!= 0, round(pc, 6)).as("share_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0 &&
+            col("_tr") =!= 0 && col("_tc") =!= 0,
+          round((pr - pc) * log(pr / pc), 6)).as("psi_term"))
   }
 }

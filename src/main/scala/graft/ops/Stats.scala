@@ -232,4 +232,129 @@ object Stats {
         ((col("_nr") - 1) * (col("_nc") - 1)).as("dof"),
         round(col("_chi").cast("double"), 6).as("chi2"))
   }
+
+  /** Two-sample Mann-Whitney U (rank-sum) test with midrank tie
+    * handling — the distribution-free sibling of [[ksTest]] for "did
+    * this metric shift between cohorts". ONE row: `group_a, group_b,
+    * n_a, n_b, u_a, u_b, z` (z is the tie-corrected normal
+    * approximation, round 6, NULL when a side is empty or every value
+    * is tied).
+    *
+    * Exactness: everything until z is INTEGER. Per distinct value v
+    * with counts (a_v, b_v) and pooled count before it c_v, the DOUBLED
+    * midrank is `2c_v + a_v + b_v + 1` (doubling clears the half), so
+    * `2R_A = Σ a_v·(2c_v + a_v + b_v + 1)` and `2U_A = 2R_A −
+    * n_a(n_a+1)` are exact DECIMAL(38,0); u_a/u_b divide by 2.0 in ONE
+    * IEEE op (halves are exact doubles). The tie term `T = Σ t_v³ −
+    * t_v` is exact; z's numerator/denominator are single casts of those
+    * integers, so the only engine-shared float work is one division
+    * and one correctly-rounded sqrt.
+    *
+    * Scale: per-value counts are one map-side-combined shuffle; the
+    * pooled counts-before use the DECOMPOSED prefix-sum shape (the
+    * ksTest machinery) — never a single-task window over the
+    * distinct-value table. NULL values are excluded (the ksTest NULLS
+    * FIRST/LAST rationale).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    val counts = df.filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("b"))
+    val ranged = counts.repartitionByRange(col("v").asc)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("_la", sum(col("a")).over(w))
+      .withColumn("_lb", sum(col("b")).over(w))
+    val sums = local.groupBy(col("_bucket"))
+      .agg(sum(col("a")).as("_sa"), sum(col("b")).as("_sb"))
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_ao", coalesce(sum(col("_sa")).over(wCum), lit(0L)))
+      .withColumn("_bo", coalesce(sum(col("_sb")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_ao"), col("_bo"))
+    // c_v = pooled count strictly BEFORE v; t_v = a_v + b_v
+    val t = d38(col("a") + col("b"))
+    val agg = local.join(broadcast(offsets), "_bucket")
+      .select(col("a"), col("b"),
+        (col("_la") + col("_ao") - col("a")
+          + col("_lb") + col("_bo") - col("b")).as("_c"))
+      .agg(
+        sum(d38(col("a")) * (d38(col("_c")) * lit(2) + d38(col("a"))
+          + d38(col("b")) + lit(1))).as("_r2a"),
+        sum(t * t * t - t).as("_t"),
+        sum(col("a")).as("_na"), sum(col("b")).as("_nb"))
+    val na = d38(col("_na"))
+    val nb = d38(col("_nb"))
+    val n = na + nb
+    val u2a = col("_r2a") - na * (na + lit(1)) // = 2·U_A, exact
+    // σ² = (n_a·n_b)·((n+1)n(n−1) − T) / (12n(n−1)): the three factors
+    // stay exact DECIMAL(38,0) (each ≤ n³ < 10^38 at 10^12 rows) and
+    // multiply as DOUBLES — their exact product would overflow 38 digits
+    val tieTerm = (n + lit(1)) * n * (n - lit(1)) - col("_t")
+    val sigNum = (na * nb).cast("double") * tieTerm.cast("double")
+    val sigDen = (lit(12).cast("decimal(38,0)") * n * (n - lit(1)))
+      .cast("double")
+    agg.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      when(col("_na") =!= 0 && col("_nb") =!= 0,
+        u2a.cast("double") / 2.0).as("u_a"),
+      when(col("_na") =!= 0 && col("_nb") =!= 0,
+        (na * nb * lit(2) - u2a).cast("double") / 2.0).as("u_b"),
+      when(col("_na") =!= 0 && col("_nb") =!= 0 && sigNum > 0.0,
+        round((u2a - na * nb).cast("double")
+          / (lit(2.0) * sqrt(sigNum / sigDen)), 6)).as("z"))
+  }
+
+  /** One-way ANOVA F test: does the group mean of `valueCol` (an
+    * INTEGER-quantized column, the linearFit convention — e.g. cents)
+    * differ across `groupCol`? ONE row: `n, k, dof_between, dof_within,
+    * f` (round 6; NULL when k < 2, n ≤ k, or the within-group variance
+    * is 0).
+    *
+    * Determinism: per-group moments (n_g, S_g, Q_g) are exact
+    * DECIMAL(38,0); the one float reduction — Σ_g S_g²/n_g — runs as a
+    * SEQUENTIAL FOLD over the group-sorted moment array
+    * (`aggregate(array_sort(...))` here, `list_reduce(list(... ORDER
+    * BY g))` in the oracle), so both engines add the same doubles in
+    * the same order — bitwise, without decimal-cast edges at 1e19
+    * magnitudes (groups are bounded categoricals, so the array is
+    * tiny). SSB/SSW/F are then a fixed closed-form double sequence.
+    *
+    * Scale: one map-side-combined groupBy over the input + a k-row
+    * epilogue. Nothing iterative, nothing corpus-sized past the first
+    * aggregate.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val moments = df
+      .groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_ng"), sum(d38(valueCol)).as("_sg"),
+        sum(d38(valueCol) * d38(valueCol)).as("_qg"))
+    val one = moments.agg(
+      count(lit(1)).as("_k"), sum(col("_ng")).as("_n"),
+      sum(col("_sg")).as("_s"), sum(col("_qg")).as("_q"),
+      aggregate(
+        array_sort(collect_list(struct(col("_g"), col("_sg"), col("_ng")))),
+        lit(0.0),
+        (acc, x) => acc + (x.getField("_sg") * x.getField("_sg"))
+          .cast("double") / x.getField("_ng").cast("double")).as("_a2"))
+    val nD = col("_n").cast("double")
+    val meanTerm = (d38(col("_s")) * d38(col("_s"))).cast("double") / nD
+    val ssb = col("_a2") - meanTerm
+    val ssw = col("_q").cast("double") - col("_a2")
+    val dofB = col("_k") - 1
+    val dofW = col("_n") - col("_k")
+    one.select(col("_n").as("n"), col("_k").as("k"),
+      dofB.as("dof_between"), dofW.as("dof_within"),
+      when(col("_k") >= 2 && col("_n") > col("_k") && ssw > 0.0,
+        round((ssb / dofB.cast("double"))
+          / (ssw / dofW.cast("double")), 6)).as("f"))
+  }
 }

@@ -1778,5 +1778,240 @@ object AnalyticsQueries {
              |JOIN sizes za ON za.doc_id = p.id_a
              |JOIN sizes zb ON zb.doc_id = p.id_b
              |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    // ---- x175: Mann-Whitney U rank-sum test --------------------------------
+    // Distribution-free cohort-shift test, x164's sibling: exact integer
+    // doubled midranks over the decomposed prefix sums, one float
+    // division + sqrt at the end — see ops/Stats.mannWhitney.
+    QueryDef(
+      "x175_mannwhitney_u",
+      (s, dir) =>
+        Stats.mannWhitney(Tables.events(s, dir), "event_type", "value",
+          "view", "click"),
+      Some("""WITH c AS (SELECT CAST(value AS DOUBLE) AS v,
+             |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b
+             |  FROM events WHERE event_type IN ('view', 'click')
+             |    AND value IS NOT NULL GROUP BY 1),
+             |cum AS (SELECT a, b,
+             |    SUM(a + b) OVER (ORDER BY v) - (a + b) AS bc FROM c),
+             |agg AS (SELECT
+             |    CAST(SUM(CAST(a AS HUGEINT)
+             |      * (2 * bc + a + b + 1)) AS HUGEINT) AS r2a,
+             |    CAST(SUM(CAST(a + b AS HUGEINT) * (a + b) * (a + b)
+             |      - (a + b)) AS HUGEINT) AS t,
+             |    CAST(SUM(a) AS BIGINT) AS na,
+             |    CAST(SUM(b) AS BIGINT) AS nb FROM cum)
+             |SELECT 'view' AS group_a, 'click' AS group_b,
+             |  na AS n_a, nb AS n_b,
+             |  CASE WHEN na <> 0 AND nb <> 0 THEN
+             |    CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 END AS u_a,
+             |  CASE WHEN na <> 0 AND nb <> 0 THEN
+             |    CAST(2 * CAST(na AS HUGEINT) * nb
+             |      - (r2a - na * (na + 1)) AS DOUBLE) / 2.0 END AS u_b,
+             |  CASE WHEN na <> 0 AND nb <> 0
+             |      AND CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+             |        * CAST((na + nb + 1) * CAST(na + nb AS HUGEINT)
+             |          * (na + nb - 1) - t AS DOUBLE) > 0 THEN
+             |    round(CAST(r2a - na * (na + 1)
+             |        - CAST(na AS HUGEINT) * nb AS DOUBLE)
+             |      / (2.0 * sqrt(
+             |        (CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)
+             |          * CAST((na + nb + 1) * CAST(na + nb AS HUGEINT)
+             |            * (na + nb - 1) - t AS DOUBLE))
+             |        / CAST(12 * CAST(na + nb AS HUGEINT)
+             |          * (na + nb - 1) AS DOUBLE))), 6)
+             |  END AS z
+             |FROM agg""".stripMargin)),
+
+    // ---- x176: one-way ANOVA F test ----------------------------------------
+    // Exact DECIMAL group moments; the one float reduction is a
+    // SEQUENTIAL group-ordered fold on both engines (aggregate() /
+    // list_reduce()) — see ops/Stats.anovaF.
+    QueryDef(
+      "x176_anova_f",
+      (s, dir) =>
+        Stats.anovaF(Tables.orders(s, dir), "o_orderpriority",
+          round(col("o_totalprice").cast("double") * 100).cast("bigint")),
+      Some("""WITH m AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+             |    COUNT(*) AS ng,
+             |    CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |      AS BIGINT)) AS HUGEINT) AS sg,
+             |    CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |        AS BIGINT)
+             |      * CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |        AS BIGINT)) AS HUGEINT) AS qg
+             |  FROM orders GROUP BY 1),
+             |one AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(SUM(sg) AS HUGEINT) AS s,
+             |    CAST(SUM(qg) AS HUGEINT) AS q,
+             |    list_reduce(
+             |      list(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)
+             |        ORDER BY g), (x, y) -> x + y) AS a2
+             |  FROM m)
+             |SELECT n, k, k - 1 AS dof_between, n - k AS dof_within,
+             |  CASE WHEN k >= 2 AND n > k AND CAST(q AS DOUBLE) - a2 > 0
+             |    THEN round(
+             |      ((a2 - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / CAST(k - 1 AS DOUBLE))
+             |      / ((CAST(q AS DOUBLE) - a2) / CAST(n - k AS DOUBLE)), 6)
+             |  END AS f
+             |FROM one""".stripMargin)),
+
+    // ---- x177: PSI distribution-drift report -------------------------------
+    // Reference-decile bins (exact interpolated percentiles, x23/x152
+    // convention) over two document snapshots (the x112 predicate
+    // idiom); per-bin counts/shares + ln drift terms — see
+    // ops/Profiling.psiBins.
+    QueryDef(
+      "x177_psi_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Profiling.psiBins(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 89 =!= 0),
+          length(col("text")), bins = 10)
+          .orderBy(col("bin"))
+      },
+      Some {
+        val fracs = (1 to 9).map(i => s"quantile_cont(v, 0.$i)")
+          .mkString(", ")
+        val binCase = (1 to 9).map(i =>
+          s"CASE WHEN v > t[$i] THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH refv AS (SELECT CAST(length(text) AS DOUBLE) AS v
+           |    FROM documents WHERE doc_id % 97 != 0),
+           |curv AS (SELECT CAST(length(text) AS DOUBLE) AS v
+           |    FROM documents WHERE doc_id % 89 != 0),
+           |cuts AS (SELECT [$fracs] AS t FROM refv),
+           |rc AS (SELECT CAST($binCase + 1 AS BIGINT) AS bin
+           |  FROM refv CROSS JOIN cuts),
+           |cc AS (SELECT CAST($binCase + 1 AS BIGINT) AS bin
+           |  FROM curv CROSS JOIN cuts),
+           |rg AS (SELECT bin, COUNT(*) AS n_ref FROM rc GROUP BY 1),
+           |cg AS (SELECT bin, COUNT(*) AS n_cur FROM cc GROUP BY 1),
+           |grid AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+           |  AS bin),
+           |j AS (SELECT grid.bin,
+           |    CAST(COALESCE(rg.n_ref, 0) AS BIGINT) AS n_ref,
+           |    CAST(COALESCE(cg.n_cur, 0) AS BIGINT) AS n_cur
+           |  FROM grid LEFT JOIN rg USING (bin) LEFT JOIN cg USING (bin)),
+           |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+           |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+           |SELECT bin, n_ref, n_cur,
+           |  CASE WHEN tr <> 0 THEN round(
+           |    CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+           |  END AS share_ref,
+           |  CASE WHEN tc <> 0 THEN round(
+           |    CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+           |  END AS share_cur,
+           |  CASE WHEN n_ref > 0 AND n_cur > 0 AND tr <> 0 AND tc <> 0
+           |    THEN round(
+           |      (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)
+           |        - CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+           |      * ln((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+           |        / (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))), 6)
+           |  END AS psi_term
+           |FROM j CROSS JOIN tot ORDER BY bin""".stripMargin
+      }),
+
+    // ---- x178: position-based (U-shaped) attribution -----------------------
+    // 40/20/40 journey credit before the first conversion; round-12
+    // DECIMAL credit sums — see ops/EventAnalytics.positionAttribution.
+    QueryDef(
+      "x178_position_attribution",
+      (s, dir) =>
+        EventAnalytics.positionAttribution(Tables.events(s, dir))
+          .orderBy(col("channel")),
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+             |    event_id FROM events),
+             |conv1 AS (SELECT user_id, tns, event_id FROM (
+             |    SELECT user_id, tns, event_id, ROW_NUMBER() OVER (
+             |      PARTITION BY user_id ORDER BY tns, event_id) AS rn
+             |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+             |t AS (SELECT e.user_id, e.event_type AS channel, e.tns,
+             |    e.event_id
+             |  FROM ev e JOIN conv1 c USING (user_id)
+             |  WHERE e.event_type <> 'purchase'
+             |    AND (e.tns, e.event_id) < (c.tns, c.event_id)),
+             |p AS (SELECT channel,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY tns, event_id) AS pos,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS m FROM t),
+             |wts AS (SELECT channel, CAST(round(CASE
+             |      WHEN m = 1 THEN CAST(1.0 AS DOUBLE)
+             |      WHEN pos = 1 OR pos = m THEN
+             |        (CASE WHEN m = 2 THEN CAST(0.5 AS DOUBLE)
+             |         ELSE CAST(0.4 AS DOUBLE) END)
+             |      ELSE 0.2 / CAST(m - 2 AS DOUBLE) END, 12)
+             |    AS DECIMAL(28,12)) AS w
+             |  FROM p),
+             |pc AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             |    SUM(w) AS credit FROM wts GROUP BY 1),
+             |tot AS (SELECT SUM(credit) AS t FROM pc)
+             |SELECT channel, n_touches,
+             |  round(CAST(credit AS DOUBLE), 6) AS credit,
+             |  round(CAST(credit AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             |    AS share
+             |FROM pc CROSS JOIN tot ORDER BY channel""".stripMargin)),
+
+    // ---- x179: exact data-driven Shapley attribution -----------------------
+    // Characteristic values = integer-quantized per-set conversion
+    // rates; the subset enumeration is exact BIGINT driver math (the
+    // x170 collect posture); the oracle unrolls all 2^(c-1) marginal
+    // terms per channel. Channel list: the x170 fixture-vocabulary
+    // caveat applies (rows would mismatch if the fixture drifted).
+    QueryDef(
+      "x179_shapley_attribution",
+      (s, dir) =>
+        EventAnalytics.shapleyAttribution(Tables.events(s, dir))
+          .orderBy(col("channel")),
+      Some {
+        val channels = Seq("click", "error", "signup", "view")
+        val c = channels.size
+        def fact(x: Int): Long = (1 to x).map(_.toLong).product
+        def v6(k: String) =
+          s"COALESCE((SELECT v6 FROM v WHERE set_key = '$k'), 0)"
+        val denom = s"${fact(c) * 1000000L}.0"
+        val perChannel = channels.map { ch =>
+          val others = channels.filterNot(_ == ch)
+          val terms = (0 until (1 << others.size)).map { mask =>
+            val sub = others.zipWithIndex.collect {
+              case (x, i) if ((mask >> i) & 1) == 1 => x
+            }
+            val w = fact(sub.size) * fact(c - 1 - sub.size)
+            val withCh = (ch +: sub).sorted.mkString("|")
+            val without = sub.sorted.mkString("|")
+            s"$w * (${v6(withCh)} - ${v6(without)})"
+          }.mkString("\n    + ")
+          s"""SELECT '$ch' AS channel,
+             |  CAST($terms AS DOUBLE) / $denom AS shapley""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+           |    event_id FROM events),
+           |conv1 AS (SELECT user_id, tns, event_id FROM (
+           |    SELECT user_id, tns, event_id, ROW_NUMBER() OVER (
+           |      PARTITION BY user_id ORDER BY tns, event_id) AS rn
+           |    FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+           |ju AS (SELECT e.user_id,
+           |    COALESCE(array_to_string(list_sort(list(DISTINCT
+           |      e.event_type) FILTER (WHERE e.event_type <> 'purchase'
+           |        AND (c.user_id IS NULL
+           |          OR (e.tns, e.event_id) < (c.tns, c.event_id)))),
+           |      '|'), '') AS set_key,
+           |    MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS conv
+           |  FROM ev e LEFT JOIN conv1 c USING (user_id)
+           |  GROUP BY e.user_id),
+           |sets AS MATERIALIZED (SELECT set_key, COUNT(*) AS n,
+           |    CAST(SUM(conv) AS BIGINT) AS k FROM ju GROUP BY 1),
+           |v AS MATERIALIZED (SELECT set_key,
+           |    (2 * k * 1000000 + n) // (2 * n) AS v6 FROM sets)
+           |SELECT * FROM (
+           |$perChannel
+           |) ORDER BY channel""".stripMargin
+      }),
   )
 }

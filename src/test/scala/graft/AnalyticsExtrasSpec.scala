@@ -455,4 +455,99 @@ class AnalyticsExtrasSpec extends SparkSuite {
       .orderBy("doc_id").collect()
     assert(out.map(_.getString(5)).toSeq === Seq("en", "fr"))
   }
+
+  test("mannWhitney: hand-ranked sample without ties") {
+    // A = {1,2,4}, B = {3,5,6,7}: pooled ranks give R_A = 1+2+4 = 7,
+    // U_A = 7 - 3*4/2 = 1, U_B = 12 - 1 = 11; sigma^2 = 12*336/504 = 8,
+    // z = (1 - 6)/(2*sqrt(2)) = -1.767767
+    val df = frame(
+      "g" -> Seq("A", "A", "A", "B", "B", "B", "B"),
+      "v" -> Seq(1.0, 2.0, 4.0, 3.0, 5.0, 6.0, 7.0))
+    val r = graft.ops.Stats.mannWhitney(df, "g", "v", "A", "B").head()
+    assert(r.getLong(2) === 3L && r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 11.0)
+    assert(r.getDouble(6) === -1.767767)
+  }
+
+  test("mannWhitney: midrank ties and the tie-corrected variance") {
+    // A = {1,1}, B = {1,2}: value 1 has t=3, doubled midrank 4 (r=2), so
+    // R_A = 4, U_A = 1; T = 24, sigma^2 = 4*(60-24)/144 = 1, z = -1
+    val df = frame(
+      "g" -> Seq("A", "A", "B", "B"),
+      "v" -> Seq(1.0, 1.0, 1.0, 2.0))
+    val r = graft.ops.Stats.mannWhitney(df, "g", "v", "A", "B").head()
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 3.0)
+    assert(r.getDouble(6) === -1.0)
+    // all values tied -> zero variance -> z NULL, U still defined
+    val tied = frame("g" -> Seq("A", "B"), "v" -> Seq(5.0, 5.0))
+    val rt = graft.ops.Stats.mannWhitney(tied, "g", "v", "A", "B").head()
+    assert(rt.getDouble(4) === 0.5 && rt.isNullAt(6))
+  }
+
+  test("anovaF: hand moments; zero within-variance -> NULL") {
+    // g1 = {1,2,3}, g2 = {4,5,6}: A2 = 12+75 = 87, S^2/n = 73.5,
+    // SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5
+    val df = frame(
+      "g" -> Seq("g1", "g1", "g1", "g2", "g2", "g2"),
+      "v" -> Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val r = graft.ops.Stats.anovaF(df, "g", col("v")).head()
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 13.5)
+    // constant within groups: SSW = 0 -> F undefined, not an ANSI error
+    val const = frame(
+      "g" -> Seq("g1", "g1", "g2", "g2"),
+      "v" -> Seq(1L, 1L, 7L, 7L))
+    assert(graft.ops.Stats.anovaF(const, "g", col("v")).head().isNullAt(4))
+  }
+
+  test("psiBins: identical frames -> zero terms; empty bin -> NULL term") {
+    val ref = frame("v" -> (1 to 10).map(_.toLong))
+    val same = graft.ops.Profiling.psiBins(ref, ref, col("v"), bins = 2)
+      .orderBy("bin").collect()
+    assert(same.map(_.getLong(1)).toSeq === Seq(5L, 5L))
+    assert(same.forall(_.getDouble(5) === 0.0))
+    // cur misses the upper bin entirely: term NULL there, and the lower
+    // bin's term is (0.5 - 1.0)*ln(0.5) = 0.346574
+    val cur = frame("v" -> Seq(1L, 2L, 3L))
+    val drift = graft.ops.Profiling.psiBins(ref, cur, col("v"), bins = 2)
+      .orderBy("bin").collect()
+    assert(drift(0).getDouble(5) === 0.346574)
+    assert(drift(1).getLong(2) === 0L && drift(1).isNullAt(5))
+  }
+
+  test("positionAttribution: hand journeys (1/2/3-touch weight shapes)") {
+    // u1: a b c -> purchase (0.4/0.2/0.4); u2: a -> purchase (1.0);
+    // u3: a b -> purchase (0.5/0.5); u4 touches AFTER its purchase ->
+    // no credit
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L),
+      "event_type" -> Seq("a", "b", "c", "purchase", "a", "purchase",
+        "a", "b", "purchase", "purchase", "a"),
+      "ts_ns" -> Seq(sec(1), sec(2), sec(3), sec(4), sec(1), sec(2),
+        sec(1), sec(2), sec(3), sec(1), sec(2)),
+      "event_id" -> (1L to 11L))
+    val out = EventAnalytics.positionAttribution(ev).orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("a", 3L, 1.9, 0.633333), ("b", 2L, 0.7, 0.233333),
+      ("c", 1L, 0.4, 0.133333)))
+  }
+
+  test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
+    // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
+    // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
+    // 1*(v(ab)-v(b)))/2 = 0.5; phi_b = (0 + (0-1))/2 = -0.5
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L),
+      "event_type" -> Seq("a", "purchase", "b"),
+      "ts_ns" -> Seq(sec(1), sec(2), sec(1)),
+      "event_id" -> Seq(1L, 2L, 3L))
+    val out = EventAnalytics.shapleyAttribution(ev).orderBy("channel")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.toSeq === Seq("a" -> 0.5, "b" -> -0.5))
+    // efficiency: sum phi = v(full) - v(empty) = 0 - 0 = 0
+    assert(out.map(_._2).sum === 0.0)
+  }
 }

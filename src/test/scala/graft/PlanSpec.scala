@@ -56,7 +56,9 @@ class PlanSpec extends SparkSuite {
     "x165_chi2_independence", // bounded |a| x |b| categorical grid from broadcast marginals
     "x172_pq_codes", // per-block k=8 centroid broadcasts (x17/x18 pattern, O(k*subDim) each)
     "x173_pq_recall", // k-centroid broadcasts + broadcast m*k-row LUT x bounded query probe set
-    "x174_ivfpq_topk") // coarse + per-block centroid broadcasts, broadcast probe/LUT frames (bounded)
+    "x174_ivfpq_topk", // coarse + per-block centroid broadcasts, broadcast probe/LUT frames (bounded)
+    "x177_psi_drift", // broadcast ONE-ROW cut array + ONE-ROW totals (x57 pattern)
+    "x178_position_attribution") // broadcast ONE-ROW credit total onto <= |types| rows (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
