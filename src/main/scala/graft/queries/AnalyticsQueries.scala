@@ -2013,5 +2013,64 @@ object AnalyticsQueries {
            |$perChannel
            |) ORDER BY channel""".stripMargin
       }),
+
+    // ---- x180: two-group log-rank churn test -------------------------------
+    // x153's survival model compared across a deterministic user cohort
+    // split (even vs odd user_id): observed vs hypergeometric-expected
+    // group-A churn events and the 1-dof chi-square. Per-time E/V terms
+    // are doubles from exact integers, round-12 DECIMAL-summed (the
+    // x103 order-independent convention) — see ops/Survival.logRank.
+    QueryDef(
+      "x180_logrank",
+      (s, dir) =>
+        Survival.logRank(Tables.events(s, dir),
+          pmod(col("user_id"), lit(2)) === 0, censorDays = 7),
+      Some("""WITH per AS (SELECT user_id,
+             |    min(epoch_ns(ts) // 86400000000000) AS f,
+             |    max(epoch_ns(ts) // 86400000000000) AS l,
+             |    (user_id % 2 = 0) AS a
+             |  FROM events GROUP BY 1, 4),
+             |mx AS (SELECT max(l) AS max_day FROM per),
+             |lt AS (SELECT l - f AS t, a, (l <= max_day - 7) AS churned
+             |  FROM per CROSS JOIN mx),
+             |ptg AS (SELECT t, a,
+             |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d,
+             |    COUNT(*) AS e FROM lt GROUP BY 1, 2),
+             |grid AS (SELECT t, a FROM (SELECT DISTINCT t FROM ptg)
+             |  CROSS JOIN (SELECT unnest([true, false]) AS a)),
+             |f0 AS (SELECT g.t, g.a, COALESCE(p.d, 0) AS d,
+             |    COALESCE(p.e, 0) AS e
+             |  FROM grid g LEFT JOIN ptg p ON g.t = p.t AND g.a = p.a),
+             |rk AS (SELECT t, a, d, e,
+             |    CAST(SUM(e) OVER (PARTITION BY a ORDER BY t DESC)
+             |      AS BIGINT) AS n
+             |  FROM f0),
+             |pt AS (SELECT t,
+             |    CAST(SUM(CASE WHEN a THEN d ELSE 0 END) AS BIGINT) AS da,
+             |    CAST(SUM(d) AS BIGINT) AS d,
+             |    CAST(SUM(CASE WHEN a THEN n ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(SUM(n) AS BIGINT) AS n
+             |  FROM rk GROUP BY 1
+             |  HAVING SUM(d) >= 1 AND SUM(n) >= 1),
+             |ag AS (SELECT CAST(SUM(da) AS BIGINT) AS oa,
+             |    SUM(CAST(round(CAST(na AS DOUBLE) * d / n, 12)
+             |      AS DECIMAL(28,12))) AS ea,
+             |    SUM(CAST(round(CASE WHEN n >= 2 THEN
+             |        CAST(d AS DOUBLE) * na * (n - na) * (n - d)
+             |          / (CAST(n AS DOUBLE) * n * (n - 1.0))
+             |        ELSE 0.0 END, 12) AS DECIMAL(28,12))) AS v FROM pt),
+             |tot AS (SELECT
+             |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM lt)
+             |SELECT n_a, n_b, oa AS o_a,
+             |  round(CAST(ea AS DOUBLE), 6) AS e_a,
+             |  CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+             |    round((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+             |      * (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+             |      / CAST(v AS DOUBLE), 6)
+             |  END AS chi2
+             |FROM ag CROSS JOIN tot""".stripMargin)),
   )
 }

@@ -44,6 +44,39 @@ class AuditsSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum === 0L) // n_churned
   }
 
+  test("logRank: hand-computed two-cohort statistic") {
+    // max day 100, censorDays 7 -> churned iff last <= 93; A = even id
+    // A: u2 t=10 churn, u4 t=20 churn, u6 t=2 censored   (n_a = 3)
+    // B: u1 t=10 churn, u3 t=10 churn, u5 t=10 censored  (n_b = 3)
+    // at-risk (desc-cum counts): A t=2:3 t=10:2 t=20:1; B t=10:3
+    // t=10: da=1 d=3 na=2 n=5 -> E=2*3/5=1.2  V=3*2*3*2/(25*4)=0.36
+    // t=20: da=1 d=1 na=1 n=1 -> E=1.0        V=0 (n<2)
+    // O=2, E=2.2, V=0.36 -> chi2 = (2-2.2)^2/0.36 = 0.111111
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L, 6L, 6L),
+      "ts_ns" -> Seq(dayNs(0), dayNs(10), dayNs(0), dayNs(10),
+        dayNs(5), dayNs(15), dayNs(0), dayNs(20),
+        dayNs(90), dayNs(100), dayNs(98), dayNs(100)))
+    val out = Survival.logRank(ev, pmod(col("user_id"), lit(2)) === 0,
+      censorDays = 7).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 2L)))
+    assert(r.getDouble(3) === 2.2)
+    assert(r.getDouble(4) === 0.111111)
+  }
+
+  test("logRank: single-cohort input yields NULL chi2 (zero variance)") {
+    val ev = frame(
+      "user_id" -> Seq(2L, 2L, 4L, 4L),
+      "ts_ns" -> Seq(dayNs(0), dayNs(10), dayNs(0), dayNs(50)))
+    val r = Survival.logRank(ev, lit(true), censorDays = 7).collect()(0)
+    // everyone in A: O = E exactly, V = 0 -> chi2 NULL
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+    assert(r.getLong(2).toDouble === r.getDouble(3)) // o_a == e_a
+    assert(r.isNullAt(4))
+  }
+
   test("madOutliers: planted extreme flagged; constant group has zero " +
       "outliers at MAD 0") {
     val df = frame(
