@@ -1252,4 +1252,71 @@ object Dedup {
         length(col("_sb")).cast("long").as("len_b"))
       .filter(col("dist") * 10 <= greatest(col("len_a"), col("len_b")) * maxDistPct)
   }
+
+  /** Entity-resolution fuzzy self-join: all id pairs whose `strCol`
+    * values are within Levenshtein distance `maxDist`, found WITHOUT an
+    * all-pairs pass via Ed-Join-style q-gram prefix filtering (Xiao et
+    * al., VLDB 2008). Blocking is provably lossless for distinct q-gram
+    * sets: one edit destroys ≤ q grams, so ed ≤ d bounds the symmetric
+    * gram-set difference by q·d per side; by the PPJoin prefix lemma,
+    * prefixes of length q·d + 1 in any SHARED total order must then
+    * intersect. We order grams rarest-first ((df, gram) asc), so the
+    * candidate join runs on the RAREST grams — a shared common prefix
+    * across all strings (e.g. a constant "Customer#" stem) sorts last
+    * and never enters the join. Returns (id1, id2, dist), id1 < id2.
+    *
+    * Scale: gram explode is linear in total string length; the df count
+    * is one map-side-combined shuffle; the per-id rank window sorts ≤
+    * len(str) rows per id (never a global window); candidates are an
+    * equi-join on prefix grams with a length pre-filter ahead of the
+    * O(len²) Levenshtein. Strings shorter than q have no grams and are
+    * excluded (documented; pad callers who need them).
+    */
+  def fuzzyJoin(df: DataFrame, idCol: String, strCol: String,
+      q: Int = 3, maxDist: Int = 1): DataFrame = {
+    require(q >= 1, s"need q >= 1, got $q")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val s = df.select(col(idCol).as("_id"), col(strCol).as("_nm"))
+      .filter(col("_nm").isNotNull && length(col("_nm")) >= q)
+    val grams = s.select(col("_id"), col("_nm"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, length(_nm) - ${q - 1}), " +
+          s"i -> substring(_nm, i, $q))"))).as("_gram"))
+    val dfreq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
+    val pi = q * maxDist + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("_gram"))
+    // materialized SKINNY (gram, id, len): the self-join below would
+    // otherwise replay the gram explode + df count + rank window once
+    // per side (and the df count again inside each) — 4 corpus passes
+    val prefix = Checkpoints.materialize(grams.join(dfreq, Seq("_gram"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= pi)
+      .select(col("_gram"), col("_id"), length(col("_nm")).as("_len")))
+    val a = prefix.select(col("_gram"), col("_id").as("id1"),
+      col("_len").as("_l1"))
+    val b = prefix.select(col("_gram"), col("_id").as("id2"),
+      col("_len").as("_l2"))
+    // the DISTINCT id-pair list is materialized REPARTITIONED before
+    // the O(len²) Levenshtein pass (the editDistancePairs posture:
+    // pair ids only, strings re-joined after — 16 B/row, not strings):
+    // the gram join EXPLODES rows from a tiny input, so AQE's
+    // input-size-based coalescing would funnel the verify pass into
+    // one partition, and a later repartition alone doesn't help
+    // because Catalyst pushes the dist filter's lev projection back
+    // below the exchange. AQE honors an EXPLICIT partition count.
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = Checkpoints.materialize(
+      a.join(b, Seq("_gram"))
+        .filter(col("id1") < col("id2") &&
+          abs(col("_l1") - col("_l2")) <= maxDist)
+        .select(col("id1"), col("id2")).distinct()
+        .repartition(shufflePartitions, col("id1"), col("id2")))
+    cand
+      .join(s.select(col("_id").as("id1"), col("_nm").as("_n1")), Seq("id1"))
+      .join(s.select(col("_id").as("id2"), col("_nm").as("_n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("_n1"), col("_n2")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -582,6 +582,55 @@ object EventAnalytics {
       .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
   }
 
+  /** Holt double-exponential (level + trend) smoothing of daily event
+    * counts, [[ewmaDaily]]'s trend-aware sibling: per event_type, fold
+    * the observed (day, cnt) series in day order with
+    * `l_t = ½·y_t + ½·(l_{t-1} + b_{t-1})`,
+    * `b_t = ½·(l_t − l_{t-1}) + ½·b_{t-1}`, initialized l₁ = y₁,
+    * b₁ = 0. ONE row per type: `(event_type, n_days, level, trend,
+    * forecast = level + trend)`, each rounded to 6.
+    *
+    * Determinism: the fold is a PINNED-ORDER sequential reduction
+    * replayed identically by the oracle (Spark `aggregate(array_sort)`
+    * == DuckDB `list_reduce(list(... ORDER BY day))`, the x176
+    * convention); α = β = ½ makes every step an exact halving, so both
+    * engines execute the same IEEE op sequence on the same operands.
+    * Gaps (days with no events) are skipped, not zero-filled — the
+    * series is the OBSERVED days, documented contract.
+    *
+    * Scale: the one events-scale op is the (event_type, day) count —
+    * map-side combinable, one shuffle. The per-type collect_list is
+    * bounded by the day span (the x153 span-bounded posture), and the
+    * fold is linear in it.
+    */
+  def holtDaily(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      lit(true).as("first"))
+    val st = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      aggregate(
+        array_sort(collect_list(struct(col("day"), col("cnt")))),
+        zero,
+        (a, x) => {
+          val y = x.getField("cnt").cast("double")
+          val l = a.getField("l")
+          val b = a.getField("b")
+          val newL = lit(0.5) * y + lit(0.5) * (l + b)
+          val newB = lit(0.5) * (newL - l) + lit(0.5) * b
+          when(a.getField("first"),
+            struct(y.as("l"), lit(0.0).as("b"), lit(false).as("first")))
+            .otherwise(
+              struct(newL.as("l"), newB.as("b"), lit(false).as("first")))
+        }).as("_s"))
+    st.select(col("event_type"), col("n_days"),
+      round(col("_s.l"), 6).as("level"),
+      round(col("_s.b"), 6).as("trend"),
+      round(col("_s.l") + col("_s.b"), 6).as("forecast"))
+  }
+
   /** Fixed-point scale for the Markov removal-effect value iteration. */
   private val MarkovScale = 1000000L
 

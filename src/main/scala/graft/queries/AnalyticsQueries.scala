@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Baskets, CustomerAnalytics, EventAnalytics, Experiments,
-  Graphs, Integrity, Layout, Pca, Profiling, Skew, Stats, Survival,
-  TextAnalysis}
+import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
+  Experiments, Graphs, Integrity, Layout, Pca, Profiling, Skew, Stats,
+  Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -2072,5 +2072,79 @@ object AnalyticsQueries {
              |      / CAST(v AS DOUBLE), 6)
              |  END AS chi2
              |FROM ag CROSS JOIN tot""".stripMargin)),
+
+    // ---- x181: Holt level+trend smoothing of daily counts ------------------
+    // Pinned-order sequential fold; the oracle replays it as a
+    // per-type recursive CTE (the x153 convention — DuckDB v1.0's
+    // list_reduce mis-evaluates cross-field struct references, so the
+    // x176 list_reduce idiom is unusable for a 2-field state) — see
+    // ops/EventAnalytics.holtDaily.
+    QueryDef(
+      "x181_holt_trend",
+      (s, dir) =>
+        EventAnalytics.holtDaily(Tables.events(s, dir))
+          .orderBy(col("event_type")),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |ser AS (SELECT event_type, CAST(cnt AS DOUBLE) AS y,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS rn
+             |  FROM daily),
+             |nd AS (SELECT event_type, COUNT(*) AS n_days
+             |  FROM ser GROUP BY 1),
+             |run AS (
+             |  SELECT event_type, rn, y AS l, CAST(0 AS DOUBLE) AS b
+             |  FROM ser WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.event_type, s.rn,
+             |    CAST(0.5 AS DOUBLE) * s.y
+             |      + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+             |    CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s.y
+             |        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+             |      + CAST(0.5 AS DOUBLE) * r.b
+             |  FROM ser s JOIN run r ON s.event_type = r.event_type
+             |    AND s.rn = r.rn + 1)
+             |SELECT r.event_type, nd.n_days, round(r.l, 6) AS level,
+             |  round(r.b, 6) AS trend,
+             |  round(r.l + r.b, 6) AS forecast
+             |FROM run r JOIN nd USING (event_type)
+             |WHERE r.rn = nd.n_days ORDER BY r.event_type""".stripMargin)),
+
+    // ---- x182: q-gram-blocked fuzzy match (entity resolution) --------------
+    // Ed-Join prefix filtering over the 40-char document-prefix key:
+    // candidates share one of each side's q*d+1 RAREST grams (provably
+    // lossless). q = 5 because the corpus vocabulary is small — 3-grams
+    // are too common to prune. Low-entropy pad-structured keys (e.g.
+    // "Customer#000...") defeat set-based gram blocking entirely (every
+    // prefix is forced into a universal gram); measured and documented
+    // in PLANS.md — see ops/Dedup.fuzzyJoin.
+    QueryDef(
+      "x182_fuzzy_match",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        Dedup.fuzzyJoin(docs, "doc_id", "k", q = 5, maxDist = 2)
+      },
+      Some("""WITH s AS (SELECT doc_id AS id, substring(text, 1, 40) AS nm
+             |  FROM documents WHERE text IS NOT NULL
+             |    AND length(text) >= 5),
+             |g AS (SELECT DISTINCT id, nm,
+             |    substring(nm, CAST(i AS INT), 5) AS gram
+             |  FROM (SELECT id, nm,
+             |      unnest(generate_series(1, length(nm) - 4)) AS i
+             |    FROM s)),
+             |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+             |rk AS (SELECT id, nm, gram, ROW_NUMBER() OVER (
+             |    PARTITION BY id ORDER BY df, gram) AS rn
+             |  FROM g JOIN df USING (gram)),
+             |pre AS (SELECT id, nm, gram FROM rk WHERE rn <= 11),
+             |cand AS (SELECT DISTINCT a.id AS id1, a.nm AS n1,
+             |    b.id AS id2, b.nm AS n2
+             |  FROM pre a JOIN pre b ON a.gram = b.gram AND a.id < b.id
+             |  WHERE abs(length(a.nm) - length(b.nm)) <= 2)
+             |SELECT id1, id2,
+             |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+             |FROM cand WHERE levenshtein(n1, n2) <= 2""".stripMargin)),
   )
 }

@@ -133,6 +133,29 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(rows(("B", 1L)) === ((8L, 4.0))) // B unaffected by A
   }
 
+  test("holtDaily: hand-computed level/trend; gaps skipped; single-day " +
+      "type has zero trend") {
+    // A: day0 cnt2, day1 cnt4, day2 cnt1:
+    //   l1=2 b1=0; l2=.5*4+.5*2=3 b2=.5*(3-2)=0.5;
+    //   l3=.5*1+.5*3.5=2.25 b3=.5*(2.25-3)+.25=-0.125
+    // B: one day cnt8 -> level 8, trend 0
+    // C: days 0 and 5 (gap), cnt1 each -> folds as consecutive days
+    val ev = frame(
+      "user_id" -> Seq.fill(17)(1L),
+      "event_type" -> (Seq.fill(2)("A") ++ Seq.fill(4)("A") ++ Seq("A") ++
+        Seq.fill(8)("B") ++ Seq("C", "C")),
+      "ts_ns" -> (Seq(day(0) + 1, day(0) + 2) ++
+        (1L to 4L).map(i => day(1) + i) ++ Seq(day(2) + 1) ++
+        (1L to 8L).map(i => day(1) + i) ++ Seq(day(0) + 3, day(5) + 3)))
+    val out = EventAnalytics.holtDaily(ev).orderBy("event_type").collect()
+    val rows = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("A") === ((3L, 2.25, -0.125, 2.125)))
+    assert(rows("B") === ((1L, 8.0, 0.0, 8.0)))
+    // C: cnt1 then cnt1 -> l=.5*1+.5*1=1 b=0 forecast 1 (gap irrelevant)
+    assert(rows("C") === ((2L, 1.0, 0.0, 1.0)))
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),

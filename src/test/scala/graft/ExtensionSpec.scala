@@ -67,6 +67,39 @@ class ExtensionSpec extends SparkSuite {
     assert(capped.forall(r => r.getLong(3) <= 4 && r.getLong(4) <= 4))
   }
 
+  test("fuzzyJoin: planted near-dups found; blocking matches brute force; " +
+      "sub-q strings excluded") {
+    val df = frame(
+      "id" -> Seq[Any](1L, 2L, 3L, 4L, 5L, 6L),
+      "nm" -> Seq[Any]("hello world", "hello worlds", "hello wxrld",
+        "completely different", "hello world", "ab"))
+    val out = Dedup.fuzzyJoin(df, "id", "nm", q = 3, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // expected (hand): (1,5) identical d0; (1,2) +s d1; (1,3) o->x d1;
+    // (2,5) d1; (3,5) d1; (2,3) is d2 -> dropped; 4 and "ab" pair nothing
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (2L, 5L, 1L), (3L, 5L, 1L)))
+    // losslessness: the blocked result equals all-pairs brute force
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2 && s1.length >= 3 && s2.length >= 3
+      d = levenshteinRef(s1, s2) if d <= 1
+    } yield (i1, i2, d.toLong)).toSet
+    assert(out === brute)
+  }
+
+  /** Textbook DP edit distance, the spec's independent reference. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
   test("shingled minhash pairs near-dups differing by one token") {
     val near = frame(
       "doc_id" -> Seq[Any](1L, 2L, 3L),
