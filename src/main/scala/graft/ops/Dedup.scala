@@ -1265,12 +1265,13 @@ object Dedup {
     * across all strings (e.g. a constant "Customer#" stem) sorts last
     * and never enters the join. Returns (id1, id2, dist), id1 < id2.
     *
-    * Scale: gram explode is linear in total string length; the df count
-    * is one map-side-combined shuffle; the per-id rank window sorts ≤
-    * len(str) rows per id (never a global window); candidates are an
-    * equi-join on prefix grams with a length pre-filter ahead of the
-    * O(len²) Levenshtein. Strings shorter than q have no grams and are
-    * excluded (documented; pad callers who need them).
+    * Scale: gram explode is linear in total string length; the df
+    * count is a window over each gram's posting list (bounded by
+    * corpus df); the per-id rank window sorts ≤ len(str) rows per id
+    * (never a global window); candidates are an equi-join on prefix
+    * grams with a length pre-filter ahead of the O(len²) Levenshtein.
+    * Strings shorter than q have no grams and are excluded
+    * (documented; pad callers who need them).
     */
   def fuzzyJoin(df: DataFrame, idCol: String, strCol: String,
       q: Int = 3, maxDist: Int = 1): DataFrame = {
@@ -1282,36 +1283,39 @@ object Dedup {
       explode(array_distinct(expr(
         s"transform(sequence(1, length(_nm) - ${q - 1}), " +
           s"i -> substring(_nm, i, $q))"))).as("_gram"))
-    val dfreq = grams.groupBy(col("_gram")).agg(count(lit(1)).as("_df"))
     val pi = q * maxDist + 1
+    // df via a count window over _gram (partition size = that gram's
+    // posting list — bounded by corpus df, never global), saving the
+    // separate aggregate + re-join of the gram table with itself
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_gram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_df"), col("_gram"))
     // materialized SKINNY (gram, id, len): the self-join below would
-    // otherwise replay the gram explode + df count + rank window once
-    // per side (and the df count again inside each) — 4 corpus passes
-    val prefix = Checkpoints.materialize(grams.join(dfreq, Seq("_gram"))
+    // otherwise replay the gram explode + df windows once per side
+    val prefix = Checkpoints.materialize(grams
+      .withColumn("_df", count(lit(1)).over(wDf))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= pi)
       .select(col("_gram"), col("_id"), length(col("_nm")).as("_len")))
     val a = prefix.select(col("_gram"), col("_id").as("id1"),
       col("_len").as("_l1"))
     val b = prefix.select(col("_gram"), col("_id").as("id2"),
       col("_len").as("_l2"))
-    // the DISTINCT id-pair list is materialized REPARTITIONED before
-    // the O(len²) Levenshtein pass (the editDistancePairs posture:
-    // pair ids only, strings re-joined after — 16 B/row, not strings):
-    // the gram join EXPLODES rows from a tiny input, so AQE's
-    // input-size-based coalescing would funnel the verify pass into
-    // one partition, and a later repartition alone doesn't help
-    // because Catalyst pushes the dist filter's lev projection back
-    // below the exchange. AQE honors an EXPLICIT partition count.
+    // the DISTINCT id-pair list carries ids only, strings re-joined
+    // after (the editDistancePairs posture — 16 B/row pairs, which
+    // also kept an 8 GiB driver alive at the ×10 probe), and is
+    // repartitioned with an EXPLICIT count before the O(len²)
+    // Levenshtein pass: the gram join EXPLODES rows from a tiny
+    // input, so AQE's input-size-based coalescing would funnel the
+    // verify pass into one partition (measured 12 s single-task), and
+    // AQE honors only a user-fixed partition count.
     val shufflePartitions =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = Checkpoints.materialize(
-      a.join(b, Seq("_gram"))
-        .filter(col("id1") < col("id2") &&
-          abs(col("_l1") - col("_l2")) <= maxDist)
-        .select(col("id1"), col("id2")).distinct()
-        .repartition(shufflePartitions, col("id1"), col("id2")))
+    val cand = a.join(b, Seq("_gram"))
+      .filter(col("id1") < col("id2") &&
+        abs(col("_l1") - col("_l2")) <= maxDist)
+      .select(col("id1"), col("id2")).distinct()
+      .repartition(shufflePartitions, col("id1"), col("id2"))
     cand
       .join(s.select(col("_id").as("id1"), col("_nm").as("_n1")), Seq("id1"))
       .join(s.select(col("_id").as("id2"), col("_nm").as("_n2")), Seq("id2"))
