@@ -631,6 +631,160 @@ object EventAnalytics {
       round(col("_s.l") + col("_s.b"), 6).as("forecast"))
   }
 
+  /** CUSUM changepoint monitor over daily event counts: per event_type,
+    * fold the observed (day, cnt) series in day order with the
+    * two-sided tabular CUSUM
+    * `sp_t = max(0, sp + (y_t − (μ+κ)))`,
+    * `sn_t = max(0, sn + ((μ−κ) − y_t))`,
+    * κ = σ/2, alarm when either side exceeds h = 4σ (μ, σ are the
+    * series' own exact-moment population mean/stddev). ONE row per
+    * type: `(event_type, n_days, mu, sigma, sp_end, sn_end, sp_max,
+    * t_max, n_alarms)` — t_max is the day of the FIRST maximal upper
+    * excursion (−1 when sp never leaves 0), the changepoint estimate.
+    *
+    * Determinism: μ = S/n and σ = sqrt(max(0, (Q − S·S/n)/n)) are
+    * single IEEE ops on doubles of exact DECIMAL moments; the fold is
+    * a pinned-order sequential reduction replayed by the oracle as a
+    * recursive CTE (the x181 posture). NOTHING is rounded — every
+    * output double is the result of an identical op sequence on both
+    * engines, so the compare is bitwise without a rounding step.
+    *
+    * Scale: one map-side-combined (event_type, day) count shuffle;
+    * the per-type fold runs over the span-bounded collected series.
+    */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mom = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(d38(col("cnt"))).as("_s"),
+      sum(d38(col("cnt")) * d38(col("cnt"))).as("_q"),
+      array_sort(collect_list(struct(col("day"), col("cnt")))).as("_ser"))
+    val nD = col("n_days").cast("double")
+    val sD = col("_s").cast("double")
+    val qD = col("_q").cast("double")
+    val withParams = mom
+      .withColumn("mu", sD / nD)
+      .withColumn("sigma",
+        sqrt(greatest(lit(0.0), (qD - sD * sD / nD) / nD)))
+      .withColumn("_muk", col("mu") + col("sigma") / lit(2.0))
+      .withColumn("_mku", col("mu") - col("sigma") / lit(2.0))
+      .withColumn("_h", lit(4.0) * col("sigma"))
+    val zero = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      lit(0.0).as("spmax"), lit(-1L).as("tmax"), lit(0L).as("alarms"))
+    val folded = withParams.withColumn("_st",
+      aggregate(col("_ser"), zero, (a, x) => {
+        val y = x.getField("cnt").cast("double")
+        val sp = greatest(lit(0.0), a.getField("sp") + (y - col("_muk")))
+        val sn = greatest(lit(0.0), a.getField("sn") + (col("_mku") - y))
+        val isMax = sp > a.getField("spmax")
+        struct(sp.as("sp"), sn.as("sn"),
+          when(isMax, sp).otherwise(a.getField("spmax")).as("spmax"),
+          when(isMax, x.getField("day"))
+            .otherwise(a.getField("tmax")).as("tmax"),
+          (a.getField("alarms") +
+            when(sp > col("_h") || sn > col("_h"), 1L).otherwise(0L))
+            .as("alarms"))
+      }))
+    folded.select(col("event_type"), col("n_days"), col("mu"),
+      col("sigma"), col("_st.sp").as("sp_end"), col("_st.sn").as("sn_end"),
+      col("_st.spmax").as("sp_max"), col("_st.tmax").as("t_max"),
+      col("_st.alarms").as("n_alarms"))
+  }
+
+  /** Day-of-week seasonal profile of daily event counts: per
+    * (event_type, dow) — dow = epoch-day mod 7, so dow 0 is a THURSDAY
+    * (1970-01-01), documented index not calendar convention — the mean
+    * daily count and its seasonal index mean_dow / mean_all.
+    *
+    * Determinism: both ratios are SINGLE IEEE divisions of exact
+    * integers (mean = S_d/n_d; index = (S_d·n)/(n_d·S) cross-
+    * multiplied into one exact numerator and denominator), so no
+    * rounding step is needed and the oracle compare is bitwise. S > 0
+    * always (every observed day contributes ≥ 1 event), so the index
+    * needs no zero guard.
+    *
+    * Scale: one map-side-combined (event_type, day) count, one
+    * (event_type, dow) reduce, one broadcast-size per-type total.
+    */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDow = daily
+      .groupBy(col("event_type"), pmod(col("day"), lit(7L)).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(d38(col("cnt"))).as("_sd"))
+    val perType = perDow.groupBy(col("event_type"))
+      .agg(sum(col("n_days")).as("_n"), sum(col("_sd")).as("_st"))
+    perDow.join(perType, Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("_sd").cast("long").as("total_cnt"),
+        (col("_sd").cast("double") / col("n_days").cast("double"))
+          .as("mean_cnt"),
+        ((col("_sd") * d38(col("_n"))).cast("double") /
+          (d38(col("n_days")) * col("_st")).cast("double")).as("season_index"))
+  }
+
+  /** Lag-k autocorrelation of the DENSE daily event-count series (gaps
+    * zero-filled over each type's [min_day, max_day] span — an absent
+    * day is a real zero for ACF, unlike [[holtDaily]]'s observed-day
+    * contract): for k = 1..maxLag,
+    * `r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²`.
+    *
+    * Determinism: cross-multiplying by n² turns both sides into EXACT
+    * integers — numerator n²·A_k − n·S·(B_k+C_k) + m_k·S², denominator
+    * n²·Q − n·S² with A_k = Σ y_t·y_{t+k}, B_k/C_k the windowed sums,
+    * m_k = n−k — so r_k is ONE IEEE division of exact DECIMALs; no
+    * rounding, bitwise-comparable. NULL when the denominator is 0
+    * (constant series). Capacity: n²·A_k must fit DECIMAL(38) —
+    * holds to ~10⁵ days × 10⁷ events/day; beyond that, stage in
+    * 256-bit or rescale counts.
+    *
+    * Scale: the events-scale op is the (event_type, day) count; the
+    * dense grid is span-bounded; the lag join is an EQUI-join on
+    * (event_type, day) after exploding each row into maxLag shifted
+    * copies — never a range join.
+    */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val grid = span
+      .select(col("event_type"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val mom = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("_n"), sum(d38(col("y"))).as("_S"),
+      sum(d38(col("y")) * d38(col("y"))).as("_Q"))
+    val shifted = grid
+      .select(col("event_type"), col("day"), col("y").as("_y1"),
+        explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag_k"))
+      .select(col("event_type"), (col("day") + col("lag_k")).as("day"),
+        col("lag_k"), col("_y1"))
+    val lagAgg = shifted.join(grid, Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("lag_k"))
+      .agg(count(lit(1)).as("_m"),
+        sum(d38(col("_y1")) * d38(col("y"))).as("_A"),
+        sum(d38(col("_y1"))).as("_B"), sum(d38(col("y"))).as("_C"))
+    val n38 = d38(col("_n"))
+    val num = n38 * n38 * col("_A") - n38 * col("_S") *
+      (col("_B") + col("_C")) + d38(col("_m")) * col("_S") * col("_S")
+    val den = n38 * n38 * col("_Q") - n38 * col("_S") * col("_S")
+    lagAgg.join(mom, Seq("event_type"))
+      .select(col("event_type"), col("lag_k"), col("_n").as("n_days"),
+        when(den =!= lit(0).cast("decimal(38,0)"),
+          num.cast("double") / den.cast("double")).as("acf"))
+  }
+
   /** Fixed-point scale for the Markov removal-effect value iteration. */
   private val MarkovScale = 1000000L
 

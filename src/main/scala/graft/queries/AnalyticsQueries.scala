@@ -2146,5 +2146,144 @@ object AnalyticsQueries {
              |SELECT id1, id2,
              |  CAST(levenshtein(n1, n2) AS BIGINT) AS dist
              |FROM cand WHERE levenshtein(n1, n2) <= 2""".stripMargin)),
+
+    // ---- x183: CUSUM changepoint monitor -----------------------------------
+    // Two-sided tabular CUSUM over daily counts (kappa = sigma/2,
+    // h = 4*sigma from the series' own exact moments); pinned-order
+    // fold replayed as a recursive CTE; NOTHING rounded — every output
+    // double is the same IEEE op sequence on both engines — see
+    // ops/EventAnalytics.cusumDaily.
+    QueryDef(
+      "x183_cusum",
+      (s, dir) =>
+        EventAnalytics.cusumDaily(Tables.events(s, dir))
+          .orderBy(col("event_type")),
+      Some("""WITH RECURSIVE daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |mom AS (SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(CAST(cnt AS HUGEINT)) AS HUGEINT) AS s,
+             |    CAST(SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT))
+             |      AS HUGEINT) AS q
+             |  FROM daily GROUP BY 1),
+             |par AS (SELECT event_type, n_days,
+             |    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mu,
+             |    sqrt(greatest(CAST(0 AS DOUBLE),
+             |      (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+             |          * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+             |        / CAST(n_days AS DOUBLE))) AS sigma
+             |  FROM mom),
+             |ser AS (SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS rn
+             |  FROM daily),
+             |run AS (
+             |  SELECT event_type, 0 AS rn, CAST(0 AS DOUBLE) AS sp,
+             |    CAST(0 AS DOUBLE) AS sn, CAST(0 AS DOUBLE) AS spmax,
+             |    CAST(-1 AS BIGINT) AS tmax, CAST(0 AS BIGINT) AS alarms
+             |  FROM par
+             |  UNION ALL
+             |  SELECT s.event_type, s.rn,
+             |    greatest(CAST(0 AS DOUBLE),
+             |      r.sp + (s.y - (p.mu + p.sigma / CAST(2 AS DOUBLE)))),
+             |    greatest(CAST(0 AS DOUBLE),
+             |      r.sn + ((p.mu - p.sigma / CAST(2 AS DOUBLE)) - s.y)),
+             |    CASE WHEN greatest(CAST(0 AS DOUBLE), r.sp
+             |        + (s.y - (p.mu + p.sigma / CAST(2 AS DOUBLE))))
+             |        > r.spmax
+             |      THEN greatest(CAST(0 AS DOUBLE), r.sp
+             |        + (s.y - (p.mu + p.sigma / CAST(2 AS DOUBLE))))
+             |      ELSE r.spmax END,
+             |    CASE WHEN greatest(CAST(0 AS DOUBLE), r.sp
+             |        + (s.y - (p.mu + p.sigma / CAST(2 AS DOUBLE))))
+             |        > r.spmax
+             |      THEN s.day ELSE r.tmax END,
+             |    r.alarms + CASE WHEN
+             |        greatest(CAST(0 AS DOUBLE), r.sp
+             |          + (s.y - (p.mu + p.sigma / CAST(2 AS DOUBLE))))
+             |          > CAST(4 AS DOUBLE) * p.sigma
+             |        OR greatest(CAST(0 AS DOUBLE), r.sn
+             |          + ((p.mu - p.sigma / CAST(2 AS DOUBLE)) - s.y))
+             |          > CAST(4 AS DOUBLE) * p.sigma
+             |      THEN 1 ELSE 0 END
+             |  FROM ser s JOIN run r ON s.event_type = r.event_type
+             |    AND s.rn = r.rn + 1
+             |  JOIN par p ON p.event_type = s.event_type)
+             |SELECT p.event_type, p.n_days, p.mu, p.sigma,
+             |  r.sp AS sp_end, r.sn AS sn_end, r.spmax AS sp_max,
+             |  r.tmax AS t_max, r.alarms AS n_alarms
+             |FROM run r JOIN par p USING (event_type)
+             |WHERE r.rn = p.n_days ORDER BY p.event_type""".stripMargin)),
+
+    // ---- x184: day-of-week seasonal profile --------------------------------
+    // dow = epoch-day mod 7 (dow 0 = Thursday, documented); mean and
+    // seasonal index are single IEEE divisions of exact integers
+    // (index cross-multiplied) — no rounding, bitwise compare — see
+    // ops/EventAnalytics.dowProfile.
+    QueryDef(
+      "x184_dow_profile",
+      (s, dir) =>
+        EventAnalytics.dowProfile(Tables.events(s, dir))
+          .orderBy(col("event_type"), col("dow")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |pd AS (SELECT event_type, day % 7 AS dow,
+             |    COUNT(*) AS n_days,
+             |    CAST(SUM(CAST(cnt AS HUGEINT)) AS HUGEINT) AS sd
+             |  FROM daily GROUP BY 1, 2),
+             |pt AS (SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS n,
+             |    CAST(SUM(sd) AS HUGEINT) AS st FROM pd GROUP BY 1)
+             |SELECT event_type, dow, n_days, CAST(sd AS BIGINT)
+             |    AS total_cnt,
+             |  CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_cnt,
+             |  CAST(sd * n AS DOUBLE) / CAST(n_days * st AS DOUBLE)
+             |    AS season_index
+             |FROM pd JOIN pt USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // ---- x185: lag-k autocorrelation of dense daily counts -----------------
+    // Gaps zero-filled over each type's span; r_k cross-multiplied by
+    // n^2 into ONE division of exact integers (HUGEINT == DECIMAL(38))
+    // — no rounding; lag join is an equi-join after exploding shifted
+    // copies — see ops/EventAnalytics.acfDaily.
+    QueryDef(
+      "x185_acf",
+      (s, dir) =>
+        EventAnalytics.acfDaily(Tables.events(s, dir), maxLag = 7)
+          .orderBy(col("event_type"), col("lag_k")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |grid AS (SELECT g.event_type, g.day, COALESCE(d.cnt, 0) AS y
+             |  FROM (SELECT event_type,
+             |      unnest(generate_series(d0, d1)) AS day FROM span) g
+             |  LEFT JOIN daily d USING (event_type, day)),
+             |mom AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+             |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+             |      AS HUGEINT) AS q
+             |  FROM grid GROUP BY 1),
+             |sh AS (SELECT event_type, day + k AS day, k, y AS y1
+             |  FROM grid CROSS JOIN
+             |    (SELECT unnest(generate_series(1, 7)) AS k) t),
+             |la AS (SELECT s.event_type, s.k AS lag_k, COUNT(*) AS m,
+             |    CAST(SUM(CAST(s.y1 AS HUGEINT) * CAST(g.y AS HUGEINT))
+             |      AS HUGEINT) AS a,
+             |    CAST(SUM(CAST(s.y1 AS HUGEINT)) AS HUGEINT) AS b,
+             |    CAST(SUM(CAST(g.y AS HUGEINT)) AS HUGEINT) AS c
+             |  FROM sh s JOIN grid g ON s.event_type = g.event_type
+             |    AND s.day = g.day
+             |  GROUP BY 1, 2)
+             |SELECT l.event_type, l.lag_k, m.n AS n_days,
+             |  CASE WHEN m.n * m.n * m.q - m.n * m.s * m.s <> 0 THEN
+             |    CAST(m.n * m.n * l.a - m.n * m.s * (l.b + l.c)
+             |        + l.m * m.s * m.s AS DOUBLE)
+             |      / CAST(m.n * m.n * m.q - m.n * m.s * m.s AS DOUBLE)
+             |  END AS acf
+             |FROM la l JOIN mom m USING (event_type)
+             |ORDER BY l.event_type, l.lag_k""".stripMargin)),
   )
 }

@@ -156,6 +156,98 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(rows("C") === ((2L, 1.0, 0.0, 1.0)))
   }
 
+  test("cusumDaily: hand-computed dyadic case; reference fold on an " +
+      "alarm-positive shift series") {
+    // A: counts [1,1,5,5] on days 0-3. n=4 S=12 Q=52; mu=3;
+    // sigma = sqrt((52-36)/4) = 2 (exact); kappa=1 h=8; muk=4 mku=2.
+    // d0 y1: sp=0 sn=1; d1: sn=2; d2 y5: sp=1 sn=0 (2+2-5<0), max@2;
+    // d3: sp=2 max@3. No alarms (2 < 8).
+    val evA = frame(
+      "user_id" -> Seq.fill(12)(1L),
+      "event_type" -> Seq.fill(12)("A"),
+      "ts_ns" -> (Seq(day(0) + 1, day(1) + 1) ++
+        (1L to 5L).map(i => day(2) + i) ++ (1L to 5L).map(i => day(3) + i)))
+    val a = EventAnalytics.cusumDaily(evA).collect()(0)
+    assert(a.getLong(1) === 4L)
+    assert(a.getDouble(2) === 3.0 && a.getDouble(3) === 2.0)
+    assert(a.getDouble(4) === 2.0 && a.getDouble(5) === 0.0) // sp/sn end
+    assert(a.getDouble(6) === 2.0 && a.getLong(7) === 3L)    // max @ day 3
+    assert(a.getLong(8) === 0L)
+    // B: a sustained level shift — 16 days at 1 then 16 at 3 — MUST
+    // alarm; checked against an independent JVM fold of the same rule
+    val counts = Seq.fill(16)(1) ++ Seq.fill(16)(3)
+    val evB = frame(
+      "user_id" -> counts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(1L) },
+      "event_type" -> Seq.fill(counts.sum)("B"),
+      "ts_ns" -> counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c.toLong).map(i => day(d.toLong) + i) })
+    val b = EventAnalytics.cusumDaily(evB).collect()(0)
+    val n = counts.length
+    val s = counts.sum.toDouble
+    val q = counts.map(c => c * c).sum.toDouble
+    val mu = s / n
+    val sigma = math.sqrt(math.max(0.0, (q - s * s / n) / n))
+    var (sp, sn, spMax, alarms) = (0.0, 0.0, 0.0, 0L)
+    var tMax = -1L
+    for ((c, d) <- counts.zipWithIndex) {
+      sp = math.max(0.0, sp + (c - (mu + sigma / 2)))
+      sn = math.max(0.0, sn + ((mu - sigma / 2) - c))
+      if (sp > spMax) { spMax = sp; tMax = d.toLong }
+      if (sp > 4 * sigma || sn > 4 * sigma) alarms += 1
+    }
+    assert(alarms > 0) // the fixture genuinely alarms
+    assert(b.getLong(1) === n.toLong)
+    assert(b.getDouble(2) === mu && b.getDouble(3) === sigma)
+    assert(b.getDouble(4) === sp && b.getDouble(5) === sn)
+    assert(b.getDouble(6) === spMax && b.getLong(7) === tMax)
+    assert(b.getLong(8) === alarms)
+  }
+
+  test("dowProfile: planted weekly peak gets index > 1, off-days < 1") {
+    // 14 days, cnt 1 except days 3 and 10 (same dow) with cnt 4:
+    // dow 3: n=2 total=8 mean=4 index=8*14/(2*20)=2.8; others 0.7
+    val counts = (0 until 14).map(d => if (d % 7 == 3) 4 else 1)
+    val ev = frame(
+      "user_id" -> counts.zipWithIndex.flatMap { case (c, _) =>
+        Seq.fill(c)(1L) },
+      "event_type" -> Seq.fill(counts.sum)("A"),
+      "ts_ns" -> counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c.toLong).map(i => day(d.toLong) + i) })
+    val out = EventAnalytics.dowProfile(ev).orderBy("dow").collect()
+    assert(out.length === 7)
+    val atPeak = out(3)
+    assert(atPeak.getLong(2) === 2L && atPeak.getLong(3) === 8L)
+    assert(atPeak.getDouble(4) === 4.0)
+    assert(atPeak.getDouble(5) === 112.0 / 40.0)
+    for (r <- out if r.getLong(1) != 3L)
+      assert(r.getDouble(5) === 28.0 / 40.0)
+  }
+
+  test("acfDaily: zero-filled gap, exact integer-ratio lags, no row " +
+      "past the overlap") {
+    // days 0 and 2 with cnt 2 each; day 1 absent -> y = [2,0,2]
+    // n=3 S=4 Q=8. lag1: A=0 B=2 C=2 m=2 ->
+    //   num = 9*0-3*4*4+2*16 = -16; den = 9*8-3*16 = 24
+    // lag2: A=4 B=2 C=2 m=1 -> num = 36-48+16 = 4
+    val ev = frame(
+      "user_id" -> Seq.fill(4)(1L),
+      "event_type" -> Seq.fill(4)("A"),
+      "ts_ns" -> Seq(day(0) + 1, day(0) + 2, day(2) + 1, day(2) + 2))
+    val out = EventAnalytics.acfDaily(ev, maxLag = 7)
+      .orderBy("lag_k").collect()
+    assert(out.length === 2) // lags 3+ have no overlap, no rows
+    assert(out(0).getLong(1) === 1L && out(0).getDouble(3) === -16.0 / 24.0)
+    assert(out(1).getLong(1) === 2L && out(1).getDouble(3) === 4.0 / 24.0)
+    // constant series -> zero denominator -> NULL acf
+    val const = frame(
+      "user_id" -> Seq(1L, 1L),
+      "event_type" -> Seq("C", "C"),
+      "ts_ns" -> Seq(day(0) + 1, day(1) + 1))
+    val c = EventAnalytics.acfDaily(const, maxLag = 1).collect()
+    assert(c.length === 1 && c(0).isNullAt(3))
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),
