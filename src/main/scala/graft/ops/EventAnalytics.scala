@@ -785,6 +785,110 @@ object EventAnalytics {
           num.cast("double") / den.cast("double")).as("acf"))
   }
 
+  /** Theil-Sen robust trend of daily event counts: per event_type, the
+    * MEDIAN of all pairwise slopes (y_j − y_i)/(d_j − d_i) over the
+    * observed days — the classic outlier-resistant alternative to OLS
+    * (Sen 1968). One row per type with ≥ 2 observed days:
+    * `(event_type, n_days, n_pairs, slope)`.
+    *
+    * Determinism: each slope is ONE IEEE division of exact integer
+    * differences; the median is the order statistic at rank
+    * (m+1) div 2 / (m+2) div 2 (equal for odd m) — value-defined
+    * regardless of tie order — and the even-m average is sum/count
+    * with count ∈ {1, 2}, both exact. No rounding anywhere.
+    *
+    * Scale: the pair join is per-type over the span-bounded daily
+    * aggregate — O(span²) pairs per type (10³ days → 10⁶ pairs),
+    * INDEPENDENT of corpus row count; the rank window partitions by
+    * type over those pairs, never a global window.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col("event_type"), col("day").as("_d1"),
+      col("cnt").as("_y1"))
+    val b = daily.select(col("event_type"), col("day").as("_d2"),
+      col("cnt").as("_y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("_d2") > col("_d1"))
+      .select(col("event_type"), col("_d1"), col("_d2"),
+        ((col("_y2") - col("_y1")).cast("double") /
+          (col("_d2") - col("_d1")).cast("double")).as("_slope"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("_slope"), col("_d1"), col("_d2"))
+    val ranked = slopes.withColumn("_rn", row_number().over(w))
+    val counts = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .withColumn("n_pairs",
+        expr("n_days * (n_days - 1) div 2"))
+    ranked.join(counts, Seq("event_type"))
+      .filter(col("_rn") === expr("(n_pairs + 1) div 2") ||
+        col("_rn") === expr("(n_pairs + 2) div 2"))
+      .groupBy(col("event_type"), col("n_days"), col("n_pairs"))
+      .agg((sum(col("_slope")) / count(lit(1)).cast("double"))
+        .as("slope"))
+  }
+
+  /** Cross-correlation lead-lag profile between two event types' dense
+    * daily-count series (gaps zero-filled over the JOINT span): for
+    * k = −maxLag..maxLag, the Pearson correlation of (x_t, y_{t+k})
+    * over the overlap window. Positive-k peaks mean x LEADS y by k
+    * days. Rows: `(lag_k, n_overlap, ccf)`; ccf NULL when either
+    * window is constant.
+    *
+    * Determinism: windowed moments are exact DECIMAL integers;
+    * `r = (m·A − Bx·By) / (sqrt(m·Qx − Bx²) · sqrt(m·Qy − By²))` is
+    * two IEEE sqrts of exact-integer doubles, one multiply, one
+    * division — identical on both engines, nothing rounded.
+    *
+    * Scale: two map-side-combined daily counts; everything downstream
+    * is span-bounded; the lag join is an EQUI-join on day after
+    * exploding 2·maxLag+1 shifted copies; the one-row span frame is a
+    * broadcast (x57 pattern).
+    */
+  def ccfDaily(events: DataFrame, typeX: String, typeY: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events
+      .filter(col("event_type").isin(typeX, typeY))
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = broadcast(daily.agg(min(col("day")).as("_d0"),
+      max(col("day")).as("_d1")))
+    val dx = daily.filter(col("event_type") === typeX)
+      .select(col("day"), col("cnt").as("_cx"))
+    val dy = daily.filter(col("event_type") === typeY)
+      .select(col("day"), col("cnt").as("_cy"))
+    val grid = span
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(dx, Seq("day"), "left").join(dy, Seq("day"), "left")
+      .select(col("day"), coalesce(col("_cx"), lit(0L)).as("x"),
+        coalesce(col("_cy"), lit(0L)).as("y"))
+    val shifted = grid
+      .select(col("day"), col("x"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)))
+          .as("lag_k"))
+      .select((col("day") + col("lag_k")).as("day"), col("lag_k"),
+        col("x"))
+    val agg = shifted.join(grid.select(col("day"), col("y")), Seq("day"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(d38(col("x")) * d38(col("y"))).as("_a"),
+        sum(d38(col("x"))).as("_bx"), sum(d38(col("y"))).as("_by"),
+        sum(d38(col("x")) * d38(col("x"))).as("_qx"),
+        sum(d38(col("y")) * d38(col("y"))).as("_qy"))
+    val m38 = d38(col("n_overlap"))
+    val vx = (m38 * col("_qx") - col("_bx") * col("_bx")).cast("double")
+    val vy = (m38 * col("_qy") - col("_by") * col("_by")).cast("double")
+    val num = (m38 * col("_a") - col("_bx") * col("_by")).cast("double")
+    agg.select(col("lag_k"), col("n_overlap"),
+      when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("ccf"))
+  }
+
   /** Fixed-point scale for the Markov removal-effect value iteration. */
   private val MarkovScale = 1000000L
 

@@ -357,4 +357,37 @@ object Stats {
         round((ssb / dofB.cast("double"))
           / (ssw / dofW.cast("double")), 6)).as("f"))
   }
+
+  /** Mutual information between two categorical columns, reported
+    * per cell (the [[graft.ops.Profiling.psiBins]] per-term shape —
+    * consumers sum `mi_term` for the scalar MI in nats):
+    * `(a, b, n_ab, n_a, n_b, share, mi_term)` with
+    * `mi_term = (n_ab/N) · ln((n_ab·N)/(n_a·n_b))`, rounded to 6.
+    * Absent (a, b) combinations contribute 0 to MI and are omitted.
+    *
+    * Determinism: the ln argument is ONE division of exact DECIMAL
+    * cross-products and p_ab one division of exact integers; ln itself
+    * is the 1-ulp libm class, bounded by the same round-6 convention
+    * PSI uses (documented tradeoff — an exact-log engine pair would
+    * need rational-log staging).
+    *
+    * Scale: one (a, b) reduce — map-side combinable; marginals reduce
+    * the cell table, not the corpus; one-row N broadcast (x57).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = broadcast(cells.agg(sum(col("n_ab")).as("_n")))
+    cells.join(ma, Seq("a")).join(mb, Seq("b")).crossJoin(tot)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("_n").cast("double"), 6)
+          .as("share"),
+        round((col("n_ab").cast("double") / col("_n").cast("double")) *
+          log((d38(col("n_ab")) * d38(col("_n"))).cast("double") /
+            (d38(col("n_a")) * d38(col("n_b"))).cast("double")), 6)
+          .as("mi_term"))
+  }
 }

@@ -2285,5 +2285,112 @@ object AnalyticsQueries {
              |  END AS acf
              |FROM la l JOIN mom m USING (event_type)
              |ORDER BY l.event_type, l.lag_k""".stripMargin)),
+
+    // ---- x186: Theil-Sen robust daily trend --------------------------------
+    // Median of all pairwise slopes per type (span-bounded pair join);
+    // order-statistic median, no rounding — see
+    // ops/EventAnalytics.theilSen.
+    QueryDef(
+      "x186_theilsen",
+      (s, dir) =>
+        EventAnalytics.theilSen(Tables.events(s, dir))
+          .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |sl AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+             |    CAST(b.cnt - a.cnt AS DOUBLE)
+             |      / CAST(b.day - a.day AS DOUBLE) AS slope
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND b.day > a.day),
+             |rk AS (SELECT event_type, slope, ROW_NUMBER() OVER (
+             |    PARTITION BY event_type ORDER BY slope, d1, d2) AS rn
+             |  FROM sl),
+             |cn AS (SELECT event_type, COUNT(*) AS n_days,
+             |    COUNT(*) * (COUNT(*) - 1) // 2 AS n_pairs
+             |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2)
+             |SELECT r.event_type, c.n_days, c.n_pairs,
+             |  SUM(r.slope) / COUNT(*) AS slope
+             |FROM rk r JOIN cn c USING (event_type)
+             |WHERE r.rn = (c.n_pairs + 1) // 2
+             |  OR r.rn = (c.n_pairs + 2) // 2
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // ---- x187: view->purchase cross-correlation lead-lag -------------------
+    // Pearson r of (x_t, y_{t+k}) for k in -7..7 over the dense joint
+    // span; exact windowed moments, two IEEE sqrts + one division, no
+    // rounding — see ops/EventAnalytics.ccfDaily.
+    QueryDef(
+      "x187_ccf_leadlag",
+      (s, dir) =>
+        EventAnalytics.ccfDaily(Tables.events(s, dir), "view",
+          "purchase", maxLag = 7)
+          .orderBy(col("lag_k")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |  GROUP BY 1, 2),
+             |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |grid AS (SELECT g.day, COALESCE(x.cnt, 0) AS x,
+             |    COALESCE(y.cnt, 0) AS y
+             |  FROM (SELECT unnest(generate_series(d0, d1)) AS day
+             |    FROM span) g
+             |  LEFT JOIN (SELECT day, cnt FROM daily
+             |    WHERE event_type = 'view') x USING (day)
+             |  LEFT JOIN (SELECT day, cnt FROM daily
+             |    WHERE event_type = 'purchase') y USING (day)),
+             |sh AS (SELECT day + k AS day, k AS lag_k, x
+             |  FROM grid CROSS JOIN
+             |    (SELECT unnest(generate_series(-7, 7)) AS k) t),
+             |ag AS (SELECT s.lag_k, COUNT(*) AS n_overlap,
+             |    CAST(SUM(CAST(s.x AS HUGEINT) * CAST(g.y AS HUGEINT))
+             |      AS HUGEINT) AS a,
+             |    CAST(SUM(CAST(s.x AS HUGEINT)) AS HUGEINT) AS bx,
+             |    CAST(SUM(CAST(g.y AS HUGEINT)) AS HUGEINT) AS by_,
+             |    CAST(SUM(CAST(s.x AS HUGEINT) * CAST(s.x AS HUGEINT))
+             |      AS HUGEINT) AS qx,
+             |    CAST(SUM(CAST(g.y AS HUGEINT) * CAST(g.y AS HUGEINT))
+             |      AS HUGEINT) AS qy
+             |  FROM sh s JOIN grid g USING (day) GROUP BY 1)
+             |SELECT lag_k, n_overlap,
+             |  CASE WHEN CAST(n_overlap * qx - bx * bx AS DOUBLE) > 0
+             |      AND CAST(n_overlap * qy - by_ * by_ AS DOUBLE) > 0
+             |    THEN CAST(n_overlap * a - bx * by_ AS DOUBLE)
+             |      / (sqrt(CAST(n_overlap * qx - bx * bx AS DOUBLE))
+             |        * sqrt(CAST(n_overlap * qy - by_ * by_
+             |          AS DOUBLE)))
+             |  END AS ccf
+             |FROM ag ORDER BY lag_k""".stripMargin)),
+
+    // ---- x188: returnflag x linestatus mutual information ------------------
+    // Per-cell MI terms (the PSI per-term shape; sum mi_term for the
+    // scalar MI in nats); ln arg is one division of exact
+    // cross-products — see ops/Stats.mutualInfo.
+    QueryDef(
+      "x188_mutual_info",
+      (s, dir) =>
+        Stats.mutualInfo(Tables.lineitem(s, dir), "l_returnflag",
+          "l_linestatus")
+          .orderBy(col("a"), col("b")),
+      Some("""WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS a,
+             |    CAST(l_linestatus AS VARCHAR) AS b, COUNT(*) AS n_ab
+             |  FROM lineitem GROUP BY 1, 2),
+             |ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+             |  FROM cells GROUP BY 1),
+             |mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b
+             |  FROM cells GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cells)
+             |SELECT c.a, c.b, c.n_ab, m1.n_a, m2.n_b,
+             |  round(CAST(c.n_ab AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+             |    AS share,
+             |  round((CAST(c.n_ab AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |    * ln(CAST(CAST(c.n_ab AS HUGEINT)
+             |        * CAST(t.n AS HUGEINT) AS DOUBLE)
+             |      / CAST(CAST(m1.n_a AS HUGEINT)
+             |        * CAST(m2.n_b AS HUGEINT) AS DOUBLE)), 6)
+             |    AS mi_term
+             |FROM cells c JOIN ma m1 USING (a) JOIN mb m2 USING (b)
+             |  CROSS JOIN tot t
+             |ORDER BY c.a, c.b""".stripMargin)),
   )
 }

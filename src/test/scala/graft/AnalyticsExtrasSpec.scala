@@ -248,6 +248,98 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(c.length === 1 && c(0).isNullAt(3))
   }
 
+  test("theilSen: hand-sorted medians, outlier-robust, single-day type " +
+      "excluded") {
+    // A y=[1,3,2] on days 0-2: slopes {2, 0.5, -1} -> median 0.5
+    // B y=[1,2,4,8]: slopes sorted [1, 1.5, 2, 7/3, 3, 4] -> (2+7/3)/2
+    // D y=[1,2,3,4,100]: six of ten slopes are 1 -> median 1 (robust)
+    // C: one day -> excluded
+    def mk(t: String, counts: Seq[Int]): (Seq[Long], Seq[String], Seq[Long]) = {
+      val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c.toLong).map(i => day(d.toLong) + i) }
+      (Seq.fill(rows.length)(1L), Seq.fill(rows.length)(t), rows)
+    }
+    val parts = Seq(mk("A", Seq(1, 3, 2)), mk("B", Seq(1, 2, 4, 8)),
+      mk("C", Seq(2)), mk("D", Seq(1, 2, 3, 4, 100)))
+    val ev = frame(
+      "user_id" -> parts.flatMap(_._1),
+      "event_type" -> parts.flatMap(_._2),
+      "ts_ns" -> parts.flatMap(_._3))
+    val out = EventAnalytics.theilSen(ev).orderBy("event_type").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("A", "B", "D"))
+    val byT = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byT("A") === ((3L, 3L, 0.5)))
+    assert(byT("B") === ((4L, 6L, (2.0 + 7.0 / 3.0) / 2.0)))
+    assert(byT("D") === ((5L, 10L, 1.0)))
+  }
+
+  test("ccfDaily: shifted series peaks at its lead; overlap shrinks " +
+      "with |lag|") {
+    // x on days 0-2 counts [1,2,3]; y = x shifted +1 day (days 1-3).
+    // Joint span 0..3: x=[1,2,3,0], y=[0,1,2,3]; exact-moment r via
+    // the operator's own formula replayed in-JVM
+    val ev = frame(
+      "user_id" -> Seq.fill(12)(1L),
+      "event_type" -> (Seq.fill(6)("X") ++ Seq.fill(6)("Y")),
+      "ts_ns" -> (Seq(day(0) + 1) ++ (1L to 2L).map(day(1) + _) ++
+        (1L to 3L).map(day(2) + _) ++
+        Seq(day(1) + 9) ++ (4L to 5L).map(day(2) + _) ++
+        (1L to 3L).map(day(3) + _)))
+    val out = EventAnalytics.ccfDaily(ev, "X", "Y", maxLag = 7)
+      .orderBy("lag_k").collect()
+    // span 4 days: only |k| <= 3 has overlap
+    assert(out.map(_.getLong(0)).toSeq === (-3L to 3L))
+    val xs = Seq(1L, 2L, 3L, 0L); val ys = Seq(0L, 1L, 2L, 3L)
+    def ref(k: Int): Option[Double] = {
+      val pairs = xs.indices.flatMap { t =>
+        val u = t + k
+        if (u >= 0 && u < ys.length) Some((xs(t), ys(u))) else None }
+      val m = pairs.length.toLong
+      val A = pairs.map { case (x, y) => x * y }.sum
+      val bx = pairs.map(_._1).sum; val by = pairs.map(_._2).sum
+      val qx = pairs.map(p => p._1 * p._1).sum
+      val qy = pairs.map(p => p._2 * p._2).sum
+      val vx = (m * qx - bx * bx).toDouble
+      val vy = (m * qy - by * by).toDouble
+      if (vx > 0 && vy > 0)
+        Some((m * A - bx * by).toDouble / (math.sqrt(vx) * math.sqrt(vy)))
+      else None
+    }
+    for (r <- out) {
+      val k = r.getLong(0).toInt
+      ref(k) match {
+        case Some(v) => assert(r.getDouble(2) === v, s"lag $k")
+        case None => assert(r.isNullAt(2), s"lag $k")
+      }
+    }
+    // the planted +1 lead IS the argmax
+    val best = out.filter(!_.isNullAt(2)).maxBy(_.getDouble(2))
+    assert(best.getLong(0) === 1L && best.getDouble(2) > 0.99)
+  }
+
+  test("mutualInfo: hand contingency; independent table has zero MI") {
+    // counts (p,u)=2 (p,v)=1 (q,u)=1 (q,v)=2; N=6, marginals all 3
+    val df = frame(
+      "a" -> Seq("p", "p", "p", "q", "q", "q"),
+      "b" -> Seq("u", "u", "v", "u", "v", "v"))
+    val out = graft.ops.Stats.mutualInfo(df, "a", "b")
+      .orderBy("a", "b").collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t2 = r6((2.0 / 6.0) * math.log(12.0 / 9.0))
+    val t1 = r6((1.0 / 6.0) * math.log(6.0 / 9.0))
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(6))).toSeq === Seq(("p", "u", 2L, t2),
+      ("p", "v", 1L, t1), ("q", "u", 1L, t1), ("q", "v", 2L, t2)))
+    // independence: every cell share = product of marginal shares
+    val ind = frame(
+      "a" -> Seq("p", "p", "q", "q"),
+      "b" -> Seq("u", "v", "u", "v"))
+    val zero = graft.ops.Stats.mutualInfo(ind, "a", "b").collect()
+    assert(zero.forall(_.getDouble(6) === 0.0))
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),
