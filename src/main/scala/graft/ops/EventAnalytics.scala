@@ -889,6 +889,94 @@ object EventAnalytics {
       when(vx > 0.0 && vy > 0.0, num / (sqrt(vx) * sqrt(vy))).as("ccf"))
   }
 
+  /** Inter-arrival time profile: per-user gaps between consecutive
+    * events (ordered by (ts, id), labeled by the LATER event's type),
+    * bucketed into power-of-two second bands —
+    * `bucket = floor(log2(gap_s + 1))` computed EXACTLY as
+    * `length(bin(gap_s + 1)) − 1` (integer bit-width, no libm log2
+    * whose float edge at exact powers could flip a bucket). Rows:
+    * `(event_type, bucket, n, share)` — share is one IEEE division of
+    * exact counts within the type.
+    *
+    * Scale: ONE user_id shuffle (the per-user lag window), then a
+    * map-side-combined (type, bucket) reduce; ≤ ~40 buckets·|types|
+    * output rows.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("_prev", lag(col("ts_ns"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select(col("event_type"),
+        expr("length(bin((ts_ns - _prev) div 1000000000 + 1)) - 1")
+          .cast("long").as("bucket"))
+    val counts = gaps.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("_t"))
+    counts.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("bucket"), col("n"),
+        (col("n").cast("double") / col("_t").cast("double")).as("share"))
+  }
+
+  /** Lo-MacKinlay variance-ratio test of the daily count series: for
+    * each aggregation window q, `VR(q) = Var(q-day block sums) /
+    * (q · Var(daily))` over the dense zero-filled grid — VR ≈ 1 for a
+    * random walk, < 1 for mean reversion, > 1 for trending. COMPLETE
+    * blocks only. Rows: `(event_type, q, n_days, n_blocks, vr)`.
+    *
+    * Determinism: cross-multiplied into ONE division of exact
+    * integers — `vr = n²·(m·Qz − Sz²) / (q·m²·(n·Qy − Sy²))` — NULL
+    * when the daily variance is 0. Same DECIMAL(38) capacity note as
+    * [[acfDaily]].
+    *
+    * Scale: one events-scale count; blocks are a second reduce of the
+    * span-bounded grid, exploded per q (|qs| copies of the grid).
+    */
+  def varianceRatio(events: DataFrame, qs: Seq[Int] = Seq(2, 4, 8))
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(_ >= 2), s"need qs all >= 2, got $qs")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val grid = span
+      .select(col("event_type"), col("_d0"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("_d0"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val mom = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"), sum(d38(col("y"))).as("_sy"),
+      sum(d38(col("y")) * d38(col("y"))).as("_qy"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(qs.map(_.toLong).toDF("q"))
+    val blocks = grid.crossJoin(qdf)
+      .groupBy(col("event_type"), col("q"),
+        expr("(day - _d0) div q").as("_blk"))
+      .agg(count(lit(1)).as("_bn"), sum(col("y")).as("_z"))
+      .filter(col("_bn") === col("q"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("n_blocks"), sum(d38(col("_z"))).as("_sz"),
+        sum(d38(col("_z")) * d38(col("_z"))).as("_qz"))
+    val n38 = d38(col("n_days"))
+    val m38 = d38(col("n_blocks"))
+    val num = n38 * n38 * (m38 * col("_qz") - col("_sz") * col("_sz"))
+    val den = d38(col("q")) * m38 * m38 *
+      (n38 * col("_qy") - col("_sy") * col("_sy"))
+    blocks.join(mom, Seq("event_type"))
+      .select(col("event_type"), col("q"), col("n_days"),
+        col("n_blocks"),
+        when(den =!= lit(0).cast("decimal(38,0)"),
+          num.cast("double") / den.cast("double")).as("vr"))
+  }
+
   /** Fixed-point scale for the Markov removal-effect value iteration. */
   private val MarkovScale = 1000000L
 

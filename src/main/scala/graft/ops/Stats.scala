@@ -374,6 +374,56 @@ object Stats {
     * Scale: one (a, b) reduce — map-side combinable; marginals reduce
     * the cell table, not the corpus; one-row N broadcast (x57).
     */
+  /** Balanced-half-sample (BRR-style) confidence interval for a mean,
+    * the survey-statistics replication method that needs NO
+    * distributional assumption and ONE extra pass: replicate r ∈ 0..B−1
+    * keeps the rows whose md5(salt:id) has bit r set (~half each), and
+    * `Var(θ̂) ≈ (1/B)·Σ_r (θ_r − θ̂)²`. ONE row:
+    * `(n, b_replicates, theta, se, ci_lo, ci_hi)` (95% normal CI).
+    *
+    * Determinism: θ and each θ_r are single IEEE divisions of exact
+    * integer sums; the B squared deviations are round-12
+    * DECIMAL-summed (x103 convention), divided by the power-of-two B
+    * (exact), sqrt'd (IEEE), and combined with the 1.96 literal — the
+    * same op sequence on both engines. Empty replicates (vanishing
+    * probability at any real n) are excluded with B_eff = count.
+    *
+    * Scale: one md5 per row and a B-way explode-filter (~B/2×
+    * map-side rows) into ONE map-side-combined (r) reduce — B bounds
+    * the pass cost, the documented tradeoff (B = 64 default).
+    */
+  def brrMeanCi(df: DataFrame, idCol: String, valueCol: Column,
+      b: Int = 64, salt: String = "brr"): DataFrame = {
+    require(b >= 2 && b <= 64 && (b & (b - 1)) == 0,
+      s"need b a power of two in [2, 64], got $b")
+    val rows = df.select(col(idCol).cast("string").as("_id"),
+        valueCol.cast("bigint").as("_v"))
+      .withColumn("_h", md5(concat(lit(s"$salt:"), col("_id"))))
+    val tot = broadcast(rows.agg(count(lit(1)).as("n"),
+      sum(d38(col("_v"))).as("_s")))
+    val reps = rows
+      .select(col("_h"), col("_v"),
+        explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .filter(expr("((instr('0123456789abcdef', " +
+        "substr(_h, 1 + _r div 4, 1)) - 1) >> (_r % 4)) & 1 = 1"))
+      .groupBy(col("_r"))
+      .agg(count(lit(1)).as("_nr"), sum(d38(col("_v"))).as("_sr"))
+      .filter(col("_nr") > 0)
+    val theta = col("_s").cast("double") / col("n").cast("double")
+    val thetaR = col("_sr").cast("double") / col("_nr").cast("double")
+    val dev = thetaR - theta
+    val varAgg = reps.crossJoin(tot)
+      .agg(count(lit(1)).as("b_replicates"),
+        sum(round(dev * dev, 12).cast("decimal(28,12)")).as("_ss"),
+        first(col("n")).as("n"), first(col("_s")).as("_s2"))
+    val th = col("_s2").cast("double") / col("n").cast("double")
+    val se = sqrt(col("_ss").cast("double") /
+      col("b_replicates").cast("double"))
+    varAgg.select(col("n"), col("b_replicates"), th.as("theta"),
+      se.as("se"), (th - lit(1.96) * se).as("ci_lo"),
+      (th + lit(1.96) * se).as("ci_hi"))
+  }
+
   def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).cast("string").as("a"),
         col(bCol).cast("string").as("b"))

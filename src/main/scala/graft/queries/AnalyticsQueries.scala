@@ -2392,5 +2392,126 @@ object AnalyticsQueries {
              |FROM cells c JOIN ma m1 USING (a) JOIN mb m2 USING (b)
              |  CROSS JOIN tot t
              |ORDER BY c.a, c.b""".stripMargin)),
+
+    // ---- x189: balanced-half-sample CI for mean order value ----------------
+    // BRR replication: replicate r keeps rows whose md5 bit r is set;
+    // Var ~ (1/B) sum (theta_r - theta)^2, round-12 DECIMAL-summed;
+    // theta/theta_r are single divisions of exact integer cent sums —
+    // see ops/Stats.brrMeanCi.
+    QueryDef(
+      "x189_brr_ci",
+      (s, dir) =>
+        Stats.brrMeanCi(Tables.orders(s, dir), "o_orderkey",
+          round(col("o_totalprice").cast("double") * 100).cast("bigint"),
+          b = 64, salt = "brr"),
+      Some("""WITH rows_ AS (SELECT
+             |    CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |      AS BIGINT) AS v,
+             |    md5('brr:' || CAST(o_orderkey AS VARCHAR)) AS h
+             |  FROM orders),
+             |tot AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+             |  FROM rows_),
+             |reps AS (SELECT r, COUNT(*) AS nr,
+             |    CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sr
+             |  FROM rows_ CROSS JOIN
+             |    (SELECT unnest(generate_series(0, 63)) AS r) t
+             |  WHERE ((instr('0123456789abcdef',
+             |      substr(h, CAST(1 + r // 4 AS INT), 1)) - 1)
+             |    >> (r % 4)) & 1 = 1
+             |  GROUP BY 1 HAVING COUNT(*) > 0),
+             |va AS (SELECT COUNT(*) AS b_replicates,
+             |    SUM(CAST(round(
+             |      (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+             |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+             |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+             |      AS DECIMAL(28,12))) AS ss,
+             |    first(n) AS n, first(s) AS s
+             |  FROM reps CROSS JOIN tot)
+             |SELECT n, b_replicates,
+             |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS theta,
+             |  sqrt(CAST(ss AS DOUBLE) / CAST(b_replicates AS DOUBLE))
+             |    AS se,
+             |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 1.96
+             |    * sqrt(CAST(ss AS DOUBLE)
+             |      / CAST(b_replicates AS DOUBLE)) AS ci_lo,
+             |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 1.96
+             |    * sqrt(CAST(ss AS DOUBLE)
+             |      / CAST(b_replicates AS DOUBLE)) AS ci_hi
+             |FROM va""".stripMargin)),
+
+    // ---- x190: inter-arrival time profile ----------------------------------
+    // Per-user consecutive gaps, power-of-two second buckets via exact
+    // integer bit-width (length(bin(gap+1))-1, no libm log2) — see
+    // ops/EventAnalytics.interArrival.
+    QueryDef(
+      "x190_interarrival",
+      (s, dir) =>
+        EventAnalytics.interArrival(Tables.events(s, dir))
+          .orderBy(col("event_type"), col("bucket")),
+      Some("""WITH g AS (SELECT event_type,
+             |    CAST(length(bin((tns - prev)
+             |      // 1000000000 + 1)) - 1 AS BIGINT) AS bucket
+             |  FROM (SELECT event_type, epoch_ns(ts) AS tns,
+             |      LAG(epoch_ns(ts)) OVER (PARTITION BY user_id
+             |        ORDER BY epoch_ns(ts), event_id) AS prev
+             |    FROM events)
+             |  WHERE prev IS NOT NULL),
+             |c AS (SELECT event_type, bucket, COUNT(*) AS n
+             |  FROM g GROUP BY 1, 2),
+             |tt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+             |  FROM c GROUP BY 1)
+             |SELECT c.event_type, c.bucket, c.n,
+             |  CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE) AS share
+             |FROM c JOIN tt USING (event_type)
+             |ORDER BY c.event_type, c.bucket""".stripMargin)),
+
+    // ---- x191: variance-ratio random-walk test -----------------------------
+    // VR(q) = Var(q-day block sums)/(q*Var(daily)) over the dense
+    // grid, complete blocks only; ONE division of exact integers — see
+    // ops/EventAnalytics.varianceRatio.
+    QueryDef(
+      "x191_variance_ratio",
+      (s, dir) =>
+        EventAnalytics.varianceRatio(Tables.events(s, dir),
+          qs = Seq(2, 4, 8))
+          .orderBy(col("event_type"), col("q")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |grid AS (SELECT g.event_type, g.d0, g.day,
+             |    COALESCE(d.cnt, 0) AS y
+             |  FROM (SELECT event_type, d0,
+             |      unnest(generate_series(d0, d1)) AS day FROM span) g
+             |  LEFT JOIN daily d USING (event_type, day)),
+             |mom AS (SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+             |      AS HUGEINT) AS qy
+             |  FROM grid GROUP BY 1),
+             |blocks AS (SELECT event_type, q, (day - d0) // q AS blk,
+             |    COUNT(*) AS bn, CAST(SUM(y) AS BIGINT) AS z
+             |  FROM grid CROSS JOIN
+             |    (SELECT unnest([2, 4, 8]) AS q) t
+             |  GROUP BY 1, 2, 3),
+             |ba AS (SELECT event_type, CAST(q AS BIGINT) AS q,
+             |    COUNT(*) AS n_blocks,
+             |    CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+             |    CAST(SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT))
+             |      AS HUGEINT) AS qz
+             |  FROM blocks WHERE bn = q GROUP BY 1, 2)
+             |SELECT b.event_type, b.q, m.n_days, b.n_blocks,
+             |  CASE WHEN b.q * b.n_blocks * b.n_blocks
+             |      * (m.n_days * m.qy - m.sy * m.sy) <> 0 THEN
+             |    CAST(m.n_days * m.n_days
+             |        * (b.n_blocks * b.qz - b.sz * b.sz) AS DOUBLE)
+             |      / CAST(b.q * b.n_blocks * b.n_blocks
+             |        * (m.n_days * m.qy - m.sy * m.sy) AS DOUBLE)
+             |  END AS vr
+             |FROM ba b JOIN mom m USING (event_type)
+             |ORDER BY b.event_type, b.q""".stripMargin)),
   )
 }

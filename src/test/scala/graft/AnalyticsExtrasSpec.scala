@@ -340,6 +340,83 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(zero.forall(_.getDouble(6) === 0.0))
   }
 
+  test("brrMeanCi: bitwise-equal to an independent JVM replay of the " +
+      "replication estimator") {
+    val ids = (1L to 200L)
+    val df = frame("id" -> ids, "v" -> ids.map(i => i * 3 % 17))
+    val out = graft.ops.Stats.brrMeanCi(df, "id", col("v"), b = 8,
+      salt = "t").collect()(0)
+    // JVM reference with the same md5-bit replicate rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = ids.map(i => (hex(s"t:$i"), (i * 3 % 17)))
+    val n = rows.length.toLong
+    val s = rows.map(_._2).sum
+    val theta = s.toDouble / n.toDouble
+    val reps = (0 until 8).flatMap { r =>
+      val kept = rows.filter { case (h, _) =>
+        val v = "0123456789abcdef".indexOf(h(r / 4))
+        ((v >> (r % 4)) & 1) == 1 }
+      if (kept.isEmpty) None
+      else Some(kept.map(_._2).sum.toDouble / kept.length.toDouble)
+    }
+    val ss = reps.map { tr =>
+      BigDecimal((tr - theta) * (tr - theta))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP) }.sum
+    val se = math.sqrt(ss.toDouble / reps.length.toDouble)
+    assert(out.getLong(0) === n && out.getLong(1) === reps.length.toLong)
+    assert(out.getDouble(2) === theta && out.getDouble(3) === se)
+    assert(out.getDouble(4) === theta - 1.96 * se)
+    assert(out.getDouble(5) === theta + 1.96 * se)
+    assert(se > 0.0) // the fixture genuinely varies across replicates
+  }
+
+  test("interArrival: power-of-two buckets, later-event labeling, " +
+      "zero gaps, per-user isolation") {
+    // user 1: A@0s, B@1s, A@4s, A@4s (same second), A@100s ->
+    // gaps: 1s->B bucket1; 3s->A bucket2; 0s->A bucket0; 96s->A bucket6
+    // user 2: one event, no gap
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 1L, 2L),
+      "event_type" -> Seq("A", "B", "A", "A", "A", "A"),
+      "event_id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "ts_ns" -> Seq(sec(0), sec(1), sec(4), sec(4), sec(100), sec(50)))
+    val out = EventAnalytics.interArrival(ev)
+      .orderBy("event_type", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("A", 0L, 1L, 1.0 / 3.0), ("A", 2L, 1L, 1.0 / 3.0),
+      ("A", 6L, 1L, 1.0 / 3.0), ("B", 1L, 1L, 1.0)))
+  }
+
+  test("varianceRatio: mean-reverting 0, trending 1.6, constant NULL, " +
+      "incomplete block absent") {
+    def mk(t: String, counts: Seq[Int]) = {
+      val ts = counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c.toLong).map(i => day(d.toLong) + i) }
+      (Seq.fill(ts.length)(1L), Seq.fill(ts.length)(t), ts)
+    }
+    val parts = Seq(mk("A", Seq(1, 3, 1, 3)), mk("B", Seq(1, 2, 3, 4)),
+      mk("C", Seq(2, 2)))
+    val ev = frame(
+      "user_id" -> parts.flatMap(_._1),
+      "event_type" -> parts.flatMap(_._2),
+      "ts_ns" -> parts.flatMap(_._3))
+    val out = EventAnalytics.varianceRatio(ev, qs = Seq(2, 4, 8))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // A alternates 1,3: 2-day sums constant -> VR(2) = 0; VR(4) = 0
+    assert(out(("A", 2L)).getDouble(4) === 0.0)
+    assert(out(("A", 4L)).getDouble(4) === 0.0)
+    // B trends: blocks [3,7]: 256/160 = 1.6 exactly
+    assert(out(("B", 2L)).getDouble(4) === 1.6)
+    // C constant: zero daily variance -> NULL
+    assert(out(("C", 2L)).isNullAt(4))
+    // q=8 has no complete 8-day block anywhere -> no rows
+    assert(!out.keySet.exists(_._2 == 8L))
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),

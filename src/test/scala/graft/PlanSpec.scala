@@ -60,7 +60,9 @@ class PlanSpec extends SparkSuite {
     "x177_psi_drift", // broadcast ONE-ROW cut array + ONE-ROW totals (x57 pattern)
     "x178_position_attribution", // broadcast ONE-ROW credit total onto <= |types| rows (x57 pattern)
     "x180_logrank", // broadcast ONE-ROW max-day/totals + a TWO-ROW cohort grid frame (x153 pattern)
-    "x188_mutual_info") // broadcast ONE-ROW corpus total onto the bounded cell grid (x57 pattern)
+    "x188_mutual_info", // broadcast ONE-ROW corpus total onto the bounded cell grid (x57 pattern)
+    "x189_brr_ci", // broadcast ONE-ROW grand totals onto <= B replicate rows (x57 pattern)
+    "x191_variance_ratio") // broadcast |qs|-ROW q list onto the span-bounded grid (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
