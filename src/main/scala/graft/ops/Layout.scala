@@ -104,4 +104,36 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Partitioned-parquet round-trip with PARTITION PRUNING — the
+    * canonical 100 TB event-lake layout, exercised end to end: write
+    * the events day-table Hive-partitioned by epoch-week, read it
+    * back filtered to the trailing `lastWeeks` weeks (a filter ON the
+    * partition column — the scan must list only those directories,
+    * asserted by the plan spec), and aggregate per type. Returns
+    * `(event_type, n_events, n_days, n_users)` over the kept weeks.
+    *
+    * The week cut is computed from the data BEFORE the write (one-row
+    * collect), so the filter is a literal comparison the catalog can
+    * prune with — not a subquery evaluated at scan time.
+    */
+  def partitionedRoundTrip(events: DataFrame, dir: String,
+      lastWeeks: Long = 4): DataFrame = {
+    require(lastWeeks >= 1, s"need lastWeeks >= 1, got $lastWeeks")
+    val spark = events.sparkSession
+    val day = org.apache.spark.sql.functions.expr(
+      graft.ops.EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val typed = events.select(col("event_type"), col("user_id"),
+        day.as("day"))
+      .withColumn("week", org.apache.spark.sql.functions.expr("day div 7"))
+    val maxWeek = typed.agg(max(col("week"))).collect()(0).getLong(0)
+    typed.write.mode("overwrite").partitionBy("week").parquet(dir)
+    val cut = maxWeek - lastWeeks
+    spark.read.parquet(dir)
+      .filter(col("week") > cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("day")).as("n_days"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
 }

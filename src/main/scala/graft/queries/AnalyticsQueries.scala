@@ -2,8 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
-  Experiments, Graphs, Integrity, Layout, Pca, Profiling, Skew, Stats,
-  Survival, TextAnalysis}
+  Experiments, Graphs, Integrity, Layout, Pca, Profiling, Selection,
+  Skew, Stats, Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -2513,5 +2513,81 @@ object AnalyticsQueries {
              |  END AS vr
              |FROM ba b JOIN mom m USING (event_type)
              |ORDER BY b.event_type, b.q""".stripMargin)),
+
+    // ---- x192: exact median without a global sort --------------------------
+    // Iterative histogram refinement (<= 7 bucketed counting passes on
+    // 64-bit ranges, <= 1024-row collects each — the bounded-collect
+    // posture); EXACT kth order statistic, vs x27's one-pass GK
+    // approximation — see ops/Selection.exactKth.
+    QueryDef(
+      "x192_exact_median",
+      (s, dir) =>
+        Selection.exactKth(Tables.lineitem(s, dir),
+          round(col("l_extendedprice").cast("double") * 100)
+            .cast("bigint")),
+      Some("""WITH v AS (SELECT CAST(round(
+             |      CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+             |      AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT COUNT(*) AS n FROM v),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+             |  FROM v)
+             |SELECT n.n, (n.n + 1) // 2 AS k, r.v AS value
+             |FROM r JOIN n ON r.rn = (n.n + 1) // 2""".stripMargin)),
+
+    // ---- x193: price/quantity skyline --------------------------------------
+    // 2-D Pareto frontier (maximize quantity, minimize price): one
+    // corpus reduce to the cell grid, then an exclusive prefix-min
+    // over <= |distinct quantity| rows — see ops/Selection.skyline2d.
+    QueryDef(
+      "x193_skyline",
+      (s, dir) =>
+        Selection.skyline2d(Tables.lineitem(s, dir), col("l_quantity"),
+          round(col("l_extendedprice").cast("double") * 100)
+            .cast("bigint"))
+          .orderBy(col("max_v").desc),
+      Some("""WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS max_v,
+             |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+             |      AS BIGINT) AS min_v,
+             |    COUNT(*) AS n_rows
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |  GROUP BY 1, 2),
+             |lv AS (SELECT max_v, min_v, n_rows FROM (
+             |    SELECT max_v, min_v, n_rows,
+             |      MIN(min_v) OVER (PARTITION BY max_v) AS best
+             |    FROM cells) WHERE min_v = best),
+             |fr AS (SELECT max_v, min_v, n_rows,
+             |    MIN(min_v) OVER (ORDER BY max_v DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS pm
+             |  FROM lv)
+             |SELECT max_v, min_v, n_rows FROM fr
+             |WHERE pm IS NULL OR min_v < pm
+             |ORDER BY max_v DESC""".stripMargin)),
+
+    // ---- x194: partitioned-lake round-trip with pruning --------------------
+    // Writes the events day-table Hive-partitioned by epoch-week, then
+    // reads back ONLY the trailing 4 weeks (partition-filter literal;
+    // the plan spec asserts the scan prunes) — see
+    // ops/Layout.partitionedRoundTrip.
+    QueryDef(
+      "x194_partition_prune",
+      (s, dir) =>
+        Layout.partitionedRoundTrip(Tables.events(s, dir),
+          s"/tmp/graft_x194_${Integer.toHexString(dir.hashCode)}",
+          lastWeeks = 4)
+          .orderBy(col("event_type")),
+      Some("""WITH d AS (SELECT event_type, user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |w AS (SELECT event_type, user_id, day, day // 7 AS week
+             |  FROM d),
+             |mx AS (SELECT max(week) AS mw FROM w)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT day) AS n_days,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM w CROSS JOIN mx WHERE week > mw - 4
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -417,6 +417,62 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(!out.keySet.exists(_._2 == 8L))
   }
 
+  test("exactKth: forced multi-pass refinement, duplicates, negatives, " +
+      "min/max k") {
+    val vals = scala.util.Random.shuffle((1L to 100L).toList)
+    val df = frame("v" -> vals)
+    // buckets=4 over range 100 -> several refinement passes
+    val med = graft.ops.Selection.exactKth(df, col("v"), buckets = 4)
+      .collect()(0)
+    assert((med.getLong(0), med.getLong(1), med.getLong(2)) ===
+      ((100L, 50L, 50L)))
+    val dup = frame("v" -> Seq(5L, 5L, 5L, 1L, 9L))
+    val m2 = graft.ops.Selection.exactKth(dup, col("v"), buckets = 2)
+      .collect()(0)
+    assert(m2.getLong(2) === 5L) // sorted [1,5,5,5,9] -> 3rd = 5
+    val neg = frame("v" -> Seq(-50L, -2L, 30L, -2L))
+    assert(graft.ops.Selection.exactKth(neg, col("v"), n => 1L,
+      buckets = 4).collect()(0).getLong(2) === -50L)
+    assert(graft.ops.Selection.exactKth(neg, col("v"), n => n,
+      buckets = 4).collect()(0).getLong(2) === 30L)
+    assert(graft.ops.Selection.exactKth(neg, col("v"), n => 2L,
+      buckets = 4).collect()(0).getLong(2) === -2L)
+  }
+
+  test("skyline2d: dominated points drop, frontier ties keep " +
+      "multiplicity, equal-min at higher max dominates") {
+    val pts = Seq((5L, 20L), (4L, 25L), (3L, 8L), (3L, 8L), (3L, 11L),
+      (2L, 8L), (2L, 9L), (1L, 10L), (1L, 12L))
+    val df = frame("q" -> pts.map(_._1), "p" -> pts.map(_._2))
+    val out = graft.ops.Selection.skyline2d(df, col("q"), col("p"))
+      .orderBy(col("max_v").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (4,25) dominated by (5,20); (2,8) by (3,8) (max strict, min tie);
+    // (3,8) x2 both kept
+    assert(out.toSeq === Seq((5L, 20L, 1L), (3L, 8L, 2L)))
+  }
+
+  test("partitionedRoundTrip: trailing-week filter correct AND the " +
+      "scan partition-prunes") {
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 1L, 1L, 2L),
+      "event_type" -> Seq("A", "A", "A", "A", "A", "B"),
+      "ts_ns" -> Seq(day(0), day(7), day(14), day(21), day(28),
+        day(28) + 5))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_x194_spec").toString
+    val q = graft.ops.Layout.partitionedRoundTrip(ev, dir, lastWeeks = 4)
+    // max week 4, cut 0 -> weeks 1..4 survive (day 0 excluded)
+    val out = q.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(("A", 4L, 4L, 1L), ("B", 1L, 1L, 1L)))
+    // the filter must reach the scan as a PARTITION filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(plan.contains("(week"), "week filter missing from scan")
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),
