@@ -1256,14 +1256,18 @@ object Dedup {
   /** Entity-resolution fuzzy self-join: all id pairs whose `strCol`
     * values are within Levenshtein distance `maxDist`, found WITHOUT an
     * all-pairs pass via Ed-Join-style q-gram prefix filtering (Xiao et
-    * al., VLDB 2008). Blocking is provably lossless for distinct q-gram
-    * sets: one edit destroys ≤ q grams, so ed ≤ d bounds the symmetric
-    * gram-set difference by q·d per side; by the PPJoin prefix lemma,
-    * prefixes of length q·d + 1 in any SHARED total order must then
-    * intersect. We order grams rarest-first ((df, gram) asc), so the
-    * candidate join runs on the RAREST grams — a shared common prefix
-    * across all strings (e.g. a constant "Customer#" stem) sorts last
-    * and never enters the join. Returns (id1, id2, dist), id1 < id2.
+    * al., VLDB 2008). Blocking is provably lossless for strings with
+    * MORE THAN q·d distinct q-grams: one edit destroys ≤ q grams, so
+    * ed ≤ d bounds the symmetric gram-set difference by q·d per side —
+    * giving overlap ≥ max|G| − q·d ≥ 1 — and by the PPJoin prefix
+    * lemma, prefixes of length q·d + 1 in any SHARED total order must
+    * then intersect. Strings AT OR BELOW q·d distinct grams are
+    * excluded from the join (see the _ng filter below — found by the
+    * randomized brute-force property test, PropertySpec). We order
+    * grams rarest-first ((df, gram) asc), so the candidate join runs
+    * on the RAREST grams — a shared common prefix across all strings
+    * (e.g. a constant "Customer#" stem) sorts last and never enters
+    * the join. Returns (id1, id2, dist), id1 < id2.
     *
     * Scale: gram explode is linear in total string length; the df
     * count is a window over each gram's posting list (bounded by
@@ -1289,12 +1293,23 @@ object Dedup {
     // separate aggregate + re-join of the gram table with itself
     val wDf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_gram"))
+    val wCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_df"), col("_gram"))
     // materialized SKINNY (gram, id, len): the self-join below would
-    // otherwise replay the gram explode + df windows once per side
+    // otherwise replay the gram explode + df windows once per side.
+    // Strings with <= q·d DISTINCT grams are EXCLUDED (_ng filter):
+    // below that the overlap bound |G_s ∩ G_t| >= max|G| − q·d is
+    // vacuous and ed <= d pairs can share ZERO grams (e.g. q=2 d=1:
+    // "aba" vs "aca" destroys both grams) — no gram-overlap blocking
+    // can see them, so including such strings would silently miss
+    // pairs. Callers needing them route the (tiny, <= q·(d+1)+q-char)
+    // short-string subpopulation to a dedicated all-pairs pass.
     val prefix = Checkpoints.materialize(grams
       .withColumn("_df", count(lit(1)).over(wDf))
+      .withColumn("_ng", count(lit(1)).over(wCnt))
+      .filter(col("_ng") > q * maxDist)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= pi)
       .select(col("_gram"), col("_id"), length(col("_nm")).as("_len")))
     val a = prefix.select(col("_gram"), col("_id").as("id1"),

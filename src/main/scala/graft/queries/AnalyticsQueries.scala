@@ -2135,9 +2135,11 @@ object AnalyticsQueries {
              |      unnest(generate_series(1, length(nm) - 4)) AS i
              |    FROM s)),
              |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+             |gn AS (SELECT id FROM g GROUP BY id
+             |  HAVING COUNT(*) > 10),
              |rk AS (SELECT id, nm, gram, ROW_NUMBER() OVER (
              |    PARTITION BY id ORDER BY df, gram) AS rn
-             |  FROM g JOIN df USING (gram)),
+             |  FROM g JOIN df USING (gram) JOIN gn USING (id)),
              |pre AS (SELECT id, nm, gram FROM rk WHERE rn <= 11),
              |cand AS (SELECT DISTINCT a.id AS id1, a.nm AS n1,
              |    b.id AS id2, b.nm AS n2

@@ -537,4 +537,184 @@ class PropertySpec extends SparkSuite {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     })
   }
+
+  private def levRef(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  test("fuzzyJoin == all-pairs brute force on random low-alphabet " +
+      "strings (the prefix-filter losslessness claim, stress-tested)") {
+    val strGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val listGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, strGen))
+    check("fuzzy-brute", Prop.forAll(listGen) { ss =>
+      val ids = ss.indices.map(i => (i + 1).toLong)
+      val df = frame("id" -> ids, "nm" -> ss)
+      val got = graft.ops.Dedup.fuzzyJoin(df, "id", "nm", q = 2,
+          maxDist = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // contract: strings with <= q*d distinct grams are excluded
+      // (below that, ed<=d pairs can share zero grams — "aba"/"aca")
+      def ok(s: String) = s.length >= 2 && s.sliding(2).toSet.size > 2
+      val rows = ids.zip(ss)
+      val brute = (for {
+        (i1, s1) <- rows; (i2, s2) <- rows
+        if i1 < i2 && ok(s1) && ok(s2)
+        d = levRef(s1, s2) if d <= 1
+      } yield (i1, i2, d.toLong)).toSet
+      got == brute
+    })
+  }
+
+  test("skyline2d == brute-force dominance filter on random points") {
+    val ptsGen = Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, for {
+      q <- Gen.chooseNum(1L, 6L); p <- Gen.chooseNum(1L, 9L)
+    } yield (q, p)))
+    check("skyline-brute", Prop.forAll(ptsGen) { pts =>
+      val df = frame("q" -> pts.map(_._1), "p" -> pts.map(_._2))
+      val got = graft.ops.Selection.skyline2d(df, col("q"), col("p"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val brute = pts.distinct.filterNot { case (q0, p0) =>
+        pts.exists { case (q1, p1) =>
+          q1 >= q0 && p1 <= p0 && (q1 > q0 || p1 < p0) }
+      }.map { case (q0, p0) =>
+        (q0, p0, pts.count(_ == ((q0, p0))).toLong) }.toSet
+      got == brute
+    })
+  }
+
+  test("exactKth == sorted-list kth on random values and random k") {
+    val g = for {
+      xs <- Gen.chooseNum(1, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+      k <- Gen.chooseNum(1, xs.length)
+    } yield (xs, k)
+    check("kth-brute", Prop.forAll(g) { case (xs, k) =>
+      val r = graft.ops.Selection.exactKth(frame("v" -> xs), col("v"),
+        _ => k.toLong, buckets = 4).collect()(0)
+      r.getLong(2) == xs.sorted.apply(k - 1)
+    })
+  }
+
+  private def dailyFrame(counts: List[Int], t: String = "A") = {
+    val ts = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1L to c.toLong).map(i => d * 86400L * 1000000000L + i) }
+    frame("user_id" -> Seq.fill(ts.length)(1L),
+      "event_type" -> Seq.fill(ts.length)(t), "ts_ns" -> ts,
+      "event_id" -> (1L to ts.length.toLong))
+  }
+
+  private val countsGen: Gen[List[Int]] =
+    Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1, 9)))
+
+  test("acfDaily: |r_k| <= 1; r matches the exact-integer reference") {
+    check("acf", Prop.forAll(countsGen) { ys0 =>
+      val ys = ys0.map(_.toLong)
+      val out = graft.ops.EventAnalytics
+        .acfDaily(dailyFrame(ys0), maxLag = 3).collect()
+      val n = ys.length.toLong
+      val s = ys.sum; val q = ys.map(y => y * y).sum
+      val den = n * n * q - n * s * s
+      out.forall { r =>
+        val k = r.getLong(1).toInt
+        val win = ys.indices.dropRight(k)
+        val a = win.map(t => ys(t) * ys(t + k)).sum
+        val bx = win.map(ys).sum
+        val cy = win.map(t => ys(t + k)).sum
+        val m = win.length.toLong
+        val num = n * n * a - n * s * (bx + cy) + m * s * s
+        if (den == 0) r.isNullAt(3)
+        else {
+          val v = r.getDouble(3)
+          v == num.toDouble / den.toDouble && math.abs(v) <= 1.0 + 1e-9
+        }
+      }
+    })
+  }
+
+  test("cusumDaily: non-negative excursions, alarms bounded, exact " +
+      "moment params") {
+    check("cusum", Prop.forAll(countsGen) { ys =>
+      val r = graft.ops.EventAnalytics.cusumDaily(dailyFrame(ys))
+        .collect()(0)
+      val n = ys.length
+      val s = ys.map(_.toLong).sum.toDouble
+      val q = ys.map(y => y.toLong * y).sum.toDouble
+      r.getDouble(2) == s / n &&
+        r.getDouble(3) == math.sqrt(math.max(0.0, (q - s * s / n) / n)) &&
+        r.getDouble(4) >= 0.0 && r.getDouble(5) >= 0.0 &&
+        r.getDouble(6) >= r.getDouble(4) - 1e-12 &&
+        r.getLong(8) >= 0L && r.getLong(8) <= n.toLong
+    })
+  }
+
+  test("theilSen: median within pairwise-slope range; exact on linear " +
+      "series") {
+    check("theilsen", Prop.forAll(countsGen) { ys =>
+      val out = graft.ops.EventAnalytics.theilSen(dailyFrame(ys))
+        .collect()(0)
+      val slopes = for {
+        i <- ys.indices; j <- ys.indices if j > i
+      } yield (ys(j) - ys(i)).toDouble / (j - i).toDouble
+      out.getLong(2) == slopes.length.toLong &&
+        out.getDouble(3) >= slopes.min && out.getDouble(3) <= slopes.max
+    })
+    // strictly linear: y = 2 + 1*t -> slope exactly 1
+    val lin = graft.ops.EventAnalytics
+      .theilSen(dailyFrame(List(2, 3, 4, 5, 6))).collect()(0)
+    assert(lin.getDouble(3) === 1.0)
+  }
+
+  test("varianceRatio == exact-integer reference on random series") {
+    check("vr", Prop.forAll(countsGen) { ys0 =>
+      val ys = ys0.map(_.toLong)
+      val out = graft.ops.EventAnalytics
+        .varianceRatio(dailyFrame(ys0), qs = Seq(2, 3)).collect()
+      val n = ys.length.toLong
+      val s = ys.sum; val qq = ys.map(y => y * y).sum
+      val dbase = n * qq - s * s
+      out.forall { r =>
+        val q = r.getLong(1)
+        val blocks = ys.grouped(q.toInt).filter(_.length == q).toList
+        val z = blocks.map(_.sum)
+        val m = z.length.toLong
+        val sz = z.sum; val qz = z.map(x => x * x).sum
+        val num = n * n * (m * qz - sz * sz)
+        val den = q * m * m * dbase
+        r.getLong(3) == m &&
+          (if (den == 0) r.isNullAt(4)
+           else r.getDouble(4) == num.toDouble / den.toDouble)
+      }
+    })
+  }
+
+  test("holtDaily == JVM reference fold; interArrival mass conservation") {
+    check("holt", Prop.forAll(countsGen) { ys =>
+      val r = graft.ops.EventAnalytics.holtDaily(dailyFrame(ys))
+        .collect()(0)
+      var l = ys.head.toDouble; var b = 0.0
+      for (y <- ys.tail.map(_.toDouble)) {
+        val nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b; l = nl
+      }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getLong(1) == ys.length.toLong && r.getDouble(2) == r6(l) &&
+        r.getDouble(3) == r6(b) && r.getDouble(4) == r6(l + b)
+    })
+    check("interarrival-mass", Prop.forAll(countsGen) { ys =>
+      val out = graft.ops.EventAnalytics.interArrival(dailyFrame(ys))
+        .collect()
+      val total = ys.map(_.toLong).sum - 1 // one user, n-1 gaps
+      out.map(_.getLong(2)).sum == total &&
+        math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9
+    })
+  }
 }
