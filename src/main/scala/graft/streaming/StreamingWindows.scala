@@ -57,6 +57,16 @@ final case class EwmaState(openDay: Long, openN: Long, trail: Seq[DayCount])
 final case class EwmaPoint(event_type: String, day: Long, cnt: Long,
     ewma: Double)
 
+/** Per-type CUSUM state: the open day's accumulator plus the running
+  * two-sided excursions — a handful of scalars per event type. */
+final case class CusumState(openDay: Long, openN: Long, sp: Double,
+    sn: Double)
+
+/** One closed-day CUSUM emission (see EventAnalytics.cusumDaily for the
+  * tabular-CUSUM contract; here μ/σ are the PRE-TRAINED reference). */
+final case class CusumPoint(event_type: String, day: Long, cnt: Long,
+    sp: Double, sn: Double, alarm: Boolean)
+
 /** One count-min-sketch cell emission (latest running total). */
 final case class CmsCell(d: Int, bucket: Long, cnt: Long)
 
@@ -600,6 +610,71 @@ object StreamingWindows {
     * right trade (the volume reduction happens in the group function's
     * per-batch win→count map before any window logic runs).
     */
+  /** Streaming CUSUM monitor, the online half of
+    * [[graft.ops.EventAnalytics.cusumDaily]]: the batch form TRAINS
+    * μ/σ from a reference window (it needs the whole series); this
+    * twin takes those pre-trained params per event_type and scores
+    * arriving days online with the identical recurrence
+    * (`sp' = max(0, sp + (y − (μ+κ)))`, κ = σ/2, alarm at 4σ),
+    * emitting one [[CusumPoint]] per CLOSED day. Types absent from
+    * `params` pass through unscored (dropped), the deployment contract
+    * for a new event type appearing before retraining.
+    *
+    * State per type is four scalars; same in-order-across-batches
+    * contract (enforced fail-fast) and same |types|-bounded keying as
+    * [[streamingEwmaDaily]]. The recurrence arithmetic is the same
+    * IEEE op sequence as the batch fold, so given batch-trained
+    * params, streamed sp/sn match the batch run bitwise.
+    */
+  def streamingCusumDaily(events: DataFrame,
+      params: Map[String, (Double, Double)]): Dataset[CusumPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayOf = events
+      .select(col("event_type"),
+        expr(graft.ops.EventWindows.floorDivSql(
+          "ts_ns", 86400L * 1000000000L)).as("day"))
+      .as[(String, Long)]
+    dayOf.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe, rows, state) =>
+          params.get(tpe) match {
+            case None => Iterator.empty
+            case Some((mu, sigma)) =>
+              val muk = mu + sigma / 2.0
+              val mku = mu - sigma / 2.0
+              val h = 4.0 * sigma
+              var st = state.getOption
+                .getOrElse(CusumState(Long.MinValue, 0L, 0.0, 0.0))
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[CusumPoint]
+              val counts = scala.collection.mutable.LongMap.empty[Long]
+              rows.foreach { case (_, d) =>
+                counts(d) = counts.getOrElse(d, 0L) + 1L }
+              def close(): Unit = if (st.openDay != Long.MinValue) {
+                val y = st.openN.toDouble
+                val sp = math.max(0.0, st.sp + (y - muk))
+                val sn = math.max(0.0, st.sn + (mku - y))
+                out += CusumPoint(tpe, st.openDay, st.openN, sp, sn,
+                  sp > h || sn > h)
+                st = st.copy(sp = sp, sn = sn)
+              }
+              counts.toSeq.sortBy(_._1).foreach { case (d, n) =>
+                if (d == st.openDay) st = st.copy(openN = st.openN + n)
+                else if (d < st.openDay)
+                  throw new IllegalStateException(
+                    s"streamingCusumDaily($tpe): day $d arrived after " +
+                      s"day ${st.openDay} opened — input violates the " +
+                      "in-order-across-batches contract")
+                else { close(); st = st.copy(openDay = d, openN = n) }
+              }
+              state.update(st)
+              out.iterator
+          }
+      }
+  }
+
   def streamingAnomalyScores(events: DataFrame, widthSec: Long,
       trailing: Int = 8, threshold: Double = 3.0): Dataset[AnomalyScore] = {
     require(trailing >= 2, s"need trailing >= 2, got $trailing")

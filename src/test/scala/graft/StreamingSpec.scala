@@ -817,6 +817,112 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM monitor: batch-trained params, closed-day " +
+      "excursions across micro-batches == JVM reference fold BITWISE; " +
+      "chained final step reproduces batch cusumDaily") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    // train on the batch history (the deployment shape: offline moments,
+    // online scoring)
+    val trained = graft.ops.EventAnalytics.cusumDaily(batchEvents)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(8)))).toMap
+    val params = trained.map { case (t, (mu, sigma, _, _, _)) =>
+      t -> ((mu, sigma)) }
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("cusumstream")
+      .toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingCusumDaily(stream, params)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_cusum").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+        .toMap
+      // JVM reference: same recurrence over the batch daily counts
+      val daily = batchEvents
+        .groupBy(col("event_type"),
+          expr(graft.ops.EventWindows.floorDivSql(
+            "ts_ns", 86400L * 1000000000L)).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      var checked = 0
+      for ((tpe, rows) <- daily) {
+        val (mu, sigma, spEnd, snEnd, nAlarms) = trained(tpe)
+        val muk = mu + sigma / 2.0; val mku = mu - sigma / 2.0
+        val h = 4.0 * sigma
+        var sp = 0.0; var sn = 0.0; var alarms = 0L
+        val series = rows.map(r => (r._2, r._3)).sortBy(_._1)
+        for (((d, n), i) <- series.zipWithIndex) {
+          sp = math.max(0.0, sp + (n.toDouble - muk))
+          sn = math.max(0.0, sn + (mku - n.toDouble))
+          if (sp > h || sn > h) alarms += 1
+          if (i < series.length - 1) { // last day never closes
+            assert(got((tpe, d)) === ((n, sp, sn, sp > h || sn > h)),
+              s"$tpe day $d diverges")
+            checked += 1
+          } else assert(!got.contains((tpe, d)), s"open day $d emitted")
+        }
+        // chaining the final open day onto the streamed state must
+        // reproduce the batch operator's end state exactly
+        assert(sp === spEnd && sn === snEnd && alarms === nAlarms,
+          s"$tpe: chained end state diverges from batch cusumDaily")
+      }
+      assert(checked > 0, "degenerate fixture — nothing compared")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM monitor: a late day fails fast; an untrained " +
+      "type passes through unscored") {
+    val splitDir = java.nio.file.Files.createTempDirectory("cusumlate")
+      .toString
+    def batch(dayN: Long, t: String) = frame(
+      "event_type" -> Seq(t, t),
+      "ts_ns" -> Seq(dayN * 86400L * 1000000000L + 1L,
+        dayN * 86400L * 1000000000L + 2L))
+    batch(10L, "click").coalesce(1).write.mode("overwrite")
+      .parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batch(10L, "click").schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows
+      .streamingCusumDaily(stream, Map("click" -> ((2.0, 1.0))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_cusum_late").start()
+    try {
+      q.processAllAvailable()
+      // an UNTRAINED type streaming through must not throw or emit
+      batch(11L, "brand_new_type").coalesce(1).write.mode("append")
+        .parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      assert(spark.table("stream_cusum_late")
+        .filter(col("event_type") === "brand_new_type").count() === 0L)
+      batch(9L, "click").coalesce(1).write.mode("append")
+        .parquet(s"$splitDir/in")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        Option(t).map(t => t :: chain(t.getCause)).getOrElse(Nil)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("in-order"))),
+        s"expected the in-order contract violation, got: $ex")
+    } finally q.stop()
+  }
+
   test("streaming EWMA monitor: a micro-batch carrying a day OLDER than " +
       "the open day fails fast (enforced in-order contract), never " +
       "silently re-opens it") {
