@@ -172,6 +172,45 @@ object Similarity {
       df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e")),
       kmeansCentroids(df, nCells, iters, idCol, embCol), "vec_id", "e")
 
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * gate for the k-means cells: per vector, a = cosine distance to
+    * its OWN centroid and b = distance to the nearest OTHER centroid,
+    * so with sims s1 ≥ s2 the score is `(s1 − s2)/(1 − s2)` ∈ [0, 1]
+    * here (a ≤ b by construction of the assignment; classic silhouette
+    * would be (b−a)/max(a,b) on the full pairwise form, O(n²) — the
+    * centroid form is the standard linear-time proxy). Rows per cell:
+    * `(cell, n_vecs, n_scored, mean_silhouette)`; a vector whose
+    * second-best centroid has sim 1 (duplicate centroids) is unscored.
+    *
+    * Determinism: sims are the round-6 assignment convention; the
+    * per-vector score is rounded to 12 and DECIMAL-summed (x103), the
+    * mean one division. Scale: one broadcast-centroid pass + the
+    * per-vector top-2 window — identical dataflow to assignment.
+    */
+  def silhouette(df: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val cents = kmeansCentroids(df, nCells, iters, idCol, embCol)
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cent_id"))).as("cell"),
+        max(when(col("rn") === 1, col("sim"))).as("_s1"),
+        max(when(col("rn") === 2, col("sim"))).as("_s2"))
+    val sil = when(lit(1.0) - col("_s2") > 0.0,
+      (col("_s1") - col("_s2")) / (lit(1.0) - col("_s2")))
+    top2.withColumn("_sil", sil)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("_sil")).as("n_scored"),
+        (sum(round(col("_sil"), 12).cast("decimal(28,12)")).cast("double")
+          / count(col("_sil")).cast("double")).as("mean_silhouette"))
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells and ranks
     * only the candidates inside them — the inverted-file scale path
     * (candidates per query ≈ nprobe·n/nCells instead of n).

@@ -977,6 +977,37 @@ object EventAnalytics {
           num.cast("double") / den.cast("double")).as("vr"))
   }
 
+  /** Time-to-convert profile: per user, the lag from their FIRST
+    * `touchType` event to their FIRST `convType` event (users whose
+    * first conversion precedes or ties their first touch are excluded
+    * — they didn't convert THROUGH the touch), bucketed into
+    * [[interArrival]]'s power-of-two second bands. Rows:
+    * `(bucket, n_users, share)`.
+    *
+    * Scale: two filtered user reduces + one user equi-join + a bucket
+    * reduce; firsts are plain min(ts) — exact, order-independent, and
+    * "after" means STRICTLY later in time (a same-nanosecond
+    * conversion is not attributed).
+    */
+  def conversionLag(events: DataFrame, touchType: String = "view",
+      convType: String = "purchase"): DataFrame = {
+    def firstOf(t: String, n: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_ns")).as(n))
+    val j = firstOf(touchType, "_t1").join(firstOf(convType, "_t2"),
+        Seq("user_id"))
+      .filter(col("_t2") > col("_t1"))
+      .select(expr("length(bin((_t2 - _t1) " +
+        "div 1000000000 + 1)) - 1").cast("long").as("bucket"))
+    val counts = j.groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+    val tot = broadcast(counts.agg(sum(col("n_users")).as("_t")))
+    counts.crossJoin(tot)
+      .select(col("bucket"), col("n_users"),
+        (col("n_users").cast("double") / col("_t").cast("double"))
+          .as("share"))
+  }
+
   /** Fixed-point scale for the Markov removal-effect value iteration. */
   private val MarkovScale = 1000000L
 

@@ -2516,6 +2516,30 @@ object AnalyticsQueries {
              |FROM ba b JOIN mom m USING (event_type)
              |ORDER BY b.event_type, b.q""".stripMargin)),
 
+    // ---- x196: view->purchase conversion-lag profile -----------------------
+    // First-touch to first-conversion lag per user (struct-min firsts,
+    // conversion strictly after touch), x190's power-of-two buckets —
+    // see ops/EventAnalytics.conversionLag.
+    QueryDef(
+      "x196_conversion_lag",
+      (s, dir) =>
+        EventAnalytics.conversionLag(Tables.events(s, dir), "view",
+          "purchase")
+          .orderBy(col("bucket")),
+      Some("""WITH ft AS (SELECT user_id, min(epoch_ns(ts)) AS tns
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |fc AS (SELECT user_id, min(epoch_ns(ts)) AS tns
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |lags AS (SELECT CAST(length(bin((fc.tns - ft.tns)
+             |      // 1000000000 + 1)) - 1 AS BIGINT) AS bucket
+             |  FROM ft JOIN fc USING (user_id) WHERE fc.tns > ft.tns),
+             |c AS (SELECT bucket, COUNT(*) AS n_users FROM lags
+             |  GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tt FROM c)
+             |SELECT bucket, n_users,
+             |  CAST(n_users AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+             |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin)),
+
     // ---- x192: exact median without a global sort --------------------------
     // Iterative histogram refinement (<= 7 bucketed counting passes on
     // 64-bit ranges, <= 1024-row collects each — the bounded-collect

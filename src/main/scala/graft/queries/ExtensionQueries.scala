@@ -702,6 +702,45 @@ object ExtensionQueries {
           .orderBy(col("vec_id")),
       Some(kmeansSql(nCells = 8, iters = 2))),
 
+    // ---- x195: simplified silhouette (clustering-quality gate) -------------
+    // Centroid-based silhouette for the x28 k-means cells: per vector
+    // (s1 - s2)/(1 - s2) from the round-6 top-2 centroid sims,
+    // round-12 DECIMAL-summed per cell — see
+    // functions/Similarity.silhouette.
+    QueryDef(
+      "x195_silhouette",
+      (s, dir) =>
+        Similarity.silhouette(Tables.embeddings(s, dir), nCells = 8,
+          iters = 2)
+          .orderBy(col("cell")),
+      Some(kmeansSql(nCells = 8, iters = 2, finalSelect =
+        """SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |  CAST(COUNT(s) AS BIGINT) AS n_scored,
+          |  CAST(SUM(CAST(round(s, 12) AS DECIMAL(28,12))) AS DOUBLE)
+          |    / COUNT(s) AS mean_silhouette
+          |FROM (
+          |  SELECT vec_id, cell,
+          |    CASE WHEN 1.0 - s2 > 0 THEN (s1 - s2) / (1.0 - s2) END
+          |      AS s
+          |  FROM (
+          |    SELECT vec_id,
+          |      MAX(CASE WHEN rn = 1 THEN cent END) AS cell,
+          |      MAX(CASE WHEN rn = 1 THEN sim END) AS s1,
+          |      MAX(CASE WHEN rn = 2 THEN sim END) AS s2
+          |    FROM (
+          |      SELECT v.vec_id, c.cent_id AS cent,
+          |        round(list_dot_product(v.e, c.ce)
+          |          / sqrt(list_dot_product(v.e, v.e)
+          |            * list_dot_product(c.ce, c.ce)), 6) AS sim,
+          |        ROW_NUMBER() OVER (PARTITION BY v.vec_id
+          |          ORDER BY round(list_dot_product(v.e, c.ce)
+          |            / sqrt(list_dot_product(v.e, v.e)
+          |              * list_dot_product(c.ce, c.ce)), 6) DESC,
+          |            c.cent_id ASC) AS rn
+          |      FROM v CROSS JOIN c2 c) t WHERE rn <= 2
+          |    GROUP BY vec_id))
+          |GROUP BY cell ORDER BY cell""".stripMargin))),
+
     // ---- x29: mergeable bounded top-k aggregate ---------------------------
     // Custom Aggregator whose O(k) buffer merges map-side — per-group
     // top-k at any group size without materializing the group (contrast

@@ -473,6 +473,48 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(plan.contains("(week"), "week filter missing from scan")
   }
 
+  test("silhouette: separated clusters score 1; duplicate centroids " +
+      "leave vectors unscored") {
+    val sep = frame(
+      "vec_id" -> Seq(1L, 2L, 3L, 4L),
+      "embedding" -> Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0),
+        Seq(0.0, 1.0)))
+    val out = graft.functions.Similarity
+      .silhouette(sep, nCells = 2, iters = 1).orderBy("cell").collect()
+    // init c1=(1,0) c2=(0,1); own sim 1, other 0 -> s = 1 everywhere
+    assert(out.length === 2)
+    for (r <- out) {
+      assert(r.getLong(1) === 2L && r.getLong(2) === 2L)
+      assert(r.getDouble(3) === 1.0)
+    }
+    val dup = frame(
+      "vec_id" -> Seq(1L, 2L, 3L, 4L),
+      "embedding" -> Seq.fill(4)(Seq(1.0, 0.0)))
+    val d = graft.functions.Similarity
+      .silhouette(dup, nCells = 2, iters = 1).collect()
+    // both centroids identical -> second-best sim is 1 -> unscored
+    assert(d.length === 1 && d(0).getLong(1) === 4L &&
+      d(0).getLong(2) === 0L && d(0).isNullAt(3))
+  }
+
+  test("conversionLag: strict-after attribution, power-of-two buckets, " +
+      "share normalization") {
+    // u1: view@10s purchase@100s -> 90s -> bucket 6 (bin(91) 7 bits)
+    // u2: purchase BEFORE view -> excluded
+    // u3: same-ns view/purchase -> excluded (strict after)
+    // u4: view@0s purchase@1s -> bucket 1
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L),
+      "event_type" -> Seq("view", "purchase", "purchase", "view",
+        "view", "purchase", "view", "purchase"),
+      "ts_ns" -> Seq(sec(10), sec(100), sec(5), sec(10),
+        sec(10), sec(10), sec(0), sec(1)))
+    val out = EventAnalytics.conversionLag(ev, "view", "purchase")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 1L, 0.5), (6L, 1L, 0.5)))
+  }
+
   test("bm25TopK: hand-checked scores, doc without terms absent") {
     val docs = frame(
       "doc_id" -> Seq(1L, 2L, 3L),

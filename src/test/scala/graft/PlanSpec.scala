@@ -62,7 +62,9 @@ class PlanSpec extends SparkSuite {
     "x180_logrank", // broadcast ONE-ROW max-day/totals + a TWO-ROW cohort grid frame (x153 pattern)
     "x188_mutual_info", // broadcast ONE-ROW corpus total onto the bounded cell grid (x57 pattern)
     "x189_brr_ci", // broadcast ONE-ROW grand totals onto <= B replicate rows (x57 pattern)
-    "x191_variance_ratio") // broadcast |qs|-ROW q list onto the span-bounded grid (x57 pattern)
+    "x191_variance_ratio", // broadcast |qs|-ROW q list onto the span-bounded grid (x57 pattern)
+    "x195_silhouette", // k-means centroid broadcast (x28's pattern) for the top-2 sim window
+    "x196_conversion_lag") // broadcast ONE-ROW converters total onto <= ~40 bucket rows (x57 pattern)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
