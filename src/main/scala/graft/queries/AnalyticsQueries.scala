@@ -2615,5 +2615,32 @@ object AnalyticsQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM w CROSS JOIN mx WHERE week > mw - 4
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- x197: quantity-weighted median unit price -------------------------
+    // Every physical unit votes, not every order line: smallest price
+    // whose cumulative <=-price quantity reaches (W+1) div 2 — x192's
+    // refinement machinery with weight sums — see
+    // ops/Selection.weightedMedian.
+    QueryDef(
+      "x197_weighted_median",
+      (s, dir) =>
+        Selection.weightedMedian(Tables.lineitem(s, dir),
+          round(col("l_extendedprice").cast("double") * 100)
+            .cast("bigint"),
+          col("l_quantity")),
+      Some("""WITH v AS (SELECT CAST(round(
+             |      CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)
+             |      AS v,
+             |    CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_quantity IS NOT NULL AND l_quantity > 0),
+             |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM v),
+             |c AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v) AS BIGINT)
+             |    AS cum FROM v)
+             |SELECT tw AS total_weight, (tw + 1) // 2 AS k,
+             |  min(v) AS value
+             |FROM c CROSS JOIN t WHERE c.cum >= (tw + 1) // 2
+             |GROUP BY 1, 2""".stripMargin)),
   )
 }

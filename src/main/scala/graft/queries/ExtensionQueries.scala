@@ -741,6 +741,50 @@ object ExtensionQueries {
           |    GROUP BY vec_id))
           |GROUP BY cell ORDER BY cell""".stripMargin))),
 
+    // ---- x198: fuzzy-match entity clusters ---------------------------------
+    // Composition: x182's Ed-Join fuzzy pairs over the 40-char document
+    // prefix feed the min-label propagation (Dedup.clusterPairs) — the
+    // entity-resolution end state: one cluster id per near-identical
+    // prefix family, reported as cluster sizes.
+    QueryDef(
+      "x198_fuzzy_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        val pairs = graft.ops.Dedup
+          .fuzzyJoin(docs, "doc_id", "k", q = 5, maxDist = 2)
+          .select(col("id1").as("id_a"), col("id2").as("id_b"))
+        graft.ops.Dedup.clusterPairs(pairs, rounds = 3)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH fs AS (SELECT doc_id AS id,
+            |    substring(text, 1, 40) AS nm
+            |  FROM documents WHERE text IS NOT NULL
+            |    AND length(text) >= 5),
+            |fg AS (SELECT DISTINCT id, nm,
+            |    substring(nm, CAST(i AS INT), 5) AS gram
+            |  FROM (SELECT id, nm,
+            |      unnest(generate_series(1, length(nm) - 4)) AS i
+            |    FROM fs)),
+            |fdf AS (SELECT gram, COUNT(*) AS df FROM fg GROUP BY 1),
+            |fgn AS (SELECT id FROM fg GROUP BY id
+            |  HAVING COUNT(*) > 10),
+            |frk AS (SELECT id, nm, gram, ROW_NUMBER() OVER (
+            |    PARTITION BY id ORDER BY df, gram) AS rn
+            |  FROM fg JOIN fdf USING (gram) JOIN fgn USING (id)),
+            |fpre AS (SELECT id, nm, gram FROM frk WHERE rn <= 11),
+            |fcand AS (SELECT DISTINCT a.id AS id_a, a.nm AS n1,
+            |    b.id AS id_b, b.nm AS n2
+            |  FROM fpre a JOIN fpre b
+            |    ON a.gram = b.gram AND a.id < b.id
+            |  WHERE abs(length(a.nm) - length(b.nm)) <= 2),
+            |fpairs AS (SELECT id_a, id_b FROM fcand
+            |  WHERE levenshtein(n1, n2) <= 2),
+            |${clusterCtes(3, "f", "fpairs")}
+            |SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+            |FROM fl3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- x29: mergeable bounded top-k aggregate ---------------------------
     // Custom Aggregator whose O(k) buffer merges map-side — per-group
     // top-k at any group size without materializing the group (contrast
