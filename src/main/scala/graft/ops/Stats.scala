@@ -440,4 +440,139 @@ object Stats {
             (d38(col("n_a")) * d38(col("n_b"))).cast("double")), 6)
           .as("mi_term"))
   }
+
+  /** Spearman rank correlation between two INTEGER-quantized columns
+    * (the linearFit convention): Pearson over midranks, robust to any
+    * monotone transform. ONE row `(n, rho)`, round 6; NULL when either
+    * column is constant (zero rank variance).
+    *
+    * Exactness: DOUBLED midranks are integers (the [[mannWhitney]]
+    * trick — for value v with count c_v and count-before p_v the
+    * doubled midrank is `2p_v + c_v + 1`; the factor 2 cancels in
+    * Pearson), so every moment is an exact DECIMAL(38,0) sum and rho
+    * is two IEEE sqrts + one multiply + one division of exact-integer
+    * doubles. Moment bound: Σdm² ≤ 4n³, so n·Σdm² ≤ 4n⁴ < 10³⁸ holds
+    * to n ≈ 10⁹ rows — beyond that, pre-bucket the values (rank
+    * ties only coarsen, Spearman degrades gracefully).
+    *
+    * Scale: TWO per-value count reduces (map-side combined), each
+    * followed by the DECOMPOSED prefix-sum shape (the ksTest
+    * machinery — never a single-task window over a distinct-value
+    * table that at 100 TB is itself corpus-sized); midranks join back
+    * to the row set by value (hash equi-joins), then ONE moments
+    * aggregate. NULL in either column excludes the row.
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    val rowsIn = df.select(xCol.cast("bigint").as("_x"),
+        yCol.cast("bigint").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+
+    // doubled midrank per distinct value of `c`: 2·(count before) + cnt + 1
+    def midranks(valueName: String): DataFrame = {
+      val counts = rowsIn.groupBy(col(valueName).as("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val ranged = counts.repartitionByRange(col("_v").asc)
+        .withColumn("_bucket", spark_partition_id())
+      val w = Window.partitionBy(col("_bucket")).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = ranged.withColumn("_lc", sum(col("_c")).over(w))
+      val sums = local.groupBy(col("_bucket"))
+        .agg(sum(col("_c")).as("_sc"))
+      val wCum = Window.orderBy(col("_bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sums
+        .withColumn("_off", coalesce(sum(col("_sc")).over(wCum), lit(0L)))
+        .select(col("_bucket"), col("_off"))
+      local.join(broadcast(offsets), "_bucket")
+        .select(col("_v").as(valueName),
+          (lit(2L) * (col("_lc") + col("_off") - col("_c"))
+            + col("_c") + lit(1L)).as(s"_dm$valueName"))
+    }
+
+    val m = rowsIn
+      .join(midranks("_x"), Seq("_x"))
+      .join(midranks("_y"), Seq("_y"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("_dm_x"))).as("_sx"), sum(d38(col("_dm_y"))).as("_sy"),
+        sum(d38(col("_dm_x")) * d38(col("_dm_x"))).as("_sxx"),
+        sum(d38(col("_dm_y")) * d38(col("_dm_y"))).as("_syy"),
+        sum(d38(col("_dm_x")) * d38(col("_dm_y"))).as("_sxy"))
+    val n = d38(col("n"))
+    val num = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val dx = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val dy = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    m.select(col("n"),
+      when(dx > 0.0 && dy > 0.0,
+        round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  }
+
+  /** Mann-Kendall monotone-trend test per series: Kendall's S over
+    * (time, value) pairs of the dense zero-filled daily grid, with the
+    * tie-corrected tau-b and the continuity-corrected normal z. One
+    * row per series: `(series, n_days, s, tau_b, z)` — tau_b/z round
+    * 6, NULL when n < 2 or the series is constant (zero variance).
+    *
+    * Exactness: S = Σ_{i<j} sign(y_j − y_i) and the tie terms
+    * Σt(t−1)/2, Σt(t−1)(2t+5) are exact integers; tau_b divides S by
+    * ONE sqrt of an exact product, z by one sqrt of an exact-integer
+    * double / 18.0 — the same op sequence both engines.
+    *
+    * Scale: one map-side-combined (series, day) count; the pair join
+    * is an EQUI hash join on series with a d2 > d1 residual (the
+    * theilSen shape) over the SPAN-BOUNDED grid — pairs grow with
+    * span², never with corpus size.
+    */
+  def mannKendall(daily: DataFrame, seriesCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val g = daily.select(col(seriesCol).as("_s"),
+      col(dayCol).cast("bigint").as("_d"),
+      col(valueCol).cast("bigint").as("_y"))
+    val a = g.select(col("_s"), col("_d").as("_d1"), col("_y").as("_y1"))
+    val b = g.select(col("_s"), col("_d").as("_d2"), col("_y").as("_y2"))
+    val sAgg = a.join(b, Seq("_s")).filter(col("_d2") > col("_d1"))
+      .groupBy(col("_s"))
+      .agg(sum(when(col("_y2") > col("_y1"), 1L)
+        .when(col("_y2") < col("_y1"), -1L).otherwise(0L)).as("s"))
+    val t = col("_t")
+    val ties = g.groupBy(col("_s"), col("_y"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_nv"), sum(col("_t")).as("n_days"),
+        sum(d38(t) * d38(t - 1) / lit(2)).as("_t2"),
+        sum(d38(t) * d38(t - 1) * d38(lit(2) * t + 5)).as("_tv"))
+    val n = d38(col("n_days"))
+    val n0 = n * (n - lit(1)) / lit(2)
+    val varS = ((n * (n - lit(1)) * (lit(2) * n + lit(5)) - col("_tv"))
+      .cast("double")) / lit(18.0)
+    val sD = col("s").cast("double")
+    sAgg.join(ties, Seq("_s"))
+      .select(col("_s").as("series"), col("n_days"), col("s"),
+        when(col("n_days") >= 2 && (n0 - col("_t2")).cast("double") > 0.0,
+          round(sD / sqrt((n0 * (n0 - col("_t2"))).cast("double")), 6))
+          .as("tau_b"),
+        when(col("n_days") >= 2 && varS > 0.0,
+          round((sD - signum(sD)) / sqrt(varS), 6)).as("z"))
+  }
+
+  /** Cramér's V effect size for the association between two
+    * categorical columns — the [0, 1]-normalized complement of
+    * [[chiSquare]]'s test statistic (chi2 grows with n; V answers
+    * "how strong", not "how significant"). ONE row:
+    * `(n, dof, chi2, v)`; V NULL for degenerate 1-level columns.
+    *
+    * Determinism: rides chiSquare's round-6 decimal-summed statistic
+    * verbatim; V adds one division by an exact integer and one IEEE
+    * sqrt, round 6. Scale: identical to chiSquare (one cell reduce +
+    * bounded-grid epilogue).
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val minDim = least(col("n_rows_cat"), col("n_cols_cat")) - lit(1)
+    chiSquare(df, aCol, bCol)
+      .select(col("n"), col("dof"), col("chi2"),
+        when(minDim > 0 && col("n") > 0,
+          round(sqrt(col("chi2") /
+            (col("n") * minDim).cast("double")), 6)).as("v"))
+  }
 }

@@ -917,6 +917,63 @@ class AnalyticsExtrasSpec extends SparkSuite {
       ("c", 1L, 0.4, 0.133333)))
   }
 
+  test("weightedMedian: hand-weighted fixture, heavy-row dominance, " +
+      "zero/NULL weights inert, unit weights == exactKth") {
+    // v=[10,20,30] w=[1,2,6]: W=9, k=5; cum 10->1, 20->3, 30->9 -> 30
+    val df = frame("v" -> Seq(10L, 20L, 30L),
+      "w" -> Seq(1L, 2L, 6L))
+    val out = graft.ops.Selection.weightedMedian(df, col("v"), col("w"))
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
+      ((9L, 5L, 30L)))
+    // one heavy row outvotes many light rows (the quantity-weighted
+    // unit-price story); forced multi-pass via buckets=2 over a wide range
+    val heavy = frame("v" -> (Seq.fill(10)(1000000L) :+ 7L),
+      "w" -> (Seq.fill(10)(1L) :+ 100L))
+    assert(graft.ops.Selection.weightedMedian(heavy, col("v"), col("w"),
+      buckets = 2).collect()(0).getLong(2) === 7L)
+    // zero and NULL weights are dropped up front: adding them changes
+    // nothing (W stays 9)
+    val padded = frame("v" -> Seq(10L, 20L, 30L, 5L, 5L),
+      "w" -> Seq(1L, 2L, 6L, 0L, null))
+    val p = graft.ops.Selection.weightedMedian(padded, col("v"), col("w"))
+      .collect()(0)
+    assert((p.getLong(0), p.getLong(2)) === ((9L, 30L)))
+    // w=1 everywhere degenerates to the unweighted lower median
+    val vals = scala.util.Random.shuffle((1L to 51L).toList)
+    val u = frame("v" -> vals, "w" -> Seq.fill(51)(1L))
+    val wm = graft.ops.Selection.weightedMedian(u, col("v"), col("w"),
+      buckets = 4).collect()(0)
+    val ek = graft.ops.Selection.exactKth(frame("v" -> vals), col("v"),
+      buckets = 4).collect()(0)
+    assert(wm.getLong(2) === ek.getLong(2))
+    assert((wm.getLong(0), wm.getLong(1)) ===
+      ((ek.getLong(0), ek.getLong(1))))
+  }
+
+  test("fuzzy entity clusters (x198 composition): families merge " +
+      "transitively through chained edits, distinct families stay apart") {
+    // Two entity families of >= 11 distinct 5-grams each; within a
+    // family consecutive variants differ by <= 2 edits, across families
+    // by far more. Family A has diameter 2 edits (a1-a3 ed=2) so the
+    // 3-round min-label propagation must bridge a1..a3 transitively.
+    val a1 = "alpha industries incorporated west"
+    val a2 = "alpha industries incorporated east" // ed(a1,a2)=2 (w->e, e->a)
+    val a3 = "alpha industries incorporated easy" // ed(a2,a3)=1
+    val b1 = "bravo holdings limited of nebraska"
+    val b2 = "bravo holdings limited of nebrasky" // ed=1
+    val df = frame("id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "nm" -> Seq(a1, a2, a3, b1, b2))
+    val pairs = graft.ops.Dedup.fuzzyJoin(df, "id", "nm", q = 5,
+      maxDist = 2)
+      .select(col("id1").as("id_a"), col("id2").as("id_b"))
+    val clusters = graft.ops.Dedup.clusterPairs(pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label: family A (1,2,3) -> 1; family B (4,5) -> 4
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
