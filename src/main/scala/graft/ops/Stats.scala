@@ -514,10 +514,12 @@ object Stats {
     * row per series: `(series, n_days, s, tau_b, z)` — tau_b/z round
     * 6, NULL when n < 2 or the series is constant (zero variance).
     *
-    * Exactness: S = Σ_{i<j} sign(y_j − y_i) and the tie terms
-    * Σt(t−1)/2, Σt(t−1)(2t+5) are exact integers; tau_b divides S by
-    * ONE sqrt of an exact product, z by one sqrt of an exact-integer
-    * double / 18.0 — the same op sequence both engines.
+    * Exactness: S = Σ_{i<j} sign(y_j − y_i) and the tie terms are
+    * exact integers; the halves in tau-b's textbook form cancel —
+    * with N = n(n−1) and M = N − Σt(t−1),
+    * `tau_b = 2S/√(N·M)` — so everything is integer until ONE sqrt
+    * of an exact product and one division; z's variance is an exact
+    * integer divided by 18.0 — the same op sequence both engines.
     *
     * Scale: one map-side-combined (series, day) count; the pair join
     * is an EQUI hash join on series with a d2 > d1 residual (the
@@ -539,18 +541,19 @@ object Stats {
     val ties = g.groupBy(col("_s"), col("_y"))
       .agg(count(lit(1)).as("_t"))
       .groupBy(col("_s"))
-      .agg(count(lit(1)).as("_nv"), sum(col("_t")).as("n_days"),
-        sum(d38(t) * d38(t - 1) / lit(2)).as("_t2"),
+      .agg(sum(col("_t")).as("n_days"),
+        sum(d38(t) * d38(t - 1)).as("_tt"),
         sum(d38(t) * d38(t - 1) * d38(lit(2) * t + 5)).as("_tv"))
     val n = d38(col("n_days"))
-    val n0 = n * (n - lit(1)) / lit(2)
-    val varS = ((n * (n - lit(1)) * (lit(2) * n + lit(5)) - col("_tv"))
+    val bigN = n * (n - lit(1))
+    val bigM = bigN - col("_tt")
+    val varS = ((bigN * (lit(2) * n + lit(5)) - col("_tv"))
       .cast("double")) / lit(18.0)
     val sD = col("s").cast("double")
     sAgg.join(ties, Seq("_s"))
       .select(col("_s").as("series"), col("n_days"), col("s"),
-        when(col("n_days") >= 2 && (n0 - col("_t2")).cast("double") > 0.0,
-          round(sD / sqrt((n0 * (n0 - col("_t2"))).cast("double")), 6))
+        when(col("n_days") >= 2 && bigM.cast("double") > 0.0,
+          round(lit(2.0) * sD / sqrt((bigN * bigM).cast("double")), 6))
           .as("tau_b"),
         when(col("n_days") >= 2 && varS > 0.0,
           round((sD - signum(sD)) / sqrt(varS), 6)).as("z"))

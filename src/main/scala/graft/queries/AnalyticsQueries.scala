@@ -2642,5 +2642,146 @@ object AnalyticsQueries {
              |  min(v) AS value
              |FROM c CROSS JOIN t WHERE c.cum >= (tw + 1) // 2
              |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- x199: Spearman rank correlation -----------------------------------
+    // Monotone association between quantity and line price: Pearson
+    // over exact doubled midranks (the mannWhitney integer trick; the
+    // factor 2 cancels) — decomposed prefix sums per axis, two
+    // value-keyed joins, one moments pass — see ops/Stats.spearman.
+    QueryDef(
+      "x199_spearman",
+      (s, dir) =>
+        Stats.spearman(Tables.lineitem(s, dir), col("l_quantity"),
+          round(col("l_extendedprice").cast("double") * 100)),
+      Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+             |      AS BIGINT) AS y
+             |  FROM lineitem WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
+             |xc AS (SELECT x, COUNT(*) AS c FROM v GROUP BY 1),
+             |xr AS (SELECT x, 2 * (SUM(c) OVER (ORDER BY x) - c) + c + 1
+             |    AS dmx FROM xc),
+             |yc AS (SELECT y, COUNT(*) AS c FROM v GROUP BY 1),
+             |yr AS (SELECT y, 2 * (SUM(c) OVER (ORDER BY y) - c) + c + 1
+             |    AS dmy FROM yc),
+             |j AS (SELECT dmx, dmy FROM v
+             |  JOIN xr USING (x) JOIN yr USING (y)),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(dmx AS HUGEINT)) AS HUGEINT) AS sx,
+             |    CAST(SUM(CAST(dmy AS HUGEINT)) AS HUGEINT) AS sy,
+             |    CAST(SUM(CAST(dmx AS HUGEINT) * dmx) AS HUGEINT) AS sxx,
+             |    CAST(SUM(CAST(dmy AS HUGEINT) * dmy) AS HUGEINT) AS syy,
+             |    CAST(SUM(CAST(dmx AS HUGEINT) * dmy) AS HUGEINT) AS sxy
+             |  FROM j)
+             |SELECT n, CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             |    AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             |  END AS rho
+             |FROM m""".stripMargin)),
+
+    // ---- x200: Mann-Kendall trend test -------------------------------------
+    // Monotone-trend S/tau-b/z per event type over the dense
+    // zero-filled daily grid (x185's grid); pair join is the theilSen
+    // equi-on-type shape — see ops/Stats.mannKendall.
+    QueryDef(
+      "x200_mann_kendall",
+      (s, dir) => {
+        val day = expr(graft.ops.EventWindows
+          .floorDivSql("ts_ns", 86400L * 1000000000L))
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), day.as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val span = daily.groupBy(col("event_type"))
+          .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+        val grid = span
+          .select(col("event_type"),
+            explode(sequence(col("_d0"), col("_d1"))).as("day"))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cnt"), lit(0L)).as("y"))
+        Stats.mannKendall(grid, "event_type", "day", "y")
+          .orderBy(col("series"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |grid AS (SELECT g.event_type, g.day, COALESCE(d.cnt, 0) AS y
+             |  FROM (SELECT event_type,
+             |      unnest(generate_series(d0, d1)) AS day FROM span) g
+             |  LEFT JOIN daily d USING (event_type, day)),
+             |pr AS (SELECT a.event_type,
+             |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+             |      ELSE 0 END AS sg
+             |  FROM grid a JOIN grid b ON a.event_type = b.event_type
+             |    AND b.day > a.day),
+             |sa AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s
+             |  FROM pr GROUP BY 1),
+             |tc AS (SELECT event_type, y, COUNT(*) AS t FROM grid
+             |  GROUP BY 1, 2),
+             |ta AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+             |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) AS tt,
+             |    CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+             |      AS HUGEINT) AS tv
+             |  FROM tc GROUP BY 1)
+             |SELECT sa.event_type AS series, ta.n_days, sa.s,
+             |  CASE WHEN ta.n_days >= 2 AND CAST(
+             |      CAST(ta.n_days AS HUGEINT) * (ta.n_days - 1) - ta.tt
+             |      AS DOUBLE) > 0 THEN
+             |    round(2.0 * CAST(sa.s AS DOUBLE) / sqrt(CAST(
+             |      (CAST(ta.n_days AS HUGEINT) * (ta.n_days - 1))
+             |      * (CAST(ta.n_days AS HUGEINT) * (ta.n_days - 1) - ta.tt)
+             |      AS DOUBLE)), 6) END AS tau_b,
+             |  CASE WHEN ta.n_days >= 2 AND CAST(
+             |      CAST(ta.n_days AS HUGEINT) * (ta.n_days - 1)
+             |        * (2 * ta.n_days + 5) - ta.tv AS DOUBLE) / 18.0 > 0
+             |    THEN round((CAST(sa.s AS DOUBLE) - (CASE WHEN sa.s > 0
+             |        THEN 1.0 WHEN sa.s < 0 THEN -1.0 ELSE 0.0 END))
+             |      / sqrt(CAST(CAST(ta.n_days AS HUGEINT) * (ta.n_days - 1)
+             |        * (2 * ta.n_days + 5) - ta.tv AS DOUBLE) / 18.0), 6)
+             |    END AS z
+             |FROM sa JOIN ta USING (event_type)
+             |ORDER BY series""".stripMargin)),
+
+    // ---- x201: Cramér's V association strength -----------------------------
+    // Are sources language-specialized? x165's chi-square grid over
+    // documents (lang × source) normalized to the [0,1] effect size —
+    // see ops/Stats.cramersV.
+    QueryDef(
+      "x201_cramers_v",
+      (s, dir) =>
+        Stats.cramersV(Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b,
+             |    COUNT(*) AS o FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells
+             |  GROUP BY 1),
+             |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells
+             |  GROUP BY 1),
+             |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+             |grid AS (SELECT rt.a, ct.b, rt.rt, ct.ct,
+             |    CAST(COALESCE(cells.o, 0) AS BIGINT) AS o
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+             |contrib AS (SELECT a, b,
+             |    CAST(round(
+             |      CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+             |        AS DOUBLE)
+             |      * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct
+             |        AS DOUBLE)
+             |      / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE), 6)
+             |      AS DECIMAL(28,6)) AS contrib
+             |  FROM grid CROSS JOIN n),
+             |chi AS (SELECT (SELECT n FROM n) AS n,
+             |    COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc,
+             |    round(CAST(SUM(contrib) AS DOUBLE), 6) AS chi2
+             |  FROM contrib)
+             |SELECT n, (nr - 1) * (nc - 1) AS dof, chi2,
+             |  CASE WHEN least(nr, nc) - 1 > 0 AND n > 0 THEN
+             |    round(sqrt(chi2 / CAST(n * (least(nr, nc) - 1)
+             |      AS DOUBLE)), 6) END AS v
+             |FROM chi""".stripMargin)),
   )
 }

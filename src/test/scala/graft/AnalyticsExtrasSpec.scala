@@ -974,6 +974,69 @@ class AnalyticsExtrasSpec extends SparkSuite {
       4L -> 4L, 5L -> 4L))
   }
 
+  test("spearman: monotone nonlinear = 1, reversed = -1, hand " +
+      "no-tie case = 0.8, constant column NULL") {
+    import graft.ops.Stats
+    // any strictly monotone transform: rho exactly 1 / -1
+    val xs = Seq(1L, 2L, 3L, 4L, 5L)
+    val cube = frame("x" -> xs, "y" -> xs.map(v => v * v * v))
+    assert(Stats.spearman(cube, col("x"), col("y"))
+      .collect()(0).getDouble(1) === 1.0)
+    val rev = frame("x" -> xs, "y" -> xs.map(v => -v * v * v))
+    assert(Stats.spearman(rev, col("x"), col("y"))
+      .collect()(0).getDouble(1) === -1.0)
+    // textbook: d = (0,1,1,0), rho = 1 - 6*2/(4*15) = 0.8
+    val hand = frame("x" -> Seq(1L, 2L, 3L, 4L),
+      "y" -> Seq(1L, 3L, 2L, 4L))
+    val r = Stats.spearman(hand, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.8)
+    // zero rank variance -> NULL, not NaN/crash
+    val const = frame("x" -> Seq(1L, 2L, 3L), "y" -> Seq(7L, 7L, 7L))
+    assert(Stats.spearman(const, col("x"), col("y"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("mannKendall: strict trends = ±1, hand tie case, constant NULL") {
+    import graft.ops.Stats
+    def mk(ys: Seq[Long]): org.apache.spark.sql.Row = {
+      val df = frame("s" -> Seq.fill(ys.size)("a"),
+        "d" -> (1L to ys.size).toSeq, "y" -> ys)
+      Stats.mannKendall(df, "s", "d", "y").collect()(0)
+    }
+    val up = mk(Seq(1L, 2L, 5L, 9L))
+    assert(up.getLong(2) === 6L) // S = n(n-1)/2
+    assert(up.getDouble(3) === 1.0)
+    val down = mk(Seq(9L, 5L, 2L, 1L))
+    assert(down.getDouble(3) === -1.0)
+    // y=[1,2,2,3]: S=5; N=12, tt=2, M=10 -> tau=10/sqrt(120);
+    // varS=(156-18)/18; z=(5-1)/sqrt(varS)
+    val tie = mk(Seq(1L, 2L, 2L, 3L))
+    assert(tie.getLong(2) === 5L)
+    assert(tie.getDouble(3) ===
+      BigDecimal(2.0 * 5 / math.sqrt(120.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(tie.getDouble(4) ===
+      BigDecimal(4.0 / math.sqrt(138.0 / 18.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant: M = 0 and varS = 0 -> both NULL
+    val const = mk(Seq(4L, 4L, 4L))
+    assert(const.isNullAt(3) && const.isNullAt(4))
+  }
+
+  test("cramersV: perfect diagonal = 1, uniform independence = 0, " +
+      "single-level column NULL") {
+    import graft.ops.Stats
+    val diag = frame("a" -> Seq("x", "x", "y", "y"),
+      "b" -> Seq("p", "p", "q", "q"))
+    assert(Stats.cramersV(diag, "a", "b").collect()(0).getDouble(3) === 1.0)
+    val unif = frame("a" -> Seq("x", "x", "y", "y"),
+      "b" -> Seq("p", "q", "p", "q"))
+    assert(Stats.cramersV(unif, "a", "b").collect()(0).getDouble(3) === 0.0)
+    val one = frame("a" -> Seq("x", "x", "x"), "b" -> Seq("p", "q", "p"))
+    assert(Stats.cramersV(one, "a", "b").collect()(0).isNullAt(3))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
