@@ -270,4 +270,68 @@ object Sketches {
           round((est - col("n_exact").cast("double")) /
             col("n_exact").cast("double"), 6)).as("rel_err"))
   }
+
+  /** AMS F₂ sketch (Alon-Matias-Szegedy 1996): estimate the second
+    * frequency moment Σ_k c_k² — the SELF-JOIN SIZE of a key column,
+    * the planner statistic behind "how big does this join get" — from
+    * b random-sign counters instead of a per-key groupBy. ONE row:
+    * `(n_rows, n_keys, f2_exact, f2_est, rel_err)` (exact rides along
+    * for error inspection, the kmv/hll convention).
+    *
+    * Counter j is Σ_rows s_j(key) with s_j(key) = ±1 from bit j of
+    * md5(salt:key) — equal to `n_rows − 2·|{rows: bit_j set}|`, so the
+    * construction reuses the BRR bit-explode verbatim and each
+    * estimate c_j² is an exact integer. Group means (b/groups
+    * per group) divide by a power of two and the final median of
+    * `groups` means averages the two middle values — BOTH divisions
+    * dyadic, so f2_est is exact-integer-derived and bitwise
+    * reproducible on any engine.
+    *
+    * Merge property: counters are SUMS over rows — per-shard sketches
+    * add cell-wise (the CMS posture). Scale: one md5 per row, a b-way
+    * explode-filter into ONE map-side-combined (j) reduce (b bounds
+    * the pass, default 64), an O(b) epilogue; the exact side is one
+    * per-key reduce.
+    */
+  def amsF2(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      b: Int = 64, groups: Int = 4, salt: String = "ams"): DataFrame = {
+    require(b >= 2 && b <= 64 && (b & (b - 1)) == 0,
+      s"need b a power of two in [2, 64], got $b")
+    require(groups >= 2 && b % groups == 0 && groups % 2 == 0,
+      s"need even groups dividing b, got $groups of $b")
+    val perGroup = b / groups
+    val rows = df.select(keyCol.cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+      .withColumn("_h", md5(concat(lit(s"$salt:"), col("_k"))))
+    val exact = rows.groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_c")).as("n_rows"),
+        sum(col("_c") * col("_c")).as("f2_exact"))
+    val bitCounts = rows
+      .select(col("_h"), explode(sequence(lit(0), lit(b - 1))).as("_r"))
+      .filter(expr("((instr('0123456789abcdef', " +
+        "substr(_h, 1 + _r div 4, 1)) - 1) >> (_r % 4)) & 1 = 1"))
+      .groupBy(col("_r")).agg(count(lit(1)).as("_c1"))
+    // zero-fill absent replicates (a bit nobody set still has counter n)
+    val allReps = df.sparkSession.range(b).select(col("id").as("_r"))
+      .join(bitCounts, Seq("_r"), "left")
+      .select(col("_r"), coalesce(col("_c1"), lit(0L)).as("_c1"))
+    val est = allReps.crossJoin(broadcast(exact))
+      .select(col("_r"), col("n_keys"), col("n_rows"), col("f2_exact"),
+        (col("n_rows") - lit(2L) * col("_c1")).as("_ctr"))
+      .groupBy((col("_r") / lit(perGroup)).cast("long").as("_g"),
+        col("n_keys"), col("n_rows"), col("f2_exact"))
+      .agg((sum(col("_ctr") * col("_ctr")).cast("double") /
+        lit(perGroup.toDouble)).as("_mean"))
+      .groupBy(col("n_keys"), col("n_rows"), col("f2_exact"))
+      .agg(sort_array(collect_list(col("_mean"))).as("_means"))
+    est.select(col("n_rows"), col("n_keys"), col("f2_exact"),
+      ((element_at(col("_means"), groups / 2) +
+        element_at(col("_means"), groups / 2 + 1)) / lit(2.0))
+        .as("f2_est"),
+      when(col("f2_exact") =!= 0,
+        round(((element_at(col("_means"), groups / 2) +
+          element_at(col("_means"), groups / 2 + 1)) / lit(2.0) -
+          col("f2_exact").cast("double")) /
+          col("f2_exact").cast("double"), 6)).as("rel_err"))
+  }
 }

@@ -508,6 +508,79 @@ object Stats {
         round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
   }
 
+  /** Two-sample 1-Wasserstein (earth-mover) distance between the
+    * value distributions of two cohorts — the ∫|F_a − F_b| companion
+    * to [[ksTest]]'s sup: KS asks "is there ANY drift", W₁ asks "how
+    * much probability mass moved how far" in the column's own units.
+    * ONE row: `(group_a, group_b, n_a, n_b, w1)`; NULL w1 when a
+    * cohort is empty.
+    *
+    * Exactness: over each gap between consecutive distinct values the
+    * CDF difference is constant, so
+    * `W₁·n_a·n_b = Σ_v |ca⁻·n_b − cb⁻·n_a| · (v − prev(v))` with
+    * ca⁻ = cumulative strictly before v — every term an exact
+    * DECIMAL(38,0) product, ONE final division. prev(v) needs no
+    * second pass: within a range bucket it is lag(v); at a bucket's
+    * first row it is the previous bucket's max, read from the same
+    * O(partitions) offsets frame the prefix sums broadcast.
+    *
+    * Scale: the ksTest machinery verbatim — one per-value count
+    * reduce, decomposed prefix sums, O(partitions) driver-free
+    * boundary handling. NULL values are excluded (ksTest rationale).
+    */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    val vals = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(valueCol.cast("bigint").as("v"), col(groupCol).as("_g"))
+      .filter(col("v").isNotNull)
+    val counts = vals
+      .groupBy(col("v"))
+      .agg(sum(when(col("_g") === groupA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("_g") === groupB, 1L).otherwise(0L)).as("b"))
+    val ranged = counts.repartitionByRange(col("v").asc)
+      .withColumn("_bucket", spark_partition_id())
+    val wRun = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+    val local = ranged
+      .withColumn("_la", sum(col("a")).over(wRun))
+      .withColumn("_lb", sum(col("b")).over(wRun))
+      .withColumn("_pv", lag(col("v"), 1).over(wLag))
+    val sums = ranged.groupBy(col("_bucket"))
+      .agg(sum(col("a")).as("_sa"), sum(col("b")).as("_sb"),
+        max(col("v")).as("_mx"))
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev = Window.orderBy(col("_bucket")).rowsBetween(-1, -1)
+    val offsets = sums
+      .withColumn("_ao", coalesce(sum(col("_sa")).over(wCum), lit(0L)))
+      .withColumn("_bo", coalesce(sum(col("_sb")).over(wCum), lit(0L)))
+      .withColumn("_pmx", max(col("_mx")).over(wPrev))
+      .select(col("_bucket"), col("_ao"), col("_bo"), col("_pmx"))
+    val tot = broadcast(counts.agg(sum(col("a")).as("na"),
+      sum(col("b")).as("nb")))
+    val terms = local.join(broadcast(offsets), "_bucket")
+      .select(col("v"), col("a"), col("b"),
+        (col("_la") + col("_ao") - col("a")).as("cpa"),
+        (col("_lb") + col("_bo") - col("b")).as("cpb"),
+        coalesce(col("_pv"), col("_pmx")).as("pv"))
+      .crossJoin(tot)
+      .select(when(col("pv").isNull, lit(0).cast("decimal(38,0)"))
+        .otherwise(abs(d38(col("cpa")) * d38(col("nb")) -
+          d38(col("cpb")) * d38(col("na"))) * d38(col("v") - col("pv")))
+        .as("_term"))
+    val sumT = broadcast(terms.agg(sum(col("_term")).as("_w")))
+    tot.crossJoin(sumT)
+      .select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") =!= 0 && col("nb") =!= 0,
+          round(col("_w").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6))
+          .as("w1"))
+  }
+
   /** Mann-Kendall monotone-trend test per series: Kendall's S over
     * (time, value) pairs of the dense zero-filled daily grid, with the
     * tie-corrected tau-b and the continuity-corrected normal z. One

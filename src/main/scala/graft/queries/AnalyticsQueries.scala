@@ -2783,5 +2783,83 @@ object AnalyticsQueries {
              |    round(sqrt(chi2 / CAST(n * (least(nr, nc) - 1)
              |      AS DOUBLE)), 6) END AS v
              |FROM chi""".stripMargin)),
+
+    // ---- x202: 1-Wasserstein order-value drift -----------------------------
+    // How much money mass separates urgent from low-priority order
+    // values (cents)? ∫|F_a − F_b| over the merged distinct-value
+    // grid, exact integer terms — see ops/Stats.wasserstein1.
+    QueryDef(
+      "x202_wasserstein",
+      (s, dir) =>
+        Stats.wasserstein1(Tables.orders(s, dir), "o_orderpriority",
+          round(col("o_totalprice").cast("double") * 100),
+          "1-URGENT", "5-LOW"),
+      Some("""WITH v AS (SELECT CAST(round(CAST(o_totalprice AS DOUBLE)
+             |      * 100) AS BIGINT) AS v, o_orderpriority AS g
+             |  FROM orders
+             |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             |    AND o_totalprice IS NOT NULL),
+             |c AS (SELECT v,
+             |    SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+             |    SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS b
+             |  FROM v GROUP BY 1),
+             |t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             |    CAST(SUM(b) AS BIGINT) AS nb FROM c),
+             |cum AS (SELECT v, a, b,
+             |    SUM(a) OVER (ORDER BY v) AS ca,
+             |    SUM(b) OVER (ORDER BY v) AS cb,
+             |    lag(v) OVER (ORDER BY v) AS pv FROM c),
+             |terms AS (SELECT CASE WHEN pv IS NULL
+             |    THEN CAST(0 AS HUGEINT)
+             |    ELSE abs(CAST(ca - a AS HUGEINT) * nb
+             |      - CAST(cb - b AS HUGEINT) * na) * (v - pv)
+             |    END AS term FROM cum CROSS JOIN t)
+             |SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+             |  t.na AS n_a, t.nb AS n_b,
+             |  CASE WHEN t.na <> 0 AND t.nb <> 0 THEN
+             |    round(CAST((SELECT SUM(term) FROM terms) AS DOUBLE)
+             |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6)
+             |  END AS w1
+             |FROM t""".stripMargin)),
+
+    // ---- x203: AMS F2 self-join-size sketch --------------------------------
+    // Second frequency moment of l_orderkey (the lineitem self-join
+    // size) from 64 md5-sign counters, exact F2 alongside; group
+    // means and the median-of-4 are dyadic divisions — bitwise on
+    // both engines — see ops/Sketches.amsF2.
+    QueryDef(
+      "x203_ams_f2",
+      (s, dir) =>
+        graft.ops.Sketches.amsF2(Tables.lineitem(s, dir),
+          col("l_orderkey")),
+      Some("""WITH rows_ AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+             |    md5('ams:' || CAST(l_orderkey AS VARCHAR)) AS h
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+             |ex AS (SELECT COUNT(*) AS n_keys,
+             |    CAST(SUM(c) AS BIGINT) AS n_rows,
+             |    CAST(SUM(c * c) AS BIGINT) AS f2_exact
+             |  FROM (SELECT k, COUNT(*) AS c FROM rows_ GROUP BY 1)),
+             |bc AS (SELECT r, COUNT(*) AS c1
+             |  FROM rows_ CROSS JOIN
+             |    (SELECT unnest(generate_series(0, 63)) AS r) t
+             |  WHERE ((instr('0123456789abcdef',
+             |      substr(h, CAST(1 + r // 4 AS INT), 1)) - 1)
+             |    >> (r % 4)) & 1 = 1
+             |  GROUP BY 1),
+             |ar AS (SELECT g.r, COALESCE(bc.c1, 0) AS c1
+             |  FROM (SELECT unnest(generate_series(0, 63)) AS r) g
+             |  LEFT JOIN bc USING (r)),
+             |gm AS (SELECT r // 16 AS g,
+             |    CAST(SUM(CAST(n_rows - 2 * c1 AS HUGEINT)
+             |      * (n_rows - 2 * c1)) AS DOUBLE) / 16.0 AS m
+             |  FROM ar CROSS JOIN ex GROUP BY 1),
+             |ms AS (SELECT list_sort(list(m)) AS means FROM gm)
+             |SELECT ex.n_rows, ex.n_keys, ex.f2_exact,
+             |  (means[2] + means[3]) / 2.0 AS f2_est,
+             |  CASE WHEN ex.f2_exact <> 0 THEN
+             |    round(((means[2] + means[3]) / 2.0
+             |      - CAST(ex.f2_exact AS DOUBLE))
+             |      / CAST(ex.f2_exact AS DOUBLE), 6) END AS rel_err
+             |FROM ms CROSS JOIN ex""".stripMargin)),
   )
 }

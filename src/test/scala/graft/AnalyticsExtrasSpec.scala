@@ -1037,6 +1037,59 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(Stats.cramersV(one, "a", "b").collect()(0).isNullAt(3))
   }
 
+  test("wasserstein1: identical = 0, point masses = distance, hand " +
+      "interleave = 5, shift by c = c, empty cohort NULL") {
+    import graft.ops.Stats
+    def w1(as: Seq[Long], bs: Seq[Long]): org.apache.spark.sql.Row = {
+      val df = frame(
+        "g" -> (as.map(_ => "A") ++ bs.map(_ => "B")),
+        "v" -> (as ++ bs))
+      Stats.wasserstein1(df, "g", col("v"), "A", "B").collect()(0)
+    }
+    assert(w1(Seq(1L, 2L, 9L), Seq(1L, 2L, 9L)).getDouble(4) === 0.0)
+    assert(w1(Seq(0L, 0L), Seq(10L, 10L)).getDouble(4) === 10.0)
+    // {0,10} vs {5,5}: each unit moves 5
+    assert(w1(Seq(0L, 10L), Seq(5L, 5L)).getDouble(4) === 5.0)
+    // shift invariance: B = A + 3
+    assert(w1(Seq(1L, 3L, 7L), Seq(4L, 6L, 10L)).getDouble(4) === 3.0)
+    // asymmetric sizes: {0} vs {0,6}: F_a steps to 1 at 0, F_b to 1/2
+    // then 1 at 6 -> integral = 1/2 * 6 = 3
+    assert(w1(Seq(0L), Seq(0L, 6L)).getDouble(4) === 3.0)
+    val empty = w1(Seq(1L, 2L), Seq.empty)
+    assert(empty.getLong(3) === 0L && empty.isNullAt(4))
+  }
+
+  test("amsF2: exact moment correct; estimate bitwise-equal to an " +
+      "independent JVM replay; never-set bits count full n") {
+    import graft.ops.Sketches
+    val keys = (1L to 40L).map(i => s"k${i % 7}") // 7 keys, skewed counts
+    val df = frame("k" -> keys)
+    val out = Sketches.amsF2(df, col("k"), b = 8, groups = 4, salt = "t")
+      .collect()(0)
+    val byKey = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(out.getLong(0) === 40L)
+    assert(out.getLong(1) === 7L)
+    assert(out.getLong(2) === byKey.values.map(c => c * c).sum)
+    // JVM replay: counter_r = n - 2*|{rows with md5 bit r set}|
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val hs = keys.map(k => hex(s"t:$k"))
+    val ctrs = (0 until 8).map { r =>
+      val c1 = hs.count { h =>
+        val v = "0123456789abcdef".indexOf(h(r / 4))
+        ((v >> (r % 4)) & 1) == 1 }
+      40L - 2L * c1
+    }
+    val means = ctrs.grouped(2).map(g =>
+      g.map(c => c * c).sum.toDouble / 2.0).toSeq.sorted
+    val est = (means(1) + means(2)) / 2.0
+    assert(out.getDouble(3) === est)
+    assert(out.getDouble(4) ===
+      BigDecimal((est - out.getLong(2).toDouble) / out.getLong(2).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
