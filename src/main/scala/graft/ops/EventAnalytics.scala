@@ -603,6 +603,79 @@ object EventAnalytics {
     * bounded by the day span (the x153 span-bounded posture), and the
     * fold is linear in it.
     */
+  /** Holt-Winters ADDITIVE seasonal smoothing of daily event counts —
+    * [[holtDaily]] plus a `period`-slot seasonal component, the
+    * level+trend+weekday model a traffic series actually needs. Runs
+    * on the DENSE zero-filled grid (a gap day is a real 0 for
+    * seasonality — contrast holtDaily's observed-days contract); slot
+    * of grid position p (1-based) is (p−1) mod period. Init from the
+    * first full period: l = mean(y₁..y_p), b = 0, s_i = y_i − l; fold
+    * from p+1 with α = β = γ = ½:
+    * `l' = ½(y − s_slot) + ½(l + b)`, `b' = ½(l' − l) + ½b`,
+    * `s_slot' = ½(y − l') + ½s_slot`. ONE row per type with
+    * n_days ≥ period + 1: `(event_type, n_days, level, trend, s_next,
+    * forecast = level + trend + s_next)`, round 6.
+    *
+    * Determinism: the halvings are exact IEEE ops and the fold order
+    * is pinned (aggregate over the sorted grid == the oracle's
+    * recursive CTE carrying the seasonal LIST — the x181 posture);
+    * the init mean is ONE division of an exact integer sum.
+    *
+    * Scale: one map-side-combined (type, day) count; grid + fold are
+    * span-bounded (x153 posture); seasonal state is O(period).
+    */
+  def holtWintersDaily(events: DataFrame, period: Int = 7): DataFrame = {
+    require(period >= 2, s"need period >= 2, got $period")
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val grid = span
+      .select(col("event_type"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val ser = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      array_sort(collect_list(struct(col("day"), col("y")))).as("_ser"))
+      .filter(col("n_days") >= period + 1)
+    val p = lit(period)
+    val l0 = aggregate(slice(col("_ser"), 1, period), lit(0L),
+      (a, x) => a + x.getField("y")).cast("double") / lit(period.toDouble)
+    val sInit = transform(slice(col("_ser"), 1, period),
+      x => x.getField("y").cast("double") - col("_l0"))
+    val folded = ser
+      .withColumn("_l0", l0)
+      .withColumn("_st",
+        aggregate(
+          slice(col("_ser"), lit(period + 1),
+            (col("n_days") - period).cast("int")),
+          struct(col("_l0").as("l"), lit(0.0).as("b"), sInit.as("s"),
+            p.as("i")),
+          (a, x) => {
+            val slot = a.getField("i") % p
+            val sv = get(a.getField("s"), slot)
+            val y = x.getField("y").cast("double")
+            val newL = lit(0.5) * (y - sv) +
+              lit(0.5) * (a.getField("l") + a.getField("b"))
+            val newB = lit(0.5) * (newL - a.getField("l")) +
+              lit(0.5) * a.getField("b")
+            val newS = lit(0.5) * (y - newL) + lit(0.5) * sv
+            struct(newL.as("l"), newB.as("b"),
+              transform(a.getField("s"),
+                (v, j) => when(j === slot, newS).otherwise(v)).as("s"),
+              (a.getField("i") + 1).as("i"))
+          }))
+    val sNext = get(col("_st.s"), (col("n_days") % p).cast("int"))
+    folded.select(col("event_type"), col("n_days"),
+      round(col("_st.l"), 6).as("level"),
+      round(col("_st.b"), 6).as("trend"),
+      round(sNext, 6).as("s_next"),
+      round(col("_st.l") + col("_st.b") + sNext, 6).as("forecast"))
+  }
+
   def holtDaily(events: DataFrame): DataFrame = {
     val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
     val daily = events.groupBy(col("event_type"), day.as("day"))

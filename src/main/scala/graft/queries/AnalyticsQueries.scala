@@ -2111,6 +2111,63 @@ object AnalyticsQueries {
              |FROM run r JOIN nd USING (event_type)
              |WHERE r.rn = nd.n_days ORDER BY r.event_type""".stripMargin)),
 
+    // ---- x204: Holt-Winters weekly-seasonal smoothing ----------------------
+    // x181's level+trend fold plus a 7-slot additive seasonal state on
+    // the DENSE zero-filled grid; recursive-CTE oracle carries the
+    // seasonal LIST — see ops/EventAnalytics.holtWintersDaily.
+    QueryDef(
+      "x204_holt_winters",
+      (s, dir) =>
+        EventAnalytics.holtWintersDaily(Tables.events(s, dir), period = 7)
+          .orderBy(col("event_type")),
+      Some {
+        val slot = "CAST((g.rn - 1) % 7 + 1 AS BIGINT)"
+        val y = "CAST(g.y AS DOUBLE)"
+        val newL = s"0.5 * ($y - r.s[$slot]) + 0.5 * (r.l + r.b)"
+        s"""WITH RECURSIVE daily AS (SELECT event_type,
+           |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+           |  FROM daily GROUP BY 1),
+           |grid AS (SELECT g.event_type, g.day, COALESCE(d.cnt, 0) AS y
+           |  FROM (SELECT event_type,
+           |      unnest(generate_series(d0, d1)) AS day FROM span) g
+           |  LEFT JOIN daily d USING (event_type, day)),
+           |ser AS (SELECT event_type, day, y, ROW_NUMBER() OVER (
+           |    PARTITION BY event_type ORDER BY day) AS rn FROM grid),
+           |nd AS (SELECT event_type, COUNT(*) AS n_days FROM ser
+           |  GROUP BY 1 HAVING COUNT(*) >= 8),
+           |init AS (SELECT s.event_type,
+           |    CAST(SUM(s.y) AS DOUBLE) / 7.0 AS l0
+           |  FROM ser s JOIN nd USING (event_type)
+           |  WHERE s.rn <= 7 GROUP BY 1),
+           |sz AS (SELECT s.event_type,
+           |    list(CAST(s.y AS DOUBLE) - i.l0 ORDER BY s.rn) AS sl
+           |  FROM ser s JOIN init i USING (event_type)
+           |  WHERE s.rn <= 7 GROUP BY 1),
+           |run AS (
+           |  SELECT i.event_type, CAST(7 AS BIGINT) AS rn, i.l0 AS l,
+           |    CAST(0 AS DOUBLE) AS b, sz.sl AS s
+           |  FROM init i JOIN sz USING (event_type)
+           |  UNION ALL
+           |  SELECT g.event_type, g.rn,
+           |    $newL AS l,
+           |    0.5 * (($newL) - r.l) + 0.5 * r.b AS b,
+           |    list_transform(generate_series(1, 7),
+           |      jj -> CASE WHEN jj = $slot
+           |        THEN 0.5 * ($y - ($newL)) + 0.5 * r.s[$slot]
+           |        ELSE r.s[CAST(jj AS BIGINT)] END) AS s
+           |  FROM ser g JOIN run r ON g.event_type = r.event_type
+           |    AND g.rn = r.rn + 1)
+           |SELECT r.event_type, nd.n_days, round(r.l, 6) AS level,
+           |  round(r.b, 6) AS trend,
+           |  round(r.s[CAST(nd.n_days % 7 + 1 AS BIGINT)], 6) AS s_next,
+           |  round(r.l + r.b + r.s[CAST(nd.n_days % 7 + 1 AS BIGINT)], 6)
+           |    AS forecast
+           |FROM run r JOIN nd USING (event_type)
+           |WHERE r.rn = nd.n_days ORDER BY r.event_type""".stripMargin
+      }),
+
     // ---- x182: q-gram-blocked fuzzy match (entity resolution) --------------
     // Ed-Join prefix filtering over the 40-char document-prefix key:
     // candidates share one of each side's q*d+1 RAREST grams (provably

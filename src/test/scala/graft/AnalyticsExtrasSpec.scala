@@ -1090,6 +1090,33 @@ class AnalyticsExtrasSpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("holtWintersDaily: hand one-step update; periodic series is a " +
+      "fixed point; short series omitted") {
+    // build one event per (type, day, i) so daily counts are exact
+    def ev(tp: String, counts: Seq[Long]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c).map(_ => (tp, day(d.toLong))) }
+    // A: 7 flat days at 7 then a 10 -> l=8.5, b=0.75, s0=0.75;
+    //    s_next is slot 1 (= 0.0), forecast 9.25
+    val a = ev("A", Seq(7L, 7L, 7L, 7L, 7L, 7L, 7L, 10L))
+    // B: two perfect weekly cycles 1..7 -> fixed point: l=4, b=0,
+    //    s = [-3..3]; n=14 -> s_next slot 0 = -3, forecast 1
+    val b = ev("B", Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L,
+      1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // C: only 6 days -> below period+1, omitted
+    val c = ev("C", Seq(1L, 1L, 1L, 1L, 1L, 1L))
+    val all = a ++ b ++ c
+    val df = frame("event_type" -> all.map(_._1),
+      "ts_ns" -> all.map(_._2))
+    val out = EventAnalytics.holtWintersDaily(df, period = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet === Set("A", "B"))
+    assert(out("A") === ((8L, 8.5, 0.75, 0.0, 9.25)))
+    assert(out("B") === ((14L, 4.0, 0.0, -3.0, 1.0)))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
