@@ -632,6 +632,76 @@ object Stats {
           round((sD - signum(sD)) / sqrt(varS), 6)).as("z"))
   }
 
+  /** Depth-1 decision tree (decision stump): the single threshold
+    * split `feature <= t` minimizing weighted Gini impurity against a
+    * boolean label — the classic weak learner / feature-screening
+    * primitive. ONE row: `(n, n_pos, threshold, gini_split, gain,
+    * left_n, left_pos, right_n, right_pos)` (gini round 6).
+    *
+    * Exactness: with left counts (cl, pl) the weighted impurity's
+    * numerator `A_L·c_R + A_R·c_L` (A = c² − pos² − neg²) and
+    * denominator `c_L·c_R` are exact DECIMAL(38,0); each candidate's
+    * w is ONE division, and the argmin breaks double ties on the
+    * threshold value (min over struct(w, v, …) — pinned on both
+    * engines). The baseline Gini is the same form on the totals.
+    *
+    * Scale: one per-value count reduce + the decomposed prefix-sum
+    * shape (ksTest machinery); candidates are the distinct-value
+    * table, reduced by ONE min(struct) aggregate — no sort, no limit.
+    */
+  def decisionStump(df: DataFrame, featureCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    val vals = df.select(featureCol.cast("bigint").as("v"),
+        labelCol.cast("long").as("_y"))
+      .filter(col("v").isNotNull && col("_y").isNotNull)
+    val counts = vals.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("p"))
+    val ranged = counts.repartitionByRange(col("v").asc)
+      .withColumn("_bucket", spark_partition_id())
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged
+      .withColumn("_ln", sum(col("n")).over(w))
+      .withColumn("_lp", sum(col("p")).over(w))
+    val sums = local.groupBy(col("_bucket"))
+      .agg(sum(col("n")).as("_sn"), sum(col("p")).as("_sp"))
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_no", coalesce(sum(col("_sn")).over(wCum), lit(0L)))
+      .withColumn("_po", coalesce(sum(col("_sp")).over(wCum), lit(0L)))
+      .select(col("_bucket"), col("_no"), col("_po"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("tn"),
+      sum(col("p")).as("tp")))
+    def aTerm(c: Column, p: Column): Column =
+      d38(c) * d38(c) - d38(p) * d38(p) - d38(c - p) * d38(c - p)
+    val cand = local.join(broadcast(offsets), "_bucket")
+      .select(col("v"), (col("_ln") + col("_no")).as("cl"),
+        (col("_lp") + col("_po")).as("pl"))
+      .crossJoin(tot)
+      .filter(col("cl") < col("tn")) // right side must be non-empty
+      .select(col("v"), col("cl"), col("pl"), col("tn"), col("tp"),
+        ((aTerm(col("cl"), col("pl")) * d38(col("tn") - col("cl")) +
+          aTerm(col("tn") - col("cl"), col("tp") - col("pl")) *
+            d38(col("cl"))).cast("double") /
+          (d38(col("cl")) * d38(col("tn") - col("cl"))).cast("double"))
+          .as("_w"))
+    val best = cand
+      .agg(min(struct(col("_w"), col("v"), col("cl"), col("pl"),
+        col("tn"), col("tp"))).as("_b"))
+      .select(col("_b.*"))
+    val g0 = aTerm(col("tn"), col("tp")).cast("double") /
+      col("tn").cast("double")
+    best.select(col("tn").as("n"), col("tp").as("n_pos"),
+      col("v").as("threshold"), round(col("_w"), 6).as("gini_split"),
+      round(g0 - col("_w"), 6).as("gain"),
+      col("cl").as("left_n"), col("pl").as("left_pos"),
+      (col("tn") - col("cl")).as("right_n"),
+      (col("tp") - col("pl")).as("right_pos"))
+  }
+
   /** Cramér's V effect size for the association between two
     * categorical columns — the [0, 1]-normalized complement of
     * [[chiSquare]]'s test statistic (chi2 grows with n; V answers

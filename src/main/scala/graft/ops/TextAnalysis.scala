@@ -790,6 +790,55 @@ object TextAnalysis {
         round(col("pos_rate") - col("mean_prob"), 6).as("gap"))
   }
 
+  /** Isotonic (PAV) calibration of the classifier score: the
+    * NON-DECREASING step function closest (weighted least squares) to
+    * the per-bin positive rates of [[scoreCalibration]]'s reliability
+    * table — the standard fix when a quality classifier's raw
+    * probabilities are monotone-but-miscalibrated. One row per
+    * populated bin: `(bin, n, n_pos, pos_rate, fitted)`, round 6,
+    * fitted non-decreasing in bin.
+    *
+    * Exactness: pool-adjacent-violators runs DRIVER-SIDE on the
+    * collected ≤`bins`-row table (the Shapley/BPE bounded-collect
+    * posture) with BigInt cross-multiplied mean comparisons — no float
+    * decides a merge; each fitted value is ONE double division of
+    * exact integer block sums, which equals the minimax
+    * `max_{j≤i} min_{k≥i} mean(j..k)` the oracle computes over the
+    * O(bins³) grid (the PAV minimax theorem), so the compare is exact.
+    *
+    * Scale: everything corpus-sized is inside scoreCalibration's
+    * single map-only scan + ≤bins-group reduce; PAV itself is O(bins).
+    */
+  def isotonicCalibration(docs: DataFrame, dims: Int = 64,
+      bins: Int = 10): DataFrame = {
+    val rows = scoreCalibration(docs, dims, bins)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV: maintain blocks of (sumPos, sumN, nBins); merge while the
+    // previous block's mean >= the new block's (exact cross-multiply)
+    case class Block(sp: BigInt, sc: BigInt, bins: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    for ((_, n, p) <- rows) {
+      var b = Block(BigInt(p), BigInt(n), 1)
+      while (stack.nonEmpty &&
+          stack.last.sp * b.sc >= b.sp * stack.last.sc) {
+        val t = stack.remove(stack.length - 1)
+        b = Block(t.sp + b.sp, t.sc + b.sc, t.bins + b.bins)
+      }
+      stack += b
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fitted = stack.flatMap(b =>
+      Seq.fill(b.bins)(b.sp.toDouble / b.sc.toDouble)).toSeq
+    val out = rows.zip(fitted).map { case ((bin, n, p), f) =>
+      (bin, n, p, r6(p.toDouble / n.toDouble), r6(f)) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("bin", "n", "n_pos", "pos_rate", "fitted")
+  }
+
   /** Inverted index over the corpus: per token with document frequency
     * >= `minDf`, `tok, df, total_tf, postings` where postings is the
     * comma-joined ASCENDING list of the token's first `maxPostings`

@@ -677,6 +677,107 @@ object AnalyticsQueries {
               |  round(pos_rate - mean_prob, 6) AS gap
               |FROM r ORDER BY bin""".stripMargin)),
 
+    // ---- x205: isotonic (PAV) score calibration ----------------------------
+    // The non-decreasing fit over x137's reliability bins; Spark runs
+    // pool-adjacent-violators driver-side on the bounded bin table
+    // (BigInt merge decisions), the oracle computes the equivalent
+    // minimax max_{j<=i} min_{k>=i} mean(j..k) over the O(bins^3)
+    // grid — the PAV minimax theorem makes them equal division-for-
+    // division — see ops/TextAnalysis.isotonicCalibration.
+    QueryDef(
+      "x205_isotonic",
+      (s, dir) =>
+        TextAnalysis.isotonicCalibration(Tables.documents(s, dir),
+          dims = 64, bins = 10)
+          .orderBy(col("bin")),
+      Some(s"""WITH toks AS (SELECT doc_id, md5(tok) AS d FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |    FROM documents) t),
+              |b AS (SELECT doc_id,
+              |    ((${TextAnalysis.hexToIntSql("d", 8)} % 64) + 64) % 64
+              |      AS b FROM toks),
+              |w AS (SELECT doc_id,
+              |    (((b * 2654435761 % 2000001) + 2000001) % 2000001) - 1000000
+              |      AS w FROM b),
+              |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+              |sc AS (SELECT doc_id,
+              |    round(1.0 / (1.0 + exp(-(CAST(
+              |      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              |        * ((2 * abs(s) + n_tokens) // (2 * n_tokens))
+              |      AS DOUBLE) / 1000000.0))), 6) AS prob FROM agg),
+              |lb AS (SELECT doc_id,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |j AS (SELECT LEAST(CAST(floor(prob * 10) AS BIGINT),
+              |      CAST(9 AS BIGINT)) AS bin, pos
+              |  FROM sc JOIN lb USING (doc_id)),
+              |bn AS (SELECT bin, COUNT(*) AS n,
+              |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+              |    ROW_NUMBER() OVER (ORDER BY bin) AS i
+              |  FROM j GROUP BY bin),
+              |pre AS (SELECT i, bin, n, n_pos,
+              |    CAST(SUM(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+              |    CAST(SUM(n_pos) OVER (ORDER BY i) AS BIGINT) AS cp
+              |  FROM bn),
+              |seg AS (SELECT a.i AS j, b.i AS k,
+              |    b.cp - a.cp + a.n_pos AS sp,
+              |    b.cn - a.cn + a.n AS sc
+              |  FROM pre a JOIN pre b ON a.i <= b.i),
+              |inner_ AS (SELECT s.j, p.i,
+              |    MIN(CAST(s.sp AS DOUBLE) / CAST(s.sc AS DOUBLE)) AS mn
+              |  FROM seg s JOIN pre p ON s.j <= p.i AND p.i <= s.k
+              |  GROUP BY 1, 2),
+              |fit AS (SELECT i, MAX(mn) AS f FROM inner_ GROUP BY i)
+              |SELECT bn.bin, bn.n, bn.n_pos,
+              |  round(CAST(bn.n_pos AS DOUBLE) / CAST(bn.n AS DOUBLE), 6)
+              |    AS pos_rate,
+              |  round(fit.f, 6) AS fitted
+              |FROM bn JOIN fit USING (i) ORDER BY bn.bin""".stripMargin)),
+
+    // ---- x206: decision stump (weak learner) -------------------------------
+    // Best single Gini split of doc length against the lang='en'
+    // label — the feature-screening primitive; candidates from the
+    // decomposed prefix sums, argmin via ONE min(struct) with the
+    // threshold as double-tie breaker — see ops/Stats.decisionStump.
+    QueryDef(
+      "x206_decision_stump",
+      (s, dir) =>
+        Stats.decisionStump(Tables.documents(s, dir), col("n_chars"),
+          col("lang") === "en"),
+      Some("""WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS p
+             |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+             |    CAST(SUM(p) AS BIGINT) AS tp FROM c),
+             |cum AS (SELECT v,
+             |    CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cl,
+             |    CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS pl
+             |  FROM c),
+             |cand AS (SELECT v, cl, pl, tn, tp,
+             |    CAST((CAST(cl AS HUGEINT) * cl - CAST(pl AS HUGEINT) * pl
+             |        - CAST(cl - pl AS HUGEINT) * (cl - pl))
+             |        * (tn - cl)
+             |      + (CAST(tn - cl AS HUGEINT) * (tn - cl)
+             |        - CAST(tp - pl AS HUGEINT) * (tp - pl)
+             |        - CAST((tn - cl) - (tp - pl) AS HUGEINT)
+             |          * ((tn - cl) - (tp - pl)))
+             |        * cl AS DOUBLE)
+             |      / CAST(CAST(cl AS HUGEINT) * (tn - cl) AS DOUBLE) AS w
+             |  FROM cum CROSS JOIN t WHERE cl < tn),
+             |best AS (SELECT * FROM cand ORDER BY w, v LIMIT 1)
+             |SELECT t.tn AS n, t.tp AS n_pos, best.v AS threshold,
+             |  round(best.w, 6) AS gini_split,
+             |  round(CAST(CAST(t.tn AS HUGEINT) * t.tn
+             |      - CAST(t.tp AS HUGEINT) * t.tp
+             |      - CAST(t.tn - t.tp AS HUGEINT) * (t.tn - t.tp)
+             |      AS DOUBLE) / CAST(t.tn AS DOUBLE) - best.w, 6) AS gain,
+             |  best.cl AS left_n, best.pl AS left_pos,
+             |  t.tn - best.cl AS right_n, t.tp - best.pl AS right_pos
+             |FROM best CROSS JOIN t""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

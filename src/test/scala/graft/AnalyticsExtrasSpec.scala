@@ -1117,6 +1117,62 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(out("B") === ((14L, 4.0, 0.0, -3.0, 1.0)))
   }
 
+  test("isotonicCalibration: fitted non-decreasing, preserves weighted " +
+      "mass, equals an independent JVM minimax over the same bins") {
+    import graft.ops.TextAnalysis
+    val docs = frame(
+      "doc_id" -> (1L to 60L),
+      "text" -> (1L to 60L).map(i =>
+        s"tok$i word${i % 9} filler${i % 5} x${i % 13} y${i % 3}"),
+      "lang" -> (1L to 60L).map(i => if (i % 3 == 0) "en" else "de"))
+    val out = TextAnalysis.isotonicCalibration(docs, dims = 64, bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    // monotone non-decreasing
+    assert(out.map(_._4).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)))
+    // PAV preserves the weighted total: sum n*fitted == sum n_pos
+    // (up to the round-6 on fitted)
+    val mass = out.map { case (_, n, _, f) => n * f }.sum
+    assert(math.abs(mass - out.map(_._3).sum.toDouble) < 1e-3)
+    // independent minimax replay: fitted_i = max_{j<=i} min_{k>=i}
+    // mean(j..k) over the same (n, n_pos) bins
+    val ns = out.map(_._2)
+    val ps = out.map(_._3)
+    val b = out.length
+    def mean(j: Int, k: Int): Double =
+      (j to k).map(ps).sum.toDouble / (j to k).map(ns).sum.toDouble
+    val expect = (0 until b).map(i =>
+      (0 to i).map(j => (i until b).map(k => mean(j, k)).min).max)
+    out.zip(expect).foreach { case ((_, _, _, f), e) =>
+      assert(f === BigDecimal(e)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("decisionStump: perfect split found, interleaved hand case with " +
+      "double-tie broken on smaller threshold, pure labels") {
+    import graft.ops.Stats
+    val perfect = frame("v" -> Seq(1L, 2L, 3L, 4L),
+      "y" -> Seq(true, true, false, false))
+    val p = Stats.decisionStump(perfect, col("v"), col("y")).collect()(0)
+    // (n, n_pos, threshold, gini_split, gain, ln, lp, rn, rp)
+    assert(p.toSeq === Seq(4L, 2L, 2L, 0.0, 2.0, 2L, 2L, 2L, 0L))
+    // alternating labels: W(1) = W(3) = 4/3 < W(2) = 2 -> tie at
+    // thresholds 1 and 3, argmin takes v = 1
+    val alt = frame("v" -> Seq(1L, 2L, 3L, 4L),
+      "y" -> Seq(true, false, true, false))
+    val a = Stats.decisionStump(alt, col("v"), col("y")).collect()(0)
+    assert(a.getLong(2) === 1L)
+    assert(a.getDouble(3) === 1.333333)
+    assert(a.getDouble(4) === 0.666667)
+    // pure labels: every split has W = 0; smallest threshold wins
+    val pure = frame("v" -> Seq(5L, 7L, 9L), "y" -> Seq(true, true, true))
+    val u = Stats.decisionStump(pure, col("v"), col("y")).collect()(0)
+    assert(u.getLong(2) === 5L && u.getDouble(4) === 0.0)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
