@@ -839,6 +839,66 @@ object TextAnalysis {
     out.toSeq.toDF("bin", "n", "n_pos", "pos_rate", "fitted")
   }
 
+  /** Top PPMI token co-occurrences: positive pointwise mutual
+    * information over unordered skip-gram pairs within `window`
+    * positions — the collocation/embedding-training signal (Church &
+    * Hanks 1990; Levy & Goldberg 2014's PMI matrix). With P total
+    * pairs, slot marginals s_a and pair count c_ab:
+    * `ppmi = max(0, ln(4·P·c_ab / (s_a·s_b)))`. Returns the top `k`
+    * pairs by count (total order: count desc, then tokens):
+    * `(tok_a, tok_b, n_pair, n_a, n_b, ppmi)`, round 6.
+    *
+    * Determinism: the ln argument is ONE division of exact
+    * DECIMAL(38,0) products (the x188 mutualInfo convention, same
+    * round-6 bound on the libm ln); same-token pairs are excluded
+    * (they would need the self-pair double-count correction).
+    *
+    * Scale: pair generation is MAP-ONLY (one zip_with per distance,
+    * least/greatest canonicalization inside the HOF) into one
+    * map-side-combined pair reduce; the pair table is MATERIALIZED
+    * once (three consumers: totals, marginals, final join — the
+    * invertedIndex tf posture); marginals reduce the pair table, not
+    * the corpus; top-k is a TakeOrdered cut.
+    */
+  def ppmiTopPairs(docs: DataFrame, window: Int = 2, k: Int = 30,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"need window in [1, 8], got $window")
+    val arr = tokens(col(textCol))
+    val byDist = (1 to window).map { d =>
+      docs.filter(size(arr) >= d + 1)
+        .select(explode(zip_with(
+          slice(arr, lit(1), size(arr) - d),
+          slice(arr, lit(1 + d), size(arr) - d),
+          (a, b) => struct(least(a, b).as("ta"),
+            greatest(a, b).as("tb")))).as("pr"))
+        .select(col("pr.ta").as("ta"), col("pr.tb").as("tb"))
+        .filter(col("ta") =!= col("tb"))
+    }
+    val pc = Checkpoints.materialize(
+      byDist.reduce(_ unionAll _)
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_pair")))
+    val tot = broadcast(pc.agg(sum(col("n_pair")).as("_P")))
+    val slots = pc.select(col("ta").as("tok"), col("n_pair"))
+      .unionAll(pc.select(col("tb").as("tok"), col("n_pair")))
+      .groupBy(col("tok")).agg(sum(col("n_pair")).as("_s"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    pc.join(slots.select(col("tok").as("ta"), col("_s").as("n_a")),
+        Seq("ta"))
+      .join(slots.select(col("tok").as("tb"), col("_s").as("n_b")),
+        Seq("tb"))
+      .crossJoin(tot)
+      .select(col("ta").as("tok_a"), col("tb").as("tok_b"),
+        col("n_pair"), col("n_a"), col("n_b"),
+        round(greatest(lit(0.0),
+          log((lit(4).cast("decimal(38,0)") * d38(col("_P")) *
+            d38(col("n_pair"))).cast("double") /
+            (d38(col("n_a")) * d38(col("n_b"))).cast("double"))), 6)
+          .as("ppmi"))
+      .orderBy(col("n_pair").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Inverted index over the corpus: per token with document frequency
     * >= `minDf`, `tok, df, total_tf, postings` where postings is the
     * comma-joined ASCENDING list of the token's first `maxPostings`

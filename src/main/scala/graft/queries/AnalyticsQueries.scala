@@ -778,6 +778,40 @@ object AnalyticsQueries {
              |  t.tn - best.cl AS right_n, t.tp - best.pl AS right_pos
              |FROM best CROSS JOIN t""".stripMargin)),
 
+    // ---- x207: PPMI collocations -------------------------------------------
+    // Top token co-occurrences by positive PMI inputs (window ±2,
+    // unordered canonical pairs) — see ops/TextAnalysis.ppmiTopPairs.
+    QueryDef(
+      "x207_ppmi_pairs",
+      (s, dir) =>
+        TextAnalysis.ppmiTopPairs(Tables.documents(s, dir), window = 2,
+          k = 30),
+      Some("""WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+             |  FROM documents),
+             |p1 AS (SELECT a[i] AS x, a[i + 1] AS y FROM arr,
+             |  unnest(generate_series(1, len(a) - 1)) AS t(i)),
+             |p2 AS (SELECT a[i] AS x, a[i + 2] AS y FROM arr,
+             |  unnest(generate_series(1, len(a) - 2)) AS t(i)),
+             |pr AS (SELECT least(x, y) AS ta, greatest(x, y) AS tb
+             |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |  WHERE x <> y),
+             |pc AS (SELECT ta, tb, COUNT(*) AS n_pair FROM pr
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS p FROM pc),
+             |sl AS (SELECT tok, CAST(SUM(n_pair) AS BIGINT) AS s FROM (
+             |    SELECT ta AS tok, n_pair FROM pc
+             |    UNION ALL SELECT tb AS tok, n_pair FROM pc)
+             |  GROUP BY 1)
+             |SELECT pc.ta AS tok_a, pc.tb AS tok_b, pc.n_pair,
+             |  sa.s AS n_a, sb.s AS n_b,
+             |  round(greatest(0.0, ln(
+             |    CAST(4 * CAST(tot.p AS HUGEINT) * pc.n_pair AS DOUBLE)
+             |    / CAST(CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE))), 6)
+             |    AS ppmi
+             |FROM pc JOIN sl sa ON pc.ta = sa.tok
+             |  JOIN sl sb ON pc.tb = sb.tok CROSS JOIN tot
+             |ORDER BY pc.n_pair DESC, tok_a, tok_b LIMIT 30""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1173,6 +1173,37 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(u.getLong(2) === 5L && u.getDouble(4) === 0.0)
   }
 
+  test("ppmiTopPairs: hand-computed collocations, window-2 reach, " +
+      "self-pairs excluded, negative PMI clamps to 0") {
+    import graft.ops.TextAnalysis
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "a b a b": d1 -> {a,b}x3, d2 self-pairs (a,a)/(b,b) EXCLUDED
+    // "c d x":   d1 -> {c,d},{d,x}; d2 -> {c,x}  => P = 6
+    val docs = frame("doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("a b a b", "c d x"))
+    val out = TextAnalysis.ppmiTopPairs(docs, window = 2, k = 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.length === 4)
+    // top by count then lexicographic
+    assert(out(0) === (("a", "b", 3L, 3L, 3L, r6(math.log(8.0)))))
+    assert(out(1) === (("c", "d", 1L, 2L, 2L, r6(math.log(6.0)))))
+    assert(out(2) === (("c", "x", 1L, 2L, 2L, r6(math.log(6.0)))))
+    assert(out(3) === (("d", "x", 1L, 2L, 2L, r6(math.log(6.0)))))
+    // anti-associated pair: {a,b} once while a and b each sit in 10
+    // pairs -> 4*P*c = 76 < s_a*s_b = 100 -> PMI < 0 -> clamped 0
+    val anti = frame("doc_id" -> (1L to 19L),
+      "text" -> ((1L to 9L).map(_ => "a c") ++
+        (1L to 9L).map(_ => "b d") :+ "a b"))
+    val ab = TextAnalysis.ppmiTopPairs(anti, window = 2, k = 30)
+      .collect().find(r => r.getString(0) == "a" && r.getString(1) == "b")
+      .get
+    assert(ab.getLong(2) === 1L && ab.getLong(3) === 10L &&
+      ab.getLong(4) === 10L)
+    assert(ab.getDouble(5) === 0.0)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
