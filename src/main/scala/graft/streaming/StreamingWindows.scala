@@ -67,6 +67,19 @@ final case class CusumState(openDay: Long, openN: Long, sp: Double,
 final case class CusumPoint(event_type: String, day: Long, cnt: Long,
     sp: Double, sn: Double, alarm: Boolean)
 
+/** Per-type Holt-Winters state: first grid day, the open day's
+  * accumulator, the init-phase closed counts (until `period` of them),
+  * then the (level, trend, seasonal[period]) recurrence state —
+  * O(period) per event type. */
+final case class HwState(d0: Long, openDay: Long, openN: Long,
+    initBuf: Seq[Long], l: Double, b: Double, s: Seq[Double],
+    ready: Boolean)
+
+/** One closed-day Holt-Winters emission (post-init days only; see
+  * EventAnalytics.holtWintersDaily for the halving recurrence). */
+final case class HwPoint(event_type: String, day: Long, cnt: Long,
+    level: Double, trend: Double)
+
 /** One count-min-sketch cell emission (latest running total). */
 final case class CmsCell(d: Int, bucket: Long, cnt: Long)
 
@@ -672,6 +685,83 @@ object StreamingWindows {
               state.update(st)
               out.iterator
           }
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.holtWintersDaily]]:
+    * per-type online level+trend+seasonal recurrence over CLOSED days,
+    * O(period) state. The first `period` closed days initialize
+    * (l = mean, b = 0, s_i = y_i − l, exactly the batch init); every
+    * later closed day folds the same halving recurrence and emits an
+    * [[HwPoint]]. DENSE-grid semantics: a gap between observed days
+    * folds explicit zero days, so the streamed recurrence sees the
+    * identical series the batch grid builds. Same fail-fast in-order
+    * contract as [[streamingCusumDaily]]; the still-open day is never
+    * folded, so chaining it manually onto the last emission reproduces
+    * the batch end state bitwise (the spec's gate).
+    */
+  def streamingHoltWinters(events: DataFrame,
+      period: Int = 7): Dataset[HwPoint] = {
+    require(period >= 2, s"need period >= 2, got $period")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayOf = events
+      .select(col("event_type"),
+        expr(graft.ops.EventWindows.floorDivSql(
+          "ts_ns", 86400L * 1000000000L)).as("day"))
+      .as[(String, Long)]
+    dayOf.groupByKey(_._1)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tpe, rows, state) =>
+          var st = state.getOption.getOrElse(
+            HwState(Long.MinValue, Long.MinValue, 0L, Nil, 0.0, 0.0,
+              Nil, ready = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwPoint]
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { case (_, d) =>
+            counts(d) = counts.getOrElse(d, 0L) + 1L }
+          // fold ONE closed grid day — the batch op sequence verbatim
+          def fold(day: Long, y: Long): Unit = {
+            if (!st.ready) {
+              val buf = st.initBuf :+ y
+              if (buf.length == period) {
+                val l0 = buf.sum.toDouble / period.toDouble
+                st = st.copy(initBuf = Nil, l = l0, b = 0.0,
+                  s = buf.map(_.toDouble - l0), ready = true)
+              } else st = st.copy(initBuf = buf)
+            } else {
+              val slot = ((day - st.d0) % period).toInt
+              val sv = st.s(slot)
+              val yD = y.toDouble
+              val newL = 0.5 * (yD - sv) + 0.5 * (st.l + st.b)
+              val newB = 0.5 * (newL - st.l) + 0.5 * st.b
+              val newS = 0.5 * (yD - newL) + 0.5 * sv
+              st = st.copy(l = newL, b = newB,
+                s = st.s.updated(slot, newS))
+              out += HwPoint(tpe, day, y, newL, newB)
+            }
+          }
+          counts.toSeq.sortBy(_._1).foreach { case (d, n) =>
+            if (st.openDay == Long.MinValue) {
+              st = st.copy(d0 = d, openDay = d, openN = n)
+            } else if (d == st.openDay) {
+              st = st.copy(openN = st.openN + n)
+            } else if (d < st.openDay) {
+              throw new IllegalStateException(
+                s"streamingHoltWinters($tpe): day $d arrived after " +
+                  s"day ${st.openDay} opened — input violates the " +
+                  "in-order-across-batches contract")
+            } else {
+              fold(st.openDay, st.openN)
+              // zero-fill the gap: the batch grid has these days
+              var g = st.openDay + 1
+              while (g < d) { fold(g, 0L); g += 1 }
+              st = st.copy(openDay = d, openN = n)
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

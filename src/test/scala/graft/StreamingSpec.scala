@@ -817,6 +817,116 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters: closed-day recurrence across " +
+      "micro-batches == JVM reference fold BITWISE on the dense grid; " +
+      "chained final day reproduces batch holtWintersDaily") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("hwstream")
+      .toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingHoltWinters(stream, period = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_hw").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_hw").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      def r6(d: Double) = BigDecimal(d)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val batchOut = graft.ops.EventAnalytics
+        .holtWintersDaily(batchEvents, period = 7)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+      // JVM reference: dense zero-filled grid per type, same recurrence
+      val daily = batchEvents
+        .groupBy(col("event_type"),
+          expr(EventWindows.floorDivSql(
+            "ts_ns", 86400L * 1000000000L)).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      var checked = 0
+      for ((tpe, rows) <- daily) {
+        val byDay = rows.map(r => r._2 -> r._3).toMap
+        val d0 = byDay.keys.min
+        val d1 = byDay.keys.max
+        val series = (d0 to d1).map(d => d -> byDay.getOrElse(d, 0L))
+        if (series.length >= 8) {
+          val init = series.take(7).map(_._2)
+          val l0 = init.sum.toDouble / 7.0
+          var l = l0; var b = 0.0
+          var s = init.map(_.toDouble - l0).toArray
+          for (((d, y), i) <- series.drop(7).zipWithIndex) {
+            val slot = ((d - d0) % 7).toInt
+            val sv = s(slot)
+            val newL = 0.5 * (y.toDouble - sv) + 0.5 * (l + b)
+            val newB = 0.5 * (newL - l) + 0.5 * b
+            s(slot) = 0.5 * (y.toDouble - newL) + 0.5 * sv
+            l = newL; b = newB
+            if (d < d1) { // the final day is still open in the stream
+              assert(got((tpe, d)) === ((y, l, b)),
+                s"$tpe day $d diverges")
+              checked += 1
+            } else assert(!got.contains((tpe, d)), s"open day $d emitted")
+          }
+          // chained end state == batch operator output (round 6)
+          val (nD, bl, bt, sNext) = batchOut(tpe)
+          assert(nD === series.length.toLong)
+          assert(r6(l) === bl && r6(b) === bt)
+          assert(r6(s(((d1 - d0 + 1) % 7).toInt)) === sNext)
+        } else assert(!batchOut.contains(tpe))
+      }
+      assert(checked > 0, "degenerate fixture — nothing compared")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
+  test("streaming Holt-Winters: a late day fails fast; init phase " +
+      "emits nothing") {
+    val splitDir = java.nio.file.Files.createTempDirectory("hwlate")
+      .toString
+    def batch(dayN: Long) = frame(
+      "event_type" -> Seq("click", "click"),
+      "ts_ns" -> Seq(dayN * 86400L * 1000000000L + 1L,
+        dayN * 86400L * 1000000000L + 2L))
+    batch(10L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batch(10L).schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingHoltWinters(stream, period = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_hw_late").start()
+    try {
+      q.processAllAvailable()
+      batch(12L).coalesce(1).write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      // days 10, 11(zero), (12 open): still init phase -> nothing out
+      assert(spark.table("stream_hw_late").count() === 0L)
+      batch(9L).coalesce(1).write.mode("append").parquet(s"$splitDir/in")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        Option(t).map(t => t :: chain(t.getCause)).getOrElse(Nil)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("in-order"))),
+        s"expected the in-order contract violation, got: $ex")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM monitor: batch-trained params, closed-day " +
       "excursions across micro-batches == JVM reference fold BITWISE; " +
       "chained final step reproduces batch cusumDaily") {
