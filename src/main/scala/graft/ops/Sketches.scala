@@ -271,6 +271,67 @@ object Sketches {
             col("n_exact").cast("double"), 6)).as("rel_err"))
   }
 
+  /** KMV join-cardinality estimate: how many DISTINCT keys of `a`
+    * match `b` — the FK-match planner statistic — WITHOUT a join,
+    * from two k-min sketches and their merge:
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)` (inclusion-exclusion; the
+    * union sketch is the k smallest of the two k-min SETS, the kmv
+    * merge property). ONE row: `(k, n_a_exact, n_b_exact,
+    * n_inter_exact, est_a, est_b, est_union, est_inter, rel_err)` —
+    * exact sides ride along for error inspection (the kmvReport
+    * convention; at scale they are the expensive audit, the sketches
+    * are the product).
+    *
+    * Determinism: hashes are exact integers (md5 prefix), each
+    * estimate ONE IEEE division (the kmvSketch formula, m<k exact
+    * branch included), est_inter a clamp of three such values —
+    * bitwise on any engine. Scale: per side, one distinct reduce +
+    * a TakeOrdered k-min (per-partition top-k, no global sort); the
+    * union re-ranks 2k rows.
+    */
+  def kmvJoinEstimate(dfA: DataFrame, keyA: org.apache.spark.sql.Column,
+      dfB: DataFrame, keyB: org.apache.spark.sql.Column,
+      k: Int = 256, salt: String = "kmvj"): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    def hashes(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      df.select(key.cast("string").as("_k"))
+        .filter(col("_k").isNotNull).distinct()
+        .select(md5(concat(lit(s"$salt:"), col("_k"))).as("_d"))
+        .select(expr(TextAnalysis.hexToIntSql("_d", 8)).as("hv"))
+        .distinct()
+    def kmin(h: DataFrame): DataFrame = h.orderBy(col("hv")).limit(k)
+    def est(sk: DataFrame, name: String): DataFrame =
+      sk.agg(count(lit(1)).as("_m"), max(col("hv")).as("_kth"))
+        .select(when(col("_m") < k, col("_m").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * HashSpace) /
+            col("_kth").cast("double"), 6)).as(name))
+    val ha = hashes(dfA, keyA)
+    val hb = hashes(dfB, keyB)
+    val ka = kmin(ha)
+    val kb = kmin(hb)
+    val ku = kmin(ka.union(kb).distinct())
+    val exactA = dfA.select(keyA.cast("string").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+    val exactB = dfB.select(keyB.cast("string").as("_k"))
+      .filter(col("_k").isNotNull).distinct()
+    val exacts = exactA.agg(count(lit(1)).as("n_a_exact"))
+      .crossJoin(broadcast(exactB.agg(count(lit(1)).as("n_b_exact"))))
+      .crossJoin(broadcast(exactA.join(exactB, Seq("_k"), "left_semi")
+        .agg(count(lit(1)).as("n_inter_exact"))))
+    val one = exacts
+      .crossJoin(broadcast(est(ka, "est_a")))
+      .crossJoin(broadcast(est(kb, "est_b")))
+      .crossJoin(broadcast(est(ku, "est_union")))
+    val inter = greatest(lit(0.0),
+      col("est_a") + col("est_b") - col("est_union"))
+    one.select(lit(k.toLong).as("k"), col("n_a_exact"),
+      col("n_b_exact"), col("n_inter_exact"), col("est_a"),
+      col("est_b"), col("est_union"), round(inter, 6).as("est_inter"),
+      when(col("n_inter_exact") =!= 0,
+        round((inter - col("n_inter_exact").cast("double")) /
+          col("n_inter_exact").cast("double"), 6)).as("rel_err"))
+  }
+
   /** AMS F₂ sketch (Alon-Matias-Szegedy 1996): estimate the second
     * frequency moment Σ_k c_k² — the SELF-JOIN SIZE of a key column,
     * the planner statistic behind "how big does this join get" — from

@@ -812,6 +812,59 @@ object AnalyticsQueries {
              |  JOIN sl sb ON pc.tb = sb.tok CROSS JOIN tot
              |ORDER BY pc.n_pair DESC, tok_a, tok_b LIMIT 30""".stripMargin)),
 
+    // ---- x208: KMV join-cardinality estimate -------------------------------
+    // Distinct-key FK match rate (orders.custkey vs customer.custkey)
+    // estimated from k-min sketches + their merge, inclusion-
+    // exclusion; exact sides ride along — see
+    // ops/Sketches.kmvJoinEstimate.
+    QueryDef(
+      "x208_kmv_join_est",
+      (s, dir) =>
+        graft.ops.Sketches.kmvJoinEstimate(
+          Tables.orders(s, dir), col("o_custkey"),
+          Tables.customer(s, dir), col("c_custkey"), k = 256),
+      Some(s"""WITH ak AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR)
+              |    AS k FROM orders WHERE o_custkey IS NOT NULL),
+              |bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+              |  FROM customer WHERE c_custkey IS NOT NULL),
+              |ah AS (SELECT DISTINCT ${TextAnalysis.hexToIntSql("d", 8)}
+              |    AS hv FROM (SELECT md5('kmvj:' || k) AS d FROM ak)),
+              |bh AS (SELECT DISTINCT ${TextAnalysis.hexToIntSql("d", 8)}
+              |    AS hv FROM (SELECT md5('kmvj:' || k) AS d FROM bk)),
+              |kam AS (SELECT hv FROM ah ORDER BY hv LIMIT 256),
+              |kbm AS (SELECT hv FROM bh ORDER BY hv LIMIT 256),
+              |kum AS (SELECT hv FROM (SELECT DISTINCT hv FROM (
+              |    SELECT hv FROM kam UNION ALL SELECT hv FROM kbm))
+              |  ORDER BY hv LIMIT 256),
+              |ea AS (SELECT CASE WHEN COUNT(*) < 256
+              |    THEN CAST(COUNT(*) AS DOUBLE)
+              |    ELSE round(255.0 * 4294967296.0
+              |      / CAST(MAX(hv) AS DOUBLE), 6) END AS est_a FROM kam),
+              |eb AS (SELECT CASE WHEN COUNT(*) < 256
+              |    THEN CAST(COUNT(*) AS DOUBLE)
+              |    ELSE round(255.0 * 4294967296.0
+              |      / CAST(MAX(hv) AS DOUBLE), 6) END AS est_b FROM kbm),
+              |eu AS (SELECT CASE WHEN COUNT(*) < 256
+              |    THEN CAST(COUNT(*) AS DOUBLE)
+              |    ELSE round(255.0 * 4294967296.0
+              |      / CAST(MAX(hv) AS DOUBLE), 6) END AS est_union
+              |  FROM kum),
+              |ex AS (SELECT (SELECT COUNT(*) FROM ak) AS n_a_exact,
+              |    (SELECT COUNT(*) FROM bk) AS n_b_exact,
+              |    (SELECT COUNT(*) FROM ak
+              |      WHERE k IN (SELECT k FROM bk)) AS n_inter_exact)
+              |SELECT CAST(256 AS BIGINT) AS k, ex.n_a_exact,
+              |  ex.n_b_exact, ex.n_inter_exact, ea.est_a, eb.est_b,
+              |  eu.est_union,
+              |  round(greatest(0.0, ea.est_a + eb.est_b - eu.est_union),
+              |    6) AS est_inter,
+              |  CASE WHEN ex.n_inter_exact <> 0 THEN
+              |    round((greatest(0.0, ea.est_a + eb.est_b - eu.est_union)
+              |      - CAST(ex.n_inter_exact AS DOUBLE))
+              |      / CAST(ex.n_inter_exact AS DOUBLE), 6) END AS rel_err
+              |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu"""
+        .stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1204,6 +1204,44 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(ab.getDouble(5) === 0.0)
   }
 
+  test("kmvJoinEstimate: m<k exact branch, identical sets collapse, " +
+      "disjoint sets clamp with NULL rel_err, JVM k-min replay") {
+    import graft.ops.Sketches
+    // tiny sets under k: every estimate is the exact count
+    val a = frame("k" -> (1L to 10L))
+    val b = frame("k" -> (6L to 15L))
+    val r = Sketches.kmvJoinEstimate(a, col("k"), b, col("k"), k = 256)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((10L, 10L, 5L)))
+    assert(r.getDouble(4) === 10.0 && r.getDouble(5) === 10.0)
+    assert(r.getDouble(6) === 15.0) // union exact
+    assert(r.getDouble(7) === 5.0)  // inclusion-exclusion exact here
+    assert(r.getDouble(8) === 0.0)
+    // identical sets: union sketch == each sketch -> est_inter = est_a
+    val big = frame("k" -> (1L to 500L))
+    val same = Sketches.kmvJoinEstimate(big, col("k"), big, col("k"),
+      k = 16).collect()(0)
+    assert(same.getDouble(7) === same.getDouble(4))
+    // JVM replay of the k=16 sketch estimate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hv(s: String): Long = {
+      val hex = md.digest(s"kmvj:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val mins = (1L to 500L).map(i => hv(i.toString)).distinct
+      .sorted.take(16)
+    val expect = BigDecimal(15.0 * 4294967296.0 / mins.last.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getDouble(4) === expect)
+    // disjoint: exact inter 0 -> rel_err NULL; estimate clamped >= 0
+    val c = frame("k" -> (1000L to 1499L))
+    val dj = Sketches.kmvJoinEstimate(big, col("k"), c, col("k"), k = 16)
+      .collect()(0)
+    assert(dj.getLong(3) === 0L && dj.isNullAt(8))
+    assert(dj.getDouble(7) >= 0.0)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
