@@ -492,6 +492,66 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Johnson-Lindenstrauss sign projection: embed `inDims` → `outDims`
+    * with a deterministic ±1 matrix, s(i,j) from the parity of
+    * md5("jl:i:j")'s first hex digit (Achlioptas 2003's database-
+    * friendly ±1 construction; md5 stands in for the seeded RNG so any
+    * engine rebuilds the same matrix). Components are first quantized
+    * `q_i = round(x_i · 2¹⁴)` (the Pca fixed-point convention), so
+    * every projected coordinate is an INTEGER-valued double — sums
+    * commute exactly, no fold-order sensitivity — and downstream dot
+    * products stay < 2⁵³ for unit-scale embeddings up to ~2000 dims.
+    * Returns `(idCol, pvec)`.
+    *
+    * Scale: the sign matrix is O(inDims·outDims) Scala-side literals
+    * baked into ONE map-only projection expression — no join, no
+    * shuffle, whole-stage codegen'd zip_with/aggregate per output dim.
+    */
+  def jlProject(df: DataFrame, inDims: Int, outDims: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(inDims >= 1 && outDims >= 1 && outDims <= inDims,
+      s"need 1 <= outDims <= inDims, got $outDims of $inDims")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v = "0123456789abcdef".indexOf(hex(0))
+      1.0 - 2.0 * (v % 2)
+    }
+    val q = transform(col(embCol).cast("array<double>"),
+      x => round(x * lit(16384.0)))
+    val proj = array((0 until outDims).map { j =>
+      val row = typedLit((0 until inDims).map(i => sign(i, j)))
+      aggregate(zip_with(col("_q"), row, (a, b) => a * b), lit(0.0),
+        (acc, x) => acc + x)
+    }: _*)
+    df.select(col(idCol), q.as("_q"))
+      .select(col(idCol), proj.as("pvec"))
+  }
+
+  /** Cosine top-k in the JL-projected space — [[quantizedTopK]]'s
+    * report shape for the dimension-reduction recall audit: pair with
+    * [[bruteForceTopK]] on the original vectors to measure what
+    * `outDims` costs in recall before wiring a projected ANN index.
+    */
+  def jlTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      inDims: Int, outDims: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = broadcast(jlProject(queries, inDims, outDims, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("pvec").as("q_emb")))
+    val c = jlProject(candidates, inDims, outDims, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("pvec").as("c_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("neighbor_id"), col("sim"))
+  }
+
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))

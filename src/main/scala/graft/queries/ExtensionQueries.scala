@@ -2214,6 +2214,70 @@ object ExtensionQueries {
              |  ON z.query_id = e.query_id AND z.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
+    // ---- x209: JL-projection recall audit ----------------------------------
+    // Dimension reduction 64 -> 16 via the deterministic ±1 sign
+    // matrix (Achlioptas); recall@3 of projected cosine top-k vs the
+    // exact ranking — the audit before wiring a projected ANN index —
+    // see functions/Similarity.jlProject/jlTopK.
+    QueryDef(
+      "x209_jl_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(q, emb, k = 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val jl = Similarity.jlTopK(q, emb, k = 3, inDims = 64,
+            outDims = 16)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("_m"))
+        exact.join(jl, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(coalesce(sum(col("_m")), lit(0L)).as("n_match"),
+            round(coalesce(sum(col("_m")), lit(0L)).cast("double") / 3, 6)
+              .as("recall_at_3"))
+          .orderBy(col("query_id"))
+      },
+      Some("""WITH sm AS (SELECT i, j, CAST(1 - 2 * ((instr(
+             |      '0123456789abcdef',
+             |      substr(md5('jl:' || i || ':' || j), 1, 1)) - 1) % 2)
+             |      AS DOUBLE) AS s
+             |  FROM (SELECT unnest(generate_series(0, 63)) AS i) a
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) b),
+             |qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+             |    x -> round(x * 16384.0)) AS q FROM embeddings),
+             |pj AS (SELECT vec_id, j, SUM(q[i + 1] * s) AS y
+             |  FROM qv CROSS JOIN sm GROUP BY 1, 2),
+             |pv AS (SELECT vec_id, list(y ORDER BY j) AS p FROM pj
+             |  GROUP BY 1),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             |  FROM embeddings),
+             |exs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.e, c.e)
+             |      / sqrt(list_dot_product(q.e, q.e)
+             |        * list_dot_product(c.e, c.e)), 6) AS sim
+             |  FROM v q CROSS JOIN v c
+             |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             |exr AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+             |    AS rk FROM exs) t WHERE rk <= 3),
+             |jls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(list_dot_product(q.p, c.p)
+             |      / sqrt(list_dot_product(q.p, q.p)
+             |        * list_dot_product(c.p, c.p)), 6) AS sim
+             |  FROM pv q CROSS JOIN pv c
+             |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+             |jlr AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+             |    AS rk FROM jls) t WHERE rk <= 3)
+             |SELECT e.query_id,
+             |  CAST(COUNT(z.neighbor_id) AS BIGINT) AS n_match,
+             |  round(CAST(COUNT(z.neighbor_id) AS DOUBLE) / 3, 6)
+             |    AS recall_at_3
+             |FROM exr e LEFT JOIN jlr z
+             |  ON z.query_id = e.query_id AND z.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
+
     // ---- x69: split-leakage audit -----------------------------------------
     // The MLOps check after x33's split and x03's near-dup machinery
     // compose: Jaccard-VERIFIED near-dup pairs whose endpoints straddle

@@ -1242,6 +1242,39 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(dj.getDouble(7) >= 0.0)
   }
 
+  test("jlProject: JVM sign-matrix replay bitwise; coordinates " +
+      "integer-valued; scaled copies stay cosine-1 after projection") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      1L -> Seq(0.5, -0.25, 0.125, 0.3),
+      2L -> Seq(1.0, -0.5, 0.25, 0.6), // 2x of vec 1 -> cosine 1
+      3L -> Seq(-0.4, 0.1, 0.9, -0.2))
+    val df = frame("vec_id" -> vecs.map(_._1),
+      "embedding" -> vecs.map(_._2))
+    val out = Similarity.jlProject(df, inDims = 4, outDims = 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1)).toMap
+    // JVM replay: q_i = round(x*2^14); y_j = sum q_i * s(i,j)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      1.0 - 2.0 * ("0123456789abcdef".indexOf(hex(0)) % 2)
+    }
+    for ((id, xs) <- vecs) {
+      val q = xs.map(x => math.round(x * 16384.0).toDouble)
+      val want = (0 until 2).map(j =>
+        q.zipWithIndex.map { case (v, i) => v * sign(i, j) }.sum)
+      assert(out(id) === want, s"vec $id projection diverges")
+      assert(out(id).forall(y => y == math.rint(y)),
+        s"vec $id has non-integer coordinates")
+    }
+    // the scaled copy is each other's projected top-1 at cosine 1
+    val top = Similarity.jlTopK(df.filter(col("vec_id") === 1L), df,
+      k = 1, inDims = 4, outDims = 2).collect()(0)
+    assert(top.getLong(2) === 2L && top.getDouble(3) === 1.0)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
