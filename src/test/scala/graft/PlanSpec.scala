@@ -64,7 +64,14 @@ class PlanSpec extends SparkSuite {
     "x189_brr_ci", // broadcast ONE-ROW grand totals onto <= B replicate rows (x57 pattern)
     "x191_variance_ratio", // broadcast |qs|-ROW q list onto the span-bounded grid (x57 pattern)
     "x195_silhouette", // k-means centroid broadcast (x28's pattern) for the top-2 sim window
-    "x196_conversion_lag") // broadcast ONE-ROW converters total onto <= ~40 bucket rows (x57 pattern)
+    "x196_conversion_lag", // broadcast ONE-ROW converters total onto <= ~40 bucket rows (x57 pattern)
+    "x201_cramers_v", // chiSquare's bounded |a|x|b| grid from broadcast marginals (x165 pattern)
+    "x202_wasserstein", // broadcast ONE-ROW totals + ONE-ROW term sum (x164's ksTest pattern)
+    "x203_ams_f2", // broadcast ONE-ROW exact-moment frame onto <= 64 replicate rows (x57 pattern)
+    "x206_decision_stump", // broadcast ONE-ROW totals onto the candidate table (x57 pattern)
+    "x207_ppmi_pairs", // broadcast ONE-ROW pair total onto the pair table (x132 pattern)
+    "x208_kmv_join_est", // one-row estimate/exact frames crossJoined (x57 pattern, all bounded)
+    "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
