@@ -717,4 +717,163 @@ class PropertySpec extends SparkSuite {
         math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-9
     })
   }
+
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val pairsGen: Gen[List[(Int, Int)]] =
+    Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(-4, 4), Gen.chooseNum(-4, 4))))
+
+  test("spearman == doubled-midrank Pearson JVM reference on random " +
+      "tied frames") {
+    check("spearman", Prop.forAll(pairsGen) { ps =>
+      val df = frame("x" -> ps.map(_._1.toLong), "y" -> ps.map(_._2.toLong))
+      val r = graft.ops.Stats.spearman(df, col("x"), col("y")).collect()(0)
+      def dmOf(vs: List[Int]): Map[Int, Long] = {
+        val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        vs.distinct.sorted.map { v =>
+          val before = vs.count(_ < v).toLong
+          v -> (2 * before + cnt(v) + 1)
+        }.toMap
+      }
+      val dx = dmOf(ps.map(_._1)); val dy = dmOf(ps.map(_._2))
+      val n = ps.length.toLong
+      val rx = ps.map(p => BigInt(dx(p._1)))
+      val ry = ps.map(p => BigInt(dy(p._2)))
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(v => v * v).sum; val syy = ry.map(v => v * v).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val num = (n * sxy - sx * sy).toDouble
+      val ddx = (n * sxx - sx * sx).toDouble
+      val ddy = (n * syy - sy * sy).toDouble
+      r.getLong(0) == n &&
+        (if (ddx > 0 && ddy > 0)
+          r.getDouble(1) == r6(num / (math.sqrt(ddx) * math.sqrt(ddy)))
+        else r.isNullAt(1))
+    })
+  }
+
+  test("mannKendall == brute-force S/tau-b/z on random series") {
+    check("mann-kendall", Prop.forAll(countsGen) { ys =>
+      val df = frame("s" -> Seq.fill(ys.size)("a"),
+        "d" -> (1L to ys.size).toSeq, "y" -> ys.map(_.toLong))
+      val r = graft.ops.Stats.mannKendall(df, "s", "d", "y").collect()(0)
+      val n = ys.length
+      val s = (for { i <- 0 until n; j <- i + 1 until n }
+        yield math.signum(ys(j) - ys(i))).sum.toLong
+      val bigN = BigInt(n) * (n - 1)
+      val tt = ys.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1)).sum
+      val tv = ys.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1) * (2 * g.size + 5)).sum
+      val bigM = bigN - tt
+      val varS = (bigN * (2 * n + 5) - tv).toDouble / 18.0
+      r.getLong(2) == s &&
+        (if (n >= 2 && bigM.toDouble > 0)
+          r.getDouble(3) == r6(2.0 * s / math.sqrt((bigN * bigM).toDouble))
+        else r.isNullAt(3)) &&
+        (if (n >= 2 && varS > 0)
+          r.getDouble(4) == r6((s - math.signum(s.toDouble)) /
+            math.sqrt(varS))
+        else r.isNullAt(4))
+    })
+  }
+
+  test("wasserstein1 == brute-force ECDF integral on random cohorts") {
+    val twoLists = Gen.zip(
+      Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-6, 6))),
+      Gen.chooseNum(1, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-6, 6))))
+    check("wasserstein", Prop.forAll(twoLists) { case (as, bs) =>
+      val df = frame(
+        "g" -> (as.map(_ => "A") ++ bs.map(_ => "B")),
+        "v" -> (as ++ bs).map(_.toLong))
+      val r = graft.ops.Stats.wasserstein1(df, "g", col("v"), "A", "B")
+        .collect()(0)
+      val na = as.length.toLong; val nb = bs.length.toLong
+      val vs = (as ++ bs).distinct.sorted
+      var num = BigInt(0)
+      for (Seq(p, v) <- vs.sliding(2) if vs.length >= 2) {
+        val cpa = as.count(_ <= p).toLong; val cpb = bs.count(_ <= p).toLong
+        num += (BigInt(cpa) * nb - BigInt(cpb) * na).abs * (v - p)
+      }
+      r.getLong(2) == na && r.getLong(3) == nb &&
+        r.getDouble(4) == r6(num.toDouble / (na.toDouble * nb.toDouble))
+    })
+  }
+
+  test("weightedMedian == sorted-expansion reference on random weights") {
+    val wGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(-8, 8), Gen.chooseNum(1, 5))))
+    check("weighted-median", Prop.forAll(wGen) { vw =>
+      val df = frame("v" -> vw.map(_._1.toLong), "w" -> vw.map(_._2.toLong))
+      val r = graft.ops.Selection.weightedMedian(df, col("v"), col("w"),
+        buckets = 4).collect()(0)
+      val expanded = vw.flatMap { case (v, w) => Seq.fill(w)(v) }.sorted
+      val k = (expanded.length + 1) / 2
+      r.getLong(0) == expanded.length.toLong && r.getLong(1) == k.toLong &&
+        r.getLong(2) == expanded(k - 1).toLong
+    })
+  }
+
+  test("decisionStump == brute-force argmin over all thresholds") {
+    val lGen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0, 6), Gen.oneOf(true, false))))
+      .suchThat(l => l.map(_._1).distinct.size >= 2)
+    check("stump", Prop.forAll(lGen) { vl =>
+      val df = frame("v" -> vl.map(_._1.toLong), "y" -> vl.map(_._2))
+      val r = graft.ops.Stats.decisionStump(df, col("v"), col("y"))
+        .collect()(0)
+      val n = vl.length.toLong; val tp = vl.count(_._2).toLong
+      def aT(c: Long, p: Long): BigInt =
+        BigInt(c) * c - BigInt(p) * p - BigInt(c - p) * (c - p)
+      val cands = vl.map(_._1).distinct.sorted.init.map { t =>
+        val cl = vl.count(_._1 <= t).toLong
+        val pl = vl.count(x => x._1 <= t && x._2).toLong
+        val w = (aT(cl, pl) * (n - cl) + aT(n - cl, tp - pl) * cl).toDouble /
+          (BigInt(cl) * (n - cl)).toDouble
+        (w, t.toLong, cl, pl)
+      }
+      val best = cands.minBy(c => (c._1, c._2))
+      val g0 = aT(n, tp).toDouble / n.toDouble
+      r.getLong(2) == best._2 && r.getDouble(3) == r6(best._1) &&
+        r.getDouble(4) == r6(g0 - best._1) &&
+        r.getLong(5) == best._3 && r.getLong(6) == best._4
+    })
+  }
+
+  test("holtWintersDaily == JVM reference fold on random gappy series") {
+    val hwGen = Gen.chooseNum(8, 18).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0, 6))).map { l =>
+      (math.max(1, l.head) +: l.tail.init) :+ math.max(1, l.last) }
+    check("holt-winters", Prop.forAll(hwGen) { ys0 =>
+      val ys = ys0
+      // dailyFrame skips 0-count days; the op zero-fills the grid back
+      val df = dailyFrame(ys)
+      val out = graft.ops.EventAnalytics.holtWintersDaily(df, period = 7)
+        .collect()
+      if (ys.length < 8) out.isEmpty
+      else {
+        val r = out(0)
+        val init = ys.take(7)
+        val l0 = init.sum.toDouble / 7.0
+        var l = l0; var b = 0.0
+        val s = init.map(_.toDouble - l0).toArray
+        for ((y, idx) <- ys.drop(7).zipWithIndex) {
+          val slot = (idx + 7) % 7
+          val sv = s(slot)
+          val nl = 0.5 * (y.toDouble - sv) + 0.5 * (l + b)
+          val nb = 0.5 * (nl - l) + 0.5 * b
+          s(slot) = 0.5 * (y.toDouble - nl) + 0.5 * sv
+          l = nl; b = nb
+        }
+        val sn = s(ys.length % 7)
+        r.getLong(1) == ys.length.toLong && r.getDouble(2) == r6(l) &&
+          r.getDouble(3) == r6(b) && r.getDouble(4) == r6(sn) &&
+          r.getDouble(5) == r6(l + b + sn)
+      }
+    })
+  }
 }
