@@ -36,6 +36,14 @@ object Bench {
     "x112_curation_transitions", // TWO pipeline backbones (old + new snapshot)
     // funnel stage chains (k materialized per-stage states each)
     "x114_event_funnel", "x123_funnel_within", "x127_cohort_funnel",
+    // x182's materialized fuzzy pair list + 3 propagation rounds
+    "x182_fuzzy_match", "x198_fuzzy_clusters",
+    // fixed-point k-means / power-iteration chains (Lloyd or matvec
+    // rounds with bounded collects between jobs)
+    "x119_pca_power", "x122_pca_projection", "x172_pq_codes",
+    "x173_pq_recall", "x174_ivfpq_topk", "x195_silhouette",
+    // iterative histogram-refinement selections (3-4 collect barriers)
+    "x192_exact_median", "x197_weighted_median",
     // PageRank: 5 materialized iteration barriers over the edge list
     "x141_pagerank")
 

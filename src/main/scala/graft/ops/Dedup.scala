@@ -1281,6 +1281,17 @@ object Dedup {
       q: Int = 3, maxDist: Int = 1): DataFrame = {
     require(q >= 1, s"need q >= 1, got $q")
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    // the verified pair list is a SHARED BACKBONE: the match report
+    // (x182) and every downstream consumer (entity clustering, x198)
+    // are views of one deterministic computation over one snapshot —
+    // memoize the materialized list (the Pipeline curation convention)
+    StageCache.memo("fuzzy_pairs", Seq(df), Seq(idCol, strCol, q, maxDist)) {
+      Checkpoints.materialize(fuzzyJoinBuild(df, idCol, strCol, q, maxDist))
+    }
+  }
+
+  private def fuzzyJoinBuild(df: DataFrame, idCol: String, strCol: String,
+      q: Int, maxDist: Int): DataFrame = {
     val s = df.select(col(idCol).as("_id"), col(strCol).as("_nm"))
       .filter(col("_nm").isNotNull && length(col("_nm")) >= q)
     val grams = s.select(col("_id"), col("_nm"),
