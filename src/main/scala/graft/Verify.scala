@@ -30,6 +30,14 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any STALE output from a previous run: a leftover
+          // parquet dir would make the checker compare yesterday's
+          // result and report a false OK for a failing query
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists()) {
+            dir.listFiles().foreach(_.delete())
+            dir.delete()
+          }
         }
       }
     }
