@@ -58,6 +58,75 @@ object Graphs {
       (col("r").cast("double") / Scale.toDouble).as("rank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list, in the [[pageRank]] fixed-point convention: hub scores
+    * start at SCALE; each round computes raw authorities
+    * `a_s = Σ_{p→s} h_p`, max-normalizes `a' = a·SCALE div max(a)`
+    * (L∞ in exact BIGINT floor arithmetic — the L2 norm would need a
+    * sqrt per round), then the same for hubs from the normalized
+    * authorities. Returns the top `topK` per role:
+    * `(role ∈ hub|authority, node, score = r/SCALE)` — bitwise
+    * reproducible, oracle-replayable round by round.
+    *
+    * Scale shape: per round TWO hash joins (edges×scores) + map-side-
+    * combined aggregates + a ONE-ROW max broadcast; each round is
+    * MATERIALIZED (the pageRank lineage-cut rationale). Fan-in skew
+    * combines map-side like pageRank's dst aggregate.
+    */
+  def hits(edges: DataFrame, iters: Int = 3, topK: Int = 10,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val e = Checkpoints.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var hub = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
+    var auth: DataFrame = e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val rawA = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("r")).as("_raw"))
+      val mA = broadcast(rawA.agg(max(col("_raw")).as("_m")))
+      auth = Checkpoints.materialize(rawA.crossJoin(mA)
+        .selectExpr("node", s"_raw * ${Scale}L div _m AS r"))
+      val rawH = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("r")).as("_raw"))
+      val mH = broadcast(rawH.agg(max(col("_raw")).as("_m")))
+      hub = Checkpoints.materialize(rawH.crossJoin(mH)
+        .selectExpr("node", s"_raw * ${Scale}L div _m AS r"))
+    }
+    val both = hub.select(lit("hub").as("role"), col("node"), col("r"))
+      .union(auth.select(lit("authority").as("role"), col("node"),
+        col("r")))
+    val w = Window.partitionBy(col("role"))
+      .orderBy(col("r").desc, col("node").asc)
+    both.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col("role"), col("node"), col("_rk").cast("long").as("rk"),
+        (col("r").cast("double") / Scale.toDouble).as("score"))
+  }
+
+  /** Generated oracle CTEs replaying [[hits]] round by round (assumes
+    * an `e(src, dst)` CTE upstream; yields `h$iters` / `a$iters`). */
+  def hitsCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS node, SUM(h.r) AS raw
+         |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT node,
+         |  raw * $Scale // (SELECT MAX(raw) FROM a${k}r) AS r
+         |  FROM a${k}r),
+         |h${k}r AS (SELECT e.src AS node, SUM(a.r) AS raw
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT node,
+         |  raw * $Scale // (SELECT MAX(raw) FROM h${k}r) AS r
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (SELECT DISTINCT src AS node, CAST($Scale AS BIGINT) AS r
+       |  FROM e),
+       |$steps""".stripMargin
+  }
+
   /** Triangle census of an UNDIRECTED edge list (rows (a, b), a < b,
     * already deduplicated — Baskets.coPairs' contract). Returns ONE row:
     * `n_nodes, n_edges, n_wedges, n_triangles, global_clustering` where

@@ -865,6 +865,30 @@ object AnalyticsQueries {
               |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu"""
         .stripMargin)),
 
+    // ---- x210: HITS hubs & authorities -------------------------------------
+    // Kleinberg HITS over the part->supplier bipartite graph in exact
+    // fixed-point BIGINT arithmetic (max-normalized rounds, x141's
+    // convention); top-10 per role — see ops/Graphs.hits.
+    QueryDef(
+      "x210_hits",
+      (s, dir) =>
+        graft.ops.Graphs.hits(
+          Tables.lineitem(s, dir)
+            .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
+          iters = 3, topK = 10)
+          .orderBy(col("role"), col("rk")),
+      Some(s"""WITH e AS (SELECT DISTINCT l_partkey AS src,
+              |    l_suppkey AS dst FROM lineitem),
+              |${graft.ops.Graphs.hitsCtes(3)},
+              |roles AS (SELECT 'hub' AS role, node, r FROM h3
+              |  UNION ALL SELECT 'authority' AS role, node, r FROM a3),
+              |rk AS (SELECT role, node, r, ROW_NUMBER() OVER (
+              |    PARTITION BY role ORDER BY r DESC, node) AS rk
+              |  FROM roles)
+              |SELECT role, node, CAST(rk AS BIGINT) AS rk,
+              |  CAST(r AS DOUBLE) / 1000000.0 AS score
+              |FROM rk WHERE rk <= 10 ORDER BY role, rk""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

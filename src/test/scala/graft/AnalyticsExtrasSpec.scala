@@ -1275,6 +1275,22 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(top.getLong(2) === 2L && top.getDouble(3) === 1.0)
   }
 
+  test("hits: hand-iterated bipartite fixed point (3 rounds of exact " +
+      "floor arithmetic); max node pins score 1.0") {
+    // p1 -> {s1, s2}, p2 -> {s1}; SCALE = 1e6. Hand iteration:
+    // a1: s1=1e6, s2=5e5 | h1: p1=1e6, p2=666666
+    // a2: s1=1e6, s2=600000 | h2: p1=1e6, p2=625000
+    // a3: s1=1e6, s2=615384 | h3: p1=1e6, p2=619047
+    val e = frame("src" -> Seq(1L, 1L, 2L), "dst" -> Seq(101L, 102L, 101L))
+    val out = graft.ops.Graphs.hits(e, iters = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("hub", 1L)) === ((1L, 1.0)))
+    assert(out(("hub", 2L)) === ((2L, 0.619047)))
+    assert(out(("authority", 101L)) === ((1L, 1.0)))
+    assert(out(("authority", 102L)) === ((2L, 0.615384)))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
