@@ -80,6 +80,15 @@ final case class HwState(d0: Long, openDay: Long, openN: Long,
 final case class HwPoint(event_type: String, day: Long, cnt: Long,
     level: Double, trend: Double)
 
+/** Per-user last-event state for the streaming transition tracker —
+  * O(1) per user: the (ts, id) in-order watermark plus its type. */
+final case class LastEvent(ts: Long, id: Long, tpe: String)
+
+/** One observed transition (raw edge; consumers aggregate counts —
+  * see EventAnalytics.transitionMatrix for the batch matrix). */
+final case class Transition(user_id: Long, from_type: String,
+    to_type: String)
+
 /** One count-min-sketch cell emission (latest running total). */
 final case class CmsCell(d: Int, bucket: Long, cnt: Long)
 
@@ -761,6 +770,50 @@ object StreamingWindows {
             }
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.EventAnalytics.transitionMatrix]]'s
+    * edge extraction: per-user O(1) mapGroupsWithState carrying only
+    * the LAST (ts, event_id, type); each micro-batch sorts the user's
+    * new events by (ts, event_id) — the batch tie rule — and emits one
+    * [[Transition]] per consecutive pair, chaining across batches
+    * through the stored last event. Consumers aggregate the (from, to)
+    * counts downstream (a streaming aggregation cannot follow the
+    * stateful op in one query — the anomaly-monitor caveat). An event
+    * ordered (ts, id)-before the stored last fails fast: silently
+    * re-chaining would fabricate transitions the batch never sees.
+    */
+  def streamingTransitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ts_ns").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val batch = it.toSeq.sortBy(r => (r._3, r._4))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = state.getOption
+          batch.foreach { case (_, tpe, ts, id) =>
+            last match {
+              case Some(le) if ts < le.ts || (ts == le.ts && id < le.id) =>
+                throw new IllegalStateException(
+                  s"streamingTransitions($user): event ($ts, $id) " +
+                    s"arrived after (${le.ts}, ${le.id}) — input " +
+                    "violates the in-order-across-batches contract")
+              case Some(le) =>
+                out += Transition(user, le.tpe, tpe)
+                last = Some(LastEvent(ts, id, tpe))
+              case None =>
+                last = Some(LastEvent(ts, id, tpe))
+            }
+          }
+          last.foreach(state.update)
           out.iterator
       }
   }

@@ -927,6 +927,72 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming transition tracker: edges across micro-batches " +
+      "aggregate to batch transitionMatrix exactly; ties chain by " +
+      "event_id") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+    val cut = batchEvents.selectExpr("percentile_approx(ts_ns, 0.5)")
+      .head().getLong(0)
+    val splitDir = java.nio.file.Files.createTempDirectory("transtream")
+      .toString
+    batchEvents.filter(col("ts_ns") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingTransitions(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_trans").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(col("ts_ns") > cut).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.table("stream_trans")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+      val want = graft.ops.EventAnalytics.transitionMatrix(batchEvents)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+      assert(got === want, "streamed transition counts diverge from batch")
+      assert(want.values.sum > 0, "degenerate fixture")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
+
+  test("streaming transition tracker: an out-of-order event fails fast") {
+    val splitDir = java.nio.file.Files.createTempDirectory("translate")
+      .toString
+    def batch(ts: Long, id: Long) = frame(
+      "user_id" -> Seq(1L), "event_type" -> Seq("click"),
+      "ts_ns" -> Seq(ts), "event_id" -> Seq(id))
+    batch(1000L, 5L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batch(1000L, 5L).schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingTransitions(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_trans_late").start()
+    try {
+      q.processAllAvailable()
+      // same ts, LOWER id -> ordered before the stored last event
+      batch(1000L, 3L).coalesce(1).write.mode("append")
+        .parquet(s"$splitDir/in")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        Option(t).map(t => t :: chain(t.getCause)).getOrElse(Nil)
+      assert(chain(ex).exists(c =>
+        Option(c.getMessage).exists(_.contains("in-order"))),
+        s"expected the in-order contract violation, got: $ex")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM monitor: batch-trained params, closed-day " +
       "excursions across micro-batches == JVM reference fold BITWISE; " +
       "chained final step reproduces batch cusumDaily") {
