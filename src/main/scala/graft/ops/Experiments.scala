@@ -123,4 +123,61 @@ object Experiments {
       round(center - half, 6).as("ci_low"),
       round(center + half, 6).as("ci_high"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013):
+    * adjust each user's post-period revenue by their PRE-period
+    * revenue — `y' = y − θ·(x − x̄)` with θ = cov(x,y)/var(x) pooled —
+    * the industry-standard way to shrink A/B confidence intervals
+    * without more traffic. Per variant: `(variant, n_users, mean_post,
+    * mean_adj, theta, var_reduction)` where var_reduction = ρ²(x, y)
+    * (the theoretical CI-width win), round 6; theta/adjustment NULL
+    * when pre-period variance is 0.
+    *
+    * Determinism: x/y are exact integer cent sums per user; every
+    * moment is DECIMAL(38,0); θ, the adjusted means, and ρ² are a
+    * fixed double op sequence over casts of those integers — mirrored
+    * verbatim in the oracle. Assignment is [[withVariant]]'s md5.
+    *
+    * Scale: ONE user reduce (conditional sums split pre/post in the
+    * same pass), one pooled-moment reduce, a |variants|-row epilogue
+    * with one-row broadcasts.
+    */
+  def cupedReadout(events: DataFrame, cutNs: Long, nVariants: Int = 2,
+      salt: String = "exp1"): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cents = round(col("value").cast("double") * 100).cast("long")
+    val perUser = withVariant(
+      events.groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("ts_ns") < cutNs, cents)), lit(0L))
+          .as("_x"),
+        coalesce(sum(when(col("ts_ns") >= cutNs, cents)), lit(0L))
+          .as("_y")),
+      "user_id", nVariants, salt)
+    val pooled = broadcast(perUser.agg(
+      count(lit(1)).as("_n"),
+      sum(d38(col("_x"))).as("_sx"), sum(d38(col("_y"))).as("_sy"),
+      sum(d38(col("_x")) * d38(col("_x"))).as("_sxx"),
+      sum(d38(col("_x")) * d38(col("_y"))).as("_sxy"),
+      sum(d38(col("_y")) * d38(col("_y"))).as("_syy")))
+    val perVar = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(d38(col("_x"))).as("_vx"), sum(d38(col("_y"))).as("_vy"))
+    val n38 = d38(col("_n"))
+    val varX = (n38 * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val varY = (n38 * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    val covXY = (n38 * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val theta = covXY / varX
+    val nU = col("n_users").cast("double")
+    val meanPost = col("_vy").cast("double") / nU
+    val meanAdj = meanPost - theta *
+      (col("_vx").cast("double") / nU -
+        col("_sx").cast("double") / col("_n").cast("double"))
+    perVar.crossJoin(pooled).select(
+      col("variant"), col("n_users"),
+      round(meanPost, 6).as("mean_post"),
+      when(varX =!= 0.0, round(meanAdj, 6)).as("mean_adj"),
+      when(varX =!= 0.0, round(theta, 6)).as("theta"),
+      when(varX =!= 0.0 && varY =!= 0.0,
+        round(covXY * covXY / (varX * varY), 6)).as("var_reduction"))
+  }
 }

@@ -889,6 +889,65 @@ object AnalyticsQueries {
               |  CAST(r AS DOUBLE) / 1000000.0 AS score
               |FROM rk WHERE rk <= 10 ORDER BY role, rk""".stripMargin)),
 
+    // ---- x211: CUPED variance-reduced readout ------------------------------
+    // Pre-period revenue as the control covariate (cut = 2024-01-16
+    // UTC, mid-fixture): theta = cov/var pooled, adjusted per-variant
+    // means, rho^2 variance reduction — see ops/Experiments.cupedReadout.
+    QueryDef(
+      "x211_cuped",
+      (s, dir) =>
+        Experiments.cupedReadout(Tables.events(s, dir),
+          cutNs = 1705363200000000000L, nVariants = 2)
+          .orderBy(col("variant")),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    COALESCE(SUM(CASE WHEN epoch_ns(ts) < 1705363200000000000
+              |      THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+              |      END), 0) AS x,
+              |    COALESCE(SUM(CASE WHEN epoch_ns(ts) >= 1705363200000000000
+              |      THEN CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+              |      END), 0) AS y
+              |  FROM events GROUP BY 1),
+              |pv AS (SELECT x, y, md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM pu),
+              |vv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 2)
+              |    AS variant, x, y FROM pv),
+              |pool AS (SELECT COUNT(*) AS n,
+              |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+              |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+              |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+              |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+              |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              |  FROM vv),
+              |pvar AS (SELECT variant, COUNT(*) AS n_users,
+              |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS vx,
+              |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS vy
+              |  FROM vv GROUP BY 1)
+              |SELECT v.variant, v.n_users,
+              |  round(CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE), 6)
+              |    AS mean_post,
+              |  CASE WHEN CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) <> 0
+              |    THEN round(
+              |      CAST(v.vy AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+              |      - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+              |          / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+              |        * (CAST(v.vx AS DOUBLE) / CAST(v.n_users AS DOUBLE)
+              |          - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
+              |    END AS mean_adj,
+              |  CASE WHEN CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) <> 0
+              |    THEN round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+              |      / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE), 6)
+              |    END AS theta,
+              |  CASE WHEN CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) <> 0
+              |      AND CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE) <> 0
+              |    THEN round(
+              |      CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+              |        * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+              |      / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+              |        * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)), 6)
+              |    END AS var_reduction
+              |FROM pvar v CROSS JOIN pool p ORDER BY v.variant"""
+        .stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1291,6 +1291,37 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(out(("authority", 102L)) === ((2L, 0.615384)))
   }
 
+  test("cupedReadout: perfectly-correlated covariate equalizes " +
+      "adjusted means (theta = 1, rho^2 = 1); zero pre-variance NULLs") {
+    import graft.ops.Experiments
+    // y = x + 100 cents exactly: theta = 1, var_reduction = 1, and
+    // every variant's adjusted mean collapses to xbar + 100 = 350
+    val users = Seq(1L, 2L, 3L, 4L)
+    val pre = users.zip(Seq(1.0, 2.0, 3.0, 4.0))
+    val post = users.zip(Seq(2.0, 3.0, 4.0, 5.0))
+    val ev = frame(
+      "user_id" -> (pre.map(_._1) ++ post.map(_._1)),
+      "event_type" -> Seq.fill(8)("purchase"),
+      "ts_ns" -> (pre.map(_ => 1L) ++ post.map(_ => 2000L)),
+      "value" -> (pre.map(_._2) ++ post.map(_._2)))
+    val out = Experiments.cupedReadout(ev, cutNs = 1000L, nVariants = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((_, r) <- out) {
+      assert(r.getDouble(3) === 350.0, "adjusted mean must equalize")
+      assert(r.getDouble(4) === 1.0)
+      assert(r.getDouble(5) === 1.0)
+    }
+    assert(out.values.map(_.getLong(1)).sum === 4L)
+    // constant pre-period -> var(x) = 0 -> theta/adjustment NULL
+    val flat = frame(
+      "user_id" -> users, "event_type" -> Seq.fill(4)("purchase"),
+      "ts_ns" -> Seq.fill(4)(2000L),
+      "value" -> Seq(2.0, 3.0, 4.0, 5.0))
+    val f = Experiments.cupedReadout(flat, cutNs = 1000L, nVariants = 2)
+      .collect()
+    assert(f.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
