@@ -117,6 +117,54 @@ object Layout {
     * collect), so the filter is a literal comparison the catalog can
     * prune with — not a subquery evaluated at scan time.
     */
+  /** Partition-level UPSERT on a Hive-partitioned lake table via
+    * DYNAMIC partition overwrite: write the base table partitioned by
+    * epoch-week, then re-write a restatement batch covering only the
+    * trailing `restateWeeks` weeks with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` — Spark
+    * replaces ONLY the partition directories present in the batch;
+    * untouched week directories are never rewritten (byte-identical,
+    * asserted by spec). This is the idempotent daily-restatement
+    * pattern of a partitioned lake without a table format's commit
+    * log. The restatement here keeps even event_ids (a dedup-style
+    * rewrite) so the final state is oracle-replayable:
+    * weeks ≤ cut keep base rows, weeks > cut keep only the batch.
+    * Returns the read-back `(week, n_events, n_users)` per week.
+    *
+    * Scale: both writes shuffle-free map passes partitioned by the
+    * directory key; the replaced set is proportional to the
+    * restatement, not the table.
+    */
+  def partitionedUpsert(events: DataFrame, dir: String,
+      restateWeeks: Long = 2): DataFrame = {
+    require(restateWeeks >= 1, s"need restateWeeks >= 1, got $restateWeeks")
+    val spark = events.sparkSession
+    val day = org.apache.spark.sql.functions.expr(
+      graft.ops.EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val typed = events.select(col("event_type"), col("user_id"),
+        col("event_id"), day.as("day"))
+      .withColumn("week", org.apache.spark.sql.functions.expr("day div 7"))
+    val maxWeek = typed.agg(max(col("week"))).collect()(0).getLong(0)
+    typed.write.mode("overwrite").partitionBy("week").parquet(dir)
+    val cut = maxWeek - restateWeeks
+    val updates = typed.filter(col("week") > cut &&
+      col("event_id") % 2 === 0)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try updates.write.mode("overwrite").partitionBy("week").parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.read.parquet(dir)
+      // partition discovery infers the directory key as INT — pin LONG
+      .groupBy(col("week").cast("long").as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("week"))
+  }
+
   def partitionedRoundTrip(events: DataFrame, dir: String,
       lastWeeks: Long = 4): DataFrame = {
     require(lastWeeks >= 1, s"need lastWeeks >= 1, got $lastWeeks")

@@ -948,6 +948,28 @@ object AnalyticsQueries {
               |FROM pvar v CROSS JOIN pool p ORDER BY v.variant"""
         .stripMargin)),
 
+    // ---- x212: partition-level lake upsert ---------------------------------
+    // Dynamic partition overwrite restates ONLY the trailing 2 weeks
+    // (even event_ids survive the restatement); untouched week
+    // directories stay byte-identical (SourcesSpec) — see
+    // ops/Layout.partitionedUpsert.
+    QueryDef(
+      "x212_partition_upsert",
+      (s, dir) =>
+        Layout.partitionedUpsert(Tables.events(s, dir),
+          s"/tmp/graft_x212_${Integer.toHexString(dir.hashCode)}",
+          restateWeeks = 2),
+      Some("""WITH d AS (SELECT event_type, user_id, event_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |w AS (SELECT event_type, user_id, event_id, day,
+             |    day // 7 AS week FROM d),
+             |mx AS (SELECT max(week) AS mw FROM w),
+             |fin AS (SELECT w.week, w.user_id FROM w CROSS JOIN mx
+             |  WHERE week <= mw - 2 OR event_id % 2 = 0)
+             |SELECT week, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -559,4 +559,53 @@ class SourcesSpec extends SparkSuite {
     assert(avgArea < 0.35 * n * n,
       s"avg bounding-box area $avgArea not tile-like for $n x $n")
   }
+
+  test("partitionedUpsert: restated weeks replaced, untouched week " +
+      "directories byte-identical (dynamic partition overwrite never " +
+      "rewrites them)") {
+    def day(n: Long): Long = n * 86400L * 1000000000L
+    // 4 weeks (days 0, 7, 14, 21), 4 events per week with ids 1..4
+    val rows = for (wk <- 0L to 3L; i <- 1L to 4L)
+      yield (wk * 4 + i, day(wk * 7) + i, wk * 10 + i)
+    val ev = frame(
+      "event_id" -> rows.map(_._1),
+      "ts_ns" -> rows.map(_._2),
+      "user_id" -> rows.map(_._3),
+      "event_type" -> rows.map(_ => "click"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_spec").toString
+    val out = graft.ops.Layout.partitionedUpsert(ev, dir,
+      restateWeeks = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weeks 0-2 keep all 4 rows; week 3 keeps only even event_ids
+    assert(out === Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 2L))
+    def files(week: Long): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/week=$week")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val before = (0L to 3L).map(w => w -> files(w)).toMap
+    // replay ONLY the restatement write: untouched weeks must keep the
+    // SAME part files (Spark mints fresh uuid names on any rewrite, so
+    // unchanged names prove the directory was never touched)
+    val spark2 = ev.sparkSession
+    val dayCol = expr(graft.ops.EventWindows
+      .floorDivSql("ts_ns", 86400L * 1000000000L))
+    val typed = ev.select(col("event_type"), col("user_id"),
+        col("event_id"), dayCol.as("day"))
+      .withColumn("week", expr("day div 7"))
+    val updates = typed.filter(col("week") === 3L &&
+      col("event_id") % 2 === 0)
+    spark2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updates.write.mode("overwrite").partitionBy("week").parquet(dir)
+    finally spark2.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    for (w <- 0L to 2L)
+      assert(files(w) === before(w),
+        s"untouched week $w was rewritten by the dynamic overwrite")
+    assert(files(3L).map(_._1) != before(3L).map(_._1),
+      "restated week 3 must carry fresh part files")
+    // and the full-table overwrite danger is the documented contrast:
+    // without dynamic mode, mode(overwrite) would have dropped weeks 0-2
+    assert((0L to 2L).forall(w => new java.io.File(s"$dir/week=$w").exists))
+  }
 }
