@@ -117,6 +117,64 @@ object Layout {
     * collect), so the filter is a literal comparison the catalog can
     * prune with — not a subquery evaluated at scan time.
     */
+  /** Small-file compaction for a parquet directory — the maintenance
+    * job every streaming/incremental sink eventually needs (thousands
+    * of kilobyte part files turn a scan into an open()-bound crawl).
+    * Plans deterministic NEXT-FIT bins over the real file listing in
+    * name order (a file larger than `targetBytes` gets its own bin),
+    * then rewrites each bin as ONE output file: rows are routed by a
+    * broadcast (file name → bin) map joined on `input_file_name()`,
+    * hash-repartitioned on bin, and written `partitionBy(bin)` — each
+    * bin lands in exactly one task, so each bin directory holds one
+    * part file. Returns the executed plan:
+    * `(bin, n_files_in, bytes_in, n_rows)` (rows re-counted from the
+    * compacted output — the conservation audit).
+    *
+    * Scale: ONE read+write pass over the data; the plan is an
+    * O(files) driver listing (the same listing the scan does anyway).
+    * Bin count = ceil(total/target), bounded; content is
+    * byte-equivalent, layout is not (parquet re-encodes) — the spec
+    * pins row-multiset equality instead.
+    */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String, outDir: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"need targetBytes >= 1, got $targetBytes")
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    require(files.nonEmpty, s"no part files under $dir")
+    // next-fit in name order: deterministic, one pass
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, List[(String, Long)])]
+    var cur = List.empty[(String, Long)]
+    var curBytes = 0L
+    for (f <- files) {
+      if (cur.nonEmpty && curBytes + f.length() > targetBytes) {
+        bins += ((bins.length.toLong, cur.reverse)); cur = Nil; curBytes = 0L
+      }
+      cur = (f.getName, f.length()) :: cur
+      curBytes += f.length()
+    }
+    if (cur.nonEmpty) bins += ((bins.length.toLong, cur.reverse))
+    import spark.implicits._
+    val assign = bins.flatMap { case (b, fs) =>
+      fs.map { case (name, _) => (name, b) } }.toSeq
+      .toDF("_name", "_bin")
+    spark.read.parquet(dir)
+      .withColumn("_name",
+        substring_index(input_file_name(), "/", -1))
+      .join(org.apache.spark.sql.functions.broadcast(assign), "_name")
+      .drop("_name")
+      .repartition(bins.length, col("_bin"))
+      .write.mode("overwrite").partitionBy("_bin").parquet(outDir)
+    val rows = spark.read.parquet(outDir).groupBy(col("_bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    bins.map { case (b, fs) =>
+      (b, fs.length.toLong, fs.map(_._2).sum, rows.getOrElse(b, 0L))
+    }.toSeq.toDF("bin", "n_files_in", "bytes_in", "n_rows")
+  }
+
   /** Partition-level UPSERT on a Hive-partitioned lake table via
     * DYNAMIC partition overwrite: write the base table partitioned by
     * epoch-week, then re-write a restatement batch covering only the

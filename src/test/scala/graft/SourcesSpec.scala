@@ -608,4 +608,48 @@ class SourcesSpec extends SparkSuite {
     // without dynamic mode, mode(overwrite) would have dropped weeks 0-2
     assert((0L to 2L).forall(w => new java.io.File(s"$dir/week=$w").exists))
   }
+
+  test("compactSmallFiles: row multiset conserved, one part file per " +
+      "bin, bins respect the byte target, oversized file isolated") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_in").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_compact_out").toString
+    // 16 tiny part files
+    val df = frame("k" -> (1L to 4096L),
+      "v" -> (1L to 4096L).map(i => s"payload_$i"))
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    val inFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(inFiles.length === 16)
+    val target = inFiles.map(_.length()).sum / 4 // ~4-5 bins
+    val plan = graft.ops.Layout.compactSmallFiles(spark, dir, outDir,
+      target).collect()
+    // conservation: every input row survives exactly once
+    val got = spark.read.parquet(outDir).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq === want.toSeq)
+    assert(plan.map(_.getLong(3)).sum === 4096L)
+    // one part file per bin directory
+    for (b <- plan.map(_.getLong(0))) {
+      val parts = new java.io.File(s"$outDir/_bin=$b").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.length === 1, s"bin $b has ${parts.length} files")
+    }
+    // next-fit: multi-file bins stay within target
+    assert(plan.forall(r => r.getLong(1) == 1L || r.getLong(2) <= target))
+    assert(plan.length < 16, "compaction must reduce the file count")
+    // an oversized single file still gets its own bin (no split, no loss)
+    val big = java.nio.file.Files
+      .createTempDirectory("graft_compact_big").toString
+    val bigOut = java.nio.file.Files
+      .createTempDirectory("graft_compact_bigout").toString
+    frame("k" -> (1L to 2000L), "v" -> (1L to 2000L).map(_.toString))
+      .coalesce(1).write.mode("overwrite").parquet(big)
+    val p2 = graft.ops.Layout.compactSmallFiles(spark, big, bigOut, 10L)
+      .collect()
+    assert(p2.length === 1 && p2(0).getLong(1) === 1L &&
+      p2(0).getLong(3) === 2000L)
+  }
 }
