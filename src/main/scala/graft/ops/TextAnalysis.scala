@@ -790,6 +790,69 @@ object TextAnalysis {
         round(col("pos_rate") - col("mean_prob"), 6).as("gap"))
   }
 
+  /** Brier score with the Murphy decomposition over the reliability
+    * bins — the proper-scoring-rule summary of [[scoreCalibration]]:
+    * `brier = reliability − resolution + uncertainty + gap`, where
+    * gap is the within-bin forecast variance the binned identity
+    * leaves over. ONE row: `(n, brier, reliability, resolution,
+    * uncertainty, gap)`, round 6.
+    *
+    * Exactness: probs are 6-dp fixed-point by construction, so
+    * `Σ(p−y)² = Σp² − 2Σp·y + Σy` is EXACT DECIMAL arithmetic and
+    * brier is one division; the per-bin rel/res terms are a pinned
+    * double op sequence round-12 DECIMAL-summed over ≤ bins rows
+    * (x103 convention); uncertainty is ȳ(1−ȳ) on one division.
+    *
+    * Scale: the classifierScore map-only scan + ONE ≤bins-group
+    * map-side-combined aggregate + a bins-row epilogue.
+    */
+  def brierDecomposition(docs: DataFrame, dims: Int = 64,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    import org.apache.spark.sql.functions.broadcast
+    val scored = classifierScore(docs, dims, "text", "doc_id",
+      carry = Seq("lang"))
+    val binned = scored
+      .withColumn("_pos", (col("lang") === "en").cast("long"))
+      .select(least(floor(col("prob") * bins), lit(bins - 1).cast("long"))
+          .cast("long").as("bin"),
+        col("prob").cast("decimal(18,6)").as("_p"), col("_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("_n"), sum(col("_pos")).as("_pos"),
+        sum(col("_p")).as("_sp"),
+        sum(col("_p") * col("_p")).as("_sp2"),
+        sum(when(col("_pos") === 1L, col("_p"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+          .as("_spy"))
+    val tot = broadcast(binned.agg(
+      sum(col("_n")).as("n"), sum(col("_pos")).as("_tp"),
+      sum(col("_sp2")).as("_tsp2"), sum(col("_spy")).as("_tspy")))
+    val nD = col("n").cast("double")
+    val yBar = col("_tp").cast("double") / nD
+    val nk = col("_n").cast("double")
+    val pBarK = col("_sp").cast("double") / nk
+    val yBarK = col("_pos").cast("double") / nk
+    val relTerm = nk * (pBarK - yBarK) * (pBarK - yBarK)
+    val resTerm = nk * (yBarK - yBar) * (yBarK - yBar)
+    val terms = binned.crossJoin(tot)
+      .agg(sum(round(relTerm, 12).cast("decimal(28,12)")).as("_rel"),
+        sum(round(resTerm, 12).cast("decimal(28,12)")).as("_res"),
+        first(col("n")).as("n"), first(col("_tp")).as("_tp2x"),
+        first(col("_tsp2")).as("_tsp2x"), first(col("_tspy")).as("_tspyx"))
+    val n2 = col("n").cast("double")
+    val brier = (col("_tsp2x").cast("decimal(38,12)")
+      - lit(2).cast("decimal(38,12)") * col("_tspyx").cast("decimal(38,12)")
+      + col("_tp2x").cast("decimal(38,12)")).cast("double") / n2
+    val rel = col("_rel").cast("double") / n2
+    val res = col("_res").cast("double") / n2
+    val yB = col("_tp2x").cast("double") / n2
+    val unc = yB * (lit(1.0) - yB)
+    terms.select(col("n"), round(brier, 6).as("brier"),
+      round(rel, 6).as("reliability"), round(res, 6).as("resolution"),
+      round(unc, 6).as("uncertainty"),
+      round(brier - (rel - res + unc), 6).as("gap"))
+  }
+
   /** Isotonic (PAV) calibration of the classifier score: the
     * NON-DECREASING step function closest (weighted least squares) to
     * the per-bin positive rates of [[scoreCalibration]]'s reliability

@@ -970,6 +970,81 @@ object AnalyticsQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- x213: Brier decomposition -----------------------------------------
+    // Proper-scoring summary of the classifier's reliability table:
+    // exact fixed-point Brier, Murphy reliability/resolution terms
+    // round-12 decimal-summed over the bins, uncertainty, and the
+    // within-bin gap — see ops/TextAnalysis.brierDecomposition.
+    QueryDef(
+      "x213_brier",
+      (s, dir) =>
+        TextAnalysis.brierDecomposition(Tables.documents(s, dir),
+          dims = 64, bins = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, md5(tok) AS d FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |    FROM documents) t),
+              |b AS (SELECT doc_id,
+              |    ((${TextAnalysis.hexToIntSql("d", 8)} % 64) + 64) % 64
+              |      AS b FROM toks),
+              |w AS (SELECT doc_id,
+              |    (((b * 2654435761 % 2000001) + 2000001) % 2000001) - 1000000
+              |      AS w FROM b),
+              |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY doc_id),
+              |sc AS (SELECT doc_id,
+              |    round(1.0 / (1.0 + exp(-(CAST(
+              |      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              |        * ((2 * abs(s) + n_tokens) // (2 * n_tokens))
+              |      AS DOUBLE) / 1000000.0))), 6) AS prob FROM agg),
+              |lb AS (SELECT doc_id,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |j AS (SELECT LEAST(CAST(floor(prob * 10) AS BIGINT),
+              |      CAST(9 AS BIGINT)) AS bin,
+              |    CAST(prob AS DECIMAL(18,6)) AS p, pos
+              |  FROM sc JOIN lb USING (doc_id)),
+              |bn AS (SELECT bin, COUNT(*) AS n,
+              |    CAST(SUM(pos) AS BIGINT) AS pos, SUM(p) AS sp,
+              |    SUM(p * p) AS sp2,
+              |    SUM(CASE WHEN pos = 1 THEN p
+              |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS spy
+              |  FROM j GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+              |    CAST(SUM(pos) AS BIGINT) AS tp,
+              |    SUM(sp2) AS tsp2, SUM(spy) AS tspy FROM bn),
+              |terms AS (SELECT
+              |    SUM(CAST(round(CAST(bn.n AS DOUBLE)
+              |      * (CAST(bn.sp AS DOUBLE) / CAST(bn.n AS DOUBLE)
+              |        - CAST(bn.pos AS DOUBLE) / CAST(bn.n AS DOUBLE))
+              |      * (CAST(bn.sp AS DOUBLE) / CAST(bn.n AS DOUBLE)
+              |        - CAST(bn.pos AS DOUBLE) / CAST(bn.n AS DOUBLE)),
+              |      12) AS DECIMAL(28,12))) AS rel,
+              |    SUM(CAST(round(CAST(bn.n AS DOUBLE)
+              |      * (CAST(bn.pos AS DOUBLE) / CAST(bn.n AS DOUBLE)
+              |        - CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE))
+              |      * (CAST(bn.pos AS DOUBLE) / CAST(bn.n AS DOUBLE)
+              |        - CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE)),
+              |      12) AS DECIMAL(28,12))) AS res
+              |  FROM bn CROSS JOIN t)
+              |SELECT t.n,
+              |  round(CAST(t.tsp2 - 2 * t.tspy + t.tp AS DOUBLE)
+              |    / CAST(t.n AS DOUBLE), 6) AS brier,
+              |  round(CAST(terms.rel AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+              |    AS reliability,
+              |  round(CAST(terms.res AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+              |    AS resolution,
+              |  round((CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE))
+              |    * (1.0 - CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+              |    AS uncertainty,
+              |  round(CAST(t.tsp2 - 2 * t.tspy + t.tp AS DOUBLE)
+              |      / CAST(t.n AS DOUBLE)
+              |    - (CAST(terms.rel AS DOUBLE) / CAST(t.n AS DOUBLE)
+              |      - CAST(terms.res AS DOUBLE) / CAST(t.n AS DOUBLE)
+              |      + (CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE))
+              |        * (1.0 - CAST(t.tp AS DOUBLE) / CAST(t.n AS DOUBLE))),
+              |    6) AS gap
+              |FROM t CROSS JOIN terms""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

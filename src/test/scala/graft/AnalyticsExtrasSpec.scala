@@ -1322,6 +1322,51 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(f.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
   }
 
+  test("brierDecomposition: equals an independent JVM replay; gap " +
+      "(within-bin forecast variance) non-negative; identity holds") {
+    import graft.ops.TextAnalysis
+    val docs = frame(
+      "doc_id" -> (1L to 80L),
+      "text" -> (1L to 80L).map(i =>
+        s"alpha$i beta${i % 7} gamma${i % 11} delta${i % 3}"),
+      "lang" -> (1L to 80L).map(i => if (i % 4 == 0) "en" else "fr"))
+    val r = TextAnalysis.brierDecomposition(docs, dims = 64, bins = 10)
+      .collect()(0)
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // JVM replay over the scored docs
+    val scored = TextAnalysis.classifierScore(docs, 64, "text", "doc_id",
+        carry = Seq("lang"))
+      .select(col("prob"), (col("lang") === "en").cast("long").as("y"))
+      .collect().map(x => (BigDecimal(x.getDouble(0)), x.getLong(1)))
+    val n = scored.length
+    val brier = scored.map { case (p, y) =>
+      (p - BigDecimal(y)).pow(2) }.sum.toDouble / n
+    val tp = scored.map(_._2).sum
+    val yBar = tp.toDouble / n.toDouble
+    val byBin = scored.groupBy { case (p, _) =>
+      math.min((p * 10).toDouble.floor.toLong, 9L) }
+    val rel = byBin.values.map { g =>
+      val nk = g.length.toDouble
+      val d = g.map(_._1).sum.toDouble / nk - g.map(_._2).sum / nk
+      BigDecimal(nk * d * d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble / n
+    val res = byBin.values.map { g =>
+      val nk = g.length.toDouble
+      val d = g.map(_._2).sum / nk - yBar
+      BigDecimal(nk * d * d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble / n
+    val unc = yBar * (1.0 - yBar)
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getDouble(1) === r6(brier))
+    assert(r.getDouble(2) === r6(rel))
+    assert(r.getDouble(3) === r6(res))
+    assert(r.getDouble(4) === r6(unc))
+    // gap = within-bin forecast variance: always >= 0 (round-6 slack)
+    assert(r.getDouble(5) >= -1e-6)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
