@@ -44,6 +44,8 @@ object Bench {
     "x173_pq_recall", "x174_ivfpq_topk", "x195_silhouette",
     // iterative histogram-refinement selections (3-4 collect barriers)
     "x192_exact_median", "x197_weighted_median",
+    // HITS: 3 materialized normalization rounds (pageRank shape)
+    "x210_hits",
     // PageRank: 5 materialized iteration barriers over the edge list
     "x141_pagerank")
 
