@@ -71,6 +71,8 @@ class PlanSpec extends SparkSuite {
     "x206_decision_stump", // broadcast ONE-ROW totals onto the candidate table (x57 pattern)
     "x207_ppmi_pairs", // broadcast ONE-ROW pair total onto the pair table (x132 pattern)
     "x208_kmv_join_est", // one-row estimate/exact frames crossJoined (x57 pattern, all bounded)
+    "x211_cuped", // broadcast ONE-ROW pooled-moment frame onto <= |variants| rows (x57 pattern)
+    "x213_brier", // broadcast ONE-ROW totals onto <= bins rows (x57 pattern)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
