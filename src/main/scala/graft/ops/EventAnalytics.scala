@@ -603,6 +603,72 @@ object EventAnalytics {
     * bounded by the day span (the x153 span-bounded posture), and the
     * fold is linear in it.
     */
+  /** STL-lite decomposition of daily event counts: a centered 7-day
+    * moving-average TREND over the dense grid, weekday SEASONAL
+    * indices from the detrended series, and Hyndman's seasonal
+    * STRENGTH F_s = SSB/SST of the detrended values grouped by
+    * weekday (a one-way ANOVA by dow — the [[graft.ops.Stats.anovaF]]
+    * machinery). One row per (type, dow) over trend-covered days:
+    * `(event_type, dow, n_days, seasonal_idx, seasonal_strength)`
+    * (strength repeated per type), round 6.
+    *
+    * Exactness: the trend denominator is cleared — detrended values
+    * are kept ×7 as exact integers `7y − Σ₇y` — so every moment is
+    * DECIMAL(38,0); each seasonal index is ONE division, and the
+    * strength follows anovaF's pinned fold (sorted ≤7-entry list,
+    * double terms) with the same list_reduce oracle parity. The ×7
+    * scaling cancels in SSB/SST.
+    *
+    * Scale: one (type, day) count reduce; the ±3-day window runs on
+    * the span-bounded grid partitioned by type; everything after is
+    * ≤ 7 rows per type.
+    */
+  def stlDecompose(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+    val grid = span
+      .select(col("event_type"),
+        explode(sequence(col("_d0"), col("_d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val detr = grid
+      .withColumn("_s7", sum(col("y")).over(w7))
+      .withColumn("_c7", count(lit(1)).over(w7))
+      .filter(col("_c7") === 7)
+      .select(col("event_type"), (col("day") % 7).as("dow"),
+        (lit(7L) * col("y") - col("_s7")).as("_d7"))
+    val perDow = detr.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(d38(col("_d7"))).as("_sw"),
+        sum(d38(col("_d7")) * d38(col("_d7"))).as("_qw"))
+    val perType = perDow.groupBy(col("event_type"))
+      .agg(sum(col("n_days")).as("_n"), sum(col("_sw")).as("_s"),
+        sum(col("_qw")).as("_q"),
+        aggregate(
+          array_sort(collect_list(struct(col("dow"), col("_sw"),
+            col("n_days")))),
+          lit(0.0),
+          (acc, x) => acc +
+            (x.getField("_sw") * x.getField("_sw")).cast("double") /
+              x.getField("n_days").cast("double")).as("_a2"))
+    val meanTerm = (col("_s") * col("_s")).cast("double") /
+      col("_n").cast("double")
+    val sst = col("_q").cast("double") - meanTerm
+    val ssb = col("_a2") - meanTerm
+    perDow.join(broadcast(perType), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("_sw").cast("double") /
+          (lit(7L) * col("n_days")).cast("double"), 6).as("seasonal_idx"),
+        when(sst > 0.0, round(ssb / sst, 6)).as("seasonal_strength"))
+  }
+
   /** Holt-Winters ADDITIVE seasonal smoothing of daily event counts —
     * [[holtDaily]] plus a `period`-slot seasonal component, the
     * level+trend+weekday model a traffic series actually needs. Runs

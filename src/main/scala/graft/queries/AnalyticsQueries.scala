@@ -1045,6 +1045,59 @@ object AnalyticsQueries {
               |    6) AS gap
               |FROM t CROSS JOIN terms""".stripMargin)),
 
+    // ---- x214: STL-lite seasonal decomposition -----------------------------
+    // Centered 7-day MA trend on the dense grid, weekday seasonal
+    // indices of the x7-scaled integer detrended series, Hyndman
+    // seasonal strength via the anovaF fold — see
+    // ops/EventAnalytics.stlDecompose.
+    QueryDef(
+      "x214_stl",
+      (s, dir) =>
+        EventAnalytics.stlDecompose(Tables.events(s, dir))
+          .orderBy(col("event_type"), col("dow")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |grid AS (SELECT g.event_type, g.day, COALESCE(d.cnt, 0) AS y
+             |  FROM (SELECT event_type,
+             |      unnest(generate_series(d0, d1)) AS day FROM span) g
+             |  LEFT JOIN daily d USING (event_type, day)),
+             |tr AS (SELECT event_type, day, y,
+             |    SUM(y) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+             |  FROM grid),
+             |dt AS (SELECT event_type, day % 7 AS dow,
+             |    CAST(7 * y - s7 AS BIGINT) AS d7
+             |  FROM tr WHERE c7 = 7),
+             |pd AS (SELECT event_type, dow, COUNT(*) AS n_days,
+             |    CAST(SUM(CAST(d7 AS HUGEINT)) AS HUGEINT) AS sw,
+             |    CAST(SUM(CAST(d7 AS HUGEINT) * d7) AS HUGEINT) AS qw
+             |  FROM dt GROUP BY 1, 2),
+             |pt AS (SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS n,
+             |    CAST(SUM(sw) AS HUGEINT) AS s,
+             |    CAST(SUM(qw) AS HUGEINT) AS q,
+             |    list_reduce(
+             |      list(CAST(sw * sw AS DOUBLE) / CAST(n_days AS DOUBLE)
+             |        ORDER BY dow), (x, y) -> x + y) AS a2
+             |  FROM pd GROUP BY 1)
+             |SELECT pd.event_type, pd.dow, pd.n_days,
+             |  round(CAST(pd.sw AS DOUBLE)
+             |    / CAST(7 * pd.n_days AS DOUBLE), 6) AS seasonal_idx,
+             |  CASE WHEN CAST(pt.q AS DOUBLE)
+             |      - CAST(pt.s * pt.s AS DOUBLE) / CAST(pt.n AS DOUBLE)
+             |      > 0 THEN
+             |    round((pt.a2 - CAST(pt.s * pt.s AS DOUBLE)
+             |        / CAST(pt.n AS DOUBLE))
+             |      / (CAST(pt.q AS DOUBLE)
+             |        - CAST(pt.s * pt.s AS DOUBLE) / CAST(pt.n AS DOUBLE)),
+             |      6) END AS seasonal_strength
+             |FROM pd JOIN pt USING (event_type)
+             |ORDER BY pd.event_type, pd.dow""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1367,6 +1367,35 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
   }
 
+  test("stlDecompose: perfect weekly cycle gives exact indices and " +
+      "strength 1; constant series gives zero indices and NULL strength") {
+    def ev(tp: String, counts: Seq[Long]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (1L to c).map(_ => (tp, day(d.toLong))) }
+    // A: y(d) = (d % 7) + 1 over 21 days -> any 7-day mean = 4, so
+    // seasonal_idx(dow) = dow - 3 exactly and SSW = 0 -> strength 1
+    val a = ev("A", (0 until 21).map(d => (d % 7 + 1).toLong))
+    // B: constant 2 over 10 days -> detrended all 0
+    val b = ev("B", Seq.fill(10)(2L))
+    val all = a ++ b
+    val df = frame("event_type" -> all.map(_._1),
+      "ts_ns" -> all.map(_._2))
+    val out = graft.ops.EventAnalytics.stlDecompose(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    for (w <- 0L to 6L) {
+      val r = out(("A", w))
+      assert(r.getDouble(3) === (w - 3).toDouble,
+        s"dow $w index diverges")
+      assert(r.getDouble(4) === 1.0)
+    }
+    for (w <- 0L to 6L if out.contains(("B", w))) {
+      val r = out(("B", w))
+      assert(r.getDouble(3) === 0.0)
+      assert(r.isNullAt(4)) // SST = 0
+    }
+    assert((0L to 6L).count(w => out.contains(("B", w))) >= 1)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
