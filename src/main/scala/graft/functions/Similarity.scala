@@ -552,6 +552,83 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): pick `k` results per query that are RELEVANT but not
+    * redundant — step 1 takes the top match, each later step the
+    * candidate maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`
+    * over the already-selected set S. Returns
+    * `(query_id, rk, neighbor_id, mmr)` (round 6).
+    *
+    * Determinism: relevance and pairwise sims are the round-6 cosine
+    * tables, and the MMR combination runs in EXACT DECIMAL arithmetic
+    * (λ·sim − (1−λ)·maxSim over 6-dp decimals is an exact 7-dp
+    * decimal — a double product would land on the round-6 half edge
+    * for ~every value, the x130 divide-then-round lesson); the greedy
+    * argmax breaks ties on neighbor_id — pinned on both engines (the
+    * oracle unrolls the k steps as generated DECIMAL CTEs).
+    *
+    * Scale: the candidate pool is [[bruteForceTopK]]'s per-query
+    * top-`poolSize` (swap in the IVF path at scale); pairwise sims
+    * join the ≤poolSize pool with itself per query; the greedy loop
+    * runs DRIVER-side on the collected ≤|queries|·poolSize² rows —
+    * the bounded-query-audit posture (x10/x66), not a corpus pass.
+    */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      poolSize: Int = 10, lambda: Double = 0.7,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= poolSize,
+      s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    val pool = bruteForceTopK(queries, candidates, poolSize, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val withE = pool.join(
+      candidates.select(col(idCol).as("neighbor_id"),
+        col(embCol).cast("array<double>").as("_e")),
+      "neighbor_id")
+    val a = withE.select(col("query_id"), col("neighbor_id").as("_na"),
+      col("_e").as("_ea"))
+    val b = withE.select(col("query_id"), col("neighbor_id").as("_nb"),
+      col("_e").as("_eb"))
+    val pairSims = a.join(b, Seq("query_id"))
+      .filter(col("_na") < col("_nb"))
+      .select(col("query_id"), col("_na"), col("_nb"),
+        round(cosine(col("_ea"), col("_eb")), 6).as("_ps"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    // exact decimals: the 6-dp doubles convert via shortest-repr to
+    // their exact decimal values, and λ/(1−λ) are exact 1-dp decimals
+    val lamBD = BigDecimal(lambda)
+    val invBD = BigDecimal(1) - lamBD
+    def ps(q: Long, x: Long, y: Long): BigDecimal =
+      BigDecimal(if (x < y) pairSims((q, x, y)) else pairSims((q, y, x)))
+    val byQuery = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val out = byQuery.toSeq.flatMap { case (q, cands0) =>
+      val cands = cands0.map(c => (c._2, BigDecimal(c._3)))
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, BigDecimal)]
+      var remaining = cands.toList
+      for (step <- 1 to math.min(k, cands.length)) {
+        val scored = remaining.map { case (id, sim) =>
+          val score = if (sel.isEmpty) lamBD * sim
+            else lamBD * sim - invBD * sel.map(s => ps(q, id, s._1)).max
+          (id, score)
+        }
+        val best = scored.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a }
+        sel += ((best._1, best._2))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      sel.zipWithIndex.map { case ((id, sc), i) =>
+        (q, (i + 1).toLong, id,
+          sc.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.sortBy(t => (t._1, t._2))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    out.toDF("query_id", "rk", "neighbor_id", "mmr")
+  }
+
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol), col(embCol).cast("array<double>").as("e"))

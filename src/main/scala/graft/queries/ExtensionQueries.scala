@@ -2278,6 +2278,83 @@ object ExtensionQueries {
              |  ON z.query_id = e.query_id AND z.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin)),
 
+    // ---- x215: MMR diverse retrieval ---------------------------------------
+    // Maximal-marginal-relevance re-ranking of the brute-force pool
+    // (lambda = 0.7, k = 3 greedy steps, pool 8); the oracle unrolls
+    // the greedy argmax step by step over the same round-6 sim
+    // tables — see functions/Similarity.mmrTopK.
+    QueryDef(
+      "x215_mmr_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.mmrTopK(emb.filter(col("vec_id") < 6), emb, k = 3,
+          poolSize = 8, lambda = 0.7)
+      },
+      Some {
+        val steps = (2 to 3).map { i =>
+          s"""cand$i AS (SELECT c.query_id, c.nid, c.sim FROM pool c
+             |  LEFT JOIN sel${i - 1} x ON x.query_id = c.query_id
+             |    AND x.nid = c.nid
+             |  WHERE x.nid IS NULL),
+             |mx$i AS (SELECT c.query_id, c.nid, MAX(ps.ps) AS m
+             |  FROM cand$i c JOIN sel${i - 1} s
+             |    ON s.query_id = c.query_id
+             |  JOIN psim ps ON ps.query_id = c.query_id
+             |    AND ps.na = least(c.nid, s.nid)
+             |    AND ps.nb = greatest(c.nid, s.nid)
+             |  GROUP BY 1, 2),
+             |s$i AS (SELECT query_id, nid, mmr FROM (
+             |  SELECT m.query_id, m.nid,
+             |    CAST(0.7 AS DECIMAL(2,1)) * c.sim
+             |      - CAST(0.3 AS DECIMAL(2,1)) * m.m AS mmr,
+             |    ROW_NUMBER() OVER (PARTITION BY m.query_id
+             |      ORDER BY CAST(0.7 AS DECIMAL(2,1)) * c.sim
+             |        - CAST(0.3 AS DECIMAL(2,1)) * m.m DESC, m.nid) AS rk
+             |  FROM mx$i m JOIN pool c ON c.query_id = m.query_id
+             |    AND c.nid = m.nid) t
+             |  WHERE rk = 1),
+             |sel$i AS (SELECT query_id, nid FROM sel${i - 1}
+             |  UNION ALL SELECT query_id, nid FROM s$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+           |  FROM embeddings),
+           |sims AS (SELECT q.vec_id AS query_id, c.vec_id AS nid,
+           |    round(list_dot_product(q.e, c.e)
+           |      / sqrt(list_dot_product(q.e, q.e)
+           |        * list_dot_product(c.e, c.e)), 6) AS sim
+           |  FROM v q CROSS JOIN v c
+           |  WHERE q.vec_id < 6 AND q.vec_id <> c.vec_id),
+           |pool AS (SELECT query_id, nid,
+           |    CAST(sim AS DECIMAL(18,6)) AS sim FROM (
+           |  SELECT query_id, nid, sim, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY sim DESC, nid) AS rk
+           |  FROM sims) t WHERE rk <= 8),
+           |pe AS (SELECT p.query_id, p.nid, v.e FROM pool p
+           |  JOIN v ON v.vec_id = p.nid),
+           |psim AS (SELECT a.query_id, a.nid AS na, b.nid AS nb,
+           |    CAST(round(list_dot_product(a.e, b.e)
+           |      / sqrt(list_dot_product(a.e, a.e)
+           |        * list_dot_product(b.e, b.e)), 6) AS DECIMAL(18,6))
+           |      AS ps
+           |  FROM pe a JOIN pe b ON a.query_id = b.query_id
+           |    AND a.nid < b.nid),
+           |s1 AS (SELECT query_id, nid,
+           |    CAST(0.7 AS DECIMAL(2,1)) * sim AS mmr FROM (
+           |  SELECT query_id, nid, sim, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY sim DESC, nid) AS rk
+           |  FROM pool) t WHERE rk = 1),
+           |sel1 AS (SELECT query_id, nid FROM s1),
+           |$steps
+           |SELECT query_id, CAST(1 AS BIGINT) AS rk,
+           |  nid AS neighbor_id,
+           |  CAST(round(mmr, 6) AS DOUBLE) AS mmr FROM s1
+           |UNION ALL SELECT query_id, CAST(2 AS BIGINT), nid,
+           |  CAST(round(mmr, 6) AS DOUBLE) FROM s2
+           |UNION ALL SELECT query_id, CAST(3 AS BIGINT), nid,
+           |  CAST(round(mmr, 6) AS DOUBLE) FROM s3
+           |ORDER BY query_id, rk""".stripMargin
+      }),
+
     // ---- x69: split-leakage audit -----------------------------------------
     // The MLOps check after x33's split and x03's near-dup machinery
     // compose: Jaccard-VERIFIED near-dup pairs whose endpoints straddle

@@ -1396,6 +1396,27 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert((0L to 6L).count(w => out.contains(("B", w))) >= 1)
   }
 
+  test("mmrTopK: diversity beats redundancy at low lambda; hand-exact " +
+      "decimal scores; redundant twin demoted to last") {
+    import graft.functions.Similarity
+    // q=(1,1); A=(1,1) twin A'=(2,2) (both sim 1); B=(1,0) diverse
+    // (sim 0.707107). lambda=0.3: step2 B (-0.282843) beats A' (-0.4)
+    val vecs = Seq(1L -> Seq(1.0, 1.0), 2L -> Seq(1.0, 1.0),
+      3L -> Seq(2.0, 2.0), 4L -> Seq(1.0, 0.0))
+    val df = frame("vec_id" -> vecs.map(_._1),
+      "embedding" -> vecs.map(_._2))
+    val out = Similarity.mmrTopK(df.filter(col("vec_id") === 1L), df,
+      k = 3, poolSize = 3, lambda = 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 2L, 0.3), (2L, 4L, -0.282843),
+      (3L, 3L, -0.4)))
+    // high lambda keeps the redundant twin second (relevance wins)
+    val rel = Similarity.mmrTopK(df.filter(col("vec_id") === 1L), df,
+      k = 2, poolSize = 3, lambda = 0.9)
+      .collect().map(r => r.getLong(2))
+    assert(rel.toSeq === Seq(2L, 3L))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
