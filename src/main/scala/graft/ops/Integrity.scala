@@ -137,4 +137,41 @@ object Integrity {
         round(col("n_rows_failing").cast("double") /
           col("n_rows").cast("double"), 6).as("failing_rate"))
   }
+
+  /** ε-differentially-private release of group counts via the Laplace
+    * mechanism (Dwork et al. 2006; sensitivity 1 for counting
+    * queries): `noisy = n + Lap(1/ε)` per group, with the noise drawn
+    * by inverse-CDF from an md5-derived uniform — a DETERMINISTIC
+    * stand-in for the secure RNG (the Multimodal stub convention: the
+    * plumbing — scale, inverse CDF, per-group draw — is real and
+    * oracle-replayable; production swaps the uniform for
+    * SecureRandom, since reproducible noise is not private). Returns
+    * `(group, n_exact, noise, noisy_n, epsilon)` round 6 — n_exact
+    * rides along as the calibration audit (kmv convention; a real
+    * release drops it).
+    *
+    * Scale: one map-side-combined group reduce; one md5 + one ln per
+    * GROUP (not per row).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(epsilon > 0, s"need epsilon > 0, got $epsilon")
+    val counts = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n_exact"))
+    // u in (0,1): (hv + 0.5) / 2^32 — never exactly 0, 1/2, or 1
+    val u = (expr(graft.ops.TextAnalysis.hexToIntSql("_d", 8))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val centered = col("_u") - lit(0.5)
+    val noise = (lit(-1.0) / lit(epsilon)) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    counts
+      .withColumn("_d", md5(concat(lit(s"$salt:"), col("group"))))
+      .withColumn("_u", u)
+      .withColumn("_noise", noise)
+      .select(col("group"), col("n_exact"),
+        round(col("_noise"), 6).as("noise"),
+        round(col("n_exact").cast("double") + col("_noise"), 6)
+          .as("noisy_n"),
+        lit(epsilon).as("epsilon"))
+  }
 }

@@ -1098,6 +1098,31 @@ object AnalyticsQueries {
              |FROM pd JOIN pt USING (event_type)
              |ORDER BY pd.event_type, pd.dow""".stripMargin)),
 
+    // ---- x216: DP noisy group counts ---------------------------------------
+    // Laplace mechanism over per-source document counts (epsilon = 1;
+    // deterministic md5 uniform standing in for the secure RNG) —
+    // see ops/Integrity.dpNoisyCounts.
+    QueryDef(
+      "x216_dp_counts",
+      (s, dir) =>
+        Integrity.dpNoisyCounts(Tables.documents(s, dir), "source",
+          epsilon = 1.0)
+          .orderBy(col("group")),
+      Some(s"""WITH c AS (SELECT CAST(source AS VARCHAR) AS grp,
+              |    COUNT(*) AS n_exact FROM documents GROUP BY 1),
+              |h AS (SELECT grp, n_exact, md5('dp:' || grp) AS d FROM c),
+              |u AS (SELECT grp, n_exact,
+              |    (CAST(${TextAnalysis.hexToIntSql("d", 8)} AS DOUBLE)
+              |      + 0.5) / 4294967296.0 AS u FROM h)
+              |SELECT grp AS "group", n_exact,
+              |  round((-1.0 / 1.0) * sign(u - 0.5)
+              |    * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise,
+              |  round(CAST(n_exact AS DOUBLE)
+              |    + (-1.0 / 1.0) * sign(u - 0.5)
+              |      * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n,
+              |  1.0 AS epsilon
+              |FROM u ORDER BY grp""".stripMargin)),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1417,6 +1417,40 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(rel.toSeq === Seq(2L, 3L))
   }
 
+  test("dpNoisyCounts: bitwise JVM replay of the Laplace draw; " +
+      "noisy - exact == noise; scale shrinks with epsilon") {
+    import graft.ops.Integrity
+    val df = frame("g" -> Seq("a", "a", "a", "b", "b", "c"),
+      "x" -> Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val out = Integrity.dpNoisyCounts(df, "g", epsilon = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def noiseOf(g: String, eps: Double): Double = {
+      val hex = md.digest(s"dp:$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val hv = java.lang.Long.parseLong(hex.take(8), 16)
+      val u = (hv.toDouble + 0.5) / 4294967296.0
+      (-1.0 / eps) * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    val counts = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    for ((g, n) <- counts) {
+      val (ne, noise, noisy) = out(g)
+      assert(ne === n)
+      assert(noise === r6(noiseOf(g, 1.0)))
+      assert(noisy === r6(n.toDouble + noiseOf(g, 1.0)))
+    }
+    // tighter privacy budget -> proportionally larger noise
+    val wide = Integrity.dpNoisyCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (g <- counts.keys)
+      assert(wide(g) === r6(noiseOf(g, 0.5)))
+    assert(math.abs(wide("a")) > math.abs(out("a")._2))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
