@@ -127,6 +127,70 @@ object Graphs {
        |$steps""".stripMargin
   }
 
+  /** k-core peeling over an UNDIRECTED edge list (rows (a, b), a < b,
+    * the coPairs contract): each round removes every node whose
+    * degree in the SURVIVING graph is < k, plus its edges; after
+    * `rounds` peels the remaining graph is (at most `rounds` steps
+    * from) the k-core — the standard dense-subgraph / spam-cluster
+    * primitive. Returns one row per round:
+    * `(round, n_nodes, n_edges)` with round 0 = the input graph, plus
+    * `converged` on every row (true when the LAST round removed
+    * nothing — the fixed-round posture keeps the oracle replayable;
+    * rounds is a parameter, not a data-dependent loop).
+    *
+    * Scale: per round one degree reduce + two hash semi-joins on the
+    * materialized surviving edge list (the pageRank lineage-cut
+    * rationale); counts are bounded collects.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val spark = edges.sparkSession
+    var e = Checkpoints.materialize(
+      edges.select(col("part_a").as("a"), col("part_b").as("b")).distinct())
+    def stats(ed: DataFrame): (Long, Long) = {
+      val nodes = ed.select(col("a").as("node"))
+        .union(ed.select(col("b").as("node"))).distinct().count()
+      (nodes, ed.count())
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val s0 = stats(e)
+    out += ((0L, s0._1, s0._2))
+    for (r <- 1 to rounds) {
+      val live = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k)
+        .select(col("node"))
+      e = Checkpoints.materialize(
+        e.join(live.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(live.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+      val s = stats(e)
+      out += ((r.toLong, s._1, s._2))
+    }
+    val converged = out(out.length - 1)._3 == out(out.length - 2)._3 &&
+      out(out.length - 1)._2 == out(out.length - 2)._2
+    import spark.implicits._
+    out.toSeq.map(t => (t._1, t._2, t._3, converged))
+      .toDF("round", "n_nodes", "n_edges", "converged")
+  }
+
+  /** Generated oracle CTEs replaying [[kCore]] (assumes a `p2(pa, pb)`
+    * distinct undirected edge CTE upstream; yields e0..e$rounds). */
+  def kCoreCtes(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node FROM (SELECT pa AS node FROM e${r - 1}
+         |    UNION ALL SELECT pb FROM e${r - 1})
+         |  GROUP BY 1 HAVING COUNT(*) >= $k),
+         |e$r AS MATERIALIZED (SELECT e.pa, e.pb FROM e${r - 1} e
+         |  JOIN d$r x ON x.node = e.pa JOIN d$r y ON y.node = e.pb)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (SELECT pa, pb FROM p2),
+       |$steps""".stripMargin
+  }
+
   /** Triangle census of an UNDIRECTED edge list (rows (a, b), a < b,
     * already deduplicated — Baskets.coPairs' contract). Returns ONE row:
     * `n_nodes, n_edges, n_wedges, n_triangles, global_clustering` where

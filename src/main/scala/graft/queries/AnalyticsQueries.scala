@@ -1123,6 +1123,41 @@ object AnalyticsQueries {
               |  1.0 AS epsilon
               |FROM u ORDER BY grp""".stripMargin)),
 
+    // ---- x217: k-core peeling ----------------------------------------------
+    // 4 rounds of k=4 degree peeling over the co-purchase graph
+    // (x141's edge list); per-round survivor counts + convergence —
+    // see ops/Graphs.kCore.
+    QueryDef(
+      "x217_kcore",
+      (s, dir) =>
+        graft.ops.Graphs.kCore(
+          Baskets.coPairs(Tables.lineitem(s, dir), minSupport = 2)
+            .select(col("part_a"), col("part_b")),
+          k = 4, rounds = 4)
+          .orderBy(col("round")),
+      Some {
+        val rows = (0 to 4).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  (SELECT COUNT(*) FROM (SELECT pa AS n FROM e$r
+             |    UNION SELECT pb FROM e$r) t) AS n_nodes,
+             |  (SELECT COUNT(*) FROM e$r) AS n_edges,
+             |  ((SELECT COUNT(*) FROM e4) = (SELECT COUNT(*) FROM e3)
+             |    AND (SELECT COUNT(*) FROM (SELECT pa AS n FROM e4
+             |      UNION SELECT pb FROM e4) t2)
+             |    = (SELECT COUNT(*) FROM (SELECT pa AS n FROM e3
+             |      UNION SELECT pb FROM e3) t3)) AS converged"""
+            .stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+           |    l_partkey AS pk FROM lineitem),
+           |p2 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+           |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |${graft.ops.Graphs.kCoreCtes(4, 4)}
+           |$rows
+           |ORDER BY round""".stripMargin
+      }),
+
     // ---- x138: top event paths (3-grams) ----------------------------------
     QueryDef(
       "x138_event_paths",

@@ -1451,6 +1451,28 @@ class AnalyticsExtrasSpec extends SparkSuite {
     assert(math.abs(wide("a")) > math.abs(out("a")._2))
   }
 
+  test("kCore: tail peels off a triangle and converges; a chain " +
+      "dissolves to the empty 2-core") {
+    import graft.ops.Graphs
+    // triangle 1-2-3 with tail 3-4: round 1 removes node 4 (deg 1),
+    // the triangle is the stable 2-core
+    val tri = frame("part_a" -> Seq(1L, 1L, 2L, 3L),
+      "part_b" -> Seq(2L, 3L, 3L, 4L))
+    val out = Graphs.kCore(tri, k = 2, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq((0L, 4L, 4L, true), (1L, 3L, 3L, true),
+      (2L, 3L, 3L, true)))
+    // path 1-2-3-4: endpoints peel, then the middle edge, then empty
+    val chain = frame("part_a" -> Seq(1L, 2L, 3L),
+      "part_b" -> Seq(2L, 3L, 4L))
+    val c = Graphs.kCore(chain, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(c.toSeq === Seq((0L, 4L, 3L, true), (1L, 2L, 1L, true),
+      (2L, 0L, 0L, true), (3L, 0L, 0L, true)))
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
