@@ -73,6 +73,7 @@ class PlanSpec extends SparkSuite {
     "x208_kmv_join_est", // one-row estimate/exact frames crossJoined (x57 pattern, all bounded)
     "x211_cuped", // broadcast ONE-ROW pooled-moment frame onto <= |variants| rows (x57 pattern)
     "x213_brier", // broadcast ONE-ROW totals onto <= bins rows (x57 pattern)
+    "x215_mmr_topk", // broadcasts the fixed query set (x10's brute-force pool shape)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
