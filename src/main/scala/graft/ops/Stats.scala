@@ -700,6 +700,10 @@ object Stats {
       col("cl").as("left_n"), col("pl").as("left_pos"),
       (col("tn") - col("cl")).as("right_n"),
       (col("tp") - col("pl")).as("right_pos"))
+      // a single-valued feature has NO candidate split: emit ZERO rows
+      // (the min(struct) over the empty candidate set is one all-NULL
+      // row, which the SQL form's empty `best` never produces)
+      .filter(col("threshold").isNotNull)
   }
 
   /** Cramér's V effect size for the association between two

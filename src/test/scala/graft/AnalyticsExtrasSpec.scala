@@ -1171,6 +1171,10 @@ class AnalyticsExtrasSpec extends SparkSuite {
     val pure = frame("v" -> Seq(5L, 7L, 9L), "y" -> Seq(true, true, true))
     val u = Stats.decisionStump(pure, col("v"), col("y")).collect()(0)
     assert(u.getLong(2) === 5L && u.getDouble(4) === 0.0)
+    // a single-valued feature has no candidate split: ZERO rows (the
+    // SQL twin's empty-best behavior, not an all-NULL row)
+    val flat = frame("v" -> Seq(3L, 3L, 3L), "y" -> Seq(true, false, true))
+    assert(Stats.decisionStump(flat, col("v"), col("y")).count() === 0L)
   }
 
   test("ppmiTopPairs: hand-computed collocations, window-2 reach, " +
