@@ -45,20 +45,40 @@ object CoreQueries {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            // TIGHT operand precisions so the 3-factor product stays
+            // within 38 digits EXACTLY: (12,2)x(5,2)x(5,2) -> (24,6).
+            // With dec()'s (18,2) the product precision overflows 38
+            // and Spark's allowPrecisionLoss rounds PER ROW — invisible
+            // at sf0.1, a last-ulp sum divergence at sf1.
+            // round the exact decimal to 2dp BEFORE the double cast:
+            // at sf1 magnitudes the scale-6 unscaled value exceeds
+            // 2^53 and DuckDB's decimal->double cast double-rounds
+            // (integer-to-double then /10^scale) while Spark's is a
+            // single correctly-rounded conversion — at 2dp both casts
+            // are exact
+            round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(4, 2)))), 2)
               .cast(DoubleType).as("sum_disc_price"),
-            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-              * (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            round(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(4, 2))) *
+              (lit(1) + col("l_tax").cast(DecimalType(4, 2)))), 2)
+              .cast(DoubleType).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_extendedprice")).as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
+      // TIGHT decimal operand widths in BOTH engines: with (18,2)
+      // operands the 3-factor product exceeds 38 digits and DuckDB
+      // silently degrades the multiplication to DOUBLE (per-row float
+      // rounding — a last-ulp sum divergence that only surfaced at
+      // sf1), while Spark's allowPrecisionLoss rounds the decimal.
+      // (12,2)x(5,2)x(5,2) -> (24,6) stays exact everywhere.
       Some("""SELECT l_returnflag, l_linestatus,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+             |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
              |  COUNT(*) AS count_order
