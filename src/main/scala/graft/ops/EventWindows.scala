@@ -83,6 +83,46 @@ object EventWindows {
         (max(col("sec")) - min(col("sec"))).as("duration_s"))
   }
 
+  /** Session flow matrix over [[sessions]]: per (entry_type,
+    * exit_type) pair — the first and last event of each session under
+    * the (ts, event_id) total order — session count, bounce count
+    * (single-event sessions), bounce rate and mean session length.
+    * The landing→exit Sankey feed with the bounce-rate diagnostic.
+    *
+    * Scale: shares the sessionizer's ONE user_id exchange (entry/exit
+    * ride the session aggregate as min/max over (ts, id, type)
+    * structs — no extra window pass); the flow aggregate is map-side
+    * combinable on ≤ |types|² keys.
+    */
+  def sessionFlows(events: DataFrame, gapSec: Long): DataFrame = {
+    val sec = epochSec
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("sec", sec)
+      .withColumn("new_sess",
+        when(col("sec") - lag(col("sec"), 1).over(w) > gapSec, 1)
+          .when(lag(col("sec"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts_ns"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts_ns"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"),
+        round(sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("bounce_rate"),
+        round(sum(col("n_events")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_events"))
+  }
+
   /** Per-user engagement rollup over [[sessions]]: session count, event
     * count, mean events/session and mean/max session duration (means
     * round 6). SHUFFLE-FREE on top of the sessionizer: the window, the

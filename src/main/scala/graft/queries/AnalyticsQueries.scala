@@ -1372,6 +1372,56 @@ object AnalyticsQueries {
              |  CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // ---- x218: session entry->exit flow matrix -----------------------------
+    // First/last event per 30-min session (x15's sessionizer, shared
+    // user exchange), bounce counts and rates per (entry, exit) pair
+    // — see ops/EventWindows.sessionFlows.
+    QueryDef(
+      "x218_session_flows",
+      (s, dir) =>
+        graft.ops.EventWindows.sessionFlows(Tables.events(s, dir),
+          gapSec = 1800)
+          .orderBy(col("entry_type"), col("exit_type")),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts)//1000000000 AS sec, epoch_ns(ts) AS ns
+             |  FROM events),
+             |m AS (SELECT *, CASE
+             |    WHEN sec - lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY ns, event_id) > 1800 THEN 1
+             |    WHEN lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY ns, event_id) IS NULL THEN 1
+             |    ELSE 0 END AS new_sess
+             |  FROM e),
+             |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY ns, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS session_id FROM m),
+             |fx AS (SELECT user_id, session_id, event_type,
+             |    FIRST_VALUE(event_type) OVER (
+             |      PARTITION BY user_id, session_id
+             |      ORDER BY ns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS entry_type,
+             |    LAST_VALUE(event_type) OVER (
+             |      PARTITION BY user_id, session_id
+             |      ORDER BY ns, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS exit_type
+             |  FROM s),
+             |g AS (SELECT user_id, session_id,
+             |    MAX(entry_type) AS entry_type, MAX(exit_type) AS exit_type,
+             |    COUNT(*) AS n_events
+             |  FROM fx GROUP BY 1, 2)
+             |SELECT entry_type, exit_type, COUNT(*) AS n_sessions,
+             |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_bounces,
+             |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+             |  round(CAST(SUM(n_events) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events
+             |FROM g GROUP BY 1, 2
+             |ORDER BY entry_type, exit_type""".stripMargin)),
+
     // ---- x145: per-variant conversion funnel ------------------------------
     // The funnel chain runs ONCE; variants derive from the surviving
     // user_ids at the count epilogue (variant is a pure function of

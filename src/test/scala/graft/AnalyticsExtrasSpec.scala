@@ -1477,6 +1477,23 @@ class AnalyticsExtrasSpec extends SparkSuite {
       (2L, 0L, 0L, true), (3L, 0L, 0L, true)))
   }
 
+  test("sessionFlows: entry/exit under the (ts, id) order, gap splits " +
+      "sessions, bounces counted, per-user isolation") {
+    val ev = frame(
+      "user_id" -> Seq(1L, 1L, 1L, 2L),
+      "event_type" -> Seq("view", "click", "purchase", "view"),
+      "ts_ns" -> Seq(sec(0), sec(10), sec(4000), sec(5)),
+      "event_id" -> Seq(1L, 2L, 3L, 4L))
+    val out = graft.ops.EventWindows.sessionFlows(ev, gapSec = 1800)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(("view", "click")) === ((1L, 0L, 0.0, 2.0)))
+    assert(out(("purchase", "purchase")) === ((1L, 1L, 1.0, 1.0)))
+    assert(out(("view", "view")) === ((1L, 1L, 1.0, 1.0)))
+    assert(out.size === 3)
+  }
+
   test("shapleyAttribution: hand 2-channel game; efficiency axiom") {
     // u1: set {a}, converts; u2: set {b}, does not -> v(a)=1, v(b)=0,
     // v(ab)=v(empty)=0 (absent). phi_a = (1*(v(a)-v(0)) +
