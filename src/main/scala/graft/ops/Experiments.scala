@@ -180,4 +180,134 @@ object Experiments {
       when(varX =!= 0.0 && varY =!= 0.0,
         round(covXY * covXY / (varX * varY), 6)).as("var_reduction"))
   }
+
+  /** Wald SPRT audit per variant: replay the experiment's users in
+    * arrival order (first event, tie user_id) and report where the
+    * sequential log-likelihood ratio for H1: rate = p1 vs H0: rate = p0
+    * first crosses the Wald boundaries ln((1-beta)/alpha) /
+    * ln(beta/(1-alpha)) — the "could we have stopped early, and which
+    * way" readout a sequential-testing culture runs next to the fixed-
+    * horizon z-test (x131).
+    *
+    * Determinism: a Bernoulli LLR takes only two per-user increments,
+    * ln(p1/p0) for a converter and ln((1-p1)/(1-p0)) otherwise; both are
+    * rounded to 12 and carried as DECIMAL(13,12), so the LLR after k
+    * users is EXACTLY c*la + (k-c)*lb — an integer-weighted sum of two
+    * pinned decimals, independent of summation order on both engines.
+    * Crossing tests compare decimals, so `first_cross_n` and `decision`
+    * are discrete-exact; only the reported `llr_end` is a final round-6
+    * double.
+    *
+    * Scale: ONE user_id shuffle to per-user rows, then the decomposed
+    * per-variant prefix sums of [[graft.ops.Ranking.withGroupPrefixSums]]
+    * (range partition + per-partition window + an O(partitions) offset
+    * broadcast) — never a single-task per-variant window.
+    */
+  def sprtAudit(events: DataFrame, convType: String = "purchase",
+      minValue: Double = 150.0, nVariants: Int = 3, salt: String = "exp1",
+      p0: Double = 0.04, p1: Double = 0.08,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct rates in (0,1), got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need error rates in (0,1), got alpha=$alpha beta=$beta")
+    val perUser = withVariant(
+      events.groupBy(col("user_id"))
+        .agg(min(col("ts_ns")).as("_entry"),
+          max(when(col("event_type") === convType &&
+            col("value") >= minValue, 1L).otherwise(0L)).as("conv")),
+      "user_id", nVariants, salt)
+    val pre = Ranking.withGroupPrefixSums(perUser, "variant",
+      Seq("_entry" -> true, "user_id" -> true), "conv",
+      rankCol = "k", prefixCol = "c")
+    val d1312 = (x: Column) => x.cast("decimal(13,12)")
+    val d12 = (x: Column) => x.cast("decimal(12,0)")
+    val la = d1312(round(log(lit(p1) / lit(p0)), 12))
+    val lb = d1312(round(log(lit(1.0 - p1) / lit(1.0 - p0)), 12))
+    val up = d1312(round(log(lit(1.0 - beta) / lit(alpha)), 12))
+    val lo = d1312(round(log(lit(beta) / lit(1.0 - alpha)), 12))
+    val llr = d12(col("c")) * la + d12(col("k") - col("c")) * lb
+    val rows = pre.select(col("variant"), col("k"), col("c"),
+      llr.as("_llr"), (llr >= up).as("_hi"), (llr <= lo).as("_lo"))
+    rows.groupBy(col("variant")).agg(
+        max(col("k")).as("n_users"),
+        max(col("c")).as("n_conv"),
+        max_by(col("_llr"), col("k")).as("_llrEnd"),
+        min(when(col("_hi") || col("_lo"), col("k"))).as("_kx"),
+        min(when(col("_hi"), col("k"))).as("_kh"))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        round(col("_llrEnd").cast("double"), 6).as("llr_end"),
+        coalesce(col("_kx"), lit(-1L)).as("first_cross_n"),
+        when(col("_kx").isNull, lit("continue"))
+          .when(col("_kh") <=> col("_kx"), lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+  }
+
+  /** Difference-in-differences readout on per-user purchase spend
+    * around the corpus midpoint day.
+    *
+    * Panel form: each user contributes pre = cents spent strictly
+    * before the split day and post = cents from the split day on (0
+    * when absent — the user universe is "has any event", so a user who
+    * only spends post still anchors a pre of 0). The per-user delta
+    * post−pre is an exact BIGINT of cents; DiD = mean(delta | treat) −
+    * mean(delta | control) with SE from the two arms' exact
+    * DECIMAL(38,0) moments — the standard two-sample panel-DiD
+    * estimator. Split day = floor((min_day + max_day + 1) / 2), integer
+    * arithmetic on a ONE-ROW broadcast bounds frame (x57 pattern).
+    *
+    * Scale: a 5-row bounds/day scan, ONE user_id shuffle with map-side
+    * combine, a 2-row arm rollup; the treat/control pivot is a
+    * conditional aggregate, not a join.
+    */
+  def diffInDiff(events: DataFrame, convType: String = "purchase",
+      salt: String = "did1"): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val bounds = broadcast(events
+      .select(day.as("_d"))
+      .agg(min(col("_d")).as("_dmin"), max(col("_d")).as("_dmax"))
+      .select(expr(
+        "((_dmin + _dmax + 1) div 2) + (CASE WHEN (_dmin + _dmax + 1) % 2 < 0 THEN -1 ELSE 0 END)")
+        .as("_split")))
+    val cents = when(col("event_type") === convType,
+      round(col("value") * 100).cast("bigint")).otherwise(0L)
+    val perUser = withVariant(
+      events.crossJoin(bounds)
+        .groupBy(col("user_id"))
+        .agg(sum(when(day < col("_split"), cents).otherwise(0L)).as("_pre"),
+          sum(when(day >= col("_split"), cents).otherwise(0L)).as("_post")),
+      "user_id", 2, salt)
+      .select(col("variant"), (col("_post") - col("_pre")).as("_delta"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val arms = perUser.groupBy(col("variant")).agg(
+      count(lit(1)).as("_n"),
+      sum(d38(col("_delta"))).as("_s"),
+      sum(d38(col("_delta")) * d38(col("_delta"))).as("_q"))
+    val cell = (v: Int, c: Column) => max(when(col("variant") === v, c))
+    val one = arms.agg(
+      cell(1, col("_n")).as("n_treat"), cell(0, col("_n")).as("n_ctrl"),
+      cell(1, col("_s")).as("_st"), cell(0, col("_s")).as("_sc"),
+      cell(1, col("_q")).as("_qt"), cell(0, col("_q")).as("_qc"))
+    val nT = col("n_treat").cast("double")
+    val nC = col("n_ctrl").cast("double")
+    // dollars; sample variance of the per-user delta per arm
+    val mT = col("_st").cast("double") / nT / lit(100.0)
+    val mC = col("_sc").cast("double") / nC / lit(100.0)
+    val vT = (col("_qt").cast("double") -
+      col("_st").cast("double") * col("_st").cast("double") / nT) /
+      (nT - lit(1.0)) / lit(10000.0)
+    val vC = (col("_qc").cast("double") -
+      col("_sc").cast("double") * col("_sc").cast("double") / nC) /
+      (nC - lit(1.0)) / lit(10000.0)
+    val se = sqrt(vT / nT + vC / nC)
+    // SE undefined below 2 users per arm (n-1 denominator) or at zero
+    // variance; NULL beats a planted Infinity/NaN in a readout table
+    val seOk = col("n_treat") > 1 && col("n_ctrl") > 1 && se =!= 0.0
+    one.select(col("n_treat"), col("n_ctrl"),
+      round(mT, 6).as("mean_delta_treat"),
+      round(mC, 6).as("mean_delta_ctrl"),
+      round(mT - mC, 6).as("did"),
+      when(seOk, round(se, 6)).as("se"),
+      when(seOk, round((mT - mC) / se, 6)).as("t_stat"))
+  }
 }

@@ -174,4 +174,43 @@ object Integrity {
           .as("noisy_n"),
         lit(epsilon).as("epsilon"))
   }
+
+  /** Approximate functional-dependency audit for `det -> dep`: the g3
+    * error (Kivinen–Mannila) — the minimum fraction of rows to delete
+    * so the dependency holds exactly, i.e. per determinant key keep the
+    * modal dependent value and count everything else as a violation.
+    * One row per audited pair: (rel, n_rows, n_keys, n_violating_keys,
+    * n_violations, g3_rate). A 0 rate certifies the FD (safe to
+    * normalize on it / use it as a partition invariant); small positive
+    * rates locate dirty keys.
+    *
+    * Determinism: counting only — every output is an exact integer
+    * except the final round-6 rate of two exact integers. The modal
+    * count per key is max(cnt) (value identity irrelevant, so no
+    * tie-break needed).
+    *
+    * Scale: ONE (det, dep) groupBy with map-side combine — the pair
+    * space, not the corpus, flows into the per-key max/sum reduce —
+    * then a ONE-ROW fold per audited pair. Pairs scan independently
+    * and union trivially (the fkLeg posture).
+    */
+  def fdAudit(rel: String, df: DataFrame, detCol: String,
+      depCol: String): DataFrame = {
+    val cells = df.groupBy(col(detCol).as("_a"), col(depCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val perKey = cells.groupBy(col("_a"))
+      .agg(sum(col("_c")).as("_tot"), max(col("_c")).as("_keep"))
+    perKey.agg(
+        coalesce(sum(col("_tot")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("_tot") > col("_keep"), 1L).otherwise(0L)),
+          lit(0L)).as("n_violating_keys"),
+        coalesce(sum(col("_tot") - col("_keep")), lit(0L))
+          .as("n_violations"))
+      .select(lit(rel).as("rel"), col("n_rows"), col("n_keys"),
+        col("n_violating_keys"), col("n_violations"),
+        when(col("n_rows") > 0,
+          round(col("n_violations").cast("double") /
+            col("n_rows").cast("double"), 6)).as("g3_rate"))
+  }
 }

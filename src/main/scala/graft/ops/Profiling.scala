@@ -151,4 +151,99 @@ object Profiling {
             col("_tr") =!= 0 && col("_tc") =!= 0,
           round((pr - pc) * log(pr / pc), 6)).as("psi_term"))
   }
+
+  /** Weight-of-evidence / information-value feature screen: bin
+    * `valueCol` into `bins` exact global quantile bins (rank-derived,
+    * never ntile-on-one-task) against the 0/1 `labelCol`, report per
+    * bin WOE = ln((good_b/G)/(bad_b/B)) and the feature's total IV =
+    * Σ (good_b/G − bad_b/B)·WOE_b — the standard credit-scoring screen
+    * for "does this feature separate the classes, monotonically where".
+    *
+    * Determinism: bins come from exact 64-bit rank arithmetic — rank()
+    * is a pure function of the value, so it is derived as 1 + the
+    * exclusive prefix sum of per-value counts over the DISTINCT-value
+    * table (ties share a bin by construction, both engines agree);
+    * shares are half-up integer-rounded 6-dp ratios (never a rounded
+    * double quotient); WOE is ln of one exact DECIMAL ratio cast to
+    * double, round 6 (the PPMI idiom); IV sums round-12 DECIMAL(28,12)
+    * terms and surfaces through decimal round(…,6) — DuckDB's bare
+    * DECIMAL downcast truncates where Spark's rounds half-up, so the
+    * cast alone is NOT engine-portable. WOE/IV are NULL when a bin (or
+    * class) is empty on either side — 0.5-smoothing is a modeling
+    * choice this audit does not silently make.
+    *
+    * Scale: ONE corpus groupBy reduces to the distinct-value table
+    * (checkpointed — the prefix input and the label join-back must read
+    * one physical frame); the decomposed prefix sums of
+    * [[graft.ops.Ranking.withGroupPrefixSums]] then run on |distinct|
+    * rows, not the corpus. The prefix input carries ONLY (group, key,
+    * summand) so both decomposition branches canonicalize to the SAME
+    * range exchange and Spark's reuse collapses them — an extra rider
+    * column defeats that canonical equality and lets two independent
+    * RangePartitioners sample different boundaries (caught at ×10 scale
+    * as ±partition-sized rank errors). The bin cells (≤ bins rows) are
+    * checkpointed before the class-total / IV broadcast fan-out.
+    */
+  def woeIv(df: DataFrame, valueCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"need bins in [2,1000], got $bins")
+    // DISTINCT-VALUE table first: rank() is a pure function of the value,
+    // so the quantile machinery runs on |distinct| rows, not the corpus.
+    // Checkpointed ONCE — the prefix-sum input and the label join-back
+    // must read the SAME physical frame (two lineage replays would each
+    // re-sample range boundaries; see the Ranking reuse invariant).
+    val vals = Checkpoints.materialize(
+      df.select(col(valueCol).as("_v"), col(labelCol).cast("long").as("_l"))
+        .groupBy(col("_v"))
+        .agg(count(lit(1)).as("_c"), sum(col("_l")).as("_gc")))
+    // prefix input carries ONLY (group, sort key, summand): every column
+    // is consumed by BOTH decomposition branches, so the two range
+    // exchanges canonicalize identically and exchange reuse is guaranteed
+    // (an extra rider column broke exactly this for the row-level form —
+    // offsets from one boundary sample, labels from another)
+    val pre = Ranking.withGroupPrefixSums(
+      vals.select(lit(0L).as("_one"), col("_v"), col("_c")), "_one",
+      Seq("_v" -> true), "_c", rankCol = "_vr", prefixCol = "_ct")
+    val n1 = broadcast(vals.agg(coalesce(sum(col("_c")), lit(0L)).as("_n")))
+    // row-space rank of every row holding value v = exclusive prefix + 1
+    // = _ct - _c + 1; integral div (a truncated double quotient can
+    // mis-bin a value whose true ratio sits a hair under an integer)
+    val cells = Checkpoints.materialize(
+      pre.join(vals.select(col("_v"), col("_gc")), Seq("_v"))
+        .crossJoin(n1)
+        .select(expr(s"((_ct - _c) * ${bins}L) div _n").as("bin"),
+          col("_c"), col("_gc"))
+        .groupBy(col("bin"))
+        .agg(sum(col("_c")).as("n_rows"), sum(col("_gc")).as("n_good"),
+          (sum(col("_c")) - sum(col("_gc"))).as("n_bad")))
+    val tot = broadcast(cells.agg(
+      coalesce(sum(col("n_good")), lit(0L)).as("_g"),
+      coalesce(sum(col("n_bad")), lit(0L)).as("_b")))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def share6(num: String, den: String) =
+      expr(s"""CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 +
+              |  CAST($den AS DECIMAL(38,0))) div
+              |  (2 * CAST($den AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"""
+        .stripMargin)
+    val woeOk = col("n_good") > 0 && col("n_bad") > 0 &&
+      col("_g") > 0 && col("_b") > 0
+    val woe = round(log((d38(col("n_good")) * d38(col("_b")))
+      .cast("double") /
+      (d38(col("n_bad")) * d38(col("_g"))).cast("double")), 6)
+    val withWoe = cells.crossJoin(tot)
+      .withColumn("woe", when(woeOk, woe))
+      .withColumn("_term", when(woeOk,
+        round(((d38(col("n_good")) * d38(col("_b")) -
+          d38(col("n_bad")) * d38(col("_g"))).cast("double") /
+          (d38(col("_g")) * d38(col("_b"))).cast("double")) * col("woe"),
+          12).cast("decimal(28,12)")))
+    val iv = broadcast(withWoe.agg(
+      when(count(lit(1)) === count(col("_term")),
+        sum(col("_term")).cast("decimal(18,6)").cast("double")).as("iv")))
+    withWoe.crossJoin(iv).select(col("bin"), col("n_rows"),
+      col("n_good"), col("n_bad"),
+      when(col("_g") > 0, share6("n_good", "_g")).as("share_good"),
+      when(col("_b") > 0, share6("n_bad", "_b")).as("share_bad"),
+      col("woe"), col("iv"))
+  }
 }

@@ -725,4 +725,60 @@ object Stats {
           round(sqrt(col("chi2") /
             (col("n") * minDim).cast("double")), 6)).as("v"))
   }
+
+  /** Offline single-changepoint estimate per event_type over the daily
+    * count series: the split k maximizing the CUSUM deviation
+    * |S_k − (k/n)·S_n| — equivalently the scaled integer statistic
+    * g_k = |n·S_k − k·S_n|, evaluated for every prefix k ∈ [1, n)
+    * (the AMOC/binary-segmentation step; x183's tabular CUSUM monitors
+    * ONLINE drift, this answers the offline "when did the level shift").
+    *
+    * Determinism: S_k, k, n, S_n are exact integers, so g_k and the
+    * argmax (strict >, i.e. earliest k on ties) are discrete-exact in
+    * DECIMAL(38,0); only the reported before/after daily means are
+    * final round-6 doubles of exact integer ratios.
+    *
+    * Scale: daily pre-aggregation is the corpus-scale reduce; the
+    * per-type fold runs over the SPAN-BOUNDED day array (the
+    * x153/x183 posture: days grow with calendar time, not corpus
+    * size). Output per type: n_days, cp_day (last day of the "before"
+    * regime), g_max, mean_before, mean_after.
+    */
+  def changepointDaily(events: DataFrame): DataFrame = {
+    val day = expr(EventWindows.floorDivSql("ts_ns", 86400L * 1000000000L))
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mom = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      sum(d38(col("cnt"))).as("_tot"),
+      array_sort(collect_list(struct(col("day"), col("cnt")))).as("_ser"))
+    val zero = struct(lit(0L).as("k"), d38(lit(0)).as("cum"),
+      d38(lit(-1)).as("g"), lit(-1L).as("cpDay"), d38(lit(0)).as("cpCum"),
+      lit(0L).as("cpK"))
+    val folded = mom.withColumn("_st",
+      aggregate(col("_ser"), zero, (a, x) => {
+        val k = a.getField("k") + lit(1L)
+        val cum = a.getField("cum") + d38(x.getField("cnt"))
+        val g = abs(d38(col("n_days")) * cum - d38(k) * col("_tot"))
+        val better = k < col("n_days") && g > a.getField("g")
+        struct(k.as("k"), cum.as("cum"),
+          when(better, g).otherwise(a.getField("g")).as("g"),
+          when(better, x.getField("day"))
+            .otherwise(a.getField("cpDay")).as("cpDay"),
+          when(better, cum).otherwise(a.getField("cpCum")).as("cpCum"),
+          when(better, k).otherwise(a.getField("cpK")).as("cpK"))
+      }))
+    folded
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        col("_st.cpDay").as("cp_day"),
+        // BIGINT keeps the statistic integer-exact in the compare
+        // (n·S_k caps at days·events — bigint territory well past sf1)
+        col("_st.g").cast("bigint").as("g_max"),
+        round(col("_st.cpCum").cast("double") /
+          col("_st.cpK").cast("double"), 6).as("mean_before"),
+        round((col("_tot") - col("_st.cpCum")).cast("double") /
+          (col("n_days") - col("_st.cpK")).cast("double"), 6)
+          .as("mean_after"))
+  }
 }

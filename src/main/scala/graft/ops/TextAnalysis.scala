@@ -1030,4 +1030,74 @@ object TextAnalysis {
             .cast("double") / col("n_chars").cast("double"), 6))
           .as("other_share"))
   }
+
+  /** Per-source Flesch reading-ease profile with heuristic syllable
+    * counting (vowel-run groups `[aeiouy]+`, min 1 per word — the
+    * standard no-dictionary approximation), sentences = `[.!?]+` runs
+    * clamped to >= 1 (a fragment without terminal punctuation reads as
+    * one sentence).
+    *
+    * Determinism: the per-doc score is computed ENTIRELY in integer
+    * arithmetic — Flesch = (206835·S·W − 1015·W² − 84600·Syl·S) /
+    * (1000·S·W) in micro-units via the shared half-up integer rounding
+    * (the q01/x130 convention: never round a double quotient), so
+    * per-doc scores, their per-source sums, and the derived means are
+    * engine-bitwise. The only doubles are final single divisions of
+    * exact integers.
+    *
+    * Scale: map-only regexp counting (codegen'd), one source-cardinality
+    * aggregate with map-side combine. Output per source: n_docs,
+    * mean_words, syllables_per_word, mean_flesch, share_hard (docs
+    * below `hardBelow` Flesch points).
+    */
+  def readability(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", hardBelow: Double = 30.0): DataFrame = {
+    val t = col(textCol)
+    val w = size(split(t, " ")).cast("long")
+    val sent = greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+    // syllables: vowel runs, plus 1 for each word with no vowel at all
+    // (the leading-space trick counts words CONTAINING a vowel without
+    // overlapping matches)
+    val runs = regexp_count(t, lit("[aeiouy]+")).cast("long")
+    val withVowel = regexp_count(concat(lit(" "), t),
+      lit(" [^ ]*[aeiouy]")).cast("long")
+    val syl = runs + (w - withVowel)
+    val per = docs
+      .select(col(groupCol), w.as("_w"), sent.as("_s"), syl.as("_y"))
+      .filter(col("_w") > 0)
+      // score in micro-units = round_half_away(num*1000 / (S*W)); BIGINT
+      // is ample per doc (num <= ~2e5*W^2, W <= ~1e6 words per doc)
+      .withColumn("_num",
+        lit(206835L) * col("_s") * col("_w") -
+          lit(1015L) * col("_w") * col("_w") -
+          lit(84600L) * col("_y") * col("_s"))
+      .withColumn("_f6", expr(
+        """(CASE WHEN _num < 0 THEN -1L ELSE 1L END) *
+          |((2L * abs(_num) * 1000L + _s * _w) div (2L * _s * _w))"""
+          .stripMargin))
+    // aggregate-level ratios in DECIMAL(38,0) (per-source sums at corpus
+    // scale overflow the 2e19 BIGINT ceiling once scaled by 10^6);
+    // `div` on decimals is Spark's IntegralDivide -> exact BIGINT
+    def r6(num: String, den: String) =
+      expr(s"""CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 +
+              |  CAST($den AS DECIMAL(38,0))) div
+              |  (2 * CAST($den AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"""
+        .stripMargin)
+    def r6s(num: String, den: String) =
+      expr(s"""CAST((CASE WHEN $num < 0 THEN -1L ELSE 1L END) *
+              |  ((2 * abs(CAST($num AS DECIMAL(38,0))) +
+              |    CAST($den AS DECIMAL(38,0))) div
+              |    (2 * CAST($den AS DECIMAL(38,0)))) AS DOUBLE) / 1000000.0"""
+        .stripMargin)
+    per.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("_tw"),
+        sum(col("_y")).as("_ty"), sum(col("_f6")).as("_tf"),
+        sum(when(col("_f6") < lit((hardBelow * 1e6).toLong), 1L)
+          .otherwise(0L)).as("_hard"))
+      .select(col(groupCol), col("n_docs"),
+        r6("_tw", "n_docs").as("mean_words"),
+        r6("_ty", "_tw").as("syllables_per_word"),
+        r6s("_tf", "n_docs").as("mean_flesch"),
+        r6("_hard", "n_docs").as("share_hard"))
+  }
 }

@@ -1422,6 +1422,304 @@ object AnalyticsQueries {
              |FROM g GROUP BY 1, 2
              |ORDER BY entry_type, exit_type""".stripMargin)),
 
+    // ---- x219: Wald SPRT sequential-test audit ------------------------------
+    // Users replayed in arrival order per variant; the Bernoulli LLR is
+    // an integer-weighted sum of two pinned DECIMAL(13,12) increments,
+    // so crossing index and decision are discrete-exact — see
+    // ops/Experiments.sprtAudit. Prefix sums are the decomposed
+    // Ranking.withGroupPrefixSums, never a single-task variant window.
+    QueryDef(
+      "x219_sprt",
+      (s, dir) =>
+        Experiments.sprtAudit(Tables.events(s, dir), convType = "purchase",
+            minValue = 150.0, nVariants = 3, salt = "exp1",
+            p0 = 0.35, p1 = 0.45, alpha = 0.05, beta = 0.05)
+          .orderBy(col("variant")),
+      Some(s"""WITH pu AS (SELECT user_id, MIN(epoch_ns(ts)) AS entry,
+              |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+              |      THEN 1 ELSE 0 END) AS conv,
+              |    md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM events GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
+              |    AS variant, user_id, entry, conv FROM pu),
+              |seq AS (SELECT variant,
+              |    ROW_NUMBER() OVER (PARTITION BY variant
+              |      ORDER BY entry, user_id) AS k,
+              |    SUM(conv) OVER (PARTITION BY variant
+              |      ORDER BY entry, user_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+              |  FROM pv),
+              |t AS (SELECT variant, k, c,
+              |    CAST(c AS DECIMAL(12,0))
+              |      * CAST(round(ln(0.45 / 0.35), 12) AS DECIMAL(13,12))
+              |    + CAST(k - c AS DECIMAL(12,0))
+              |      * CAST(round(ln((1.0 - 0.45) / (1.0 - 0.35)), 12)
+              |        AS DECIMAL(13,12)) AS llr
+              |  FROM seq),
+              |f AS (SELECT variant, k, c, llr,
+              |    llr >= CAST(round(ln((1.0 - 0.05) / 0.05), 12)
+              |      AS DECIMAL(13,12)) AS hi,
+              |    llr <= CAST(round(ln(0.05 / (1.0 - 0.05)), 12)
+              |      AS DECIMAL(13,12)) AS lo
+              |  FROM t)
+              |SELECT variant, MAX(k) AS n_users, MAX(c) AS n_conv,
+              |  round(CAST(arg_max(llr, k) AS DOUBLE), 6) AS llr_end,
+              |  COALESCE(MIN(CASE WHEN hi OR lo THEN k END), -1)
+              |    AS first_cross_n,
+              |  CASE WHEN MIN(CASE WHEN hi OR lo THEN k END) IS NULL
+              |      THEN 'continue'
+              |    WHEN MIN(CASE WHEN hi THEN k END)
+              |        = MIN(CASE WHEN hi OR lo THEN k END)
+              |      THEN 'accept_h1'
+              |    ELSE 'accept_h0' END AS decision
+              |FROM f GROUP BY variant ORDER BY variant""".stripMargin)),
+
+    // ---- x220: difference-in-differences readout ---------------------------
+    // Per-user panel deltas (post - pre cents, exact BIGINT) around the
+    // corpus midpoint day; DiD and SE from the two arms' exact decimal
+    // moments — see ops/Experiments.diffInDiff.
+    QueryDef(
+      "x220_diff_in_diff",
+      (s, dir) =>
+        Experiments.diffInDiff(Tables.events(s, dir),
+          convType = "purchase", salt = "did1"),
+      Some(s"""WITH b AS (SELECT (MIN(epoch_ns(ts) // 86400000000000)
+              |      + MAX(epoch_ns(ts) // 86400000000000) + 1) // 2
+              |    AS split FROM events),
+              |pu AS (SELECT user_id,
+              |    SUM(CASE WHEN epoch_ns(ts) // 86400000000000 < b.split
+              |        AND event_type = 'purchase'
+              |      THEN CAST(round(value * 100) AS BIGINT)
+              |      ELSE 0 END) AS pre,
+              |    SUM(CASE WHEN epoch_ns(ts) // 86400000000000 >= b.split
+              |        AND event_type = 'purchase'
+              |      THEN CAST(round(value * 100) AS BIGINT)
+              |      ELSE 0 END) AS post
+              |  FROM events CROSS JOIN b GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql(
+                 "md5(concat('ab:did1:', user_id))", 8)} % 2) AS variant,
+              |    post - pre AS delta FROM pu),
+              |arms AS (SELECT variant, COUNT(*) AS n,
+              |    SUM(CAST(delta AS HUGEINT)) AS s,
+              |    SUM(CAST(delta AS HUGEINT) * CAST(delta AS HUGEINT)) AS q
+              |  FROM pv GROUP BY 1),
+              |one AS (SELECT
+              |    MAX(CASE WHEN variant = 1 THEN n END) AS n_treat,
+              |    MAX(CASE WHEN variant = 0 THEN n END) AS n_ctrl,
+              |    MAX(CASE WHEN variant = 1 THEN s END) AS st,
+              |    MAX(CASE WHEN variant = 0 THEN s END) AS sc,
+              |    MAX(CASE WHEN variant = 1 THEN q END) AS qt,
+              |    MAX(CASE WHEN variant = 0 THEN q END) AS qc
+              |  FROM arms),
+              |m AS (SELECT n_treat, n_ctrl,
+              |    CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) / 100.0
+              |      AS mt,
+              |    CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) / 100.0
+              |      AS mc,
+              |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE)
+              |        * CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE))
+              |      / (CAST(n_treat AS DOUBLE) - 1.0) / 10000.0 AS vt,
+              |    (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)
+              |        * CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+              |      / (CAST(n_ctrl AS DOUBLE) - 1.0) / 10000.0 AS vc
+              |  FROM one)
+              |SELECT n_treat, n_ctrl,
+              |  round(mt, 6) AS mean_delta_treat,
+              |  round(mc, 6) AS mean_delta_ctrl,
+              |  round(mt - mc, 6) AS did,
+              |  CASE WHEN n_treat > 1 AND n_ctrl > 1
+              |      AND sqrt(vt / CAST(n_treat AS DOUBLE)
+              |        + vc / CAST(n_ctrl AS DOUBLE)) <> 0.0
+              |    THEN round(sqrt(vt / CAST(n_treat AS DOUBLE)
+              |      + vc / CAST(n_ctrl AS DOUBLE)), 6) END AS se,
+              |  CASE WHEN n_treat > 1 AND n_ctrl > 1
+              |      AND sqrt(vt / CAST(n_treat AS DOUBLE)
+              |        + vc / CAST(n_ctrl AS DOUBLE)) <> 0.0
+              |    THEN round((mt - mc) / sqrt(vt / CAST(n_treat AS DOUBLE)
+              |      + vc / CAST(n_ctrl AS DOUBLE)), 6) END AS t_stat
+              |FROM m""".stripMargin)),
+
+    // ---- x221: offline changepoint (AMOC max-CUSUM) ------------------------
+    // argmax_k |n*S_k - k*S_n| over each type's daily counts — exact
+    // integer statistic, earliest-k ties — see ops/Stats.changepointDaily
+    // (x183's CUSUM monitors online; this is the offline level-shift
+    // locator).
+    QueryDef(
+      "x221_changepoint",
+      (s, dir) =>
+        Stats.changepointDaily(Tables.events(s, dir))
+          .orderBy(col("event_type")),
+      Some("""WITH daily AS (SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT event_type, COUNT(*) AS n_days,
+             |    SUM(CAST(cnt AS HUGEINT)) AS s FROM daily GROUP BY 1),
+             |ser AS (SELECT event_type, day, cnt,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY day) AS k,
+             |    SUM(CAST(cnt AS HUGEINT)) OVER (PARTITION BY event_type
+             |      ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM daily),
+             |g AS (SELECT s.event_type, t.n_days, s.day, s.k, s.cum, t.s,
+             |    abs(CAST(t.n_days AS HUGEINT) * s.cum
+             |      - CAST(s.k AS HUGEINT) * t.s) AS gg
+             |  FROM ser s JOIN tot t USING (event_type)
+             |  WHERE s.k < t.n_days),
+             |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             |    ORDER BY gg DESC, k ASC) AS rnk FROM g)
+             |SELECT event_type, n_days, day AS cp_day,
+             |  CAST(gg AS BIGINT) AS g_max,
+             |  round(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE), 6)
+             |    AS mean_before,
+             |  round(CAST(s - cum AS DOUBLE)
+             |    / CAST(n_days - k AS DOUBLE), 6) AS mean_after
+             |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- x222: functional-dependency audit (g3 error) ----------------------
+    // Per declared det->dep pair: minimum fraction of rows to delete for
+    // the FD to hold exactly (keep the modal dependent per key) — see
+    // ops/Integrity.fdAudit. Pure counting; pairs scan independently.
+    QueryDef(
+      "x222_fd_audit",
+      (s, dir) =>
+        Integrity.fdAudit("customer.c_custkey->c_nationkey",
+            Tables.customer(s, dir), "c_custkey", "c_nationkey")
+          .unionAll(Integrity.fdAudit("lineitem.l_orderkey->l_returnflag",
+            Tables.lineitem(s, dir), "l_orderkey", "l_returnflag"))
+          .unionAll(Integrity.fdAudit("orders.o_custkey->o_orderpriority",
+            Tables.orders(s, dir), "o_custkey", "o_orderpriority"))
+          .unionAll(Integrity.fdAudit("orders.o_orderkey->o_orderstatus",
+            Tables.orders(s, dir), "o_orderkey", "o_orderstatus"))
+          .orderBy(col("rel")),
+      Some {
+        def leg(rel: String, table: String, det: String, dep: String) =
+          s"""SELECT '$rel' AS rel,
+             |    COALESCE(CAST(SUM(tot) AS BIGINT), 0) AS n_rows,
+             |    COUNT(*) AS n_keys,
+             |    COALESCE(CAST(SUM(CASE WHEN tot > keep THEN 1 ELSE 0 END)
+             |      AS BIGINT), 0) AS n_violating_keys,
+             |    COALESCE(CAST(SUM(tot - keep) AS BIGINT), 0)
+             |      AS n_violations
+             |  FROM (SELECT a, SUM(c) AS tot, MAX(c) AS keep
+             |    FROM (SELECT $det AS a, $dep AS b, COUNT(*) AS c
+             |      FROM $table GROUP BY 1, 2) cells GROUP BY 1) keys"""
+            .stripMargin
+        val legs = Seq(
+          leg("customer.c_custkey->c_nationkey", "customer",
+            "c_custkey", "c_nationkey"),
+          leg("lineitem.l_orderkey->l_returnflag", "lineitem",
+            "l_orderkey", "l_returnflag"),
+          leg("orders.o_custkey->o_orderpriority", "orders",
+            "o_custkey", "o_orderpriority"),
+          leg("orders.o_orderkey->o_orderstatus", "orders",
+            "o_orderkey", "o_orderstatus")).mkString("\nUNION ALL\n")
+        s"""SELECT rel, n_rows, n_keys, n_violating_keys, n_violations,
+           |  CASE WHEN n_rows > 0 THEN round(CAST(n_violations AS DOUBLE)
+           |    / CAST(n_rows AS DOUBLE), 6) END AS g3_rate
+           |FROM ($legs) u ORDER BY rel""".stripMargin
+      }),
+
+    // ---- x223: Flesch readability profile ----------------------------------
+    // Vowel-run syllables, clamped sentence runs, per-doc score in pure
+    // BIGINT micro-units (half-up integer rounding — never a rounded
+    // double quotient) — see ops/TextAnalysis.readability.
+    QueryDef(
+      "x223_readability",
+      (s, dir) =>
+        TextAnalysis.readability(Tables.documents(s, dir))
+          .orderBy(col("source")),
+      Some("""WITH per AS (SELECT source,
+             |    len(string_split(text, ' ')) AS w,
+             |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+             |    len(regexp_extract_all(text, '[aeiouy]+'))
+             |      + (len(string_split(text, ' '))
+             |        - len(regexp_extract_all(' ' || text,
+             |            ' [^ ]*[aeiouy]'))) AS y
+             |  FROM documents),
+             |f AS (SELECT source, w, s, y,
+             |    206835*s*w - 1015*w*w - 84600*y*s AS num
+             |  FROM per WHERE w > 0),
+             |f6 AS (SELECT source, w, y,
+             |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             |      * ((2*abs(num)*1000 + s*w) // (2*s*w)) AS f6
+             |  FROM f),
+             |agg AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(y) AS BIGINT) AS ty,
+             |    CAST(SUM(f6) AS BIGINT) AS tf,
+             |    CAST(SUM(CASE WHEN f6 < 30000000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS hard
+             |  FROM f6 GROUP BY 1)
+             |SELECT source, n_docs,
+             |  CAST((2*CAST(tw AS HUGEINT)*1000000 + n_docs)
+             |    // (2*CAST(n_docs AS HUGEINT)) AS DOUBLE)/1000000.0
+             |    AS mean_words,
+             |  CAST((2*CAST(ty AS HUGEINT)*1000000 + tw)
+             |    // (2*CAST(tw AS HUGEINT)) AS DOUBLE)/1000000.0
+             |    AS syllables_per_word,
+             |  CAST((CASE WHEN tf < 0 THEN -1 ELSE 1 END)
+             |    * ((2*abs(CAST(tf AS HUGEINT)) + n_docs)
+             |      // (2*CAST(n_docs AS HUGEINT))) AS DOUBLE)/1000000.0
+             |    AS mean_flesch,
+             |  CAST((2*CAST(hard AS HUGEINT)*1000000 + n_docs)
+             |    // (2*CAST(n_docs AS HUGEINT)) AS DOUBLE)/1000000.0
+             |    AS share_hard
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- x224: WOE / information-value feature screen ----------------------
+    // Exact rank-derived decile bins of o_totalprice vs the urgent-
+    // priority label; WOE via the PPMI exact-ratio-then-ln idiom, IV
+    // through a DECIMAL(18,6) cast — see ops/Profiling.woeIv.
+    QueryDef(
+      "x224_woe_iv",
+      (s, dir) =>
+        Profiling.woeIv(
+          Tables.orders(s, dir).withColumn("_lab",
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+              .cast("int")),
+          "o_totalprice", "_lab", bins = 10)
+          .orderBy(col("bin")),
+      Some("""WITH r AS (SELECT o_totalprice AS v,
+             |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |      THEN 1 ELSE 0 END AS l,
+             |    RANK() OVER (ORDER BY o_totalprice) AS rk,
+             |    COUNT(*) OVER () AS n
+             |  FROM orders),
+             |b AS (SELECT ((rk - 1) * 10) // n AS bin, l FROM r),
+             |cells AS (SELECT bin, COUNT(*) AS n_rows,
+             |    CAST(SUM(l) AS BIGINT) AS n_good,
+             |    COUNT(*) - CAST(SUM(l) AS BIGINT) AS n_bad
+             |  FROM b GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+             |    CAST(SUM(n_bad) AS BIGINT) AS b2 FROM cells),
+             |ww AS (SELECT bin, n_rows, n_good, n_bad, g, b2,
+             |    CASE WHEN n_good > 0 AND n_bad > 0 AND g > 0 AND b2 > 0
+             |      THEN round(ln(CAST(CAST(n_good AS HUGEINT) * b2
+             |          AS DOUBLE)
+             |        / CAST(CAST(n_bad AS HUGEINT) * g AS DOUBLE)), 6)
+             |      END AS woe
+             |  FROM cells CROSS JOIN tot),
+             |terms AS (SELECT *, CASE WHEN woe IS NOT NULL THEN
+             |    CAST(round(CAST(CAST(n_good AS HUGEINT) * b2
+             |        - CAST(n_bad AS HUGEINT) * g AS DOUBLE)
+             |      / CAST(CAST(g AS HUGEINT) * b2 AS DOUBLE) * woe, 12)
+             |      AS DECIMAL(28,12)) END AS term
+             |  FROM ww),
+             |iv AS (SELECT CASE WHEN COUNT(*) = COUNT(term) THEN
+             |    CAST(round(SUM(term), 6) AS DOUBLE) END
+             |    AS iv FROM terms)
+             |SELECT bin, n_rows, n_good, n_bad,
+             |  CASE WHEN g > 0 THEN
+             |    CAST((2*CAST(n_good AS HUGEINT)*1000000 + g)
+             |      // (2*CAST(g AS HUGEINT)) AS DOUBLE)/1000000.0 END
+             |    AS share_good,
+             |  CASE WHEN b2 > 0 THEN
+             |    CAST((2*CAST(n_bad AS HUGEINT)*1000000 + b2)
+             |      // (2*CAST(b2 AS HUGEINT)) AS DOUBLE)/1000000.0 END
+             |    AS share_bad,
+             |  woe, iv
+             |FROM terms CROSS JOIN iv ORDER BY bin""".stripMargin)),
+
     // ---- x145: per-variant conversion funnel ------------------------------
     // The funnel chain runs ONCE; variants derive from the surviving
     // user_ids at the count epilogue (variant is a pure function of

@@ -1509,4 +1509,225 @@ class AnalyticsExtrasSpec extends SparkSuite {
     // efficiency: sum phi = v(full) - v(empty) = 0 - 0 = 0
     assert(out.map(_._2).sum === 0.0)
   }
+
+  test("sprtAudit: H1 crossing at the hand-computed user index; " +
+      "llr_end is the exact integer-weighted sum") {
+    // 10 users, arrival = entry day = user id; first 6 convert.
+    // p0=0.2, p1=0.8: la = ln(4) = 1.386294361120 (round-12),
+    // lb = ln(0.25) = -1.386294361120; upper bound ln(19) = 2.944438979166.
+    // Cumulative LLR: k*la while converting -> crosses at k=3
+    // (3*1.386294361120 = 4.158883 >= 2.944439). End: 6*la + 4*lb = 2*la
+    // = 2.772588722240 -> round 6 = 2.772589.
+    val users = (1L to 10L)
+    val ev = frame(
+      "user_id" -> users.toSeq,
+      "event_type" -> users.map(u => if (u <= 6) "purchase" else "view").toSeq,
+      "value" -> users.map(_ => 200.0).toSeq,
+      "ts_ns" -> users.map(u => day(u)).toSeq)
+    val out = Experiments.sprtAudit(ev, nVariants = 1, salt = "s",
+      p0 = 0.2, p1 = 0.8).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 10L) // n_users
+    assert(r.getLong(2) === 6L)  // n_conv
+    assert(r.getDouble(3) === 2.772589) // llr_end
+    assert(r.getLong(4) === 3L)  // first_cross_n
+    assert(r.getString(5) === "accept_h1")
+  }
+
+  test("sprtAudit: H0 crossing on an all-miss arrival stream; ARRIVAL " +
+      "order (not user id) drives the crossing index") {
+    // 5 users, none convert, p0=0.2/p1=0.8: each step adds
+    // lb = -1.386294361120; lower bound -2.944438979166 -> k=2 is
+    // -2.772589 (not crossed), k=3 = -4.158883 -> accept_h0 at 3.
+    // Entries are REVERSED (user 5 arrives first) — the op must order
+    // by entry time; a user_id order would be identical here, so also
+    // plant a converter at the LAST arrival (user 1): the crossing at
+    // k=3 happens before that conversion can matter.
+    val users = (1L to 5L)
+    val ev = frame(
+      "user_id" -> users.toSeq,
+      "event_type" -> users.map(u => if (u == 1L) "purchase" else "view").toSeq,
+      "value" -> users.map(_ => 200.0).toSeq,
+      "ts_ns" -> users.map(u => day(10L - u)).toSeq)
+    val out = Experiments.sprtAudit(ev, nVariants = 1, salt = "s",
+      p0 = 0.2, p1 = 0.8).collect()
+    val r = out(0)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(4) === 3L)
+    assert(r.getString(5) === "accept_h0")
+    // llr_end = 1*la + 4*lb = -3*1.386294361120 -> round 6
+    assert(r.getDouble(3) === -4.158883)
+  }
+
+  test("sprtAudit: continue when neither Wald boundary is reached") {
+    val users = (1L to 3L)
+    val ev = frame(
+      "user_id" -> users.toSeq,
+      "event_type" -> users.map(u => if (u == 2L) "purchase" else "view").toSeq,
+      "value" -> users.map(_ => 200.0).toSeq,
+      "ts_ns" -> users.map(u => day(u)).toSeq)
+    // p0=0.4/p1=0.6: |increment| = ln(1.5) = 0.405465108108; 3 steps
+    // cannot reach +-2.944439
+    val r = Experiments.sprtAudit(ev, nVariants = 1, salt = "s",
+      p0 = 0.4, p1 = 0.6).collect()(0)
+    assert(r.getLong(4) === -1L)
+    assert(r.getString(5) === "continue")
+    // 1*la + 2*lb = 0.405465108108 - 2*0.405465108108 = -0.405465108108
+    assert(r.getDouble(3) === -0.405465)
+  }
+
+  test("diffInDiff: hand-computed panel means, SE from the documented " +
+      "two-sample formula; non-purchase events anchor but don't spend") {
+    // days 0..10 -> split = (0 + 10 + 1) / 2 = 5. Each user buys a_u
+    // pre (day 1) and b_u post (day 9); delta_u = b_u - a_u dollars.
+    val users = (1L to 8L)
+    val aU = users.map(u => 10.0 + u).toSeq
+    val bU = users.map(u => 20.0 + 3.0 * u).toSeq // delta = 10 + 2u
+    val ev = frame(
+      "user_id" -> (users ++ users ++ Seq(1L, 2L)).toSeq,
+      "event_type" -> (users.map(_ => "purchase") ++
+        users.map(_ => "purchase") ++ Seq("view", "view")).toSeq,
+      "value" -> (aU ++ bU ++ Seq(999.0, 999.0)).toSeq,
+      "ts_ns" -> (users.map(_ => day(1)) ++ users.map(_ => day(9)) ++
+        Seq(day(0), day(10))).toSeq)
+    val out = Experiments.diffInDiff(ev, salt = "s").collect()(0)
+    val arm = users.groupBy(u => refVariant(u, 2, "s"))
+    val deltas = (v: Int) => arm(v).map(u => 10.0 + 2.0 * u)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def svar(xs: Seq[Double]) = {
+      val m = mean(xs)
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val (dt, dc) = (deltas(1), deltas(0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getLong(0) === arm(1).size.toLong)
+    assert(out.getLong(1) === arm(0).size.toLong)
+    assert(out.getDouble(2) === r6(mean(dt)))
+    assert(out.getDouble(3) === r6(mean(dc)))
+    assert(out.getDouble(4) === r6(mean(dt) - mean(dc)))
+    val se = math.sqrt(svar(dt) / dt.size + svar(dc) / dc.size)
+    assert(math.abs(out.getDouble(5) - se) < 1e-6)
+    assert(math.abs(out.getDouble(6) - (mean(dt) - mean(dc)) / se) < 1e-5)
+  }
+
+  test("changepointDaily: planted level shift found at the exact scaled-" +
+      "CUSUM argmax; flat series takes the earliest k; single-day type " +
+      "dropped") {
+    // type 'shift': days 0-4 have 2 events, days 5-9 have 8.
+    // g_k = |10*S_k - 50k| peaks at k=5 (g=150), cp_day=4,
+    // means 2.0 / 8.0.
+    val shiftRows = (0L to 4L).flatMap(d => Seq.fill(2)(d)) ++
+      (5L to 9L).flatMap(d => Seq.fill(8)(d))
+    val flatRows = (0L to 3L).flatMap(d => Seq.fill(3)(d))
+    val oneRows = Seq(7L)
+    val all = shiftRows.map(("shift", _)) ++ flatRows.map(("flat", _)) ++
+      oneRows.map(("one", _))
+    val ev = frame(
+      "user_id" -> all.indices.map(_.toLong),
+      "event_type" -> all.map(_._1),
+      "ts_ns" -> all.map(t => day(t._2)))
+    val out = graft.ops.Stats.changepointDaily(ev).orderBy("event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("shift") === ((10L, 4L, 150L, 2.0, 8.0)))
+    // flat: all g_k = 0, earliest k wins -> cp after day 0
+    assert(out("flat") === ((4L, 0L, 0L, 3.0, 3.0)))
+    assert(!out.contains("one"))
+  }
+
+  test("readability: hand-computed Flesch on punctuated fixtures; " +
+      "no-vowel words count one syllable; fragment = one sentence") {
+    // doc A: "the cat sat. it ran!" -> W=5, S=2 ('.'+'!' runs),
+    // syllables: the(1) cat(1) sat.(1) it(1) ran!(1) = 5
+    // num = 206835*2*5 - 1015*25 - 84600*5*2 = 2068350-25375-846000
+    //     = 1196975; den = 2*5; f6 = round(1196975*1000/10)
+    //     = 119697500 -> flesch 119.6975
+    // doc B: "7 b zz" -> W=3, S=1, vowel runs=0, no-vowel words=3 ->
+    // syl=3; num = 206835*3 - 1015*9 - 84600*3 = 620505-9135-253800
+    //     = 357570; den=3; f6 = round(357570*1000/3) = 119190000
+    // source mean_flesch = round((119697500+119190000)/2)/1e6
+    //     = 119443750/1e6 = 119.44375
+    val docs = frame(
+      "source" -> Seq("s1", "s1"),
+      "text" -> Seq("the cat sat. it ran!", "7 b zz"))
+    val r = TextAnalysis.readability(docs).collect()(0)
+    assert(r.getString(0) === "s1")
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 4.0) // (5+3)/2
+    assert(r.getDouble(3) === 1.0) // 8 syllables / 8 words
+    assert(r.getDouble(4) === 119.44375)
+    assert(r.getDouble(5) === 0.0)
+  }
+
+  test("readability: negative-score doc rounds away from zero; " +
+      "share_hard counts below-threshold docs") {
+    // one long unpunctuated "word soup" whose score goes negative:
+    // W=250 identical 1-syllable words, S=1, syl=250:
+    // num = 206835*250 - 1015*62500 - 84600*250
+    //     = 51708750 - 63437500 - 21150000 = -32878750
+    // f6 = -round(32878750*1000/250) = -131515000 -> -131.515
+    val text = Seq.fill(250)("cat").mkString(" ")
+    val r = TextAnalysis.readability(
+      frame("source" -> Seq("s"), "text" -> Seq(text))).collect()(0)
+    assert(r.getDouble(4) === -131.515)
+    assert(r.getDouble(5) === 1.0) // below 30
+  }
+
+  test("woeIv: hand-computed two-bin screen; IV from exact decimal " +
+      "terms; degenerate single-class feature yields NULL woe/iv") {
+    // 8 rows, 2 bins of 4. values 1..8; labels: bin0 has 3 good/1 bad,
+    // bin1 has 1 good/3 bad. G=4, B=4.
+    // woe0 = ln((3/4)/(1/4)) = ln(3) = 1.098612; term0 = (0.5)*1.098612
+    // woe1 = ln((1/4)/(3/4)) = -1.098612; term1 = (-0.5)*(-1.098612)
+    // iv = 1.098612 (sum of round-12 terms, exact)
+    val df = frame(
+      "v" -> (1 to 8).map(_.toDouble),
+      "l" -> Seq(1, 1, 1, 0, 0, 1, 0, 0))
+    val out = graft.ops.Profiling.woeIv(df, "v", "l", bins = 2)
+      .orderBy("bin").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 3L &&
+      out(0).getLong(3) === 1L)
+    assert(out(0).getDouble(4) === 0.75 && out(0).getDouble(5) === 0.25)
+    assert(out(0).getDouble(6) === 1.098612)
+    assert(out(1).getDouble(6) === -1.098612)
+    assert(out(0).getDouble(7) === 1.098612)
+    // all-good labels: B = 0 -> woe/iv NULL, shares of the good side ok
+    val deg = graft.ops.Profiling.woeIv(
+      frame("v" -> (1 to 4).map(_.toDouble), "l" -> Seq(1, 1, 1, 1)),
+      "v", "l", bins = 2).orderBy("bin").collect()
+    assert(deg.forall(_.isNullAt(6)) && deg.forall(_.isNullAt(7)))
+    assert(deg(0).getDouble(4) === 0.5)
+  }
+
+  test("woeIv: tied values share a rank and land in one bin (no " +
+      "arbitrary tie split across a bin edge)") {
+    // 4 copies of the same value with bins=2: all share rank 1 ->
+    // bin 0 holds all 4 rows, bin 1 is absent
+    val out = graft.ops.Profiling.woeIv(
+      frame("v" -> Seq(5.0, 5.0, 5.0, 5.0), "l" -> Seq(1, 0, 1, 0)),
+      "v", "l", bins = 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L && out(0).getLong(1) === 4L)
+  }
+
+  test("fdAudit: g3 violation counting; exact FD certifies at 0") {
+    val df = frame(
+      "a" -> Seq(1L, 1L, 1L, 2L, 3L, 3L),
+      "b" -> Seq("x", "x", "y", "x", "y", "y"))
+    val r = Integrity.fdAudit("t.a->b", df, "a", "b").collect()(0)
+    assert(r.getString(0) === "t.a->b")
+    assert(r.getLong(1) === 6L) // n_rows
+    assert(r.getLong(2) === 3L) // n_keys
+    assert(r.getLong(3) === 1L) // only key 1 violates
+    assert(r.getLong(4) === 1L) // one row to delete
+    assert(r.getDouble(5) === 0.166667)
+    val uniq = frame("a" -> Seq(1L, 2L, 3L), "b" -> Seq("x", "x", "y"))
+    val r2 = Integrity.fdAudit("u.a->b", uniq, "a", "b").collect()(0)
+    assert(r2.getLong(4) === 0L && r2.getDouble(5) === 0.0)
+  }
 }

@@ -74,6 +74,8 @@ class PlanSpec extends SparkSuite {
     "x211_cuped", // broadcast ONE-ROW pooled-moment frame onto <= |variants| rows (x57 pattern)
     "x213_brier", // broadcast ONE-ROW totals onto <= bins rows (x57 pattern)
     "x215_mmr_topk", // broadcasts the fixed query set (x10's brute-force pool shape)
+    "x220_diff_in_diff", // broadcast ONE-ROW split-day bounds frame (x57 pattern)
+    "x224_woe_iv", // broadcast ONE-ROW n/class-total/iv frames onto <= bins rows (x57 pattern)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
@@ -103,7 +105,9 @@ class PlanSpec extends SparkSuite {
     // withGlobalRanks) — their bucket ids inherit the same invariant
     for (name <- Seq("q29_rank_dense", "x49_pack_sequences",
         "x56_bin_pack_nosplit", "x57_length_buckets",
-        "x83_ccnet_buckets")) { // withGroupRanks: same _bucket contract
+        "x83_ccnet_buckets", // withGroupRanks: same _bucket contract
+        "x219_sprt", // withGroupPrefixSums arrival scan
+        "x224_woe_iv")) { // value-table prefix sums (post-±30k-rank-bug fix)
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize THIS df so its AdaptiveSparkPlan finalizes
       val plan = df.queryExecution.executedPlan.toString
