@@ -133,8 +133,14 @@ object Mixing {
       Seq((idCol, true)), "_i")
     val keyed = idx.join(counts, groupCol)
       .withColumn("_p", col("_i").cast("double") / col("_n"))
-    graft.ops.Ranking.withGlobalRanks(keyed,
+    // the global step ranks a (p, group, i) PROJECTION — id/_n riding
+    // the rank input would break the range-exchange reuse (the Ranking
+    // no-rider contract); ids join back on the unique (group, _i) pair
+    graft.ops.Ranking.withGlobalRanks(
+        keyed.select(col("_p"), col(groupCol), col("_i")),
         Seq(("_p", true), (groupCol, true), ("_i", true)), "step", "_d")
+      .join(idx.select(col(groupCol), col("_i"), col(idCol)),
+        Seq(groupCol, "_i"))
       .select(col("step"), col(groupCol), col(idCol))
   }
 
@@ -280,8 +286,13 @@ object Mixing {
       .join(counts, groupCol)
       .withColumn("_j", col("epoch") * col("_nd") + col("_i"))
       .withColumn("_p", col("_j").cast("double") / col("_ns"))
-    graft.ops.Ranking.withGlobalRanks(sched,
+    // rank a (p, group, j) PROJECTION (the Ranking no-rider contract);
+    // id/epoch join back on the unique (group, _j) schedule slot
+    graft.ops.Ranking.withGlobalRanks(
+        sched.select(col("_p"), col(groupCol), col("_j")),
         Seq(("_p", true), (groupCol, true), ("_j", true)), "step", "_d")
+      .join(sched.select(col(groupCol), col("_j"), col(idCol), col("epoch")),
+        Seq(groupCol, "_j"))
       .select(col("step"), col(groupCol), col(idCol), col("epoch"))
   }
 }

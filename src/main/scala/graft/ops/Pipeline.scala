@@ -432,12 +432,19 @@ object Pipeline {
   def shardAssignment(docs: DataFrame, docsPerShard: Long,
       idCol: String = "doc_id"): DataFrame = {
     require(docsPerShard > 0, "docsPerShard must be positive")
-    Ranking.withGlobalRanks(
-        docs.withColumn("_shufkey", md5(concat(lit("shuf:"), col(idCol)))),
+    // rank a (key, id) PROJECTION — doc payload columns riding the rank
+    // input would break the decomposition's range-exchange reuse (the
+    // Ranking no-rider contract); the shard number joins back on the
+    // unique id, and _shufkey is a pure function of the id, recomputed
+    // map-side
+    val ranked = Ranking.withGlobalRanks(
+        docs.select(col(idCol))
+          .withColumn("_shufkey", md5(concat(lit("shuf:"), col(idCol)))),
         Seq("_shufkey" -> true, idCol -> true))
-      .withColumn("shard",
-        expr(s"CAST((rnk - 1) DIV ${docsPerShard}L AS BIGINT)"))
-      .drop("rnk", "drnk")
+      .select(col(idCol),
+        expr(s"CAST((rnk - 1) DIV ${docsPerShard}L AS BIGINT)").as("shard"))
+    docs.join(ranked, Seq(idCol))
+      .withColumn("_shufkey", md5(concat(lit("shuf:"), col(idCol))))
   }
 
   /** Curate `docs` against `evalSet` and write shards under `outDir`.

@@ -31,10 +31,34 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** The reuse invariant's PRECONDITION, enforced: the decomposition's
+    * two `_bucket` consumers (offsets summary, local ranking) must
+    * canonicalize to the SAME range exchange for Spark's reuse to
+    * collapse them. A rider column the summary branch doesn't consume
+    * lets Catalyst prune the two branches differently; the exchanges
+    * stop canonicalizing equal, each samples its OWN partition
+    * boundaries, and offsets from one bucketing meet labels from
+    * another — ranks corrupt by up to a partition of rows (observed as
+    * ±30k rank errors at ×10 scale before this guard existed). Callers
+    * must rank a projection holding ONLY the consumed columns and join
+    * riders back on a unique key.
+    */
+  private def requireNoRiders(df: DataFrame, consumed: Seq[String],
+      helper: String): Unit = {
+    val extra = df.columns.toSet -- consumed.toSet
+    require(extra.isEmpty,
+      s"$helper input may carry only the consumed columns " +
+        s"(${consumed.mkString(", ")}); rider columns " +
+        s"(${extra.toSeq.sorted.mkString(", ")}) break the range-exchange " +
+        "reuse the rank decomposition depends on — rank a projection and " +
+        "join riders back on a unique key (see the scaladoc)")
+  }
+
   /** keys: (column, ascending) pairs defining the global ranking order. */
   def withGlobalRanks(df: DataFrame, keys: Seq[(String, Boolean)],
       rankCol: String = "rnk", denseCol: String = "drnk"): DataFrame = {
     require(keys.nonEmpty, "ranking needs at least one sort key")
+    requireNoRiders(df, keys.map(_._1), "withGlobalRanks")
     val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val keyStruct = struct(keys.map(k => col(k._1)): _*)
 
@@ -119,6 +143,7 @@ object Ranking {
   def withGroupRanks(df: DataFrame, groupCol: String,
       keys: Seq[(String, Boolean)], rankCol: String = "rnk"): DataFrame = {
     require(keys.nonEmpty, "ranking needs at least one sort key")
+    requireNoRiders(df, groupCol +: keys.map(_._1), "withGroupRanks")
     val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val fullOrd = col(groupCol).asc +: ord
 
@@ -150,6 +175,8 @@ object Ranking {
       keys: Seq[(String, Boolean)], valCol: String,
       rankCol: String = "rnk", prefixCol: String = "ctot"): DataFrame = {
     require(keys.nonEmpty, "prefix sums need at least one sort key")
+    requireNoRiders(df, groupCol +: valCol +: keys.map(_._1),
+      "withGroupPrefixSums")
     val ord = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
     val fullOrd = col(groupCol).asc +: ord
 

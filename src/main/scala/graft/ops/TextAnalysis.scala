@@ -374,8 +374,13 @@ object TextAnalysis {
     val base = docs.select(col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_toks"))
     val scored = base.join(score, idCol).join(lang, idCol)
-    val ranked = Ranking.withGroupRanks(scored, "lang",
-      Seq(("logprob", false), (idCol, true)), "_r")
+    // rank a (lang, logprob, id) PROJECTION — the token-mass column
+    // riding the rank input would break the range-exchange reuse (the
+    // Ranking no-rider contract); n_toks joins back on the unique id
+    val ranked = Ranking.withGroupRanks(
+        scored.select(col("lang"), col("logprob"), col(idCol)), "lang",
+        Seq(("logprob", false), (idCol, true)), "_r")
+      .join(scored.select(col(idCol), col("n_toks")), idCol)
     val sizes = broadcast(
       scored.groupBy(col("lang")).agg(count(lit(1)).as("_nl")))
     ranked.join(sizes, "lang")

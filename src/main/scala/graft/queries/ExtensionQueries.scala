@@ -1620,10 +1620,13 @@ object ExtensionQueries {
     QueryDef(
       "x52_shuffle_shard",
       (s, dir) =>
+        // doc_id is the second SORT KEY (not a rider — the Ranking
+        // no-rider contract): ranks are unchanged since the md5 is
+        // unique per id, and the tiebreak makes the order total
         graft.ops.Ranking.withGlobalRanks(
             Tables.documents(s, dir).select(col("doc_id"))
               .withColumn("_k", md5(concat(lit("shuf:"), col("doc_id")))),
-            Seq("_k" -> true))
+            Seq("_k" -> true, "doc_id" -> true))
           .select(col("doc_id"),
             (col("rnk").cast("long") - 1).as("pos"),
             expr("CAST((rnk - 1) DIV 64 AS BIGINT)").as("shard"))

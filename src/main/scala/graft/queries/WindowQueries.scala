@@ -89,7 +89,9 @@ object WindowQueries {
       "q29_rank_dense",
       (s, dir) =>
         graft.ops.Ranking.withGlobalRanks(
-            Tables.part(s, dir).filter(col("p_size") >= 40),
+            Tables.part(s, dir).filter(col("p_size") >= 40)
+              // key-only projection (the Ranking no-rider contract)
+              .select(col("p_retailprice"), col("p_partkey")),
             Seq("p_retailprice" -> false, "p_partkey" -> true))
           .select(col("p_partkey"), col("p_retailprice"), col("rnk"), col("drnk"))
           .orderBy(col("rnk"), col("p_partkey")),

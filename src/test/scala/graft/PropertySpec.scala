@@ -159,21 +159,40 @@ class PropertySpec extends SparkSuite {
   }
 
   test("withGlobalRanks == reference rank/dense_rank over the sorted list") {
+    // key-only input (the Ranking no-rider contract): rank() is a pure
+    // function of the key, so the (v, rnk, drnk) multiset pins the
+    // semantics as tightly as an id-keyed map would
     val few = SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1)
     assert(SCTest.check(few, Prop.forAll(smallInts) { xs =>
-      val df = frame("v" -> xs, "id" -> xs.indices.toList)
+      val df = frame("v" -> xs)
       val got = graft.ops.Ranking
         .withGlobalRanks(df, Seq("v" -> true), "rnk", "drnk")
-        .collect().map(r => (r.getAs[Int]("id"),
+        .collect().map(r => (r.getAs[Int]("v"),
           r.getAs[Long]("rnk").toInt, r.getAs[Long]("drnk").toInt))
-        .sortBy(_._1).toList
-      val want = xs.zipWithIndex.map { case (v, id) =>
+        .sorted.toList
+      val want = xs.map { v =>
         val rnk = 1 + xs.count(_ < v)
         val drnk = 1 + xs.filter(_ < v).distinct.size
-        (id, rnk, drnk)
-      }.sortBy(_._1)
+        (v, rnk, drnk)
+      }.sorted
       got == want
     }).passed, "property failed: global-ranks")
+  }
+
+  test("Ranking helpers REFUSE rider columns (the range-exchange reuse " +
+      "precondition is enforced, not hoped for)") {
+    val df = frame("v" -> Seq(1, 2), "id" -> Seq(0, 1), "extra" -> Seq(9, 9))
+    val e1 = intercept[IllegalArgumentException](
+      graft.ops.Ranking.withGlobalRanks(df, Seq("v" -> true, "id" -> true)))
+    assert(e1.getMessage.contains("rider"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.Ranking.withGroupRanks(df, "v", Seq(("id", true))))
+    assert(e2.getMessage.contains("rider"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.ops.Ranking.withGroupPrefixSums(
+        frame("g" -> Seq(1), "id" -> Seq(0), "v" -> Seq(1), "x" -> Seq(2)),
+        "g", Seq(("id", true)), "v"))
+    assert(e3.getMessage.contains("rider"))
   }
 
   test("withGroupPrefixSums == reference per-group running sums, any layout") {
