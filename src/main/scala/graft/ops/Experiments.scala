@@ -310,4 +310,55 @@ object Experiments {
       when(seOk, round(se, 6)).as("se"),
       when(seOk, round((mT - mC) / se, 6)).as("t_stat"))
   }
+
+  /** Sample-ratio-mismatch (SRM) check — the first gate any experiment
+    * readout must pass: with deterministic hashing into `nVariants`
+    * equal arms, do the observed arm sizes fit the uniform design?
+    * Chi-square GoF against equal expected counts, computed exactly:
+    * χ² = Σ_v (K·n_v − n)² / (K·n) — every numerator is an exact
+    * integer, each term one IEEE division rounded to 12 and summed as
+    * DECIMAL(28,12), totals surfaced via decimal round (reduction-order
+    * free, both engines). `srm_flag` fires at `chi2 > critical` — pass
+    * the α-appropriate critical value for k−1 dof (default 13.816 =
+    * α 0.001 at 2 dof, the industry-standard SRM alarm level).
+    *
+    * Per-variant rows: variant, n_users, dev (n_v − n/K in exact
+    * 6-dp), chi2, srm_flag — chi2/flag repeated per row (x57 one-row
+    * broadcast pattern) so the table is self-contained.
+    *
+    * Scale: ONE user_id reduce, a ≤K-row rollup, a one-row broadcast.
+    */
+  def srmCheck(events: DataFrame, nVariants: Int = 3,
+      salt: String = "exp1", critical: Double = 13.816): DataFrame = {
+    require(nVariants >= 2, s"need nVariants >= 2, got $nVariants")
+    val perVariant = withVariant(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("_e")),
+      "user_id", nVariants, salt)
+      .groupBy(col("variant")).agg(count(lit(1)).as("n_users"))
+    val tot = broadcast(perVariant.agg(
+      coalesce(sum(col("n_users")), lit(0L)).as("_n")))
+    val kL = lit(nVariants.toLong)
+    val num = kL * col("n_users") - col("_n")
+    val terms = perVariant.crossJoin(tot)
+      // square in DOUBLE: a worst-case deviation ~n squares past the
+      // BIGINT ceiling at platform user counts
+      .withColumn("_t", round(
+        num.cast("double") * num.cast("double") /
+          (kL * col("_n")).cast("double"), 12)
+        .cast("decimal(28,12)"))
+      // dev = n_v − n/K at exact 6 dp: (10^6·(K·n_v − n)) / K integer-
+      // rounded (half-up, signed)
+      .withColumn("_dev6", expr(
+        s"""(CASE WHEN ${nVariants}L * n_users - _n < 0 THEN -1L ELSE 1L END)
+           | * ((2L * abs(${nVariants}L * n_users - _n) * 1000000L
+           |      + ${nVariants}L) div (2L * ${nVariants}L))"""
+          .stripMargin))
+    val chi = broadcast(terms.agg(
+      round(sum(col("_t")), 6).cast("double").as("chi2")))
+    terms.crossJoin(chi)
+      .select(col("variant"), col("n_users"),
+        (col("_dev6").cast("double") / lit(1000000.0)).as("dev"),
+        col("chi2"),
+        (col("chi2") > lit(critical)).as("srm_flag"))
+  }
 }

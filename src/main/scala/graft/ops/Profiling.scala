@@ -246,4 +246,63 @@ object Profiling {
       when(col("_b") > 0, share6("n_bad", "_b")).as("share_bad"),
       col("woe"), col("iv"))
   }
+
+  /** Quantile normalization audit across sources: map every per-source
+    * value of integral `valueCol` onto the POOLED distribution's value
+    * at the same quantile (rank r of n_s → pooled value at row-space
+    * index ceil(r·N/n_s)) — the cross-source harmonization step that
+    * makes "length 400 from source A" comparable to "length 400 from
+    * source B" when the sources' scales drift. Reports per source:
+    * n_docs, n_vals (distinct), mean_raw, mean_norm, max_abs_shift.
+    *
+    * Determinism: ranks and target indices are exact integer arithmetic
+    * on the (source, value) and pooled VALUE TABLES (rank() is a pure
+    * function of the value — the woeIv posture); the index→pooled-value
+    * lookup is one bucketed range join with exactly one containing
+    * interval per index; means are half-up integer-rounded 6-dp ratios.
+    *
+    * Scale: two value-table reduces (per-source, pooled — both
+    * checkpointed once), decomposed prefix sums on |distinct| rows, and
+    * [[graft.ops.RangeJoin.pointInInterval]] for the lookup (quantized
+    * equi-join, never a BNLJ). The corpus itself is touched by ONE
+    * groupBy only.
+    */
+  def quantileNormalize(df: DataFrame, srcCol: String, valueCol: String,
+      bucketWidth: Long = 64L): DataFrame = {
+    val svals = Checkpoints.materialize(
+      df.select(col(srcCol).as("_s"), col(valueCol).cast("long").as("_v"))
+        .groupBy(col("_s"), col("_v")).agg(count(lit(1)).as("_c")))
+    val spre = Ranking.withGroupPrefixSums(svals, "_s",
+      Seq("_v" -> true), "_c", rankCol = "_i", prefixCol = "_cs")
+    val nS = broadcast(svals.groupBy(col("_s"))
+      .agg(sum(col("_c")).as("_ns")))
+    val pvals = Checkpoints.materialize(
+      svals.groupBy(col("_v")).agg(sum(col("_c")).as("_pc"))
+        .select(lit(0L).as("_one"), col("_v"), col("_pc")))
+    val ppre = Ranking.withGroupPrefixSums(pvals, "_one",
+      Seq("_v" -> true), "_pc", rankCol = "_pi", prefixCol = "_pcum")
+    val n1 = broadcast(pvals.agg(coalesce(sum(col("_pc")), lit(0L)).as("_N")))
+    val intervals = ppre.select(col("_v").as("_w"),
+      (col("_pcum") - col("_pc") + 1).as("_lo"), col("_pcum").as("_hi"))
+    val points = spre.join(nS, Seq("_s")).crossJoin(n1)
+      // rank of the value's first row; ceil(r·N/n_s) via integral div
+      .select(col("_s"), col("_v"), col("_c"),
+        expr("((_cs - _c + 1) * _N + _ns - 1) div _ns").as("_ix"))
+    val mapped = RangeJoin.pointInInterval(points, "_ix",
+      intervals, "_lo", "_hi", bucketWidth)
+    def r6(num: String, den: String) =
+      expr(s"""CAST((2 * CAST($num AS DECIMAL(38,0)) * 1000000 +
+              |  CAST($den AS DECIMAL(38,0))) div
+              |  (2 * CAST($den AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"""
+        .stripMargin)
+    mapped.groupBy(col("_s"))
+      .agg(sum(col("_c")).as("n_docs"), count(lit(1)).as("n_vals"),
+        sum(col("_c") * col("_v")).as("_sr"),
+        sum(col("_c") * col("_w")).as("_sn"),
+        max(abs(col("_w") - col("_v"))).as("max_abs_shift"))
+      .select(col("_s").as("source"), col("n_docs"), col("n_vals"),
+        r6("_sr", "n_docs").as("mean_raw"),
+        r6("_sn", "n_docs").as("mean_norm"),
+        col("max_abs_shift"))
+  }
 }

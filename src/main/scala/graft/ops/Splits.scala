@@ -117,4 +117,92 @@ object Splits {
       .withColumn("_skey", coalesce(col("_cl"), col(idCol)))
     assignSplit(keyed, "_skey", fracs, salt).drop("_cl", "_skey")
   }
+
+  /** Stratified k-fold assignment audit: within each stratum, order
+    * rows by a salted md5 of the id (deterministic, engine-portable
+    * permutation — the [[assignSplit]] convention) and deal them
+    * round-robin, fold = (pos − 1) mod k. Round-robin off an exact
+    * per-stratum rank guarantees fold sizes within ONE row of each
+    * other in EVERY stratum — the property hash-mod assignment
+    * (assignSplit) deliberately trades away for O(1) statelessness, and
+    * the one cross-validation needs (a fold short on a rare stratum
+    * biases that fold's validation score). Output per (stratum, fold):
+    * n_rows plus the stratum's max−min fold-size spread (≤ 1 by
+    * construction — the audit PROVES the dealing, not just trusts it).
+    *
+    * Determinism: ranks ride [[graft.ops.Ranking.withGroupRanks]] on a
+    * (stratum, hash, id) projection (no-rider contract); fold and
+    * counts are pure integer arithmetic.
+    *
+    * Scale: one map-side hash projection, the decomposed per-group
+    * rank, one (strata × k)-cardinality aggregate.
+    */
+  def kFoldAudit(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, salt: String = "cv"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"need k in [2,1000], got $k")
+    val keyed = df.select(col(strataCol).as("_st"),
+        md5(concat(lit(s"cv:$salt:"), col(idCol))).as("_h"),
+        col(idCol).as("_id"))
+    val ranked = Ranking.withGroupRanks(keyed, "_st",
+      Seq("_h" -> true, "_id" -> true), rankCol = "_pos")
+    val cells = ranked
+      .select(col("_st"), pmod(col("_pos") - 1, lit(k.toLong)).as("fold"))
+      .groupBy(col("_st"), col("fold")).agg(count(lit(1)).as("n_rows"))
+    val spread = cells.groupBy(col("_st"))
+      .agg((max(col("n_rows")) - min(col("n_rows"))).as("spread"))
+    cells.join(spread, Seq("_st"))
+      .select(col("_st").as("stratum"), col("fold"), col("n_rows"),
+        col("spread"))
+  }
+
+  /** Deterministic cross-stratum negative sampling for contrastive
+    * training: for each anchor, up to `k` candidates from a DIFFERENT
+    * stratum (language, source…), drawn by salted md5 over the
+    * (anchor, candidate) pair — so the draw is reproducible across
+    * runs and engines, and re-running with a new salt redraws. The
+    * candidate pool is the hash bucket `md5(candidate) mod buckets`
+    * matching the anchor's probe bucket — every anchor sees a fixed
+    * 1/buckets slice of the corpus, the standard sampled-negatives
+    * posture (random negatives need randomness, not coverage).
+    *
+    * Determinism: bucket routing, pair scoring, and the per-anchor
+    * top-k are all md5-derived integers; the top-k runs through the
+    * salted two-phase [[graft.ops.Ranking.topKPerGroup]] with a total
+    * (score, candidate) order.
+    *
+    * Scale: anchors and candidates equi-join on the bucket id —
+    * O(|anchors|·|corpus|/buckets) pair rows, tuned by `buckets`; no
+    * corpus self-join, no BNLJ. A hot stratum never funnels one task:
+    * the top-k is salted.
+    */
+  def negativePairs(df: DataFrame, strataCol: String, idCol: String,
+      k: Int = 3, buckets: Int = 8, salt: String = "neg",
+      anchorMod: Int = 1): DataFrame = {
+    require(k >= 1 && buckets >= 1 && anchorMod >= 1,
+      s"need k, buckets, anchorMod >= 1, got $k, $buckets, $anchorMod")
+    val hex8 = (c: String) => TextAnalysis.hexToIntSql(c, 8)
+    val cands = df.select(col(idCol).as("cand_id"),
+        col(strataCol).as("cand_stratum"))
+      .withColumn("_cd", md5(concat(lit(s"nb:$salt:"), col("cand_id"))))
+      .withColumn("_b", expr(s"pmod(${hex8("_cd")}, ${buckets}L)"))
+      .drop("_cd")
+    val anchors = df.select(col(idCol).as("anchor_id"),
+        col(strataCol).as("anchor_stratum"))
+      .filter(pmod(col("anchor_id"), lit(anchorMod.toLong)) === 0)
+      .withColumn("_ad", md5(concat(lit(s"nb:$salt:"), col("anchor_id"))))
+      .withColumn("_b", expr(s"pmod(${hex8("_ad")}, ${buckets}L)"))
+      .drop("_ad")
+    val pairs = anchors.join(cands, Seq("_b"))
+      .filter(col("anchor_stratum") =!= col("cand_stratum"))
+      .withColumn("_pd",
+        md5(concat(lit(s"np:$salt:"), col("anchor_id"), lit(":"),
+          col("cand_id"))))
+      .withColumn("_score", expr(hex8("_pd")))
+      .drop("_b", "_pd")
+    Ranking.topKPerGroup(pairs, "anchor_id", k,
+        Seq(col("_score").asc, col("cand_id").asc),
+        col("cand_id"), salts = 8, rankName = "neg_rank")
+      .select(col("anchor_id"), col("anchor_stratum"), col("cand_id"),
+        col("cand_stratum"), col("neg_rank"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
   Experiments, Graphs, Integrity, Layout, Pca, Profiling, Selection,
-  Skew, Stats, Survival, TextAnalysis}
+  Skew, Splits, Stats, Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -1719,6 +1719,131 @@ object AnalyticsQueries {
              |    AS share_bad,
              |  woe, iv
              |FROM terms CROSS JOIN iv ORDER BY bin""".stripMargin)),
+
+    // ---- x225: quantile normalization across sources -----------------------
+    // Per-source value ranks map onto the pooled distribution at the
+    // same quantile (value tables + decomposed prefix sums + ONE
+    // bucketed range join) — see ops/Profiling.quantileNormalize.
+    QueryDef(
+      "x225_quantile_norm",
+      (s, dir) =>
+        Profiling.quantileNormalize(Tables.documents(s, dir),
+            "source", "n_chars")
+          .orderBy(col("source")),
+      Some("""WITH sv AS (SELECT source AS s, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |sp AS (SELECT s, v, c,
+             |    SUM(c) OVER (PARTITION BY s ORDER BY v) AS cs,
+             |    SUM(c) OVER (PARTITION BY s) AS ns FROM sv),
+             |pv AS (SELECT v, SUM(c) AS pc FROM sv GROUP BY 1),
+             |pp AS (SELECT v, pc, SUM(pc) OVER (ORDER BY v) AS pcum
+             |  FROM pv),
+             |nn AS (SELECT SUM(c) AS n FROM sv),
+             |pts AS (SELECT s, v, c,
+             |    ((cs - c + 1) * nn.n + ns - 1) // ns AS ix
+             |  FROM sp CROSS JOIN nn),
+             |mp AS (SELECT p.s, p.v, p.c, q.v AS w FROM pts p JOIN pp q
+             |  ON p.ix BETWEEN q.pcum - q.pc + 1 AND q.pcum),
+             |ag AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |    COUNT(*) AS n_vals,
+             |    CAST(SUM(c * v) AS BIGINT) AS sr,
+             |    CAST(SUM(c * w) AS BIGINT) AS sn,
+             |    CAST(MAX(ABS(w - v)) AS BIGINT) AS max_abs_shift
+             |  FROM mp GROUP BY 1)
+             |SELECT s AS source, n_docs, n_vals,
+             |  CAST((2*CAST(sr AS HUGEINT)*1000000 + n_docs)
+             |    // (2*CAST(n_docs AS HUGEINT)) AS DOUBLE)/1000000.0
+             |    AS mean_raw,
+             |  CAST((2*CAST(sn AS HUGEINT)*1000000 + n_docs)
+             |    // (2*CAST(n_docs AS HUGEINT)) AS DOUBLE)/1000000.0
+             |    AS mean_norm,
+             |  max_abs_shift
+             |FROM ag ORDER BY source""".stripMargin)),
+
+    // ---- x226: stratified k-fold assignment audit --------------------------
+    // Salted-md5 order within stratum, round-robin dealing -> fold
+    // sizes within one row per stratum, PROVEN by the spread column —
+    // see ops/Splits.kFoldAudit.
+    QueryDef(
+      "x226_kfold",
+      (s, dir) =>
+        Splits.kFoldAudit(Tables.documents(s, dir), "lang", "doc_id",
+            k = 5, salt = "cv")
+          .orderBy(col("stratum"), col("fold")),
+      Some("""WITH r AS (SELECT lang AS stratum,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY md5(concat('cv:cv:', doc_id)), doc_id) AS pos
+             |  FROM documents),
+             |cells AS (SELECT stratum, (pos - 1) % 5 AS fold,
+             |    COUNT(*) AS n_rows FROM r GROUP BY 1, 2),
+             |sp AS (SELECT stratum, MAX(n_rows) - MIN(n_rows) AS spread
+             |  FROM cells GROUP BY 1)
+             |SELECT stratum, fold, n_rows, spread
+             |FROM cells JOIN sp USING (stratum)
+             |ORDER BY stratum, fold""".stripMargin)),
+
+    // ---- x227: cross-stratum negative sampling -----------------------------
+    // Hash-bucket candidate slices, md5 pair scores, salted two-phase
+    // top-k — reproducible random negatives without a corpus self-join
+    // — see ops/Splits.negativePairs.
+    QueryDef(
+      "x227_negative_pairs",
+      (s, dir) =>
+        Splits.negativePairs(Tables.documents(s, dir), "lang", "doc_id",
+            k = 3, buckets = 16, salt = "neg", anchorMod = 20)
+          .orderBy(col("anchor_id"), col("neg_rank")),
+      Some(s"""WITH c AS (SELECT doc_id AS cand_id, lang AS cand_stratum,
+              |    (${TextAnalysis.hexToIntSql(
+                 "md5(concat('nb:neg:', doc_id))", 8)} % 16) AS b
+              |  FROM documents),
+              |a AS (SELECT doc_id AS anchor_id, lang AS anchor_stratum,
+              |    (${TextAnalysis.hexToIntSql(
+                 "md5(concat('nb:neg:', doc_id))", 8)} % 16) AS b
+              |  FROM documents WHERE doc_id % 20 = 0),
+              |p AS (SELECT anchor_id, anchor_stratum, cand_id,
+              |    cand_stratum,
+              |    ${TextAnalysis.hexToIntSql(
+                 "md5(concat('np:neg:', anchor_id, ':', cand_id))", 8)}
+              |      AS score
+              |  FROM a JOIN c USING (b)
+              |  WHERE anchor_stratum <> cand_stratum),
+              |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+              |    ORDER BY score, cand_id) AS neg_rank FROM p)
+              |SELECT anchor_id, anchor_stratum, cand_id, cand_stratum,
+              |  neg_rank
+              |FROM rk WHERE neg_rank <= 3
+              |ORDER BY anchor_id, neg_rank""".stripMargin)),
+
+    // ---- x228: sample-ratio-mismatch check ----------------------------------
+    // Chi-square GoF of arm sizes vs the uniform design; exact integer
+    // numerators, round-12 decimal term sums, integer-rounded per-arm
+    // deviations — see ops/Experiments.srmCheck.
+    QueryDef(
+      "x228_srm",
+      (s, dir) =>
+        Experiments.srmCheck(Tables.events(s, dir), nVariants = 3,
+            salt = "exp1")
+          .orderBy(col("variant")),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM events GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
+              |    AS variant, COUNT(*) AS n_users FROM pu GROUP BY 1),
+              |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n FROM pv),
+              |terms AS (SELECT variant, n_users, n,
+              |    CAST(round(CAST(3*n_users - n AS DOUBLE)
+              |      * CAST(3*n_users - n AS DOUBLE)
+              |      / CAST(3*n AS DOUBLE), 12) AS DECIMAL(28,12)) AS t,
+              |    (CASE WHEN 3*n_users - n < 0 THEN -1 ELSE 1 END)
+              |      * ((2*abs(3*n_users - n)*1000000 + 3) // (2*3))
+              |      AS dev6
+              |  FROM pv CROSS JOIN t),
+              |chi AS (SELECT CAST(round(SUM(t), 6) AS DOUBLE) AS chi2
+              |  FROM terms)
+              |SELECT variant, n_users,
+              |  CAST(dev6 AS DOUBLE)/1000000.0 AS dev, chi2,
+              |  chi2 > 13.816 AS srm_flag
+              |FROM terms CROSS JOIN chi ORDER BY variant""".stripMargin)),
 
     // ---- x145: per-variant conversion funnel ------------------------------
     // The funnel chain runs ONCE; variants derive from the surviving
