@@ -33,11 +33,18 @@ object Verify {
           // remove any STALE output from a previous run: a leftover
           // parquet dir would make the checker compare yesterday's
           // result and report a false OK for a failing query
-          val dir = new java.io.File(s"$outDir/$name")
-          if (dir.exists()) {
-            dir.listFiles().foreach(_.delete())
-            dir.delete()
+          // depth-first: a failed Spark write can leave nested
+          // _temporary/ trees a flat listFiles().delete() silently
+          // skips, surviving as exactly the false-OK this guards
+          def deleteTree(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).foreach(_.foreach(deleteTree))
+            if (!f.delete() && f.exists())
+              System.err.println(
+                s"[verify] WARN: could not delete stale ${f.getPath}")
           }
+          val dir = new java.io.File(s"$outDir/$name")
+          if (dir.exists()) deleteTree(dir)
         }
       }
     }
@@ -58,8 +65,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump ALL oracles even under a dev ONLY filter: tools/oracle_types.py
+    // DESCRIBEs the full map without needing Spark outputs, and check.py
+    // skips entries with no parquet dir
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

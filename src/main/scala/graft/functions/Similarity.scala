@@ -578,6 +578,14 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(k >= 1 && k <= poolSize,
       s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    // the greedy epilogue collects |queries|·poolSize² pair rows to the
+    // driver — the bounded-query-audit posture. Fail LOUDLY on a
+    // corpus-sized query frame instead of OOMing the driver mid-collect
+    val nq = queries.count()
+    require(nq * poolSize.toLong * poolSize.toLong <= 4000000L,
+      s"mmrTopK is a bounded-query audit: |queries|*poolSize^2 = " +
+        s"$nq*$poolSize^2 exceeds the 4e6 driver-pair cap; shrink the " +
+        s"query set or poolSize (corpus-side MMR needs the IVF path)")
     val pool = bruteForceTopK(queries, candidates, poolSize, idCol, embCol)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     val withE = pool.join(

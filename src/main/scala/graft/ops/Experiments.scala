@@ -131,7 +131,10 @@ object Experiments {
     * without more traffic. Per variant: `(variant, n_users, mean_post,
     * mean_adj, theta, var_reduction)` where var_reduction = ρ²(x, y)
     * (the theoretical CI-width win), round 6; theta/adjustment NULL
-    * when pre-period variance is 0.
+    * when pre-period variance is 0. UNITS: mean_post/mean_adj are in
+    * integer CENTS (the exact per-user sums), unlike [[diffInDiff]]
+    * which divides through to dollars — the cent scale keeps θ and the
+    * adjustment exact-integer-derived; divide by 100 downstream.
     *
     * Determinism: x/y are exact integer cent sums per user; every
     * moment is DECIMAL(38,0); θ, the adjusted means, and ρ² are a
@@ -324,17 +327,25 @@ object Experiments {
     *
     * Per-variant rows: variant, n_users, dev (n_v − n/K in exact
     * 6-dp), chi2, srm_flag — chi2/flag repeated per row (x57 one-row
-    * broadcast pattern) so the table is self-contained.
+    * broadcast pattern) so the table is self-contained. Every designed
+    * arm 0..K−1 appears even with ZERO assigned users (left join onto
+    * the generated arm list, zero-filled) — an arm receiving no
+    * traffic is the most extreme mismatch and must contribute its full
+    * (n/K)²/(n/K) deviation term, not vanish from the groupBy.
     *
     * Scale: ONE user_id reduce, a ≤K-row rollup, a one-row broadcast.
     */
   def srmCheck(events: DataFrame, nVariants: Int = 3,
       salt: String = "exp1", critical: Double = 13.816): DataFrame = {
     require(nVariants >= 2, s"need nVariants >= 2, got $nVariants")
-    val perVariant = withVariant(
+    val observed = withVariant(
       events.groupBy(col("user_id")).agg(count(lit(1)).as("_e")),
       "user_id", nVariants, salt)
-      .groupBy(col("variant")).agg(count(lit(1)).as("n_users"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("_obs"))
+    val perVariant = events.sparkSession.range(nVariants.toLong)
+      .select(col("id").as("variant"))
+      .join(observed, Seq("variant"), "left")
+      .select(col("variant"), coalesce(col("_obs"), lit(0L)).as("n_users"))
     val tot = broadcast(perVariant.agg(
       coalesce(sum(col("n_users")), lit(0L)).as("_n")))
     val kL = lit(nVariants.toLong)

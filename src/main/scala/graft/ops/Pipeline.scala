@@ -428,6 +428,12 @@ object Pipeline {
     * shard = position div docsPerShard. Returns docs.* plus `_shufkey`
     * (the within-shard write order — drop it before shipping) and
     * `shard`.
+    *
+    * CONTRACT: `idCol` must be unique (it is the join-back key for the
+    * rank — the no-rider decomposition ranks a projection and equi-
+    * joins the shard number back). Duplicate ids would multiply rows
+    * quadratically per dup group; run [[graft.ops.Dedup.exactDupGroups]]
+    * or a distinct first if uniqueness is not guaranteed upstream.
     */
   def shardAssignment(docs: DataFrame, docsPerShard: Long,
       idCol: String = "doc_id"): DataFrame = {

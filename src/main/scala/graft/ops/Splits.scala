@@ -171,15 +171,26 @@ object Splits {
     * (score, candidate) order.
     *
     * Scale: anchors and candidates equi-join on the bucket id —
-    * O(|anchors|·|corpus|/buckets) pair rows, tuned by `buckets`; no
-    * corpus self-join, no BNLJ. A hot stratum never funnels one task:
-    * the top-k is salted.
+    * the pair table is |anchors|·|corpus|/buckets ≈
+    * n²/(anchorMod·buckets) rows BEFORE the top-k, tuned by `buckets`
+    * and the anchor sampling `anchorMod` (anchors = ids ≡ 0 mod
+    * anchorMod); no corpus self-join, no BNLJ. The default
+    * anchorMod=16 keeps the blast radius sampled — `anchorMod = 1`
+    * (every row an anchor) makes the pair table O(n²/buckets) and is
+    * deliberately refused at corpus scale: pass a larger `buckets`
+    * and accept the volume explicitly by sizing both knobs so that
+    * n²/(anchorMod·buckets) fits your cluster. A hot stratum never
+    * funnels one task: the top-k is salted.
     */
   def negativePairs(df: DataFrame, strataCol: String, idCol: String,
       k: Int = 3, buckets: Int = 8, salt: String = "neg",
-      anchorMod: Int = 1): DataFrame = {
+      anchorMod: Int = 16): DataFrame = {
     require(k >= 1 && buckets >= 1 && anchorMod >= 1,
       s"need k, buckets, anchorMod >= 1, got $k, $buckets, $anchorMod")
+    require(anchorMod > 1 || buckets >= 64,
+      s"anchorMod=1 makes every row an anchor: the bucket join emits " +
+        s"O(n^2/buckets) pair rows. Sample anchors (anchorMod > 1) or " +
+        s"opt in explicitly with buckets >= 64 (got buckets=$buckets)")
     val hex8 = (c: String) => TextAnalysis.hexToIntSql(c, 8)
     val cands = df.select(col(idCol).as("cand_id"),
         col(strataCol).as("cand_stratum"))

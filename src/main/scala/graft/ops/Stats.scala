@@ -638,6 +638,13 @@ object Stats {
     * primitive. ONE row: `(n, n_pos, threshold, gini_split, gain,
     * left_n, left_pos, right_n, right_pos)` (gini round 6).
     *
+    * NOTE on units: `gini_split` and `gain` are reported n-SCALED —
+    * (A_L·c_R + A_R·c_L)/(c_L·c_R) equals n times the conventional
+    * [0,1] weighted Gini impurity, and the baseline A/c equals n times
+    * Gini. The scaling keeps every candidate's score a single exact
+    * DECIMAL division; argmin, the gain's sign, and oracle parity are
+    * unaffected. Divide by `n` for the textbook [0,1] values.
+    *
     * Exactness: with left counts (cl, pl) the weighted impurity's
     * numerator `A_L·c_R + A_R·c_L` (A = c² − pos² − neg²) and
     * denominator `c_L·c_R` are exact DECIMAL(38,0); each candidate's

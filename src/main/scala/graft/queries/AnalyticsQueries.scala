@@ -1462,7 +1462,8 @@ object AnalyticsQueries {
               |    llr <= CAST(round(ln(0.05 / (1.0 - 0.05)), 12)
               |      AS DECIMAL(13,12)) AS lo
               |  FROM t)
-              |SELECT variant, MAX(k) AS n_users, MAX(c) AS n_conv,
+              |SELECT variant, MAX(k) AS n_users,
+              |  CAST(MAX(c) AS BIGINT) AS n_conv,
               |  round(CAST(arg_max(llr, k) AS DOUBLE), 6) AS llr_end,
               |  COALESCE(MIN(CASE WHEN hi OR lo THEN k END), -1)
               |    AS first_cross_n,
@@ -1827,8 +1828,13 @@ object AnalyticsQueries {
       Some(s"""WITH pu AS (SELECT user_id,
               |    md5(concat('ab:exp1:', user_id)) AS d
               |  FROM events GROUP BY user_id),
-              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
-              |    AS variant, COUNT(*) AS n_users FROM pu GROUP BY 1),
+              |pvo AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 3)
+              |    AS variant, COUNT(*) AS obs FROM pu GROUP BY 1),
+              |pv AS (SELECT v.variant,
+              |    CAST(COALESCE(pvo.obs, 0) AS BIGINT) AS n_users
+              |  FROM (SELECT generate_series AS variant
+              |        FROM generate_series(0, 2)) v
+              |  LEFT JOIN pvo USING (variant)),
               |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n FROM pv),
               |terms AS (SELECT variant, n_users, n,
               |    CAST(round(CAST(3*n_users - n AS DOUBLE)

@@ -76,6 +76,8 @@ class PlanSpec extends SparkSuite {
     "x215_mmr_topk", // broadcasts the fixed query set (x10's brute-force pool shape)
     "x220_diff_in_diff", // broadcast ONE-ROW split-day bounds frame (x57 pattern)
     "x224_woe_iv", // broadcast ONE-ROW n/class-total/iv frames onto <= bins rows (x57 pattern)
+    "x225_quantile_norm", // broadcast ONE-ROW reference-count frame onto the rank table (x57 pattern)
+    "x228_srm", // broadcast ONE-ROW total + ONE-ROW chi2 frames onto <= nVariants rows (x57 pattern)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +

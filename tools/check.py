@@ -33,10 +33,17 @@ def main(sf_dir, out_dir):
             path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # oracle_sql.json now always carries ALL oracles; a query
+            # dir that does not exist at all was filtered by
+            # SPARK_GRAFT_ONLY (skip). A dir that EXISTS but is empty
+            # is a failed/partial write (fail).
+            if not os.path.isdir(f"{out_dir}/{name}"):
+                n_skip += 1
+                continue
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
@@ -84,7 +91,8 @@ def main(sf_dir, out_dir):
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
             print(f"SMOKE {q}: {n} rows (no oracle)")
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    skip = f", {n_skip} not run" if n_skip else ""
+    print(f"\n{n_ok} ok, {n_bad} failed{skip}")
     return 1 if n_bad else 0
 
 
