@@ -788,4 +788,148 @@ object Stats {
           (col("n_days") - col("_st.cpK")).cast("double"), 6)
           .as("mean_after"))
   }
+
+  /** Poisson(1) CDF thresholds in 2^32 units: w(u) = #{k : u >= T_k}
+    * over a 32-bit md5 uniform reproduces a Poisson(1) draw EXACTLY on
+    * any engine — integer comparisons against pinned constants, no
+    * float CDF. Truncated at w = 12 (tail mass ~6e-11 per draw; the
+    * last threshold is 2^32 − 4 so w = 12 is reachable, 13 is not). */
+  private val PoissonThresholds = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L, 4294966817L,
+    4294967252L, 4294967292L)
+
+  /** Poisson bootstrap CI for the mean of an integer-quantized metric —
+    * THE cluster-scale bootstrap: instead of resampling n units B times
+    * (which needs global coordination), each unit independently draws a
+    * Poisson(1) replication weight per replicate, and every replicate
+    * mean is a weighted aggregate (Σw·x / Σw). One row:
+    * `(n_units, reps_used, mean, boot_se, ci_lo, ci_hi)`.
+    *
+    * Determinism: the weight is an exact integer function of
+    * md5(salt, id, replicate) against [[PoissonThresholds]]; replicate
+    * means are half-up 6-dp integer divisions (sign-aware); boot_se is
+    * one double sqrt over exact DECIMAL moments of those 6-dp means;
+    * the CI bounds are exact rank selections (lo = ceil(reps/40), hi =
+    * reps+1−lo, i.e. 2.5/97.5 percentiles) — all replayed verbatim by
+    * the oracle. Replicates that draw an empty resample (possible only
+    * for tiny n) are excluded identically on both engines and surfaced
+    * via reps_used.
+    *
+    * Scale: ONE pass over the units expanded reps× map-side (explode of
+    * a bounded sequence, partially aggregated before the shuffle — the
+    * exchange carries reps·partitions rows, not reps·n), then a ≤reps-
+    * row epilogue. No driver collect, no global window over data rows
+    * (the rank window runs on the ≤reps replicate frame).
+    */
+  def poissonBootstrapMean(units: DataFrame, idCol: String, valCol: String,
+      reps: Int = 48, salt: String = "boot"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(reps >= 8 && reps <= 512, s"need reps in [8,512], got $reps")
+    val u = units.select(col(idCol).as("_id"),
+      col(valCol).cast("long").as("_x"))
+    // sign-aware half-up 6-dp mean in integer micro-units (`div` is a
+    // SQL-only operator, hence expr; both operands exact DECIMAL(38,0))
+    def m6(s: String, n: String): Column = expr(
+      s"""CASE WHEN $s < 0
+         |  THEN -((CAST(-2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
+         |          div (CAST(2 AS DECIMAL(38,0)) * $n))
+         |  ELSE ((CAST(2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
+         |          div (CAST(2 AS DECIMAL(38,0)) * $n)) END""".stripMargin)
+    val tot = u.agg(count(lit(1)).as("_n"), sum(d38(col("_x"))).as("_s"))
+      .select(col("_n"), m6("_s", "_n").as("_m6"))
+    val w = PoissonThresholds
+      .map(t => when(col("_u") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val rep = u
+      .withColumn("_r", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("_d",
+        md5(concat(lit(s"pb:$salt:"), col("_id"), lit(":"), col("_r"))))
+      .withColumn("_u", expr(TextAnalysis.hexToIntSql("_d", 8)))
+      .withColumn("_w", w)
+      .groupBy(col("_r"))
+      .agg(sum(col("_w")).as("_nr"),
+        sum(d38(col("_w")) * d38(col("_x"))).as("_sr"))
+      .filter(col("_nr") > 0)
+      .select(col("_r"), m6("_sr", "_nr").as("_mr"))
+    // bounded epilogue: <= reps rows; rank window + exact moments
+    val ranked = rep.withColumn("_rk",
+      row_number().over(Window.orderBy(col("_mr"), col("_r"))).cast("long"))
+    val loRank = (reps + 39) / 40 // ceil(2.5% of reps)
+    val hiRank = reps + 1 - loRank
+    val bd = reps.toDouble
+    val eps = ranked.agg(
+      count(lit(1)).as("reps_used"),
+      // micro-unit means square past the BIGINT ceiling — exact DECIMAL
+      sum(d38(col("_mr"))).as("_sm"),
+      sum(d38(col("_mr")) * d38(col("_mr"))).as("_smm"),
+      min(when(col("_rk") === loRank, col("_mr"))).as("_lo"),
+      min(when(col("_rk") === hiRank, col("_mr"))).as("_hi"))
+    tot.crossJoin(eps).select(
+      col("_n").as("n_units"), col("reps_used"),
+      (col("_m6").cast("double") / 1000000.0).as("mean"),
+      when(col("reps_used") === reps, round(
+        sqrt((d38(lit(reps)) * col("_smm") - col("_sm") * col("_sm"))
+          .cast("double") / lit(bd * bd * (bd - 1.0))) / 1000000.0, 6))
+        .as("boot_se"),
+      (col("_lo").cast("double") / 1000000.0).as("ci_lo"),
+      (col("_hi").cast("double") / 1000000.0).as("ci_hi"))
+  }
+
+  /** Kruskal–Wallis H test — "do the groups share one distribution?"
+    * rank-based, the k-sample sibling of Mann–Whitney (x175). ONE row:
+    * `(n, n_groups, h, h_adj)` with h_adj tie-corrected (NULL when all
+    * values are tied — zero correction denominator).
+    *
+    * Exactness: runs on the (group, value) VALUE TABLE; the doubled
+    * average rank of value v is the exact integer 2·cs_v − c_v + 1, so
+    * each group's doubled rank-sum R2_g is an exact DECIMAL(38,0).
+    * Per-group deviation terms are a fixed double op sequence over
+    * those exact integers, rounded to 12 dp and summed as
+    * DECIMAL(38,12) (reduction-order free); the tie correction
+    * Σ(c³−c)/(n³−n) is exact-integer-derived. Oracle-mirrored verbatim.
+    *
+    * Scale: one (group, value) reduce, decomposed pooled prefix sums on
+    * the |distinct| value table, a |groups|-row epilogue with one-row
+    * broadcasts — the corpus is touched by ONE groupBy.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val svals = Checkpoints.materialize(
+      df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+        .filter(col("_g").isNotNull && col("_v").isNotNull)
+        .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c")))
+    val pooled = Checkpoints.materialize(
+      svals.groupBy(col("_v")).agg(sum(col("_c")).as("_pc"))
+        .select(lit(0L).as("_one"), col("_v"), col("_pc")))
+    val ppre = Ranking.withGroupPrefixSums(pooled, "_one",
+      Seq("_v" -> true), "_pc", rankCol = "_pi", prefixCol = "_pcum")
+    val totals = broadcast(pooled.agg(
+      coalesce(sum(col("_pc")), lit(0L)).as("_n"),
+      coalesce(sum(d38(col("_pc")) * d38(col("_pc")) * d38(col("_pc"))
+        - d38(col("_pc"))), lit(0L).cast("decimal(38,0)")).as("_ties")))
+    val perGroup = svals
+      .join(ppre.select(col("_v"), col("_pc"), col("_pcum")), "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(d38(col("_c"))
+          * d38(lit(2) * col("_pcum") - col("_pc") + 1)).as("_r2"))
+    val nd = col("_n").cast("double")
+    val rbar = col("_r2").cast("double") / (col("_ng").cast("double") * 2.0)
+    val dev = rbar - (nd + 1.0) / 2.0
+    val term = round(lit(12.0) * col("_ng").cast("double") * dev * dev
+      / (nd * (nd + 1.0)), 12).cast("decimal(38,12)")
+    val cubes = (d38(col("_n")) * d38(col("_n")) * d38(col("_n"))
+      - d38(col("_n"))).cast("double")
+    perGroup.crossJoin(totals)
+      .select(col("_n"), col("_ties"), term.as("_t"))
+      .groupBy(lit(1).as("_k"))
+      .agg(max(col("_n")).as("_n"), max(col("_ties")).as("_ties"),
+        count(lit(1)).as("n_groups"), sum(col("_t")).as("_h"))
+      .select(col("_n").as("n"), col("n_groups"),
+        round(col("_h").cast("double"), 6).as("h"),
+        when(col("_ties").cast("double") =!= cubes,
+          round(col("_h").cast("double")
+            / (lit(1.0) - col("_ties").cast("double") / cubes), 6))
+          .as("h_adj"))
+  }
 }

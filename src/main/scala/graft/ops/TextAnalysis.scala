@@ -1105,4 +1105,50 @@ object TextAnalysis {
         r6s("_tf", "n_docs").as("mean_flesch"),
         r6("_hard", "n_docs").as("share_hard"))
   }
+
+  /** Good–Turing frequency-of-frequencies audit — "how much novel
+    * vocabulary is still out there?": the Turing estimate of unseen
+    * probability mass is N₁/N (the share of tokens whose type appeared
+    * exactly once), and the smoothed count for frequency r is
+    * r* = (r+1)·N_{r+1}/N_r. One row per r in 1..maxR:
+    * `(r, n_r, r_star, vocab, n_tokens, p_unseen)` — the corpus columns
+    * repeated per row (x57 one-row-broadcast pattern), n_r zero-filled
+    * from a generated grid so sparse high frequencies still report.
+    *
+    * Determinism: pure counting; r_star and p_unseen are each ONE
+    * IEEE double division over exact integers, round 6 (NULL when
+    * N_r = 0).
+    *
+    * Scale: one token reduce to the term table, one |distinct-r| reduce
+    * over it, a ≤maxR-row epilogue. The corpus is scanned ONCE.
+    */
+  def goodTuring(docs: DataFrame, textCol: String = "text",
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"need maxR in [1,1000], got $maxR")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val ff = Checkpoints.materialize(
+      docs.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("_r"))
+        .groupBy(col("_r")).agg(count(lit(1)).as("_nr")))
+    val corpus = broadcast(ff.agg(
+      coalesce(sum(col("_nr")), lit(0L)).as("vocab"),
+      coalesce(sum(d38(col("_r")) * d38(col("_nr"))), lit(0L)
+        .cast("decimal(38,0)")).cast("long").as("n_tokens"),
+      coalesce(sum(when(col("_r") === 1, col("_nr")).otherwise(0L)),
+        lit(0L)).as("_n1")))
+    docs.sparkSession.range(1, maxR + 1L).select(col("id").as("r"))
+      .join(ff.select(col("_r").as("r"), col("_nr").as("n_r")),
+        Seq("r"), "left")
+      .join(ff.select((col("_r") - 1).as("r"), col("_nr").as("_nr1")),
+        Seq("r"), "left")
+      .na.fill(0L, Seq("n_r", "_nr1"))
+      .crossJoin(corpus)
+      .select(col("r"), col("n_r"),
+        when(col("n_r") > 0,
+          round((col("r") + 1).cast("double") * col("_nr1").cast("double")
+            / col("n_r").cast("double"), 6)).as("r_star"),
+        col("vocab"), col("n_tokens"),
+        round(col("_n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"))
+  }
 }

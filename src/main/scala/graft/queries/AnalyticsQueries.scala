@@ -3878,5 +3878,153 @@ object AnalyticsQueries {
              |      - CAST(ex.f2_exact AS DOUBLE))
              |      / CAST(ex.f2_exact AS DOUBLE), 6) END AS rel_err
              |FROM ms CROSS JOIN ex""".stripMargin)),
+
+    // ---- x229: Poisson bootstrap CI for mean revenue per user --------------
+    // Each user draws a Poisson(1) replication weight per replicate
+    // from pinned integer CDF thresholds over an md5 uniform — the
+    // cluster-scale bootstrap (no global resampling pass); replicate
+    // means are half-up 6-dp integer divisions, the CI is an exact
+    // rank selection — see ops/Stats.poissonBootstrapMean.
+    QueryDef(
+      "x229_poisson_bootstrap",
+      (s, dir) =>
+        Stats.poissonBootstrapMean(
+          Tables.events(s, dir).groupBy(col("user_id")).agg(
+            coalesce(sum(when(col("event_type") === "purchase",
+              round(col("value") * 100).cast("long"))), lit(0L))
+              .as("cents")),
+          "user_id", "cents", reps = 48, salt = "boot"),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
+              |      AS BIGINT) AS x
+              |  FROM events GROUP BY user_id),
+              |tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS HUGEINT) AS s
+              |  FROM pu),
+              |tm AS (SELECT n, CASE WHEN s < 0
+              |    THEN -CAST((-2 * s * 1000000 + n)
+              |      // (2 * CAST(n AS HUGEINT)) AS BIGINT)
+              |    ELSE CAST((2 * s * 1000000 + n)
+              |      // (2 * CAST(n AS HUGEINT)) AS BIGINT) END AS m6
+              |  FROM tot),
+              |reps AS (SELECT generate_series AS r
+              |  FROM generate_series(0, 47)),
+              |dr AS (SELECT r, x, ${TextAnalysis.hexToIntSql("d", 8)} AS u
+              |  FROM (SELECT r, x,
+              |      md5(concat('pb:boot:', user_id, ':', r)) AS d
+              |    FROM pu CROSS JOIN reps)),
+              |ws AS (SELECT r, x,
+              |    (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4292415291 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294609777 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294923276 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294962463 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294966817 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294967252 THEN 1 ELSE 0 END
+              |     + CASE WHEN u >= 4294967292 THEN 1 ELSE 0 END) AS w
+              |  FROM dr),
+              |rep AS (SELECT r, CAST(SUM(w) AS BIGINT) AS nr,
+              |    CAST(SUM(CAST(w AS HUGEINT) * x) AS HUGEINT) AS sr
+              |  FROM ws GROUP BY r HAVING SUM(w) > 0),
+              |mr AS (SELECT r, CASE WHEN sr < 0
+              |    THEN -CAST((-2 * sr * 1000000 + nr)
+              |      // (2 * CAST(nr AS HUGEINT)) AS BIGINT)
+              |    ELSE CAST((2 * sr * 1000000 + nr)
+              |      // (2 * CAST(nr AS HUGEINT)) AS BIGINT) END AS m
+              |  FROM rep),
+              |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk
+              |  FROM mr),
+              |eps AS (SELECT COUNT(*) AS reps_used,
+              |    CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS sm,
+              |    CAST(SUM(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm,
+              |    MIN(CASE WHEN rk = 2 THEN m END) AS lo,
+              |    MIN(CASE WHEN rk = 47 THEN m END) AS hi
+              |  FROM rk)
+              |SELECT n AS n_units, reps_used,
+              |  CAST(m6 AS DOUBLE) / 1000000.0 AS mean,
+              |  CASE WHEN reps_used = 48 THEN
+              |    round(sqrt(CAST(48 * smm - sm * sm AS DOUBLE)
+              |      / 108288.0) / 1000000.0, 6) END AS boot_se,
+              |  CAST(lo AS DOUBLE) / 1000000.0 AS ci_lo,
+              |  CAST(hi AS DOUBLE) / 1000000.0 AS ci_hi
+              |FROM tm CROSS JOIN eps""".stripMargin)),
+
+    // ---- x230: Kruskal–Wallis k-sample rank test ---------------------------
+    // "Do the sources' length distributions differ?" — value-table
+    // exact doubled rank sums, round-12 decimal deviation terms,
+    // exact-integer tie correction — see ops/Stats.kruskalWallis.
+    QueryDef(
+      "x230_kruskal_wallis",
+      (s, dir) =>
+        Stats.kruskalWallis(Tables.documents(s, dir),
+          col("lang"), col("n_chars")),
+      Some("""WITH sv AS (SELECT lang AS g, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS pc
+             |  FROM sv GROUP BY 1),
+             |pp AS (SELECT v, pc,
+             |    CAST(SUM(pc) OVER (ORDER BY v) AS BIGINT) AS pcum
+             |  FROM pv),
+             |tot AS (SELECT CAST(SUM(pc) AS BIGINT) AS n,
+             |    SUM(CAST(pc AS HUGEINT) * pc * pc - pc) AS ties
+             |  FROM pv),
+             |pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+             |    SUM(CAST(c AS HUGEINT) * (2 * pcum - pc + 1)) AS r2
+             |  FROM sv JOIN pp USING (v) GROUP BY 1),
+             |terms AS (SELECT g, ng, n, ties,
+             |    CAST(round(12.0 * CAST(ng AS DOUBLE)
+             |      * (CAST(r2 AS DOUBLE) / (CAST(ng AS DOUBLE) * 2.0)
+             |         - (CAST(n AS DOUBLE) + 1.0) / 2.0)
+             |      * (CAST(r2 AS DOUBLE) / (CAST(ng AS DOUBLE) * 2.0)
+             |         - (CAST(n AS DOUBLE) + 1.0) / 2.0)
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)), 12)
+             |      AS DECIMAL(38,12)) AS t
+             |  FROM pg CROSS JOIN tot)
+             |SELECT MAX(n) AS n, COUNT(*) AS n_groups,
+             |  round(CAST(SUM(t) AS DOUBLE), 6) AS h,
+             |  CASE WHEN CAST(MAX(ties) AS DOUBLE)
+             |      <> CAST(CAST(MAX(n) AS HUGEINT) * MAX(n) * MAX(n)
+             |        - MAX(n) AS DOUBLE) THEN
+             |    round(CAST(SUM(t) AS DOUBLE)
+             |      / (1.0 - CAST(MAX(ties) AS DOUBLE)
+             |        / CAST(CAST(MAX(n) AS HUGEINT) * MAX(n) * MAX(n)
+             |          - MAX(n) AS DOUBLE)), 6) END AS h_adj
+             |FROM terms""".stripMargin)),
+
+    // ---- x231: Good–Turing unseen-vocabulary audit -------------------------
+    // Frequency-of-frequencies over the term table; Turing unseen mass
+    // N1/N and smoothed r* = (r+1)·N_{r+1}/N_r for r = 1..10 — see
+    // ops/TextAnalysis.goodTuring.
+    QueryDef(
+      "x231_good_turing",
+      (s, dir) =>
+        TextAnalysis.goodTuring(Tables.documents(s, dir))
+          .orderBy(col("r")),
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT tok, COUNT(*) AS r FROM toks GROUP BY 1),
+             |ff AS (SELECT r, COUNT(*) AS nr FROM tf GROUP BY 1),
+             |corpus AS (SELECT CAST(SUM(nr) AS BIGINT) AS vocab,
+             |    CAST(SUM(CAST(r AS HUGEINT) * nr) AS BIGINT) AS n_tokens,
+             |    CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0)
+             |      AS BIGINT) AS n1
+             |  FROM ff),
+             |grid AS (SELECT generate_series AS r
+             |  FROM generate_series(1, 10))
+             |SELECT g.r AS r, CAST(COALESCE(f.nr, 0) AS BIGINT) AS n_r,
+             |  CASE WHEN COALESCE(f.nr, 0) > 0 THEN
+             |    round(CAST(g.r + 1 AS DOUBLE)
+             |      * CAST(COALESCE(f1.nr, 0) AS DOUBLE)
+             |      / CAST(f.nr AS DOUBLE), 6) END AS r_star,
+             |  vocab, n_tokens,
+             |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             |    AS p_unseen
+             |FROM grid g LEFT JOIN ff f ON f.r = g.r
+             |LEFT JOIN ff f1 ON f1.r = g.r + 1
+             |CROSS JOIN corpus ORDER BY 1""".stripMargin)),
   )
 }

@@ -78,6 +78,9 @@ class PlanSpec extends SparkSuite {
     "x224_woe_iv", // broadcast ONE-ROW n/class-total/iv frames onto <= bins rows (x57 pattern)
     "x225_quantile_norm", // broadcast ONE-ROW reference-count frame onto the rank table (x57 pattern)
     "x228_srm", // broadcast ONE-ROW total + ONE-ROW chi2 frames onto <= nVariants rows (x57 pattern)
+    "x229_poisson_bootstrap", // ONE-ROW point estimate x ONE-ROW replicate epilogue (x57 pattern)
+    "x230_kruskal_wallis", // broadcast ONE-ROW n/ties totals onto <= |groups| rows (x57 pattern)
+    "x231_good_turing", // broadcast ONE-ROW corpus totals onto the <= maxR-row grid (x57 pattern)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +

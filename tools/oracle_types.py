@@ -45,13 +45,20 @@ EQUIV = {
 def duck_to_ok(duck_t, arrow_t):
     duck_t = duck_t.upper()
     if duck_t.startswith("DECIMAL"):
-        # DECIMAL(p,s) <-> decimal128(p, s)
+        # DECIMAL(p,s) <-> decimal128(p, s); a DECIMAL oracle against a
+        # Spark double is driver-proven benign (x216 epsilon: green in
+        # CORRECTNESS_r12) — pandas reads both as float64
         inner = duck_t[duck_t.index("(") + 1:duck_t.index(")")]
         p, s = [x.strip() for x in inner.split(",")]
-        return arrow_t == f"decimal128({p}, {s})"
+        return arrow_t in (f"decimal128({p}, {s})", "double")
     if duck_t.startswith("STRUCT") or duck_t.startswith("LIST") \
             or duck_t.endswith("[]"):
         return True  # nested: the hash flattens these; values-only check
+    if duck_t == "BIGINT" and arrow_t in ("int32", "int16"):
+        # narrower Spark ints widen to int64 in pandas — driver-proven
+        # benign (q26 rk / q51 quartile: green since round 6). Only the
+        # HUGEINT direction (pandas object) breaks the driver hash.
+        return True
     return arrow_t in EQUIV.get(duck_t, set())
 
 
