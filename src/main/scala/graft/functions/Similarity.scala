@@ -1029,4 +1029,126 @@ object Similarity {
           col("vec_id").as("neighbor_id"), col("_exact").as("score"))
     }
   }
+
+  /** nDCG rank discounts 1/log2(i+1), i = 1..k, pinned to 12-dp
+    * decimals JVM-side — both the plan and the oracle embed these as
+    * LITERALS, so libm log2 differences cannot skew parity. */
+  private[graft] def ndcgDiscounts(k: Int): Seq[BigDecimal] =
+    (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+
+  /** RBO depth weights: a neighbor matched at depths (ra, rb)
+    * contributes to every prefix-overlap X_d with d ≥ m = max(ra, rb),
+    * so its total weight is F(m) = (1−p)/(1−p^k) · Σ_{d=m..k} p^{d−1}/d
+    * — computed in exact decimal arithmetic (30-digit quotients) and
+    * pinned at 12 dp, embedded as literals on both engines. Σ F(m)
+    * over m = 1..k is the perfect-agreement score (≈1). */
+  private[graft] def rboWeights(k: Int,
+      p: BigDecimal = BigDecimal("0.9")): Seq[BigDecimal] = {
+    val mc = new java.math.MathContext(30)
+    val norm = BigDecimal((BigDecimal(1) - p).bigDecimal
+      .divide((BigDecimal(1) - p.pow(k)).bigDecimal, mc))
+    (1 to k).map { m =>
+      val tail = (m to k).map(d => BigDecimal(
+        p.pow(d - 1).bigDecimal.divide(
+          java.math.BigDecimal.valueOf(d.toLong), mc))).sum
+      (norm * tail).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+  }
+
+  private def pinnedLookup(rankCol: Column,
+      consts: Seq[BigDecimal]): Column =
+    coalesce(consts.zipWithIndex.map { case (c, i) =>
+      when(rankCol === (i + 1).toLong,
+        lit(c.toString).cast("decimal(14,12)"))
+    }: _*)
+
+  /** Retrieval-quality metrics of the IVF index against brute-force
+    * ground truth on a fixed query set: recall@k, MRR (reciprocal rank
+    * of the first true neighbor in the IVF list), and binary-relevance
+    * nDCG@k. ONE row: `(n_queries, k, recall_at_k, mrr, ndcg)`
+    * (round 6). The IDCG and per-rank discounts are pinned 12-dp
+    * decimal literals (see [[ndcgDiscounts]]); per-query reciprocal
+    * ranks and nDCG are single IEEE divisions rounded to 12 and summed
+    * as decimals. Queries the IVF misses entirely still count (left
+    * join from the query list, zero contributions).
+    *
+    * Scale: the bounded-query-audit posture (x10/x66) — both lists are
+    * ≤ k·|queries| rows; the corpus is touched by the two index scans
+    * only.
+    */
+  def retrievalMetrics(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 100, s"need k in [1,100], got $k")
+    val disc = ndcgDiscounts(k)
+    val idcg = disc.sum // exact: each term 12 dp
+    val gt = bruteForceTopK(queries, candidates, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val sys = ivfTopK(queries, candidates, k, nCells, nprobe, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("long").as("_sysrk"))
+    val perQ = gt.join(sys, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("_nh"),
+        sum(pinnedLookup(col("_sysrk"), disc)).as("_dcg"),
+        min(col("_sysrk")).as("_first"))
+      .select(col("query_id"), col("_nh"),
+        round(col("_dcg").cast("double") / lit(idcg.toDouble), 12)
+          .cast("decimal(14,12)").as("_ndcg"),
+        round(lit(1.0) / col("_first").cast("double"), 12)
+          .cast("decimal(14,12)").as("_rr"))
+    queries.select(col(idCol).as("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("_nh"), lit(0L))).as("_hits"),
+        sum(coalesce(col("_rr"), lit(0L).cast("decimal(14,12)")))
+          .as("_srr"),
+        sum(coalesce(col("_ndcg"), lit(0L).cast("decimal(14,12)")))
+          .as("_sn"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        round(col("_hits").cast("double")
+          / (col("n_queries") * k).cast("double"), 6).as("recall_at_k"),
+        round(col("_srr").cast("double")
+          / col("n_queries").cast("double"), 6).as("mrr"),
+        round(col("_sn").cast("double")
+          / col("n_queries").cast("double"), 6).as("ndcg"))
+  }
+
+  /** Rank-biased overlap (p = 0.9) between the brute-force and IVF
+    * top-k lists — the order-aware agreement audit recall@k cannot
+    * give (it weighs the head of the ranking). Per matched neighbor
+    * the contribution is the pinned weight F(max(gt rank, ivf rank))
+    * (see [[rboWeights]]) — so each per-query RBO is an EXACT decimal
+    * sum; the row is `(n_queries, k, mean_rbo, min_rbo)` round 6.
+    *
+    * Scale: bounded-query audit; both lists ≤ k·|queries| rows.
+    */
+  def rboAudit(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, nprobe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 100, s"need k in [1,100], got $k")
+    val ws = rboWeights(k)
+    val gt = bruteForceTopK(queries, candidates, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("long").as("_gtrk"))
+    val sys = ivfTopK(queries, candidates, k, nCells, nprobe, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("long").as("_sysrk"))
+    val perQ = gt.join(sys, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        pinnedLookup(greatest(col("_gtrk"), col("_sysrk")), ws).as("_w"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("_w")).as("_rbo"))
+    queries.select(col(idCol).as("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_rbo"), lit(0L).cast("decimal(24,12)")).as("_rbo"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("_rbo")).as("_sr"), min(col("_rbo")).as("_mn"))
+      .select(col("n_queries"), lit(k.toLong).as("k"),
+        round(col("_sr").cast("double")
+          / col("n_queries").cast("double"), 6).as("mean_rbo"),
+        round(col("_mn").cast("double"), 6).as("min_rbo"))
+  }
 }

@@ -372,4 +372,80 @@ object Experiments {
         col("chi2"),
         (col("chi2") > lit(critical)).as("srm_flag"))
   }
+
+  /** Cochran–Mantel–Haenszel test across strata — "does treatment
+    * associate with conversion AFTER controlling for a confounder?"
+    * (here: the user's entry day-of-week, the classic seasonality
+    * confounder). Each stratum contributes its 2×2 table; the
+    * statistic pools Σ(a_i − E_i) against ΣV_i with the 0.5 continuity
+    * correction (clamped at 0), and the Mantel–Haenszel common odds
+    * ratio pools Σ(a·d/n)/Σ(b·c/n). ONE row:
+    * `(n_strata, sum_treated_conv, cmh, or_mh)` (round 6; or_mh NULL
+    * when its denominator is 0, cmh NULL when ΣV = 0).
+    *
+    * Determinism: cell counts are exact integers (md5 two-arm
+    * assignment, exact conversion predicate, integer day-of-week);
+    * E_i, V_i, and the OR terms are each ONE double division of exact
+    * DECIMAL(38,0) products, rounded to 12 dp and summed as
+    * DECIMAL(38,12); the epilogue is a fixed double op sequence.
+    * Strata with n < 2 are excluded identically on both engines (V
+    * undefined).
+    *
+    * Scale: ONE user reduce (entry + conversion in one pass), a ≤7-row
+    * stratum rollup, a one-row epilogue.
+    */
+  def cmhTest(events: DataFrame, convType: String = "purchase",
+      minValue: Double = 150.0, salt: String = "exp1"): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val perUser = withVariant(
+      events.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === convType
+          && col("value") >= minValue, 1L).otherwise(0L)).as("_conv"),
+        min(col("ts_ns")).as("_entry")),
+      "user_id", 2, salt)
+    val cells = perUser
+      .withColumn("_st", pmod(expr("_entry div 86400000000000") + 4,
+        lit(7L)))
+      .groupBy(col("_st"))
+      .agg(
+        sum(when(col("variant") === 1 && col("_conv") === 1, 1L)
+          .otherwise(0L)).as("_n11"),
+        sum(when(col("variant") === 1 && col("_conv") === 0, 1L)
+          .otherwise(0L)).as("_n10"),
+        sum(when(col("variant") === 0 && col("_conv") === 1, 1L)
+          .otherwise(0L)).as("_n01"),
+        sum(when(col("variant") === 0 && col("_conv") === 0, 1L)
+          .otherwise(0L)).as("_n00"))
+      .withColumn("_n",
+        col("_n11") + col("_n10") + col("_n01") + col("_n00"))
+      .filter(col("_n") >= 2)
+    val r1 = col("_n11") + col("_n10"); val r0 = col("_n01") + col("_n00")
+    val c1 = col("_n11") + col("_n01"); val c0 = col("_n10") + col("_n00")
+    def t12(c: Column) = round(c, 12).cast("decimal(38,12)")
+    val e = t12((d38(r1) * d38(c1)).cast("double")
+      / col("_n").cast("double"))
+    val v = t12((d38(r1) * d38(r0) * d38(c1) * d38(c0)).cast("double")
+      / (d38(col("_n")) * d38(col("_n")) * d38(col("_n") - 1))
+        .cast("double"))
+    val orN = t12((d38(col("_n11")) * d38(col("_n00"))).cast("double")
+      / col("_n").cast("double"))
+    val orD = t12((d38(col("_n10")) * d38(col("_n01"))).cast("double")
+      / col("_n").cast("double"))
+    val agg = cells
+      .select(col("_n11").as("_a"), e.as("_e"), v.as("_v"),
+        orN.as("_on"), orD.as("_od"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("_a")).as("sum_treated_conv"),
+        sum(col("_e")).as("_se"), sum(col("_v")).as("_sv"),
+        sum(col("_on")).as("_son"), sum(col("_od")).as("_sod"))
+    val g = greatest(
+      abs(col("sum_treated_conv").cast("double")
+        - col("_se").cast("double")) - 0.5, lit(0.0))
+    agg.select(col("n_strata"), col("sum_treated_conv"),
+      when(col("_sv").cast("double") > 0.0,
+        round(g * g / col("_sv").cast("double"), 6)).as("cmh"),
+      when(col("_sod").cast("double") > 0.0,
+        round(col("_son").cast("double")
+          / col("_sod").cast("double"), 6)).as("or_mh"))
+  }
 }

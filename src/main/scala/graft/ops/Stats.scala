@@ -19,6 +19,16 @@ object Stats {
 
   private def d38(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** Sign-aware half-up 6-dp mean in integer micro-units (`div` is a
+    * SQL-only operator, hence expr; both operands exact integers).
+    * `s` and `n` are COLUMN NAMES of the sum and count. */
+  private[ops] def halfUpMicro(s: String, n: String): Column = expr(
+    s"""CASE WHEN $s < 0
+       |  THEN -((CAST(-2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
+       |          div (CAST(2 AS DECIMAL(38,0)) * $n))
+       |  ELSE ((CAST(2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
+       |          div (CAST(2 AS DECIMAL(38,0)) * $n)) END""".stripMargin)
+
   /** OLS fit y = intercept + slope·x over integer-valued columns.
     * Returns ONE row (n, slope, intercept, r2), round 6; slope/r2 NULL
     * when x (or y, for r2) is constant — zero variance, and ANSI-mode
@@ -828,16 +838,8 @@ object Stats {
     require(reps >= 8 && reps <= 512, s"need reps in [8,512], got $reps")
     val u = units.select(col(idCol).as("_id"),
       col(valCol).cast("long").as("_x"))
-    // sign-aware half-up 6-dp mean in integer micro-units (`div` is a
-    // SQL-only operator, hence expr; both operands exact DECIMAL(38,0))
-    def m6(s: String, n: String): Column = expr(
-      s"""CASE WHEN $s < 0
-         |  THEN -((CAST(-2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
-         |          div (CAST(2 AS DECIMAL(38,0)) * $n))
-         |  ELSE ((CAST(2 AS DECIMAL(38,0)) * $s * 1000000 + $n)
-         |          div (CAST(2 AS DECIMAL(38,0)) * $n)) END""".stripMargin)
     val tot = u.agg(count(lit(1)).as("_n"), sum(d38(col("_x"))).as("_s"))
-      .select(col("_n"), m6("_s", "_n").as("_m6"))
+      .select(col("_n"), halfUpMicro("_s", "_n").as("_m6"))
     val w = PoissonThresholds
       .map(t => when(col("_u") >= t, 1L).otherwise(0L)).reduce(_ + _)
     val rep = u
@@ -850,7 +852,7 @@ object Stats {
       .agg(sum(col("_w")).as("_nr"),
         sum(d38(col("_w")) * d38(col("_x"))).as("_sr"))
       .filter(col("_nr") > 0)
-      .select(col("_r"), m6("_sr", "_nr").as("_mr"))
+      .select(col("_r"), halfUpMicro("_sr", "_nr").as("_mr"))
     // bounded epilogue: <= reps rows; rank window + exact moments
     val ranked = rep.withColumn("_rk",
       row_number().over(Window.orderBy(col("_mr"), col("_r"))).cast("long"))
@@ -931,5 +933,65 @@ object Stats {
           round(col("_h").cast("double")
             / (lit(1.0) - col("_ties").cast("double") / cubes), 6))
           .as("h_adj"))
+  }
+
+  /** Split conformal calibration per group — the distribution-free
+    * prediction-interval primitive: the calibration half (even ids)
+    * fits the trivial per-group model (half-up 6-dp mean), the
+    * nonconformity score is the exact integer |v·10⁶ − mean₆|, and
+    * q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration score — the
+    * finite-sample-valid conformal quantile. The test half (odd ids)
+    * then audits empirical coverage of mean ± q̂. Per group:
+    * `(group, n_cal, n_test, qhat, coverage)` (qhat in value units,
+    * coverage round 6; NULL coverage when the test half is empty).
+    *
+    * Determinism: scores and the rank target
+    * min(⌈(n_cal+1)(100−α₁₀₀)/100⌉, n_cal) are exact integers; q̂ is
+    * an exact rank selection on the (group, score) VALUE TABLE via
+    * decomposed prefix sums; coverage is one double division.
+    *
+    * Scale: one calibration reduce, one score map, prefix sums on
+    * |distinct scores| rows, one equi-join of the test half against
+    * the ≤|groups|-row q̂ table. No global window, no driver collect.
+    */
+  def conformalCalibration(df: DataFrame, groupCol: Column,
+      valueCol: Column, idCol: Column, alpha100: Int = 10): DataFrame = {
+    require(alpha100 >= 1 && alpha100 <= 50,
+      s"need alpha100 in [1,50], got $alpha100")
+    val base = df.select(groupCol.as("_g"), valueCol.cast("long").as("_v"),
+        (pmod(idCol, lit(2L)) === 0).as("_cal"))
+      .filter(col("_g").isNotNull && col("_v").isNotNull)
+    val calStats = base.filter(col("_cal"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_nc"), sum(d38(col("_v"))).as("_sv"))
+      .select(col("_g"), col("_nc"), halfUpMicro("_sv", "_nc").as("_m6"),
+        // rank target, capped at n_cal (degenerate tiny groups
+        // saturate at the max score instead of an undefined quantile)
+        least(expr(s"((_nc + 1) * ${100 - alpha100} + 99) div 100"),
+          col("_nc")).as("_tgt"))
+    val scored = base.join(calStats.select(col("_g"), col("_m6")), "_g")
+      .select(col("_g"), col("_cal"),
+        abs(col("_v") * 1000000L - col("_m6")).as("_s"))
+    val calScores = Checkpoints.materialize(
+      scored.filter(col("_cal"))
+        .groupBy(col("_g"), col("_s")).agg(count(lit(1)).as("_c")))
+    val pre = Ranking.withGroupPrefixSums(calScores, "_g",
+      Seq("_s" -> true), "_c", rankCol = "_i", prefixCol = "_cs")
+    val qhat = pre.join(calStats.select(col("_g"), col("_tgt")), "_g")
+      .filter(col("_cs") >= col("_tgt"))
+      .groupBy(col("_g")).agg(min(col("_s")).as("_q"))
+    val test = scored.filter(!col("_cal"))
+      .join(qhat, "_g")
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("_s") <= col("_q"), 1L).otherwise(0L)).as("_cov"))
+    calStats.select(col("_g"), col("_nc")).join(qhat, "_g")
+      .join(test, Seq("_g"), "left")
+      .select(col("_g").as("grp"), col("_nc").as("n_cal"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        (col("_q").cast("double") / 1000000.0).as("qhat"),
+        when(col("n_test") > 0,
+          round(col("_cov").cast("double")
+            / col("n_test").cast("double"), 6)).as("coverage"))
   }
 }

@@ -1151,4 +1151,115 @@ object TextAnalysis {
         round(col("_n1").cast("double") / col("n_tokens").cast("double"), 6)
           .as("p_unseen"))
   }
+
+  /** Zipf-law fit over the term-frequency table — "does this corpus
+    * look like natural language?": OLS of ln(frequency) on ln(rank).
+    * A natural corpus sits near slope −1; scraped boilerplate, tables,
+    * or synthetic spam bend the curve. ONE row:
+    * `(n_terms, slope, intercept, r2)` round 6 (slope/r2 NULL on a
+    * degenerate 0/1-term corpus).
+    *
+    * Determinism: ranks are the exact decomposed global rank of the
+    * term table (freq desc, term asc — total order); each per-term
+    * moment (x, y, x², y², xy over x = ln rank, y = ln freq) is
+    * rounded to 12 dp and summed as DECIMAL(38,12) (reduction-order
+    * free); the OLS epilogue is a fixed double op sequence on the
+    * decimal sums, mirrored in the oracle.
+    *
+    * Scale: one token reduce to the term table, the decomposed rank on
+    * |vocab| rows, one moment reduce. The corpus is scanned ONCE; the
+    * only windows are the rank substrate's per-bucket ones.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text",
+      minTf: Long = 1L): DataFrame = {
+    val tf = Checkpoints.materialize(
+      docs.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("_tf"))
+        .filter(col("_tf") >= minTf))
+    val ranked = Ranking.withGlobalRanks(tf.select(col("_tf"), col("tok")),
+      Seq("_tf" -> false, "tok" -> true))
+    val x = log(col("rnk").cast("double"))
+    val y = log(col("_tf").cast("double"))
+    def t12(c: Column) = round(c, 12).cast("decimal(38,12)")
+    val m = ranked.select(t12(x).as("_x"), t12(y).as("_y"),
+        t12(x * x).as("_xx"), t12(y * y).as("_yy"), t12(x * y).as("_xy"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_xx")).as("_sxx"), sum(col("_yy")).as("_syy"),
+        sum(col("_xy")).as("_sxy"))
+    val nd = col("n_terms").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val num = nd * col("_sxy").cast("double") - sx * sy
+    val denx = nd * col("_sxx").cast("double") - sx * sx
+    val deny = nd * col("_syy").cast("double") - sy * sy
+    m.select(col("n_terms"),
+      when(denx > 0.0, round(num / denx, 6)).as("slope"),
+      when(denx > 0.0, round((sy - (num / denx) * sx) / nd, 6))
+        .as("intercept"),
+      when(denx > 0.0 && deny > 0.0,
+        round(num * num / (denx * deny), 6)).as("r2"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between group token
+    * distributions — the symmetric, bounded [0, ln 2] corpus-drift
+    * measure mixing audits want (KL explodes on disjoint vocab; JS
+    * does not). One row per unordered group pair:
+    * `(source_a, source_b, n_common, js)` (js round 6).
+    *
+    * Determinism: the shared-vocabulary terms are round-12 decimal
+    * sums of a fixed double op sequence over exact integer count
+    * ratios; the disjoint-vocabulary tail needs NO token enumeration —
+    * Σ_{tok only in a} p_a = 1 − Σ_{tok∈a∩b} p_a, so the tail
+    * contribution is ½·ln2·(2 − Ca/Ta − Cb/Tb) from exact integer
+    * intersection masses (ln 2 pinned to its nearest-double literal on
+    * both engines).
+    *
+    * Scale: one (group, token) reduce, then ONE token equi-join across
+    * groups (each token joins its ≤|groups| rows — never a corpus
+    * self-join), a |pairs|-cardinality rollup left-joined onto the
+    * bounded |groups|² pair grid — so fully-disjoint pairs still
+    * report (js = ln 2) instead of vanishing. Corpus scanned ONCE.
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val halfLn2 = 0.34657359027997264 // 0.5 * nearest-double ln 2
+    val cst = Checkpoints.materialize(
+      docs.select(col(groupCol).as("_g"),
+          explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("_c")))
+    val totals = broadcast(cst.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_t")))
+    val withT = cst.join(totals, "_g")
+    val a = withT.select(col("_g").as("_ga"), col("tok"),
+      col("_c").as("_ca"), col("_t").as("_ta"))
+    val b = withT.select(col("_g").as("_gb"), col("tok"),
+      col("_c").as("_cb"), col("_t").as("_tb"))
+    val pa = col("_ca").cast("double") / col("_ta").cast("double")
+    val pb = col("_cb").cast("double") / col("_tb").cast("double")
+    val term = round(
+      lit(0.5) * pa * log(lit(2.0) * pa / (pa + pb))
+        + lit(0.5) * pb * log(lit(2.0) * pb / (pa + pb)), 12)
+      .cast("decimal(38,12)")
+    val common = a.join(b, "tok").filter(col("_ga") < col("_gb"))
+      .groupBy(col("_ga"), col("_gb"))
+      .agg(count(lit(1)).as("_nc"),
+        sum(col("_ca")).as("_ia"), sum(col("_cb")).as("_ib"),
+        sum(term).as("_jt"))
+    // bounded |groups|² grid: a disjoint-vocabulary pair must still
+    // report (its js is exactly ln 2), not vanish from the inner join
+    val grid = totals.select(col("_g").as("_ga"), col("_t").as("_taa"))
+      .crossJoin(totals.select(col("_g").as("_gb"), col("_t").as("_tbb")))
+      .filter(col("_ga") < col("_gb"))
+    grid.join(common, Seq("_ga", "_gb"), "left")
+      .select(col("_ga").as("source_a"), col("_gb").as("source_b"),
+        coalesce(col("_nc"), lit(0L)).as("n_common"),
+        round(coalesce(col("_jt"), lit(0L).cast("decimal(38,12)"))
+          .cast("double")
+          + lit(halfLn2) * (lit(2.0)
+            - coalesce(col("_ia"), lit(0L)).cast("double")
+              / col("_taa").cast("double")
+            - coalesce(col("_ib"), lit(0L)).cast("double")
+              / col("_tbb").cast("double")), 6)
+          .as("js"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Similarity
 import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
   Experiments, Graphs, Integrity, Layout, Pca, Profiling, Selection,
   Skew, Splits, Stats, Survival, TextAnalysis}
@@ -17,6 +18,63 @@ object AnalyticsQueries {
 
   /** The funnel step list shared by the query and its oracle. */
   private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Pinned-constant CASE text for x236/x237 — generated from the SAME
+    * Scala decimals the Spark plan embeds, so the two cannot drift. */
+  private def pinnedCaseSql(rankExpr: String,
+      consts: Seq[BigDecimal]): String =
+    consts.zipWithIndex.map { case (c, i) =>
+      s"WHEN $rankExpr = ${i + 1} THEN CAST('$c' AS DECIMAL(14,12))"
+    }.mkString("CASE ", " ", " END")
+
+  /** Shared brute-force + IVF top-k CTE prefix for the retrieval
+    * audits (x236/x237): mirrors x10's brute ranking and x18's IVF
+    * cells/probes/scored pipeline at k = `k`, queries vec_id < 10. */
+  private def retrievalCtes(k: Int): String =
+    s"""WITH gt AS (SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+       |        / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+       |             * list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])), 6)
+       |      DESC, c.vec_id ASC) AS rk
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) t
+       |  WHERE rk <= $k),
+       |cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS ce
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(list_dot_product(e.embedding::DOUBLE[], c.ce)
+       |        / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |             * list_dot_product(c.ce, c.ce)), 6) DESC, c.cent_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cent_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_dot_product(q.embedding::DOUBLE[], c.ce)
+       |        / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+       |             * list_dot_product(c.ce, c.ce)), 6) DESC, c.cent_id ASC) AS pr
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) t
+       |  WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |      / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+       |           * list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 6) AS sim
+       |  FROM probes p
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN embeddings e ON e.vec_id = cl.vec_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  WHERE p.query_id <> e.vec_id),
+       |sys AS (SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |  FROM scored) t WHERE rk <= $k),
+       |ql AS (SELECT DISTINCT vec_id AS query_id FROM embeddings
+       |  WHERE vec_id < 10)""".stripMargin
 
   /** Profiled orders columns and their numeric-ness — ONE list shared by
     * the Spark side and the generated oracle so the two can't drift.
@@ -4026,5 +4084,291 @@ object AnalyticsQueries {
              |FROM grid g LEFT JOIN ff f ON f.r = g.r
              |LEFT JOIN ff f1 ON f1.r = g.r + 1
              |CROSS JOIN corpus ORDER BY 1""".stripMargin)),
+
+    // ---- x232: Zipf-law fit over the term table ----------------------------
+    // OLS of ln(frequency) on ln(rank) — natural corpora sit near
+    // slope −1; boilerplate/spam bend the curve. Decomposed global
+    // rank on the term table, round-12 decimal moments — see
+    // ops/TextAnalysis.zipfFit.
+    QueryDef(
+      "x232_zipf_fit",
+      (s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir)),
+      Some("""WITH tf AS (SELECT tok, COUNT(*) AS tf
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) GROUP BY tok),
+             |rk AS (SELECT tf,
+             |    ROW_NUMBER() OVER (ORDER BY tf DESC, tok ASC) AS rnk
+             |  FROM tf),
+             |m AS (SELECT
+             |    CAST(round(ln(CAST(rnk AS DOUBLE)), 12)
+             |      AS DECIMAL(38,12)) AS x,
+             |    CAST(round(ln(CAST(tf AS DOUBLE)), 12)
+             |      AS DECIMAL(38,12)) AS y,
+             |    CAST(round(ln(CAST(rnk AS DOUBLE))
+             |      * ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(38,12)) AS xx,
+             |    CAST(round(ln(CAST(tf AS DOUBLE))
+             |      * ln(CAST(tf AS DOUBLE)), 12) AS DECIMAL(38,12)) AS yy,
+             |    CAST(round(ln(CAST(rnk AS DOUBLE))
+             |      * ln(CAST(tf AS DOUBLE)), 12) AS DECIMAL(38,12)) AS xy
+             |  FROM rk),
+             |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(xx) AS sxx, SUM(yy) AS syy, SUM(xy) AS sxy FROM m)
+             |SELECT n AS n_terms,
+             |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             |  END AS slope,
+             |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             |    round((CAST(sy AS DOUBLE)
+             |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             |  END AS intercept,
+             |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+             |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |  END AS r2
+             |FROM s""".stripMargin)),
+
+    // ---- x233: pairwise Jensen–Shannon divergence between languages --------
+    // Shared-vocab round-12 decimal terms + the exact-integer disjoint
+    // tail ½ln2·(2 − Ca/Ta − Cb/Tb) — no outer join needed — see
+    // ops/TextAnalysis.jsDivergence.
+    QueryDef(
+      "x233_js_divergence",
+      (s, dir) =>
+        TextAnalysis.jsDivergence(Tables.documents(s, dir), "lang")
+          .orderBy(col("source_a"), col("source_b")),
+      Some("""WITH cst AS (SELECT g, tok, COUNT(*) AS c
+             |  FROM (SELECT lang AS g,
+             |        unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t
+             |  FROM cst GROUP BY g),
+             |j AS (SELECT a.g AS ga, b.g AS gb, a.c AS ca, b.c AS cb,
+             |    ta.t AS ta, tb.t AS tb
+             |  FROM cst a JOIN cst b ON a.tok = b.tok AND a.g < b.g
+             |  JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),
+             |terms AS (SELECT ga, gb, ca, cb, ta, tb,
+             |    CAST(round(0.5 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+             |        * ln((2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)))
+             |          / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+             |            + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+             |      + 0.5 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+             |        * ln((2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))
+             |          / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+             |            + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))), 12)
+             |      AS DECIMAL(38,12)) AS t
+             |  FROM j),
+             |cm AS (SELECT ga, gb, COUNT(*) AS nc,
+             |    CAST(SUM(ca) AS BIGINT) AS ia,
+             |    CAST(SUM(cb) AS BIGINT) AS ib, SUM(t) AS jt
+             |  FROM terms GROUP BY 1, 2),
+             |grid AS (SELECT a.g AS ga, a.t AS ta, b.g AS gb, b.t AS tb
+             |  FROM tot a CROSS JOIN tot b WHERE a.g < b.g)
+             |SELECT grid.ga AS source_a, grid.gb AS source_b,
+             |  CAST(COALESCE(cm.nc, 0) AS BIGINT) AS n_common,
+             |  round(CAST(COALESCE(cm.jt, 0) AS DOUBLE)
+             |    + 0.34657359027997264 * (2.0
+             |      - CAST(COALESCE(cm.ia, 0) AS DOUBLE)
+             |        / CAST(grid.ta AS DOUBLE)
+             |      - CAST(COALESCE(cm.ib, 0) AS DOUBLE)
+             |        / CAST(grid.tb AS DOUBLE)), 6) AS js
+             |FROM grid LEFT JOIN cm
+             |  ON cm.ga = grid.ga AND cm.gb = grid.gb
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- x234: Cochran–Mantel–Haenszel stratified association test ---------
+    // Treatment × conversion pooled across entry-day-of-week strata;
+    // exact 2×2 cells, round-12 decimal E/V/OR terms — see
+    // ops/Experiments.cmhTest.
+    QueryDef(
+      "x234_cmh",
+      (s, dir) =>
+        Experiments.cmhTest(Tables.events(s, dir), convType = "purchase",
+          minValue = 150.0, salt = "exp1"),
+      Some(s"""WITH pu AS (SELECT user_id,
+              |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+              |      THEN 1 ELSE 0 END) AS conv,
+              |    MIN(epoch_ns(ts)) AS entry,
+              |    md5(concat('ab:exp1:', user_id)) AS d
+              |  FROM events GROUP BY user_id),
+              |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 2)
+              |    AS variant, conv,
+              |    ((entry // 86400000000000) + 4) % 7 AS st FROM pu),
+              |cells AS (SELECT st,
+              |    CAST(SUM(CASE WHEN variant = 1 AND conv = 1
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+              |    CAST(SUM(CASE WHEN variant = 1 AND conv = 0
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+              |    CAST(SUM(CASE WHEN variant = 0 AND conv = 1
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+              |    CAST(SUM(CASE WHEN variant = 0 AND conv = 0
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n00
+              |  FROM pv GROUP BY st),
+              |c2 AS (SELECT *, n11 + n10 + n01 + n00 AS n FROM cells
+              |  WHERE n11 + n10 + n01 + n00 >= 2),
+              |terms AS (SELECT n11,
+              |    CAST(round(CAST(CAST(n11 + n10 AS HUGEINT)
+              |        * (n11 + n01) AS DOUBLE)
+              |      / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12)) AS e,
+              |    CAST(round(CAST(CAST(n11 + n10 AS HUGEINT)
+              |        * (n01 + n00) * (n11 + n01) * (n10 + n00) AS DOUBLE)
+              |      / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE), 12)
+              |      AS DECIMAL(38,12)) AS v,
+              |    CAST(round(CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE)
+              |      / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12)) AS onum,
+              |    CAST(round(CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
+              |      / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12)) AS oden
+              |  FROM c2),
+              |s AS (SELECT COUNT(*) AS n_strata,
+              |    CAST(SUM(n11) AS BIGINT) AS suma,
+              |    SUM(e) AS se, SUM(v) AS sv,
+              |    SUM(onum) AS son, SUM(oden) AS sod FROM terms)
+              |SELECT n_strata, suma AS sum_treated_conv,
+              |  CASE WHEN CAST(sv AS DOUBLE) > 0 THEN
+              |    round(greatest(abs(CAST(suma AS DOUBLE)
+              |        - CAST(se AS DOUBLE)) - 0.5, 0.0)
+              |      * greatest(abs(CAST(suma AS DOUBLE)
+              |        - CAST(se AS DOUBLE)) - 0.5, 0.0)
+              |      / CAST(sv AS DOUBLE), 6) END AS cmh,
+              |  CASE WHEN CAST(sod AS DOUBLE) > 0 THEN
+              |    round(CAST(son AS DOUBLE) / CAST(sod AS DOUBLE), 6)
+              |  END AS or_mh
+              |FROM s""".stripMargin)),
+
+    // ---- x235: split conformal calibration + coverage audit ----------------
+    // Even doc_ids calibrate per-lang mean ± q̂ (the exact-rank
+    // conformal quantile at α = 0.1); odd doc_ids audit empirical
+    // coverage — see ops/Stats.conformalCalibration.
+    QueryDef(
+      "x235_conformal",
+      (s, dir) =>
+        Stats.conformalCalibration(Tables.documents(s, dir),
+          col("lang"), col("n_chars"), col("doc_id"), alpha100 = 10)
+          .orderBy(col("grp")),
+      Some("""WITH base AS (SELECT lang AS g, n_chars AS v,
+             |    doc_id % 2 = 0 AS is_cal FROM documents),
+             |cal AS (SELECT g, COUNT(*) AS nc,
+             |    CAST(SUM(v) AS HUGEINT) AS sv
+             |  FROM base WHERE is_cal GROUP BY g),
+             |m AS (SELECT g, nc,
+             |    CASE WHEN sv < 0 THEN -CAST((-2 * sv * 1000000 + nc)
+             |        // (2 * CAST(nc AS HUGEINT)) AS BIGINT)
+             |      ELSE CAST((2 * sv * 1000000 + nc)
+             |        // (2 * CAST(nc AS HUGEINT)) AS BIGINT) END AS m6,
+             |    LEAST(((nc + 1) * 90 + 99) // 100, nc) AS tgt
+             |  FROM cal),
+             |sc AS (SELECT b.g, abs(b.v * 1000000 - m.m6) AS s, b.is_cal
+             |  FROM base b JOIN m ON m.g = b.g),
+             |csv AS (SELECT g, s, COUNT(*) AS c FROM sc WHERE is_cal
+             |  GROUP BY g, s),
+             |pre AS (SELECT g, s,
+             |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY s) AS BIGINT)
+             |      AS cum FROM csv),
+             |q AS (SELECT pre.g, MIN(s) AS q FROM pre
+             |  JOIN m ON m.g = pre.g WHERE cum >= tgt GROUP BY pre.g),
+             |t AS (SELECT sc.g, COUNT(*) AS n_test,
+             |    CAST(SUM(CASE WHEN sc.s <= q.q THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cov
+             |  FROM sc JOIN q ON q.g = sc.g WHERE NOT is_cal
+             |  GROUP BY sc.g)
+             |SELECT m.g AS grp, m.nc AS n_cal,
+             |  CAST(COALESCE(t.n_test, 0) AS BIGINT) AS n_test,
+             |  CAST(q.q AS DOUBLE) / 1000000.0 AS qhat,
+             |  CASE WHEN t.n_test > 0 THEN
+             |    round(CAST(t.cov AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+             |  END AS coverage
+             |FROM m JOIN q ON q.g = m.g LEFT JOIN t ON t.g = m.g
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- x236: retrieval metrics of IVF vs brute-force ground truth --------
+    // recall@k, MRR, binary-relevance nDCG@k on the fixed query set;
+    // rank discounts + IDCG are pinned 12-dp decimal LITERALS shared
+    // by plan and oracle — see functions/Similarity.retrievalMetrics.
+    QueryDef(
+      "x236_retrieval_metrics",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.retrievalMetrics(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nCells = 8, nprobe = 2)
+      },
+      Some {
+        val disc = Similarity.ndcgDiscounts(5)
+        s"""${retrievalCtes(5)},
+           |hits AS (SELECT g.query_id, s.rk
+           |  FROM gt g JOIN sys s
+           |    ON s.query_id = g.query_id
+           |   AND s.neighbor_id = g.neighbor_id),
+           |perq AS (SELECT query_id, COUNT(*) AS nh,
+           |    SUM(${pinnedCaseSql("rk", disc)}) AS dcg,
+           |    MIN(rk) AS first FROM hits GROUP BY 1),
+           |pq2 AS (SELECT query_id, nh,
+           |    CAST(round(CAST(dcg AS DOUBLE) / ${disc.sum}, 12)
+           |      AS DECIMAL(14,12)) AS ndcg,
+           |    CAST(round(1.0 / CAST(first AS DOUBLE), 12)
+           |      AS DECIMAL(14,12)) AS rr
+           |  FROM perq),
+           |agg AS (SELECT COUNT(*) AS n_queries,
+           |    CAST(SUM(COALESCE(nh, 0)) AS BIGINT) AS hits,
+           |    SUM(COALESCE(rr, 0)) AS srr,
+           |    SUM(COALESCE(ndcg, 0)) AS sn
+           |  FROM ql LEFT JOIN pq2 USING (query_id))
+           |SELECT n_queries, CAST(5 AS BIGINT) AS k,
+           |  round(CAST(hits AS DOUBLE)
+           |    / CAST(n_queries * 5 AS DOUBLE), 6) AS recall_at_k,
+           |  round(CAST(srr AS DOUBLE)
+           |    / CAST(n_queries AS DOUBLE), 6) AS mrr,
+           |  round(CAST(sn AS DOUBLE)
+           |    / CAST(n_queries AS DOUBLE), 6) AS ndcg
+           |FROM agg""".stripMargin
+      }),
+
+    // ---- x237: rank-biased overlap of IVF vs brute-force rankings ----------
+    // Order-aware agreement: matched neighbor at depths (ra, rb)
+    // contributes the pinned exact-decimal weight F(max(ra, rb)) — see
+    // functions/Similarity.rboAudit.
+    QueryDef(
+      "x237_rbo",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.rboAudit(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nCells = 8, nprobe = 2)
+      },
+      Some {
+        val ws = Similarity.rboWeights(5)
+        s"""${retrievalCtes(5)},
+           |hits AS (SELECT g.query_id,
+           |    greatest(g.rk, s.rk) AS m
+           |  FROM gt g JOIN sys s
+           |    ON s.query_id = g.query_id
+           |   AND s.neighbor_id = g.neighbor_id),
+           |perq AS (SELECT query_id,
+           |    SUM(${pinnedCaseSql("m", ws)}) AS rbo
+           |  FROM hits GROUP BY 1),
+           |cq AS (SELECT ql.query_id,
+           |    COALESCE(perq.rbo, 0) AS rbo
+           |  FROM ql LEFT JOIN perq USING (query_id))
+           |SELECT COUNT(*) AS n_queries, CAST(5 AS BIGINT) AS k,
+           |  round(CAST(SUM(rbo) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rbo,
+           |  round(CAST(MIN(rbo) AS DOUBLE), 6) AS min_rbo
+           |FROM cq""".stripMargin
+      }),
   )
 }

@@ -81,6 +81,9 @@ class PlanSpec extends SparkSuite {
     "x229_poisson_bootstrap", // ONE-ROW point estimate x ONE-ROW replicate epilogue (x57 pattern)
     "x230_kruskal_wallis", // broadcast ONE-ROW n/ties totals onto <= |groups| rows (x57 pattern)
     "x231_good_turing", // broadcast ONE-ROW corpus totals onto the <= maxR-row grid (x57 pattern)
+    "x233_js_divergence", // bounded |groups|^2 pair grid from broadcast totals (x165 grid pattern)
+    "x236_retrieval_metrics", // x10 broadcast-queries brute pass + x18 centroid broadcasts (bounded audit)
+    "x237_rbo", // same bounded x10/x18 audit shapes as x236
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +

@@ -1,12 +1,21 @@
 package graft
 
-import graft.ops.{Stats, TextAnalysis}
+import graft.functions.Similarity
+import graft.ops.{Experiments, Stats, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Hand-computed fixtures for the round-13 stats batch: Poisson
   * bootstrap, Kruskal–Wallis, Good–Turing.
   */
 class StatsExtrasSpec extends SparkSuite {
+
+  /** JVM reference of Experiments' md5 variant assignment. */
+  private def refVariant(userId: Long, n: Int, salt: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ab:$salt:$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) % n).toInt
+  }
 
   /** JVM reference of the pinned Poisson(1) threshold draw. */
   private def refWeight(id: Long, r: Int, salt: String): Long = {
@@ -102,5 +111,145 @@ class StatsExtrasSpec extends SparkSuite {
       assert(r.getLong(4) === 6L) // n_tokens
       assert(r.getDouble(5) === 0.166667) // p_unseen = 1/6
     }
+  }
+
+  test("zipfFit: a perfect tf = C/rank corpus fits slope -1, r2 1, " +
+      "intercept ln C; a single-term corpus degenerates to NULLs") {
+    // tf: a=6, b=3, c=2 -> y = ln 6 - ln rank exactly
+    val d = frame("text" -> Seq("a a a a a a b b b", "c c"))
+    val r = TextAnalysis.zipfFit(d).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(2) === BigDecimal(math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) === 1.0)
+    val deg = TextAnalysis.zipfFit(frame("text" -> Seq("a a"))).collect()(0)
+    assert(deg.getLong(0) === 1L)
+    assert(deg.isNullAt(1) && deg.isNullAt(2) && deg.isNullAt(3))
+  }
+
+  test("jsDivergence: identical distributions -> 0; disjoint vocab -> " +
+      "ln 2 (the pair grid keeps zero-overlap pairs); partial overlap " +
+      "matches the replayed formula") {
+    val same = TextAnalysis.jsDivergence(
+      frame("lang" -> Seq("g1", "g2"), "text" -> Seq("a b", "a b")))
+      .collect()(0)
+    assert(same.getLong(2) === 2L && same.getDouble(3) === 0.0)
+    val disj = TextAnalysis.jsDivergence(
+      frame("lang" -> Seq("g1", "g2"), "text" -> Seq("a", "b")))
+      .collect()(0)
+    assert(disj.getLong(2) === 0L)
+    assert(disj.getDouble(3) === 0.693147) // ln 2
+    // g1 = "a a b" vs g2 = "a c c": only `a` shared
+    val part = TextAnalysis.jsDivergence(
+      frame("lang" -> Seq("g1", "g2"), "text" -> Seq("a a b", "a c c")))
+      .collect()(0)
+    val (pa, pb) = (2.0 / 3.0, 1.0 / 3.0)
+    val t = BigDecimal(
+      0.5 * pa * math.log(2.0 * pa / (pa + pb))
+        + 0.5 * pb * math.log(2.0 * pb / (pa + pb)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val js = BigDecimal(t + 0.34657359027997264
+      * (2.0 - 2.0 / 3.0 - 1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(part.getLong(2) === 1L)
+    assert(part.getDouble(3) === js)
+  }
+
+  test("cmhTest: single-stratum fixture reduces to the plain 2x2 with " +
+      "continuity correction; hand-replayed E/V/OR") {
+    val users = (1L to 40L)
+    val conv = users.filter(_ % 3 == 0).toSet
+    val ev = frame(
+      "user_id" -> users.toSeq,
+      "event_type" -> users.map(u =>
+        if (conv(u)) "purchase" else "view").toSeq,
+      "value" -> users.map(u => if (conv(u)) 200.0 else 10.0).toSeq,
+      "ts_ns" -> users.map(_ => 86400L * 1000000000L * 100L).toSeq)
+    val out = Experiments.cmhTest(ev, salt = "s").collect()(0)
+    val treat = users.filter(u => refVariant(u, 2, "s") == 1).toSet
+    val n11 = users.count(u => treat(u) && conv(u)).toLong
+    val n10 = users.count(u => treat(u) && !conv(u)).toLong
+    val n01 = users.count(u => !treat(u) && conv(u)).toLong
+    val n00 = users.count(u => !treat(u) && !conv(u)).toLong
+    val n = 40.0
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = r12((n11 + n10).toDouble * (n11 + n01) / n)
+    val v = r12((n11 + n10).toDouble * (n01 + n00) * (n11 + n01)
+      * (n10 + n00) / (n * n * (n - 1.0)))
+    val g = math.max(math.abs(n11 - e) - 0.5, 0.0)
+    assert(out.getLong(0) === 1L, "single stratum")
+    assert(out.getLong(1) === n11)
+    assert(out.getDouble(2) === BigDecimal(g * g / v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val orMh = r12(n11 * n00 / n) / r12(n10 * n01 / n)
+    assert(out.getDouble(3) === BigDecimal(orMh)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("conformalCalibration: exact-rank qhat on the calibration half, " +
+      "coverage audited on the test half") {
+    // cal (even ids): values 10,20,30,40 -> mean 25, scores {15,5,5,15}
+    // target = min(ceil(5*0.9), 4) = 4 -> qhat = 15
+    // test (odd ids): values 24,26,45 -> scores {1,1,20} -> coverage 2/3
+    val d = frame(
+      "id" -> Seq(2L, 4L, 6L, 8L, 1L, 3L, 5L),
+      "g" -> Seq("g", "g", "g", "g", "g", "g", "g"),
+      "v" -> Seq(10L, 20L, 30L, 40L, 24L, 26L, 45L))
+    val r = Stats.conformalCalibration(d, col("g"), col("v"), col("id"),
+      alpha100 = 10).collect()(0)
+    assert(r.getString(0) === "g")
+    assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 15.0)
+    assert(r.getDouble(4) === 0.666667)
+    intercept[IllegalArgumentException] {
+      Stats.conformalCalibration(d, col("g"), col("v"), col("id"),
+        alpha100 = 0)
+    }
+  }
+
+  test("retrieval pinned constants: nDCG discounts and RBO weights " +
+      "match hand values; RBO weights sum to the perfect score 1") {
+    val d = Similarity.ndcgDiscounts(3)
+    assert(d.map(_.toString) === Seq("1.000000000000",
+      "0.630929753571", "0.500000000000"))
+    val w = Similarity.rboWeights(2)
+    // norm = 0.1/0.19; F(1) = norm*(1 + 0.45); F(2) = norm*0.45
+    assert(w.map(_.toString) === Seq("0.763157894737", "0.236842105263"))
+    assert(w.sum === BigDecimal("1.000000000000"))
+    assert(Similarity.rboWeights(5).sum.setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) === BigDecimal("1.000000"))
+  }
+
+  test("retrievalMetrics + rboAudit: probing every cell makes IVF equal " +
+      "brute force -> all metrics exactly 1; starving probes degrades " +
+      "them into (0, 1)") {
+    val vecs = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), // ids 0/1 double as centroids
+      Seq(0.99, 0.1), Seq(0.1, 0.99),
+      Seq(0.95, 0.05), Seq(0.05, 0.95),
+      Seq(0.9, 0.2), Seq(0.2, 0.9))
+    val emb = frame("vec_id" -> (0L to 7L).toSeq, "embedding" -> vecs)
+    val qs = emb.filter(col("vec_id") < 2)
+    val full = Similarity.retrievalMetrics(qs, emb, k = 3,
+      nCells = 2, nprobe = 2).collect()(0)
+    assert(full.getLong(0) === 2L && full.getLong(1) === 3L)
+    assert(full.getDouble(2) === 1.0 && full.getDouble(3) === 1.0 &&
+      full.getDouble(4) === 1.0)
+    val rboFull = Similarity.rboAudit(qs, emb, k = 3,
+      nCells = 2, nprobe = 2).collect()(0)
+    assert(rboFull.getDouble(2) === 1.0 && rboFull.getDouble(3) === 1.0)
+    // nprobe = 1: each query only sees its own cell; cross-cell true
+    // neighbors (every list has 3 slots but only ~3 same-cell mates,
+    // with ranks shifted) degrade the metrics without zeroing them
+    val starved = Similarity.retrievalMetrics(qs, emb, k = 4,
+      nCells = 2, nprobe = 1).collect()(0)
+    assert(starved.getDouble(2) < 1.0 && starved.getDouble(2) > 0.0,
+      s"recall ${starved.getDouble(2)}")
+    assert(starved.getDouble(4) < 1.0 && starved.getDouble(4) > 0.0)
+    val rboStarved = Similarity.rboAudit(qs, emb, k = 4,
+      nCells = 2, nprobe = 1).collect()(0)
+    assert(rboStarved.getDouble(2) < 1.0 && rboStarved.getDouble(2) > 0.0)
   }
 }
