@@ -216,4 +216,60 @@ object Splits {
       .select(col("anchor_id"), col("anchor_stratum"), col("cand_id"),
         col("cand_stratum"), col("neg_rank"))
   }
+
+  /** πps Poisson sampling + Horvitz–Thompson audit — importance
+    * sampling proportional to size (token count, bytes…), the standard
+    * way to subsample a corpus without biasing scale-sensitive
+    * statistics. Unit i enters with probability π_i = min(1, n·w_i/W):
+    * certainty units (n·w_i ≥ W) always enter; others enter iff
+    * u_i·W < n·w_i·2³² — an EXACT integer comparison over the md5
+    * uniform, no float probabilities. The audit row reports the HT
+    * estimate of the total weight from the sample
+    * (Σ certainty w + m·W/n, since each non-certainty unit carries
+    * weight w_i/π_i = W/n) against the true W. ONE row:
+    * `(n_units, n_certainty, n_sampled, total_w, ht_estimate,
+    * rel_err)` (round 6).
+    *
+    * Determinism: inclusion is pure integer arithmetic on exact
+    * DECIMAL(38,0) products; the HT epilogue is a fixed double op
+    * sequence over exact integers, mirrored in the oracle. Poisson
+    * sampling draws independently per unit — no coordination, no
+    * global pass, STABLE UNDER APPENDS like every split here.
+    *
+    * Scale: one total-weight reduce (one-row broadcast), one map-side
+    * inclusion pass, one count reduce. The corpus is scanned twice
+    * (total, then sample) — materialize upstream if the scan is hot.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Long, salt: String = "pps"): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val u = df.select(col(idCol).as("_id"),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("_w") > 0)
+      .withColumn("_d", md5(concat(lit(s"pps:$salt:"), col("_id"))))
+      .withColumn("_u", expr(TextAnalysis.hexToIntSql("_d", 8)))
+      .drop("_d")
+    val tot = broadcast(u.agg(count(lit(1)).as("_n_units"),
+      coalesce(sum(d38(col("_w"))), lit(0L).cast("decimal(38,0)"))
+        .as("_wtot")))
+    val marked = u.crossJoin(tot)
+      .withColumn("_cert", d38(col("_w")) * n >= col("_wtot"))
+      .withColumn("_in", col("_cert") ||
+        d38(col("_u")) * col("_wtot") < d38(col("_w")) * n * 4294967296L)
+    val agg = marked.agg(
+      max(col("_n_units")).as("n_units"),
+      sum(when(col("_cert"), 1L).otherwise(0L)).as("n_certainty"),
+      sum(when(col("_in"), 1L).otherwise(0L)).as("n_sampled"),
+      max(col("_wtot")).as("_tw"),
+      sum(when(col("_cert"), d38(col("_w")))
+        .otherwise(lit(0L).cast("decimal(38,0)"))).as("_sc"),
+      sum(when(col("_in") && !col("_cert"), 1L).otherwise(0L)).as("_m"))
+    val wD = col("_tw").cast("double"); val nD = lit(n.toDouble)
+    val ht = col("_sc").cast("double") + col("_m").cast("double") * wD / nD
+    agg.select(col("n_units"), col("n_certainty"), col("n_sampled"),
+      col("_tw").cast("long").as("total_w"),
+      round(ht, 6).as("ht_estimate"),
+      when(wD > 0.0, round((ht - wD) / wD, 6)).as("rel_err"))
+  }
 }

@@ -4370,5 +4370,50 @@ object AnalyticsQueries {
            |  round(CAST(MIN(rbo) AS DOUBLE), 6) AS min_rbo
            |FROM cq""".stripMargin
       }),
+
+    // ---- x238: πps Poisson sample + Horvitz–Thompson audit -----------------
+    // Size-proportional sampling by EXACT integer comparison over the
+    // md5 uniform (certainty units always in); the HT estimate of the
+    // total weight audits the design — see ops/Splits.ppsSample.
+    QueryDef(
+      "x238_pps_sample",
+      (s, dir) =>
+        Splits.ppsSample(Tables.documents(s, dir), "doc_id", "n_chars",
+          n = 500L, salt = "pps"),
+      Some(s"""WITH u AS (SELECT doc_id AS id, n_chars AS w,
+              |    md5(concat('pps:pps:', doc_id)) AS d
+              |  FROM documents WHERE n_chars > 0),
+              |uu AS (SELECT id, w, ${TextAnalysis.hexToIntSql("d", 8)} AS u
+              |  FROM u),
+              |tot AS (SELECT COUNT(*) AS n_units,
+              |    CAST(SUM(w) AS HUGEINT) AS tw FROM uu),
+              |mk AS (SELECT w, u, n_units, tw,
+              |    CAST(w AS HUGEINT) * 500 >= tw AS cert,
+              |    (CAST(w AS HUGEINT) * 500 >= tw) OR
+              |      (CAST(u AS HUGEINT) * tw
+              |        < CAST(w AS HUGEINT) * 500 * 4294967296) AS inc
+              |  FROM uu CROSS JOIN tot),
+              |agg AS (SELECT MAX(n_units) AS n_units,
+              |    CAST(SUM(CASE WHEN cert THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_certainty,
+              |    CAST(SUM(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_sampled,
+              |    MAX(tw) AS tw,
+              |    SUM(CASE WHEN cert THEN CAST(w AS HUGEINT)
+              |      ELSE 0 END) AS sc,
+              |    CAST(SUM(CASE WHEN inc AND NOT cert THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS m
+              |  FROM mk)
+              |SELECT n_units, n_certainty, n_sampled,
+              |  CAST(tw AS BIGINT) AS total_w,
+              |  round(CAST(sc AS DOUBLE)
+              |    + CAST(m AS DOUBLE) * CAST(tw AS DOUBLE) / 500.0, 6)
+              |    AS ht_estimate,
+              |  CASE WHEN CAST(tw AS DOUBLE) > 0 THEN
+              |    round((CAST(sc AS DOUBLE)
+              |      + CAST(m AS DOUBLE) * CAST(tw AS DOUBLE) / 500.0
+              |      - CAST(tw AS DOUBLE)) / CAST(tw AS DOUBLE), 6)
+              |  END AS rel_err
+              |FROM agg""".stripMargin)),
   )
 }

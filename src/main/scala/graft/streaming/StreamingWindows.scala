@@ -964,4 +964,58 @@ object StreamingWindows {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming sample-ratio-mismatch monitor — the live gate in front
+    * of [[graft.ops.Experiments.srmCheck]]'s batch audit: per
+    * event-time window, arm EXPOSURE counts (variant is a map-side
+    * pure function of user_id, so this is ONE stateless windowed
+    * aggregation — conditional sums per arm, no second shuffle, no
+    * per-user state) and the same exact-integer χ² against the uniform
+    * design, flagged at `critical`. Emits one row per window:
+    * `(window_start, window_end, n_events, n_0..n_{K-1}, chi2,
+    * srm_flag)`.
+    *
+    * Counts here are exposures, not distinct users — the batch
+    * srmCheck stays the audit of record; this is the alarm that pages
+    * before the batch job runs. StreamingSpec pins streaming == the
+    * batch windowed computation on identical input.
+    *
+    * Scale: watermarked tumbling-window aggregation — O(K) longs per
+    * open window of state, map-side partial aggregation, no funnel.
+    */
+  def streamingSrmMonitor(events: DataFrame, nVariants: Int = 3,
+      salt: String = "exp1", widthSec: Long = 3600,
+      critical: Double = 13.816,
+      watermark: String = "2 hours"): DataFrame = {
+    require(nVariants >= 2, s"need nVariants >= 2, got $nVariants")
+    // raw parquet carries TIMESTAMP(NTZ); the watermark needs LTZ — the
+    // NTZ→LTZ cast is value-preserving under the UTC session tz
+    // (Tables.events convention)
+    val withV = graft.ops.Experiments.withVariant(
+      events.withColumn("ts", col("ts").cast("timestamp")),
+      "user_id", nVariants, salt)
+    val armCols = (0 until nVariants).map(v =>
+      sum(when(col("variant") === v.toLong, 1L).otherwise(0L))
+        .as(s"n_$v"))
+    val counts = withV
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$widthSec seconds").as("_w"))
+      .agg(armCols.head, armCols.tail: _*)
+    val nTot = (0 until nVariants).map(v => col(s"n_$v"))
+      .reduce(_ + _)
+    val kL = lit(nVariants.toLong)
+    // same exact-integer χ² shape as srmCheck: round-12 terms,
+    // DECIMAL(28,12) sum, round-6 double surface
+    val chi2 = round(
+      (0 until nVariants).map { v =>
+        val num = kL * col(s"n_$v") - col("_n")
+        round(num.cast("double") * num.cast("double")
+          / (kL * col("_n")).cast("double"), 12).cast("decimal(28,12)")
+      }.reduce(_ + _).cast("double"), 6)
+    counts.withColumn("_n", nTot)
+      .select(Seq(col("_w.start").as("window_start"),
+        col("_w.end").as("window_end"), col("_n").as("n_events")) ++
+        (0 until nVariants).map(v => col(s"n_$v")) ++
+        Seq(chi2.as("chi2"), (chi2 > lit(critical)).as("srm_flag")): _*)
+  }
 }

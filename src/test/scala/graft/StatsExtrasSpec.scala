@@ -209,6 +209,45 @@ class StatsExtrasSpec extends SparkSuite {
     }
   }
 
+  test("ppsSample: JVM-replayed exact-integer inclusion, certainty " +
+      "units always enter, HT estimate matches the hand formula") {
+    def refU(id: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pps:$salt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    // weights 1..50 plus one dominating unit (id 99, w 1000): with
+    // n = 10, certainty iff 10w >= W = 2275 -> only the big unit
+    val ids = (1L to 50L) :+ 99L
+    val ws = (1L to 50L) :+ 1000L
+    val d = frame("id" -> ids.toSeq, "w" -> ws.toSeq)
+    val out = graft.ops.Splits.ppsSample(d, "id", "w", n = 10L,
+      salt = "t").collect()(0)
+    val bigW = BigInt(2275)
+    val incl = ids.zip(ws).filter { case (id, w) =>
+      BigInt(w) * 10 >= bigW ||
+        BigInt(refU(id, "t")) * bigW < BigInt(w) * 10 * BigInt(4294967296L)
+    }
+    val cert = ids.zip(ws).filter { case (_, w) => BigInt(w) * 10 >= bigW }
+    assert(out.getLong(0) === 51L)
+    assert(out.getLong(1) === cert.size.toLong)
+    assert(cert.size === 1 && cert.head._1 === 99L,
+      "the dominating unit must be the one certainty unit")
+    assert(out.getLong(2) === incl.size.toLong)
+    assert(out.getLong(3) === 2275L)
+    val m = (incl.size - cert.size).toDouble
+    val ht = 1000.0 + m * 2275.0 / 10.0
+    assert(out.getDouble(4) === BigDecimal(ht)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getDouble(5) === BigDecimal((ht - 2275.0) / 2275.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // reproducible
+    val again = graft.ops.Splits.ppsSample(d, "id", "w", n = 10L,
+      salt = "t").collect()(0)
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("retrieval pinned constants: nDCG discounts and RBO weights " +
       "match hand values; RBO weights sum to the perfect score 1") {
     val d = Similarity.ndcgDiscounts(3)

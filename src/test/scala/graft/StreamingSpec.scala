@@ -1124,4 +1124,48 @@ class StreamingSpec extends SparkSuite {
         s"expected the in-order contract violation, got: $ex")
     } finally q.stop()
   }
+
+  test("streaming SRM monitor == the same windowed computation in batch " +
+      "(stateless windowed agg; two micro-batches by construction)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    val splitDir =
+      java.nio.file.Files.createTempDirectory("srmstream").toString
+    // split by EVENT TIME, not id parity: a watermarked window agg
+    // would drop an entire second batch of old-timestamp rows as late
+    val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+    batchEvents.filter(expr(s"ts < $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingSrmMonitor(stream, nVariants = 3,
+      salt = "exp1", widthSec = 6L * 3600L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_srm").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(expr(s"ts >= $cut")).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      // update mode re-emits a window per batch; the final row per
+      // window (max n_events) is the fully-merged state
+      val got = spark.sql(
+        """SELECT window_start, n_events, n_0, n_1, n_2, chi2, srm_flag
+          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+          |  ORDER BY n_events DESC) rn FROM stream_srm) WHERE rn = 1"""
+          .stripMargin)
+        .collect().map(_.toSeq).toSet
+      val want = StreamingWindows.streamingSrmMonitor(batchEvents,
+        nVariants = 3, salt = "exp1", widthSec = 6L * 3600L)
+        .select(col("window_start"), col("n_events"), col("n_0"),
+          col("n_1"), col("n_2"), col("chi2"), col("srm_flag"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty, "fixture should produce windows")
+      assert(got == want, s"streaming diverges from batch: " +
+        s"missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 2,
+        s"need >= 2 non-empty micro-batches, saw ${batches.length}")
+    } finally q.stop()
+  }
 }
