@@ -895,4 +895,96 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("kruskalWallis is invariant under any strictly monotone value " +
+      "transform (rank-based) and under group relabeling") {
+    val gen = for {
+      n <- Gen.chooseNum(4, 20)
+      vs <- Gen.listOfN(n, Gen.chooseNum(1L, 8L))
+      gs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield (vs, gs)
+    check("kw-invariance", Prop.forAll(gen) { case (vs, gs) =>
+      // need >= 2 distinct groups for a meaningful statistic
+      gs.distinct.size < 2 || {
+        val d = frame("g" -> gs, "v" -> vs)
+        val base = graft.ops.Stats.kruskalWallis(d, col("g"), col("v"))
+          .collect()(0)
+        // strictly monotone: v -> 10v + 3 (rank order preserved)
+        val mono = frame("g" -> gs, "v" -> vs.map(v => 10L * v + 3L))
+        val m = graft.ops.Stats.kruskalWallis(mono, col("g"), col("v"))
+          .collect()(0)
+        // relabel groups (a<->c) — the statistic is label-free
+        val rel = frame("g" -> gs.map {
+          case "a" => "c"; case "c" => "a"; case x => x
+        }, "v" -> vs)
+        val r = graft.ops.Stats.kruskalWallis(rel, col("g"), col("v"))
+          .collect()(0)
+        base.getDouble(2) == m.getDouble(2) &&
+          base.getDouble(2) == r.getDouble(2)
+      }
+    })
+  }
+
+  test("ppsSample inclusion is invariant under uniform weight scaling " +
+      "(pure-ratio design) and the HT estimate of a constant-weight " +
+      "corpus is exact") {
+    val gen = for {
+      n <- Gen.chooseNum(5, 25)
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+    } yield ws
+    check("pps-scale-invariance", Prop.forAll(gen) { ws =>
+      val ids = (1L to ws.length.toLong).toList
+      val d1 = frame("id" -> ids, "w" -> ws)
+      val d7 = frame("id" -> ids, "w" -> ws.map(_ * 7L))
+      val a = graft.ops.Splits.ppsSample(d1, "id", "w", n = 5L, salt = "p")
+        .collect()(0)
+      val b = graft.ops.Splits.ppsSample(d7, "id", "w", n = 5L, salt = "p")
+        .collect()(0)
+      // same units sampled (counts equal); totals scale by 7
+      a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2) &&
+        b.getLong(3) == 7L * a.getLong(3)
+    })
+    // constant weights: every unit has pi = n/N exactly, HT = m*N/n
+    val const = frame("id" -> (1L to 30L).toList,
+      "w" -> List.fill(30)(4L))
+    val r = graft.ops.Splits.ppsSample(const, "id", "w", n = 6L,
+      salt = "p").collect()(0)
+    val m = r.getLong(2) - r.getLong(1)
+    assert(r.getDouble(4) === BigDecimal(m.toDouble * 120.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("zipfFit: duplicating the corpus doubles every frequency — slope " +
+      "and r2 unchanged, intercept shifts by +ln 2 (to 5 dp)") {
+    val texts = Seq("a a a a b b c", "d d a b")
+    val one = graft.ops.TextAnalysis.zipfFit(frame("text" -> texts))
+      .collect()(0)
+    val two = graft.ops.TextAnalysis.zipfFit(
+      frame("text" -> (texts ++ texts))).collect()(0)
+    assert(one.getLong(0) === two.getLong(0))
+    assert(one.getDouble(1) === two.getDouble(1), "slope invariant")
+    assert(one.getDouble(3) === two.getDouble(3), "r2 invariant")
+    assert(math.abs(
+      two.getDouble(2) - one.getDouble(2) - math.log(2.0)) < 1e-5,
+      s"intercept shift ${two.getDouble(2) - one.getDouble(2)}")
+  }
+
+  test("jsDivergence stays within [0, ln 2] and doubling both corpora " +
+      "leaves it unchanged (distribution-level statistic)") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      t1 <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+      t2 <- Gen.listOfN(n, Gen.oneOf("c", "d", "e", "f"))
+    } yield (t1.mkString(" "), t2.mkString(" "))
+    check("js-bounds", Prop.forAll(gen) { case (t1, t2) =>
+      val d = frame("lang" -> Seq("g1", "g2"), "text" -> Seq(t1, t2))
+      val js = graft.ops.TextAnalysis.jsDivergence(d).collect()(0)
+        .getDouble(3)
+      val dd = frame("lang" -> Seq("g1", "g2", "g1", "g2"),
+        "text" -> Seq(t1, t2, t1, t2))
+      val js2 = graft.ops.TextAnalysis.jsDivergence(dd).collect()(0)
+        .getDouble(3)
+      js >= 0.0 && js <= 0.693148 && js == js2
+    })
+  }
 }
