@@ -404,4 +404,75 @@ object Sketches {
           col("f2_exact").cast("double")) /
           col("f2_exact").cast("double"), 6)).as("rel_err"))
   }
+
+  /** Hashed-rate-sample quantile estimator + rank-error audit — the
+    * 100 TB SCALE PATH for quantiles: exact decomposed-rank quantiles
+    * (x23/x192) pay a full |distinct| prefix pass; at corpus scale the
+    * standard move is a deterministic 1/rate hash sample (include a
+    * row iff its md5 uniform < ⌊2³²/rate⌋ — reproducible, mergeable,
+    * append-stable), quantiles read from the sample, and THIS audit
+    * quantifies the rank error against the exact answer. One row per
+    * requested percentile: `(pct, n, m, est, exact, abs_err,
+    * rank_err)` — rank_err = |rank_full(est) − ⌈pct·n/100⌉| / n
+    * (round 6), the sample-quantile displacement in rank space.
+    *
+    * Determinism: inclusion is an integer threshold compare; both
+    * rank selections are exact (decomposed prefix sums on the shared
+    * value table, target rank ⌈pct·n/100⌉ in pure integer arithmetic);
+    * rank_err is one double division.
+    *
+    * Scale: ONE (value) reduce builds a value table carrying both the
+    * full and the sampled counts; two decomposed prefix passes on
+    * |distinct| rows; a ≤|pcts|-row epilogue from one-row broadcasts.
+    */
+  def sampledQuantileAudit(df: DataFrame,
+      valueCol: org.apache.spark.sql.Column, idCol: org.apache.spark.sql.Column,
+      rate: Int = 16, pcts: Seq[Int] = Seq(50, 90, 99),
+      salt: String = "sq"): DataFrame = {
+    require(rate >= 2 && rate <= (1 << 20),
+      s"need rate in [2,2^20], got $rate")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    val threshold = (1L << 32) / rate
+    val base = df.select(valueCol.cast("long").as("_v"),
+        md5(concat(lit(s"sq:$salt:"), idCol)).as("_d"))
+      .filter(col("_v").isNotNull)
+      .withColumn("_u", expr(TextAnalysis.hexToIntSql("_d", 8)))
+    val vals = Checkpoints.materialize(
+      base.groupBy(col("_v")).agg(count(lit(1)).as("_cf"),
+        sum(when(col("_u") < threshold, 1L).otherwise(0L)).as("_cs"))
+        .select(lit(0L).as("_one"), col("_v"), col("_cf"), col("_cs")))
+    val preF = Ranking.withGroupPrefixSums(
+      vals.select(col("_one"), col("_v"), col("_cf")), "_one",
+      Seq("_v" -> true), "_cf", rankCol = "_if", prefixCol = "_cumf")
+    val preS = Ranking.withGroupPrefixSums(
+      vals.filter(col("_cs") > 0)
+        .select(col("_one"), col("_v"), col("_cs")), "_one",
+      Seq("_v" -> true), "_cs", rankCol = "_is", prefixCol = "_cums")
+    val tot = broadcast(vals.agg(
+      coalesce(sum(col("_cf")), lit(0L)).as("_n"),
+      coalesce(sum(col("_cs")), lit(0L)).as("_m")))
+    val grid = df.sparkSession
+      .createDataFrame(pcts.map(Tuple1(_))).toDF("pct")
+      .select(col("pct").cast("long").as("pct")).crossJoin(tot)
+      .withColumn("_tf", expr("(pct * _n + 99) div 100"))
+      .withColumn("_ts", expr("greatest((pct * _m + 99) div 100, 1)"))
+    val exact = grid.join(preF.select(col("_v"), col("_cumf")),
+        col("_cumf") >= col("_tf"))
+      .groupBy(col("pct")).agg(min(col("_v")).as("exact"))
+    val est = grid.join(preS.select(col("_v").as("_sv"), col("_cums")),
+        col("_cums") >= col("_ts"))
+      .groupBy(col("pct")).agg(min(col("_sv")).as("est"))
+    // rank of est in the FULL distribution: cumulative count at est
+    val estRank = est.join(preF.select(col("_v"), col("_cumf")),
+        est("est") === col("_v"))
+      .select(col("pct"), col("est"), col("_cumf").as("_rkest"))
+    grid.select(col("pct"), col("_n").as("n"), col("_m").as("m"),
+        col("_tf"))
+      .join(estRank, Seq("pct")).join(exact, Seq("pct"))
+      .select(col("pct"), col("n"), col("m"), col("est"), col("exact"),
+        abs(col("est") - col("exact")).as("abs_err"),
+        round(abs(col("_rkest") - col("_tf")).cast("double")
+          / col("n").cast("double"), 6).as("rank_err"))
+  }
 }

@@ -942,8 +942,11 @@ object Stats {
     * q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration score — the
     * finite-sample-valid conformal quantile. The test half (odd ids)
     * then audits empirical coverage of mean ± q̂. Per group:
-    * `(group, n_cal, n_test, qhat, coverage)` (qhat in value units,
-    * coverage round 6; NULL coverage when the test half is empty).
+    * `(grp, n_cal, n_test, center, qhat, coverage)` — center/q̂ in
+    * value units, each an exact micro-unit integer divided by 10⁶, so
+    * a downstream gate ([[graft.streaming.StreamingWindows
+    * .streamingConformalGate]]) recovers the integers losslessly below
+    * 2⁵³; coverage round 6, NULL when the test half is empty.
     *
     * Determinism: scores and the rank target
     * min(⌈(n_cal+1)(100−α₁₀₀)/100⌉, n_cal) are exact integers; q̂ is
@@ -985,10 +988,11 @@ object Stats {
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("_s") <= col("_q"), 1L).otherwise(0L)).as("_cov"))
-    calStats.select(col("_g"), col("_nc")).join(qhat, "_g")
+    calStats.select(col("_g"), col("_nc"), col("_m6")).join(qhat, "_g")
       .join(test, Seq("_g"), "left")
       .select(col("_g").as("grp"), col("_nc").as("n_cal"),
         coalesce(col("n_test"), lit(0L)).as("n_test"),
+        (col("_m6").cast("double") / 1000000.0).as("center"),
         (col("_q").cast("double") / 1000000.0).as("qhat"),
         when(col("n_test") > 0,
           round(col("_cov").cast("double")

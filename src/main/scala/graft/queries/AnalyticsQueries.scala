@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Similarity
 import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
   Experiments, Graphs, Integrity, Layout, Pca, Profiling, Selection,
-  Skew, Splits, Stats, Survival, TextAnalysis}
+  Skew, Sketches, Splits, Stats, Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -4290,6 +4290,7 @@ object AnalyticsQueries {
              |  GROUP BY sc.g)
              |SELECT m.g AS grp, m.nc AS n_cal,
              |  CAST(COALESCE(t.n_test, 0) AS BIGINT) AS n_test,
+             |  CAST(m.m6 AS DOUBLE) / 1000000.0 AS center,
              |  CAST(q.q AS DOUBLE) / 1000000.0 AS qhat,
              |  CASE WHEN t.n_test > 0 THEN
              |    round(CAST(t.cov AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
@@ -4415,5 +4416,53 @@ object AnalyticsQueries {
               |      - CAST(tw AS DOUBLE)) / CAST(tw AS DOUBLE), 6)
               |  END AS rel_err
               |FROM agg""".stripMargin)),
+
+    // ---- x239: hashed-rate-sample quantile estimate + rank-error audit -----
+    // The corpus-scale quantile path: deterministic 1/16 hash sample,
+    // exact rank selections on BOTH the sample and the full value
+    // table, displacement measured in rank space — see
+    // ops/Sketches.sampledQuantileAudit.
+    QueryDef(
+      "x239_sampled_quantiles",
+      (s, dir) =>
+        Sketches.sampledQuantileAudit(Tables.documents(s, dir),
+          col("n_chars"), col("doc_id"), rate = 16,
+          pcts = Seq(50, 90, 99), salt = "sq")
+          .orderBy(col("pct")),
+      Some(s"""WITH base AS (SELECT n_chars AS v,
+              |    ${TextAnalysis.hexToIntSql(
+                 "md5(concat('sq:sq:', doc_id))", 8)} AS u
+              |  FROM documents WHERE n_chars IS NOT NULL),
+              |vals AS (SELECT v, COUNT(*) AS cf,
+              |    CAST(SUM(CASE WHEN u < 268435456 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS cs
+              |  FROM base GROUP BY v),
+              |pref AS (SELECT v,
+              |    CAST(SUM(cf) OVER (ORDER BY v) AS BIGINT) AS cumf
+              |  FROM vals),
+              |pres AS (SELECT v,
+              |    CAST(SUM(cs) OVER (ORDER BY v) AS BIGINT) AS cums
+              |  FROM (SELECT v, cs FROM vals WHERE cs > 0)),
+              |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n,
+              |    CAST(SUM(cs) AS BIGINT) AS m FROM vals),
+              |grid AS (SELECT CAST(pct AS BIGINT) AS pct, n, m,
+              |    (CAST(pct AS BIGINT) * n + 99) // 100 AS tf,
+              |    greatest((CAST(pct AS BIGINT) * m + 99) // 100, 1)
+              |      AS ts
+              |  FROM (SELECT UNNEST([50, 90, 99]) AS pct)
+              |  CROSS JOIN tot),
+              |ex AS (SELECT pct, MIN(v) AS exact FROM grid
+              |  JOIN pref ON cumf >= tf GROUP BY pct),
+              |es AS (SELECT pct, MIN(v) AS est FROM grid
+              |  JOIN pres ON cums >= ts GROUP BY pct),
+              |er AS (SELECT es.pct, est, cumf AS rkest FROM es
+              |  JOIN pref ON pref.v = es.est)
+              |SELECT g.pct, g.n, g.m, er.est, ex.exact,
+              |  abs(er.est - ex.exact) AS abs_err,
+              |  round(CAST(abs(er.rkest - g.tf) AS DOUBLE)
+              |    / CAST(g.n AS DOUBLE), 6) AS rank_err
+              |FROM grid g JOIN er ON er.pct = g.pct
+              |JOIN ex ON ex.pct = g.pct
+              |ORDER BY 1""".stripMargin)),
   )
 }

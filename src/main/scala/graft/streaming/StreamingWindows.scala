@@ -1018,4 +1018,96 @@ object StreamingWindows {
         (0 until nVariants).map(v => col(s"n_$v")) ++
         Seq(chi2.as("chi2"), (chi2 > lit(critical)).as("srm_flag")): _*)
   }
+
+  /** Streaming Jensen–Shannon drift monitor — the live sibling of
+    * [[graft.ops.TextAnalysis.jsDivergence]]: per event-time window,
+    * the JS divergence between the window's event_type distribution
+    * and a REFERENCE distribution profiled offline (passed as exact
+    * counts, so the monitor and the profile can't drift). Reference
+    * keys become conditional sums inside ONE stateless watermarked
+    * aggregation (same single-shuffle posture as
+    * [[streamingSrmMonitor]]); types outside the reference pool into
+    * an `other` bucket whose reference mass is 0 (contributing
+    * ½·p·ln2 — the disjoint-tail closed form). Emits
+    * `(window_start, window_end, n_events, js, drift_flag)`.
+    *
+    * Determinism: per-key terms are the jsDivergence double op
+    * sequence over exact integer ratios, rounded to 12 dp and summed
+    * (a FIXED-length fold over the bounded key set — no shuffle-order
+    * dependence); ln 2 pinned to its nearest-double literal.
+    *
+    * Scale: O(|reference|) conditional sums per open window; the key
+    * set is the offline profile's, bounded by construction.
+    */
+  def streamingJsDriftMonitor(events: DataFrame,
+      reference: Map[String, Long], widthSec: Long = 3600,
+      threshold: Double = 0.1,
+      watermark: String = "2 hours"): DataFrame = {
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference needs positive counts")
+    val halfLn2 = 0.34657359027997264
+    val keys = reference.keys.toSeq.sorted
+    val refTot = reference.values.sum.toDouble
+    val keyCols = keys.map(k =>
+      sum(when(col("event_type") === k, 1L).otherwise(0L))
+        .as(s"_k_${keys.indexOf(k)}")) :+
+      sum(when(!col("event_type").isInCollection(keys), 1L)
+        .otherwise(0L)).as("_other")
+    val counts = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$widthSec seconds").as("_w"))
+      .agg(keyCols.head, keyCols.tail: _*)
+    val nTot = (keys.indices.map(i => col(s"_k_$i")) :+ col("_other"))
+      .reduce(_ + _)
+    def t12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(38,12)")
+    val terms = keys.zipWithIndex.map { case (k, i) =>
+      val pw = col(s"_k_$i").cast("double") / col("_n").cast("double")
+      val pr = lit(reference(k).toDouble / refTot)
+      // window side empty: the whole term collapses to p_r·½ln2
+      when(col(s"_k_$i") === 0L, t12(lit(halfLn2) * pr))
+        .otherwise(t12(
+          lit(0.5) * pw * log(lit(2.0) * pw / (pw + pr))
+            + lit(0.5) * pr * log(lit(2.0) * pr / (pw + pr))))
+    } :+ {
+      val pw = col("_other").cast("double") / col("_n").cast("double")
+      when(col("_other") === 0L, t12(lit(0.0)))
+        .otherwise(t12(lit(halfLn2) * pw))
+    }
+    val js = round(terms.reduce(_ + _).cast("double"), 6)
+    counts.withColumn("_n", nTot)
+      .select(col("_w.start").as("window_start"),
+        col("_w.end").as("window_end"), col("_n").as("n_events"),
+        js.as("js"), (js > lit(threshold)).as("drift_flag"))
+  }
+
+  /** Streaming conformal gate — the live enforcement of
+    * [[graft.ops.Stats.conformalCalibration]]'s batch-fitted intervals:
+    * broadcast-join the (grp, center, qhat) model and flag each
+    * incoming row whose nonconformity |v − center| exceeds q̂. The
+    * comparison runs in EXACT micro-unit integers recovered losslessly
+    * from the model's doubles (both are 10⁻⁶-grid values below 2⁵³ by
+    * the calibration contract), so the gate can never disagree with
+    * the batch coverage audit on the same rows. Rows from groups
+    * absent in the model pass through with NULL score and
+    * `within = false` (an uncalibrated group must not silently pass).
+    * Stateless map-side join — applies to a stream unchanged, no
+    * watermark, no state store.
+    */
+  def streamingConformalGate(docs: DataFrame, model: DataFrame,
+      groupCol: String = "lang", valueCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val m = broadcast(model.select(col("grp"),
+      round(col("center") * 1000000.0).cast("long").as("_c6"),
+      round(col("qhat") * 1000000.0).cast("long").as("_q6")))
+    docs.select(col(idCol), col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("_v"))
+      .join(m, Seq("grp"), "left")
+      .select(col(idCol), col("grp"), col("_v").as("value"),
+        (abs(col("_v") * 1000000L - col("_c6")).cast("double")
+          / 1000000.0).as("score"),
+        coalesce(abs(col("_v") * 1000000L - col("_c6")) <= col("_q6"),
+          lit(false)).as("within"))
+  }
 }

@@ -201,8 +201,9 @@ class StatsExtrasSpec extends SparkSuite {
       alpha100 = 10).collect()(0)
     assert(r.getString(0) === "g")
     assert(r.getLong(1) === 4L && r.getLong(2) === 3L)
-    assert(r.getDouble(3) === 15.0)
-    assert(r.getDouble(4) === 0.666667)
+    assert(r.getDouble(3) === 25.0) // calibration mean (model center)
+    assert(r.getDouble(4) === 15.0) // qhat
+    assert(r.getDouble(5) === 0.666667)
     intercept[IllegalArgumentException] {
       Stats.conformalCalibration(d, col("g"), col("v"), col("id"),
         alpha100 = 0)
@@ -246,6 +247,41 @@ class StatsExtrasSpec extends SparkSuite {
     val again = graft.ops.Splits.ppsSample(d, "id", "w", n = 10L,
       salt = "t").collect()(0)
     assert(out.toSeq === again.toSeq)
+  }
+
+  test("sampledQuantileAudit: JVM-replayed hash sample, exact rank " +
+      "selections on both tables, rank error in rank space") {
+    def refU(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"sq:t:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val n = 1000
+    val d = frame("id" -> (1L to n.toLong).toSeq,
+      "v" -> (1L to n.toLong).toSeq) // value == id == full rank
+    val out = graft.ops.Sketches.sampledQuantileAudit(d, col("v"),
+      col("id"), rate = 4, pcts = Seq(50, 90), salt = "t")
+      .orderBy("pct").collect()
+    val sampled = (1L to n.toLong).filter(refU(_) < (1L << 30)).sorted
+    val m = sampled.length.toLong
+    assert(out.length === 2)
+    for (r <- out) {
+      val pct = r.getLong(0)
+      val tf = (pct * n + 99) / 100
+      val ts = math.max((pct * m + 99) / 100, 1L)
+      assert(r.getLong(1) === n.toLong && r.getLong(2) === m)
+      assert(r.getLong(4) === tf, "exact quantile of 1..n is its rank")
+      val est = sampled((ts - 1).toInt)
+      assert(r.getLong(3) === est, s"sample quantile at pct $pct")
+      assert(r.getLong(5) === math.abs(est - tf))
+      assert(r.getDouble(6) === BigDecimal(
+        math.abs(est - tf).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // a reasonable 1/4 sample of 1000 uniform values should land the
+    // median within a few percent of rank space
+    assert(out(0).getDouble(6) < 0.1, s"median rank err ${out(0)}")
   }
 
   test("retrieval pinned constants: nDCG discounts and RBO weights " +

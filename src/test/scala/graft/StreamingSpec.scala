@@ -1168,4 +1168,92 @@ class StreamingSpec extends SparkSuite {
         s"need >= 2 non-empty micro-batches, saw ${batches.length}")
     } finally q.stop()
   }
+
+  test("streaming JS drift monitor == batch windows; a window matching " +
+      "the reference distribution scores js = 0") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    // reference = the full corpus event_type profile (exact counts)
+    val ref = batchEvents.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val splitDir =
+      java.nio.file.Files.createTempDirectory("jsstream").toString
+    val cut = "TIMESTAMP_NTZ '2024-01-16 00:00:00'"
+    batchEvents.filter(expr(s"ts < $cut")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingJsDriftMonitor(stream, ref,
+      widthSec = 24L * 3600L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stream_js").start()
+    try {
+      q.processAllAvailable()
+      batchEvents.filter(expr(s"ts >= $cut")).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT window_start, n_events, js, drift_flag FROM (
+          |SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+          |  ORDER BY n_events DESC) rn FROM stream_js) WHERE rn = 1"""
+          .stripMargin).collect().map(_.toSeq).toSet
+      val want = StreamingWindows.streamingJsDriftMonitor(batchEvents,
+        ref, widthSec = 24L * 3600L)
+        .select(col("window_start"), col("n_events"), col("js"),
+          col("drift_flag"))
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want,
+        s"streaming diverges: missing ${(want -- got).take(2)}, " +
+          s"extra ${(got -- want).take(2)}")
+      // identical distribution -> js exactly 0 (single giant window
+      // covering everything IS the reference)
+      val whole = StreamingWindows.streamingJsDriftMonitor(batchEvents,
+        ref, widthSec = 370L * 24L * 3600L).collect()
+      assert(whole.length === 1 && whole(0).getDouble(3) === 0.0)
+      assert(!whole(0).getBoolean(4))
+    } finally q.stop()
+  }
+
+  test("streaming conformal gate == batch gate, and its within-rate on " +
+      "the test half reproduces the calibration coverage exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val model = graft.ops.Stats.conformalCalibration(docs, col("lang"),
+      col("n_chars"), col("doc_id"), alpha100 = 10)
+    val modelRows = model.collect()
+    val modelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(modelRows.toSeq), model.schema)
+    val splitDir =
+      java.nio.file.Files.createTempDirectory("confstream").toString
+    docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$splitDir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(s"$splitDir/in")
+    val q = StreamingWindows.streamingConformalGate(stream, modelDf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_conf").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 3 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$splitDir/in")
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM stream_conf")
+        .collect().map(_.toSeq).toSet
+      val want = StreamingWindows.streamingConformalGate(docs, modelDf)
+        .collect().map(_.toSeq).toSet
+      assert(want.nonEmpty && got == want,
+        s"gate diverges: missing ${(want -- got).take(2)}, " +
+          s"extra ${(got -- want).take(2)}")
+      // the gate's within-rate over TEST rows (odd ids) == coverage
+      val gateCov = spark.sql(
+        """SELECT grp, round(CAST(SUM(CASE WHEN within THEN 1 ELSE 0
+          |  END) AS DOUBLE) / COUNT(*), 6) c FROM stream_conf
+          |WHERE doc_id % 2 = 1 GROUP BY grp""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val calCov = modelRows
+        .map(r => r.getString(0) -> r.getDouble(5)).toMap
+      assert(gateCov == calCov.filter { case (k, _) => gateCov.contains(k) },
+        s"gate within-rate $gateCov != calibration coverage $calCov")
+    } finally q.stop()
+  }
 }
