@@ -652,4 +652,49 @@ class SourcesSpec extends SparkSuite {
     assert(p2.length === 1 && p2(0).getLong(1) === 1L &&
       p2(0).getLong(3) === 2000L)
   }
+
+  test("ORC round-trip preserves every documents row and type, and a " +
+      "value filter is PUSHED to the ORC scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    graft.sources.Columnar.writeOrc(docs, dir)
+    val back = graft.sources.Columnar.readOrc(spark, dir, docs.schema)
+    assert(back.schema === docs.schema)
+    val got = back.collect().map(_.toSeq).toSet
+    val want = docs.collect().map(_.toSeq).toSet
+    assert(got === want && want.nonEmpty)
+    val q = back.filter(col("n_chars") > 500)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata.get("PushedFilters")
+      .exists(s => s.contains("n_chars") && s != "[]"),
+      s"expected a pushed ORC filter, got ${scan.metadata.get("PushedFilters")}")
+    assert(q.count() ===
+      docs.filter(col("n_chars") > 500).count())
+  }
+
+  test("typed CSV round-trip: explicit schema, NULL vs empty-string " +
+      "pinned apart, nested/binary columns refused loudly") {
+    val d = frame(
+      "id" -> Seq(1L, 2L, 3L, 4L),
+      "s" -> Seq("plain", "", null, "with,comma \"quoted\""),
+      "x" -> Seq(1.5, -2.0, 0.0, 3.25))
+    val dir = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    graft.sources.Columnar.writeCsv(d, dir)
+    val back = graft.sources.Columnar.readCsv(spark, dir, d.schema)
+      .orderBy("id").collect()
+    assert(back.length === 4)
+    assert(back(0).getString(1) === "plain")
+    assert(back(1).getString(1) === "", "empty string must stay empty")
+    assert(back(2).isNullAt(1), "NULL must stay NULL, not become \"\"")
+    assert(back(3).getString(1) === "with,comma \"quoted\"")
+    assert(back.map(_.getDouble(2)).toSeq === Seq(1.5, -2.0, 0.0, 3.25))
+    // refusal contract: an array column cannot ride CSV
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Columnar.writeCsv(
+        frame("id" -> Seq(1L), "emb" -> Seq(Seq(1.0, 2.0))), dir)
+    }
+    assert(e.getMessage.contains("losslessly"))
+  }
 }
