@@ -1107,12 +1107,13 @@ object Similarity {
         sum(coalesce(col("_ndcg"), lit(0L).cast("decimal(14,12)")))
           .as("_sn"))
       .select(col("n_queries"), lit(k.toLong).as("k"),
-        round(col("_hits").cast("double")
-          / (col("n_queries") * k).cast("double"), 6).as("recall_at_k"),
-        round(col("_srr").cast("double")
-          / col("n_queries").cast("double"), 6).as("mrr"),
-        round(col("_sn").cast("double")
-          / col("n_queries").cast("double"), 6).as("ndcg"))
+        // n_queries = 0 (empty query frame) -> 0/0 raises under ANSI
+        when(col("n_queries") > 0, round(col("_hits").cast("double")
+          / (col("n_queries") * k).cast("double"), 6)).as("recall_at_k"),
+        when(col("n_queries") > 0, round(col("_srr").cast("double")
+          / col("n_queries").cast("double"), 6)).as("mrr"),
+        when(col("n_queries") > 0, round(col("_sn").cast("double")
+          / col("n_queries").cast("double"), 6)).as("ndcg"))
   }
 
   /** Rank-biased overlap (p = 0.9) between the brute-force and IVF
@@ -1147,8 +1148,8 @@ object Similarity {
       .agg(count(lit(1)).as("n_queries"),
         sum(col("_rbo")).as("_sr"), min(col("_rbo")).as("_mn"))
       .select(col("n_queries"), lit(k.toLong).as("k"),
-        round(col("_sr").cast("double")
-          / col("n_queries").cast("double"), 6).as("mean_rbo"),
+        when(col("n_queries") > 0, round(col("_sr").cast("double")
+          / col("n_queries").cast("double"), 6)).as("mean_rbo"),
         round(col("_mn").cast("double"), 6).as("min_rbo"))
   }
 }

@@ -448,4 +448,85 @@ object Experiments {
         round(col("_son").cast("double")
           / col("_sod").cast("double"), 6)).as("or_mh"))
   }
+
+  /** O'Brien–Fleming boundaries C·√(K/k) for K equal-information looks,
+    * pinned to round-6 decimals JVM-side (C = 2.0403, the published
+    * two-sided α = 0.05, K = 5 OBF critical value) — the plan and the
+    * oracle embed the SAME literals, so libm sqrt cannot skew parity. */
+  private[graft] def obfBoundaries(looks: Int,
+      c: Double = 2.0403): Seq[BigDecimal] =
+    (1 to looks).map(k => BigDecimal(c * math.sqrt(looks.toDouble / k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+
+  /** Group-sequential experiment audit — the interim-analysis
+    * discipline an always-on experimentation platform needs: users in
+    * arrival order are cut into `looks` equal-information looks, and
+    * at each look the CUMULATIVE two-proportion pooled z (x131's
+    * formula) is compared against the pinned O'Brien–Fleming boundary
+    * for that look ([[obfBoundaries]] — conservative early, nominal at
+    * the final look; the family-wise α stays 0.05 across all K
+    * interims). One row per look: `(look, n_cum, n_treat, conv_treat,
+    * n_ctrl, conv_ctrl, z, boundary, crossed)` (z round 6, NULL when
+    * an arm is empty or the pooled rate degenerates).
+    *
+    * Determinism: arrival order is the exact decomposed global rank on
+    * an (entry, user_id) projection (no-rider contract; counts join
+    * back on the unique user id); look = ⌈rank·K/n⌉ in pure integer
+    * arithmetic; cumulative cells are exact integers; z is one fixed
+    * double op sequence; boundaries are pinned literals.
+    *
+    * Scale: ONE user reduce, the decomposed rank, a ≤K-row epilogue
+    * (its running sums run on K rows, not data).
+    */
+  def groupSequentialAudit(events: DataFrame, convType: String = "purchase",
+      minValue: Double = 150.0, salt: String = "exp1",
+      looks: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(looks >= 2 && looks <= 20, s"need looks in [2,20], got $looks")
+    val perUser = withVariant(
+      events.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === convType
+          && col("value") >= minValue, 1L).otherwise(0L)).as("_conv"),
+        min(col("ts_ns")).as("_entry")),
+      "user_id", 2, salt)
+    val ranked = Ranking.withGlobalRanks(
+        perUser.select(col("_entry"), col("user_id")),
+        Seq("_entry" -> true, "user_id" -> true))
+      .select(col("user_id"), col("rnk"))
+    val tot = broadcast(perUser.agg(count(lit(1)).as("_n")))
+    val cells = perUser.join(ranked, "user_id").crossJoin(tot)
+      .withColumn("look", expr(s"(rnk * ${looks}L + _n - 1) div _n"))
+      .groupBy(col("look"))
+      .agg(
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("variant") === 1, col("_conv")).otherwise(0L))
+          .as("_ct"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("_nc"),
+        sum(when(col("variant") === 0, col("_conv")).otherwise(0L))
+          .as("_cc"))
+    // cumulative over the <= looks rows — a bounded epilogue window
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("nt", sum(col("_nt")).over(w))
+      .withColumn("ct", sum(col("_ct")).over(w))
+      .withColumn("nc", sum(col("_nc")).over(w))
+      .withColumn("cc", sum(col("_cc")).over(w))
+    val ntD = col("nt").cast("double"); val ncD = col("nc").cast("double")
+    val p = (col("ct") + col("cc")).cast("double") /
+      (col("nt") + col("nc")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) * (lit(1.0) / ntD + lit(1.0) / ncD))
+    val z = when(col("nt") > 0 && col("nc") > 0 && se =!= 0.0,
+      round((col("ct").cast("double") / ntD
+        - col("cc").cast("double") / ncD) / se, 6))
+    val bs = obfBoundaries(looks)
+    val boundary = coalesce(bs.zipWithIndex.map { case (b, i) =>
+      when(col("look") === (i + 1).toLong, lit(b.toDouble))
+    }: _*)
+    cum.select(col("look"), (col("nt") + col("nc")).as("n_cum"),
+        col("nt").as("n_treat"), col("ct").as("conv_treat"),
+        col("nc").as("n_ctrl"), col("cc").as("conv_ctrl"),
+        z.as("z"), boundary.as("boundary"),
+        coalesce(abs(z) >= boundary, lit(false)).as("crossed"))
+  }
 }

@@ -1148,8 +1148,11 @@ object TextAnalysis {
           round((col("r") + 1).cast("double") * col("_nr1").cast("double")
             / col("n_r").cast("double"), 6)).as("r_star"),
         col("vocab"), col("n_tokens"),
-        round(col("_n1").cast("double") / col("n_tokens").cast("double"), 6)
-          .as("p_unseen"))
+        // guard: an EMPTY corpus still yields the one-row corpus frame
+        // (coalesced zero sums) and 0/0 raises under ANSI
+        when(col("n_tokens") > 0,
+          round(col("_n1").cast("double")
+            / col("n_tokens").cast("double"), 6)).as("p_unseen"))
   }
 
   /** Zipf-law fit over the term-frequency table — "does this corpus

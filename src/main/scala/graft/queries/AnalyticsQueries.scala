@@ -4079,8 +4079,9 @@ object AnalyticsQueries {
              |      * CAST(COALESCE(f1.nr, 0) AS DOUBLE)
              |      / CAST(f.nr AS DOUBLE), 6) END AS r_star,
              |  vocab, n_tokens,
-             |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-             |    AS p_unseen
+             |  CASE WHEN n_tokens > 0 THEN
+             |    round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             |  END AS p_unseen
              |FROM grid g LEFT JOIN ff f ON f.r = g.r
              |LEFT JOIN ff f1 ON f1.r = g.r + 1
              |CROSS JOIN corpus ORDER BY 1""".stripMargin)),
@@ -4464,5 +4465,66 @@ object AnalyticsQueries {
               |FROM grid g JOIN er ON er.pct = g.pct
               |JOIN ex ON ex.pct = g.pct
               |ORDER BY 1""".stripMargin)),
+
+    // ---- x240: group-sequential experiment audit (OBF boundaries) ----------
+    // Users in arrival order cut into 5 equal-information looks;
+    // cumulative pooled z at each look vs the pinned O'Brien–Fleming
+    // boundary — see ops/Experiments.groupSequentialAudit.
+    QueryDef(
+      "x240_group_sequential",
+      (s, dir) =>
+        Experiments.groupSequentialAudit(Tables.events(s, dir),
+          convType = "purchase", minValue = 150.0, salt = "exp1",
+          looks = 5)
+          .orderBy(col("look")),
+      Some {
+        val bCase = Experiments.obfBoundaries(5).zipWithIndex
+          .map { case (b, i) => s"WHEN look = ${i + 1} THEN $b" }
+          .mkString("CASE ", " ", " END")
+        val se = """sqrt(CAST(ct + cc AS DOUBLE) / CAST(nt + nc AS DOUBLE)
+                   |    * (1.0 - CAST(ct + cc AS DOUBLE)
+                   |        / CAST(nt + nc AS DOUBLE))
+                   |    * (1.0 / CAST(nt AS DOUBLE)
+                   |      + 1.0 / CAST(nc AS DOUBLE)))""".stripMargin
+        s"""WITH pu AS (SELECT user_id,
+           |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+           |      THEN 1 ELSE 0 END) AS conv,
+           |    MIN(epoch_ns(ts)) AS entry,
+           |    md5(concat('ab:exp1:', user_id)) AS d
+           |  FROM events GROUP BY user_id),
+           |pv AS (SELECT (${TextAnalysis.hexToIntSql("d", 8)} % 2)
+           |    AS variant, conv, entry, user_id FROM pu),
+           |rk AS (SELECT variant, conv,
+           |    ROW_NUMBER() OVER (ORDER BY entry, user_id) AS rnk,
+           |    COUNT(*) OVER () AS n FROM pv),
+           |cells AS (SELECT (rnk * 5 + n - 1) // n AS look,
+           |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nt0,
+           |    CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+           |      AS BIGINT) AS ct0,
+           |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nc0,
+           |    CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+           |      AS BIGINT) AS cc0
+           |  FROM rk GROUP BY 1),
+           |cum AS (SELECT CAST(look AS BIGINT) AS look,
+           |    CAST(SUM(nt0) OVER (ORDER BY look) AS BIGINT) AS nt,
+           |    CAST(SUM(ct0) OVER (ORDER BY look) AS BIGINT) AS ct,
+           |    CAST(SUM(nc0) OVER (ORDER BY look) AS BIGINT) AS nc,
+           |    CAST(SUM(cc0) OVER (ORDER BY look) AS BIGINT) AS cc
+           |  FROM cells),
+           |fin AS (SELECT look, nt + nc AS n_cum, nt AS n_treat,
+           |    ct AS conv_treat, nc AS n_ctrl, cc AS conv_ctrl,
+           |    CASE WHEN nt > 0 AND nc > 0 AND $se <> 0 THEN
+           |      round((CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+           |        - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+           |        / $se, 6) END AS z,
+           |    $bCase AS boundary
+           |  FROM cum)
+           |SELECT look, n_cum, n_treat, conv_treat, n_ctrl, conv_ctrl,
+           |  z, boundary,
+           |  COALESCE(abs(z) >= boundary, FALSE) AS crossed
+           |FROM fin ORDER BY look""".stripMargin
+      }),
   )
 }

@@ -249,6 +249,71 @@ class StatsExtrasSpec extends SparkSuite {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("empty-input edges survive ANSI mode: goodTuring grid on an " +
+      "empty corpus, retrieval metrics on an empty query frame") {
+    val emptyDocs = frame("text" -> Seq("x")).filter(col("text") === "y")
+    val gt = TextAnalysis.goodTuring(emptyDocs).orderBy("r").collect()
+    assert(gt.length === 10) // the grid survives
+    assert(gt.forall(r => r.getLong(1) === 0L && r.isNullAt(2) &&
+      r.getLong(3) === 0L && r.getLong(4) === 0L && r.isNullAt(5)))
+    val emb = frame("vec_id" -> Seq(0L, 1L, 2L),
+      "embedding" -> Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5)))
+    val noQ = emb.filter(col("vec_id") < 0)
+    val rm = Similarity.retrievalMetrics(noQ, emb, k = 2,
+      nCells = 2, nprobe = 2).collect()(0)
+    assert(rm.getLong(0) === 0L && rm.isNullAt(2) && rm.isNullAt(3) &&
+      rm.isNullAt(4))
+    val rb = Similarity.rboAudit(noQ, emb, k = 2, nCells = 2,
+      nprobe = 2).collect()(0)
+    assert(rb.getLong(0) === 0L && rb.isNullAt(2))
+  }
+
+  test("groupSequentialAudit: JVM-replayed looks, cumulative pooled z, " +
+      "pinned OBF boundaries, conservative-early ordering") {
+    val users = (1L to 40L)
+    val conv = users.filter(_ % 4 == 0).toSet
+    val ev = frame(
+      "user_id" -> users.toSeq,
+      "event_type" -> users.map(u =>
+        if (conv(u)) "purchase" else "view").toSeq,
+      "value" -> users.map(u => if (conv(u)) 200.0 else 10.0).toSeq,
+      "ts_ns" -> users.map(u => u * 1000000000L).toSeq) // arrival = id
+    val out = Experiments.groupSequentialAudit(ev, salt = "s", looks = 5)
+      .orderBy("look").collect()
+    assert(out.length === 5)
+    // JVM replay: rank = user id (entry == id); look = ceil(rank/8)
+    for (k <- 1 to 5) {
+      val cut = users.filter(_ <= k * 8L)
+      val treat = cut.filter(u => refVariant(u, 2, "s") == 1)
+      val ctrl = cut.filterNot(u => refVariant(u, 2, "s") == 1)
+      val (nt, ct) = (treat.size, treat.count(conv))
+      val (nc, cc) = (ctrl.size, ctrl.count(conv))
+      val r = out(k - 1)
+      assert(r.getLong(0) === k.toLong)
+      assert(r.getLong(1) === (k * 8).toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        === ((nt.toLong, ct.toLong, nc.toLong, cc.toLong)))
+      if (nt > 0 && nc > 0) {
+        val p = (ct + cc).toDouble / (nt + nc)
+        val se = math.sqrt(p * (1.0 - p) * (1.0 / nt + 1.0 / nc))
+        if (se != 0.0) {
+          val z = BigDecimal((ct.toDouble / nt - cc.toDouble / nc) / se)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(r.getDouble(6) === z, s"z at look $k")
+          assert(r.getBoolean(8) ===
+            (math.abs(z) >= r.getDouble(7)), s"crossed at look $k")
+        }
+      }
+    }
+    // pinned boundaries, strictly decreasing (conservative early)
+    val bs = out.map(_.getDouble(7)).toSeq
+    assert(bs === Seq(4.562249, 3.225998, 2.634016, 2.281125, 2.0403))
+    assert(bs === bs.sorted.reverse)
+    intercept[IllegalArgumentException] {
+      Experiments.groupSequentialAudit(ev, looks = 1)
+    }
+  }
+
   test("sampledQuantileAudit: JVM-replayed hash sample, exact rank " +
       "selections on both tables, rank error in rank space") {
     def refU(id: Long): Long = {
