@@ -591,6 +591,138 @@ object Stats {
           .as("w1"))
   }
 
+  /** Pairwise 1-Wasserstein (earth-mover) distance matrix between the
+    * groups' VALUE distributions — the scale-shift drift detector the
+    * JS token matrix (x233) cannot be: JS compares category masses,
+    * W₁ integrates |CDF_a − CDF_b| over the value axis, so "source B's
+    * documents grew 20% longer" shows up directly in value units. One
+    * row per unordered pair from the EXPLICIT `groups` list (the
+    * pinned-vocabulary convention — the caller profiles groups offline;
+    * an explicit list keeps the oracle generable and the column layout
+    * static): `(group_a, group_b, n_a, n_b, w1)` (w1 round 6, NULL on
+    * an empty side).
+    *
+    * Exactness: [[wasserstein1]]'s exact-integer construction widened
+    * to k groups in ONE pass — a single (value) reduce carries k
+    * conditional counts, ONE range-partitioned prefix decomposition
+    * serves every column (the offsets branch derives from the same
+    * `ranged` subtree, so the exchange is reused, not re-sampled), and
+    * each pair's term is |cpa·n_b − cpb·n_a|·gap in DECIMAL(38,0),
+    * summed reduction-order-free. k(k−1)/2 pair columns ride one
+    * aggregate; the output explodes a bounded struct array.
+    *
+    * Scale: one corpus reduce to the |distinct| value table, the
+    * decomposed prefix pass, a one-row epilogue — |groups| bounded by
+    * the caller's list, never by the data.
+    */
+  def wasserstein1Matrix(df: DataFrame, groupCol: String,
+      valueCol: Column, groups: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, spark_partition_id}
+    require(groups.size >= 2 && groups.size <= 32
+      && groups.distinct.size == groups.size,
+      s"need 2..32 distinct groups, got $groups")
+    val k = groups.size
+    val vals = df.filter(col(groupCol).isin(groups: _*))
+      .select(valueCol.cast("bigint").as("v"), col(groupCol).as("_g"))
+      .filter(col("v").isNotNull)
+    val aggs = groups.zipWithIndex.map { case (g, i) =>
+      sum(when(col("_g") === g, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val counts = vals.groupBy(col("v")).agg(aggs.head, aggs.tail: _*)
+    val ranged = counts.repartitionByRange(col("v").asc)
+      .withColumn("_bucket", spark_partition_id())
+    val wRun = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy(col("_bucket")).orderBy(col("v"))
+    val local = (0 until k).foldLeft(ranged) { (d, i) =>
+      d.withColumn(s"_l$i", sum(col(s"c$i")).over(wRun))
+    }.withColumn("_pv", lag(col("v"), 1).over(wLag))
+    val sums = ranged.groupBy(col("_bucket"))
+      .agg(max(col("v")).as("_mx"),
+        (0 until k).map(i => sum(col(s"c$i")).as(s"_s$i")): _*)
+    val wCum = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev = Window.orderBy(col("_bucket")).rowsBetween(-1, -1)
+    val offsets = (0 until k).foldLeft(sums) { (d, i) =>
+      d.withColumn(s"_o$i", coalesce(sum(col(s"_s$i")).over(wCum), lit(0L)))
+    }.withColumn("_pmx", max(col("_mx")).over(wPrev))
+      .select(col("_bucket") +: col("_pmx") +:
+        (0 until k).map(i => col(s"_o$i")): _*)
+    val tot = broadcast(counts.agg(
+      sum(col("c0")).as("n0"),
+      (1 until k).map(i => sum(col(s"c$i")).as(s"n$i")): _*))
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+    val withCp = local.join(broadcast(offsets), "_bucket")
+      .select(col("v") +:
+        coalesce(col("_pv"), col("_pmx")).as("pv") +:
+        (0 until k).flatMap(i => Seq(col(s"c$i"),
+          (col(s"_l$i") + col(s"_o$i") - col(s"c$i")).as(s"cp$i"))): _*)
+      .crossJoin(tot)
+    val termCols = pairs.map { case (i, j) =>
+      sum(when(col("pv").isNull, lit(0).cast("decimal(38,0)"))
+        .otherwise(abs(d38(col(s"cp$i")) * d38(col(s"n$j"))
+          - d38(col(s"cp$j")) * d38(col(s"n$i")))
+          * d38(col("v") - col("pv")))).as(s"_w${i}_$j")
+    }
+    val termSums = withCp.agg(termCols.head, termCols.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(lit(groups(i)).as("group_a"), lit(groups(j)).as("group_b"),
+        col(s"n$i").as("n_a"), col(s"n$j").as("n_b"),
+        col(s"_w${i}_$j").as("w"))
+    }
+    tot.crossJoin(broadcast(termSums))
+      .select(explode(array(rows: _*)).as("_p"))
+      .select(col("_p.group_a").as("group_a"),
+        col("_p.group_b").as("group_b"),
+        col("_p.n_a").as("n_a"), col("_p.n_b").as("n_b"),
+        when(col("_p.n_a") =!= 0 && col("_p.n_b") =!= 0,
+          round(col("_p.w").cast("double") /
+            (col("_p.n_a").cast("double") * col("_p.n_b").cast("double")),
+            6)).as("w1"))
+  }
+
+  /** Overdispersion audit — "is per-user activity Poisson, or bursty?"
+    * Per event_type: the variance-to-mean ratio (index of dispersion)
+    * of per-user event counts, with the χ²-shaped dispersion statistic
+    * D = (n−1)·VMR whose √(2D) − √(2(n−1)−1) normal approximation
+    * flags overdispersion at `zCrit` (default 3.0) — the standard
+    * screen before fitting anything Poisson-shaped (retention, arrival
+    * models); bursty users (VMR ≫ 1) call for a negative-binomial
+    * posture. One row per type: `(event_type, n_users, mean, vmr, z,
+    * overdispersed)` (round 6; vmr/z NULL when n < 2 or mean = 0).
+    *
+    * Exactness: per-user counts are exact integers; Σc and Σc² are
+    * exact DECIMAL(38,0) moments, so mean and VMR are fixed double op
+    * sequences over exact integers (the linearFit convention), mirrored
+    * in the oracle.
+    *
+    * Scale: ONE (user, type) reduce then a |types|-cardinality moment
+    * rollup — map-side combinable, no window, no broadcast.
+    */
+  def dispersionAudit(events: DataFrame, zCrit: Double = 3.0): DataFrame = {
+    val perUser = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("_c"))
+    val m = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(d38(col("_c"))).as("_s"),
+        sum(d38(col("_c")) * d38(col("_c"))).as("_ss"))
+    val nD = col("n_users").cast("double")
+    val mean = col("_s").cast("double") / nD
+    // sample variance: (n·Σc² − (Σc)²) / (n·(n−1)) over exact moments
+    val varS = (d38(col("n_users")) * col("_ss") - col("_s") * col("_s"))
+      .cast("double") / (nD * (nD - 1.0))
+    val vmr = varS / mean
+    val d = (nD - 1.0) * vmr
+    val z = sqrt(lit(2.0) * d) - sqrt(lit(2.0) * (nD - 1.0) - 1.0)
+    val ok = col("n_users") > 1 && mean > 0.0
+    m.select(col("event_type"), col("n_users"),
+      round(mean, 6).as("mean"),
+      when(ok, round(vmr, 6)).as("vmr"),
+      when(ok, round(z, 6)).as("z"),
+      coalesce(when(ok, z > zCrit), lit(false)).as("overdispersed"))
+  }
+
   /** Mann-Kendall monotone-trend test per series: Kendall's S over
     * (time, value) pairs of the dense zero-filled daily grid, with the
     * tie-corrected tau-b and the continuity-corrected normal z. One

@@ -4526,5 +4526,97 @@ object AnalyticsQueries {
            |  COALESCE(abs(z) >= boundary, FALSE) AS crossed
            |FROM fin ORDER BY look""".stripMargin
       }),
+
+    // ---- x241: pairwise 1-Wasserstein length-drift matrix -------------------
+    // W1 between every language pair's n_chars distributions — the
+    // scale-shift detector the x233 JS token matrix cannot be; exact
+    // integer cross-multiplied CDF construction (x202's) widened to k
+    // groups in ONE pass — see ops/Stats.wasserstein1Matrix.
+    QueryDef(
+      "x241_wasserstein_matrix",
+      (s, dir) =>
+        Stats.wasserstein1Matrix(Tables.documents(s, dir), "lang",
+          col("n_chars"), Seq("de", "en", "es", "fr", "zh"))
+          .orderBy(col("group_a"), col("group_b")),
+      Some {
+        val gs = Seq("de", "en", "es", "fr", "zh")
+        val k = gs.size
+        val inList = gs.map(g => s"'$g'").mkString(", ")
+        val condSums = gs.zipWithIndex.map { case (g, i) =>
+          s"SUM(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS c$i"
+        }.mkString(",\n    ")
+        val totCols = gs.indices.map(i =>
+          s"CAST(SUM(c$i) AS BIGINT) AS n$i").mkString(", ")
+        val cumCols = gs.indices.map(i =>
+          s"SUM(c$i) OVER (ORDER BY v) AS l$i").mkString(",\n    ")
+        val cCols = gs.indices.map(i => s"c$i").mkString(", ")
+        val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+        val termCols = pairs.map { case (i, j) =>
+          s"""SUM(CASE WHEN pv IS NULL THEN CAST(0 AS HUGEINT)
+             |    ELSE abs(CAST(l$i - c$i AS HUGEINT) * n$j
+             |      - CAST(l$j - c$j AS HUGEINT) * n$i) * (v - pv)
+             |    END) AS w${i}_$j""".stripMargin
+        }.mkString(",\n  ")
+        val selects = pairs.map { case (i, j) =>
+          s"""SELECT '${gs(i)}' AS group_a, '${gs(j)}' AS group_b,
+             |  n$i AS n_a, n$j AS n_b,
+             |  CASE WHEN n$i <> 0 AND n$j <> 0 THEN
+             |    round(CAST(w${i}_$j AS DOUBLE)
+             |      / (CAST(n$i AS DOUBLE) * CAST(n$j AS DOUBLE)), 6)
+             |  END AS w1 FROM terms CROSS JOIN t""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT n_chars AS v, lang AS g FROM documents
+           |  WHERE lang IN ($inList) AND n_chars IS NOT NULL),
+           |c AS (SELECT v,
+           |    $condSums
+           |  FROM v GROUP BY 1),
+           |t AS (SELECT $totCols FROM c),
+           |cum AS (SELECT v, $cCols,
+           |    $cumCols,
+           |    lag(v) OVER (ORDER BY v) AS pv FROM c),
+           |terms AS (SELECT
+           |  $termCols
+           |  FROM cum CROSS JOIN t)
+           |SELECT * FROM (
+           |$selects
+           |) ORDER BY group_a, group_b""".stripMargin
+      }),
+
+    // ---- x242: overdispersion (variance-to-mean) audit ----------------------
+    // Is per-user activity Poisson or bursty? Exact integer moments of
+    // per-user counts per type; VMR + the sqrt(2D) normal screen — see
+    // ops/Stats.dispersionAudit.
+    QueryDef(
+      "x242_dispersion",
+      (s, dir) =>
+        Stats.dispersionAudit(Tables.events(s, dir))
+          .orderBy(col("event_type")),
+      Some("""WITH pu AS (SELECT event_type, user_id, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, COUNT(*) AS n_users,
+             |    CAST(SUM(c) AS HUGEINT) AS s,
+             |    SUM(CAST(c AS HUGEINT) * c) AS ss
+             |  FROM pu GROUP BY 1),
+             |f AS (SELECT event_type, n_users,
+             |    CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean,
+             |    CAST(CAST(n_users AS HUGEINT) * ss - s * s AS DOUBLE)
+             |      / (CAST(n_users AS DOUBLE)
+             |        * (CAST(n_users AS DOUBLE) - 1.0))
+             |      / (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |      AS vmr
+             |  FROM m)
+             |SELECT event_type, n_users, round(mean, 6) AS mean,
+             |  CASE WHEN n_users > 1 AND mean > 0 THEN round(vmr, 6)
+             |    END AS vmr,
+             |  CASE WHEN n_users > 1 AND mean > 0 THEN
+             |    round(sqrt(2.0 * ((CAST(n_users AS DOUBLE) - 1.0)
+             |        * vmr))
+             |      - sqrt(2.0 * (CAST(n_users AS DOUBLE) - 1.0) - 1.0),
+             |      6) END AS z,
+             |  COALESCE(CASE WHEN n_users > 1 AND mean > 0 THEN
+             |    sqrt(2.0 * ((CAST(n_users AS DOUBLE) - 1.0) * vmr))
+             |      - sqrt(2.0 * (CAST(n_users AS DOUBLE) - 1.0) - 1.0)
+             |      > 3.0 END, FALSE) AS overdispersed
+             |FROM f ORDER BY event_type""".stripMargin)),
   )
 }

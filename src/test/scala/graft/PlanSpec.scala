@@ -87,6 +87,7 @@ class PlanSpec extends SparkSuite {
     "x238_pps_sample", // broadcast ONE-ROW total-weight frame onto the unit table (x57 pattern)
     "x239_sampled_quantiles", // bounded |pcts|-row grid range-joined onto prefix tables (x23 pattern)
     "x240_group_sequential", // broadcast ONE-ROW user-count frame onto the ranked users (x57 pattern)
+    "x241_wasserstein_matrix", // broadcast ONE-ROW group totals onto the value table (x202 pattern)
     "x209_jl_recall") // broadcasts the fixed 10-query projected set (x10's brute-force audit shape)
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +

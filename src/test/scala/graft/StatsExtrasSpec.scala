@@ -249,6 +249,71 @@ class StatsExtrasSpec extends SparkSuite {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("dispersionAudit: constant counts -> VMR 0; planted burstiness " +
+      "-> hand-computed VMR and overdispersion flag; degenerate NULLs") {
+    // type 'flat': every user exactly 2 events -> variance 0, VMR 0
+    // type 'burst': counts 1,1,1,9 -> mean 3, var (3*4+36)/3 = 16, VMR 16/3
+    val ev = frame(
+      "event_type" -> (Seq.fill(8)("flat") ++
+        Seq("burst", "burst", "burst") ++ Seq.fill(9)("burst")),
+      "user_id" -> (Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L) ++
+        Seq(1L, 2L, 3L) ++ Seq.fill(9)(4L)))
+    val out = Stats.dispersionAudit(ev).orderBy("event_type").collect()
+    val burst = out(0); val flat = out(1)
+    assert(flat.getString(0) === "flat" && flat.getLong(1) === 4L)
+    assert(flat.getDouble(2) === 2.0 && flat.getDouble(3) === 0.0)
+    assert(!flat.getBoolean(5))
+    assert(burst.getLong(1) === 4L && burst.getDouble(2) === 3.0)
+    val vmr = 16.0 / 3.0
+    assert(burst.getDouble(3) === BigDecimal(vmr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val z = math.sqrt(2.0 * (3.0 * vmr)) - math.sqrt(2.0 * 3.0 - 1.0)
+    assert(burst.getDouble(4) === BigDecimal(z)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(burst.getBoolean(5) === (z > 3.0))
+    // single-user type: NULL vmr/z, flag false
+    val deg = Stats.dispersionAudit(
+      frame("event_type" -> Seq("only"), "user_id" -> Seq(1L)))
+      .collect()(0)
+    assert(deg.isNullAt(3) && deg.isNullAt(4) && !deg.getBoolean(5))
+  }
+
+  test("wasserstein1Matrix: shifted-uniform hand values, identical " +
+      "groups at 0, every pair agrees with the single-pair op, empty " +
+      "group yields NULL") {
+    // A = {0,10}, B = {5,15} (A shifted +5), C = copy of A
+    val d = frame(
+      "g" -> Seq("A", "A", "B", "B", "C", "C"),
+      "v" -> Seq(0L, 10L, 5L, 15L, 0L, 10L))
+    val m = Stats.wasserstein1Matrix(d, "g", col("v"),
+      Seq("A", "B", "C")).orderBy("group_a", "group_b").collect()
+    assert(m.length === 3)
+    val byPair = m.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair(("A", "B")).getDouble(4) === 5.0)
+    assert(byPair(("A", "C")).getDouble(4) === 0.0)
+    assert(byPair(("B", "C")).getDouble(4) === 5.0)
+    assert(m.forall(r => r.getLong(2) === 2L && r.getLong(3) === 2L))
+    // cross-check against the single-pair implementation on a messier
+    // fixture (ties, skewed sizes)
+    val d2 = frame(
+      "g" -> Seq("A", "A", "A", "B", "B", "C", "C", "C", "C"),
+      "v" -> Seq(1L, 1L, 7L, 2L, 9L, 1L, 3L, 3L, 20L))
+    val mm = Stats.wasserstein1Matrix(d2, "g", col("v"),
+      Seq("A", "B", "C")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    for ((a, b) <- Seq(("A", "B"), ("A", "C"), ("B", "C"))) {
+      val single = Stats.wasserstein1(d2, "g", col("v"), a, b)
+        .collect()(0).getDouble(4)
+      assert(mm((a, b)) === single, s"pair ($a,$b)")
+    }
+    // a listed group with no rows: NULL w1 on its pairs
+    val sparse = Stats.wasserstein1Matrix(d, "g", col("v"),
+      Seq("A", "B", "Z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(sparse(("A", "Z")).isNullAt(4))
+    assert(sparse(("A", "B")).getDouble(4) === 5.0)
+  }
+
   test("empty-input edges survive ANSI mode: goodTuring grid on an " +
       "empty corpus, retrieval metrics on an empty query frame") {
     val emptyDocs = frame("text" -> Seq("x")).filter(col("text") === "y")
