@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // RELIABLE (file-backed) checkpoints for the correctness run:
+    // Checkpoints.materialize prefers them when a dir is set. The
+    // fallback localCheckpoint stores lineage-truncated blocks in
+    // executor storage, and under the 297-query contended sweep one
+    // sf1 run produced an impossible jaccard denominator (PLANS.md
+    // round-13 incident note) — file-backed checkpoints take block
+    // storage out of the correctness path entirely, exactly what a
+    // production cluster run does (HDFS/object-store checkpoint dir).
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(cpus.toInt * 2)
     implicit val ec: scala.concurrent.ExecutionContext =

@@ -847,9 +847,16 @@ object ExtensionQueries {
         val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        graft.ops.Bucketing.saveBucketed(li, "graft_li_bq", "l_orderkey", 8)
-        graft.ops.Bucketing.saveBucketed(o, "graft_o_bq", "l_orderkey", 8)
-        graft.ops.Bucketing.bucketedJoin(s, "graft_li_bq", "graft_o_bq", "l_orderkey")
+        // table names carry the JVM id: the warehouse dir is shared
+        // on-disk state, and two CONCURRENT Verify processes otherwise
+        // overwrite each other's bucket files mid-read (observed as
+        // FILE_NOT_EXIST in the round-13 double-sweep; PLANS.md)
+        val run = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getName.replaceAll("[^0-9a-zA-Z]", "_")
+        graft.ops.Bucketing.saveBucketed(li, s"graft_li_bq_$run", "l_orderkey", 8)
+        graft.ops.Bucketing.saveBucketed(o, s"graft_o_bq_$run", "l_orderkey", 8)
+        graft.ops.Bucketing.bucketedJoin(s, s"graft_li_bq_$run",
+          s"graft_o_bq_$run", "l_orderkey")
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
             sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"))
