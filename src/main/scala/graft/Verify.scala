@@ -23,8 +23,14 @@ object Verify {
     // round-13 incident note) — file-backed checkpoints take block
     // storage out of the correctness path entirely, exactly what a
     // production cluster run does (HDFS/object-store checkpoint dir).
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    // regression gate: if a future edit drops the setCheckpointDir above
+    // (or a refactor loses it), every materialize in this sweep fails
+    // LOUDLY instead of silently falling back to block-storage
+    // localCheckpoints — the round-13 incident class stays closed by
+    // code, not by memory
+    spark.conf.set(graft.ops.Checkpoints.RequireReliableKey, "true")
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(cpus.toInt * 2)
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -82,5 +88,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // the reliable-checkpoint files served their purpose (materialized
+    // intermediates for THIS sweep) — delete the temp dir so repeated
+    // Verify runs don't accumulate 297 queries' worth of checkpoint
+    // blocks in /tmp (round-13 ADVICE)
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTree))
+      f.delete(): Unit
+    }
+    deleteTree(ckptDir.toFile)
   }
 }

@@ -580,11 +580,14 @@ object Similarity {
       s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
     // the greedy epilogue collects |queries|·poolSize² pair rows to the
     // driver — the bounded-query-audit posture. Fail LOUDLY on a
-    // corpus-sized query frame instead of OOMing the driver mid-collect
-    val nq = queries.count()
-    require(nq * poolSize.toLong * poolSize.toLong <= 4000000L,
-      s"mmrTopK is a bounded-query audit: |queries|*poolSize^2 = " +
-        s"$nq*$poolSize^2 exceeds the 4e6 driver-pair cap; shrink the " +
+    // corpus-sized query frame instead of OOMing the driver mid-collect.
+    // The probe is cap-bounded (limit(cap+1).count()), so the guard
+    // itself never runs a full pass over an oversized query frame
+    val capQ = 4000000L / (poolSize.toLong * poolSize.toLong)
+    val nq = queries.limit((capQ + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nq <= capQ,
+      s"mmrTopK is a bounded-query audit: |queries| > $capQ at " +
+        s"poolSize=$poolSize exceeds the 4e6 driver-pair cap; shrink the " +
         s"query set or poolSize (corpus-side MMR needs the IVF path)")
     val pool = bruteForceTopK(queries, candidates, poolSize, idCol, embCol)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
@@ -1088,12 +1091,17 @@ object Similarity {
     val sys = ivfTopK(queries, candidates, k, nCells, nprobe, idCol, embCol)
       .select(col("query_id"), col("neighbor_id"),
         col("rk").cast("long").as("_sysrk"))
-    val perQ = gt.join(sys, Seq("query_id", "neighbor_id"))
+    // LEFT join from the ground-truth list: every gt row counts toward
+    // the recall denominator (sum of ACTUAL per-query gt sizes — on a
+    // corpus with < k eligible neighbors per query, n_queries·k would
+    // make recall unreachable even for perfect retrieval)
+    val perQ = gt.join(sys, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("_nh"),
+      .agg(count(lit(1)).as("_gtn"),
+        count(col("_sysrk")).as("_nh"),
         sum(pinnedLookup(col("_sysrk"), disc)).as("_dcg"),
         min(col("_sysrk")).as("_first"))
-      .select(col("query_id"), col("_nh"),
+      .select(col("query_id"), col("_gtn"), col("_nh"),
         round(col("_dcg").cast("double") / lit(idcg.toDouble), 12)
           .cast("decimal(14,12)").as("_ndcg"),
         round(lit(1.0) / col("_first").cast("double"), 12)
@@ -1101,15 +1109,17 @@ object Similarity {
     queries.select(col(idCol).as("query_id"))
       .join(perQ, Seq("query_id"), "left")
       .agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("_gtn"), lit(0L))).as("_gt"),
         sum(coalesce(col("_nh"), lit(0L))).as("_hits"),
         sum(coalesce(col("_rr"), lit(0L).cast("decimal(14,12)")))
           .as("_srr"),
         sum(coalesce(col("_ndcg"), lit(0L).cast("decimal(14,12)")))
           .as("_sn"))
       .select(col("n_queries"), lit(k.toLong).as("k"),
-        // n_queries = 0 (empty query frame) -> 0/0 raises under ANSI
-        when(col("n_queries") > 0, round(col("_hits").cast("double")
-          / (col("n_queries") * k).cast("double"), 6)).as("recall_at_k"),
+        // _gt = 0 (empty query frame / no eligible neighbors) -> 0/0
+        // raises under ANSI; NULL is the honest "no ground truth" answer
+        when(col("_gt") > 0, round(col("_hits").cast("double")
+          / col("_gt").cast("double"), 6)).as("recall_at_k"),
         when(col("n_queries") > 0, round(col("_srr").cast("double")
           / col("n_queries").cast("double"), 6)).as("mrr"),
         when(col("n_queries") > 0, round(col("_sn").cast("double")

@@ -28,6 +28,19 @@ import org.apache.spark.sql.DataFrame
   * session accumulates checkpoint dirs per invocation.
   */
 object Checkpoints {
+
+  /** Session-conf flag a CORRECTNESS run sets (graft.Verify does): when
+    * `true`, [[materialize]] REFUSES the localCheckpoint fallback and
+    * throws if no reliable checkpoint dir is configured. This is the
+    * regression gate for the round-13 incident class (PLANS.md): a
+    * contended full sweep once produced an inconsistent read from
+    * executor block storage via the localCheckpoint path — the fix was
+    * file-backed checkpoints, and this flag makes any future code path
+    * that loses the checkpoint dir fail FAST instead of silently
+    * reopening that window.
+    */
+  val RequireReliableKey = "graft.checkpoints.requireReliable"
+
   def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // RDD checkpointing runs TWO jobs: the eager action computes the
@@ -40,5 +53,12 @@ object Checkpoints {
       // checkpoint files are the durable copy.
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try df.checkpoint() finally df.unpersist()
+    } else if (df.sparkSession.conf
+        .getOption(RequireReliableKey).contains("true")) {
+      throw new IllegalStateException(
+        "Checkpoints.materialize: this session requires RELIABLE " +
+          "checkpoints (" + RequireReliableKey + "=true) but no " +
+          "checkpoint dir is set — call sparkContext.setCheckpointDir " +
+          "before running the correctness sweep (round-13 incident gate)")
     } else df.localCheckpoint()
 }

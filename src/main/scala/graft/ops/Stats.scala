@@ -1005,8 +1005,13 @@ object Stats {
         sqrt((d38(lit(reps)) * col("_smm") - col("_sm") * col("_sm"))
           .cast("double") / lit(bd * bd * (bd - 1.0))) / 1000000.0, 6))
         .as("boot_se"),
-      (col("_lo").cast("double") / 1000000.0).as("ci_lo"),
-      (col("_hi").cast("double") / 1000000.0).as("ci_hi"))
+      // CI ranks are positions in the FULL reps-replicate order; if any
+      // replicate dropped (empty resample), the percentile positions are
+      // wrong — gate the CI like boot_se rather than emit a shifted bound
+      when(col("reps_used") === reps,
+        col("_lo").cast("double") / 1000000.0).as("ci_lo"),
+      when(col("reps_used") === reps,
+        col("_hi").cast("double") / 1000000.0).as("ci_hi"))
   }
 
   /** Kruskal–Wallis H test — "do the groups share one distribution?"

@@ -4007,8 +4007,10 @@ object AnalyticsQueries {
               |  CASE WHEN reps_used = 48 THEN
               |    round(sqrt(CAST(48 * smm - sm * sm AS DOUBLE)
               |      / 108288.0) / 1000000.0, 6) END AS boot_se,
-              |  CAST(lo AS DOUBLE) / 1000000.0 AS ci_lo,
-              |  CAST(hi AS DOUBLE) / 1000000.0 AS ci_hi
+              |  CASE WHEN reps_used = 48 THEN
+              |    CAST(lo AS DOUBLE) / 1000000.0 END AS ci_lo,
+              |  CASE WHEN reps_used = 48 THEN
+              |    CAST(hi AS DOUBLE) / 1000000.0 END AS ci_hi
               |FROM tm CROSS JOIN eps""".stripMargin)),
 
     // ---- x230: Kruskal–Wallis k-sample rank test ---------------------------
@@ -4314,26 +4316,27 @@ object AnalyticsQueries {
         val disc = Similarity.ndcgDiscounts(5)
         s"""${retrievalCtes(5)},
            |hits AS (SELECT g.query_id, s.rk
-           |  FROM gt g JOIN sys s
+           |  FROM gt g LEFT JOIN sys s
            |    ON s.query_id = g.query_id
            |   AND s.neighbor_id = g.neighbor_id),
-           |perq AS (SELECT query_id, COUNT(*) AS nh,
+           |perq AS (SELECT query_id, COUNT(*) AS gtn, COUNT(rk) AS nh,
            |    SUM(${pinnedCaseSql("rk", disc)}) AS dcg,
            |    MIN(rk) AS first FROM hits GROUP BY 1),
-           |pq2 AS (SELECT query_id, nh,
+           |pq2 AS (SELECT query_id, gtn, nh,
            |    CAST(round(CAST(dcg AS DOUBLE) / ${disc.sum}, 12)
            |      AS DECIMAL(14,12)) AS ndcg,
            |    CAST(round(1.0 / CAST(first AS DOUBLE), 12)
            |      AS DECIMAL(14,12)) AS rr
            |  FROM perq),
            |agg AS (SELECT COUNT(*) AS n_queries,
+           |    CAST(SUM(COALESCE(gtn, 0)) AS BIGINT) AS gtt,
            |    CAST(SUM(COALESCE(nh, 0)) AS BIGINT) AS hits,
            |    SUM(COALESCE(rr, 0)) AS srr,
            |    SUM(COALESCE(ndcg, 0)) AS sn
            |  FROM ql LEFT JOIN pq2 USING (query_id))
            |SELECT n_queries, CAST(5 AS BIGINT) AS k,
-           |  round(CAST(hits AS DOUBLE)
-           |    / CAST(n_queries * 5 AS DOUBLE), 6) AS recall_at_k,
+           |  CASE WHEN gtt > 0 THEN round(CAST(hits AS DOUBLE)
+           |    / CAST(gtt AS DOUBLE), 6) END AS recall_at_k,
            |  round(CAST(srr AS DOUBLE)
            |    / CAST(n_queries AS DOUBLE), 6) AS mrr,
            |  round(CAST(sn AS DOUBLE)
