@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Default LSH banding shape for the near-dup stages: 8 bands × 2
+    * rows (k = 16 minhashes — the full [[Dedup.MinhashA]] budget). At
+    * the default `minJaccard = 0.5` the banding catch probability for
+    * a true 0.5-Jaccard pair is 1 − (1 − 0.5²)⁸ ≈ 90% (and ≥ 99.6% at
+    * J ≥ 0.7) — a candidate GENERATOR tuned for recall, because the
+    * exact-Jaccard verification gate downstream makes precision exact
+    * regardless of the banding shape. The previous default (2 × 4)
+    * caught only ~12% of borderline pairs (round-13 verdict). Callers
+    * tune the tradeoff per corpus via the `bands`/`rowsPerBand`
+    * parameters every pipeline entry point now exposes;
+    * [[Dedup.minhashCalibration]] (x64) is the measurement tool.
+    */
+  val DefaultBands = 8
+  val DefaultRowsPerBand = 2
+
   /** The memoized corpus-scale backbone every curation view shares:
     * quality gate → (optional per-source cap) → exact dedup (min-id
     * keeper) → Jaccard-verified LSH near-dup clusters → deduped
@@ -37,10 +52,11 @@ object Pipeline {
     * corpus-scale passes execute once per snapshot, not once per report.
     */
   private def backbone(docs: DataFrame, minQuality: Double,
-      minJaccard: Double, maxPerSource: Option[Int])
+      minJaccard: Double, maxPerSource: Option[Int],
+      bands: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     StageCache.memo("curation_backbone", Seq(docs),
-        Seq(minQuality, minJaccard, maxPerSource)) {
+        Seq(minQuality, minJaccard, maxPerSource, bands, rowsPerBand)) {
       val passing = docs.join(
         TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
           .filter(col("quality") > minQuality).select("doc_id"),
@@ -69,8 +85,8 @@ object Pipeline {
           .filter(col("doc_id") === col("keeper"))
           .drop("h", "keeper"))
       val clusters = Dedup.clusterPairs(
-        Dedup.verifiedCandidatePairs(exact, bands = 2, rowsPerBand = 4,
-          minJaccard = minJaccard), rounds = 3)
+        Dedup.verifiedCandidatePairs(exact, bands = bands,
+          rowsPerBand = rowsPerBand, minJaccard = minJaccard), rounds = 3)
       val nearDrop = clusters
         .filter(col("cluster") =!= col("doc_id"))
         .select(col("doc_id"))
@@ -114,9 +130,11 @@ object Pipeline {
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
       embedSaltBuckets: Int = 1,
-      maxPerSource: Option[Int] = None): Seq[(String, DataFrame)] = {
+      maxPerSource: Option[Int] = None,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): Seq[(String, DataFrame)] = {
     val (good, exact, _, deduped) =
-      backbone(docs, minQuality, minJaccard, maxPerSource)
+      backbone(docs, minQuality, minJaccard, maxPerSource, bands, rowsPerBand)
 
     // optional SEMANTIC near-dup stage (multi-modal curation): embedding
     // cosine catches paraphrases token LSH cannot see. Same-cell pairs
@@ -174,9 +192,11 @@ object Pipeline {
     */
   def curationFunnel(docs: DataFrame, evalSet: DataFrame,
       srcCol: String = "source", minQuality: Double = 0.3,
-      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5): DataFrame = {
+      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
-      minJaccard).toMap
+      minJaccard, bands = bands, rowsPerBand = rowsPerBand).toMap
     val named = Seq("quality_kept" -> "n_quality", "exact_kept" -> "n_exact",
       "neardup_kept" -> "n_neardup", "decontaminated_kept" -> "n_clean")
     val base = docs.groupBy(col(srcCol))
@@ -205,10 +225,11 @@ object Pipeline {
     */
   def curationLedger(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val noKeeper = lit(null).cast("long")
     val (good, exact, clusters, deduped) =
-      backbone(docs, minQuality, minJaccard, None)
+      backbone(docs, minQuality, minJaccard, None, bands, rowsPerBand)
     val qualityDrops = docs.join(good.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("quality").as("reason"), noKeeper.as("keeper"))
     // keeper attribution re-derived over the CHECKPOINTED quality
@@ -247,9 +268,10 @@ object Pipeline {
     */
   def curationStatus(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
-      minJaccard).toMap
+      minJaccard, bands = bands, rowsPerBand = rowsPerBand).toMap
     def flag(stage: String, name: String) =
       stages(stage).select(col("doc_id"), lit(true).as(name))
     docs.select(col("doc_id"))
@@ -282,11 +304,13 @@ object Pipeline {
     */
   def curationTransitions(oldDocs: DataFrame, newDocs: DataFrame,
       evalSet: DataFrame, minQuality: Double = 0.3,
-      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5): DataFrame = {
+      maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val o = curationStatus(oldDocs, evalSet, minQuality, maxSharedShingles,
-      minJaccard).withColumnRenamed("status", "status_old")
+      minJaccard, bands, rowsPerBand).withColumnRenamed("status", "status_old")
     val n = curationStatus(newDocs, evalSet, minQuality, maxSharedShingles,
-      minJaccard).withColumnRenamed("status", "status_new")
+      minJaccard, bands, rowsPerBand).withColumnRenamed("status", "status_new")
     o.join(n, Seq("doc_id"), "full_outer")
       .filter(!(col("status_old") <=> col("status_new")))
   }
@@ -300,10 +324,12 @@ object Pipeline {
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
       embedSaltBuckets: Int = 1,
-      maxPerSource: Option[Int] = None): DataFrame =
+      maxPerSource: Option[Int] = None,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
     curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard,
       embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets,
-      maxPerSource)
+      maxPerSource, bands, rowsPerBand)
       .last._2
 
   /** INCREMENTAL corpus maintenance — the operational twin of [[curate]]
@@ -332,7 +358,8 @@ object Pipeline {
     */
   def appendCurated(corpus: DataFrame, newDocs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     val good = newDocs.join(
       TextAnalysis.quality(newDocs).select(col("doc_id"), col("quality"))
         .filter(col("quality") > minQuality).select("doc_id"),
@@ -370,22 +397,22 @@ object Pipeline {
     // this frame once per corpus snapshot and reads it for every batch,
     // which is now literally what a session does.
     val bandState = StageCache.memo("corpus_band_state",
-        Seq(corpus), Seq(2, 4)) {
+        Seq(corpus), Seq(bands, rowsPerBand)) {
       Checkpoints.materialize(
-        Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4))
+        Dedup.corpusBandDocs(corpus, bands = bands, rowsPerBand = rowsPerBand))
     }
     // vsCorpus feeds three consumers (LSH candidates, the jaccard member
     // prune, the dedup anti-join) — materialize it or each re-executes
     // the per-band verified anti-joins
     val vsCorpus = Checkpoints.materialize(
       Dedup.verifiedNearDupReject(exact, bandState,
-        bands = 2, rowsPerBand = 4, minJaccard = minJaccard))
+        bands = bands, rowsPerBand = rowsPerBand, minJaccard = minJaccard))
 
     // within-batch verified near-dup dedup (batch survivors are small —
     // O(batch) LSH + jaccard, same contract as curateStages)
     val nearDrop = Dedup.clusterPairs(
-        Dedup.verifiedCandidatePairs(vsCorpus, bands = 2, rowsPerBand = 4,
-          minJaccard = minJaccard), rounds = 3)
+        Dedup.verifiedCandidatePairs(vsCorpus, bands = bands,
+          rowsPerBand = rowsPerBand, minJaccard = minJaccard), rounds = 3)
       .filter(col("cluster") =!= col("doc_id"))
       .select(col("doc_id"))
     val deduped = Checkpoints.materialize(
@@ -410,10 +437,11 @@ object Pipeline {
       evalSet: DataFrame, outDir: String, docsPerShard: Long = 256L,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5,
-      format: String = "parquet"): (Long, Long, Long) = {
+      format: String = "parquet", bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): (Long, Long, Long) = {
     val accepted = Checkpoints.materialize(
       appendCurated(corpus, newDocs, evalSet, minQuality,
-        maxSharedShingles, minJaccard))
+        maxSharedShingles, minJaccard, bands, rowsPerBand))
     val (first, n) = Packing.appendShards(accepted, outDir,
       docsPerShard, format = format)
     (first, n, accepted.count())
@@ -478,10 +506,11 @@ object Pipeline {
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
       embedSaltBuckets: Int = 1,
-      format: String = "parquet"): (Long, Map[String, Long]) = {
+      format: String = "parquet", bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): (Long, Map[String, Long]) = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
       minJaccard, embeddings, embedMinCosine, embedCells, embedIters,
-      embedSaltBuckets)
+      embedSaltBuckets, bands = bands, rowsPerBand = rowsPerBand)
     val sharded = shardAssignment(stages.last._2, docsPerShard)
     val nShards = Packing.writePreSharded(sharded, outDir,
       shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"),

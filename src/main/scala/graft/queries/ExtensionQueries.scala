@@ -33,12 +33,21 @@ object ExtensionQueries {
     * the x30 clustering stage built on top of it.
     */
   private def bandKeyCtes(p: String, where: String,
-      from: String = "documents"): String = {
+      from: String = "documents", bands: Int = 2,
+      rowsPerBand: Int = 4): String = {
     import graft.ops.Dedup.{MinhashA, MinhashB, MinhashP}
-    val mins = (0 until 8).map(i =>
+    val k = bands * rowsPerBand
+    require(k <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
+    val mins = (0 until k).map(i =>
       s"min((hm * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS mh$i").mkString(", ")
     def band(cols: Range) =
       cols.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ':' || ")
+    val bandCols = (0 until bands).map(b =>
+      s"md5(${band(b * rowsPerBand until (b + 1) * rowsPerBand)}) AS b$b")
+      .mkString(", ")
+    val stacked = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS bid, b$b AS bk FROM ${p}bands")
+      .mkString("\n            UNION ALL ")
     s"""${p}arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM $from$where),
        |${p}sh AS (SELECT doc_id, unnest(CASE WHEN len(a) >= 5
        |    THEN list_transform(range(1, len(a) - 3), i -> array_to_string(a[i:i+4], ' '))
@@ -47,9 +56,8 @@ object ExtensionQueries {
        |${p}h AS (SELECT doc_id, ${Dedup.digestModSql("md5h")} AS hm
        |      FROM (SELECT doc_id, md5(tok) AS md5h FROM ${p}toks) d),
        |${p}sig AS (SELECT doc_id, $mins FROM ${p}h GROUP BY doc_id),
-       |${p}bands AS (SELECT doc_id, md5(${band(0 until 4)}) AS b0, md5(${band(4 until 8)}) AS b1 FROM ${p}sig),
-       |${p}stacked AS (SELECT doc_id, 0 AS bid, b0 AS bk FROM ${p}bands
-       |            UNION ALL SELECT doc_id, 1 AS bid, b1 AS bk FROM ${p}bands)""".stripMargin
+       |${p}bands AS (SELECT doc_id, $bandCols FROM ${p}sig),
+       |${p}stacked AS ($stacked)""".stripMargin
   }
 
   private def lshPairsCtes: String =
@@ -244,7 +252,8 @@ object ExtensionQueries {
        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
        |        FROM ${p}good GROUP BY 1) k
        |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
-       |${bandKeyCtes(p, "", s"${p}exact")},
+       |${bandKeyCtes(p, "", s"${p}exact",
+           Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
        |${p}rawpairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ${p}stacked a JOIN ${p}stacked b
@@ -2044,8 +2053,10 @@ object ExtensionQueries {
               |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
               |        FROM fresh GROUP BY 1) k
               |    ON md5(f.text) = k.h AND f.doc_id = k.keeper),
-              |${bandKeyCtes("c", " WHERE doc_id % 3 != 0")},
-              |${bandKeyCtes("n", "", "exact")},
+              |${bandKeyCtes("c", " WHERE doc_id % 3 != 0", "documents",
+                  Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
+              |${bandKeyCtes("n", "", "exact",
+                  Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
               |cand AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
               |  FROM nstacked n JOIN cstacked c ON n.bk = c.bk),
               |njset AS MATERIALIZED (SELECT DISTINCT doc_id,
@@ -2067,7 +2078,8 @@ object ExtensionQueries {
               |      / (nsz.sz + csz.sz - COALESCE(i.inter, 0)) >= 0.5),
               |vsc AS MATERIALIZED (SELECT doc_id, text FROM exact
               |  WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
-              |${bandKeyCtes("w", "", "vsc")},
+              |${bandKeyCtes("w", "", "vsc",
+                  Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
               |rawpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |  FROM wstacked a JOIN wstacked b
               |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),

@@ -257,7 +257,8 @@ object StreamingWindows {
     * dropDuplicatesWithinWatermark pipeline.
     */
   def streamingNearDupFilter(docs: DataFrame, corpusKeys: DataFrame,
-      bands: Int = 2, rowsPerBand: Int = 4, textCol: String = "text"): DataFrame =
+      bands: Int = graft.ops.Pipeline.DefaultBands,
+      rowsPerBand: Int = graft.ops.Pipeline.DefaultRowsPerBand, textCol: String = "text"): DataFrame =
     docs
       .withColumn("_bks",
         graft.ops.Dedup.bandKeysArray(col(textCol), bands, rowsPerBand))
@@ -278,7 +279,8 @@ object StreamingWindows {
     * micro-batch.
     */
   def streamingNearDupFilterAtScale(docs: DataFrame, corpusKeys: DataFrame,
-      bands: Int = 2, rowsPerBand: Int = 4, textCol: String = "text"): DataFrame = {
+      bands: Int = graft.ops.Pipeline.DefaultBands,
+      rowsPerBand: Int = graft.ops.Pipeline.DefaultRowsPerBand, textCol: String = "text"): DataFrame = {
     // one staged projection for the key array (hash pass runs once), then
     // per-band columns extracted as cheap element_at references
     val withBands = (0 until bands).foldLeft(
@@ -307,7 +309,8 @@ object StreamingWindows {
     * Dedup.corpusBandDocs — the band-key set with the text riding along.
     */
   def streamingVerifiedNearDupFilter(docs: DataFrame, corpusBandDocs: DataFrame,
-      bands: Int = 2, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      bands: Int = graft.ops.Pipeline.DefaultBands,
+      rowsPerBand: Int = graft.ops.Pipeline.DefaultRowsPerBand, minJaccard: Double = 0.5,
       textCol: String = "text"): DataFrame =
     graft.ops.Dedup.verifiedNearDupReject(docs, corpusBandDocs,
       bands, rowsPerBand, minJaccard, textCol)
@@ -400,7 +403,8 @@ object StreamingWindows {
   def streamingIngestCuration(docs: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       corpusKeys: DataFrame, minQuality: Double = 0.3,
-      bands: Int = 2, rowsPerBand: Int = 4,
+      bands: Int = graft.ops.Pipeline.DefaultBands,
+      rowsPerBand: Int = graft.ops.Pipeline.DefaultRowsPerBand,
       textCol: String = "text",
       verifyAgainst: Option[DataFrame] = None,
       minJaccard: Double = 0.5): DataFrame = {

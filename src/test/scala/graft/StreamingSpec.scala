@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.EventWindows
+import graft.ops.{EventWindows, Pipeline}
 import graft.streaming.StreamingWindows
 import org.apache.spark.sql.functions._
 
@@ -115,7 +115,8 @@ class StreamingSpec extends SparkSuite {
     import graft.ops.Dedup
     val dir = "/root/testdata/sf0.001"
     val batchDocs = Tables.documents(spark, dir)
-    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100), 2, 4)
+    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100),
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     val stream = spark.readStream.schema(batchDocs.schema)
       .parquet(s"$dir/documents.parque[t]")
     val q = StreamingWindows.streamingNearDupFilter(stream, keys)
@@ -140,7 +141,8 @@ class StreamingSpec extends SparkSuite {
     import graft.ops.Dedup
     val dir = "/root/testdata/sf0.001"
     val batchDocs = Tables.documents(spark, dir)
-    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100), 2, 4)
+    val keys = Dedup.corpusBandKeys(batchDocs.filter(col("doc_id") < 100),
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     val stream = spark.readStream.schema(batchDocs.schema)
       .parquet(s"$dir/documents.parque[t]")
     // force the corpus key set past the broadcast path entirely: the
@@ -181,7 +183,8 @@ class StreamingSpec extends SparkSuite {
     import graft.ops.{Dedup, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
-    val corpusKeys = Dedup.corpusBandKeys(docs.filter(col("doc_id") < 100), 2, 4)
+    val corpusKeys = Dedup.corpusBandKeys(docs.filter(col("doc_id") < 100),
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     // the full ingest pipeline as one stream-composable function: per-row
     // quality gate (stateless projection+filter), exact dedup on content
     // hash (stateful), band-key near-dup rejection (stream-static hash
@@ -226,7 +229,8 @@ class StreamingSpec extends SparkSuite {
     val docs = Tables.documents(spark, dir)
     val corpus = docs.filter(col("doc_id") < 100)
     val bloom = Dedup.buildExactBloom(corpus, expectedItems = 200L, fpp = 0.01)
-    val keys = Dedup.corpusBandKeys(corpus, 2, 4)
+    val keys = Dedup.corpusBandKeys(corpus,
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     val stream = spark.readStream.schema(docs.schema)
       .parquet(s"$dir/documents.parque[t]")
     val q = StreamingWindows.streamingIngestCuration(stream, bloom, keys)
@@ -251,7 +255,8 @@ class StreamingSpec extends SparkSuite {
     import graft.ops.Dedup
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
-    val bandDocs = Dedup.corpusBandDocs(docs.filter(col("doc_id") < 100), 2, 4)
+    val bandDocs = Dedup.corpusBandDocs(docs.filter(col("doc_id") < 100),
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     val stream = spark.readStream.schema(docs.schema)
       .parquet(s"$dir/documents.parque[t]")
     val q = StreamingWindows.streamingVerifiedNearDupFilter(stream, bandDocs)
@@ -277,8 +282,10 @@ class StreamingSpec extends SparkSuite {
       "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
     val incoming = frame("doc_id" -> Seq(2L), "text" -> Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
-    val bd2 = Dedup.corpusBandDocs(corpus2, 2, 4)
-    val keys2 = Dedup.corpusBandKeys(corpus2, 2, 4)
+    val bd2 = Dedup.corpusBandDocs(corpus2,
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
+    val keys2 = Dedup.corpusBandKeys(corpus2,
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
     // vacuity guard: the planted pair really collides on a band (the
     // unverified gate rejects it), so the tau=0.95 keep below is the
     // verification working, not the collision failing to happen
