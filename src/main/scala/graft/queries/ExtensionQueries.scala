@@ -190,8 +190,11 @@ object ExtensionQueries {
     */
   private def curationCtes(semantic: Boolean, cap: Option[Int] = None,
       lines: Boolean = false, p: String = "",
-      corpusPred: String = "doc_id % 97 != 0"): String = {
+      corpusPred: String = "doc_id % 97 != 0",
+      corpusSql: Option[String] = None): String = {
     require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
+    require(corpusSql.isEmpty || (cap.isEmpty && !lines),
+      "corpus override composes with the plain pipeline only")
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     val semanticCtes = if (!semantic) "" else
@@ -227,7 +230,9 @@ object ExtensionQueries {
     // corpus entering the pipeline is each doc's re-assembled surviving
     // lines, docs below the 3/4 retention floor dropped entirely
     val corpusCte =
-      if (!lines)
+      if (corpusSql.isDefined)
+        s"${p}corpus AS MATERIALIZED (${corpusSql.get})"
+      else if (!lines)
         s"${p}corpus AS (SELECT $corpusCols FROM documents WHERE $corpusPred)"
       else
         s"""${p}ltoks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -4033,6 +4038,107 @@ object ExtensionQueries {
            |    PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
            |  FROM adc) t WHERE rk <= 10
            |ORDER BY query_id, rk""".stripMargin
+      }),
+
+    // ---- x243: planted near-dup tiers through the full pipeline -----------
+    // The END-STATE recall metric behind the round-14 banding default
+    // (8 bands × 2 rows): every 5th corpus doc plants ONE prefix variant
+    // at a token fraction picked by doc_id % 4 (0.9/0.7/0.5/0.3 — one
+    // variant per original, so no variant-variant similarity chains
+    // confound the tiers), with the variant id offset by 100M·tier so
+    // the original is always the min-id cluster keeper. The whole
+    // curation pipeline runs over the planted corpus and the report is
+    // per-tier outcome counts. A variant's token-set Jaccard against its
+    // original ≈ its fraction (prefix sets are nested: J =
+    // |prefix|/|full|), so n_near_dup/n_docs per tier IS the pipeline's
+    // deletion recall at that similarity — the quantity the banding
+    // shape controls (the verified gate makes precision exact
+    // regardless). Tier 0.3 sits below minJaccard=0.5 and must survive
+    // the near-dup gate; the oracle replays the identical planting +
+    // stages, so the per-tier counts are bitwise-checked, not a
+    // statistical assertion.
+    // Scale shape: planting is a map-side projection (no shuffle); the
+    // pipeline cost is the audited x54 backbone over a 1.2× corpus.
+    QueryDef(
+      "x243_planted_neardup_recall",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val toPlant = base.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), split(col("text"), " ").as("a"),
+            (col("doc_id") % 4).as("_i"))
+        val f = when(col("_i") === 0, 0.9).when(col("_i") === 1, 0.7)
+          .when(col("_i") === 2, 0.5).otherwise(0.3)
+        val variants = toPlant.select(
+          (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
+          concat_ws(" ", slice(col("a"), lit(1),
+            greatest(lit(1), ceil(size(col("a")) * f).cast("int"))))
+            .as("text"))
+        val planted = base.unionByName(variants)
+        Pipeline.curationStatus(planted,
+            docs.filter(col("doc_id") % 97 === 0))
+          .withColumn("_t", expr("doc_id DIV 100000000"))
+          .withColumn("tier",
+            when(col("_t") === 0, "orig").when(col("_t") === 1, "0.9")
+              .when(col("_t") === 2, "0.7").when(col("_t") === 3, "0.5")
+              .otherwise("0.3"))
+          .groupBy(col("tier"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L))
+              .cast("long").as("n_kept"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .cast("long").as("n_near_dup"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .cast("long").as("n_exact_dup"),
+            sum(when(col("status") === "quality", 1L).otherwise(0L))
+              .cast("long").as("n_quality"),
+            sum(when(col("status") === "contaminated", 1L).otherwise(0L))
+              .cast("long").as("n_contaminated"))
+          .orderBy(col("tier"))
+      },
+      Some {
+        val plantedSql =
+          """SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+            |  UNION ALL
+            |  SELECT b.doc_id + 100000000 * (b.doc_id % 4 + 1) AS doc_id,
+            |    array_to_string(
+            |      a[1:greatest(1, CAST(ceil(len(a) *
+            |        (CASE b.doc_id % 4 WHEN 0 THEN 0.9 WHEN 1 THEN 0.7
+            |          WHEN 2 THEN 0.5 ELSE 0.3 END)) AS BIGINT))],
+            |      ' ') AS text
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS a
+            |        FROM documents
+            |        WHERE doc_id % 97 != 0 AND doc_id % 5 = 1) b"""
+            .stripMargin
+        s"""${curationCtes(semantic = false, corpusSql = Some(plantedSql))},
+           |status AS (SELECT c.doc_id,
+           |    CASE WHEN g.doc_id IS NULL THEN 'quality'
+           |         WHEN e.doc_id IS NULL THEN 'exact_dup'
+           |         WHEN n.doc_id IS NULL THEN 'near_dup'
+           |         WHEN cl.doc_id IS NULL THEN 'contaminated'
+           |         ELSE 'kept' END AS status
+           |  FROM corpus c
+           |  LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id)
+           |SELECT CASE doc_id // 100000000 WHEN 0 THEN 'orig'
+           |    WHEN 1 THEN '0.9' WHEN 2 THEN '0.7' WHEN 3 THEN '0.5'
+           |    ELSE '0.3' END AS tier,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_near_dup,
+           |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_exact_dup,
+           |  CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_quality,
+           |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_contaminated
+           |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
       })
   )
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.{Checkpoints, Dedup, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-14 gates:
+  *
+  *   1. The banding RECALL gate behind the pipeline's default LSH shape
+  *      (8 bands × 2 rows): measured against exact all-pairs shingle-set
+  *      Jaccard ground truth on a planted corpus, the default candidate
+  *      generator must catch the large majority of true >= 0.5-Jaccard
+  *      pairs — and strictly more than the old 2 × 4 default, whose
+  *      ~12% catch rate at the threshold was the round-13 verdict's one
+  *      `weak` finding. Deterministic: fixed corpus (sf0.001), fixed
+  *      minhash constants, exact truth.
+  *   2. The reliable-checkpoint fail-fast gate (round-13 incident
+  *      class): a session that declares the correctness posture
+  *      (graft.checkpoints.requireReliable) must get an exception, not
+  *      a silent localCheckpoint fallback, when no checkpoint dir is
+  *      set.
+  *   3. A concurrent jaccard-family probe: the x64 banding-precision
+  *      query (the one-off round-13 incident site) re-run concurrently
+  *      from many threads must agree with its solo result — the
+  *      in-suite regression probe for inconsistent reads of
+  *      materialized dedup state under contention.
+  */
+class CurationRecallSpec extends SparkSuite {
+
+  /** The x243 planting: one prefix variant per every-5th doc, token
+    * fraction picked by doc_id % 4 (0.9 / 0.7 / 0.5 / 0.3). */
+  private def planted = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val toPlant = base.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), split(col("text"), " ").as("a"),
+        (col("doc_id") % 4).as("_i"))
+    val f = when(col("_i") === 0, 0.9).when(col("_i") === 1, 0.7)
+      .when(col("_i") === 2, 0.5).otherwise(0.3)
+    val variants = toPlant.select(
+      (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
+      concat_ws(" ", slice(col("a"), lit(1),
+        greatest(lit(1), ceil(size(col("a")) * f).cast("int"))))
+        .as("text"))
+    base.unionByName(variants)
+  }
+
+  /** Exact all-pairs SHINGLE-set Jaccard >= minJ ground truth (test-only
+    * brute force). Shingle space is what the minhash signatures sketch,
+    * so banding recall is defined against it: the catch probability for
+    * a pair at shingle-Jaccard s is 1 − (1 − s^rows)^bands. (Token-set
+    * Jaccard is the wrong truth here: this synthetic corpus draws from a
+    * small shared vocabulary, so most UNRELATED doc pairs clear 0.5 on
+    * token sets while sharing no 5-gram — and the pipeline's own
+    * deletion gate prices exactly the band-colliding candidates.) */
+  private def truePairs(docs: org.apache.spark.sql.DataFrame,
+      minJ: Double) = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingles(col("text")))).as("tok"))
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    toks.select(col("doc_id").as("id_a"), col("tok"))
+      .join(toks.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), "id_b")
+      .filter(col("inter").cast("double")
+        / (col("sza") + col("szb") - col("inter")).cast("double") >= minJ)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  test("banding recall gate: the default 8x2 candidate generator catches " +
+      ">= 90% of ALL true J>=0.5 pairs on the planted corpus, and " +
+      "strictly more than the old 2x4 shape") {
+    val docs = planted.cache()
+    try {
+      val truth = truePairs(docs, 0.5).cache()
+      val nTrue = truth.count()
+      assert(nTrue >= 30L, s"fixture too small to gate on: $nTrue pairs")
+      def recallOf(bands: Int, rpb: Int): Double = {
+        val cand = Dedup.lshCandidatePairs(docs, bands, rpb)
+          .select(col("id_a"), col("id_b"))
+        val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi").count()
+        hit.toDouble / nTrue
+      }
+      val newRecall = recallOf(Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
+      val oldRecall = recallOf(2, 4)
+      info(f"true pairs=$nTrue%d  recall(8x2)=$newRecall%.3f  recall(2x4)=$oldRecall%.3f")
+      assert(newRecall >= 0.90,
+        f"default banding recall $newRecall%.3f below the 0.90 gate")
+      assert(newRecall > oldRecall,
+        f"8x2 ($newRecall%.3f) must beat 2x4 ($oldRecall%.3f)")
+    } finally docs.unpersist()
+  }
+
+  test("Checkpoints.materialize fails FAST (no localCheckpoint fallback) " +
+      "when the session demands reliable checkpoints but no dir is set") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "suite precondition: shared test session has no checkpoint dir")
+    val df = frame("x" -> Seq(1, 2, 3))
+    spark.conf.set(Checkpoints.RequireReliableKey, "true")
+    try {
+      val e = intercept[IllegalStateException] { Checkpoints.materialize(df) }
+      assert(e.getMessage.contains("RELIABLE"))
+    } finally spark.conf.unset(Checkpoints.RequireReliableKey)
+    // flag off -> the dev-mode localCheckpoint fallback still works
+    assert(Checkpoints.materialize(df).count() === 3L)
+  }
+
+  test("concurrent jaccard-family probe: x64 run from 8 threads at once " +
+      "agrees with its solo result (round-13 incident regression)") {
+    val dir = "/root/testdata/sf0.001"
+    val build = SparkEntry.queries("x64_banding_precision")
+    val solo = build(spark, dir).collect().map(_.toSeq).toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence((1 to 8).map(_ => Future {
+        build(spark, dir).collect().map(_.toSeq).toSeq
+      })), 10.minutes)
+    results.zipWithIndex.foreach { case (r, i) =>
+      assert(r === solo, s"concurrent run $i diverged from solo x64")
+    }
+  }
+}
