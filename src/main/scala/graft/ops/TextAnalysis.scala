@@ -642,6 +642,96 @@ object TextAnalysis {
     * applies to a stream unchanged, statelessly
     * (StreamingWindows.streamingClassifierGate).
     */
+  /** TRAIN a hashed-feature linear quality/language classifier from a
+    * labeled corpus: tokens hash into `dims` buckets (the same 8-hex
+    * md5 bucket rule [[classifierScore]] uses), and each bucket's
+    * weight is its micro-quantized positive-occurrence rate CENTERED ON
+    * THE GLOBAL BASE RATE: weight_micro = r6(n_pos/n) − r6(N_pos/N)
+    * where r6(x) = round_half_away(1e6·x) — the sign says whether the
+    * feature is enriched for the positive class relative to the corpus
+    * prior (a minority positive class still yields positive weights for
+    * its enriched buckets), the magnitude how strongly. Deliberately
+    * libm-free (no ln-of-odds): both rates are exact BIGINT divisions,
+    * so the trained table is bit-identical on every engine and the
+    * oracle can re-train it in SQL. Returns `(bucket, weight_micro)` —
+    * `dims` rows with weight ∈ [−1e6, 1e6], the REAL artifact a
+    * production run persists to parquet and
+    * [[classifierScoreWithWeights]] loads back.
+    *
+    * Scale: ONE tokenize pass, map-side-combinable groupBy on the
+    * bucket (≤ dims groups); the global rate is a broadcast rollup of
+    * the per-bucket counts. BIGINT headroom: 2·n_pos·1e6 caps at
+    * ~9.2e18, i.e. exact up to ~4.6e12 positive occurrences per bucket
+    * — beyond that (a >100 TB single-bucket pathology) widen to
+    * DECIMAL(38,0).
+    */
+  def trainHashedWeights(docs: DataFrame, labelCol: Column,
+      dims: Int = 64, textCol: String = "text"): DataFrame = {
+    require(dims >= 2, s"need dims >= 2, got $dims")
+    val perBucket = docs
+      .select(labelCol.cast("boolean").as("_pos"),
+        explode(tokens(col(textCol))).as("_tok"))
+      // md5 materialized ONCE per token, then the hex parse reads the
+      // column (the hexToIntSql bulk-column discipline)
+      .withColumn("_d", md5(col("_tok")))
+      .select(col("_pos"),
+        expr(s"pmod(${hexToIntSql("_d", 8)}, ${dims}L)").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"))
+    val global = perBucket.agg(sum(col("_n")).as("_gn"),
+      sum(col("_np")).as("_gnp"))
+    // r6(x/y) = (2·x·1e6 + y) div (2·y) — round-half-away on exact ints
+    def r6(x: String, y: String) =
+      s"((2L * $x * 1000000L + $y) div (2L * $y))"
+    perBucket.crossJoin(broadcast(global))
+      .select(col("bucket"),
+        expr(s"${r6("_np", "_n")} - ${r6("_gnp", "_gn")}")
+          .as("weight_micro"))
+  }
+
+  /** Score documents against a TRAINED weights table (`bucket`,
+    * `weight_micro` — [[trainHashedWeights]]' output, typically read
+    * back from parquet): per-token bucket lookup via a BROADCAST hash
+    * join (the table is ≤ dims rows), per-doc exact integer weight sum,
+    * then the identical integer-division score path as
+    * [[classifierScore]] — same output shape `(id, n_tokens, score,
+    * prob, keep)`, so the trained table swaps into every consumer of
+    * the stand-in scorer unchanged (the swap x130 documents). Unseen
+    * buckets (absent from the table) contribute weight 0 via the left
+    * join, so a vocabulary shift between train and serve degrades
+    * gracefully instead of dropping rows.
+    *
+    * Scale: one tokenize pass; the weights join is broadcast (no
+    * shuffle on the corpus side beyond the per-doc sum, which is
+    * map-side combinable on the id).
+    */
+  def classifierScoreWithWeights(docs: DataFrame, weights: DataFrame,
+      dims: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2, s"need dims >= 2, got $dims")
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("_tok"))
+      .withColumn("_d", md5(col("_tok")))
+      .select(col(idCol),
+        expr(s"pmod(${hexToIntSql("_d", 8)}, ${dims}L)").as("bucket"))
+    toks
+      .join(broadcast(weights.select(col("bucket"),
+        col("weight_micro").cast("long").as("_w"))), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(coalesce(col("_w"), lit(0L))).as("_s"))
+      .withColumn("_scaled",
+        expr("""(CASE WHEN _s < 0 THEN -1L ELSE 1L END)
+               | * ((2L * abs(_s) + n_tokens) div (2L * n_tokens))"""
+          .stripMargin))
+      .select(col(idCol), col("n_tokens"),
+        (col("_scaled").cast("double") / 1e6).as("score"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(col("_scaled").cast("double") / 1e6))), 6).as("prob"),
+        (col("_s") >= 0).as("keep"))
+  }
+
   def classifierScore(docs: DataFrame, dims: Int = 64,
       textCol: String = "text", idCol: String = "doc_id",
       carry: Seq[String] = Nil): DataFrame = {

@@ -4621,5 +4621,59 @@ object AnalyticsQueries {
              |      - sqrt(2.0 * (CAST(n_users AS DOUBLE) - 1.0) - 1.0)
              |      > 3.0 END, FALSE) AS overdispersed
              |FROM f ORDER BY event_type""".stripMargin)),
+
+    // ---- x244: TRAINED classifier weights, end to end ----------------------
+    // The x130 swap made real: train the hashed-feature weight table
+    // from the corpus labels (bucket -> exact micro-quantized centered
+    // positive rate — libm-free, so the TRAINING itself is oracle-
+    // replayable), then score every document through the weights-table
+    // BROADCAST join path (classifierScoreWithWeights) instead of the
+    // stand-in inline weights. Output is the per-bucket weight profile
+    // joined with per-keep-class doc counts — proving train -> persist
+    // shape -> load -> score end to end. ClassifierSpec additionally
+    // round-trips the weights through REAL parquet and pins score
+    // equality.
+    QueryDef(
+      "x244_trained_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = TextAnalysis.trainHashedWeights(docs,
+          col("lang") === "en", dims = 32)
+        val scored = TextAnalysis.classifierScoreWithWeights(docs, w,
+          dims = 32)
+        scored.groupBy(col("keep"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("n_tokens"),
+            sum(col("score").cast("decimal(18,6)"))
+              .cast("double").as("sum_score"))
+          .orderBy(col("keep"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              |  FROM documents),
+              |b AS (SELECT doc_id, lang,
+              |    ${TextAnalysis.hexToIntSql("md5(tok)", 8)} % 32 AS bucket
+              |  FROM toks),
+              |w AS (SELECT bucket, COUNT(*) AS n,
+              |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+              |  FROM b GROUP BY 1),
+              |g AS (SELECT SUM(n) AS gn, SUM(np) AS gnp FROM w),
+              |wm AS (SELECT bucket,
+              |    CAST((2 * np * 1000000 + n) // (2 * n)
+              |      - (2 * gnp * 1000000 + gn) // (2 * gn) AS BIGINT)
+              |      AS weight_micro
+              |  FROM w CROSS JOIN g),
+              |sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              |    CAST(SUM(wm.weight_micro) AS BIGINT) AS s
+              |  FROM b JOIN wm USING (bucket) GROUP BY doc_id),
+              |scored AS (SELECT doc_id, n_tokens,
+              |    (CASE WHEN s < 0 THEN -1 ELSE 1 END
+              |      * ((2 * abs(s) + n_tokens) // (2 * n_tokens))) AS scaled,
+              |    s >= 0 AS keep
+              |  FROM sc)
+              |SELECT keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CAST(CAST(scaled AS DOUBLE) / 1e6
+              |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
+              |FROM scored GROUP BY keep ORDER BY keep""".stripMargin)),
   )
 }
