@@ -36,6 +36,43 @@ final case class MDFrame(
   def shape: (Long, Int) = (ds.count(), ds.columns.length)
   def nIndexLevels: Int = index.size
 
+  // -- Index accessor sugar (reference Index.name/names/values/
+  //    get_level_values/levels, dataframe.py:113-153): the index is
+  //    column METADATA here, so each accessor is a named projection of
+  //    the parent frame — same arity rules, engine-shaped returns.
+  def indexNames: Seq[String] = index
+  def indexName: String = {
+    require(index.size == 1,
+      s"Index must be 1-D to use .name, have ${index.size}-D")
+    index.head
+  }
+  def indexValues: DataFrame = {
+    require(index.size == 1,
+      s"Index.values require a single index level but got " +
+        s"${index.size} $index, use levelValues(0) instead")
+    ds.select(index.head)
+  }
+  def levelValues(n: Int): DataFrame = {
+    require(n >= 0 && n < index.size,
+      s"Level out of range: $n >= ${index.size}")
+    ds.select(index(n))
+  }
+  def indexLevels: Seq[DataFrame] = index.indices.map(levelValues)
+
+  /** The engine form of the reference's testing.assert_index_equal
+    * (testing.py:33-37): same level names AND multiset-equal level
+    * rows. Like [[frameEquals]], two exceptAll probes — no collect. */
+  def indexEquals(other: MDFrame): Boolean =
+    index == other.index && index.nonEmpty == other.index.nonEmpty && {
+      if (index.isEmpty) true
+      else {
+        val a = ds.select(index.map(col): _*)
+        val b = other.ds.select(other.index.map(col): _*)
+        a.schema == b.schema && a.exceptAll(b).isEmpty &&
+          b.exceptAll(a).isEmpty
+      }
+    }
+
   // -- P1/P2: projection; index columns are always dragged along
   //    (dataframe.py:388-392)
   def select(cols: String*): MDFrame =

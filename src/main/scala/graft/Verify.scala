@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. Queries run
@@ -69,24 +68,10 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
 
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // dump ALL oracles even under a dev ONLY filter: tools/oracle_types.py
     // DESCRIBEs the full map without needing Spark outputs, and check.py
     // skips entries with no parquet dir
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    OracleJson.write(outDir)
     spark.stop()
     // the reliable-checkpoint files served their purpose (materialized
     // intermediates for THIS sweep) — delete the temp dir so repeated

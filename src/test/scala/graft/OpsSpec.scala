@@ -494,4 +494,33 @@ class OpsSpec extends SparkSuite {
     assert(got(0).getAs[Double]("mn") == 3.0 && got(0).getAs[Double]("mx") == 3.0)
     assert(got(1).isNullAt(1) && got(1).isNullAt(2))
   }
+
+  test("Index accessor sugar: name/values 1-D arity rules, " +
+      "levelValues/levels projections, assert_index_equal twin " +
+      "(ref dataframe.py:113-153, testing.py:33-37)") {
+    val f2 = MDFrame(frame("a" -> Seq(1, 2, 2), "b" -> Seq("x", "y", "z"),
+      "v" -> Seq(10, 20, 30)), index = Seq("a", "b"))
+    assert(f2.indexNames == Seq("a", "b"))
+    intercept[IllegalArgumentException](f2.indexName)
+    intercept[IllegalArgumentException](f2.indexValues)
+    assert(collectCol[Int](f2.levelValues(0).orderBy("a"), "a") == Seq(1, 2, 2))
+    assert(collectCol[String](f2.levelValues(1).orderBy("b"), "b") ==
+      Seq("x", "y", "z"))
+    intercept[IllegalArgumentException](f2.levelValues(2))
+    assert(f2.indexLevels.size == 2)
+
+    val f1 = f2.copy(index = Seq("a"))
+    assert(f1.indexName == "a")
+    assert(collectCol[Int](f1.indexValues.orderBy("a"), "a") == Seq(1, 2, 2))
+
+    // index equality: names AND multiset level rows; value columns differ
+    val g = MDFrame(frame("a" -> Seq(2, 2, 1), "b" -> Seq("z", "y", "x"),
+      "v" -> Seq(0, 0, 0)), index = Seq("a", "b"))
+    assert(f2.indexEquals(g), "order/value differences must not matter")
+    assert(!f2.indexEquals(f2.copy(index = Seq("b", "a"))),
+      "level names are ordered")
+    assert(!f2.indexEquals(MDFrame(frame("a" -> Seq(1, 2, 3),
+      "b" -> Seq("x", "y", "z"), "v" -> Seq(0, 0, 0)), Seq("a", "b"))),
+      "multiset row difference must be detected")
+  }
 }
