@@ -577,6 +577,64 @@ object TextAnalysis {
         round(sum(col("_jst")).cast("double"), 6).as("js_divergence"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): fit hashed-unigram
+    * bucket distributions for a TARGET domain (`targetPred` rows — the
+    * few in-domain exemplars) and the BACKGROUND (everything else),
+    * Laplace-smoothed, then score every background document by its
+    * importance log-weight Σ_tokens ln(p_target(b)/p_background(b)) and
+    * return the top-`k` — the documents most target-like, the published
+    * recipe for "give me web text that looks like Wikipedia".
+    *
+    * Determinism: the per-BUCKET log-ratio is computed once in doubles
+    * and rounded to 12 decimals (ln is not bit-stable across libm — the
+    * x125 convention); each document's weight is then an exact
+    * DECIMAL(38,12) sum of those pinned per-bucket constants (count ×
+    * constant), so the reduction is order-independent; the final weight
+    * is round 6 and the top-k cut is totally ordered by
+    * (log_weight DESC, id ASC).
+    *
+    * Scale: ONE tokenize pass → (id, bucket) rows; bucket stats are a
+    * ≤`buckets`-group map-side-combinable aggregate; the ratio table
+    * (≤`buckets` rows) BROADCAST-joins back; the per-doc sum shuffles on
+    * the id with partial aggregation; the top-k is TakeOrdered
+    * (per-partition heaps, no global sort). A 100 TB corpus pays two
+    * linear passes and an O(buckets) broadcast.
+    */
+  def dsirTopK(docs: DataFrame, targetPred: Column, k: Int = 100,
+      buckets: Int = 256, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && k >= 1, s"need buckets >= 2, k >= 1")
+    val toks = Checkpoints.materialize(
+      docs.select(col(idCol), targetPred.as("_tgt"),
+          explode(tokens(col(textCol))).as("_tok"))
+        .withColumn("_d", md5(col("_tok")))
+        .select(col(idCol), col("_tgt"),
+          expr(s"pmod(${hexToIntSql("_d", 8)}, ${buckets}L)").as("bucket")))
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("_tgt"), 1L).otherwise(0L)).as("_tc"),
+        sum(when(!col("_tgt"), 1L).otherwise(0L)).as("_bc"))
+    val totals = broadcast(perBucket.agg(sum(col("_tc")).as("_tt"),
+      sum(col("_bc")).as("_bt")))
+    // pinned per-bucket constant: r12(ln(((tc+1)/(T+B)) / ((bc+1)/(Q+B))))
+    val ratio = broadcast(perBucket.crossJoin(totals)
+      .select(col("bucket"),
+        round(log(((col("_tc") + 1).cast("double")
+            / (col("_tt") + buckets).cast("double"))
+          / ((col("_bc") + 1).cast("double")
+            / (col("_bt") + buckets).cast("double"))), 12)
+          .cast("decimal(28,12)").as("_lr")))
+    toks.filter(!col("_tgt"))
+      .join(ratio, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("_lr")).as("_w"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("_w").cast("double"), 6).as("log_weight"))
+      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-source unigram-distribution diagnostics: token count, vocab
     * size, entropy H(pₛ), cross-entropy H(pₛ, p_corpus) and their
     * difference KL(pₛ ‖ p_corpus) — the numbers a mixture designer reads

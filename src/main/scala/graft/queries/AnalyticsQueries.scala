@@ -4675,5 +4675,44 @@ object AnalyticsQueries {
               |  CAST(SUM(CAST(CAST(scaled AS DOUBLE) / 1e6
               |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_score
               |FROM scored GROUP BY keep ORDER BY keep""".stripMargin)),
+
+    // ---- x245: DSIR importance selection (hashed likelihood ratio) ---------
+    // The published "select web text that looks like the target domain"
+    // recipe: hashed-unigram bucket LMs for target (the %97 held-out
+    // split standing in for in-domain exemplars) vs background, Laplace
+    // smoothing, per-doc importance log-weight, top-100 — see
+    // ops/TextAnalysis.dsirTopK (per-bucket r12 ln constants, exact
+    // DECIMAL per-doc sums, TakeOrdered cut).
+    QueryDef(
+      "x245_dsir_selection",
+      (s, dir) =>
+        TextAnalysis.dsirTopK(Tables.documents(s, dir),
+          col("doc_id") % 97 === 0, k = 100, buckets = 256),
+      Some(s"""WITH toks AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+              |    md5(tok) AS d
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents) t),
+              |b AS (SELECT doc_id, tgt,
+              |    ${TextAnalysis.hexToIntSql("d", 8)} % 256 AS bucket
+              |  FROM toks),
+              |pb AS (SELECT bucket,
+              |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+              |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS bc
+              |  FROM b GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+              |    CAST(SUM(bc) AS BIGINT) AS bt FROM pb),
+              |r AS (SELECT bucket,
+              |    CAST(round(ln((CAST(tc + 1 AS DOUBLE)
+              |        / CAST(tt + 256 AS DOUBLE))
+              |      / (CAST(bc + 1 AS DOUBLE)
+              |        / CAST(bt + 256 AS DOUBLE))), 12)
+              |      AS DECIMAL(28,12)) AS lr
+              |  FROM pb CROSS JOIN tot),
+              |sc AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS w
+              |  FROM b JOIN r USING (bucket) WHERE NOT tgt GROUP BY doc_id)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  round(CAST(w AS DOUBLE), 6) AS log_weight
+              |FROM sc ORDER BY log_weight DESC, doc_id LIMIT 100"""
+        .stripMargin)),
   )
 }
