@@ -63,7 +63,7 @@ final case class MDFrame(
     * (testing.py:33-37): same level names AND multiset-equal level
     * rows. Like [[frameEquals]], two exceptAll probes — no collect. */
   def indexEquals(other: MDFrame): Boolean =
-    index == other.index && index.nonEmpty == other.index.nonEmpty && {
+    index == other.index && {
       if (index.isEmpty) true
       else {
         val a = ds.select(index.map(col): _*)

@@ -454,7 +454,8 @@ object Dedup {
     * — instead of silently passing every equi-join as SQL nulls would.
     */
   def mergeNewDocs(corpus: DataFrame, newDocs: DataFrame,
-      bands: Int = 2, rowsPerBand: Int = 4,
+      bands: Int = Pipeline.DefaultBands,
+      rowsPerBand: Int = Pipeline.DefaultRowsPerBand,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val h = freshName(newDocs.columns.toSeq, "_h")
     val bksCol = freshName(newDocs.columns.toSeq :+ h, "_bks")
@@ -900,7 +901,9 @@ object Dedup {
     * hot band key.
     */
   def verifiedNearDupReject(docs: DataFrame, bandDocs: DataFrame,
-      bands: Int = 2, rowsPerBand: Int = 4, minJaccard: Double = 0.5,
+      bands: Int = Pipeline.DefaultBands,
+      rowsPerBand: Int = Pipeline.DefaultRowsPerBand,
+      minJaccard: Double = 0.5,
       textCol: String = "text"): DataFrame = {
     val withBands = (0 until bands).foldLeft(
       docs.withColumn("_bks", bandKeysArray(col(textCol), bands, rowsPerBand))

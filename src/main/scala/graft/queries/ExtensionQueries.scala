@@ -1308,8 +1308,10 @@ object ExtensionQueries {
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH ${bandKeyCtes("c", " WHERE doc_id % 5 != 0")},
-              |${bandKeyCtes("n", " WHERE doc_id % 5 = 0")},
+      Some(s"""WITH ${bandKeyCtes("c", " WHERE doc_id % 5 != 0", "documents",
+                  Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
+              |${bandKeyCtes("n", " WHERE doc_id % 5 = 0", "documents",
+                  Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
               |ckeys AS (SELECT DISTINCT bk FROM cstacked),
               |fresh AS (SELECT doc_id, lang FROM documents
               |  WHERE doc_id % 5 = 0 AND md5(text) NOT IN (

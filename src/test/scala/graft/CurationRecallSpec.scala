@@ -73,8 +73,8 @@ class CurationRecallSpec extends SparkSuite {
       ">= 90% of ALL true J>=0.5 pairs on the planted corpus, and " +
       "strictly more than the old 2x4 shape") {
     val docs = planted.cache()
+    val truth = truePairs(docs, 0.5).cache()
     try {
-      val truth = truePairs(docs, 0.5).cache()
       val nTrue = truth.count()
       assert(nTrue >= 30L, s"fixture too small to gate on: $nTrue pairs")
       def recallOf(bands: Int, rpb: Int): Double = {
@@ -90,7 +90,10 @@ class CurationRecallSpec extends SparkSuite {
         f"default banding recall $newRecall%.3f below the 0.90 gate")
       assert(newRecall > oldRecall,
         f"8x2 ($newRecall%.3f) must beat 2x4 ($oldRecall%.3f)")
-    } finally docs.unpersist()
+    } finally {
+      truth.unpersist()
+      docs.unpersist()
+    }
   }
 
   test("Checkpoints.materialize fails FAST (no localCheckpoint fallback) " +

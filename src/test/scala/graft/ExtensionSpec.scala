@@ -447,12 +447,15 @@ class ExtensionSpec extends SparkSuite {
     // exact dup of itself and must NOT be added twice
     assert(merged.count() == mergedIds.size, "no duplicate rows")
     assert(collectCol[Long](corpus.select("doc_id"), "doc_id").forall(mergedIds))
-    // accepted newcomers share no band key with the corpus
-    val corpusKeys = Dedup.corpusBandKeys(corpus, 2, 4)
+    // accepted newcomers share no band key with the corpus (at the
+    // pipeline's default banding shape, which mergeNewDocs inherits)
+    val corpusKeys = Dedup.corpusBandKeys(corpus,
+        Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)
       .collect().map(_.getString(0)).toSet
     val newcomers = merged.filter(col("doc_id") >= 150)
     val newcomerKeys = newcomers
-      .select(explode(Dedup.bandKeysArray(col("text"), 2, 4)).as("bk"))
+      .select(explode(Dedup.bandKeysArray(col("text"),
+        Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)).as("bk"))
       .collect().map(_.getString(0)).toSet
     assert(newcomerKeys.intersect(corpusKeys).isEmpty)
   }
