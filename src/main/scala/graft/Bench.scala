@@ -198,7 +198,12 @@ object Bench {
     // is carried separately for humans
     val sfNum = "sf([0-9.]*[0-9])".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("-1")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,"queries":$qs$quiescentJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    // self-describing keys (round-14 verdict #7): `queries` is easy to
+    // misread as per-query cost — it is the CONTENDED completion offset
+    // of each query inside the concurrent suite; `quiescent` holds the
+    // isolated per-query truths. Say so in the artifact itself.
+    val semantics = """"queries_semantics":"queries = per-query wall inside the CONCURRENT suite (contended completion offsets; right for suite throughput, wrong for per-query comparison); quiescent = each query re-run ALONE (the per-query cost comparator)""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,$semantics,"queries":$qs$quiescentJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     // stdout gets decorated by sbt and interleaved with log output — the
     // round-1 driver recorded parsed:null — so ALSO write the JSON to a
     // file the driver (or a human) can read without scraping, and emit it

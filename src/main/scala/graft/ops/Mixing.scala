@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.MDFrame
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,5 +294,65 @@ object Mixing {
       .join(sched.select(col(groupCol), col("_j"), col(idCol), col("epoch")),
         Seq(groupCol, "_j"))
       .select(col("step"), col(groupCol), col(idCol), col("epoch"))
+  }
+
+  /** The DSIR follow-through (Xie et al. 2023): [[TextAnalysis.dsirTopK]]
+    * picks a FIXED k, but the published recipe selects to a TOKEN BUDGET
+    * — take background documents in descending importance-weight order
+    * while their cumulative token mass fits `budget` (doc-granular, so
+    * the selection never exceeds the budget), then report the MIXTURE
+    * the selection induces: per source, the selected doc/token counts,
+    * the token share of the selected set, and the mean importance
+    * log-weight. The report is what a mixture designer reads to see
+    * WHICH sources the target domain's importance weights actually
+    * favor — the bridge from per-doc DSIR weights to a per-source
+    * training mixture.
+    *
+    * Determinism: weights are [[TextAnalysis.dsirWeights]]' pinned
+    * round-6 values; the selection order (log_weight DESC, id ASC) is
+    * total; `mean_log_weight` divides an exact DECIMAL(18,6) sum once
+    * in DOUBLE (round 6); `token_share` divides exact BIGINT sums once
+    * in DOUBLE (round 6).
+    *
+    * Scale: dsirWeights' two linear passes + O(buckets) broadcast; the
+    * global weight-ordered cumulative token sum is the DECOMPOSED
+    * prefix sum ([[Ranking.withGroupPrefixSums]] under a constant
+    * group: range-partition on the weight order, per-partition local
+    * sums, O(partitions) offsets — never a single-task global window on
+    * data); the source join is a hash equi-join on the id; the final
+    * share window runs over the ≤|sources|-row aggregate only.
+    */
+  def dsirBudgetedMixture(docs: DataFrame, targetPred: Column, budget: Long,
+      buckets: Int = 256, groupCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1L, s"need budget >= 1, got $budget")
+    val w = TextAnalysis.dsirWeights(docs, targetPred, buckets, textCol,
+      idCol)
+    // constant group = GLOBAL decomposed prefix sum over the weight
+    // order; the projection carries only consumed columns (the Ranking
+    // no-rider contract) — source joins back on the unique id
+    val picked = graft.ops.Ranking.withGroupPrefixSums(
+        w.select(lit(1).as("_g"), col("n_tokens"), col("log_weight"),
+          col(idCol)),
+        "_g", Seq(("log_weight", false), (idCol, true)), "n_tokens",
+        "_i", "_ctok")
+      .filter(col("_ctok") <= budget)
+    val perSource = picked
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("log_weight").cast("decimal(18,6)")).as("_slw"))
+    // share denominator over the BOUNDED per-source summary (≤|sources|
+    // rows) — the accepted global-window-on-a-summary shape
+    perSource
+      .withColumn("_tt", sum(col("n_tokens")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("_tt").cast("double"), 6)
+          .as("token_share"),
+        round(col("_slw").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_log_weight"))
   }
 }

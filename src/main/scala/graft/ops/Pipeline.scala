@@ -51,6 +51,28 @@ object Pipeline {
     * the semantic variant's prefix (x60) all hit the same entry, so the
     * corpus-scale passes execute once per snapshot, not once per report.
     */
+  /** Optional TRAINED-classifier gate in front of the pipeline (the
+    * fastText-style quality-model filter the published pipelines run
+    * before heuristic curation): keep only documents the weights table
+    * scores non-negative ([[TextAnalysis.classifierScoreWithWeights]]'
+    * `keep` — raw integer sum sign, broadcast weights join, one
+    * tokenize pass). Memoized + materialized like every other backbone
+    * stage, so the funnel/ledger/shard views of one run score the
+    * corpus once. `None` ⇒ identity (the historical pipeline).
+    */
+  private def modelGate(docs: DataFrame,
+      classifierWeights: Option[DataFrame], dims: Int): DataFrame =
+    classifierWeights match {
+      case None => docs
+      case Some(wt) => StageCache.memo("curation_model", Seq(docs, wt),
+          Seq(dims)) {
+        Checkpoints.materialize(docs.join(
+          TextAnalysis.classifierScoreWithWeights(docs, wt, dims)
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+      }
+    }
+
   private def backbone(docs: DataFrame, minQuality: Double,
       minJaccard: Double, maxPerSource: Option[Int],
       bands: Int, rowsPerBand: Int)
@@ -132,9 +154,12 @@ object Pipeline {
       embedSaltBuckets: Int = 1,
       maxPerSource: Option[Int] = None,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): Seq[(String, DataFrame)] = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): Seq[(String, DataFrame)] = {
+    val gated = modelGate(docs, classifierWeights, classifierDims)
     val (good, exact, _, deduped) =
-      backbone(docs, minQuality, minJaccard, maxPerSource, bands, rowsPerBand)
+      backbone(gated, minQuality, minJaccard, maxPerSource, bands, rowsPerBand)
 
     // optional SEMANTIC near-dup stage (multi-modal curation): embedding
     // cosine catches paraphrases token LSH cannot see. Same-cell pairs
@@ -175,9 +200,10 @@ object Pipeline {
     }
     val clean = semantic.join(contaminated, Seq("doc_id"), "left_anti")
 
-    Seq("quality_kept" -> good, "exact_kept" -> exact,
-      "neardup_kept" -> deduped, "semantic_kept" -> semantic,
-      "decontaminated_kept" -> clean)
+    classifierWeights.map(_ => "model_kept" -> gated).toSeq ++
+      Seq("quality_kept" -> good, "exact_kept" -> exact,
+        "neardup_kept" -> deduped, "semantic_kept" -> semantic,
+        "decontaminated_kept" -> clean)
   }
 
   /** Per-source survival funnel: for every source, how many documents
@@ -194,11 +220,16 @@ object Pipeline {
       srcCol: String = "source", minQuality: Double = 0.3,
       maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
-      minJaccard, bands = bands, rowsPerBand = rowsPerBand).toMap
-    val named = Seq("quality_kept" -> "n_quality", "exact_kept" -> "n_exact",
-      "neardup_kept" -> "n_neardup", "decontaminated_kept" -> "n_clean")
+      minJaccard, bands = bands, rowsPerBand = rowsPerBand,
+      classifierWeights = classifierWeights,
+      classifierDims = classifierDims).toMap
+    val named = classifierWeights.map(_ => "model_kept" -> "n_model").toSeq ++
+      Seq("quality_kept" -> "n_quality", "exact_kept" -> "n_exact",
+        "neardup_kept" -> "n_neardup", "decontaminated_kept" -> "n_clean")
     val base = docs.groupBy(col(srcCol))
       .agg(count(lit(1)).cast("long").as("n_input"))
     named.foldLeft(base) { case (acc, (stage, cn)) =>
@@ -226,11 +257,22 @@ object Pipeline {
   def curationLedger(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5, bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame = {
     val noKeeper = lit(null).cast("long")
+    val gated = modelGate(docs, classifierWeights, classifierDims)
     val (good, exact, clusters, deduped) =
-      backbone(docs, minQuality, minJaccard, None, bands, rowsPerBand)
-    val qualityDrops = docs.join(good.select("doc_id"), Seq("doc_id"), "left_anti")
+      backbone(gated, minQuality, minJaccard, None, bands, rowsPerBand)
+    // model drops first: the complement proof (ledger ∪ survivors
+    // partitions the input) extends through the optional gate because
+    // every later drop set is derived from the GATED corpus. Built only
+    // when the gate is on — a no-gate ledger pays zero extra joins.
+    val modelDrops = classifierWeights.map(_ =>
+      docs.join(gated.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("model").as("reason"),
+          noKeeper.as("keeper"))).toSeq
+    val qualityDrops = gated.join(good.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("quality").as("reason"), noKeeper.as("keeper"))
     // keeper attribution re-derived over the CHECKPOINTED quality
     // survivors (one linear pass over survivors, no corpus scan)
@@ -255,8 +297,8 @@ object Pipeline {
     val contamDrops = contamIds
       .select(col("doc_id"), lit("contaminated").as("reason"),
         noKeeper.as("keeper"))
-    qualityDrops.unionByName(exactDrops).unionByName(nearDrops)
-      .unionByName(contamDrops)
+    (modelDrops :+ qualityDrops :+ exactDrops :+ nearDrops :+ contamDrops)
+      .reduce(_ unionByName _)
   }
 
   /** Per-document curation STATUS over one snapshot: `kept` or the gate
@@ -326,10 +368,12 @@ object Pipeline {
       embedSaltBuckets: Int = 1,
       maxPerSource: Option[Int] = None,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame =
     curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard,
       embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets,
-      maxPerSource, bands, rowsPerBand)
+      maxPerSource, bands, rowsPerBand, classifierWeights, classifierDims)
       .last._2
 
   /** INCREMENTAL corpus maintenance — the operational twin of [[curate]]

@@ -604,7 +604,23 @@ object TextAnalysis {
   def dsirTopK(docs: DataFrame, targetPred: Column, k: Int = 100,
       buckets: Int = 256, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(buckets >= 2 && k >= 1, s"need buckets >= 2, k >= 1")
+    require(k >= 1, s"need k >= 1, got $k")
+    dsirWeights(docs, targetPred, buckets, textCol, idCol)
+      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[dsirTopK]] without the cut: every BACKGROUND document's DSIR
+    * importance log-weight — `(id, n_tokens, log_weight)` — for callers
+    * that consume the full weight distribution instead of a fixed k
+    * (the budgeted-mixture realization in
+    * [[graft.ops.Mixing.dsirBudgetedMixture]], weight histograms,
+    * threshold sweeps). Same pinned per-bucket r12 constants, same
+    * exact DECIMAL per-doc sums, same round-6 weight. */
+  def dsirWeights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 256, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val toks = Checkpoints.materialize(
       docs.select(col(idCol), targetPred.as("_tgt"),
           explode(tokens(col(textCol))).as("_tok"))
@@ -631,8 +647,6 @@ object TextAnalysis {
         sum(col("_lr")).as("_w"))
       .select(col(idCol), col("n_tokens"),
         round(col("_w").cast("double"), 6).as("log_weight"))
-      .orderBy(col("log_weight").desc, col(idCol).asc)
-      .limit(k)
   }
 
   /** Per-source unigram-distribution diagnostics: token count, vocab

@@ -3,8 +3,8 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.Similarity
 import graft.ops.{Baskets, CustomerAnalytics, Dedup, EventAnalytics,
-  Experiments, Graphs, Integrity, Layout, Pca, Profiling, Selection,
-  Skew, Sketches, Splits, Stats, Survival, TextAnalysis}
+  Experiments, Graphs, Integrity, Layout, Mixing, Pca, Profiling,
+  Selection, Skew, Sketches, Splits, Stats, Survival, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics + embedding-statistics queries (x114+): funnels,
@@ -4714,5 +4714,59 @@ object AnalyticsQueries {
               |  round(CAST(w AS DOUBLE), 6) AS log_weight
               |FROM sc ORDER BY log_weight DESC, doc_id LIMIT 100"""
         .stripMargin)),
+
+    // ---- x246: DSIR-weighted mixture to a token budget ---------------------
+    // x245's follow-through: the published DSIR recipe selects to a
+    // TOKEN BUDGET, not a fixed k — background docs in descending
+    // importance-weight order while the cumulative token mass fits, then
+    // the per-source mixture the selection induces (docs, tokens, token
+    // share, mean log-weight). The cumulative cut is the DECOMPOSED
+    // global prefix sum (Ranking.withGroupPrefixSums under a constant
+    // group — never a single-task window on data); the oracle replays
+    // the same total order (log_weight DESC, doc_id) in a plain window.
+    QueryDef(
+      "x246_dsir_mixture",
+      (s, dir) =>
+        Mixing.dsirBudgetedMixture(Tables.documents(s, dir),
+            col("doc_id") % 97 === 0, budget = 10000L, buckets = 256)
+          .orderBy(col("source")),
+      Some(s"""WITH toks AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+              |    md5(tok) AS d
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents) t),
+              |b AS (SELECT doc_id, tgt,
+              |    ${TextAnalysis.hexToIntSql("d", 8)} % 256 AS bucket
+              |  FROM toks),
+              |pb AS (SELECT bucket,
+              |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+              |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS bc
+              |  FROM b GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+              |    CAST(SUM(bc) AS BIGINT) AS bt FROM pb),
+              |r AS (SELECT bucket,
+              |    CAST(round(ln((CAST(tc + 1 AS DOUBLE)
+              |        / CAST(tt + 256 AS DOUBLE))
+              |      / (CAST(bc + 1 AS DOUBLE)
+              |        / CAST(bt + 256 AS DOUBLE))), 12)
+              |      AS DECIMAL(28,12)) AS lr
+              |  FROM pb CROSS JOIN tot),
+              |sc AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS w
+              |  FROM b JOIN r USING (bucket) WHERE NOT tgt GROUP BY doc_id),
+              |sel AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |    round(CAST(w AS DOUBLE), 6) AS lw FROM sc),
+              |cum AS (SELECT doc_id, n_tokens, lw,
+              |    CAST(SUM(n_tokens) OVER (ORDER BY lw DESC, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctok FROM sel),
+              |pick AS (SELECT * FROM cum WHERE ctok <= 10000),
+              |agg AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+              |    SUM(CAST(p.lw AS DECIMAL(18,6))) AS slw
+              |  FROM pick p JOIN documents d USING (doc_id) GROUP BY 1)
+              |SELECT source, n_docs, n_tokens,
+              |  round(CAST(n_tokens AS DOUBLE)
+              |    / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+              |  round(CAST(slw AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+              |    AS mean_log_weight
+              |FROM agg ORDER BY source""".stripMargin)),
   )
 }

@@ -324,6 +324,51 @@ object ExtensionQueries {
        |LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** x247: the MODEL-GATED funnel — the x244 classifier train/score
+    * replay computes the keep set, which becomes the pipeline corpus via
+    * [[curationCtes]]' corpusSql override (nested WITH, isolated CTE
+    * scope); the funnel tail counts the RAW corpus as n_input and the
+    * override corpus as n_model, then the usual per-stage survivor
+    * counts. Exactly Pipeline.curationFunnel(classifierWeights = …). */
+  private def modelGatedFunnelSql: String = {
+    val keepCorpus =
+      s"""WITH mt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |mb AS (SELECT doc_id, lang,
+         |    ${TextAnalysis.hexToIntSql("md5(tok)", 8)} % 32 AS bucket
+         |  FROM mt),
+         |mw AS (SELECT bucket, COUNT(*) AS n,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM mb GROUP BY 1),
+         |mg AS (SELECT SUM(n) AS gn, SUM(np) AS gnp FROM mw),
+         |mwm AS (SELECT bucket,
+         |    CAST((2 * np * 1000000 + n) // (2 * n)
+         |      - (2 * gnp * 1000000 + gn) // (2 * gn) AS BIGINT) AS wt
+         |  FROM mw CROSS JOIN mg),
+         |msc AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS s
+         |  FROM mb JOIN mwm USING (bucket)
+         |  WHERE doc_id % 97 != 0 GROUP BY doc_id)
+         |SELECT doc_id, text FROM documents
+         |WHERE doc_id % 97 != 0
+         |  AND doc_id IN (SELECT doc_id FROM msc WHERE s >= 0)""".stripMargin
+    s"""${curationCtes(semantic = false, corpusSql = Some(keepCorpus))}
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_input,
+       |  CAST(COUNT(m.doc_id) AS BIGINT) AS n_model,
+       |  CAST(COUNT(g.doc_id) AS BIGINT) AS n_quality,
+       |  CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(n.doc_id) AS BIGINT) AS n_neardup,
+       |  CAST(COUNT(cl.doc_id) AS BIGINT) AS n_clean
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id FROM corpus) m ON m.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 != 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
     Similarity.planeSigns(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
@@ -4141,6 +4186,28 @@ object ExtensionQueries {
            |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_contaminated
            |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // ---- x247: MODEL-GATED curation funnel ---------------------------------
+    // The fastText-style quality-model filter as a pipeline citizen: a
+    // TRAINED hashed-feature classifier (x244's exact-integer training)
+    // gates the corpus BEFORE heuristic curation, and the per-source
+    // funnel attributes the model's drops alongside every other stage —
+    // n_input → n_model → n_quality → n_exact → n_neardup → n_clean.
+    // The oracle composes the x244 train/score replay (as the pipeline's
+    // corpus override) with the full x106 stage chain.
+    QueryDef(
+      "x247_model_gated_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = TextAnalysis.trainHashedWeights(docs,
+          col("lang") === "en", dims = 32)
+        Pipeline.curationFunnel(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            classifierWeights = Some(w), classifierDims = 32)
+          .orderBy(col("source"))
+      },
+      Some(modelGatedFunnelSql))
   )
 }

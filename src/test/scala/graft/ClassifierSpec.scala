@@ -74,4 +74,66 @@ class ClassifierSpec extends SparkSuite {
     assert(someBucketless.forall(x =>
       x.getDouble(2) === 0.0 && x.getBoolean(4)))
   }
+
+  test("pipeline model gate (planted): trained classifier drops exactly " +
+      "the negative-class docs, funnel attributes them as n_model, ledger " +
+      "partition proof extends through the gate") {
+    import graft.ops.Pipeline
+    // planted separation: class-A docs are dominated by one marker token
+    // and labeled positive, class-B by another and labeled negative —
+    // the marker bucket's trained rate is ~1 (resp. ~0) vs the 0.5 base,
+    // so every A doc sums positive and every B doc negative regardless
+    // of where the one-off filler tokens hash. 5/10 distinct tokens per
+    // doc keeps quality = 0.5 > 0.3 (the gate under test is the MODEL).
+    val aIds = (1L to 6L)
+    val bIds = (11L to 16L)
+    def aText(i: Long) = s"good good good good good good ua$i pa$i qa$i ra$i"
+    def bText(i: Long) = s"bad bad bad bad bad bad ub$i pb$i qb$i rb$i"
+    val docs = frame(
+      "doc_id" -> (aIds ++ bIds).map(x => x: Any),
+      "source" -> (aIds.map(_ => "sa") ++ bIds.map(_ => "sb")),
+      "lbl" -> (aIds.map(_ => true) ++ bIds.map(_ => false)).map(x => x: Any),
+      "text" -> (aIds.map(aText) ++ bIds.map(bText)))
+    val evalSet = frame("doc_id" -> Seq[Any](99L),
+      "text" -> Seq("held out benchmark sentence sharing absolutely nothing"))
+    val w = TextAnalysis.trainHashedWeights(docs, col("lbl"), dims = 32)
+
+    // (1) the gate stage is exactly the classifier's keep set = class A
+    val stages = Pipeline.curateStages(docs, evalSet,
+      classifierWeights = Some(w), classifierDims = 32).toMap
+    val gateIds = stages("model_kept").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gateIds == aIds.toSet, s"gate kept $gateIds")
+    val keepIds = TextAnalysis.classifierScoreWithWeights(docs, w, dims = 32)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gateIds == keepIds, "gate must equal the scorer's keep set")
+
+    // (2) funnel: n_model column present and correct per source; the
+    //     no-gate funnel does NOT grow the column
+    val f = Pipeline.curationFunnel(docs, evalSet,
+        classifierWeights = Some(w), classifierDims = 32)
+      .orderBy("source").collect()
+    assert(f.map(_.getString(0)).toSeq == Seq("sa", "sb"))
+    val fa = f(0); val fb = f(1)
+    assert(fa.getLong(1) == 6L && fa.getLong(2) == 6L, s"sa row: $fa")
+    assert(fb.getLong(1) == 6L && fb.getLong(2) == 0L, s"sb row: $fb")
+    assert(!Pipeline.curationFunnel(docs, evalSet).columns.contains("n_model"))
+
+    // (3) ledger: every class-B doc dropped with reason 'model', no
+    //     keeper; ledger ∪ survivors still partitions the input exactly
+    val ledger = Pipeline.curationLedger(docs, evalSet,
+        classifierWeights = Some(w), classifierDims = 32).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val modelDrops = ledger.filter(_._2 == "model")
+    assert(modelDrops.map(_._1).toSet == bIds.toSet, s"$modelDrops")
+    assert(modelDrops.forall(_._3 == -1L), "model drops carry no keeper")
+    val survivors = Pipeline.curate(docs, evalSet,
+        classifierWeights = Some(w), classifierDims = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = ledger.map(_._1).toSet
+    assert((dropped & survivors).isEmpty &&
+      (dropped ++ survivors) == (aIds ++ bIds).toSet,
+      s"not a partition: dropped=$dropped survivors=$survivors")
+  }
 }

@@ -2405,4 +2405,46 @@ class ExtensionSpec extends SparkSuite {
       1L -> ((None, Some("kept"))),
       2L -> ((Some("kept"), Some("exact_dup")))), s"$got")
   }
+
+  test("dsirBudgetedMixture: the selection is the exact weight-ordered " +
+      "doc-granular budget prefix; per-source report matches a collected " +
+      "reference; budget is tight") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 10000L
+    val tgt = col("doc_id") % 97 === 0
+    val got = Mixing.dsirBudgetedMixture(docs, tgt, budget)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // driver-side reference over the SAME weights (dsirWeights is the
+    // oracle-pinned x245 arithmetic; here we check only the budget cut
+    // and the per-source rollup on top of it)
+    val w = TextAnalysis.dsirWeights(docs, tgt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, lw) => (-lw, id) }
+    val cums = w.scanLeft(0L)(_ + _._2).tail
+    val picked = w.zip(cums).filter(_._2 <= budget).map(_._1)
+    assert(picked.nonEmpty && picked.length < w.length,
+      "fixture must make the budget cut non-trivial")
+    assert(picked.map(_._2).sum <= budget, "selection over budget")
+    assert(picked.map(_._2).sum + w(picked.length)._2 > budget,
+      "selection must be the MAXIMAL prefix (next doc would overflow)")
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val totalTok = picked.map(_._2).sum
+    val ref = picked.groupBy(p => srcOf(p._1)).toSeq.sortBy(_._1)
+      .map { case (src, ds) =>
+        val nTok = ds.map(_._2).sum
+        val slw = ds.map(d => BigDecimal(d._3).setScale(6)).sum
+        (src, ds.length.toLong, nTok,
+          (BigDecimal(nTok) / BigDecimal(totalTok)).toDouble,
+          (slw / ds.length).toDouble)
+      }
+    assert(got.length == ref.length, s"got ${got.toSeq} vs $ref")
+    got.zip(ref).foreach { case ((s1, d1, t1, sh1, m1), (s2, d2, t2, sh2, m2)) =>
+      assert(s1 == s2 && d1 == d2 && t1 == t2, s"$s1 row mismatch")
+      assert(math.abs(sh1 - sh2) < 1e-6 && math.abs(m1 - m2) < 1e-6,
+        s"$s1: share $sh1 vs $sh2, mean $m1 vs $m2")
+    }
+  }
 }
