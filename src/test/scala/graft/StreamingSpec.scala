@@ -713,6 +713,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming TRAINED classifier gate == batch " +
+      "classifierScoreWithWeights (bounded weights driver-materialized " +
+      "into a map-only scorer; append mode, no state)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    val w = graft.ops.TextAnalysis.trainHashedWeights(batchDocs,
+      org.apache.spark.sql.functions.col("lang") === "en", dims = 32)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/documents.parque[t]")
+    val q = StreamingWindows.streamingTrainedClassifierGate(stream, w,
+        dims = 32)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_trained_classifier").start()
+    try {
+      q.processAllAvailable()
+      def shape(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4))
+      val got = spark.table("stream_trained_classifier").orderBy("doc_id")
+        .collect().map(shape).toSeq
+      val want = graft.ops.TextAnalysis
+        .classifierScoreWithWeights(batchDocs, w, dims = 32)
+        .orderBy("doc_id").collect().map(shape).toSeq
+      assert(got == want,
+        "stream and batch trained-classifier gates diverge")
+      val kept = got.count(_._5)
+      assert(kept > 0 && kept < got.size,
+        "gate must keep some docs and drop some docs on this corpus")
+    } finally q.stop()
+  }
+
   test("streaming CMS monitor: cell-wise state addition across " +
       "micro-batches == batch sketch of the whole corpus") {
     val dir = "/root/testdata/sf0.001"

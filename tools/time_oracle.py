@@ -9,7 +9,7 @@ queries as plans; DuckDB replays the oracle SQL renderings).
 
 Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir> [topN]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -20,8 +20,12 @@ def main(sf_dir, out_dir, top_n=10):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver dirs hold single files; GenScale'd dirs are Spark-style
+        # parquet DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     t0 = time.time()
