@@ -610,6 +610,45 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DSIR importance RESAMPLING (the paper's actual sampling step,
+    * which [[dsirTopK]]'s argmax prefix approximates): draw `k`
+    * background documents WITHOUT replacement with probability
+    * proportional to exp(log_weight / temperature), via the Gumbel
+    * top-k trick — key_i = log_weight_i/τ + g_i with g_i standard
+    * Gumbel noise, and the k largest keys are exactly such a sample.
+    * The noise is DETERMINISTIC (the repo's md5-uniform convention):
+    * u_i = (int(md5("salt:id")[0..12]) + 0.5) / 2^48 ∈ (0,1),
+    * g_i = −ln(−ln u_i) pinned to 12 decimals (the x125 libm
+    * convention), so the "random" sample is reproducible on any
+    * engine, any run, any partitioning — and re-salting draws a fresh
+    * independent sample.
+    *
+    * Scale: [[dsirWeights]]' two linear passes + O(buckets) broadcast;
+    * the key is map-only on top (md5 materialized once per row); the
+    * cut is TakeOrdered. Output: (id, n_tokens, log_weight,
+    * sample_key), key-descending.
+    */
+  def dsirGumbelTopK(docs: DataFrame, targetPred: Column, k: Int = 100,
+      buckets: Int = 256, temperature: Double = 1.0,
+      salt: String = "dsir", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && temperature > 0.0,
+      s"need k >= 1 and temperature > 0, got $k, $temperature")
+    dsirWeights(docs, targetPred, buckets, textCol, idCol)
+      .withColumn("_d",
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))))
+      .withColumn("_u",
+        (expr(hexToIntSql("_d", 12)).cast("double") + 0.5)
+          / 281474976710656.0) // 2^48
+      .withColumn("sample_key",
+        round(col("log_weight") / temperature
+          + round(-log(-log(col("_u"))), 12), 6))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_tokens"), col("log_weight"),
+        col("sample_key"))
+  }
+
   /** [[dsirTopK]] without the cut: every BACKGROUND document's DSIR
     * importance log-weight — `(id, n_tokens, log_weight)` — for callers
     * that consume the full weight distribution instead of a fixed k

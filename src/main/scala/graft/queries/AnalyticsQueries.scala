@@ -4768,5 +4768,51 @@ object AnalyticsQueries {
               |  round(CAST(slw AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
               |    AS mean_log_weight
               |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- x248: DSIR Gumbel-top-k importance RESAMPLING ---------------------
+    // The paper's actual sampling step (x245 is the argmax prefix): draw
+    // k docs without replacement ∝ exp(log_weight) via Gumbel top-k,
+    // with DETERMINISTIC md5-uniform noise (u from 12 hex chars of
+    // md5('dsir:'||id), g = -ln(-ln u) pinned r12) — a reproducible
+    // "random" sample any engine can replay. See
+    // TextAnalysis.dsirGumbelTopK.
+    QueryDef(
+      "x248_dsir_gumbel_sample",
+      (s, dir) =>
+        TextAnalysis.dsirGumbelTopK(Tables.documents(s, dir),
+            col("doc_id") % 97 === 0, k = 100, buckets = 256),
+      Some(s"""WITH toks AS (SELECT doc_id, doc_id % 97 = 0 AS tgt,
+              |    md5(tok) AS d
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents) t),
+              |b AS (SELECT doc_id, tgt,
+              |    ${TextAnalysis.hexToIntSql("d", 8)} % 256 AS bucket
+              |  FROM toks),
+              |pb AS (SELECT bucket,
+              |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+              |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS bc
+              |  FROM b GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+              |    CAST(SUM(bc) AS BIGINT) AS bt FROM pb),
+              |r AS (SELECT bucket,
+              |    CAST(round(ln((CAST(tc + 1 AS DOUBLE)
+              |        / CAST(tt + 256 AS DOUBLE))
+              |      / (CAST(bc + 1 AS DOUBLE)
+              |        / CAST(bt + 256 AS DOUBLE))), 12)
+              |      AS DECIMAL(28,12)) AS lr
+              |  FROM pb CROSS JOIN tot),
+              |sc AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS w
+              |  FROM b JOIN r USING (bucket) WHERE NOT tgt GROUP BY doc_id),
+              |gum AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |    round(CAST(w AS DOUBLE), 6) AS log_weight,
+              |    round(round(CAST(w AS DOUBLE), 6) / 1.0
+              |      + round(-ln(-ln(
+              |        (${TextAnalysis.hexToIntSql(
+                       "md5(concat('dsir:', CAST(doc_id AS VARCHAR)))", 12)}
+              |         + 0.5) / 281474976710656.0)), 12), 6) AS sample_key
+              |  FROM sc)
+              |SELECT doc_id, n_tokens, log_weight, sample_key
+              |FROM gum ORDER BY sample_key DESC, doc_id LIMIT 100"""
+        .stripMargin)),
   )
 }

@@ -2406,6 +2406,38 @@ class ExtensionSpec extends SparkSuite {
       2L -> ((Some("kept"), Some("exact_dup")))), s"$got")
   }
 
+  test("dsirGumbelTopK: sample keys match a JVM reference (md5-uniform " +
+      "-> pinned Gumbel -> key), re-salting draws a different sample, " +
+      "two runs are identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tgt = col("doc_id") % 97 === 0
+    def run(salt: String) = TextAnalysis.dsirGumbelTopK(docs, tgt,
+        k = 50, salt = salt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val a = run("dsir"); val a2 = run("dsir"); val b = run("other-salt")
+    assert(a.toSeq == a2.toSeq, "resample must be deterministic")
+    assert(a.map(_._1).toSet != b.map(_._1).toSet,
+      "a fresh salt must draw a different sample")
+    // JVM reference for the key: u from the first 12 hex chars of
+    // md5('dsir:'||id), g = -ln(-ln u) pinned r12, key = r6(lw + g)
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyOf(id: Long, lw: Double): Double = {
+      val hex = md.digest(s"dsir:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      r(lw / 1.0 + r(-math.log(-math.log(u)), 12), 6)
+    }
+    a.foreach { case (id, _, lw, key) =>
+      assert(key == keyOf(id, lw), s"doc $id: $key != ${keyOf(id, lw)}")
+    }
+    // the weights themselves are dsirWeights' (shared with x245/x246)
+    val w = TextAnalysis.dsirWeights(docs, tgt).collect()
+      .map(r2 => r2.getLong(0) -> r2.getDouble(2)).toMap
+    a.foreach { case (id, _, lw, _) => assert(w(id) == lw) }
+  }
+
   test("dsirBudgetedMixture: the selection is the exact weight-ordered " +
       "doc-granular budget prefix; per-source report matches a collected " +
       "reference; budget is tight") {

@@ -92,7 +92,8 @@ class PlanSpec extends SparkSuite {
     "x244_trained_classifier", // trainHashedWeights: ONE-ROW global base-rate crossJoined onto <= dims bucket rows (x57 pattern)
     "x245_dsir_selection", // dsirTopK: ONE-ROW LM totals crossJoined onto <= buckets rows (x79's x57 pattern)
     "x246_dsir_mixture", // dsirWeights: same ONE-ROW LM totals epilogue as x245
-    "x247_model_gated_funnel") // trainHashedWeights' x244 epilogue inside the model gate
+    "x247_model_gated_funnel", // trainHashedWeights' x244 epilogue inside the model gate
+    "x248_dsir_gumbel_sample") // dsirWeights: same ONE-ROW LM totals epilogue as x245
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
