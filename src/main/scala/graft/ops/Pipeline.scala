@@ -403,9 +403,14 @@ object Pipeline {
   def appendCurated(corpus: DataFrame, newDocs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5, bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
-    val good = newDocs.join(
-      TextAnalysis.quality(newDocs).select(col("doc_id"), col("quality"))
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame = {
+    // optional model gate FIRST (same position as curateStages') — the
+    // batch is small, so this is one O(batch) tokenize + broadcast join
+    val gated = modelGate(newDocs, classifierWeights, classifierDims)
+    val good = gated.join(
+      TextAnalysis.quality(gated).select(col("doc_id"), col("quality"))
         .filter(col("quality") > minQuality).select("doc_id"),
       "doc_id")
 
@@ -482,10 +487,13 @@ object Pipeline {
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5,
       format: String = "parquet", bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): (Long, Long, Long) = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): (Long, Long, Long) = {
     val accepted = Checkpoints.materialize(
       appendCurated(corpus, newDocs, evalSet, minQuality,
-        maxSharedShingles, minJaccard, bands, rowsPerBand))
+        maxSharedShingles, minJaccard, bands, rowsPerBand,
+        classifierWeights, classifierDims))
     val (first, n) = Packing.appendShards(accepted, outDir,
       docsPerShard, format = format)
     (first, n, accepted.count())

@@ -135,5 +135,16 @@ class ClassifierSpec extends SparkSuite {
     assert((dropped & survivors).isEmpty &&
       (dropped ++ survivors) == (aIds ++ bIds).toSet,
       s"not a partition: dropped=$dropped survivors=$survivors")
+
+    // (4) the INCREMENTAL path gates too: appendCurated with the same
+    //     weights accepts only class-A newcomers against a disjoint
+    //     corpus (the daily-crawl twin of the curateStages gate)
+    val corpus = frame(
+      "doc_id" -> Seq[Any](100L),
+      "text" -> Seq("an established corpus document entirely unrelated here"))
+    val accepted = Pipeline.appendCurated(corpus, docs, evalSet,
+        classifierWeights = Some(w), classifierDims = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == aIds.toSet, s"append accepted $accepted")
   }
 }
