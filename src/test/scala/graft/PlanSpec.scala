@@ -124,7 +124,8 @@ class PlanSpec extends SparkSuite {
         "x56_bin_pack_nosplit", "x57_length_buckets",
         "x83_ccnet_buckets", // withGroupRanks: same _bucket contract
         "x219_sprt", // withGroupPrefixSums arrival scan
-        "x224_woe_iv")) { // value-table prefix sums (post-±30k-rank-bug fix)
+        "x224_woe_iv", // value-table prefix sums (post-±30k-rank-bug fix)
+        "x246_dsir_mixture")) { // global budget cut: constant-group prefix sums
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect() // materialize THIS df so its AdaptiveSparkPlan finalizes
       val plan = df.queryExecution.executedPlan.toString
