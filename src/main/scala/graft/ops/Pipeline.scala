@@ -66,8 +66,12 @@ object Pipeline {
       case None => docs
       case Some(wt) => StageCache.memo("curation_model", Seq(docs, wt),
           Seq(dims)) {
+        // MAP-ONLY scorer: the weights table is bounded (≤ dims rows),
+        // so the gate costs one corpus pass with ZERO shuffle — the
+        // join-based scorer would explode tokens and shuffle the whole
+        // corpus on the id (bitwise-equal forms, spec-pinned)
         Checkpoints.materialize(docs.join(
-          TextAnalysis.classifierScoreWithWeights(docs, wt, dims)
+          TextAnalysis.classifierScoreWithWeightsMapOnly(docs, wt, dims)
             .filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi"))
       }

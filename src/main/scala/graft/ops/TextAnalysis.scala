@@ -843,6 +843,45 @@ object TextAnalysis {
         (col("_s") >= 0).as("keep"))
   }
 
+  /** MAP-ONLY twin of [[classifierScoreWithWeights]]: identical integer
+    * arithmetic and output shape, but the ≤`dims`-row weights table is
+    * driver-materialized once into a literal map (the bounded-centroid
+    * pattern) so scoring is one pass with NO shuffle — no token
+    * explode, no per-doc groupBy. At corpus scale this removes the
+    * whole-corpus shuffle the join-based scorer pays; it is also the
+    * form an append-mode STREAM can run (no state store). Bitwise
+    * equality between the two forms is spec-pinned (StreamingSpec's
+    * stream==batch twin compares exactly this pair). Absent buckets
+    * score 0 — the same train/serve vocabulary-shift contract.
+    */
+  def classifierScoreWithWeightsMapOnly(docs: DataFrame,
+      weights: DataFrame, dims: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2, s"need dims >= 2, got $dims")
+    val wMap = weights.select(col("bucket").cast("long"),
+        col("weight_micro").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // md5 materialized once per token, then the bucket lookup reads it
+    // (the hexToIntSql bulk discipline, inside the lambda)
+    val wArr = s"""transform(
+      transform(split($textCol, ' '), t -> md5(t)),
+      d -> coalesce(element_at(_wmap,
+        pmod(${hexToIntSql("d", 8)}, ${dims}L)), 0L))"""
+    docs.withColumn("_wmap", typedLit(wMap))
+      .select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s"))
+      .withColumn("_scaled",
+        expr("""(CASE WHEN _s < 0 THEN -1L ELSE 1L END)
+               | * ((2L * abs(_s) + n_tokens) div (2L * n_tokens))"""
+          .stripMargin))
+      .select(col(idCol), col("n_tokens"),
+        (col("_scaled").cast("double") / 1e6).as("score"),
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(col("_scaled").cast("double") / 1e6))), 6).as("prob"),
+        (col("_s") >= 0).as("keep"))
+  }
+
   def classifierScore(docs: DataFrame, dims: Int = 64,
       textCol: String = "text", idCol: String = "doc_id",
       carry: Seq[String] = Nil): DataFrame = {

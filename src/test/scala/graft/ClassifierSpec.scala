@@ -39,6 +39,13 @@ class ClassifierSpec extends SparkSuite {
       assert(direct === viaParquet,
         "scoring via parquet-loaded weights must be bit-identical")
       assert(direct.nonEmpty)
+      // the MAP-ONLY scorer (zero-shuffle pipeline/streaming form) is
+      // the same arithmetic: bit-identical to the join-based scorer
+      val mapOnly = TextAnalysis
+        .classifierScoreWithWeightsMapOnly(docs, w, dims = 32)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(direct === mapOnly,
+        "map-only and join-based scorers must be bit-identical")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
