@@ -80,10 +80,19 @@ object GenScale {
     // pairwise dots) is preserved exactly
     write("embeddings", replicate(embs, Map("vec_id" -> span(embs, "vec_id"))) {
       (d, i) =>
+        // shift modulo the dimension: factors past the dim would slice a
+        // negative length (factor 100 x dim 64 broke here); i % dim keeps
+        // every replica a valid rotation (replicas i and i+dim coincide
+        // in geometry, which is fine — ids still differ)
         if (i == 0) d
-        else d.withColumn("embedding", concat(
-          slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-          slice(col("embedding"), lit(1), lit(i))))
+        else {
+          val sz = size(col("embedding"))
+          val sh = pmod(lit(i), sz)
+          d.withColumn("embedding", when(sh === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"), sh + 1, sz - sh),
+              slice(col("embedding"), lit(1), sh))))
+        }
     })
     spark.stop()
   }
