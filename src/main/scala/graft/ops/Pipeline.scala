@@ -315,18 +315,30 @@ object Pipeline {
   def curationStatus(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5, bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
-      minJaccard, bands = bands, rowsPerBand = rowsPerBand).toMap
+      minJaccard, bands = bands, rowsPerBand = rowsPerBand,
+      classifierWeights = classifierWeights,
+      classifierDims = classifierDims).toMap
     def flag(stage: String, name: String) =
       stages(stage).select(col("doc_id"), lit(true).as(name))
-    docs.select(col("doc_id"))
+    // the model flag is joined only when the gate is on; with the gate
+    // off `_m` is a constant true and the branch below folds away
+    val withModel = classifierWeights match {
+      case None => docs.select(col("doc_id"), lit(true).as("_m"))
+      case Some(_) => docs.select(col("doc_id"))
+        .join(flag("model_kept", "_m"), Seq("doc_id"), "left")
+    }
+    withModel
       .join(flag("quality_kept", "_g"), Seq("doc_id"), "left")
       .join(flag("exact_kept", "_e"), Seq("doc_id"), "left")
       .join(flag("neardup_kept", "_n"), Seq("doc_id"), "left")
       .join(flag("decontaminated_kept", "_c"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("_g").isNull, "quality")
+        when(col("_m").isNull, "model")
+          .when(col("_g").isNull, "quality")
           .when(col("_e").isNull, "exact_dup")
           .when(col("_n").isNull, "near_dup")
           .when(col("_c").isNull, "contaminated")
@@ -352,11 +364,15 @@ object Pipeline {
       evalSet: DataFrame, minQuality: Double = 0.3,
       maxSharedShingles: Long = 4L, minJaccard: Double = 0.5,
       bands: Int = DefaultBands,
-      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+      rowsPerBand: Int = DefaultRowsPerBand,
+      classifierWeights: Option[DataFrame] = None,
+      classifierDims: Int = 64): DataFrame = {
     val o = curationStatus(oldDocs, evalSet, minQuality, maxSharedShingles,
-      minJaccard, bands, rowsPerBand).withColumnRenamed("status", "status_old")
+        minJaccard, bands, rowsPerBand, classifierWeights, classifierDims)
+      .withColumnRenamed("status", "status_old")
     val n = curationStatus(newDocs, evalSet, minQuality, maxSharedShingles,
-      minJaccard, bands, rowsPerBand).withColumnRenamed("status", "status_new")
+        minJaccard, bands, rowsPerBand, classifierWeights, classifierDims)
+      .withColumnRenamed("status", "status_new")
     o.join(n, Seq("doc_id"), "full_outer")
       .filter(!(col("status_old") <=> col("status_new")))
   }

@@ -143,6 +143,16 @@ class ClassifierSpec extends SparkSuite {
       (dropped ++ survivors) == (aIds ++ bIds).toSet,
       s"not a partition: dropped=$dropped survivors=$survivors")
 
+    // (3b) status view: class-B docs read 'model', nothing else does,
+    //      and the no-gate status never emits the reason
+    val status = Pipeline.curationStatus(docs, evalSet,
+        classifierWeights = Some(w), classifierDims = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bIds.forall(status(_) == "model"), s"$status")
+    assert(aIds.forall(status(_) != "model"), s"$status")
+    assert(!Pipeline.curationStatus(docs, evalSet).collect()
+      .exists(_.getString(1) == "model"))
+
     // (4) the INCREMENTAL path gates too: appendCurated with the same
     //     weights accepts only class-A newcomers against a disjoint
     //     corpus (the daily-crawl twin of the curateStages gate)

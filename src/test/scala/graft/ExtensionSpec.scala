@@ -2478,5 +2478,14 @@ class ExtensionSpec extends SparkSuite {
       assert(math.abs(sh1 - sh2) < 1e-6 && math.abs(m1 - m2) < 1e-6,
         s"$s1: share $sh1 vs $sh2, mean $m1 vs $m2")
     }
+    // partitioning invariance: the decomposed global prefix sum must
+    // produce the identical cut regardless of the input's partitioning
+    // (the range boundaries may differ; the offsets must correct them)
+    val rep = Mixing.dsirBudgetedMixture(docs.repartition(7), tgt, budget)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rep.toSeq == got.toSeq,
+      "repartitioned input changed the budget selection")
   }
 }
