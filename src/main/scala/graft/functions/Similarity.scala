@@ -676,6 +676,50 @@ object Similarity {
     * ≤ n·scale·|x| — products stay under 2^63 for corpora up to ~10^9
     * rows at scale=10^4 and unit-norm embeddings.
     */
+  /** D4-style PROTOTYPICALITY prune (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after semantic dedup, the published recipe also
+    * drops the most PROTOTYPICAL `fraction` of every embedding cluster
+    * — the vectors CLOSEST to their k-means centroid are the redundant
+    * core; the diverse tail is what improves training. (The complement
+    * of [[centroidOutliers]], which surfaces the farthest.) Per cell:
+    * sim = round-6 cosine to the OWN trained centroid, rank by
+    * (sim DESC, id ASC), pruned = rank <= ceil(fraction · n_cell).
+    * Returns every vector with (vec_id, cell, sim, pruned) — callers
+    * filter `!pruned` for the D4-kept set or aggregate for the report.
+    *
+    * Scale: the quantizer is the trained x44 surface (O(k·d) driver
+    * centroids, broadcast); per-cell counts are a ≤nCells-row broadcast;
+    * the per-cell rank is the DECOMPOSED group rank
+    * ([[graft.ops.Ranking.withGroupRanks]]) — a hot cell of a 100 TB
+    * corpus never funnels through one window task.
+    */
+  def d4PrototypePrune(df: DataFrame, nCells: Int, iters: Int,
+      fraction: Double, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(fraction > 0.0 && fraction < 1.0,
+      s"fraction must be in (0,1), got $fraction")
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val cents = kmeansCentroids(df, nCells, iters, idCol, embCol)
+    val scored = vecs
+      .join(assignToCentroids(vecs, cents, "vec_id", "e"), "vec_id")
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))),
+        "cell")
+      .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
+      .select(col("vec_id"), col("cell"), col("sim"))
+    // ceil(n·f) in ONE double multiply — bit-identical in any engine
+    val counts = broadcast(scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("cell"),
+        ceil(col("_n") * lit(fraction)).cast("long").as("_pn")))
+    graft.ops.Ranking.withGroupRanks(scored, "cell",
+        Seq(("sim", false), ("vec_id", true)), "_rnk")
+      .join(counts, "cell")
+      .select(col("vec_id"), col("cell"), col("sim"),
+        (col("_rnk") <= col("_pn")).as("pruned"))
+  }
+
   def centroidOutliers(emb: DataFrame, groupCol: String = "label",
       bottomK: Int = 10, scale: Int = 10000,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

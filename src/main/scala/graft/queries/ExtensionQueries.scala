@@ -4208,6 +4208,49 @@ object ExtensionQueries {
             classifierWeights = Some(w), classifierDims = 32)
           .orderBy(col("source"))
       },
-      Some(modelGatedFunnelSql))
+      Some(modelGatedFunnelSql)),
+
+    // ---- x249: D4 prototypicality prune -------------------------------------
+    // The published D4 diversification step: the most PROTOTYPICAL 10%
+    // of every embedding cluster (closest to its trained k-means
+    // centroid — the redundant core) is dropped; the diverse tail is
+    // kept. Per-cell report over Similarity.d4PrototypePrune — the
+    // oracle replays the full trained quantizer (kmeansCtes), the
+    // round-6 own-centroid cosine, the (sim DESC, id) rank and the
+    // ceil(n*0.1) cut.
+    QueryDef(
+      "x249_d4_prune",
+      (s, dir) =>
+        Similarity.d4PrototypePrune(Tables.embeddings(s, dir),
+            nCells = 8, iters = 2, fraction = 0.1)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).cast("long").as("n_vectors"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).cast("long")
+              .as("n_pruned"),
+            sum(when(!col("pruned"), col("sim").cast("decimal(18,6)")))
+              .cast("double").as("sum_kept_sim"))
+          .orderBy(col("cell")),
+      Some(s"""WITH ${kmeansCtes(8, 2, "",
+               "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")},
+              |sc AS (SELECT a.vec_id, a.cell,
+              |    round(list_dot_product(a.e, c.ce)
+              |      / sqrt(list_dot_product(a.e, a.e)
+              |        * list_dot_product(c.ce, c.ce)), 6) AS sim
+              |  FROM af a JOIN c2 c ON c.cent_id = a.cell),
+              |cn AS (SELECT cell, COUNT(*) AS n FROM sc GROUP BY 1),
+              |rk AS (SELECT vec_id, cell, sim,
+              |    ROW_NUMBER() OVER (PARTITION BY cell
+              |      ORDER BY sim DESC, vec_id) AS rnk
+              |  FROM sc),
+              |pr AS (SELECT r.vec_id, r.cell, r.sim, r.rnk,
+              |    CAST(ceil(cn.n * 0.1) AS BIGINT) AS pn
+              |  FROM rk r JOIN cn USING (cell))
+              |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+              |  CAST(SUM(CASE WHEN rnk <= pn THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_pruned,
+              |  CAST(SUM(CASE WHEN rnk > pn
+              |    THEN CAST(sim AS DECIMAL(18,6)) END) AS DOUBLE)
+              |    AS sum_kept_sim
+              |FROM pr GROUP BY cell ORDER BY cell""".stripMargin))
   )
 }

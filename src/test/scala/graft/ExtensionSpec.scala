@@ -2406,6 +2406,22 @@ class ExtensionSpec extends SparkSuite {
       2L -> ((Some("kept"), Some("exact_dup")))), s"$got")
   }
 
+  test("d4PrototypePrune: per cell the pruned set is exactly the " +
+      "ceil(f*n) most prototypical by (sim desc, id)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.d4PrototypePrune(emb, nCells = 8, iters = 2,
+        fraction = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.count(_._4) > 0 && got.count(!_._4) > 0,
+      "fixture must prune some and keep some")
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      val pn = math.ceil(rows.length * 0.1).toInt
+      val expect = rows.sortBy(r => (-r._3, r._1)).take(pn).map(_._1).toSet
+      assert(rows.filter(_._4).map(_._1).toSet == expect,
+        s"cell $cell pruned set diverges from the reference cut")
+    }
+  }
+
   test("dsirGumbelTopK: sample keys match a JVM reference (md5-uniform " +
       "-> pinned Gumbel -> key), re-salting draws a different sample, " +
       "two runs are identical") {
