@@ -987,4 +987,42 @@ class PropertySpec extends SparkSuite {
       js >= 0.0 && js <= 0.693148 && js == js2
     })
   }
+
+  test("trained-classifier scorers: join-based == map-only bitwise on " +
+      "random corpora and random TRUNCATED weight tables") {
+    // the pipeline model gate swapped the join-based scorer for the
+    // map-only form — this property attacks that equivalence with
+    // arbitrary token streams AND weight tables missing arbitrary
+    // buckets (the vocabulary-shift contract must degrade identically)
+    val gen = for {
+      n <- Gen.chooseNum(1, 6)
+      texts <- Gen.listOfN(n, Gen.chooseNum(1, 12).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff",
+          "gg", "zz9", "q1", "##")).map(_.mkString(" "))))
+      keepBucket <- Gen.chooseNum(0, 7)
+    } yield (texts, keepBucket)
+    check("scorer-twin", Prop.forAll(gen) { case (texts, keepBucket) =>
+      val docs = frame(
+        "doc_id" -> texts.indices.map(_.toLong: Any).toList,
+        "lang" -> texts.indices.map(i =>
+          if (i % 2 == 0) "en" else "de").toList,
+        "text" -> texts)
+      val w = graft.ops.TextAnalysis.trainHashedWeights(docs,
+        col("lang") === "en", dims = 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val full = rows(graft.ops.TextAnalysis
+          .classifierScoreWithWeights(docs, w, dims = 8)) ==
+        rows(graft.ops.TextAnalysis
+          .classifierScoreWithWeightsMapOnly(docs, w, dims = 8))
+      // truncated table: only one bucket survives — absent buckets must
+      // contribute 0 identically in both forms
+      val wCut = w.filter(col("bucket") === keepBucket)
+      val cut = rows(graft.ops.TextAnalysis
+          .classifierScoreWithWeights(docs, wCut, dims = 8)) ==
+        rows(graft.ops.TextAnalysis
+          .classifierScoreWithWeightsMapOnly(docs, wCut, dims = 8))
+      full && cut
+    })
+  }
 }
