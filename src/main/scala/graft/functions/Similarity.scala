@@ -684,7 +684,9 @@ object Similarity {
     * core; the diverse tail is what improves training. (The complement
     * of [[centroidOutliers]], which surfaces the farthest.) Per cell:
     * sim = round-6 cosine to the OWN trained centroid, rank by
-    * (sim DESC, id ASC), pruned = rank <= ceil(fraction · n_cell).
+    * (sim DESC, id ASC), pruned = rank <= min(ceil(fraction · n_cell),
+    * n_cell − 1) — the cap keeps every cell's diverse tail nonempty (a
+    * small cell must shrink, never vanish; a singleton IS its own tail).
     * Returns every vector with (vec_id, cell, sim, pruned) — callers
     * filter `!pruned` for the D4-kept set or aggregate for the report.
     *
@@ -708,11 +710,16 @@ object Similarity {
         "cell")
       .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
       .select(col("vec_id"), col("cell"), col("sim"))
-    // ceil(n·f) in ONE double multiply — bit-identical in any engine
+    // ceil(n·f) in ONE double multiply — bit-identical in any engine —
+    // capped at n−1: D4 drops the redundant CORE and keeps the diverse
+    // tail, so a cell must never be eliminated whole (a singleton cell
+    // IS its own tail; uncapped, ceil would prune 100% of any cell with
+    // n <= 1/fraction — the round-15 advice finding)
     val counts = broadcast(scored.groupBy(col("cell"))
       .agg(count(lit(1)).as("_n"))
       .select(col("cell"),
-        ceil(col("_n") * lit(fraction)).cast("long").as("_pn")))
+        least(ceil(col("_n") * lit(fraction)).cast("long"),
+          col("_n") - 1).as("_pn")))
     graft.ops.Ranking.withGroupRanks(scored, "cell",
         Seq(("sim", false), ("vec_id", true)), "_rnk")
       .join(counts, "cell")

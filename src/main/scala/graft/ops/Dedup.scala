@@ -122,6 +122,27 @@ object Dedup {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** Mega-bucket guard for every banded candidate generator
+    * ([[lshCandidatePairs]], [[hashNearDupPairs]]): a (band_id, band_key)
+    * bucket of m members emits all m(m−1)/2 pairs only while m ≤ this
+    * cap; above it the bucket degrades to m−1 STAR EDGES against its
+    * min-id member (the hub). At web scale a template-page mega-cluster
+    * — same boilerplate, differing counters, so it SURVIVES exact dedup —
+    * routinely reaches 10⁴–10⁶ members sharing band keys, and one
+    * 10⁵-member bucket would otherwise fan out ~5·10⁹ candidate pairs
+    * before any verification gate can prune. Star edges keep the pair
+    * count O(m) while preserving exactly what [[clusterPairs]]' min-label
+    * propagation needs: every member stays connected to the bucket's
+    * min id, so a true mega-cluster still collapses to one cluster with
+    * the same min-id keeper. The tradeoff is explicit: members of an
+    * OVERFLOWING bucket are verified against the hub only, so a bucket
+    * that mixes several distinct clusters above the cap can miss
+    * non-hub pairs — [[bandBucketHistogram]] is the diagnostic that
+    * says whether any corpus bucket is in that regime. 1024 keeps the
+    * worst dense bucket at ≤ ~524k pairs per band key.
+    */
+  val DefaultMaxBucket = 1024
+
   /** MinHash permutation constants: one (a, b) pair per hash function for
     * the universal family h_i(x) = (a_i·x + b_i) mod P. P = 2^31 - 1;
     * a_i < 2^15 keeps a_i·(x mod P) < 2^46 — no overflow in any engine's
@@ -533,7 +554,11 @@ object Dedup {
     * (id + 32-char key) — tiny next to the signature computation above
     * it) is persisted across the two join sides, because Catalyst does
     * not reuse the exchange across their rename-only difference. The join
-    * key (band_id, band_key) spreads uniformly — md5 keys, no skew.
+    * key (band_id, band_key) spreads uniformly — md5 keys, no hash
+    * PARTITION skew — but bucket CARDINALITY is semantic (how many docs
+    * truly share a band key), so pair generation is bounded by the
+    * [[DefaultMaxBucket]] star-edge policy and diagnosed by
+    * [[bandBucketHistogram]].
     *
     * Cache LIFECYCLE (round-4 verdict): the candidate-pair edge list is
     * the DISTILLED output — orders of magnitude smaller than the corpus —
@@ -549,10 +574,11 @@ object Dedup {
     * checkpoint here cannot hide a join-shape regression.
     */
   def lshCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val stacked = stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Checkpoints.materialize(pairJoin(stacked, idCol))
+    val pairs = Checkpoints.materialize(pairJoin(stacked, idCol, maxBucket))
     stacked.unpersist()
     pairs
   }
@@ -562,8 +588,36 @@ object Dedup {
     * join before a caller can look at the plan). */
   private[graft] def lshCandidatePairsLazy(docs: DataFrame, bands: Int,
       rowsPerBand: Int, textCol: String = "text",
+      idCol: String = "doc_id",
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    pairJoin(stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol),
+      idCol, maxBucket)
+
+  /** Band-bucket cardinality DIAGNOSTIC — the "is any bucket in the
+    * star-edge regime" readout behind [[DefaultMaxBucket]]: for the
+    * given banding over `docs`, one row per observed bucket size m with
+    * the number of (band_id, band_key) buckets at that size, the dense
+    * pair mass m(m−1)/2 those buckets WOULD emit uncapped, and the pair
+    * mass the capped generator actually emits (star edges, m−1, above
+    * `maxBucket`). A corpus whose histogram tail crosses the cap is one
+    * where the near-dup stage is trading non-hub recall for boundedness
+    * — the signal to raise the cap, widen the banding, or pre-split the
+    * mega-cluster. Scale: one map-side-combined groupBy on the stacked
+    * band keys (the signature subtree runs once) and a second groupBy on
+    * the O(distinct sizes) frequency table — no joins, no pairs.
+    */
+  def bandBucketHistogram(docs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    pairJoin(stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol), idCol)
+    // all-integer arithmetic (DIV, not /): the pair-mass columns stay
+    // exact longs — m(m−1) is even, so DIV 2 is the true half
+    stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol)
+      .groupBy(col("bid"), col("bk")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("m").as("bucket_size"), col("n_buckets"),
+        expr("m * (m - 1) DIV 2 * n_buckets").as("n_dense_pairs"),
+        expr(s"CASE WHEN m > $maxBucket THEN m - 1 " +
+          "ELSE m * (m - 1) DIV 2 END * n_buckets").as("n_emitted_pairs"))
 
   private def stackedBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
       textCol: String, idCol: String): DataFrame = {
@@ -575,13 +629,32 @@ object Dedup {
       .select(col(idCol), col("band.bid").as("bid"), col("band.bk").as("bk"))
   }
 
-  private def pairJoin(stacked: DataFrame, idCol: String): DataFrame = {
-    val l = stacked.select(col("bid"), col("bk"), col(idCol).as("id_a"))
-    val r = stacked.select(col("bid"), col("bk"), col(idCol).as("id_b"))
-    l.join(r, Seq("bid", "bk"))
+  /** Candidate pairs from stacked (bid, bk, id) band keys under the
+    * [[DefaultMaxBucket]] mega-bucket policy: buckets at or under
+    * `maxBucket` self-join densely (every a < b pair); larger buckets
+    * emit m−1 star edges to their min-id hub. Bucket size and hub come
+    * from ONE window partitioned by (bid, bk) — the same key the dense
+    * self-join shuffles on, never a global window — so the guard costs
+    * one extra exchange-compatible pass over the (tiny) stacked frame.
+    */
+  private def pairJoin(stacked: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bid"), col("bk"))
+    val sized = stacked
+      .withColumn("_m", count(lit(1)).over(w))
+      .withColumn("_hub", min(col(idCol)).over(w))
+    val small = sized.filter(col("_m") <= maxBucket)
+    val l = small.select(col("bid"), col("bk"), col(idCol).as("id_a"))
+    val r = small.select(col("bid"), col("bk"), col(idCol).as("id_b"))
+    val densePairs = l.join(r, Seq("bid", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+    val starEdges = sized
+      .filter(col("_m") > maxBucket && col(idCol) =!= col("_hub"))
+      .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
+    densePairs.union(starEdges).distinct()
   }
 
   /** LSH candidate pairs VERIFIED by exact token-set Jaccard — the
@@ -596,9 +669,10 @@ object Dedup {
     */
   def verifiedCandidatePairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
       minJaccard: Double, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    jaccard(docs, lshCandidatePairs(docs, bands, rowsPerBand, textCol, idCol),
-        textCol, idCol)
+      idCol: String = "doc_id",
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccard(docs, lshCandidatePairs(docs, bands, rowsPerBand, textCol, idCol,
+        maxBucket), textCol, idCol)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"))
 
@@ -1051,9 +1125,10 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, nBits: Int, nBands: Int,
       maxHamming: Int, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     hashNearDupPairs(simhash(docs, nBits, textCol, idCol), "simhash",
-      nBits, nBands, maxHamming, idCol)
+      nBits, nBands, maxHamming, idCol, maxBucket)
   }
 
   /** Pigeonhole-banded Hamming near-dup pairs over ANY precomputed
@@ -1066,13 +1141,23 @@ object Dedup {
     * keeps only the extracted bits regardless of arithmetic-shift fill.
     * Scale: candidates per (band, value) bucket ≈ n/2^bandBits; narrow
     * bands (high thresholds) collide more — at corpus scale prefer wider
-    * bands with a lower threshold, the x31 tuning rule.
+    * bands with a lower threshold, the x31 tuning rule. Buckets over
+    * `maxBucket` degrade to star edges against the bucket's min-id hub
+    * ([[DefaultMaxBucket]]) — for those buckets the pigeonhole guarantee
+    * narrows to hub-relative pairs (a member within `maxHamming` of the
+    * hub is still caught; two non-hub members are linked only through
+    * the hub), the explicit boundedness-for-recall trade a mega-cluster
+    * of near-identical signatures forces. [[bandBucketHistogram]]'s
+    * analog here is the (bid, bv) groupBy any caller can run on the
+    * signature frame when tuning nBands.
     */
   def hashNearDupPairs(sig: DataFrame, hashCol: String, nBits: Int,
-      nBands: Int, maxHamming: Int, idCol: String = "doc_id"): DataFrame = {
+      nBands: Int, maxHamming: Int, idCol: String = "doc_id",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(nBits % nBands == 0, "bands must divide the signature width")
     require(maxHamming < nBands,
       "pigeonhole guarantee needs maxHamming < nBands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bandBits = nBits / nBands
     val mask = (1L << bandBits) - 1
     val stacked = sig.select(col(idCol), col(hashCol).as("_sig"),
@@ -1082,19 +1167,36 @@ object Dedup {
       }: _*)).as("band"))
       .select(col(idCol), col("_sig"),
         col("band.bid").as("bid"), col("band.bv").as("bv"))
-    val l = stacked.select(col("bid"), col("bv"),
+    // bucket size + hub row from ONE window on the join key itself; the
+    // min STRUCT is the min-id row (ids are unique within a bucket), so
+    // the hub's signature rides along for the star-edge hamming check
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bid"), col("bv"))
+    val sized = stacked
+      .withColumn("_m", count(lit(1)).over(w))
+      .withColumn("_hubrow", min(struct(col(idCol), col("_sig"))).over(w))
+    val small = sized.filter(col("_m") <= maxBucket)
+    val l = small.select(col("bid"), col("bv"),
       col(idCol).as("id_a"), col("_sig").as("sa"))
-    val r = stacked.select(col("bid"), col("bv"),
+    val r = small.select(col("bid"), col("bv"),
       col(idCol).as("id_b"), col("_sig").as("sb"))
     // hamming is a pure function of the pair, so filtering BEFORE the
     // distinct is equivalent — and shrinks the dedup shuffle from every
     // band-sharing candidate to just the qualifying pairs
-    l.join(r, Seq("bid", "bv"))
+    val densePairs = l.join(r, Seq("bid", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val starEdges = sized
+      .filter(col("_m") > maxBucket &&
+        col(idCol) =!= col("_hubrow").getField(idCol))
+      .select(col("_hubrow").getField(idCol).as("id_a"),
+        col(idCol).as("id_b"),
+        expr(s"CAST(bit_count(_hubrow._sig ^ _sig) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    densePairs.union(starEdges).distinct()
   }
 
   // ----------------------------------------------------------------------

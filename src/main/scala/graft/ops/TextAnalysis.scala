@@ -816,6 +816,11 @@ object TextAnalysis {
     * Scale: one tokenize pass; the weights join is broadcast (no
     * shuffle on the corpus side beyond the per-doc sum, which is
     * map-side combinable on the id).
+    *
+    * NULL-text contract (both scorer forms, spec-pinned): a document
+    * with a NULL `textCol` emits NO row — here the explode drops it
+    * naturally; the map-only twin filters explicitly so the two forms
+    * stay bitwise-equal on every input, not just non-null corpora.
     */
   def classifierScoreWithWeights(docs: DataFrame, weights: DataFrame,
       dims: Int = 64, textCol: String = "text",
@@ -851,8 +856,20 @@ object TextAnalysis {
     * whole-corpus shuffle the join-based scorer pays; it is also the
     * form an append-mode STREAM can run (no state store). Bitwise
     * equality between the two forms is spec-pinned (StreamingSpec's
-    * stream==batch twin compares exactly this pair). Absent buckets
-    * score 0 — the same train/serve vocabulary-shift contract.
+    * stream==batch twin compares exactly this pair; PropertySpec fuzzes
+    * it, null texts included). Absent buckets score 0 — the same
+    * train/serve vocabulary-shift contract. NULL-text docs emit no row
+    * (the explicit filter below — the join form drops them via its
+    * explode, and the twin contract holds on every input).
+    *
+    * EAGER by construction: the ≤dims-row weights table is collect()ed
+    * when this DataFrame is BUILT, not when it executes — building a
+    * plan over a weights frame whose lineage includes training will run
+    * that training job immediately. Pipeline callers are insulated
+    * ([[graft.ops.Pipeline]]'s modelGate memoizes the gated frame), but
+    * a caller composing plans lazily should pass a weights frame that is
+    * already materialized (parquet read / checkpoint), which is also
+    * the production serve shape.
     */
   def classifierScoreWithWeightsMapOnly(docs: DataFrame,
       weights: DataFrame, dims: Int = 64, textCol: String = "text",
@@ -867,7 +884,8 @@ object TextAnalysis {
       transform(split($textCol, ' '), t -> md5(t)),
       d -> coalesce(element_at(_wmap,
         pmod(${hexToIntSql("d", 8)}, ${dims}L)), 0L))"""
-    docs.withColumn("_wmap", typedLit(wMap))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("_wmap", typedLit(wMap))
       .select(col(idCol),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s"))

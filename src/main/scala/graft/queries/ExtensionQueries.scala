@@ -60,15 +60,62 @@ object ExtensionQueries {
        |${p}stacked AS ($stacked)""".stripMargin
   }
 
+  /** DuckDB replay of Dedup.pairJoin's mega-bucket star policy over a
+    * stacked (doc_id, bid, bk) CTE: dense a < b pairs for buckets at or
+    * under the cap, min-id star edges above it. Emits `<out>_sz` (the
+    * windowed bucket stats) and `out` (DISTINCT id_a, id_b).
+    */
+  private def cappedPairCtes(stackedCte: String, out: String,
+      materialized: Boolean = false,
+      cap: Int = Dedup.DefaultMaxBucket): String = {
+    val mat = if (materialized) " MATERIALIZED" else ""
+    s"""${out}_sz AS (SELECT doc_id, bid, bk,
+       |    COUNT(*) OVER (PARTITION BY bid, bk) AS zm,
+       |    MIN(doc_id) OVER (PARTITION BY bid, bk) AS zhub
+       |  FROM $stackedCte),
+       |$out AS$mat (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ${out}_sz a JOIN ${out}_sz b
+       |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |    AND a.zm <= $cap
+       |  UNION ALL
+       |  SELECT zhub AS id_a, doc_id AS id_b FROM ${out}_sz
+       |  WHERE zm > $cap AND doc_id <> zhub) u)""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.hashNearDupPairs' star policy over a stacked
+    * CTE carrying (doc_id, sig, bid, bv) columns (any names): emits `out`
+    * holding DISTINCT (id_a, id_b, hamming), already filtered at
+    * `maxHamming`. Star edges verify hamming against the bucket hub's
+    * signature, exactly like the Spark side.
+    */
+  private def cappedHammingCtes(stackedCte: String, out: String,
+      sig: String, bid: String, bv: String, maxHamming: Int,
+      cap: Int = Dedup.DefaultMaxBucket): String =
+    s"""${out}_sz AS (SELECT *,
+       |    COUNT(*) OVER (PARTITION BY $bid, $bv) AS zm,
+       |    MIN(doc_id) OVER (PARTITION BY $bid, $bv) AS zhub,
+       |    arg_min($sig, doc_id) OVER (PARTITION BY $bid, $bv) AS zhubsig
+       |  FROM $stackedCte),
+       |$out AS (SELECT DISTINCT id_a, id_b, hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.$sig, b.$sig)) AS BIGINT) AS hamming
+       |  FROM ${out}_sz a JOIN ${out}_sz b
+       |    ON a.$bid = b.$bid AND a.$bv = b.$bv AND a.doc_id < b.doc_id
+       |    AND a.zm <= $cap
+       |  UNION ALL
+       |  SELECT zhub AS id_a, doc_id AS id_b,
+       |    CAST(bit_count(xor(zhubsig, $sig)) AS BIGINT) AS hamming
+       |  FROM ${out}_sz WHERE zm > $cap AND doc_id <> zhub) u
+       |  WHERE hamming <= $maxHamming)""".stripMargin
+
   private def lshPairsCtes: String =
     // AS MATERIALIZED: pairs is referenced by every downstream consumer
     // (cluster rounds, jaccard stages) — without it DuckDB re-executes
     // the whole minhash chain per reference, which would flatter our
     // side of the bench comparison. Semantics unchanged.
     s"""${bandKeyCtes("", "")},
-       |pairs AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM stacked a JOIN stacked b ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+       |${cappedPairCtes("stacked", "pairs", materialized = true)}""".stripMargin
 
   /** DuckDB CTEs computing sig(doc_id, simhash) at `nBits`, shared by the
     * x05 signature query and the x31 banded near-dup query. */
@@ -259,10 +306,7 @@ object ExtensionQueries {
        |    ON md5(g.text) = k.h AND g.doc_id = k.keeper),
        |${bandKeyCtes(p, "", s"${p}exact",
            Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
-       |${p}rawpairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ${p}stacked a JOIN ${p}stacked b
-       |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |${cappedPairCtes(s"${p}stacked", s"${p}rawpairs")},
        |${p}jsets AS MATERIALIZED (SELECT DISTINCT doc_id,
        |    unnest(string_split(text, ' ')) AS tok FROM ${p}exact),
        |${p}jsizes AS (SELECT doc_id, COUNT(*) AS sz FROM ${p}jsets GROUP BY doc_id),
@@ -572,12 +616,9 @@ object ExtensionQueries {
               |stacked AS (SELECT doc_id, simhash, b.bid AS bid,
               |    (simhash >> (b.bid * 8)) & 255 AS bv
               |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(bid)),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-              |    CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-              |  FROM stacked a JOIN stacked c
-              |    ON a.bid = c.bid AND a.bv = c.bv AND a.doc_id < c.doc_id)
+              |${cappedHammingCtes("stacked", "cand", "simhash", "bid", "bv", 3)}
               |SELECT id_a, id_b, hamming FROM cand
-              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- x06: per-document text statistics --------------------------------
     QueryDef(
@@ -2132,9 +2173,7 @@ object ExtensionQueries {
               |  WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
               |${bandKeyCtes("w", "", "vsc",
                   Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
-              |rawpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM wstacked a JOIN wstacked b
-              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+              |${cappedPairCtes("wstacked", "rawpairs")},
               |wjset AS MATERIALIZED (SELECT DISTINCT doc_id,
               |    unnest(string_split(text, ' ')) AS tok FROM vsc),
               |wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wjset GROUP BY doc_id),
@@ -2931,7 +2970,7 @@ object ExtensionQueries {
             nBits = 64, nBands = 16, maxHamming = 11, idCol = "doc_id")
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
+      Some(s"""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
               |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
               |b AS (SELECT doc_id,
               |    ((15 - (o // 48)) // 2) * 8 + ((o % 48) // 3) // 2 AS cell,
@@ -2949,12 +2988,9 @@ object ExtensionQueries {
               |st AS (SELECT doc_id, phash, bb.band,
               |    (phash >> (bb.band * 4)) & 15 AS bv
               |  FROM ph, range(0, 16) bb(band)),
-              |p AS (SELECT l.doc_id AS id_a, rr.doc_id AS id_b,
-              |    CAST(bit_count(xor(l.phash, rr.phash)) AS BIGINT) AS hamming
-              |  FROM st l JOIN st rr
-              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
-              |SELECT DISTINCT id_a, id_b, hamming FROM p
-              |WHERE hamming <= 11 ORDER BY id_a, id_b""".stripMargin)),
+              |${cappedHammingCtes("st", "p", "phash", "band", "bv", 11)}
+              |SELECT id_a, id_b, hamming FROM p
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- x87: deterministic stride-scheduled interleave -------------------
     // The mixture's consumption order: source g's j-th doc keyed by
@@ -3030,7 +3066,7 @@ object ExtensionQueries {
             nBits = 64, nBands = 16, maxHamming = 4, idCol = "doc_id")
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
+      Some(s"""WITH media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
               |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
               |b AS (SELECT doc_id, o // 16 AS cell,
               |    CASE WHEN noise > 0 AND (o * 2654435761 + noise) % 101 = 0
@@ -3049,12 +3085,9 @@ object ExtensionQueries {
               |st AS (SELECT doc_id, ahash, bb.band,
               |    (ahash >> (bb.band * 4)) & 15 AS bv
               |  FROM ph, range(0, 16) bb(band)),
-              |p AS (SELECT l.doc_id AS id_a, rr.doc_id AS id_b,
-              |    CAST(bit_count(xor(l.ahash, rr.ahash)) AS BIGINT) AS hamming
-              |  FROM st l JOIN st rr
-              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id)
-              |SELECT DISTINCT id_a, id_b, hamming FROM p
-              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin)),
+              |${cappedHammingCtes("st", "p", "ahash", "band", "bv", 4)}
+              |SELECT id_a, id_b, hamming FROM p
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- x90: packed-bin segment map (attention spans / loss masks) -------
     // The consumer contract of x49's concat-and-split packing: per-bin
@@ -3725,10 +3758,7 @@ object ExtensionQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH ${bandKeyCtes("", " WHERE doc_id < 200")},
-              |tpairs AS MATERIALIZED (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM stacked a JOIN stacked b
-              |    ON a.bid = b.bid AND a.bk = b.bk AND a.doc_id < b.doc_id),
+              |${cappedPairCtes("stacked", "tpairs", materialized = true)},
               |media AS (SELECT doc_id, 31 + 2 * (doc_id // 4) AS mult,
               |    doc_id % 4 AS noise FROM documents WHERE doc_id < 200),
               |ib AS (SELECT doc_id,
@@ -3747,10 +3777,7 @@ object ExtensionQueries {
               |ist AS (SELECT doc_id, phash, bb.band,
               |    (phash >> (bb.band * 4)) & 15 AS bv
               |  FROM iph, range(0, 16) bb(band)),
-              |ipairs AS (SELECT DISTINCT l.doc_id AS id_a, rr.doc_id AS id_b
-              |  FROM ist l JOIN ist rr
-              |    ON l.band = rr.band AND l.bv = rr.bv AND l.doc_id < rr.doc_id
-              |  WHERE bit_count(xor(l.phash, rr.phash)) <= 11),
+              |${cappedHammingCtes("ist", "ipairs", "phash", "band", "bv", 11)},
               |upairs AS MATERIALIZED (
               |  SELECT id_a, id_b FROM tpairs
               |  UNION SELECT id_a, id_b FROM ipairs),
@@ -4243,7 +4270,7 @@ object ExtensionQueries {
               |      ORDER BY sim DESC, vec_id) AS rnk
               |  FROM sc),
               |pr AS (SELECT r.vec_id, r.cell, r.sim, r.rnk,
-              |    CAST(ceil(cn.n * 0.1) AS BIGINT) AS pn
+              |    LEAST(CAST(ceil(cn.n * 0.1) AS BIGINT), cn.n - 1) AS pn
               |  FROM rk r JOIN cn USING (cell))
               |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
               |  CAST(SUM(CASE WHEN rnk <= pn THEN 1 ELSE 0 END) AS BIGINT)
@@ -4251,6 +4278,32 @@ object ExtensionQueries {
               |  CAST(SUM(CASE WHEN rnk > pn
               |    THEN CAST(sim AS DECIMAL(18,6)) END) AS DOUBLE)
               |    AS sum_kept_sim
-              |FROM pr GROUP BY cell ORDER BY cell""".stripMargin))
+              |FROM pr GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // ---- x250: band-bucket cardinality histogram ---------------------------
+    // The mega-bucket diagnostic behind Dedup.DefaultMaxBucket: for the
+    // pipeline's default banding over the corpus, how many (band_id,
+    // band_key) buckets exist at each size, the dense pair mass they
+    // would emit uncapped, and what the capped generator actually emits
+    // (m−1 star edges above the cap). A histogram tail crossing the cap
+    // is the signal that the near-dup stage is trading non-hub recall
+    // for boundedness on this corpus. One groupBy over the stacked band
+    // keys + one over the O(distinct sizes) frequency table — no pairs.
+    QueryDef(
+      "x250_band_bucket_histogram",
+      (s, dir) =>
+        Dedup.bandBucketHistogram(Tables.documents(s, dir),
+            bands = Pipeline.DefaultBands,
+            rowsPerBand = Pipeline.DefaultRowsPerBand)
+          .orderBy(col("bucket_size")),
+      Some(s"""WITH ${bandKeyCtes("", "", "documents",
+                 Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand)},
+              |bsz AS (SELECT bid, bk, COUNT(*) AS m FROM stacked
+              |  GROUP BY bid, bk)
+              |SELECT m AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              |  m * (m - 1) // 2 * COUNT(*) AS n_dense_pairs,
+              |  (CASE WHEN m > ${Dedup.DefaultMaxBucket} THEN m - 1
+              |    ELSE m * (m - 1) // 2 END) * COUNT(*) AS n_emitted_pairs
+              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin))
   )
 }

@@ -2407,7 +2407,7 @@ class ExtensionSpec extends SparkSuite {
   }
 
   test("d4PrototypePrune: per cell the pruned set is exactly the " +
-      "ceil(f*n) most prototypical by (sim desc, id)") {
+      "min(ceil(f*n), n-1) most prototypical by (sim desc, id)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.d4PrototypePrune(emb, nCells = 8, iters = 2,
         fraction = 0.1).collect()
@@ -2415,11 +2415,32 @@ class ExtensionSpec extends SparkSuite {
     assert(got.count(_._4) > 0 && got.count(!_._4) > 0,
       "fixture must prune some and keep some")
     got.groupBy(_._2).foreach { case (cell, rows) =>
-      val pn = math.ceil(rows.length * 0.1).toInt
+      val pn = math.min(math.ceil(rows.length * 0.1).toInt, rows.length - 1)
       val expect = rows.sortBy(r => (-r._3, r._1)).take(pn).map(_._1).toSet
       assert(rows.filter(_._4).map(_._1).toSet == expect,
         s"cell $cell pruned set diverges from the reference cut")
     }
+  }
+
+  test("d4PrototypePrune never eliminates a cell whole: a singleton cell " +
+      "keeps its vector at any fraction (the diverse-tail contract)") {
+    // 4 identical vectors land in one cell; the 5th is orthogonal and
+    // forms a singleton cell — uncapped ceil(1*0.5)=1 would prune 100%
+    // of it
+    val emb = frame(
+      "vec_id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "embedding" -> Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 0.0),
+        Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val got = Similarity.d4PrototypePrune(emb, nCells = 2, iters = 1,
+        fraction = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.exists(!_._3), s"cell $cell was eliminated whole")
+    }
+    val singleton = got.groupBy(_._2).filter(_._2.length == 1)
+    assert(singleton.nonEmpty, "fixture must produce a singleton cell")
+    assert(singleton.values.forall(_.forall(!_._3)),
+      "a singleton cell's only vector must never be pruned")
   }
 
   test("dsirGumbelTopK: sample keys match a JVM reference (md5-uniform " +

@@ -996,9 +996,14 @@ class PropertySpec extends SparkSuite {
     // buckets (the vocabulary-shift contract must degrade identically)
     val gen = for {
       n <- Gen.chooseNum(1, 6)
-      texts <- Gen.listOfN(n, Gen.chooseNum(1, 12).flatMap(m =>
-        Gen.listOfN(m, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff",
-          "gg", "zz9", "q1", "##")).map(_.mkString(" "))))
+      texts <- Gen.listOfN(n, Gen.frequency(
+        // NULL text included: both forms must emit NO row for it (the
+        // pinned null-text contract — round-15 advice found the twin
+        // divergence exactly here)
+        1 -> Gen.const(null: String),
+        5 -> Gen.chooseNum(1, 12).flatMap(m =>
+          Gen.listOfN(m, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff",
+            "gg", "zz9", "q1", "##")).map(_.mkString(" ")))))
       keepBucket <- Gen.chooseNum(0, 7)
     } yield (texts, keepBucket)
     check("scorer-twin", Prop.forAll(gen) { case (texts, keepBucket) =>

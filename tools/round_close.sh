@@ -20,9 +20,11 @@ trap 'rm -rf "$OUT"' EXIT
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 
 echo "== [3/4] DuckDB oracle compare =="
-python3 tools/check.py /root/testdata/sf0.01 "$OUT" | tail -3
-python3 tools/check.py /root/testdata/sf0.01 "$OUT" 2>/dev/null \
-  | tail -1 | grep -q " 0 failed" || { echo "ORACLE MISMATCH"; exit 1; }
+# one run, captured: the grep reads the capture (check.py is the gate's
+# slowest step — round-15 advice: don't pay it twice / don't re-race it)
+CHECK_OUT=$(python3 tools/check.py /root/testdata/sf0.01 "$OUT" || true)
+echo "$CHECK_OUT" | tail -3
+echo "$CHECK_OUT" | grep -q " 0 failed" || { echo "ORACLE MISMATCH"; exit 1; }
 
 echo "== [4/4] bench smoke sf0.001 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 \
