@@ -307,21 +307,29 @@ object Pipeline {
 
   /** Per-document curation STATUS over one snapshot: `kept` or the gate
     * that removed the doc (`quality` / `exact_dup` / `near_dup` /
-    * `contaminated`) — the reason-only projection of the ledger, derived
-    * from the same memoized stage frames (id+flag left joins over the
-    * materialized survivor sets; the stages are monotone subsets, so the
-    * first missing stage IS the removing gate).
+    * `semantic_dup` / `contaminated`) — the reason-only projection of the
+    * ledger, derived from the same memoized stage frames (id+flag left
+    * joins over the materialized survivor sets; the stages are monotone
+    * subsets, so the first missing stage IS the removing gate). The
+    * `semantic_dup` status appears only when `embeddings` is given (the
+    * semantic near-dup stage is otherwise the identity).
     */
   def curationStatus(docs: DataFrame, evalSet: DataFrame,
       minQuality: Double = 0.3, maxSharedShingles: Long = 4L,
       minJaccard: Double = 0.5, bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       classifierWeights: Option[DataFrame] = None,
-      classifierDims: Int = 64): DataFrame = {
+      classifierDims: Int = 64,
+      embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
+      embedCells: Int = 8, embedIters: Int = 2,
+      embedSaltBuckets: Int = 1): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
       minJaccard, bands = bands, rowsPerBand = rowsPerBand,
       classifierWeights = classifierWeights,
-      classifierDims = classifierDims).toMap
+      classifierDims = classifierDims,
+      embeddings = embeddings, embedMinCosine = embedMinCosine,
+      embedCells = embedCells, embedIters = embedIters,
+      embedSaltBuckets = embedSaltBuckets).toMap
     def flag(stage: String, name: String) =
       stages(stage).select(col("doc_id"), lit(true).as(name))
     // the model flag is joined only when the gate is on; with the gate
@@ -331,7 +339,14 @@ object Pipeline {
       case Some(_) => docs.select(col("doc_id"))
         .join(flag("model_kept", "_m"), Seq("doc_id"), "left")
     }
-    withModel
+    // with embeddings off, semantic_kept ≡ neardup_kept, so `_s` is
+    // never null where `_n` is set and the branch below folds away
+    val withSem = embeddings match {
+      case None => withModel.withColumn("_s", lit(true))
+      case Some(_) => withModel
+        .join(flag("semantic_kept", "_s"), Seq("doc_id"), "left")
+    }
+    withSem
       .join(flag("quality_kept", "_g"), Seq("doc_id"), "left")
       .join(flag("exact_kept", "_e"), Seq("doc_id"), "left")
       .join(flag("neardup_kept", "_n"), Seq("doc_id"), "left")
@@ -341,6 +356,7 @@ object Pipeline {
           .when(col("_g").isNull, "quality")
           .when(col("_e").isNull, "exact_dup")
           .when(col("_n").isNull, "near_dup")
+          .when(col("_s").isNull, "semantic_dup")
           .when(col("_c").isNull, "contaminated")
           .otherwise("kept").as("status"))
   }

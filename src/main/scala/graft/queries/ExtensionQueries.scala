@@ -238,7 +238,8 @@ object ExtensionQueries {
   private def curationCtes(semantic: Boolean, cap: Option[Int] = None,
       lines: Boolean = false, p: String = "",
       corpusPred: String = "doc_id % 97 != 0",
-      corpusSql: Option[String] = None): String = {
+      corpusSql: Option[String] = None,
+      embSql: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"): String = {
     require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
     require(corpusSql.isEmpty || (cap.isEmpty && !lines),
       "corpus override composes with the plain pipeline only")
@@ -246,7 +247,7 @@ object ExtensionQueries {
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
     val semanticCtes = if (!semantic) "" else
       s"""${kmeansCtes(8, 2, s"${p}s",
-           s"""SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           s"""SELECT vec_id, e FROM ($embSql) zemb
              |  WHERE vec_id IN (SELECT doc_id FROM ${p}dedup)""".stripMargin)},
          |${p}spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM ${p}saf a JOIN ${p}saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -4304,6 +4305,167 @@ object ExtensionQueries {
               |  m * (m - 1) // 2 * COUNT(*) AS n_dense_pairs,
               |  (CASE WHEN m > ${Dedup.DefaultMaxBucket} THEN m - 1
               |    ELSE m * (m - 1) // 2 END) * COUNT(*) AS n_emitted_pairs
-              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin))
+              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin)),
+
+    // ---- x251: SEMANTIC-stage recall curve (x243's embedding analog) -------
+    // End-to-end deletion recall of the EMBEDDING near-dup stage: every
+    // 5th corpus doc plants one variant whose TEXT is token-disjoint
+    // (every token suffixed with the tier id — invisible to exact dedup
+    // and token LSH, the paraphrase shape only embeddings catch) and
+    // whose EMBEDDING sits at an exact planted cosine to the original:
+    // e' = c·ê + sqrt(1−c²)·ô with ô the Gram-Schmidt unit residual of
+    // a PER-DOC deterministic ±1 direction (md5 of "vec_id:dim" — the
+    // planeSigns construction) against ê, so cos(e, e') = c by
+    // construction AND different docs' variants get near-orthogonal
+    // perturbations (a shared fixed axis would make every variant a
+    // near-dup of every other variant through that axis). Tiers c =
+    // 0.95/0.8/0.6 sit above the pipeline's embedMinCosine = 0.4 and
+    // must fall to the semantic gate (when quantized into the original's
+    // cell); 0.2 sits below and must survive it. The variant id is
+    // offset +100M·tier so the original is always the min-id keeper.
+    // The oracle replays the planting (same arithmetic expression tree,
+    // so the doubles are bit-identical), the full 7-stage pipeline and
+    // the per-tier outcome counts — bitwise, not statistical.
+    // Scale shape: planting is a map-side projection; the pipeline cost
+    // is the audited x60 semantic backbone over a 1.2× corpus.
+    QueryDef(
+      "x251_semantic_recall_curve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val toPlant = base.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("_i"))
+        val variants = toPlant.select(
+          (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("_i").cast("string")))).as("text"))
+        val planted = base.unionByName(variants)
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        val pv = emb.join(
+            toPlant.select(col("doc_id").as("vec_id"), col("_i")), "vec_id")
+          .withColumn("_nrm", sqrt(Similarity.dot(col("e"), col("e"))))
+          .withColumn("_eh", transform(col("e"), x => x / col("_nrm")))
+          .withColumn("_r", transform(sequence(lit(1), size(col("e"))),
+            i => when(substring(md5(concat(col("vec_id").cast("string"),
+              lit(":"), i.cast("string"))), 1, 1) < "8", 1.0)
+              .otherwise(-1.0)))
+          .withColumn("_d", Similarity.dot(col("_r"), col("_eh")))
+          .withColumn("_w", zip_with(col("_r"), col("_eh"),
+            (ri, ei) => ri - col("_d") * ei))
+          .withColumn("_wn", sqrt(Similarity.dot(col("_w"), col("_w"))))
+          .withColumn("_c", when(col("_i") === 0, 0.95)
+            .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
+            .otherwise(0.2))
+          .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
+        val plantedEmb = emb
+          .unionByName(pv.select(
+            (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
+            zip_with(col("_eh"), col("_w"), (ei, wi) =>
+              col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
+          .select(col("vec_id").as("doc_id"), col("e").as("embedding"))
+        Pipeline.curationStatus(planted,
+            docs.filter(col("doc_id") % 97 === 0),
+            embeddings = Some(plantedEmb))
+          .withColumn("_t", expr("doc_id DIV 100000000"))
+          .withColumn("tier",
+            when(col("_t") === 0, "orig").when(col("_t") === 1, "0.95")
+              .when(col("_t") === 2, "0.8").when(col("_t") === 3, "0.6")
+              .otherwise("0.2"))
+          .groupBy(col("tier"))
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L))
+              .cast("long").as("n_kept"),
+            sum(when(col("status") === "semantic_dup", 1L).otherwise(0L))
+              .cast("long").as("n_semantic_dup"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .cast("long").as("n_near_dup"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .cast("long").as("n_exact_dup"),
+            sum(when(col("status") === "quality", 1L).otherwise(0L))
+              .cast("long").as("n_quality"),
+            sum(when(col("status") === "contaminated", 1L).otherwise(0L))
+              .cast("long").as("n_contaminated"))
+          .orderBy(col("tier"))
+      },
+      Some {
+        val plantedSql =
+          """SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+            |  UNION ALL
+            |  SELECT b.doc_id + 100000000 * (b.doc_id % 4 + 1) AS doc_id,
+            |    array_to_string(list_transform(string_split(text, ' '),
+            |      t -> t || '_' || CAST(b.doc_id % 4 AS VARCHAR)), ' ')
+            |      AS text
+            |  FROM documents b
+            |  WHERE b.doc_id % 97 != 0 AND b.doc_id % 5 = 1"""
+            .stripMargin
+        val plantedEmbSql =
+          """SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + 100000000 * (vec_id % 4 + 1) AS vec_id,
+            |    list_transform(generate_series(1, len(e)), i ->
+            |      c * eh[i] + sc * (w[i] / wn)) AS e
+            |  FROM (
+            |    SELECT *, sqrt(list_dot_product(w, w)) AS wn,
+            |      sqrt(1.0 - c * c) AS sc
+            |    FROM (
+            |      SELECT *, list_transform(generate_series(1, len(e)), i ->
+            |        r[i] - d * eh[i]) AS w
+            |      FROM (
+            |        SELECT *, list_dot_product(r, eh) AS d
+            |        FROM (
+            |          SELECT *, list_transform(generate_series(1, len(e)),
+            |            i -> CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) ||
+            |              ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+            |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS r
+            |          FROM (
+            |            SELECT *, list_transform(e, x -> x / nrm) AS eh
+            |            FROM (
+            |              SELECT vec_id, embedding::DOUBLE[] AS e,
+            |                CASE CAST(vec_id % 4 AS INT)
+            |                  WHEN 0 THEN 0.95::DOUBLE
+            |                  WHEN 1 THEN 0.8::DOUBLE WHEN 2 THEN 0.6::DOUBLE
+            |                  ELSE 0.2::DOUBLE END AS c,
+            |                sqrt(list_dot_product(embedding::DOUBLE[],
+            |                  embedding::DOUBLE[])) AS nrm
+            |              FROM embeddings
+            |              WHERE vec_id % 97 != 0 AND vec_id % 5 = 1) q1) q2)
+            |        q3) q4) q5) q6"""
+            .stripMargin
+        s"""${curationCtes(semantic = true,
+             corpusSql = Some(plantedSql), embSql = plantedEmbSql)},
+           |status AS (SELECT c.doc_id,
+           |    CASE WHEN g.doc_id IS NULL THEN 'quality'
+           |         WHEN e.doc_id IS NULL THEN 'exact_dup'
+           |         WHEN n.doc_id IS NULL THEN 'near_dup'
+           |         WHEN sm.doc_id IS NULL THEN 'semantic_dup'
+           |         WHEN cl.doc_id IS NULL THEN 'contaminated'
+           |         ELSE 'kept' END AS status
+           |  FROM corpus c
+           |  LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM sem) sm ON sm.doc_id = c.doc_id
+           |  LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id)
+           |SELECT CASE doc_id // 100000000 WHEN 0 THEN 'orig'
+           |    WHEN 1 THEN '0.95' WHEN 2 THEN '0.8' WHEN 3 THEN '0.6'
+           |    ELSE '0.2' END AS tier,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN status = 'semantic_dup' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_semantic_dup,
+           |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_near_dup,
+           |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_exact_dup,
+           |  CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_quality,
+           |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_contaminated
+           |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

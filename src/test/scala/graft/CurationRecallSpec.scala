@@ -127,4 +127,81 @@ class CurationRecallSpec extends SparkSuite {
       assert(r === solo, s"concurrent run $i diverged from solo x64")
     }
   }
+
+  /** Round-16 gate: SEMANTIC-stage recall at the pipeline's own
+    * embedMinCosine (x251's controlled-fixture twin). 24 base docs with
+    * near-orthogonal md5-sign embeddings (pairwise |cos| ~ 1/8; the "orig:"
+    * seed is verified collision-free — no native >= 0.4 pair confounds
+    * the tiers); each plants one variant
+    * at an EXACT cosine c = 0.95 / 0.8 / 0.6 (above the 0.4 gate → must
+    * fall to the semantic stage) or 0.2 (below → must survive). Variant
+    * text is token-disjoint, so only the embedding stage can catch it.
+    * embedCells = 1 isolates the cosine gate from quantizer boundary
+    * effects (x251 measures those at corpus scale, bitwise).
+    */
+  test("semantic recall gate: planted cosine tiers above embedMinCosine " +
+      "are deleted by the semantic stage, the below-gate tier survives") {
+    val dim = 64
+    val n = 24
+    def signVec(seed: String): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { d =>
+        val hex = md.digest(s"$seed:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+    }
+    val base = (1 to n).map { i =>
+      (i.toLong, (1 to 12).map(t => s"w${i}t$t").mkString(" "),
+        signVec(s"orig:$i"))
+    }
+    // the x251 planting, computed in the JVM: e' = c·ê + s·ô with ô the
+    // Gram-Schmidt residual of a per-doc md5 direction against ê
+    def plant(id: Long, e: Array[Double], c: Double): Array[Double] = {
+      val nrm = math.sqrt(e.map(x => x * x).sum)
+      val eh = e.map(_ / nrm)
+      val r = signVec(id.toString)
+      val d = r.zip(eh).map { case (a, b) => a * b }.sum
+      val w = r.zip(eh).map { case (a, b) => a - d * b }
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      val s = math.sqrt(1.0 - c * c)
+      eh.zip(w).map { case (ei, wi) => c * ei + s * (wi / wn) }
+    }
+    val tiers = Seq(0.95, 0.8, 0.6, 0.2)
+    val variants = base.map { case (id, _, e) =>
+      val c = tiers(((id - 1) % 4).toInt)
+      (id + 1000L, (1 to 12).map(t => s"v${id}t$t").mkString(" "),
+        plant(id, e, c), c)
+    }
+    // construction sanity: every planted pair sits at EXACTLY its tier
+    variants.foreach { case (vid, _, ev, c) =>
+      val e = base((vid - 1001L).toInt)._3
+      val cos = e.zip(ev).map { case (a, b) => a * b }.sum /
+        (math.sqrt(e.map(x => x * x).sum) * math.sqrt(ev.map(x => x * x).sum))
+      assert(math.abs(cos - c) < 1e-9, s"variant $vid cosine $cos != $c")
+    }
+    import spark.implicits._
+    val docs = (base.map(b => (b._1, b._2)) ++
+      variants.map(v => (v._1, v._2))).toDF("doc_id", "text")
+    val emb = (base.map(b => (b._1, b._3.toSeq)) ++
+      variants.map(v => (v._1, v._3.toSeq))).toDF("doc_id", "embedding")
+    val evalSet = Seq((900000L, "zz1 zz2 zz3 zz4 zz5 zz6"))
+      .toDF("doc_id", "text")
+    graft.ops.StageCache.clear()
+    val kept = Pipeline.curateStages(docs, evalSet,
+        embeddings = Some(emb), embedMinCosine = 0.4, embedCells = 1,
+        embedIters = 1).toMap.apply("semantic_kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    variants.foreach { case (vid, _, _, c) =>
+      if (c >= 0.4)
+        assert(!kept(vid),
+          s"variant $vid at cosine $c must fall to the semantic gate")
+      else
+        assert(kept(vid),
+          s"variant $vid at cosine $c sits below the gate and must survive")
+    }
+    base.foreach { case (id, _, _) =>
+      assert(kept(id), s"original $id must stay the min-id keeper")
+    }
+  }
 }
