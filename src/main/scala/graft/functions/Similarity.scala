@@ -572,6 +572,8 @@ object Similarity {
     * join the ≤poolSize pool with itself per query; the greedy loop
     * runs DRIVER-side on the collected ≤|queries|·poolSize² rows —
     * the bounded-query-audit posture (x10/x66), not a corpus pass.
+    * For corpus-side diverse-subset selection use [[cellDiverseTopK]]
+    * (same greedy arithmetic, distributed per trained cell).
     */
   def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       poolSize: Int = 10, lambda: Double = 0.7,
@@ -588,7 +590,7 @@ object Similarity {
     require(nq <= capQ,
       s"mmrTopK is a bounded-query audit: |queries| > $capQ at " +
         s"poolSize=$poolSize exceeds the 4e6 driver-pair cap; shrink the " +
-        s"query set or poolSize (corpus-side MMR needs the IVF path)")
+        s"query set or poolSize (corpus-side selection: cellDiverseTopK)")
     val pool = bruteForceTopK(queries, candidates, poolSize, idCol, embCol)
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     val withE = pool.join(
@@ -638,6 +640,100 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     out.toDF("query_id", "rk", "neighbor_id", "mmr")
+  }
+
+  /** CORPUS-SIDE diverse-subset selection — the distributed complement
+    * of [[mmrTopK]] (which is a driver-greedy bounded-QUERY audit) and
+    * the selection half of the D4 story ([[d4PrototypePrune]] drops the
+    * redundant core; this PICKS k diverse-but-central representatives
+    * per cell): within every trained k-means cell, greedy MMR with the
+    * CELL CENTROID as the relevance anchor — step 1 takes the most
+    * prototypical member, each later step the candidate maximizing
+    * λ·sim(centroid, d) − (1−λ)·max_{s∈S} sim(d, s). Returns
+    * (cell, rk, vec_id, mmr), exactly [[mmrTopK]]'s output with the
+    * cell as the query (spec-pinned equal to driver mmrTopK run with
+    * the centroid as an explicit query over the same pool).
+    *
+    * Scale shape — every stage is bounded or decomposed, NO driver
+    * collect and no cap on the corpus: the quantizer is the trained
+    * O(k·d) broadcast surface; relevance is a map-only pass; the
+    * per-cell candidate pool is the SALTED two-phase top-`poolSize`
+    * ([[graft.ops.Ranking.topKPerGroup]] — a hot cell never funnels one
+    * task); pairwise sims are a poolSize-bounded per-cell self-join
+    * computed by the same round-6 cosine expression as every other
+    * operator (never re-derived in JVM code); the greedy loop runs
+    * map-side on ONE bounded row per cell (≤ poolSize members +
+    * poolSize² pair sims). Selection candidacy is the top-central pool
+    * by construction — widen `poolSize` to let the greedy reach deeper
+    * into each cell's tail.
+    *
+    * Determinism: round-6 sims, exact-DECIMAL MMR combination and
+    * (score, id) tie-breaks — the [[mmrTopK]] arithmetic, per cell; the
+    * oracle unrolls the k greedy steps as generated DECIMAL CTEs.
+    */
+  def cellDiverseTopK(df: DataFrame, nCells: Int, iters: Int, k: Int,
+      poolSize: Int = 8, lambda: Double = 0.7,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= poolSize,
+      s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val cents = kmeansCentroids(df, nCells, iters, idCol, embCol)
+    val scored = vecs
+      .join(assignToCentroids(vecs, cents, "vec_id", "e"), "vec_id")
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))),
+        "cell")
+      .withColumn("sim", round(cosine(col("e"), col("ce")), 6))
+      .select(col("cell"), col("vec_id"), col("sim"), col("e"))
+    val pool = graft.ops.Ranking.topKPerGroup(scored, "cell", poolSize,
+        Seq(col("sim").desc, col("vec_id").asc),
+        saltCol = col("vec_id"), salts = 8)
+      .drop("rnk")
+    val a = pool.select(col("cell"), col("vec_id").as("_na"),
+      col("e").as("_ea"))
+    val b = pool.select(col("cell"), col("vec_id").as("_nb"),
+      col("e").as("_eb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("_na") < col("_nb"))
+      .select(col("cell"), col("_na"), col("_nb"),
+        round(cosine(col("_ea"), col("_eb")), 6).as("_ps"))
+    val memAgg = pool.groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("sim"))).as("_mem"))
+    val pairAgg = pairs.groupBy(col("cell"))
+      .agg(collect_list(struct(col("_na"), col("_nb"), col("_ps")))
+        .as("_prs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lamBD = BigDecimal(lambda)
+    val invBD = BigDecimal(1) - lamBD
+    memAgg.join(pairAgg, Seq("cell"), "left")
+      .select(col("cell"), col("_mem"),
+        coalesce(col("_prs"),
+          array().cast("array<struct<_na:bigint,_nb:bigint,_ps:double>>"))
+          .as("_prs"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (cell, mem, prs) =>
+        val psm = prs.map(p => (p._1, p._2) -> BigDecimal(p._3)).toMap
+        def ps(x: Long, y: Long): BigDecimal =
+          if (x < y) psm((x, y)) else psm((y, x))
+        val sel = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, BigDecimal)]
+        var remaining = mem.map(m => (m._1, BigDecimal(m._2))).toList
+        for (_ <- 1 to math.min(k, remaining.length)) {
+          val stepScores = remaining.map { case (id, sim) =>
+            val score = if (sel.isEmpty) lamBD * sim
+              else lamBD * sim - invBD * sel.map(s => ps(id, s._1)).max
+            (id, score)
+          }
+          val best = stepScores.reduceLeft { (x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x }
+          sel += ((best._1, best._2))
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        sel.zipWithIndex.map { case ((id, sc), i) =>
+          (cell, (i + 1).toLong, id,
+            sc.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }
+      .toDF("cell", "rk", "vec_id", "mmr")
   }
 
   def lshNearDupPairs(df: DataFrame, nPlanes: Int, dim: Int, minCosine: Double,

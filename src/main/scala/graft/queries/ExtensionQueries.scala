@@ -4466,6 +4466,82 @@ object ExtensionQueries {
            |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_contaminated
            |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ---- x252: distributed cell-local diverse selection --------------------
+    // The corpus-side D4 selection half (Similarity.cellDiverseTopK):
+    // per trained k-means cell, greedy MMR anchored at the cell
+    // centroid picks k = 3 diverse-but-central representatives from the
+    // salted top-8 pool. No driver collect anywhere — the greedy runs
+    // map-side on one bounded row per cell. The oracle replays the full
+    // quantizer (kmeansCtes), the pool cut, the pairwise round-6 sims
+    // and the unrolled 3-step DECIMAL greedy (the x215 construction,
+    // with the cell as the query).
+    QueryDef(
+      "x252_cell_diverse_topk",
+      (s, dir) =>
+        Similarity.cellDiverseTopK(Tables.embeddings(s, dir),
+            nCells = 8, iters = 2, k = 3, poolSize = 8, lambda = 0.7)
+          .orderBy(col("cell"), col("rk")),
+      Some {
+        val steps = (2 to 3).map { i =>
+          s"""gcand$i AS (SELECT c.cell, c.vec_id, c.sim FROM pool c
+             |  LEFT JOIN gsel${i - 1} x ON x.cell = c.cell
+             |    AND x.vec_id = c.vec_id
+             |  WHERE x.vec_id IS NULL),
+             |gmx$i AS (SELECT c.cell, c.vec_id, MAX(ps.ps) AS m
+             |  FROM gcand$i c JOIN gsel${i - 1} s
+             |    ON s.cell = c.cell
+             |  JOIN psim ps ON ps.cell = c.cell
+             |    AND ps.na = least(c.vec_id, s.vec_id)
+             |    AND ps.nb = greatest(c.vec_id, s.vec_id)
+             |  GROUP BY 1, 2),
+             |g$i AS (SELECT cell, vec_id, mmr FROM (
+             |  SELECT m.cell, m.vec_id,
+             |    CAST(0.7 AS DECIMAL(2,1)) * c.sim
+             |      - CAST(0.3 AS DECIMAL(2,1)) * m.m AS mmr,
+             |    ROW_NUMBER() OVER (PARTITION BY m.cell
+             |      ORDER BY CAST(0.7 AS DECIMAL(2,1)) * c.sim
+             |        - CAST(0.3 AS DECIMAL(2,1)) * m.m DESC, m.vec_id) AS rk
+             |  FROM gmx$i m JOIN pool c ON c.cell = m.cell
+             |    AND c.vec_id = m.vec_id) t
+             |  WHERE rk = 1),
+             |gsel$i AS (SELECT cell, vec_id FROM gsel${i - 1}
+             |  UNION ALL SELECT cell, vec_id FROM g$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${kmeansCtes(8, 2, "",
+               "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")},
+           |rel AS (SELECT a.vec_id, a.cell, a.e,
+           |    round(list_dot_product(a.e, c.ce)
+           |      / sqrt(list_dot_product(a.e, a.e)
+           |        * list_dot_product(c.ce, c.ce)), 6) AS sim
+           |  FROM af a JOIN c2 c ON c.cent_id = a.cell),
+           |pool AS (SELECT cell, vec_id,
+           |    CAST(sim AS DECIMAL(18,6)) AS sim, e FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY cell ORDER BY sim DESC, vec_id) AS rk
+           |  FROM rel) t WHERE rk <= 8),
+           |psim AS (SELECT a.cell, a.vec_id AS na, b.vec_id AS nb,
+           |    CAST(round(list_dot_product(a.e, b.e)
+           |      / sqrt(list_dot_product(a.e, a.e)
+           |        * list_dot_product(b.e, b.e)), 6) AS DECIMAL(18,6))
+           |      AS ps
+           |  FROM pool a JOIN pool b ON a.cell = b.cell
+           |    AND a.vec_id < b.vec_id),
+           |g1 AS (SELECT cell, vec_id,
+           |    CAST(0.7 AS DECIMAL(2,1)) * sim AS mmr FROM (
+           |  SELECT cell, vec_id, sim, ROW_NUMBER() OVER (
+           |    PARTITION BY cell ORDER BY sim DESC, vec_id) AS rk
+           |  FROM pool) t WHERE rk = 1),
+           |gsel1 AS (SELECT cell, vec_id FROM g1),
+           |$steps
+           |SELECT cell, CAST(1 AS BIGINT) AS rk, vec_id,
+           |  CAST(round(mmr, 6) AS DOUBLE) AS mmr FROM g1
+           |UNION ALL SELECT cell, CAST(2 AS BIGINT), vec_id,
+           |  CAST(round(mmr, 6) AS DOUBLE) FROM g2
+           |UNION ALL SELECT cell, CAST(3 AS BIGINT), vec_id,
+           |  CAST(round(mmr, 6) AS DOUBLE) FROM g3
+           |ORDER BY cell, rk""".stripMargin
       })
   )
 }

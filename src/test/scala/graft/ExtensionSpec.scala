@@ -2422,6 +2422,38 @@ class ExtensionSpec extends SparkSuite {
     }
   }
 
+  test("cellDiverseTopK (distributed, map-side greedy) == driver-greedy " +
+      "mmrTopK run per cell with the centroid as the query") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.cellDiverseTopK(emb, nCells = 2, iters = 2,
+        k = 3, poolSize = 8, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    // reference: per cell, driver mmrTopK with an explicit centroid
+    // query (id-offset so the self-pair exclusion can't bite) over
+    // exactly that cell's members
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cents = Similarity.kmeansCentroids(emb, 2, 2)
+    val cells = Similarity.assignToCentroids(vecs, cents, "vec_id", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val centArr = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    import spark.implicits._
+    val expect = cells.map(_._2).distinct.flatMap { cell =>
+      val memberIds = cells.filter(_._2 == cell).map(_._1).toSet
+      val members = emb.filter(col("vec_id").isInCollection(memberIds))
+      val q = Seq((cell + 100000L, centArr(cell)))
+        .toDF("vec_id", "embedding")
+      Similarity.mmrTopK(q, members, k = 3, poolSize = 8, lambda = 0.7)
+        .collect().map(r => (r.getLong(0) - 100000L, r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+    }.toSet
+    assert(got == expect,
+      s"cell-local diverge: extra=${got -- expect} missing=${expect -- got}")
+  }
+
   test("d4PrototypePrune never eliminates a cell whole: a singleton cell " +
       "keeps its vector at any fraction (the diverse-tail contract)") {
     // 4 identical vectors land in one cell; the 5th is orthogonal and
