@@ -61,18 +61,30 @@ object Pipeline {
     * corpus once. `None` ⇒ identity (the historical pipeline).
     */
   private def modelGate(docs: DataFrame,
-      classifierWeights: Option[DataFrame], dims: Int): DataFrame =
+      classifierWeights: Option[DataFrame], dims: Int,
+      keepBin: Option[Long] = None, bins: Int = 10): DataFrame =
     classifierWeights match {
       case None => docs
       case Some(wt) => StageCache.memo("curation_model", Seq(docs, wt),
-          Seq(dims)) {
+          Seq(dims, keepBin, bins)) {
         // MAP-ONLY scorer: the weights table is bounded (≤ dims rows),
         // so the gate costs one corpus pass with ZERO shuffle — the
         // join-based scorer would explode tokens and shuffle the whole
         // corpus on the id (bitwise-equal forms, spec-pinned)
-        Checkpoints.materialize(docs.join(
-          TextAnalysis.classifierScoreWithWeightsMapOnly(docs, wt, dims)
-            .filter(col("keep")).select("doc_id"),
+        val scored = TextAnalysis
+          .classifierScoreWithWeightsMapOnly(docs, wt, dims)
+        // keepBin: the CALIBRATED gate (x253) — keep documents whose
+        // round-6 sigmoid prob lands in reliability bin >= keepBin, the
+        // bin chosen from the isotonic-fitted curve
+        // (TextAnalysis.trainedScoreCalibration + isotonicFitBins), not
+        // the raw integer-sum sign. None = the historical sign gate.
+        val kept = keepBin match {
+          case None => scored.filter(col("keep"))
+          case Some(kb) => scored.filter(
+            least(floor(col("prob") * bins), lit(bins - 1).cast("long"))
+              .cast("long") >= kb)
+        }
+        Checkpoints.materialize(docs.join(kept.select("doc_id"),
           Seq("doc_id"), "left_semi"))
       }
     }
@@ -160,8 +172,11 @@ object Pipeline {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       classifierWeights: Option[DataFrame] = None,
-      classifierDims: Int = 64): Seq[(String, DataFrame)] = {
-    val gated = modelGate(docs, classifierWeights, classifierDims)
+      classifierDims: Int = 64,
+      classifierKeepBin: Option[Long] = None,
+      classifierBins: Int = 10): Seq[(String, DataFrame)] = {
+    val gated = modelGate(docs, classifierWeights, classifierDims,
+      classifierKeepBin, classifierBins)
     val (good, exact, _, deduped) =
       backbone(gated, minQuality, minJaccard, maxPerSource, bands, rowsPerBand)
 
@@ -226,11 +241,15 @@ object Pipeline {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       classifierWeights: Option[DataFrame] = None,
-      classifierDims: Int = 64): DataFrame = {
+      classifierDims: Int = 64,
+      classifierKeepBin: Option[Long] = None,
+      classifierBins: Int = 10): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
       minJaccard, bands = bands, rowsPerBand = rowsPerBand,
       classifierWeights = classifierWeights,
-      classifierDims = classifierDims).toMap
+      classifierDims = classifierDims,
+      classifierKeepBin = classifierKeepBin,
+      classifierBins = classifierBins).toMap
     val named = classifierWeights.map(_ => "model_kept" -> "n_model").toSeq ++
       Seq("quality_kept" -> "n_quality", "exact_kept" -> "n_exact",
         "neardup_kept" -> "n_neardup", "decontaminated_kept" -> "n_clean")

@@ -1136,8 +1136,17 @@ object TextAnalysis {
     * single map-only scan + ≤bins-group reduce; PAV itself is O(bins).
     */
   def isotonicCalibration(docs: DataFrame, dims: Int = 64,
-      bins: Int = 10): DataFrame = {
-    val rows = scoreCalibration(docs, dims, bins)
+      bins: Int = 10): DataFrame =
+    isotonicFitBins(scoreCalibration(docs, dims, bins))
+
+  /** The PAV fit over an ARBITRARY reliability-bin frame
+    * (`bin, n, n_pos` columns — [[scoreCalibration]]'s shape) — shared
+    * by [[isotonicCalibration]] (stand-in scorer) and the calibrated
+    * model gate ([[trainedScoreCalibration]]'s trained-scorer bins).
+    * Driver-side on the collected ≤bins rows, exact BigInt merge
+    * decisions (see [[isotonicCalibration]]'s contract). */
+  def isotonicFitBins(calib: DataFrame): DataFrame = {
+    val rows = calib
       .select(col("bin"), col("n"), col("n_pos"))
       .orderBy(col("bin")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1160,9 +1169,45 @@ object TextAnalysis {
       Seq.fill(b.bins)(b.sp.toDouble / b.sc.toDouble)).toSeq
     val out = rows.zip(fitted).map { case ((bin, n, p), f) =>
       (bin, n, p, r6(p.toDouble / n.toDouble), r6(f)) }
-    val spark = docs.sparkSession
+    val spark = calib.sparkSession
     import spark.implicits._
     out.toSeq.toDF("bin", "n", "n_pos", "pos_rate", "fitted")
+  }
+
+  /** Reliability diagram of the TRAINED scorer — [[scoreCalibration]]'s
+    * diagram computed over a real [[trainHashedWeights]] table instead
+    * of the stand-in inline weights, against an explicit `labelCol`:
+    * the input a calibrated MODEL GATE needs (train → score the labeled
+    * calibration set → bin → PAV → pick the threshold bin whose FITTED
+    * probability clears the precision target, not the raw score sign).
+    * Same output shape as scoreCalibration.
+    *
+    * Scale: the map-only scorer (one corpus pass, broadcast ≤dims-row
+    * weights) plus ONE id join to attach the label and a ≤bins-group
+    * map-side-combined rollup.
+    */
+  def trainedScoreCalibration(docs: DataFrame, weights: DataFrame,
+      labelCol: Column, dims: Int = 64, bins: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val scored = classifierScoreWithWeightsMapOnly(docs, weights, dims,
+      textCol, idCol)
+    val lab = docs.select(col(idCol),
+      labelCol.cast("boolean").cast("long").as("_pos"))
+    scored.join(lab, idCol)
+      .select(least(floor(col("prob") * bins), lit(bins - 1).cast("long"))
+          .cast("long").as("bin"),
+        col("prob").cast("decimal(18,6)").as("_p"), col("_pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_p")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_prob"),
+        sum(col("_pos")).as("n_pos"),
+        round(sum(col("_pos")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pos_rate"))
+      .select(col("bin"), col("n"), col("mean_prob"), col("n_pos"),
+        col("pos_rate"),
+        round(col("pos_rate") - col("mean_prob"), 6).as("gap"))
   }
 
   /** Top PPMI token co-occurrences: positive pointwise mutual

@@ -414,6 +414,85 @@ object ExtensionQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** x253: the CALIBRATED model-gated funnel — x247's composition with
+    * the gate threshold chosen from the calibrated curve instead of the
+    * raw score sign: the x244 train/score replay feeds the x137
+    * reliability bins over the pipeline corpus, the x205 PAV-minimax
+    * fit picks the smallest bin whose FITTED probability clears 0.5,
+    * and the corpus override keeps documents at or above that bin. The
+    * chosen bin rides along as `keep_bin` (scalar subselect over the
+    * materialized corpus — exact while the gate keeps at least one doc,
+    * which the fitted >= 0.5 bin guarantees on any corpus whose top bin
+    * is majority-positive). */
+  private def calibratedGateFunnelSql: String = {
+    val keepCorpus =
+      s"""WITH mt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |mb AS (SELECT doc_id, lang,
+         |    ${TextAnalysis.hexToIntSql("md5(tok)", 8)} % 32 AS bucket
+         |  FROM mt),
+         |mw AS (SELECT bucket, COUNT(*) AS n,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |  FROM mb GROUP BY 1),
+         |mg AS (SELECT SUM(n) AS gn, SUM(np) AS gnp FROM mw),
+         |mwm AS (SELECT bucket,
+         |    CAST((2 * np * 1000000 + n) // (2 * n)
+         |      - (2 * gnp * 1000000 + gn) // (2 * gn) AS BIGINT) AS wt
+         |  FROM mw CROSS JOIN mg),
+         |msc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(wt) AS BIGINT) AS s
+         |  FROM mb JOIN mwm USING (bucket)
+         |  WHERE doc_id % 97 != 0 GROUP BY doc_id),
+         |mprob AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(CAST(
+         |      (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+         |        * ((2 * abs(s) + n_tokens) // (2 * n_tokens))
+         |      AS DOUBLE) / 1000000.0))), 6) AS prob FROM msc),
+         |mbin AS (SELECT p.doc_id,
+         |    LEAST(CAST(floor(p.prob * 10) AS BIGINT),
+         |      CAST(9 AS BIGINT)) AS bin,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM mprob p JOIN documents d ON d.doc_id = p.doc_id),
+         |mbn AS (SELECT bin, COUNT(*) AS n,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    ROW_NUMBER() OVER (ORDER BY bin) AS i
+         |  FROM mbin GROUP BY bin),
+         |mpre AS (SELECT i, bin, n, n_pos,
+         |    CAST(SUM(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+         |    CAST(SUM(n_pos) OVER (ORDER BY i) AS BIGINT) AS cp
+         |  FROM mbn),
+         |mseg AS (SELECT a.i AS j, b.i AS k,
+         |    b.cp - a.cp + a.n_pos AS sp, b.cn - a.cn + a.n AS sc
+         |  FROM mpre a JOIN mpre b ON a.i <= b.i),
+         |minner AS (SELECT s.j, p.i,
+         |    MIN(CAST(s.sp AS DOUBLE) / CAST(s.sc AS DOUBLE)) AS mn
+         |  FROM mseg s JOIN mpre p ON s.j <= p.i AND p.i <= s.k
+         |  GROUP BY 1, 2),
+         |mfit AS (SELECT i, MAX(mn) AS f FROM minner GROUP BY i),
+         |mkb AS (SELECT COALESCE(MIN(bn.bin), 10) AS kb
+         |  FROM mbn bn JOIN mfit USING (i) WHERE round(mfit.f, 6) >= 0.5)
+         |SELECT b.doc_id, d2.text, mkb.kb FROM mbin b
+         |JOIN documents d2 ON d2.doc_id = b.doc_id
+         |CROSS JOIN mkb WHERE b.bin >= mkb.kb""".stripMargin
+    s"""${curationCtes(semantic = false, corpusSql = Some(keepCorpus))}
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_input,
+       |  CAST(COUNT(m.doc_id) AS BIGINT) AS n_model,
+       |  CAST(COUNT(g.doc_id) AS BIGINT) AS n_quality,
+       |  CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(n.doc_id) AS BIGINT) AS n_neardup,
+       |  CAST(COUNT(cl.doc_id) AS BIGINT) AS n_clean,
+       |  (SELECT CAST(MAX(kb) AS BIGINT) FROM corpus) AS keep_bin
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id FROM corpus) m ON m.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = d.doc_id
+       |LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 != 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
     Similarity.planeSigns(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
@@ -4542,6 +4621,40 @@ object ExtensionQueries {
            |UNION ALL SELECT cell, CAST(3 AS BIGINT), vec_id,
            |  CAST(round(mmr, 6) AS DOUBLE) FROM g3
            |ORDER BY cell, rk""".stripMargin
-      })
+      }),
+
+    // ---- x253: CALIBRATED model-gated funnel --------------------------------
+    // The calibration loop wired into the model gate (x247 upgraded):
+    // train the x244 weights, bin the TRAINED scorer's probabilities
+    // over the pipeline corpus against the label (x137's reliability
+    // diagram via TextAnalysis.trainedScoreCalibration), isotonic-fit
+    // the bins (x205's PAV), and gate at the smallest bin whose FITTED
+    // calibrated probability clears 0.5 — the threshold comes from the
+    // calibrated curve, not the raw score sign. The per-source funnel
+    // attributes the calibrated gate's drops alongside every other
+    // stage, with the chosen bin riding along as keep_bin. The
+    // threshold pick is a <= bins-row driver epilogue; everything
+    // corpus-scale stays the audited one-pass scorer + funnel chain.
+    QueryDef(
+      "x253_calibrated_gate_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        val w = TextAnalysis.trainHashedWeights(docs,
+          col("lang") === "en", dims = 32)
+        val fit = TextAnalysis.isotonicFitBins(
+          TextAnalysis.trainedScoreCalibration(corpus, w,
+            col("lang") === "en", dims = 32, bins = 10))
+        val kbRow = fit.filter(col("fitted") >= 0.5)
+          .agg(min(col("bin"))).head()
+        val kb = if (kbRow.isNullAt(0)) 10L else kbRow.getLong(0)
+        Pipeline.curationFunnel(corpus,
+            docs.filter(col("doc_id") % 97 === 0),
+            classifierWeights = Some(w), classifierDims = 32,
+            classifierKeepBin = Some(kb), classifierBins = 10)
+          .withColumn("keep_bin", lit(kb))
+          .orderBy(col("source"))
+      },
+      Some(calibratedGateFunnelSql))
   )
 }

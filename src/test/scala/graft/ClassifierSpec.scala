@@ -164,4 +164,39 @@ class ClassifierSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(accepted == aIds.toSet, s"append accepted $accepted")
   }
+
+  test("calibrated model gate (x253): the isotonic fit over the TRAINED " +
+      "scorer's bins is non-decreasing, and classifierKeepBin keeps " +
+      "exactly the docs whose prob bin clears the fitted threshold") {
+    // sf0.01: the smallest SF where some fitted bin clears 0.5 (the
+    // sf0.001 slice is all-below-threshold, which would gate nothing)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val w = TextAnalysis.trainHashedWeights(docs, col("lang") === "en",
+      dims = 32)
+    val fit = TextAnalysis.isotonicFitBins(
+        TextAnalysis.trainedScoreCalibration(corpus, w,
+          col("lang") === "en", dims = 32, bins = 10))
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    assert(fit.nonEmpty)
+    assert(fit.sliding(2).forall(p =>
+        p.length < 2 || p(0)._2 <= p(1)._2),
+      s"isotonic fit must be non-decreasing: ${fit.toSeq}")
+    val kb = fit.filter(_._2 >= 0.5).map(_._1).min
+    graft.ops.StageCache.clear()
+    val gated = graft.ops.Pipeline.curateStages(corpus,
+        docs.filter(col("doc_id") % 97 === 0),
+        classifierWeights = Some(w), classifierDims = 32,
+        classifierKeepBin = Some(kb)).toMap.apply("model_kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = TextAnalysis
+      .classifierScoreWithWeightsMapOnly(corpus, w, dims = 32)
+      .filter(least(floor(col("prob") * 10), lit(9L)).cast("long") >= kb)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == expect,
+      s"gate diverges: extra=${gated -- expect} missing=${expect -- gated}")
+    assert(gated.nonEmpty && gated.size < corpus.count(),
+      "fixture must gate a strict subset")
+  }
 }

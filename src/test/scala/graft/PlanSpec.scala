@@ -94,7 +94,8 @@ class PlanSpec extends SparkSuite {
     "x246_dsir_mixture", // dsirWeights: same ONE-ROW LM totals epilogue as x245
     "x247_model_gated_funnel", // trainHashedWeights' x244 epilogue inside the model gate
     "x248_dsir_gumbel_sample", // dsirWeights: same ONE-ROW LM totals epilogue as x245
-    "x249_d4_prune") // k-centroid broadcast (x17/x18 pattern) in the quantizer + own-centroid join
+    "x249_d4_prune", // k-centroid broadcast (x17/x18 pattern) in the quantizer + own-centroid join
+    "x252_cell_diverse_topk") // same k-centroid broadcast quantizer (x249's shape); pools/pairs are equi joins
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
