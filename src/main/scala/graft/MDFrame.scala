@@ -244,10 +244,16 @@ final case class MDFrame(
 
   /** frac= combined with weights/replace (the reference computes
     * n = round(frac·len) then delegates). The count is one cheap
-    * metadata-ish job; the sampling itself stays single-pass. */
+    * metadata-ish job (parquet row-group counts when the frame is a
+    * plain scan); at 100 TB with a transformed lineage it is one full
+    * pass — callers that already know the cardinality (a catalog
+    * row count, a previous action) should pass it via `rowCount`
+    * and skip the job entirely. The sampling itself stays single-pass.
+    */
   def sampleFracWeighted(frac: Double, weightCol: String,
-      replace: Boolean = false, seed: Long = 42L): MDFrame = {
-    val n = math.round(frac * ds.count()).toInt
+      replace: Boolean = false, seed: Long = 42L,
+      rowCount: Option[Long] = None): MDFrame = {
+    val n = math.round(frac * rowCount.getOrElse(ds.count())).toInt
     if (replace) sampleWeightedReplace(n, weightCol, seed)
     else sampleWeighted(n, weightCol, seed)
   }

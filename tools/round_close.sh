@@ -37,4 +37,31 @@ bad = [k for k, v in d['queries'].items() if v < 0]
 assert not bad, f'bench failures: {bad}'
 print(f'bench ok: {len(d[\"queries\"])} queries, wall {d[\"wall\"]:.1f}s')"
 
+# optional sf1 pair (GRAFT_SF1=1): refresh BENCH_sf1.json on the CURRENT
+# query surface + a same-session DuckDB number, so the committed scale
+# artifact can't go stale when queries land after the round's sf1 run
+# (round-15 verdict Next #3). Generates tmp/sf1 on first use.
+if [ "${GRAFT_SF1:-0}" = "1" ]; then
+  echo "== [opt] sf1 pair =="
+  [ -d tmp/sf1 ] || sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 tmp/sf1 10"
+  SPARK_GRAFT_SF_DIR=tmp/sf1 SPARK_GRAFT_QUIESCENT=0 \
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    SPARK_GRAFT_BENCH_OUT=BENCH_sf1.json \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+  python3 tools/time_oracle.py tmp/sf1 "$OUT" 10 | tee /tmp/sf1_oracle.out
+  python3 - <<'PY'
+import json
+d = json.load(open('BENCH_sf1.json'))
+bad = [k for k, v in d['queries'].items() if v < 0]
+assert not bad, f'sf1 bench failures: {bad}'
+first = next(l for l in open('/tmp/sf1_oracle.out') if l.startswith('total'))
+duck = float(first.split()[1])
+d['duckdb_total_sec'] = duck
+d['ratio_wall_vs_duckdb'] = round(d['wall'] / duck, 3)
+json.dump(d, open('BENCH_sf1.json', 'w'))
+print(f"sf1 pair: spark wall {d['wall']:.1f}s vs duckdb {duck:.1f}s "
+      f"= {d['ratio_wall_vs_duckdb']}x ({len(d['queries'])} queries)")
+PY
+fi
+
 echo "ROUND CLOSE: ALL GREEN"
