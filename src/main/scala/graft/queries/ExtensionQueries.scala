@@ -4438,13 +4438,24 @@ object ExtensionQueries {
             .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
             .otherwise(0.2))
           .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
-        val plantedEmb = emb
+        // MATERIALIZE both planted fixtures before they enter the
+        // pipeline: the Gram-Schmidt variant expression is a deeply
+        // nested transform/zip_with tree whose aliases Catalyst's
+        // CollapseProject INLINES on every reference — dragged through
+        // the Lloyd iterations and the same-cell join it multiplies into
+        // an exponentially-sized plan (measured: 349 s quiescent at
+        // sf0.1 un-materialized vs ~14 s for the same pipeline in x60;
+        // DuckDB's CTEs don't inline and run the whole query in 3 s).
+        // One evaluation here, plain columns downstream — planted
+        // doubles are computed once so the oracle compare is unchanged.
+        val plantedEmb = graft.ops.Checkpoints.materialize(emb
           .unionByName(pv.select(
             (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
             zip_with(col("_eh"), col("_w"), (ei, wi) =>
               col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
-          .select(col("vec_id").as("doc_id"), col("e").as("embedding"))
-        Pipeline.curationStatus(planted,
+          .select(col("vec_id").as("doc_id"), col("e").as("embedding")))
+        Pipeline.curationStatus(
+            graft.ops.Checkpoints.materialize(planted),
             docs.filter(col("doc_id") % 97 === 0),
             embeddings = Some(plantedEmb))
           .withColumn("_t", expr("doc_id DIV 100000000"))
