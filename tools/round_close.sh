@@ -37,6 +37,32 @@ bad = [k for k, v in d['queries'].items() if v < 0]
 assert not bad, f'bench failures: {bad}'
 print(f'bench ok: {len(d[\"queries\"])} queries, wall {d[\"wall\"]:.1f}s')"
 
+# optional sf0.1 per-query regression gate (GRAFT_SF01=1): run the full
+# gated-SF bench (concurrent wall + quiescent per-query), write
+# BENCH_LOCAL.json, and compare each query's QUIESCENT time against the
+# last committed BENCH_LOCAL.json (>3x and >2s fails). The round-16
+# lesson: the sf0.001 smoke above cannot see a plan-shape landmine that
+# costs 349 s at sf0.1 (x251's un-materialized planted-fixture tree) —
+# only a per-query diff at the gated SF can.
+if [ "${GRAFT_SF01:-0}" = "1" ]; then
+  echo "== [opt] sf0.1 per-query regression gate =="
+  if git cat-file -e HEAD:BENCH_LOCAL.json 2>/dev/null; then
+    git show HEAD:BENCH_LOCAL.json > /tmp/bench_local_baseline.json
+  else
+    rm -f /tmp/bench_local_baseline.json
+  fi
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json \
+    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+  if [ -f /tmp/bench_local_baseline.json ]; then
+    python3 tools/bench_regress.py /tmp/bench_local_baseline.json \
+      BENCH_LOCAL.json
+  else
+    echo "no committed BENCH_LOCAL.json baseline yet — recording one"
+  fi
+fi
+
 # optional sf1 pair (GRAFT_SF1=1): refresh BENCH_sf1.json on the CURRENT
 # query surface + a same-session DuckDB number, so the committed scale
 # artifact can't go stale when queries land after the round's sf1 run
