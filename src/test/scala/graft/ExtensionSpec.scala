@@ -1231,6 +1231,85 @@ class ExtensionSpec extends SparkSuite {
       s"salting failed to spread the hot cell: $maxGroup of $maxCell")
   }
 
+  test("bandedNearDupPairs: identical vectors pair in every band; every " +
+      "emitted pair is exact-cosine verified (precision == brute force)") {
+    // 10 deterministic 4-d vectors + one planted identical pair (1, 2)
+    val rows = (0 until 10).map { i =>
+      val e: Seq[Double] =
+        if (i == 2) Seq(1.0, 2.0, -1.0, 0.5)
+        else Seq(math.sin(i + 1.0), math.cos(2.0 * i), 0.3 * i - 1.0, 1.0)
+      (i.toLong, e)
+    }
+    val vecs = frame("vec_id" -> rows.map(_._1), "embedding" -> rows.map(_._2))
+      .withColumn("embedding",
+        when(col("vec_id") === 1L, typedLit(Seq(1.0, 2.0, -1.0, 0.5)))
+          .otherwise(col("embedding")))
+    val banded = Similarity.bandedNearDupPairs(vecs, nBands = 4,
+        planesPerBand = 3, dim = 4, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical vectors agree with every hyperplane → collide in all bands
+    assert(banded.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"identical pair missing from $banded")
+    // precision is EXACT: banded pairs ⊆ brute-force pairs at the gate
+    val brute = vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .crossJoin(vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")), 6))
+      .filter(col("sim") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(brute),
+      s"banded emitted an unverified pair: ${banded.diff(brute)}")
+  }
+
+  test("bandedNearDupPairs mega-bucket: m identical vectors over the cap " +
+      "emit m-1 star edges (not m(m-1)/2) and still one cluster") {
+    val m = 12
+    val vecs = frame(
+      "vec_id" -> (0 until m).map(_.toLong),
+      "embedding" -> Seq.fill(m)(Seq(1.0, 2.0, -1.0, 0.5)))
+    val pairs = Similarity.bandedNearDupPairs(vecs, nBands = 3,
+      planesPerBand = 4, dim = 4, minCosine = 0.9, maxBucket = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every band's single bucket has m = 12 > 4 members → star edges to
+    // the min-id hub only, deduped across bands: exactly m - 1 pairs
+    assert(got == (1 until m).map(i => (0L, i.toLong)).toSet,
+      s"expected ${m - 1} hub edges, got $got")
+    // min-label propagation still collapses the mega-cluster to one
+    val clusters = ops.Dedup.clusterPairs(
+        pairs.select(col("id_a"), col("id_b")), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0 until m).forall(i => clusters.getOrElse(i.toLong, i.toLong) == 0L),
+      s"star edges must keep the cluster connected: $clusters")
+  }
+
+  test("pipeline banded semantic mode == cell mode on a fixture both " +
+      "catch: same keeper, same survivors, no-vector doc passes through") {
+    val docs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L, 4L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet cyan magenta white",
+        "dog cat bird fish horse cow sheep goat pig duck"))
+    val embs = frame(
+      "doc_id" -> Seq[Any](1L, 2L, 3L),
+      "embedding" -> Seq(
+        Seq(1.0, 0.0, 0.01, 0.0),
+        Seq(1.0, 0.0, 0.01, 0.0), // identical → collides in every band
+        Seq(0.0, 1.0, 0.0, 0.0)))
+    val evalSet = docs.filter(lit(false))
+    def kept(bands: Int) = collectCol[Long](
+      ops.Pipeline.curateStages(docs, evalSet, embeddings = Some(embs),
+          embedMinCosine = 0.9, embedCells = 2, embedIters = 1,
+          embedBands = bands, embedPlanesPerBand = 4, embedDim = 4)
+        .toMap.apply("semantic_kept").select("doc_id"), "doc_id").toSet
+    assert(kept(0) == Set(1L, 3L, 4L), "cell mode: 2 deduped to keeper 1")
+    assert(kept(2) == Set(1L, 3L, 4L),
+      "banded mode must agree on an identical-embedding dup")
+  }
+
   test("lineDedup skew stress: a line repeated across every document does " +
       "not serialize the keep-first shuffle (map-side WindowGroupLimit), " +
       "staying within a factor of a uniform corpus") {
