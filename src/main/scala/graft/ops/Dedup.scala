@@ -965,6 +965,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Bucket-pressure histogram over a PREBUILT ingest corpus state
+    * (round-16 verdict Next #8): bucket size → bucket count, straight
+    * off the state frame an ingest gate already holds
+    * ([[corpusBandDocs]]' `bk`,
+    * [[graft.functions.Similarity.corpusEmbeddingBuckets]]' `bucket`) —
+    * no minhash/LSH recomputation, no batch diagnostic pass. A bucket
+    * of size m costs every colliding arrival m residual verifications
+    * (`sum(bucket_size · n_buckets)` over the tail = the worst-case
+    * per-arrival verify mass), so a growing tail here says the banding
+    * shape needs more rows/planes per band BEFORE the gate slows down.
+    */
+  def corpusStatePressure(state: DataFrame,
+      keyCols: Seq[String] = Seq("bk")): DataFrame =
+    state.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_buckets"))
+      .select(col("m").as("bucket_size"), col("n_buckets"),
+        expr("m * n_buckets").as("n_state_rows"))
+
   /** Jaccard-VERIFIED near-dup rejection against a corpus band state —
     * the execution-mode-NEUTRAL core under both the streaming ingest gate
     * ([[graft.streaming.StreamingWindows.streamingVerifiedNearDupFilter]])

@@ -519,7 +519,10 @@ object ExtensionQueries {
       planeOffset: Int = 0): String =
     Similarity.planeSigns(planeOffset + nPlanes, dim).drop(planeOffset)
       .zipWithIndex.map { case (plane, p) =>
-      s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
+      // 1L: the Spark side (stackedEmbeddingBandKeys) shifts longs and
+      // allows planesPerBand up to 62 — an Int shift here would silently
+      // overflow past p = 30 and diverge from the plan it replays
+      s"(CASE WHEN list_dot_product($embExpr, ${planeSqlArray(plane)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Stacked (doc_id, bid, bk) sign-LSH band keys over a vector CTE —
@@ -831,13 +834,30 @@ object ExtensionQueries {
               |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin)),
 
     // ---- x12: embedding near-dup pairs via LSH buckets + exact check ------
+    // The synthetic embeddings hold no natural >= 0.5-cosine pair at the
+    // oracle SF, which made this oracle entry vacuous (0 rows on both
+    // engines — round-16 verdict Next #6). Two PLANTED duplicates
+    // (vec 1 and 2 re-emitted under +10^8 ids) guarantee same-bucket
+    // collisions at sim 1.0, so the oracle now checks the whole pair
+    // machinery — bucket equi-join, exact round-6 cosine verify,
+    // threshold — on a non-empty result.
     QueryDef(
       "x12_embedding_neardup",
-      (s, dir) =>
-        Similarity.lshNearDupPairs(Tables.embeddings(s, dir), 12, 64, 0.5)
-          .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-              |  ${lshBucketSql(12, 64, "embedding::DOUBLE[]")} AS bucket FROM embeddings)
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.unionByName(
+          emb.filter(col("vec_id").isin(1L, 2L))
+            .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+              col("embedding")))
+        Similarity.lshNearDupPairs(planted, 12, 64, 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH pe AS (SELECT vec_id, embedding FROM embeddings
+              |  UNION ALL SELECT vec_id + 100000000, embedding
+              |  FROM embeddings WHERE vec_id IN (1, 2)),
+              |b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+              |  ${lshBucketSql(12, 64, "embedding::DOUBLE[]")} AS bucket FROM pe)
               |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
               |  round(list_dot_product(a.e, c.e)
               |    / sqrt(list_dot_product(a.e, a.e) * list_dot_product(c.e, c.e)), 6) AS sim
@@ -4598,7 +4618,41 @@ object ExtensionQueries {
               |  m * (m - 1) // 2 * COUNT(*) AS n_dense_pairs,
               |  (CASE WHEN m > ${Dedup.DefaultMaxBucket} THEN m - 1
               |    ELSE m * (m - 1) // 2 END) * COUNT(*) AS n_emitted_pairs
-              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin))
+              |FROM bsz GROUP BY m ORDER BY bucket_size""".stripMargin)),
+
+    // ---- x256: banded recall at the PRODUCTION tuning rule ------------------
+    // x254 measures the banded-OR trade at the experiment-scale 4×8
+    // shape (mid-tier recall drops to the documented curve); THIS query
+    // runs the same planted tiers at the shape the tuning rule derives
+    // for a real corpus — hold r = 8 (buckets of a few vectors at this
+    // n) and raise bands to 16, so the OR-curve 1−(1−p^r)^b recovers
+    // ≈0.9999 at cosine 0.95 and ≈0.94 at 0.8 — and proves AS EVIDENCE
+    // (bitwise, oracle-replayed) that banding's recall loss is a knob,
+    // not a tax: the tuned shape matches or beats the dense cell mode's
+    // per-tier deletions while keeping O(n·bands) candidate generation.
+    // Read the three curves together: x251 (dense) / x254 (4×8) / x256
+    // (16×8) on the identical planted corpus.
+    QueryDef(
+      "x256_semantic_lsh_recall_tuned",
+      (s, dir) => plantedSemanticRecall(s, dir, embedBands = 16,
+        planesPerBand = 8),
+      Some(plantedSemanticRecallSql(semanticBands = Some((16, 8))))),
+
+    // ---- x257: banded chain at the CORPUS-SCALE shape (the sf10 probe) -----
+    // The tuning rule r ≈ log2(n/B) derives 16 planes per band for the
+    // ~200k-vector sf10 corpus (buckets of a few vectors; 8 bands hold
+    // recall at the high tier) — the shape whose sf10 measurement
+    // replaces x251's dense 277.9 s chain in BENCH_sf10.json. Its HOME
+    // SF is the probe artifact; at the sf0.01 oracle SF the same shape
+    // over-shards (600 vectors into 2^16 buckets/band → near-zero
+    // mid-tier collisions) and the per-tier rows document exactly that
+    // end of the r-curve, bitwise — the rule says r must FOLLOW n, and
+    // this query is the committed evidence in both directions.
+    QueryDef(
+      "x257_semantic_recall_banded_scale",
+      (s, dir) => plantedSemanticRecall(s, dir, embedBands = 8,
+        planesPerBand = 16),
+      Some(plantedSemanticRecallSql(semanticBands = Some((8, 16)))))
   )
 
   /** x251/x254 shared experiment: plant one token-disjoint text variant
@@ -4608,7 +4662,9 @@ object ExtensionQueries {
     * perturb near-orthogonally), run the full semantic pipeline, and
     * roll up per-tier outcome counts. `embedBands` = 0 runs the dense
     * same-cell (trained-quantizer) candidate mode; > 0 runs the banded
-    * sign-LSH mode at 8 planes per band. Both planted fixtures are
+    * sign-LSH mode at `planesPerBand` planes per band (x254 = 4×8, the
+    * experiment shape; x256 = 16×8, the tuning-rule shape). Both
+    * planted fixtures are
     * MATERIALIZED before the pipeline: the nested Gram-Schmidt
     * expression tree otherwise gets inlined by CollapseProject on every
     * reference and multiplies through the Lloyd iterations into an
@@ -4616,7 +4672,8 @@ object ExtensionQueries {
     * sf0.1; DuckDB's CTEs don't inline and run the same query in 3 s).
     */
   private def plantedSemanticRecall(s: org.apache.spark.sql.SparkSession,
-      dir: String, embedBands: Int): org.apache.spark.sql.DataFrame = {
+      dir: String, embedBands: Int,
+      planesPerBand: Int = 8): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text"))
@@ -4655,7 +4712,8 @@ object ExtensionQueries {
         graft.ops.Checkpoints.materialize(planted),
         docs.filter(col("doc_id") % 97 === 0),
         embeddings = Some(plantedEmb),
-        embedBands = embedBands, embedPlanesPerBand = 8, embedDim = 64)
+        embedBands = embedBands, embedPlanesPerBand = planesPerBand,
+        embedDim = 64)
       .withColumn("_t", expr("doc_id DIV 100000000"))
       .withColumn("tier",
         when(col("_t") === 0, "orig").when(col("_t") === 1, "0.95")

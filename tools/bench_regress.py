@@ -7,17 +7,23 @@ plan-shape landmine can cost 2 s and hide; at sf0.1 the same query read
 the driver's 2x wall gate. This comparator makes the committed sf0.1
 baseline (BENCH_LOCAL.json) mechanically enforceable: any query whose
 QUIESCENT time grew by more than RATIO x AND by more than ABS_S seconds
-fails the gate. New queries (absent from the baseline) are reported but
-never fail — they have no baseline to regress from.
+fails the gate. Also failing (round-16 ADVICE — a crash must not pass a
+regression gate): a query recorded as FAILED (-1.0) in the candidate
+while the baseline ran it, and a query present in the baseline but
+absent from the candidate entirely. New queries (absent from the
+baseline) are reported but never fail — they have no baseline to
+regress from.
 
 Usage: tools/bench_regress.py <baseline.json> <candidate.json>
-Exit 1 on regression, 0 otherwise.
+Exit 1 on regression/failure/missing query, 0 otherwise.
 """
 import json
+import os
 import sys
 
 RATIO = 3.0
 ABS_S = 2.0
+USAGE = "usage: tools/bench_regress.py <baseline.json> <candidate.json>"
 
 
 def quiescent(path):
@@ -30,25 +36,48 @@ def quiescent(path):
 
 
 def main():
+    if len(sys.argv) != 3:
+        sys.exit(USAGE)
+    for p in sys.argv[1:3]:
+        if not os.path.isfile(p):
+            sys.exit(f"{p}: no such file\n{USAGE}")
     base, cand = quiescent(sys.argv[1]), quiescent(sys.argv[2])
-    bad, new = [], []
+    bad, new, failed = [], [], []
     for name, sec in sorted(cand.items()):
         if name not in base:
             new.append((name, sec))
+        elif sec < 0 <= base[name]:
+            # Bench records a crashed query as -1.0; "sec > base*RATIO"
+            # alone would wave it through silently
+            failed.append((name, base[name]))
         elif sec > base[name] * RATIO and sec - base[name] > ABS_S:
             bad.append((name, base[name], sec))
+    missing = sorted(set(base) - set(cand))
     for name, sec in new:
         print(f"NEW  {name}: {sec:.1f}s (no baseline)")
+    for name, b in failed:
+        print(f"FAILED  {name}: baseline {b:.1f}s -> candidate CRASHED "
+              "(-1.0; see Bench stderr for the exception)")
+    for name in missing:
+        print(f"MISSING  {name}: in baseline ({base[name]:.1f}s) but "
+              "absent from candidate")
     for name, b, c in bad:
         print(f"REGRESSED  {name}: {b:.1f}s -> {c:.1f}s "
               f"({c / b:.1f}x, +{c - b:.1f}s)")
-    total_b = sum(base.values())
-    total_c = sum(cand.values())
+    total_b = sum(v for v in base.values() if v >= 0)
+    total_c = sum(v for v in cand.values() if v >= 0)
     print(f"quiescent_total: baseline {total_b:.1f}s vs candidate "
           f"{total_c:.1f}s ({len(base)} vs {len(cand)} queries)")
+    problems = []
     if bad:
-        print(f"FAIL: {len(bad)} per-query regression(s) past "
-              f"{RATIO}x and +{ABS_S}s")
+        problems.append(f"{len(bad)} per-query regression(s) past "
+                        f"{RATIO}x and +{ABS_S}s")
+    if failed:
+        problems.append(f"{len(failed)} crashed quer(ies)")
+    if missing:
+        problems.append(f"{len(missing)} missing quer(ies)")
+    if problems:
+        print("FAIL: " + "; ".join(problems))
         sys.exit(1)
     print("bench regression gate: OK")
 

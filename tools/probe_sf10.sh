@@ -9,7 +9,12 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF10=${1:-tmp/sf10}
-QUERIES=${2:-q01_pricing_summary,q14_join_nway_revenue,x03_minhash_lsh,x54_curation_shard_map,x61_corpus_append}
+# default = the committed BENCH_sf10.json surface: TPC-H-ish heavy
+# aggs/joins, the token-dedup chains, the pipeline chains, and the
+# SEMANTIC trio — x251 (dense cell mode), x254 (banded 4x8), x257
+# (banded at the sf10 tuning-rule shape 8x16) — so the artifact prices
+# the dense chain NEXT TO its bounded replacement (round-16 Next #3)
+QUERIES=${2:-q01_pricing_summary,q14_join_nway_revenue,x03_minhash_lsh,x18_ivf_topk,x54_curation_shard_map,x61_corpus_append,x112_curation_transitions,x246_dsir_mixture,x247_model_gated_funnel,x251_semantic_recall_curve,x252_cell_diverse_topk,x254_semantic_lsh_recall,x257_semantic_recall_banded_scale}
 if [ ! -d "$SF10" ]; then
   echo "== generating $SF10 (GenScale sf0.1 x100) =="
   sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 $SF10 100"

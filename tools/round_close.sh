@@ -7,6 +7,10 @@
 #   2. graft.Verify @ sf0.01    — every query dumped to parquet
 #   3. tools/check.py           — bitwise DuckDB oracle compare
 #   4. graft.Bench @ sf0.001    — bench surface smoke (JSON line parses)
+#   5. graft.Bench @ sf0.1      — per-query quiescent regression gate vs
+#                                 the committed BENCH_LOCAL.json
+#                                 (DEFAULT-ON; GRAFT_SKIP_SF01=1 skips —
+#                                 dev loops only, never the pre-snapshot run)
 # Exits non-zero on the first failure. Usage: tools/round_close.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -37,30 +41,39 @@ bad = [k for k, v in d['queries'].items() if v < 0]
 assert not bad, f'bench failures: {bad}'
 print(f'bench ok: {len(d[\"queries\"])} queries, wall {d[\"wall\"]:.1f}s')"
 
-# optional sf0.1 per-query regression gate (GRAFT_SF01=1): run the full
-# gated-SF bench (concurrent wall + quiescent per-query), write
-# BENCH_LOCAL.json, and compare each query's QUIESCENT time against the
-# last committed BENCH_LOCAL.json (>3x and >2s fails). The round-16
-# lesson: the sf0.001 smoke above cannot see a plan-shape landmine that
-# costs 349 s at sf0.1 (x251's un-materialized planted-fixture tree) —
-# only a per-query diff at the gated SF can.
-if [ "${GRAFT_SF01:-0}" = "1" ]; then
-  echo "== [opt] sf0.1 per-query regression gate =="
+# sf0.1 per-query regression gate — DEFAULT-ON (round-16 verdict Next
+# #5: the x251 landmine passed two round-closes because this was
+# opt-in). Runs the full gated-SF bench (concurrent wall + quiescent
+# per-query), writes BENCH_LOCAL.json, and compares each query's
+# QUIESCENT time against the last committed BENCH_LOCAL.json (>3x and
+# >2s fails; a crashed or missing query also fails). The sf0.001 smoke
+# above cannot see a plan-shape landmine that costs 349 s at sf0.1
+# (x251's un-materialized planted-fixture tree) — only a per-query diff
+# at the gated SF can. Escape hatch (quick dev loops ONLY, never the
+# pre-snapshot run): GRAFT_SKIP_SF01=1.
+if [ "${GRAFT_SKIP_SF01:-0}" != "1" ]; then
+  echo "== [5/5] sf0.1 per-query regression gate =="
   if git cat-file -e HEAD:BENCH_LOCAL.json 2>/dev/null; then
     git show HEAD:BENCH_LOCAL.json > /tmp/bench_local_baseline.json
   else
     rm -f /tmp/bench_local_baseline.json
   fi
+  # keep Bench stderr: the 'quiescent FAILED' lines are the only place
+  # the exception text lands (round-16 ADVICE — don't discard them)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json \
-    sbt -batch "runMain graft.Bench" >/dev/null 2>&1
+    sbt -batch "runMain graft.Bench" >/dev/null 2>/tmp/bench_sf01_err.log \
+    || { echo "sf0.1 bench run itself failed:"; tail -20 /tmp/bench_sf01_err.log; exit 1; }
+  grep "FAILED" /tmp/bench_sf01_err.log || true
   if [ -f /tmp/bench_local_baseline.json ]; then
     python3 tools/bench_regress.py /tmp/bench_local_baseline.json \
       BENCH_LOCAL.json
   else
     echo "no committed BENCH_LOCAL.json baseline yet — recording one"
   fi
+else
+  echo "== [5/5] sf0.1 regression gate SKIPPED (GRAFT_SKIP_SF01=1) =="
 fi
 
 # optional sf1 pair (GRAFT_SF1=1): refresh BENCH_sf1.json on the CURRENT
