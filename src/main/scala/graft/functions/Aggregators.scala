@@ -63,4 +63,40 @@ object Aggregators {
   }
 
   def topK(k: Int) = org.apache.spark.sql.functions.udaf(new TopK(k), Encoders.DOUBLE)
+
+  /** Elementwise sum of equal-length LONG arrays — the fixed-point
+    * centroid accumulator ([[graft.functions.Similarity.kmeansCentroids]]):
+    * long addition is exact and order-independent, so partials merge
+    * map-side in any order with a bit-identical result. Buffer is one
+    * d-length array per (group × mapper) — the whole point: a Lloyd
+    * iteration shuffles k·d longs per task instead of exploding the
+    * corpus to n·d component rows. Null/empty inputs are skipped;
+    * mismatched lengths fail loudly (a silent truncation would corrupt
+    * every centroid component after the shorter vector).
+    */
+  class SumLongArrays extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+    def zero: Seq[Long] = Vector.empty
+    private def add(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"SumLongArrays: mismatched lengths ${a.length} != ${b.length}")
+        val out = new Array[Long](a.length)
+        var i = 0
+        while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    def reduce(b: Seq[Long], a: Seq[Long]): Seq[Long] =
+      if (a == null) b else add(b, a)
+    def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = add(x, y)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  val sumLongArrays = org.apache.spark.sql.functions.udaf(new SumLongArrays,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
 }

@@ -191,54 +191,80 @@ object Similarity {
     * in one double expression. Every iteration is therefore bit-identical
     * in Spark and DuckDB, so even the trained quantizer is oracle-checked.
     *
-    * Scale: each iteration is one broadcast-assign pass + one
-    * (cell,pos)-keyed aggregation — O(n·d) rows shuffled on a uniform key,
-    * centroids stay tiny. Empty cells keep their previous centroid. At
-    * production scale add checkpointing every few iterations to cut
-    * lineage; the dataflow per iteration is unchanged.
+    * Scale: each iteration is ONE job — a map-only fused
+    * (argmax assignment + fixed-point quantize) pass into a single
+    * per-cell elementwise array-sum aggregation
+    * ([[Aggregators.sumLongArrays]]: map-side combine leaves k·d longs
+    * per task at the exchange, never n·d component rows). Centroids
+    * live on the driver between passes (O(k·d) — the MLlib pattern),
+    * so no lineage accumulates across iterations. Empty cells keep
+    * their previous centroid via a driver lookup.
     */
   def kmeansCentroids(df: DataFrame, nCells: Int, iters: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e"))
-    var cents = vecs.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // map-only assignment fused into the component explode: no
-    // per-iteration assignment frame, no join back on vec_id — the
-    // only shuffle per Lloyd iteration is the (cell, pos) aggregation
-    var cs = collectCentroids(cents)
-    for (_ <- 1 to iters if cs.nonEmpty) {
-      val comp = vecs
-        .select(nearestCell(col("e"), cs).as("cell"), posexplode(col("e")))
-        .toDF("cell", "pos", "comp")
-      val sums = comp.groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("comp") * 1000000.0).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .withColumn("m", col("s").cast("double") / 1000000.0 / col("n"))
-      val fresh = sums.groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"), expr("transform(pm, x -> x.m)").as("ce"))
-      val next = cents.alias("o")
-        .join(fresh.alias("f"), col("o.cent_id") === col("f.cent_id"), "left")
-        .select(col("o.cent_id"), coalesce(col("f.ce"), col("o.ce")).as("ce"))
-      // Centroids are O(k·d) BY DESIGN — materialize them each iteration
-      // (exactly what Spark MLlib's KMeans does): without this, iteration
-      // i's plan embeds i full passes over the data, and the later
-      // literal-fold would re-trigger them all.
-      cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1), next.schema)
-      cs = collectCentroids(cents)
-    }
-    cents
+    kmeansCentroidSeq(df, nCells, iters, idCol, embCol).toDF("cent_id", "ce")
   }
 
-  /** IVF assignment against k-means-trained centroids. */
+  /** The Lloyd loop with centroids living DRIVER-SIDE between passes —
+    * O(k·d) by design, exactly what Spark MLlib's KMeans does. ONE job
+    * per iteration (the (cell, pos) sum aggregation, whose map side
+    * fuses the nearest-centroid argmax and the component explode); the
+    * empty-cell keep-previous rule is a driver Map lookup, not a join.
+    * Internal consumers take this Seq directly so the whole trained
+    * family adds zero extra jobs beyond init + iters.
+    */
+  private[graft] def kmeansCentroidSeq(df: DataFrame, nCells: Int,
+      iters: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val vecs = df.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("e"))
+    var cs = collectCentroids(vecs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").cast("long").as("cent_id"), col("e").as("ce")))
+    var it = 0
+    while (it < iters && cs.nonEmpty) {
+      // ONE exchange per iteration: quantize each vector to fixed-point
+      // longs map-side and sum them ELEMENTWISE per cell
+      // (Aggregators.sumLongArrays — exact, order-independent long
+      // addition, k·d-long buffers). The previous shape posexploded the
+      // corpus to n·d (cell, pos, comp) rows through a (cell, pos) agg
+      // plus a second collect_list exchange — 64× the rows and twice
+      // the barriers for the same bits.
+      val fresh = vecs
+        .select(nearestCell(col("e"), cs).as("cell"),
+          transform(col("e"), x => floor(x * 1000000.0).cast("long"))
+            .as("q"))
+        .groupBy(col("cell"))
+        .agg(Aggregators.sumLongArrays(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          // same IEEE ops as the old per-(cell,pos) expression:
+          // long -> double, / 1e6, / n
+          r.getLong(0) -> r.getSeq[Long](1)
+            .map(v => v.toDouble / 1000000.0 / n.toDouble)
+        }.toMap
+      // empty cells keep their previous centroid (the old left-join
+      // coalesce, as a driver lookup); order stays cent_id-sorted
+      cs = cs.map { case (cid, ce) => (cid, fresh.getOrElse(cid, ce)) }
+      it += 1
+    }
+    cs
+  }
+
+  /** IVF assignment against k-means-trained centroids — map-only over
+    * the driver-side trained Seq (no centroid frame, no extra jobs). */
   def ivfAssignKmeans(df: DataFrame, nCells: Int, iters: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    assignToCentroids(
-      df.select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("e")),
-      kmeansCentroids(df, nCells, iters, idCol, embCol), "vec_id", "e")
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cs = kmeansCentroidSeq(df, nCells, iters, idCol, embCol)
+    if (cs.isEmpty)
+      df.select(col(idCol).as("vec_id"), lit(null).cast("long").as("cell"))
+        .limit(0)
+    else df.select(col(idCol).as("vec_id"),
+      nearestCell(col(embCol).cast("array<double>"), cs).as("cell"))
+  }
 
   /** Simplified (centroid-based) silhouette — the clustering-quality
     * gate for the k-means cells: per vector, a = cosine distance to
@@ -263,7 +289,7 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val vecs = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("e"))
-    val cs = collectCentroids(kmeansCentroids(df, nCells, iters, idCol, embCol))
+    val cs = kmeansCentroidSeq(df, nCells, iters, idCol, embCol)
     if (cs.isEmpty)
       return vecs.select(lit(null).cast("long").as("cell"),
         lit(0L).as("n_vecs"), lit(0L).as("n_scored"),
@@ -371,8 +397,7 @@ object Similarity {
       minCosine: Double, idCol: String = "vec_id",
       embCol: String = "embedding", saltBuckets: Int = 1): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    val cs = collectCentroids(
-      kmeansCentroids(df, nCells, iters, idCol, embCol))
+    val cs = kmeansCentroidSeq(df, nCells, iters, idCol, embCol)
     // map-only cell column — no assignment frame, no join back on
     // vec_id: the candidate join on (cell[, salt]) is the first shuffle
     val b = withNearestCell(
@@ -426,8 +451,7 @@ object Similarity {
       col(embCol).cast("array<double>").as("e"))
     val ev = evalSet.select(col(idCol).as("eval_id"),
       col(embCol).cast("array<double>").as("ee"))
-    val cs = collectCentroids(
-      kmeansCentroids(corpus, nCells, iters, idCol, embCol))
+    val cs = kmeansCentroidSeq(corpus, nCells, iters, idCol, embCol)
     // both sides get their cell MAP-ONLY (no assignment join) from the
     // same corpus-trained quantizer literals
     val cv = withNearestCell(v, col("e"), cs)
@@ -791,7 +815,7 @@ object Similarity {
       s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
     val vecs = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("e"))
-    val cs = collectCentroids(kmeansCentroids(df, nCells, iters, idCol, embCol))
+    val cs = kmeansCentroidSeq(df, nCells, iters, idCol, embCol)
     // cell + own-centroid sim in ONE map-only pass (no assignment join,
     // no centroid re-join — the argmax struct carries both)
     val scored = withNearestCellSim(vecs, col("e"), cs)
@@ -1003,7 +1027,7 @@ object Similarity {
       s"fraction must be in (0,1), got $fraction")
     val vecs = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("e"))
-    val cs = collectCentroids(kmeansCentroids(df, nCells, iters, idCol, embCol))
+    val cs = kmeansCentroidSeq(df, nCells, iters, idCol, embCol)
     // cell + own-centroid sim in ONE map-only pass (no assignment join,
     // no centroid re-join — the argmax struct carries both)
     val scored = withNearestCellSim(vecs, col("e"), cs)
