@@ -16,26 +16,26 @@ class PlanSpec extends SparkSuite {
     *    baseline; IVF is the scale path),
     *  - q43/q49/x22/x39 crossJoin a broadcast ONE-ROW global-aggregate
     *    frame (scalar-subquery shape),
-    *  - x17/x18/x28 broadcast the k-centroid set (O(k·d), the MLlib
-    *    pattern).
+    *  - x18/x173/x174 crossJoin the bounded query probe set against the
+    *    broadcast k-centroid / m·k-codebook frame (O(k·d)).
+    * The centroid ASSIGNMENT family (x17/x28/x44/x60/x81/x84/x195/
+    * x249/x252…) left this list in round 17: assignment is a map-only
+    * literal argmax now — those plans contain NO join at all, and the
+    * dedicated assignment-subplan test below pins that shape.
     * Anything NOT in this list that plans a nested loop is a regression.
     */
   private val bnljByDesign = Set(
     "x10_knn_bruteforce", "q43_above_avg_parts", "q49_idle_customers",
     "x22_tfidf", "x39_unigram_logprob",
-    "x17_ivf_assign", "x18_ivf_topk", "x28_kmeans_ivf", "x44_semantic_neardup",
-    "x23_percentiles", "x24_histogram", "x27_approx_stats",
+    "x18_ivf_topk", // probe list: query set x broadcast k-centroid frame (bounded)
     "x57_length_buckets", // broadcast ONE-ROW count (scalar-subquery shape)
-    "x60_curation_semantic", // k-means centroid broadcast (x44's stage inside)
     "x62_bigram_logprob", // broadcast ONE-ROW vocabulary size
     "x66_quantized_recall", // x10's broadcast-queries shape, quantized twin
     "x72_temperature_weights", // two ONE-ROW totals broadcast (x57 pattern)
     "x74_temperature_mix", // x72's scalar broadcasts inside the weight join
     "x79_dsir_weights", // two ONE-ROW LM totals broadcast (x57 pattern)
     "x80_vocab_coverage", // broadcast ONE-ROW corpus total onto k rows
-    "x81_semantic_decontam", // k-means centroid broadcast (x44's stage)
     "x83_ccnet_buckets", // x39's ONE-ROW corpus total inside the scorer
-    "x84_cluster_balanced", // k-means centroid broadcast (x44's stage)
     "x95_kmv_distinct", // broadcast ONE-ROW corpus n_exact onto the merged row (x57 pattern)
     "x103_vocab_drift", // broadcast ONE-ROW snapshot totals onto the term table (x57 pattern)
     "x125_source_entropy", // broadcast ONE-ROW corpus grand total onto the term table (x57 pattern)
@@ -54,7 +54,6 @@ class PlanSpec extends SparkSuite {
     "x163_hll_distinct", // two ONE-ROW frames (register rollup x exact count)
     "x164_ks_test", // ONE-ROW totals onto the cum table + ONE-ROW sup (x57 pattern)
     "x165_chi2_independence", // bounded |a| x |b| categorical grid from broadcast marginals
-    "x172_pq_codes", // per-block k=8 centroid broadcasts (x17/x18 pattern, O(k*subDim) each)
     "x173_pq_recall", // k-centroid broadcasts + broadcast m*k-row LUT x bounded query probe set
     "x174_ivfpq_topk", // coarse + per-block centroid broadcasts, broadcast probe/LUT frames (bounded)
     "x177_psi_drift", // broadcast ONE-ROW cut array + ONE-ROW totals (x57 pattern)
@@ -63,7 +62,6 @@ class PlanSpec extends SparkSuite {
     "x188_mutual_info", // broadcast ONE-ROW corpus total onto the bounded cell grid (x57 pattern)
     "x189_brr_ci", // broadcast ONE-ROW grand totals onto <= B replicate rows (x57 pattern)
     "x191_variance_ratio", // broadcast |qs|-ROW q list onto the span-bounded grid (x57 pattern)
-    "x195_silhouette", // k-means centroid broadcast (x28's pattern) for the top-2 sim window
     "x196_conversion_lag", // broadcast ONE-ROW converters total onto <= ~40 bucket rows (x57 pattern)
     "x201_cramers_v", // chiSquare's bounded |a|x|b| grid from broadcast marginals (x165 pattern)
     "x202_wasserstein", // broadcast ONE-ROW totals + ONE-ROW term sum (x164's ksTest pattern)
@@ -73,7 +71,6 @@ class PlanSpec extends SparkSuite {
     "x208_kmv_join_est", // one-row estimate/exact frames crossJoined (x57 pattern, all bounded)
     "x211_cuped", // broadcast ONE-ROW pooled-moment frame onto <= |variants| rows (x57 pattern)
     "x213_brier", // broadcast ONE-ROW totals onto <= bins rows (x57 pattern)
-    "x215_mmr_topk", // broadcasts the fixed query set (x10's brute-force pool shape)
     "x220_diff_in_diff", // broadcast ONE-ROW split-day bounds frame (x57 pattern)
     "x224_woe_iv", // broadcast ONE-ROW n/class-total/iv frames onto <= bins rows (x57 pattern)
     "x225_quantile_norm", // broadcast ONE-ROW reference-count frame onto the rank table (x57 pattern)
@@ -92,10 +89,7 @@ class PlanSpec extends SparkSuite {
     "x244_trained_classifier", // trainHashedWeights: ONE-ROW global base-rate crossJoined onto <= dims bucket rows (x57 pattern)
     "x245_dsir_selection", // dsirTopK: ONE-ROW LM totals crossJoined onto <= buckets rows (x79's x57 pattern)
     "x246_dsir_mixture", // dsirWeights: same ONE-ROW LM totals epilogue as x245
-    "x247_model_gated_funnel", // trainHashedWeights' x244 epilogue inside the model gate
-    "x248_dsir_gumbel_sample", // dsirWeights: same ONE-ROW LM totals epilogue as x245
-    "x249_d4_prune", // k-centroid broadcast (x17/x18 pattern) in the quantizer + own-centroid join
-    "x252_cell_diverse_topk") // same k-centroid broadcast quantizer (x249's shape); pools/pairs are equi joins
+    "x248_dsir_gumbel_sample") // dsirWeights: same ONE-ROW LM totals epilogue as x245
 
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
       "where a bounded side is broadcast by design") {
