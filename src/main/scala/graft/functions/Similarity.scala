@@ -937,10 +937,16 @@ object Similarity {
     * 2^planesPerBand buckets, so mean bucket size is n / 2^r — keep it
     * small with r ≈ log₂(n / B) for a target B of a few vectors, then
     * raise nBands to hold recall (1−(1−p^r)^b; at cosine 0.95,
-    * r=16 → p^r ≈ 0.18, b=16 → 0.96 recall). Measured at 200k vectors
-    * (sf10, minCosine 0.4, 32 cores): 4×8 (the 256-bucket default,
-    * buckets ≈ 940 — just under the cap) 367 s; 8×12 199 s;
-    * 8×16 104 s; 16×16 203 s. [[embeddingBandHistogram]] is the
+    * r=16 → p^r ≈ 0.18, b=16 → 0.96 recall). COMMITTED evidence
+    * (BENCH_sf10.json, full pipeline chains at ~200k vectors): dense
+    * cell mode (x251) 395.7 s; banded at the under-sharded 4×8 shape
+    * (x254 — buckets ≈ 940, just under the star-edge cap) 804.1 s,
+    * WORSE than dense; banded at the rule shape 8×16 (x257) 232.1 s —
+    * 1.7× better than dense, 3.5× better than mis-tuned banding.
+    * Generator-solo sweep (same corpus, minCosine 0.4): 4×8 367 s,
+    * 8×12 199 s, 8×16 104 s, 16×16 203 s. Recall at the tuned shape is
+    * x256's curve (matches or beats dense at every planted tier at the
+    * small-corpus rule shape 16×8). [[embeddingBandHistogram]] is the
     * diagnostic: a histogram tail at or over the cap says r is too
     * small for this corpus.
     */
@@ -1202,6 +1208,62 @@ object Similarity {
     * exactly, else `slice` would silently feed short/partial blocks into
     * the quantizer (the x104-audit fail-loudly convention).
     */
+  /** Train ALL m PQ block codebooks in FUSED corpus passes: init is one
+    * TakeOrdered (first k vectors, sliced per block driver-side), and
+    * each Lloyd iteration is ONE pass — per vector, m (block, cell,
+    * quantized slice) structs explode into a (b, cell)-keyed elementwise
+    * array-sum ([[Aggregators.sumLongArrays]]). Bit-identical to
+    * training each block separately (per-block sums group on disjoint
+    * keys; fixed-point addition is order-independent), so the DuckDB
+    * oracle's per-block kmeans replay still matches — but the corpus is
+    * scanned iters+1 times TOTAL instead of m·(iters+1). Returns one
+    * cent_id-sorted (cent_id, ce) seq per block.
+    */
+  private[graft] def pqCodebooks(base: DataFrame, m: Int, subDim: Int,
+      k: Int, iters: Int): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    val initRows = base.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long"), col("_full").cast("array<double>"))
+      .collect()
+    var cbs: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map { b =>
+      initRows.map(r => (r.getLong(0),
+          r.getSeq[Double](1).slice(b * subDim, (b + 1) * subDim)))
+        .sortBy(_._1).toSeq
+    }
+    var it = 0
+    while (it < iters && initRows.nonEmpty) {
+      val bandStructs = (0 until m).map { b =>
+        val sl = slice(col("_full"), b * subDim + 1, subDim)
+        struct(lit(b).as("b"), nearestCell(sl, cbs(b)).as("cell"),
+          transform(sl, x => floor(x * 1000000.0).cast("long")).as("q"))
+      }
+      val fresh = base.select(explode(array(bandStructs: _*)).as("s"))
+        .select(col("s.b").as("b"), col("s.cell").as("cell"),
+          col("s.q").as("q"))
+        .groupBy(col("b"), col("cell"))
+        .agg(Aggregators.sumLongArrays(col("q")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(3)
+          (r.getInt(0), r.getLong(1)) ->
+            r.getSeq[Long](2).map(v => v.toDouble / 1000000.0 / n.toDouble)
+        }.toMap
+      cbs = (0 until m).map { b =>
+        cbs(b).map { case (cid, ce) =>
+          (cid, fresh.getOrElse((b, cid), ce)) } }
+      it += 1
+    }
+    cbs
+  }
+
+  /** Map-only per-block code columns over the trained codebooks —
+    * code_b = nearest block-b centroid of the vector's b-th slice. */
+  private def withPqCodes(base: DataFrame, m: Int, subDim: Int,
+      cbs: IndexedSeq[Seq[(Long, Seq[Double])]]): DataFrame =
+    base.select(col("vec_id") +: (0 until m).map { b =>
+      nearestCell(slice(col("_full"), b * subDim + 1, subDim), cbs(b))
+        .as(s"code_$b") }: _*)
+
   def pqCodes(df: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8,
       iters: Int = 2, dims: Int = 64, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
@@ -1211,13 +1273,14 @@ object Similarity {
       s"m*subDim must equal dims exactly: $m*$subDim != $dims")
     val base = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("_full"))
-    (0 until m).map { b =>
-      val sliced = base.select(col("vec_id"),
-        slice(col("_full"), b * subDim + 1, subDim).as("e"))
-      assignToCentroids(sliced,
-        kmeansCentroids(sliced, k, iters, "vec_id", "e"), "vec_id", "e")
-        .select(col("vec_id"), col("cell").as(s"code_$b"))
-    }.reduce(_.join(_, "vec_id"))
+    val cbs = pqCodebooks(base, m, subDim, k, iters)
+    if (cbs.head.isEmpty)
+      base.select(col("vec_id") +:
+        (0 until m).map(b => lit(null).cast("long").as(s"code_$b")): _*)
+        .limit(0)
+    // ONE map-only projection — the previous per-block form joined m
+    // assignment frames back on vec_id (m−1 corpus-keyed shuffles)
+    else withPqCodes(base, m, subDim, cbs)
   }
 
   /** Asymmetric-distance (ADC) recall audit for [[pqCodes]]: per query,
@@ -1247,20 +1310,25 @@ object Similarity {
       col(embCol).cast("array<double>").as("_full"))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("q_emb"))
-    // per-block centroids + codes (the pqCodes construction, kept in
-    // long form: one (vec_id, b, code) row per block)
-    val perBlock = (0 until m).map { b =>
-      val sliced = base.select(col("vec_id"),
-        slice(col("_full"), b * subDim + 1, subDim).as("e"))
-      val cents = kmeansCentroids(sliced, k, iters, "vec_id", "e")
-        .select(lit(b).as("b"), col("cent_id"), col("ce"))
-      val codes = assignToCentroids(sliced, cents.select(col("cent_id"),
-          col("ce")), "vec_id", "e")
-        .select(col("vec_id"), lit(b).as("b"), col("cell").as("code"))
-      (cents, codes)
-    }
-    val cents = perBlock.map(_._1).reduce(_ unionByName _)
-    val codes = perBlock.map(_._2).reduce(_ unionByName _)
+    // fused-trained per-block codebooks (one corpus pass per Lloyd
+    // iteration for ALL blocks) in long form; codes are ONE map-only
+    // explode — the previous per-block form unioned m corpus scans
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cbs = pqCodebooks(base, m, subDim, k, iters)
+    val cents = cbs.zipWithIndex.flatMap { case (cb, b) =>
+      cb.map { case (cid, ce) => (b, cid, ce) } }
+      .toDF("b", "cent_id", "ce")
+    val codes =
+      if (cbs.head.isEmpty)
+        base.select(col("vec_id"), lit(0).as("b"),
+          lit(null).cast("long").as("code")).limit(0)
+      else base.select(col("vec_id"),
+          explode(array((0 until m).map { b =>
+            struct(lit(b).as("b"),
+              nearestCell(slice(col("_full"), b * subDim + 1, subDim),
+                cbs(b)).as("code")) }: _*)).as("s"))
+        .select(col("vec_id"), col("s.b").as("b"), col("s.code").as("code"))
     // lookup table: query × (block, centroid) partial dot products
     val lut = broadcast(q.crossJoin(broadcast(cents))
       .select(col("query_id"), col("b"), col("cent_id").as("code"),
@@ -1340,24 +1408,35 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("q_emb"))
     // coarse quantizer: trained centroids over the FULL vectors, cell
-    // membership for every candidate (x28's ivfAssignKmeans shape)
+    // membership as a MAP-ONLY column (x28's ivfAssignKmeans shape)
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val fullVecs = base.select(col("vec_id"), col("_full").as("e"))
-    val coarse = kmeansCentroids(fullVecs, nCells, iters, "vec_id", "e")
-    val cells = assignToCentroids(fullVecs, coarse, "vec_id", "e")
-    // per-block PQ codebooks + codes in long form (the pqRecall
-    // construction)
-    val perBlock = (0 until m).map { b =>
-      val sliced = base.select(col("vec_id"),
-        slice(col("_full"), b * subDim + 1, subDim).as("e"))
-      val cents = kmeansCentroids(sliced, k, iters, "vec_id", "e")
-        .select(lit(b).as("b"), col("cent_id"), col("ce"))
-      val codes = assignToCentroids(sliced, cents.select(col("cent_id"),
-          col("ce")), "vec_id", "e")
-        .select(col("vec_id"), lit(b).as("b"), col("cell").as("code"))
-      (cents, codes)
-    }
-    val cents = perBlock.map(_._1).reduce(_ unionByName _)
-    val codes = perBlock.map(_._2).reduce(_ unionByName _)
+    val csCoarse = kmeansCentroidSeq(fullVecs, nCells, iters, "vec_id", "e")
+    val coarse = csCoarse.toDF("cent_id", "ce")
+    val cells =
+      if (csCoarse.isEmpty)
+        fullVecs.select(col("vec_id"),
+          lit(null).cast("long").as("cell")).limit(0)
+      else fullVecs.select(col("vec_id"),
+        nearestCell(col("e"), csCoarse).as("cell"))
+    // fused-trained per-block codebooks + map-only exploded codes (the
+    // pqRecall construction — one corpus pass per Lloyd iteration for
+    // ALL blocks, no per-block unions or assignment joins)
+    val cbs = pqCodebooks(base, m, subDim, k, iters)
+    val cents = cbs.zipWithIndex.flatMap { case (cb, b) =>
+      cb.map { case (cid, ce) => (b, cid, ce) } }
+      .toDF("b", "cent_id", "ce")
+    val codes =
+      if (cbs.head.isEmpty)
+        base.select(col("vec_id"), lit(0).as("b"),
+          lit(null).cast("long").as("code")).limit(0)
+      else base.select(col("vec_id"),
+          explode(array((0 until m).map { b =>
+            struct(lit(b).as("b"),
+              nearestCell(slice(col("_full"), b * subDim + 1, subDim),
+                cbs(b)).as("code")) }: _*)).as("s"))
+        .select(col("vec_id"), col("s.b").as("b"), col("s.code").as("code"))
     // per-query probe list: nprobe nearest coarse cells (bounded window
     // over |queries| x nCells rows)
     val wProbe = Window.partitionBy(col("query_id"))
