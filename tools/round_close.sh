@@ -67,8 +67,24 @@ if [ "${GRAFT_SKIP_SF01:-0}" != "1" ]; then
     || { echo "sf0.1 bench run itself failed:"; tail -20 /tmp/bench_sf01_err.log; exit 1; }
   grep "FAILED" /tmp/bench_sf01_err.log || true
   if [ -f /tmp/bench_local_baseline.json ]; then
-    python3 tools/bench_regress.py /tmp/bench_local_baseline.json \
-      BENCH_LOCAL.json
+    # first pass; on failure, CONFIRM each flagged query with a solo
+    # re-probe before failing the gate (BASELINE.md rules 3/4: this
+    # host swings 3x on 1-2 s queries run-to-run — x83/x84/x87/x105/
+    # x120 have all tripped and recovered with ZERO code change; a
+    # regression is only real if it reproduces quiet). Confirmed-noise
+    # entries are overwritten with the re-probed numbers so the spike
+    # never becomes the next round's baseline.
+    if ! python3 tools/bench_regress.py /tmp/bench_local_baseline.json \
+        BENCH_LOCAL.json | tee /tmp/bench_regress.out; then
+      FLAGGED=$(grep '^REGRESSED' /tmp/bench_regress.out \
+        | awk '{print $2}' | sed 's/:$//' | paste -sd,)
+      echo "== re-probing flagged queries solo: $FLAGGED =="
+      SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+        sbt -batch "runMain graft.Probe /root/testdata/sf0.1 $FLAGGED" \
+        2>/dev/null | tee /tmp/bench_reprobe.out
+      python3 tools/reprobe_check.py /tmp/bench_local_baseline.json \
+        BENCH_LOCAL.json /tmp/bench_reprobe.out
+    fi
   else
     echo "no committed BENCH_LOCAL.json baseline yet — recording one"
   fi
