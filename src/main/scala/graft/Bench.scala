@@ -73,6 +73,19 @@ object Bench {
     p.toString
   }
 
+  /** Queries RETIRED from the bench suite (still in SparkEntry.queries /
+    * Verify / the DuckDB oracle — correctness coverage is unchanged;
+    * they just don't run in the timed suite). The names are emitted in
+    * the artifact's `excluded` list so tools/bench_regress.py treats
+    * their absence as RETIRED, not MISSING (round-17 verdict Next #8).
+    *  - x254 is the documented MIS-TUNED banding negative control (4×8
+    *    at ~200k vectors ≈ 804 s at sf10 vs the rule shape's 232 s,
+    *    BENCH_sf10.json). Its evidentiary value lives in the sf10 probe
+    *    artifact and the sf0.01 oracle curve; re-pricing the mis-tuned
+    *    shape every sf0.1 bench run cost ~16 s/run for no new signal.
+    */
+  private val benchExcluded = Set("x254_semantic_lsh_recall")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -120,7 +133,8 @@ object Bench {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // dev bisection aid: SPARK_GRAFT_SKIP=x44_semantic_neardup,x43_...
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
-      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String]) ++
+      benchExcluded
     val t0All = System.nanoTime()
     // submit LONGEST chains first (LPT scheduling): the eager-pipeline
     // queries (x54/x60/x61 — chains of materialization barriers) sort
@@ -192,7 +206,18 @@ object Bench {
         val qq = quiescent.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val qtot = quiescent.map(_._2).filter(_ >= 0).sum
-        s""","quiescent_total":$qtot,"quiescent":$qq"""
+        // TWO copies of the quiescent map (round-17 verdict Next #1):
+        // `quiescent_insuite` is the reading as measured HERE — in the
+        // post-suite JVM, with whatever session state the 300+ concurrent
+        // queries accumulated — and is NEVER rewritten afterwards.
+        // `quiescent` starts identical but is the SOLO-CONFIRMED view:
+        // tools/reprobe_check.py may overwrite a flagged entry with its
+        // quiet solo re-probe (host-contention adjudication). Keeping
+        // both makes the insuite/solo ratio observable round over round —
+        // a query that is persistently slow ONLY in-suite is a
+        // session-state leak (e.g. unreclaimed checkpoint blocks), and
+        // reprobe_check gates on that ratio recurring.
+        s""","quiescent_total":$qtot,"quiescent":$qq,"quiescent_insuite":$qq"""
       }
     // "sf" is NUMERIC per the driver contract ({"…","sf":0.1}); the dir
     // is carried separately for humans
@@ -203,7 +228,9 @@ object Bench {
     // of each query inside the concurrent suite; `quiescent` holds the
     // isolated per-query truths. Say so in the artifact itself.
     val semantics = """"queries_semantics":"queries = per-query wall inside the CONCURRENT suite (contended completion offsets; right for suite throughput, wrong for per-query comparison); quiescent = each query re-run ALONE (the per-query cost comparator)""""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,$semantics,"queries":$qs$quiescentJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    val excludedJson = benchExcluded.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,$semantics,"excluded":$excludedJson,"queries":$qs$quiescentJson,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     // stdout gets decorated by sbt and interleaved with log output — the
     // round-1 driver recorded parsed:null — so ALSO write the JSON to a
     // file the driver (or a human) can read without scraping, and emit it

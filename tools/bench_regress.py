@@ -12,7 +12,11 @@ regression gate): a query recorded as FAILED (-1.0) in the candidate
 while the baseline ran it, and a query present in the baseline but
 absent from the candidate entirely. New queries (absent from the
 baseline) are reported but never fail — they have no baseline to
-regress from.
+regress from. A query named in the candidate artifact's `excluded`
+list (graft.Bench's deliberate suite retirements, each with a
+rationale in Bench.scala) is reported as RETIRED instead of failing
+as MISSING — the retirement is self-described by the artifact, so an
+accidental drop (query deleted, crash before timing) still fails.
 
 Usage: tools/bench_regress.py <baseline.json> <candidate.json>
 Exit 1 on regression/failure/missing query, 0 otherwise.
@@ -26,13 +30,13 @@ ABS_S = 2.0
 USAGE = "usage: tools/bench_regress.py <baseline.json> <candidate.json>"
 
 
-def quiescent(path):
+def load(path):
     d = json.load(open(path))
     q = d.get("quiescent")
     if not q:
         sys.exit(f"{path}: no 'quiescent' map — run Bench without "
                  "SPARK_GRAFT_QUIESCENT=0")
-    return q
+    return q, set(d.get("excluded", []))
 
 
 def main():
@@ -41,7 +45,7 @@ def main():
     for p in sys.argv[1:3]:
         if not os.path.isfile(p):
             sys.exit(f"{p}: no such file\n{USAGE}")
-    base, cand = quiescent(sys.argv[1]), quiescent(sys.argv[2])
+    (base, _), (cand, retired_names) = load(sys.argv[1]), load(sys.argv[2])
     bad, new, failed = [], [], []
     for name, sec in sorted(cand.items()):
         if name not in base:
@@ -52,9 +56,14 @@ def main():
             failed.append((name, base[name]))
         elif sec > base[name] * RATIO and sec - base[name] > ABS_S:
             bad.append((name, base[name], sec))
-    missing = sorted(set(base) - set(cand))
+    missing = sorted(set(base) - set(cand) - retired_names)
+    retired = sorted((set(base) - set(cand)) & retired_names)
     for name, sec in new:
         print(f"NEW  {name}: {sec:.1f}s (no baseline)")
+    for name in retired:
+        print(f"RETIRED  {name}: in baseline ({base[name]:.1f}s), "
+              "deliberately excluded from the candidate suite "
+              "(see graft.Bench.benchExcluded)")
     for name, b in failed:
         print(f"FAILED  {name}: baseline {b:.1f}s -> candidate CRASHED "
               "(-1.0; see Bench stderr for the exception)")

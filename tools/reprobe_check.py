@@ -6,10 +6,20 @@ graft.Probe output ([probe] <name> <sec> s lines) for the flagged
 queries, applies the SAME thresholds as bench_regress (>RATIOx AND
 >ABS_S s), and exits 1 only if a flagged query is still over them.
 
-Confirmed-noise queries have their quiescent entries in the candidate
-bench JSON overwritten with the re-probed (quiet) numbers, so a host
-spike never pollutes the committed baseline the NEXT round gates
-against.
+Artifact-of-record discipline (round-17 verdict Next #1): the candidate
+JSON carries TWO quiescent maps. `quiescent_insuite` is the reading as
+measured inside the bench run (post-suite JVM) and is NEVER rewritten
+here. `quiescent` is the solo-confirmed view: confirmed-noise queries
+have their entries overwritten with the re-probed (quiet) numbers, so a
+host spike never pollutes the committed baseline the NEXT round gates
+against — while the in-suite signal stays on the record.
+
+Session-state leak gate: a query whose insuite reading exceeds its
+solo-confirmed reading by >LEAK_RATIO in the candidate AND in the
+committed baseline (two consecutive rounds) fails the gate — a
+persistent in-suite-only slowdown is exactly the signature of
+accumulated session state (e.g. checkpoint blocks ContextCleaner never
+reclaimed), which a solo re-probe can never see.
 
 Usage: tools/reprobe_check.py <baseline.json> <candidate.json> <probe.out>
 """
@@ -19,13 +29,28 @@ import sys
 
 RATIO = 3.0
 ABS_S = 2.0
+LEAK_RATIO = 3.0
+LEAK_ABS_S = 2.0
+
+
+def insuite_ratio_over(d, name, ratio, abs_s):
+    """True when `name`'s in-suite quiescent reading exceeds its
+    solo-confirmed reading by >ratio and >abs_s in artifact dict `d`.
+    Artifacts older than the two-map schema have no insuite copy —
+    treated as ratio 1 (no evidence)."""
+    ins = d.get("quiescent_insuite", {}).get(name)
+    solo = d.get("quiescent", {}).get(name)
+    if ins is None or solo is None or solo <= 0 or ins <= 0:
+        return False
+    return ins > solo * ratio and ins - solo > abs_s
 
 
 def main():
     if len(sys.argv) != 4:
         sys.exit("usage: tools/reprobe_check.py <baseline.json> "
                  "<candidate.json> <probe.out>")
-    base = json.load(open(sys.argv[1]))["quiescent"]
+    base_doc = json.load(open(sys.argv[1]))
+    base = base_doc["quiescent"]
     cand_path = sys.argv[2]
     cand = json.load(open(cand_path))
     probed = {}
@@ -45,13 +70,28 @@ def main():
         else:
             print(f"NOISE-CONFIRMED  {name}: bench spike not reproduced "
                   f"solo ({b:.1f}s baseline, {sec:.1f}s re-probe) — "
-                  "overwriting the candidate entry with the quiet number")
+                  "quiescent entry gets the solo number; the in-suite "
+                  "reading stays on record in quiescent_insuite")
             cand["quiescent"][name] = sec
     json.dump(cand, open(cand_path, "w"))
     if still_bad:
         for name, b, sec in still_bad:
             print(f"CONFIRMED-REGRESSION  {name}: {b:.1f}s -> {sec:.1f}s "
                   "on a solo re-run")
+        sys.exit(1)
+    # session-state leak gate: insuite/solo divergence recurring across
+    # two consecutive rounds is a leak, not noise — noise does not pick
+    # the same query twice
+    leaks = [n for n in sorted(cand.get("quiescent_insuite", {}))
+             if insuite_ratio_over(cand, n, LEAK_RATIO, LEAK_ABS_S)
+             and insuite_ratio_over(base_doc, n, LEAK_RATIO, LEAK_ABS_S)]
+    if leaks:
+        for n in leaks:
+            print(f"SESSION-STATE-LEAK  {n}: in-suite quiescent > "
+                  f"{LEAK_RATIO}x its solo-confirmed reading in BOTH this "
+                  "round and the committed baseline — a solo re-probe "
+                  "cannot clear this; audit accumulated session state "
+                  "(checkpoint blocks, cache growth) instead")
         sys.exit(1)
     print("re-probe: all flagged queries were host noise; gate OK")
 

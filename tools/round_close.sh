@@ -15,6 +15,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== [0/5] bench-gate tools self-test =="
+python3 tools/test_tools.py
+
 echo "== [1/4] sbt test =="
 sbt -batch test
 
@@ -76,8 +79,20 @@ if [ "${GRAFT_SKIP_SF01:-0}" != "1" ]; then
     # never becomes the next round's baseline.
     if ! python3 tools/bench_regress.py /tmp/bench_local_baseline.json \
         BENCH_LOCAL.json | tee /tmp/bench_regress.out; then
+      # a crash or a silently-dropped query is NOT re-probeable noise —
+      # hard-fail BEFORE the re-probe, otherwise noise-confirmed
+      # REGRESSED entries would let reprobe_check exit 0 and wave the
+      # FAILED/MISSING ones through (round-17 ADVICE)
+      if grep -qE '^(FAILED|MISSING)' /tmp/bench_regress.out; then
+        echo "bench gate: FAILED/MISSING queries cannot be host noise — failing"
+        exit 1
+      fi
       FLAGGED=$(grep '^REGRESSED' /tmp/bench_regress.out \
         | awk '{print $2}' | sed 's/:$//' | paste -sd,)
+      if [ -z "$FLAGGED" ]; then
+        echo "bench gate failed with no REGRESSED/FAILED/MISSING lines — failing"
+        exit 1
+      fi
       echo "== re-probing flagged queries solo: $FLAGGED =="
       SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
         sbt -batch "runMain graft.Probe /root/testdata/sf0.1 $FLAGGED" \
