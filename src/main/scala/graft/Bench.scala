@@ -168,6 +168,17 @@ object Bench {
       scala.concurrent.duration.Duration.Inf)
     val total = (System.nanoTime() - t0All) / 1e9
     pool.shutdown()
+    // cache-pressure diagnostic at the SUITE PEAK (before the quiescent
+    // pass clears transients): `size` here is the distinct-stage count
+    // the whole concurrent suite accumulated in one session — the
+    // number StageCache.MaxEntries (LRU capacity) must comfortably
+    // exceed for eviction to stay a long-lived-session-only path
+    System.err.println(s"[bench] StageCache suite peak: " +
+      s"size=${graft.ops.StageCache.size}" +
+      s" fixtures=${graft.ops.StageCache.fixtureCount}" +
+      s" hits=${graft.ops.StageCache.hits}" +
+      s" misses=${graft.ops.StageCache.misses}" +
+      s" capacity=${graft.ops.StageCache.MaxEntries}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
@@ -190,8 +201,15 @@ object Bench {
           // the quiescent pass is the per-query cold-cost comparator, so
           // a warm cache here would make pipeline queries report cached
           // lookup time as execution time and break round-over-round
-          // comparison.
-          graft.ops.StageCache.clear()
+          // comparison. FIXTURE entries (planted experiment scaffolding,
+          // StageCache.memoFixture + inherited stages) survive the reset:
+          // the recall-audit family's per-query number measures its
+          // semantic generator, not a 4× replay of the shared planted
+          // corpus (round-17 verdict Next #2). The numbers stay
+          // deterministic round-over-round because the quiescent order
+          // is fixed (sorted names — the first family query pays the
+          // fixture, the rest inherit it).
+          graft.ops.StageCache.clearTransient()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>

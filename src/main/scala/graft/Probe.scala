@@ -22,7 +22,9 @@ object Probe {
     Tables.documents(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
     for (name <- names.split(',').map(_.trim).filter(_.nonEmpty)) {
-      graft.ops.StageCache.clear()
+      // same reset as the Bench quiescent pass (the numbers must be
+      // comparable): operators cold, shared fixture scaffolding warm
+      graft.ops.StageCache.clearTransient()
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -103,6 +103,29 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
+  /** Audited ceiling for the literal-argmax centroid family: k
+    * centroids inline k `typedLit` arrays into ONE expression, which is
+    * ideal map-only codegen up to IVF-scale k (CodegenCeilingSpec pins
+    * compiled whole-stage codegen at k = 512, d = 64 — 32k inlined
+    * doubles, max generated method well under Janino's 64 KB limit) but
+    * grows the plan, the analysis cost, and the generated code linearly
+    * with k. Past this bound the argmax must move OFF the literal path:
+    * broadcast the centroid matrix (a k×d DataFrame under
+    * `broadcast(...)`, equi-join-free BNLJ against the bounded side)
+    * and take the per-vector argmax with the salted two-phase top-k —
+    * the shape x18/x173 already plan for probe×centroid scoring — or
+    * score inside one `mapPartitions` pass against a broadcast
+    * `Array[Array[Double]]`. A thousands-of-cells production IVF at
+    * 100 TB wants that broadcast-matrix form anyway: one copy per
+    * executor, not one copy inlined per expression tree. */
+  val MaxLiteralCentroids = 1024
+
+  /** Same ceiling for inlined hyperplane literals (band keys inline
+    * nBands·planesPerBand plane arrays of `dim` doubles each). 2048
+    * planes is 16× the committed production shapes (x256 16×8, x257
+    * 8×16) and comfortably inside the audited codegen envelope. */
+  val MaxLiteralPlanes = 2048
+
   /** MAP-ONLY nearest-centroid argmax: `greatest` over one
     * `struct(round-6 cosine, -cent_id)` per centroid literal — max sim
     * with the SMALLEST cent_id on ties, i.e. exactly the
@@ -111,10 +134,19 @@ object Similarity {
     * `Window.partitionBy(id)` over the n×k crossJoin shuffled k× the
     * corpus; this computes the argmax where each vector sits, in one
     * codegen'd expression). Each centroid is a single `typedLit` array
-    * literal — one plan node, no CollapseProject blowup surface.
+    * literal — one plan node, no CollapseProject blowup surface. k is
+    * bounded by [[MaxLiteralCentroids]] (refused loudly past it — see
+    * that doc for the broadcast-matrix alternative at real IVF scale).
     */
   private def bestCentroid(e: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "nearest-centroid argmax needs >= 1 centroid")
+    require(cents.size <= MaxLiteralCentroids,
+      s"literal-argmax assignment inlines one typedLit array per " +
+        s"centroid; ${cents.size} centroids is past the audited codegen " +
+        s"ceiling ($MaxLiteralCentroids). At this k, broadcast the " +
+        s"centroid matrix instead (broadcast k×d frame + salted top-1, " +
+        s"the x18 probe-scoring shape, or mapPartitions over a " +
+        s"broadcast Array[Array[Double]]) — see MaxLiteralCentroids.")
     val scored = cents.map { case (cid, ce) =>
       struct(round(cosine(e, typedLit(ce)), 6).as("sim"),
         lit(-cid).as("_nc"))
@@ -231,8 +263,20 @@ object Similarity {
       // corpus to n·d (cell, pos, comp) rows through a (cell, pos) agg
       // plus a second collect_list exchange — 64× the rows and twice
       // the barriers for the same bits.
+      // A null/short/overlong embedding FAILS the iteration loudly (the
+      // x104 audit convention) instead of silently deflating a centroid:
+      // such a row would land in a cell and increment n while
+      // sumLongArrays skips its missing components (the old posexplode
+      // form excluded it from both sum and count). assert_true returns
+      // null on pass, so the `when` wrapper keeps the check per-row
+      // inside the same codegen'd projection — zero extra jobs.
+      val d = cs.head._2.size
+      val dimOk = assert_true(size(col("e")) === d,
+        lit(s"kmeansCentroids: embedding with size != $d (or NULL) in " +
+          "the training pass — clean or filter the corpus first " +
+          "(graft.ops.Multimodal/TextAnalysis audits locate such rows)"))
       val fresh = vecs
-        .select(nearestCell(col("e"), cs).as("cell"),
+        .select(when(dimOk.isNull, nearestCell(col("e"), cs)).as("cell"),
           transform(col("e"), x => floor(x * 1000000.0).cast("long"))
             .as("q"))
         .groupBy(col("cell"))
@@ -898,6 +942,14 @@ object Similarity {
     require(nBands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
       s"need nBands >= 1 and 1 <= planesPerBand <= 62, " +
         s"got $nBands x $planesPerBand")
+    require(nBands * planesPerBand <= MaxLiteralPlanes,
+      s"banded sign-LSH inlines one plane-literal array per " +
+        s"(band, plane); $nBands x $planesPerBand = " +
+        s"${nBands * planesPerBand} planes is past the audited codegen " +
+        s"ceiling ($MaxLiteralPlanes). Hash against a broadcast plane " +
+        s"matrix (mapPartitions over a broadcast Array[Array[Double]]) " +
+        s"past this shape — and check the banding: the tuning rule " +
+        s"r ~ log2(n/B) never needs this many planes.")
     val signs = planeSigns(nBands * planesPerBand, dim)
     val b = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("e"))
@@ -1231,9 +1283,16 @@ object Similarity {
     }
     var it = 0
     while (it < iters && initRows.nonEmpty) {
+      // same fail-loudly dimension guard as the kmeans pass: a vector
+      // whose length != m·subDim would contribute a truncated/empty
+      // slice to SOME block's sum while still counting toward n
+      val dimOk = assert_true(size(col("_full")) === m * subDim,
+        lit(s"pqCodebooks: embedding with size != ${m * subDim} (or " +
+          "NULL) in the training pass — clean or filter the corpus first"))
       val bandStructs = (0 until m).map { b =>
         val sl = slice(col("_full"), b * subDim + 1, subDim)
-        struct(lit(b).as("b"), nearestCell(sl, cbs(b)).as("cell"),
+        struct(lit(b).as("b"),
+          when(dimOk.isNull, nearestCell(sl, cbs(b))).as("cell"),
           transform(sl, x => floor(x * 1000000.0).cast("long")).as("q"))
       }
       val fresh = base.select(explode(array(bandStructs: _*)).as("s"))

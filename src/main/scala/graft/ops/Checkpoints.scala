@@ -41,7 +41,16 @@ object Checkpoints {
     */
   val RequireReliableKey = "graft.checkpoints.requireReliable"
 
-  def materialize(df: DataFrame): DataFrame =
+  def materialize(df: DataFrame): DataFrame = {
+    val out = materialize0(df)
+    // ownership tagging (StageCache eviction hygiene): when this
+    // materialize runs inside a memoized stage, the checkpointed RDD
+    // becomes disposable with that cache entry
+    StageCache.registerOwned(out)
+    out
+  }
+
+  private def materialize0(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // RDD checkpointing runs TWO jobs: the eager action computes the
       // plan, then the checkpoint-write job re-runs the (otherwise

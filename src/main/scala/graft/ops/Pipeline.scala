@@ -46,6 +46,33 @@ object Pipeline {
     * n·bands rows. */
   val DenseSemanticMaxSurvivors = 1000000L
 
+  /** Sentinel for `embedBands`: derive the banded sign-LSH shape from
+    * the survivor count instead of hand-tuning it (round-17 verdict
+    * Next #6 — the tuning rule was committed evidence but still a
+    * manual knob on every entry point). See [[autoBandShape]]. */
+  val AutoBands: Int = -1
+
+  /** The banding tuning rule as a function: planes per band r is the
+    * smallest r with mean bucket size n/2^r ≤ `targetBucket` (exact
+    * integer form of r ≈ log₂(n/B), no floating-point ceil edge), and
+    * the band count spends a fixed `planeBudget` total hash budget,
+    * b = ⌈budget/r⌉ — more bands at small r (recall amplification when
+    * buckets are coarse), fewer at large r. The defaults reproduce both
+    * committed tuned shapes from the measured evidence: ~543 survivors
+    * (sf0.01 planted corpus) → (b=16, r=8), x256's curve; ~200k vectors
+    * (sf10 probe corpus) → (b=8, r=16), x257's 232 s shape
+    * (BENCH_sf10.json; the mis-tuned 4×8 read 804 s on the same
+    * corpus). Deterministic in n, so oracle-replayable at a known SF.
+    */
+  def autoBandShape(n: Long, targetBucket: Int = 4,
+      planeBudget: Int = 128): (Int, Int) = {
+    require(targetBucket >= 1 && planeBudget >= 1)
+    var r = 1
+    while (r < 62 && (1L << r) * targetBucket < n) r += 1
+    val b = math.max(1, (planeBudget + r - 1) / r)
+    (b, r)
+  }
+
   /** The memoized corpus-scale backbone every curation view shares:
     * quality gate → (optional per-source cap) → exact dedup (min-id
     * keeper) → Jaccard-verified LSH near-dup clusters → deduped
@@ -218,19 +245,42 @@ object Pipeline {
       case None => deduped
       case Some(emb) => StageCache.memo("curation_semantic",
           Seq(deduped, emb),
+          // denseMaxSurvivors is IN the key (round-17 ADVICE): the guard
+          // below runs inside this block, so a memo hit under a
+          // different budget must be a different entry — otherwise a
+          // small-budget caller could silently inherit a large-budget
+          // run's dense result (or vice versa) with the guard skipped
           Seq(embedMinCosine, embedCells, embedIters, embedSaltBuckets,
-            embedBands, embedPlanesPerBand, embedDim)) {
+            embedBands, embedPlanesPerBand, embedDim,
+            if (embedBands == 0) denseMaxSurvivors else 0L)) {
         val survivorVecs = emb
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .join(deduped.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
+        // AUTO banding (embedBands = AutoBands): count the survivors —
+        // the set is already materialized, so this is one cheap job —
+        // and derive the banded shape from the tuning rule instead of
+        // trusting a hand-set knob to follow n (round-17 verdict Next
+        // #6: the knob that must scale with the corpus, derived FROM
+        // the corpus). The choice is logged for the operator.
+        require(embedBands >= AutoBands,
+          s"embedBands must be >= 0, or Pipeline.AutoBands: $embedBands")
+        val (effBands, effPlanes) =
+          if (embedBands == AutoBands) {
+            val n = survivorVecs.count()
+            val shape = autoBandShape(n)
+            System.err.println(s"[graft] semantic auto-banding: $n " +
+              s"survivor vectors -> ${shape._1} bands x ${shape._2} " +
+              "planes/band (targetBucket=4, planeBudget=128)")
+            shape
+          } else (embedBands, embedPlanesPerBand)
         // the dense generator is quadratic — REFUSE it loudly past the
         // survivor budget instead of silently running O(n²/embedCells)
         // pairs on a corpus-sized input (round-16 verdict Next #4). The
         // count reads the checkpointed survivor set once per memoized
         // snapshot; an explicit denseMaxSurvivors raise is the caller's
         // conscious opt-in (e.g. a scale probe measuring the trade).
-        if (embedBands == 0) {
+        if (effBands == 0) {
           val n = survivorVecs.count()
           require(n <= denseMaxSurvivors,
             s"semantic stage: embedBands = 0 selects the DENSE same-cell " +
@@ -238,13 +288,15 @@ object Pipeline {
               s"$embedCells — over $n survivor vectors (> " +
               s"$denseMaxSurvivors). Set embedBands > 0 (banded sign-LSH," +
               s" the bounded 100-TB generator: planesPerBand ≈ log2(n/B) " +
-              s"for target bucket B, then raise embedBands for recall) " +
+              s"for target bucket B, then raise embedBands for recall), " +
+              s"embedBands = Pipeline.AutoBands to derive that shape " +
+              s"from the survivor count, " +
               s"or pass denseMaxSurvivors explicitly to opt in.")
         }
         val candidates =
-          if (embedBands > 0)
+          if (effBands > 0)
             graft.functions.Similarity.bandedNearDupPairs(survivorVecs,
-              nBands = embedBands, planesPerBand = embedPlanesPerBand,
+              nBands = effBands, planesPerBand = effPlanes,
               dim = embedDim, minCosine = embedMinCosine)
           else
             graft.functions.Similarity.cellNearDupPairs(survivorVecs,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Session-scoped memoization of expensive pipeline stages, keyed on the
   * CANONICAL logical plans of the stage inputs plus the stage parameters.
@@ -30,11 +31,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * is replaced in place (daily re-crawl over the same path), call
   * [[clear]] — the documented snapshot-rotation hook.
   *
-  * Lifecycle: entries hold materialized frames (checkpoint-backed
-  * [[Checkpoints.materialize]] outputs). FIFO-capped at [[MaxEntries]];
-  * evicted entries merely drop the reference — Spark's ContextCleaner
-  * reclaims unreferenced checkpoint blocks, and frames already handed
-  * to callers stay valid (they own their lineage-truncated RDDs).
+  * Lifecycle and OWNERSHIP (round-17 verdict Next #7): entries hold
+  * materialized frames (checkpoint-backed [[Checkpoints.materialize]]
+  * outputs). Every materialize executed INSIDE a memoized stage
+  * registers its checkpointed RDD as owned by that entry. The cache is
+  * LRU-capped at [[MaxEntries]]; an EVICTED entry's owned blocks (and
+  * reliable-checkpoint files) are unpersisted/deleted EAGERLY — on a
+  * real cluster, 64+ corpus-scale materializations waiting for the
+  * driver's GC to trip ContextCleaner is a storage-memory cliff.
+  * Frames materialized OUTSIDE a memo block are never owned and never
+  * touched. Consumer contract that comes with eager disposal: a memo
+  * result is valid while its entry is cached — LRU means any re-`memo`
+  * refreshes it, so only a caller that holds a frame across
+  * [[MaxEntries]] subsequent DISTINCT stage insertions without
+  * re-memoizing can observe disposal; re-request frames through `memo`
+  * (hits are free) rather than holding them across unrelated work.
+  *
+  * FIXTURE entries ([[memoFixture]]): test/audit scaffolding — e.g. the
+  * planted-corpus frames the x251/x254/x256/x257 recall audits share —
+  * is marked `fixture`, and any entry whose INPUT plans read a
+  * fixture-owned RDD inherits the mark (the backbone over a planted
+  * corpus is scaffolding too). [[clearTransient]] drops and disposes
+  * everything EXCEPT fixtures: the bench's quiescent pass uses it so
+  * per-query cold-cost numbers measure the operators, not a replay of
+  * the shared experiment scaffolding (round-17 verdict Next #2).
+  * [[clear]] drops everything including fixtures.
   *
   * Concurrency: the entry is inserted under the cache lock but the
   * stage executes inside a lazy holder OUTSIDE it, so two concurrent
@@ -52,14 +73,32 @@ object StageCache {
   /** Disable to force every stage to recompute (A/B and spec use). */
   def setEnabled(on: Boolean): Unit = { enabled = on; if (!on) clear() }
 
-  private final class Box(f: () => AnyRef) { lazy val value: AnyRef = f() }
+  private final class Box(f: () => AnyRef, val fixture: Boolean) {
+    val owned = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]
+    lazy val value: AnyRef = {
+      val prev = current.get()
+      current.set(this)
+      try f() finally current.set(prev)
+    }
+  }
 
   private final case class Key(sess: AnyRef, tag: String,
       plans: Seq[LogicalPlan], params: Seq[Any])
 
-  private val MaxEntries = 64
+  /** LRU capacity. Sized so a full 300+-query bench session never
+    * evicts (measured: a suite pass inserts well under half this many
+    * distinct stages) — eviction-with-disposal is for long-lived
+    * multi-snapshot sessions, not a steady-state path. `var` only so
+    * StageCacheSpec can exercise the real eviction path at a small
+    * capacity; production code never writes it. */
+  private[graft] var MaxEntries = 256
   private val entries =
     scala.collection.mutable.ArrayBuffer.empty[(Key, Box)]
+  // RDD ids owned by FIXTURE entries — an entry whose input plans scan
+  // one of these inherits fixture status (guarded by `entries`' lock)
+  private val fixtureRddIds = scala.collection.mutable.Set.empty[Int]
+  private val current = new ThreadLocal[Box]
   private val hitCount = new java.util.concurrent.atomic.AtomicLong
   private val missCount = new java.util.concurrent.atomic.AtomicLong
 
@@ -69,34 +108,116 @@ object StageCache {
       k.plans.length == plans.length &&
       k.plans.lazyZip(plans).forall((a, b) => a.sameResult(b))
 
+  /** Called by [[Checkpoints.materialize]] on every frame it returns:
+    * when a memoized stage is executing on this thread, the frame's
+    * checkpointed RDD becomes owned by (disposable with) that entry. */
+  private[ops] def registerOwned(df: DataFrame): Unit = {
+    val box = current.get()
+    if (box != null)
+      df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
+        box.owned.add(lr.rdd)
+        if (box.fixture) entries.synchronized(fixtureRddIds += lr.rdd.id)
+      }
+  }
+
+  /** Eagerly release an evicted/dropped entry's owned storage: local
+    * checkpoint blocks via unpersist, reliable checkpoint files via
+    * filesystem delete (ContextCleaner would do both only at some
+    * future driver GC). Best-effort — a failure leaves the block to
+    * the GC path it had before. */
+  private def dispose(box: Box): Unit = {
+    val it = box.owned.iterator()
+    while (it.hasNext) {
+      val rdd = it.next()
+      try {
+        rdd.unpersist(blocking = false)
+        rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(rdd.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def memoImpl[T <: AnyRef](tag: String, frames: Seq[DataFrame],
+      params: Seq[Any], fixture: Boolean)(stage: => T): T = {
+    if (!enabled || frames.isEmpty) return stage
+    val sess: AnyRef = frames.head.sparkSession
+    val plans = frames.map(_.queryExecution.analyzed)
+    var evicted: Box = null
+    val box = entries.synchronized {
+      val i = entries.indexWhere(e => sameKey(e._1, sess, tag, plans, params))
+      if (i >= 0) {
+        hitCount.incrementAndGet()
+        // LRU: a hit moves the entry to the back, so an entry in active
+        // use is never the eviction victim of a concurrent insertion
+        val e = entries.remove(i)
+        entries += e
+        e._2
+      } else {
+        missCount.incrementAndGet()
+        if (entries.length >= MaxEntries) {
+          // evict the least-recently-used NON-fixture entry (fixtures
+          // are deliberately session-pinned scaffolding); if somehow
+          // everything is a fixture, drop the oldest without disposal
+          val vi = entries.indexWhere(!_._2.fixture)
+          val victim = entries.remove(if (vi >= 0) vi else 0)
+          if (!victim._2.fixture) evicted = victim._2
+        }
+        // fixture status is explicit or INHERITED: a stage whose inputs
+        // read a fixture-owned materialized RDD is itself scaffolding
+        val fx = fixture || plans.exists(_.collectFirst {
+          case lr: LogicalRDD if fixtureRddIds(lr.rdd.id) => ()
+        }.nonEmpty)
+        val b = new Box(() => stage, fx)
+        entries += ((Key(sess, tag, plans, params), b))
+        b
+      }
+    }
+    if (evicted != null) dispose(evicted)
+    box.value.asInstanceOf[T]
+  }
+
   /** Compute `stage` once per (tag, input plans, params) per session.
     * `frames` must list EVERY DataFrame input the stage reads and
     * `params` every scalar that shapes its semantics — an input left
     * out of the key is a correctness bug, not a perf knob.
     */
   def memo[T <: AnyRef](tag: String, frames: Seq[DataFrame],
-      params: Seq[Any])(stage: => T): T = {
-    if (!enabled || frames.isEmpty) return stage
-    val sess: AnyRef = frames.head.sparkSession
-    val plans = frames.map(_.queryExecution.analyzed)
-    val box = entries.synchronized {
-      entries.find(e => sameKey(e._1, sess, tag, plans, params)) match {
-        case Some((_, b)) => hitCount.incrementAndGet(); b
-        case None =>
-          missCount.incrementAndGet()
-          if (entries.length >= MaxEntries) entries.remove(0)
-          val b = new Box(() => stage)
-          entries += ((Key(sess, tag, plans, params), b))
-          b
-      }
-    }
-    box.value.asInstanceOf[T]
+      params: Seq[Any])(stage: => T): T =
+    memoImpl(tag, frames, params, fixture = false)(stage)
+
+  /** [[memo]] for experiment/test SCAFFOLDING (planted corpora and the
+    * like): the entry — and, transitively, every stage computed FROM
+    * its frames — survives [[clearTransient]]. Use only for fixtures
+    * shared across audit queries, never for product stages. */
+  def memoFixture[T <: AnyRef](tag: String, frames: Seq[DataFrame],
+      params: Seq[Any])(stage: => T): T =
+    memoImpl(tag, frames, params, fixture = true)(stage)
+
+  /** Drop every cached stage (snapshot rotation / test isolation).
+    * Reference-drop only — callers may legitimately still hold frames
+    * at a rotation boundary; ContextCleaner reclaims at GC. */
+  def clear(): Unit = entries.synchronized {
+    entries.clear(); fixtureRddIds.clear()
   }
 
-  /** Drop every cached stage (snapshot rotation / test isolation). */
-  def clear(): Unit = entries.synchronized(entries.clear())
+  /** Drop and EAGERLY DISPOSE everything except fixture entries — the
+    * bench quiescent pass's per-query reset: operators go cold, shared
+    * experiment scaffolding stays warm. Sequential-use hook: callers
+    * must not hold non-fixture memo frames across it. */
+  def clearTransient(): Unit = {
+    val dropped = entries.synchronized {
+      val (keep, drop) = entries.partition(_._2.fixture)
+      entries.clear(); entries ++= keep
+      drop.map(_._2)
+    }
+    dropped.foreach(dispose)
+  }
 
   def size: Int = entries.synchronized(entries.length)
+  def fixtureCount: Int = entries.synchronized(entries.count(_._2.fixture))
   def hits: Long = hitCount.get()
   def misses: Long = missCount.get()
 }

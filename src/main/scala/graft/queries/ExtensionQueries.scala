@@ -4652,7 +4652,26 @@ object ExtensionQueries {
       "x257_semantic_recall_banded_scale",
       (s, dir) => plantedSemanticRecall(s, dir, embedBands = 8,
         planesPerBand = 16),
-      Some(plantedSemanticRecallSql(semanticBands = Some((8, 16)))))
+      Some(plantedSemanticRecallSql(semanticBands = Some((8, 16))))),
+
+    // ---- x258: AUTO-derived banding (the rule as code, audited) ------------
+    // The same planted-tier experiment with embedBands = AutoBands: the
+    // pipeline counts the materialized survivor vectors (543 at the
+    // sf0.01 oracle SF) and derives the banded shape from the tuning
+    // rule itself (Pipeline.autoBandShape — smallest r with n/2^r <= 4,
+    // b = ceil(128/r)), instead of trusting a hand-set knob to follow
+    // the corpus. At sf0.01 the rule derives 16 bands x 8 planes —
+    // exactly x256's hand-tuned shape — so the ORACLE IS x256's SQL:
+    // the auto path must reproduce the tuned tier curve bitwise. At the
+    // sf10 probe scale (~200k survivors) the same rule derives 8 x 16 —
+    // exactly x257's corpus-scale shape (232 s vs the mis-tuned 804 s,
+    // BENCH_sf10.json) — the two committed evidence points ARE the
+    // rule's outputs at their n.
+    QueryDef(
+      "x258_semantic_recall_auto",
+      (s, dir) => plantedSemanticRecall(s, dir,
+        embedBands = Pipeline.AutoBands),
+      Some(plantedSemanticRecallSql(semanticBands = Some((16, 8)))))
   )
 
   /** x251/x254 shared experiment: plant one token-disjoint text variant
@@ -4675,41 +4694,54 @@ object ExtensionQueries {
       dir: String, embedBands: Int,
       planesPerBand: Int = 8): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = docs.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), col("text"))
-    val toPlant = base.filter(col("doc_id") % 5 === 1)
-      .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("_i"))
-    val variants = toPlant.select(
-      (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
-      concat_ws(" ", transform(split(col("text"), " "),
-        t => concat(t, lit("_"), col("_i").cast("string")))).as("text"))
-    val planted = base.unionByName(variants)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
-    val pv = emb.join(
-        toPlant.select(col("doc_id").as("vec_id"), col("_i")), "vec_id")
-      .withColumn("_nrm", sqrt(Similarity.dot(col("e"), col("e"))))
-      .withColumn("_eh", transform(col("e"), x => x / col("_nrm")))
-      .withColumn("_r", transform(sequence(lit(1), size(col("e"))),
-        i => when(substring(md5(concat(col("vec_id").cast("string"),
-          lit(":"), i.cast("string"))), 1, 1) < "8", 1.0)
-          .otherwise(-1.0)))
-      .withColumn("_d", Similarity.dot(col("_r"), col("_eh")))
-      .withColumn("_w", zip_with(col("_r"), col("_eh"),
-        (ri, ei) => ri - col("_d") * ei))
-      .withColumn("_wn", sqrt(Similarity.dot(col("_w"), col("_w"))))
-      .withColumn("_c", when(col("_i") === 0, 0.95)
-        .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
-        .otherwise(0.2))
-      .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
-    val plantedEmb = graft.ops.Checkpoints.materialize(emb
-      .unionByName(pv.select(
-        (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
-        zip_with(col("_eh"), col("_w"), (ei, wi) =>
-          col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
-      .select(col("vec_id").as("doc_id"), col("e").as("embedding")))
+    val embRaw = Tables.embeddings(s, dir)
+    // The planted corpus is ONE SHARED FIXTURE across the whole recall
+    // family (x251/x256/x257/x258 — identical planting, only the
+    // semantic candidate generator differs), so it is memoized as a
+    // StageCache FIXTURE entry: the suite and the bench's quiescent pass
+    // pay the planting once per session, and every backbone stage
+    // computed FROM these frames inherits fixture status (the prefix
+    // stages are scaffolding of the same experiment). Round-17 verdict
+    // Next #2.
+    val (plantedDocs, plantedEmb) = graft.ops.StageCache.memoFixture(
+        "planted_semantic_fixture", Seq(docs, embRaw), Seq()) {
+      val base = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val toPlant = base.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("text"), (col("doc_id") % 4).as("_i"))
+      val variants = toPlant.select(
+        (col("doc_id") + (col("_i") + 1) * lit(100000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("_i").cast("string")))).as("text"))
+      val planted = base.unionByName(variants)
+      val emb = embRaw.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val pv = emb.join(
+          toPlant.select(col("doc_id").as("vec_id"), col("_i")), "vec_id")
+        .withColumn("_nrm", sqrt(Similarity.dot(col("e"), col("e"))))
+        .withColumn("_eh", transform(col("e"), x => x / col("_nrm")))
+        .withColumn("_r", transform(sequence(lit(1), size(col("e"))),
+          i => when(substring(md5(concat(col("vec_id").cast("string"),
+            lit(":"), i.cast("string"))), 1, 1) < "8", 1.0)
+            .otherwise(-1.0)))
+        .withColumn("_d", Similarity.dot(col("_r"), col("_eh")))
+        .withColumn("_w", zip_with(col("_r"), col("_eh"),
+          (ri, ei) => ri - col("_d") * ei))
+        .withColumn("_wn", sqrt(Similarity.dot(col("_w"), col("_w"))))
+        .withColumn("_c", when(col("_i") === 0, 0.95)
+          .when(col("_i") === 1, 0.8).when(col("_i") === 2, 0.6)
+          .otherwise(0.2))
+        .withColumn("_sc", sqrt(lit(1.0) - col("_c") * col("_c")))
+      (graft.ops.Checkpoints.materialize(planted),
+        graft.ops.Checkpoints.materialize(emb
+          .unionByName(pv.select(
+            (col("vec_id") + (col("_i") + 1) * lit(100000000L)).as("vec_id"),
+            zip_with(col("_eh"), col("_w"), (ei, wi) =>
+              col("_c") * ei + col("_sc") * (wi / col("_wn"))).as("e")))
+          .select(col("vec_id").as("doc_id"), col("e").as("embedding"))))
+    }
     Pipeline.curationStatus(
-        graft.ops.Checkpoints.materialize(planted),
+        plantedDocs,
         docs.filter(col("doc_id") % 97 === 0),
         embeddings = Some(plantedEmb),
         embedBands = embedBands, embedPlanesPerBand = planesPerBand,

@@ -263,4 +263,21 @@ class CurationRecallSpec extends SparkSuite {
         s"original $id must stay the min-id keeper in both shapes")
     }
   }
+  test("autoBandShape reproduces both committed tuned shapes from their " +
+      "survivor counts and scales r with n (round-17 verdict Next #6)") {
+    // the two committed evidence points ARE the rule's outputs:
+    // sf0.01 planted corpus (543 survivors) -> x256's 16x8; sf10 probe
+    // corpus (~200k vectors) -> x257's 8x16 (232 s vs mis-tuned 804 s)
+    assert(ops.Pipeline.autoBandShape(543) == (16, 8))
+    assert(ops.Pipeline.autoBandShape(200000) == (8, 16))
+    // r is the smallest with n/2^r <= 4 — exact at powers of two (the
+    // integer form has no floating-point ceil edge)
+    assert(ops.Pipeline.autoBandShape(4 * 256) == (16, 8))     // n/2^8 = 4
+    assert(ops.Pipeline.autoBandShape(4 * 256 + 1) == (15, 9)) // just over
+    // degenerate corpora stay sane: r floors at 1, b at the budget
+    assert(ops.Pipeline.autoBandShape(0) == (128, 1))
+    assert(ops.Pipeline.autoBandShape(1) == (128, 1))
+    // r is capped at 62 (the long bucket-key width)
+    assert(ops.Pipeline.autoBandShape(Long.MaxValue)._2 == 62)
+  }
 }

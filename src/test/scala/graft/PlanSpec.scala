@@ -91,17 +91,52 @@ class PlanSpec extends SparkSuite {
     "x246_dsir_mixture", // dsirWeights: same ONE-ROW LM totals epilogue as x245
     "x248_dsir_gumbel_sample") // dsirWeights: same ONE-ROW LM totals epilogue as x245
 
+  /** Queries where a GLOBAL (empty-partition-spec) window over a
+    * NON-aggregated subtree is the design — each input is provably
+    * bounded for a reason structure alone can't see. The same
+    * discipline as [[bnljByDesign]]: anything NOT here whose global
+    * window lacks an aggregate/limit underneath is a regression (a
+    * global window over the corpus is a single-task funnel at 100 TB).
+    */
+  private val globalWindowByDesign = Map.empty[String, String]
+  // EMPTY as of round 18, and should stay that way: every global window
+  // the suite plans today sits over an aggregated subtree (O(sources)/
+  // O(bins)/O(cells) rollups — the unimax waterfilling, skyline
+  // prefix-min shapes). Add an entry ONLY with a written reason why the
+  // window's input is bounded independent of corpus scale.
+
   test("no CartesianProduct in any query plan; BroadcastNestedLoopJoin only " +
-      "where a bounded side is broadcast by design") {
+      "where a bounded side is broadcast by design; GLOBAL windows only " +
+      "over aggregated/limited subtrees or by documented design") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // a global window is mechanically fine when its input was already
+    // collapsed by an aggregation (O(groups) rows: bins/sources/cells),
+    // truncated by a limit, or is a literal local relation — the
+    // corpus-scale regression shape is a global window STRAIGHT over a
+    // scan/join/projection
+    def boundedBelow(p: logical.LogicalPlan): Boolean = p.exists {
+      case _: logical.Aggregate => true
+      case _: logical.GlobalLimit => true
+      case _: logical.LocalRelation => true
+      case _: logical.OneRowRelation => true
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val qe = fn(spark, dir).queryExecution
+      val plan = qe.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)
-      if (cartesian || bnlj)
-        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}${if (bnlj) "BNLJ" else ""}")
+      val unboundedGlobalWindow = qe.optimizedPlan.collectFirst {
+        case w: logical.Window
+            if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }.nonEmpty && !globalWindowByDesign.contains(name)
+      if (cartesian || bnlj || unboundedGlobalWindow)
+        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}" +
+          s"${if (bnlj) "BNLJ " else ""}" +
+          s"${if (unboundedGlobalWindow) "unbounded-global-Window" else ""}")
       else None
     }
-    assert(offenders.isEmpty, s"scale-unsafe joins in: $offenders")
+    assert(offenders.isEmpty, s"scale-unsafe plans in: $offenders")
   }
 
   test("decomposed prefix-sum/rank queries execute with a ReusedExchange: " +

@@ -175,4 +175,114 @@ class StageCacheSpec extends SparkSuite {
     assert(ops.StageCache.misses > m2,
       "a different corpus must not hit the first corpus's entry")
   }
+
+  // ---- ownership + eviction + fixtures (round-17 verdict Next #2/#7) ----
+
+  /** A minimal memoized stage: materializes a 1-row frame derived from
+    * `src` (so the entry OWNS the checkpointed RDD) and returns it. */
+  private def owned(tag: String, src: org.apache.spark.sql.DataFrame,
+      fixture: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val stage = if (fixture)
+      ops.StageCache.memoFixture(tag, Seq(src), Seq())(
+        ops.Checkpoints.materialize(src))
+    else ops.StageCache.memo(tag, Seq(src), Seq())(
+      ops.Checkpoints.materialize(src))
+    stage
+  }
+
+  private def checkpointRddId(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.get
+
+  private def persisted(id: Int): Boolean =
+    spark.sparkContext.getPersistentRDDs.contains(id)
+
+  test("an evicted entry's owned checkpoint blocks are disposed eagerly " +
+      "while caller-held and still-cached frames stay valid") {
+    ops.StageCache.clear()
+    val saved = ops.StageCache.MaxEntries
+    ops.StageCache.MaxEntries = 3
+    try {
+      // caller-materialized frame OUTSIDE any memo block: never owned,
+      // must survive every eviction untouched
+      val callerHeld = ops.Checkpoints.materialize(
+        frame("v" -> Seq[Any](42L)))
+      val callerId = checkpointRddId(callerHeld)
+      val a = owned("evict_a", frame("v" -> Seq[Any](1L)))
+      val aId = checkpointRddId(a)
+      assert(persisted(aId), "A's checkpoint blocks should be live")
+      owned("evict_b", frame("v" -> Seq[Any](2L)))
+      val c = owned("evict_c", frame("v" -> Seq[Any](3L)))
+      // 4th insertion evicts A (LRU victim) and must DISPOSE its blocks
+      owned("evict_d", frame("v" -> Seq[Any](4L)))
+      assert(!persisted(aId),
+        "evicted entry A's owned blocks must be unpersisted eagerly")
+      assert(persisted(callerId) && callerHeld.collect().head.getLong(0) == 42L,
+        "a frame materialized OUTSIDE the cache must never be disposed")
+      assert(c.collect().head.getLong(0) == 3L,
+        "still-cached entries must stay valid across an eviction")
+    } finally {
+      ops.StageCache.MaxEntries = saved
+      ops.StageCache.clear()
+    }
+  }
+
+  test("LRU: a hit refreshes an entry so it is not the next eviction " +
+      "victim (an in-use backbone can't be disposed under a consumer)") {
+    ops.StageCache.clear()
+    val saved = ops.StageCache.MaxEntries
+    ops.StageCache.MaxEntries = 3
+    try {
+      val srcA = frame("v" -> Seq[Any](1L))
+      val a = owned("lru_a", srcA)
+      val aId = checkpointRddId(a)
+      val b = owned("lru_b", frame("v" -> Seq[Any](2L)))
+      val bId = checkpointRddId(b)
+      owned("lru_c", frame("v" -> Seq[Any](3L)))
+      // HIT a (same tag + same plan) — must move it to the LRU back
+      val aAgain = owned("lru_a", srcA)
+      assert(checkpointRddId(aAgain) == aId, "expected a cache hit on A")
+      // next insertion must evict B (now the least recently used), not A
+      owned("lru_d", frame("v" -> Seq[Any](4L)))
+      assert(persisted(aId), "recently-hit A must survive the eviction")
+      assert(!persisted(bId), "LRU victim B's blocks must be disposed")
+      assert(a.collect().head.getLong(0) == 1L)
+    } finally {
+      ops.StageCache.MaxEntries = saved
+      ops.StageCache.clear()
+    }
+  }
+
+  test("fixture entries and stages DERIVED from fixture frames survive " +
+      "clearTransient; plain entries are dropped and disposed") {
+    ops.StageCache.clear()
+    val fxSrc = frame("v" -> Seq[Any](7L))
+    val fx = owned("fixture_src", fxSrc, fixture = true)
+    val fxId = checkpointRddId(fx)
+    // derived stage: INPUT is the fixture's materialized frame → the
+    // entry inherits fixture status mechanically
+    val derived = ops.StageCache.memo("fixture_derived",
+      Seq(fx), Seq())(ops.Checkpoints.materialize(
+      fx.select((col("v") * 2).as("v"))))
+    val derivedId = checkpointRddId(derived)
+    val plain = owned("plain_stage", frame("v" -> Seq[Any](5L)))
+    val plainId = checkpointRddId(plain)
+    assert(ops.StageCache.fixtureCount == 2,
+      s"fixture + inherited expected, got ${ops.StageCache.fixtureCount}")
+    ops.StageCache.clearTransient()
+    assert(ops.StageCache.size == 2,
+      "clearTransient must keep exactly the fixture family")
+    assert(persisted(fxId) && persisted(derivedId),
+      "fixture-family blocks must stay live across clearTransient")
+    assert(!persisted(plainId),
+      "transient entry's blocks must be disposed by clearTransient")
+    assert(fx.collect().head.getLong(0) == 7L &&
+      derived.collect().head.getLong(0) == 14L)
+    // a re-memo of the fixture must be a pure HIT after clearTransient
+    val h0 = ops.StageCache.hits
+    owned("fixture_src", fxSrc, fixture = true)
+    assert(ops.StageCache.hits == h0 + 1, "fixture must survive as a hit")
+    ops.StageCache.clear()
+  }
 }

@@ -14,7 +14,7 @@ SF10=${1:-tmp/sf10}
 # SEMANTIC trio — x251 (dense cell mode), x254 (banded 4x8), x257
 # (banded at the sf10 tuning-rule shape 8x16) — so the artifact prices
 # the dense chain NEXT TO its bounded replacement (round-16 Next #3)
-QUERIES=${2:-q01_pricing_summary,q14_join_nway_revenue,x03_minhash_lsh,x18_ivf_topk,x54_curation_shard_map,x61_corpus_append,x112_curation_transitions,x246_dsir_mixture,x247_model_gated_funnel,x251_semantic_recall_curve,x252_cell_diverse_topk,x254_semantic_lsh_recall,x257_semantic_recall_banded_scale}
+QUERIES=${2:-q01_pricing_summary,q14_join_nway_revenue,x03_minhash_lsh,x18_ivf_topk,x54_curation_shard_map,x61_corpus_append,x112_curation_transitions,x246_dsir_mixture,x247_model_gated_funnel,x251_semantic_recall_curve,x252_cell_diverse_topk,x254_semantic_lsh_recall,x257_semantic_recall_banded_scale,x258_semantic_recall_auto}
 if [ ! -d "$SF10" ]; then
   echo "== generating $SF10 (GenScale sf0.1 x100) =="
   sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 $SF10 100"
@@ -31,7 +31,8 @@ assert rows, "no [probe] lines parsed - did graft.Probe run?"
 out = {
     "sf_dir": os.environ["SF10"],
     "recipe": "runMain graft.GenScale /root/testdata/sf0.1 <dir> 100",
-    "mode": "solo quiescent (graft.Probe: sequential, cold StageCache, "
+    "mode": "solo quiescent (graft.Probe: sequential, cold transient "
+            "StageCache per query, shared planted-fixture entries warm, "
             "untimed big-table warmup)",
     "queries": rows,
 }
