@@ -252,7 +252,11 @@ object Pipeline {
           // run's dense result (or vice versa) with the guard skipped
           Seq(embedMinCosine, embedCells, embedIters, embedSaltBuckets,
             embedBands, embedPlanesPerBand, embedDim,
-            if (embedBands == 0) denseMaxSurvivors else 0L)) {
+            if (embedBands == 0) denseMaxSurvivors else 0L),
+          // the semantic stage is the SUBJECT of the recall audits —
+          // never fixture-inherited, or its quiescent price reads as a
+          // cache lookup (see StageCache.memo's inheritFixture doc)
+          inheritFixture = false) {
         val survivorVecs = emb
           .select(col("doc_id").as("vec_id"), col("embedding"))
           .join(deduped.select(col("doc_id").as("vec_id")),
@@ -315,7 +319,10 @@ object Pipeline {
     // every report over this snapshot — materialize + memoize it so the
     // shingle pass over the survivors runs once per (snapshot, eval set)
     val contaminated = StageCache.memo("curation_contam",
-        Seq(semantic, evalSet), Seq(5, maxSharedShingles)) {
+        Seq(semantic, evalSet), Seq(5, maxSharedShingles),
+        // measured alongside the semantic stage (its input), not
+        // scaffolding — same inheritFixture rationale
+        inheritFixture = false) {
       Checkpoints.materialize(
         Dedup.contamination(semantic, evalSet, shingleN = 5)
           .filter(col("n_shared") > maxSharedShingles)

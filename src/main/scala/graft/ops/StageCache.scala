@@ -141,7 +141,7 @@ object StageCache {
   }
 
   private def memoImpl[T <: AnyRef](tag: String, frames: Seq[DataFrame],
-      params: Seq[Any], fixture: Boolean)(stage: => T): T = {
+      params: Seq[Any], fixture: Boolean, inherit: Boolean)(stage: => T): T = {
     if (!enabled || frames.isEmpty) return stage
     val sess: AnyRef = frames.head.sparkSession
     val plans = frames.map(_.queryExecution.analyzed)
@@ -166,10 +166,16 @@ object StageCache {
           if (!victim._2.fixture) evicted = victim._2
         }
         // fixture status is explicit or INHERITED: a stage whose inputs
-        // read a fixture-owned materialized RDD is itself scaffolding
-        val fx = fixture || plans.exists(_.collectFirst {
+        // read a fixture-owned materialized RDD is itself scaffolding —
+        // UNLESS the call site opted out (inheritFixture = false), the
+        // marker for a MEASURED stage: the pipeline's semantic/contam
+        // stages are the subject of the recall audits, so they must go
+        // cold in the quiescent pass even when their inputs are fixtures
+        // (a warm subject would read as a 0.4 s generator forever and
+        // blind the per-query regression gate)
+        val fx = fixture || (inherit && plans.exists(_.collectFirst {
           case lr: LogicalRDD if fixtureRddIds(lr.rdd.id) => ()
-        }.nonEmpty)
+        }.nonEmpty))
         val b = new Box(() => stage, fx)
         entries += ((Key(sess, tag, plans, params), b))
         b
@@ -185,16 +191,18 @@ object StageCache {
     * out of the key is a correctness bug, not a perf knob.
     */
   def memo[T <: AnyRef](tag: String, frames: Seq[DataFrame],
-      params: Seq[Any])(stage: => T): T =
-    memoImpl(tag, frames, params, fixture = false)(stage)
+      params: Seq[Any], inheritFixture: Boolean = true)(stage: => T): T =
+    memoImpl(tag, frames, params, fixture = false,
+      inherit = inheritFixture)(stage)
 
   /** [[memo]] for experiment/test SCAFFOLDING (planted corpora and the
     * like): the entry — and, transitively, every stage computed FROM
-    * its frames — survives [[clearTransient]]. Use only for fixtures
-    * shared across audit queries, never for product stages. */
+    * its frames except `inheritFixture = false` call sites — survives
+    * [[clearTransient]]. Use only for fixtures shared across audit
+    * queries, never for product stages. */
   def memoFixture[T <: AnyRef](tag: String, frames: Seq[DataFrame],
       params: Seq[Any])(stage: => T): T =
-    memoImpl(tag, frames, params, fixture = true)(stage)
+    memoImpl(tag, frames, params, fixture = true, inherit = true)(stage)
 
   /** Drop every cached stage (snapshot rotation / test isolation).
     * Reference-drop only — callers may legitimately still hold frames

@@ -266,6 +266,13 @@ class StageCacheSpec extends SparkSuite {
       Seq(fx), Seq())(ops.Checkpoints.materialize(
       fx.select((col("v") * 2).as("v"))))
     val derivedId = checkpointRddId(derived)
+    // a MEASURED stage (inheritFixture = false) must NOT inherit even
+    // with a fixture input — it goes cold with every clearTransient so
+    // quiescent numbers keep pricing it (the x251-family semantic stage)
+    val measured = ops.StageCache.memo("measured_stage",
+      Seq(fx), Seq(), inheritFixture = false)(ops.Checkpoints.materialize(
+      fx.select((col("v") * 3).as("v"))))
+    val measuredId = checkpointRddId(measured)
     val plain = owned("plain_stage", frame("v" -> Seq[Any](5L)))
     val plainId = checkpointRddId(plain)
     assert(ops.StageCache.fixtureCount == 2,
@@ -277,6 +284,8 @@ class StageCacheSpec extends SparkSuite {
       "fixture-family blocks must stay live across clearTransient")
     assert(!persisted(plainId),
       "transient entry's blocks must be disposed by clearTransient")
+    assert(!persisted(measuredId),
+      "inheritFixture=false entry must go cold with clearTransient")
     assert(fx.collect().head.getLong(0) == 7L &&
       derived.collect().head.getLong(0) == 14L)
     // a re-memo of the fixture must be a pure HIT after clearTransient
