@@ -37,6 +37,12 @@ def main(sf_dir, out_dir, top_n=10):
     print(f"total {total:.1f} s over {len(times)} queries")
     for name, s in sorted(times.items(), key=lambda x: -x[1])[:int(top_n)]:
         print(f"  {name}: {s:.2f} s")
+    # full per-query map for pair accounting (e.g. subtracting queries
+    # the Spark suite deliberately retires, so pairs compare the SAME
+    # query set) — written next to the oracle it replayed
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump({"total_sec": total, "queries": times}, f)
+    print(f"per-query map: {out_dir}/oracle_times.json")
 
 
 if __name__ == "__main__":
