@@ -109,15 +109,14 @@ object Similarity {
     * compiled whole-stage codegen at k = 512, d = 64 — 32k inlined
     * doubles, max generated method well under Janino's 64 KB limit) but
     * grows the plan, the analysis cost, and the generated code linearly
-    * with k. Past this bound the argmax must move OFF the literal path:
-    * broadcast the centroid matrix (a k×d DataFrame under
-    * `broadcast(...)`, equi-join-free BNLJ against the bounded side)
-    * and take the per-vector argmax with the salted two-phase top-k —
-    * the shape x18/x173 already plan for probe×centroid scoring — or
-    * score inside one `mapPartitions` pass against a broadcast
-    * `Array[Array[Double]]`. A thousands-of-cells production IVF at
-    * 100 TB wants that broadcast-matrix form anyway: one copy per
-    * executor, not one copy inlined per expression tree. */
+    * with k. Past this bound, [[nearestCell]] routes AUTOMATICALLY to
+    * the broadcast-matrix form ([[broadcastNearestCell]]: one copy per
+    * executor instead of one copy inlined per expression tree, bitwise
+    * the same argmax) — so assignment, the Lloyd loop, PQ codes and
+    * IVF probing scale to a thousands-of-cells production quantizer
+    * with no caller change. Only the cell+sim literal path
+    * (withNearestCellSim consumers — silhouette, diverse top-k)
+    * refuses past the bound. */
   val MaxLiteralCentroids = 1024
 
   /** Same ceiling for inlined hyperplane literals (band keys inline
@@ -143,10 +142,11 @@ object Similarity {
     require(cents.size <= MaxLiteralCentroids,
       s"literal-argmax assignment inlines one typedLit array per " +
         s"centroid; ${cents.size} centroids is past the audited codegen " +
-        s"ceiling ($MaxLiteralCentroids). At this k, broadcast the " +
-        s"centroid matrix instead (broadcast k×d frame + salted top-1, " +
-        s"the x18 probe-scoring shape, or mapPartitions over a " +
-        s"broadcast Array[Array[Double]]) — see MaxLiteralCentroids.")
+        s"ceiling ($MaxLiteralCentroids). Cell-only consumers route to " +
+        s"the broadcast-matrix argmax automatically (nearestCell -> " +
+        s"broadcastNearestCell); this cell+sim literal path does not — " +
+        s"reduce k or take the cell from nearestCell and the sim from " +
+        s"one cosine against the (broadcast) own-centroid row.")
     val scored = cents.map { case (cid, ce) =>
       struct(round(cosine(e, typedLit(ce)), 6).as("sim"),
         lit(-cid).as("_nc"))
@@ -154,9 +154,75 @@ object Similarity {
     if (scored.size == 1) scored.head else greatest(scored: _*)
   }
 
+  /** Nearest-centroid cell id, auto-routed by k: the codegen'd literal
+    * argmax up to [[MaxLiteralCentroids]], the broadcast-matrix UDF
+    * ([[broadcastNearestCell]]) past it — so every cell-only consumer
+    * (assignment, the Lloyd loop, PQ codes, IVF probes) scales to
+    * thousands of cells without touching the plan shape (still
+    * map-only: no join, no window, no exchange). The two forms are
+    * bitwise-identical (spec-pinned): same single-pass cosine
+    * accumulation order, same HALF_UP round-6, same NaN-greatest /
+    * min-cent_id tie ordering. */
   private[graft] def nearestCell(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column =
-    -bestCentroid(e, cents).getField("_nc")
+    if (cents.size <= MaxLiteralCentroids)
+      -bestCentroid(e, cents).getField("_nc")
+    else broadcastNearestCell(e, cents)
+
+  /** The past-the-literal-ceiling assignment form: centroids ride ONE
+    * Spark broadcast (a copy per executor, not a copy inlined per
+    * expression tree) and the argmax runs in a deterministic Scala UDF
+    * that replicates the literal path's arithmetic EXACTLY —
+    * [[VectorExpressions.CosineSim]]'s single-pass fold, Catalyst
+    * Round's HALF_UP-on-BigDecimal.valueOf with NaN/Infinity passed
+    * through, and `greatest(struct(sim, -cent_id))`'s NaN-is-largest /
+    * smallest-cent_id-on-ties ordering (java.lang.Double.compare has
+    * the same NaN semantics). Null embedding → null cell. Not
+    * codegen'd (a UDF never is), but the per-row work is O(k·d) float
+    * math — the same work the literal expression does — and the plan
+    * stays a bare projection. */
+  private[graft] def broadcastNearestCell(e: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "nearest-centroid argmax needs >= 1 centroid")
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val b = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast((ids, mat))
+    val f = udf((v: Seq[Double]) => {
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val (cids, m) = b.value
+        val arr = v.toArray
+        var bestSim = 0.0
+        var bestCid = 0L
+        var first = true
+        var i = 0
+        while (i < m.length) {
+          val c = m(i)
+          val n = math.min(arr.length, c.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < n) {
+            val x = arr(j); val y = c(j)
+            dot += x * y; na += x * x; nb += y * y; j += 1
+          }
+          val raw = dot / math.sqrt(na * nb)
+          // Catalyst Round(…, 6) semantics: NaN/Infinity unrounded,
+          // else BigDecimal.valueOf + HALF_UP
+          val sim =
+            if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+            else java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val cmp = java.lang.Double.compare(sim, bestSim)
+          if (first || cmp > 0 || (cmp == 0 && cids(i) < bestCid)) {
+            bestSim = sim; bestCid = cids(i); first = false
+          }
+          i += 1
+        }
+        java.lang.Long.valueOf(bestCid)
+      }
+    })
+    f(e)
+  }
 
   /** `vecs` + a `cell` column (nearest centroid), map-only — the shape
     * every quantizer consumer wants: no assignment frame, no join back.

@@ -80,15 +80,53 @@ class CodegenCeilingSpec extends SparkSuite {
     }
   }
 
-  test("shapes past the audited literal bound are refused loudly, naming " +
-      "the broadcast-matrix alternative") {
-    val e = intercept[IllegalArgumentException] {
-      vecs(4, 64).select(Similarity.nearestCell(
-        col("embedding").cast("array<double>"),
-        cents(Similarity.MaxLiteralCentroids + 1, 64))).collect()
+  test("broadcast-matrix argmax is BITWISE the literal argmax (the " +
+      "past-the-ceiling routing must not change a single assignment)") {
+    val cs = cents(64, 64)
+    val e = col("embedding").cast("array<double>")
+    val both = vecs(300, 64).select(col("vec_id"),
+      Similarity.nearestCell(e, cs).as("lit_cell"),
+      Similarity.broadcastNearestCell(e, cs).as("bc_cell"))
+    val diff = both.filter(col("lit_cell") =!= col("bc_cell")).count()
+    assert(diff == 0, s"$diff/300 assignments diverged between the " +
+      "literal and broadcast argmax forms")
+  }
+
+  test("past MaxLiteralCentroids, nearestCell routes to the broadcast " +
+      "matrix: still map-only, still the right argmax") {
+    val k = Similarity.MaxLiteralCentroids + 64
+    val cs = cents(k, 64)
+    val df = vecs(40, 64).select(col("vec_id"), Similarity.nearestCell(
+      col("embedding").cast("array<double>"), cs).as("cell"))
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("Join", "Window", "Exchange"))
+      assert(!plan.contains(bad),
+        s"broadcast assignment must stay map-only, found $bad:\n" +
+          plan.take(2000))
+    // cross-check a few rows against a driver-side recomputation
+    val got = df.orderBy("vec_id").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = vecs(40, 64).orderBy("vec_id").limit(3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    for ((id, e) <- vs) {
+      val best = cs.map { case (cid, ce) =>
+        val dot = e.lazyZip(ce).map(_ * _).sum
+        val sim = BigDecimal(dot / math.sqrt(
+          e.map(x => x * x).sum * ce.map(x => x * x).sum))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (sim, -cid)
+      }.max
+      assert(got(id) == -best._2, s"vec $id: got ${got(id)}, want ${-best._2}")
     }
-    assert(e.getMessage.contains("broadcast"),
-      s"refusal must name the broadcast-matrix path: ${e.getMessage}")
+    // the Lloyd loop inherits the routing: training at k past the
+    // literal ceiling must work end-to-end (one iteration, tiny corpus)
+    val trained = Similarity.kmeansCentroids(vecs(40, 64),
+      nCells = Similarity.MaxLiteralCentroids + 8, iters = 1)
+    assert(trained.count() == 40L) // init = first-n vectors (n < k)
+  }
+
+  test("band shapes past the audited plane bound are refused loudly, " +
+      "naming the broadcast path") {
     val e2 = intercept[IllegalArgumentException] {
       Similarity.stackedEmbeddingBandKeys(vecs(4, 64),
         nBands = 64, planesPerBand = 33, dim = 64).collect()
