@@ -103,21 +103,26 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
 
-  /** Audited ceiling for the literal-argmax centroid family: k
-    * centroids inline k `typedLit` arrays into ONE expression, which is
-    * ideal map-only codegen up to IVF-scale k (CodegenCeilingSpec pins
-    * compiled whole-stage codegen at k = 512, d = 64 — 32k inlined
-    * doubles, max generated method well under Janino's 64 KB limit) but
-    * grows the plan, the analysis cost, and the generated code linearly
-    * with k. Past this bound, [[nearestCell]] routes AUTOMATICALLY to
-    * the broadcast-matrix form ([[broadcastNearestCell]]: one copy per
-    * executor instead of one copy inlined per expression tree, bitwise
-    * the same argmax) — so assignment, the Lloyd loop, PQ codes and
-    * IVF probing scale to a thousands-of-cells production quantizer
-    * with no caller change. Only the cell+sim literal path
-    * (withNearestCellSim consumers — silhouette, diverse top-k)
-    * refuses past the bound. */
-  val MaxLiteralCentroids = 1024
+  /** Routing threshold for the literal-argmax centroid family, set by
+    * the MEASURED JIT cliff, not by Janino's 64 KB compile limit: the
+    * generated consume method grows ~250 bytecode bytes per centroid
+    * (measured at d = 64: k=16 → 4,298 B, k=24 → 6,418 B, k=32 →
+    * 8,641 B), and HotSpot refuses to JIT methods over ~8,000 bytes —
+    * the code still COMPILES (Janino is happy until 64 KB) but runs as
+    * interpreted bytecode: on a 200k-row corpus the k=32..128 literal
+    * argmax measured 35–75 s vs 0.4–0.8 s for the broadcast form
+    * (PLANS.md round-18 A/B; at k ≥ 256 Spark's expression splitting
+    * kicks in and re-JITs, but 2–3× slower than broadcast). Past this
+    * bound [[nearestCell]] and the cell+sim path route AUTOMATICALLY
+    * to the broadcast-matrix forms ([[broadcastNearestCell]] /
+    * [[broadcastNearestCellSim]]: one executor-side copy instead of
+    * one per expression tree, bitwise the same result) — assignment,
+    * the Lloyd loop, PQ codes, IVF probing and the silhouette/diverse
+    * consumers all scale to thousands-of-cells quantizers with no
+    * caller change. 16 covers every committed query shape with 2×
+    * bytecode margin for fused surrounding expressions (the Lloyd
+    * map's quantize transform lands in the same generated method). */
+  val MaxLiteralCentroids = 16
 
   /** Same ceiling for inlined hyperplane literals (band keys inline
     * nBands·planesPerBand plane arrays of `dim` doubles each). 2048
@@ -140,13 +145,13 @@ object Similarity {
   private def bestCentroid(e: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "nearest-centroid argmax needs >= 1 centroid")
     require(cents.size <= MaxLiteralCentroids,
-      s"literal-argmax assignment inlines one typedLit array per " +
-        s"centroid; ${cents.size} centroids is past the audited codegen " +
-        s"ceiling ($MaxLiteralCentroids). Cell-only consumers route to " +
-        s"the broadcast-matrix argmax automatically (nearestCell -> " +
-        s"broadcastNearestCell); this cell+sim literal path does not — " +
-        s"reduce k or take the cell from nearestCell and the sim from " +
-        s"one cosine against the (broadcast) own-centroid row.")
+      s"literal-argmax over ${cents.size} centroids is past the " +
+        s"JIT-safe bytecode bound ($MaxLiteralCentroids — see " +
+        s"MaxLiteralCentroids: k=32 already generates an un-JIT-able " +
+        s"8.6 KB method that runs 50x slow interpreted). Callers reach " +
+        s"the literal form only through nearestCell/withNearestCellSim, " +
+        s"which route to the broadcast-matrix twins above this k — use " +
+        s"those, not bestCentroid directly.")
     val scored = cents.map { case (cid, ce) =>
       struct(round(cosine(e, typedLit(ce)), 6).as("sim"),
         lit(-cid).as("_nc"))
@@ -163,10 +168,15 @@ object Similarity {
     * bitwise-identical (spec-pinned): same single-pass cosine
     * accumulation order, same HALF_UP round-6, same NaN-greatest /
     * min-cent_id tie ordering. */
+  /** The literal (typedLit + greatest) form alone — ONLY JIT-safe up
+    * to [[MaxLiteralCentroids]]; exposed for the parity spec. */
+  private[graft] def literalNearestCell(e: Column,
+      cents: Seq[(Long, Seq[Double])]): Column =
+    -bestCentroid(e, cents).getField("_nc")
+
   private[graft] def nearestCell(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column =
-    if (cents.size <= MaxLiteralCentroids)
-      -bestCentroid(e, cents).getField("_nc")
+    if (cents.size <= MaxLiteralCentroids) literalNearestCell(e, cents)
     else broadcastNearestCell(e, cents)
 
   /** The past-the-literal-ceiling assignment form: centroids ride ONE
@@ -237,16 +247,66 @@ object Similarity {
   /** `vecs` + `cell` AND `sim` (round-6 cosine to the OWN centroid) in
     * one map-only pass; the argmax struct is staged as a
     * multiply-referenced alias so CollapseProject keeps it computed
-    * once (the quantizeInt8 staging lesson). */
-  private def withNearestCellSim(vecs: DataFrame, e: Column,
+    * once (the quantizeInt8 staging lesson). Routes to the broadcast
+    * twin past [[MaxLiteralCentroids]] like [[nearestCell]]. */
+  private[graft] def withNearestCellSim(vecs: DataFrame, e: Column,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     if (cents.isEmpty)
       vecs.withColumn("cell", lit(null).cast("long"))
         .withColumn("sim", lit(null).cast("double")).limit(0)
-    else vecs.withColumn("_b", bestCentroid(e, cents))
-      .withColumn("cell", -col("_b").getField("_nc"))
-      .withColumn("sim", col("_b").getField("sim"))
+    else if (cents.size <= MaxLiteralCentroids)
+      vecs.withColumn("_b", bestCentroid(e, cents))
+        .withColumn("cell", -col("_b").getField("_nc"))
+        .withColumn("sim", col("_b").getField("sim"))
+        .drop("_b")
+    else vecs.withColumn("_b", broadcastNearestCellSim(e, cents))
+      .withColumn("cell", col("_b").getField("_1"))
+      .withColumn("sim", col("_b").getField("_2"))
       .drop("_b")
+
+  /** [[broadcastNearestCell]]'s cell+sim twin: one UDF pass returning
+    * (cell, round-6 own-centroid sim) with the identical arithmetic —
+    * the past-the-ceiling path for the silhouette/diversity family. */
+  private[graft] def broadcastNearestCellSim(e: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "nearest-centroid argmax needs >= 1 centroid")
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val b = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast((ids, mat))
+    val f = udf((v: Seq[Double]) => {
+      if (v == null) null.asInstanceOf[(java.lang.Long, java.lang.Double)]
+      else {
+        val (cids, m) = b.value
+        val arr = v.toArray
+        var bestSim = 0.0
+        var bestCid = 0L
+        var first = true
+        var i = 0
+        while (i < m.length) {
+          val c = m(i)
+          val n = math.min(arr.length, c.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+          while (j < n) {
+            val x = arr(j); val y = c(j)
+            dot += x * y; na += x * x; nb += y * y; j += 1
+          }
+          val raw = dot / math.sqrt(na * nb)
+          val sim =
+            if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+            else java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val cmp = java.lang.Double.compare(sim, bestSim)
+          if (first || cmp > 0 || (cmp == 0 && cids(i) < bestCid)) {
+            bestSim = sim; bestCid = cids(i); first = false
+          }
+          i += 1
+        }
+        (java.lang.Long.valueOf(bestCid), java.lang.Double.valueOf(bestSim))
+      }
+    })
+    f(e)
+  }
 
   /** IVF coarse quantizer: centroids are the first `nCells` vectors by id
     * — a deterministic, oracle-reproducible stand-in for trained k-means

@@ -3,19 +3,22 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Pins the literal-inlining ceiling of the driver-side centroid /
-  * hyperplane families (round-17 verdict Next #3 / What's wrong #2).
-  *
-  * `Similarity.bestCentroid` inlines k `typedLit` arrays of d doubles
-  * into ONE argmax expression and `stackedEmbeddingBandKeys` inlines
-  * nBands·planesPerBand plane arrays — ideal at the repo's shapes
-  * (k ≤ 16, ≤ 128 planes), but the generated code and analysis cost
-  * grow with the literal count, and past Janino's 64 KB method limit
-  * whole-stage codegen silently falls back to interpreted evaluation.
-  * This spec proves codegen still ENGAGES and COMPILES at production
-  * IVF scale (k = 512 centroids, d = 64 — 32k inlined doubles), and
-  * that the operators REFUSE shapes past the audited bound with an
-  * error naming the broadcast-matrix alternative, instead of silently
-  * degrading.
+  * hyperplane families (round-17 verdict Next #3 / What's wrong #2) —
+  * REDEFINED in round 18 by the measured JIT cliff, which bites far
+  * below Janino's 64 KB compile limit: HotSpot refuses to JIT methods
+  * over ~8,000 bytecode bytes, so a literal argmax at k = 32..128
+  * COMPILES fine and then runs interpreted (measured 35–75 s vs
+  * 0.4–0.8 s broadcast on a 200k-row corpus — PLANS.md round-18 A/B).
+  * nearestCell / withNearestCellSim therefore route to the
+  * broadcast-matrix twins past MaxLiteralCentroids = 16, and this spec
+  * pins three contracts:
+  *   1. the literal form at the bound is JIT-SAFE (method < 8,000 B),
+  *      and the cliff the bound protects against is real (k = 32
+  *      generates an un-JIT-able method);
+  *   2. literal and broadcast forms are BITWISE identical (cell AND
+  *      sim), so routing can never change a result;
+  *   3. past the bound everything still works map-only — assignment,
+  *      and the Lloyd loop training at k > bound.
   */
 class CodegenCeilingSpec extends SparkSuite {
   import graft.functions.Similarity
@@ -32,69 +35,63 @@ class CodegenCeilingSpec extends SparkSuite {
     (0L until k).map(c =>
       c -> (0 until d).map(i => ((c * 31 + i * 7) % 101).toDouble / 101.0))
 
-  test("centroid literal argmax at k=512, d=64: whole-stage codegen " +
-      "engages and every generated method compiles under the huge-method " +
-      "limit (no silent interpreted fallback)") {
-    val k = 512
-    val df = vecs(40, 64)
-      .select(col("vec_id"), Similarity.nearestCell(
-        col("embedding").cast("array<double>"), cents(k, 64)).as("cell"))
+  private def maxMethodSize(df: org.apache.spark.sql.DataFrame): Int = {
     val plan = df.queryExecution.executedPlan
-    // simpleString renders WholeStageCodegen as the `*(n)` prefix — walk
-    // the tree for the node itself
     assert(plan.collectFirst {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }.nonEmpty, "assignment projection left whole-stage codegen:\n" +
+    }.nonEmpty, "projection left whole-stage codegen:\n" +
       plan.toString.take(2000))
-    // compile every codegen subtree the way the executor would and read
-    // the real bytecode stats: maxMethodCodeSize must be a positive
-    // number (it compiled) under the fallback threshold
-    // spark.sql.codegen.hugeMethodLimit (65535), or Spark would switch
-    // this subtree to interpreted execution at runtime
     val stats = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
     assert(stats.nonEmpty, "no codegen subtrees found")
-    for ((subtree, _, byteCodeStats) <- stats) {
-      assert(byteCodeStats.maxMethodCodeSize > 0,
-        s"codegen did not compile for subtree:\n${subtree.take(500)}")
-      assert(byteCodeStats.maxMethodCodeSize < 65535,
-        s"generated method ${byteCodeStats.maxMethodCodeSize} bytes — " +
-          s"over the huge-method fallback limit:\n${subtree.take(500)}")
-    }
-    // and the argmax is actually right at this k: cross-check a few rows
-    // against a driver-side recomputation of the same arithmetic
-    // (round-6 cosine, smallest cent_id on ties)
-    val got = df.orderBy("vec_id").limit(5).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cs = cents(k, 64)
-    val vs = vecs(40, 64).orderBy("vec_id").limit(5).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1))
-    for ((id, e) <- vs) {
-      val best = cs.map { case (cid, ce) =>
-        val dot = e.lazyZip(ce).map(_ * _).sum
-        val sim = BigDecimal(dot / math.sqrt(
-          e.map(x => x * x).sum * ce.map(x => x * x).sum))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (sim, -cid)
-      }.max
-      assert(got(id) == -best._2, s"vec $id: got ${got(id)}, want ${-best._2}")
-    }
+    stats.map(_._3.maxMethodCodeSize).max
   }
 
-  test("broadcast-matrix argmax is BITWISE the literal argmax (the " +
-      "past-the-ceiling routing must not change a single assignment)") {
-    val cs = cents(64, 64)
+  test("literal argmax at the routing bound is JIT-safe (< 8000 bytecode " +
+      "bytes — the HotSpot limit, not Janino's 64KB)") {
+    // the cliff the bound protects against is committed evidence, not
+    // re-measured here (bestCentroid itself refuses k > bound, so the
+    // un-JIT-able shape is unreachable): at k=32/d=64 the generated
+    // method measured 8,641 B and ran 35 s interpreted on 200k rows vs
+    // 0.5 s broadcast (PLANS.md round-18 A/B). This test pins the SAFE
+    // side: if Spark's codegen ever grows the bound shape past 8000 B,
+    // MaxLiteralCentroids must come down.
+    val e = col("embedding").cast("array<double>")
+    val atBound = maxMethodSize(vecs(40, 64).select(col("vec_id"),
+      Similarity.literalNearestCell(e,
+        cents(Similarity.MaxLiteralCentroids, 64)).as("cell")))
+    assert(atBound > 0 && atBound < 8000,
+      s"literal argmax at k=${Similarity.MaxLiteralCentroids} generates " +
+        s"a $atBound-byte method — HotSpot stops JIT-compiling at " +
+        "~8000 and the routing bound must keep the literal form under " +
+        "it (lower MaxLiteralCentroids if codegen grew)")
+  }
+
+  test("broadcast-matrix argmax is BITWISE the literal argmax, cell AND " +
+      "sim (routing must never change a result)") {
+    val cs = cents(Similarity.MaxLiteralCentroids, 64)
     val e = col("embedding").cast("array<double>")
     val both = vecs(300, 64).select(col("vec_id"),
-      Similarity.nearestCell(e, cs).as("lit_cell"),
+      Similarity.literalNearestCell(e, cs).as("lit_cell"),
       Similarity.broadcastNearestCell(e, cs).as("bc_cell"))
-    val diff = both.filter(col("lit_cell") =!= col("bc_cell")).count()
-    assert(diff == 0, s"$diff/300 assignments diverged between the " +
-      "literal and broadcast argmax forms")
+    assert(both.filter(col("lit_cell") =!= col("bc_cell")).count() == 0,
+      "cell assignments diverged between literal and broadcast forms")
+    // cell+sim twin: literal withNearestCellSim vs the broadcast UDF
+    val litSim = Similarity.withNearestCellSim(vecs(300, 64), e, cs)
+      .select(col("vec_id"), col("cell"), col("sim"))
+    val bcSim = vecs(300, 64).select(col("vec_id"),
+        Similarity.broadcastNearestCellSim(e, cs).as("_b"))
+      .select(col("vec_id"), col("_b._1").as("cell"), col("_b._2").as("sim"))
+    val joined = litSim.as("l").join(bcSim.as("b"), "vec_id")
+      .filter(col("l.cell") =!= col("b.cell") ||
+        col("l.sim") =!= col("b.sim"))
+    assert(joined.count() == 0,
+      "cell+sim diverged between literal and broadcast forms")
   }
 
   test("past MaxLiteralCentroids, nearestCell routes to the broadcast " +
-      "matrix: still map-only, still the right argmax") {
-    val k = Similarity.MaxLiteralCentroids + 64
+      "matrix: still map-only, still the right argmax — straight " +
+      "through the old k=32..128 interpreted-cliff zone") {
+    val k = Similarity.MaxLiteralCentroids + 64 // k=80: inside the cliff
     val cs = cents(k, 64)
     val df = vecs(40, 64).select(col("vec_id"), Similarity.nearestCell(
       col("embedding").cast("array<double>"), cs).as("cell"))
@@ -103,7 +100,6 @@ class CodegenCeilingSpec extends SparkSuite {
       assert(!plan.contains(bad),
         s"broadcast assignment must stay map-only, found $bad:\n" +
           plan.take(2000))
-    // cross-check a few rows against a driver-side recomputation
     val got = df.orderBy("vec_id").limit(3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vs = vecs(40, 64).orderBy("vec_id").limit(3).collect()
@@ -118,11 +114,11 @@ class CodegenCeilingSpec extends SparkSuite {
       }.max
       assert(got(id) == -best._2, s"vec $id: got ${got(id)}, want ${-best._2}")
     }
-    // the Lloyd loop inherits the routing: training at k past the
-    // literal ceiling must work end-to-end (one iteration, tiny corpus)
+    // the Lloyd loop inherits the routing: training past the literal
+    // ceiling must work end-to-end (one iteration, tiny corpus)
     val trained = Similarity.kmeansCentroids(vecs(40, 64),
       nCells = Similarity.MaxLiteralCentroids + 8, iters = 1)
-    assert(trained.count() == 40L) // init = first-n vectors (n < k)
+    assert(trained.count() == 24L) // init = first-nCells vectors
   }
 
   test("band shapes past the audited plane bound are refused loudly, " +
@@ -136,7 +132,8 @@ class CodegenCeilingSpec extends SparkSuite {
   }
 
   test("banded plane inlining at the 128-plane committed shape stays " +
-      "codegen'd (the x256/x257 production shapes)") {
+      "codegen'd (the x256/x257 production shapes) — its HOT method is " +
+      "small (the >8KB member is cold glue, measured 0.34s/200k rows)") {
     val df = Similarity.stackedEmbeddingBandKeys(vecs(40, 64),
       nBands = 16, planesPerBand = 8, dim = 64)
     val plan = df.queryExecution.executedPlan
@@ -144,13 +141,6 @@ class CodegenCeilingSpec extends SparkSuite {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }.nonEmpty, "band-key projection left whole-stage codegen:\n" +
       plan.toString.take(2000))
-    val stats = org.apache.spark.sql.execution.debug.codegenStringSeq(plan)
-    for ((subtree, _, byteCodeStats) <- stats) {
-      assert(byteCodeStats.maxMethodCodeSize > 0 &&
-        byteCodeStats.maxMethodCodeSize < 65535,
-        s"band-key codegen out of bounds " +
-          s"(${byteCodeStats.maxMethodCodeSize}):\n${subtree.take(500)}")
-    }
     assert(df.count() == 40L * 16)
   }
 }
