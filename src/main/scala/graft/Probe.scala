@@ -22,10 +22,19 @@ object Probe {
     Tables.documents(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
     for (name <- names.split(',').map(_.trim).filter(_.nonEmpty)) {
+      val fn = SparkEntry.queries(name)
+      // UNTIMED first pass: builds any planted-fixture scaffolding the
+      // query shares with the suite (memoFixture entries), so the timed
+      // window below measures the same cold set as an in-suite
+      // quiescent reading — fixture warm, operators cold. Without it,
+      // the first recall-family probe in a fresh JVM pays fixture
+      // construction inside its timed window and reprobe_check would
+      // compare (or worse, commit) a number Bench can never reproduce
+      // (round-18 ADVICE).
+      fn(spark, sfDir).count()
       // same reset as the Bench quiescent pass (the numbers must be
       // comparable): operators cold, shared fixture scaffolding warm
       graft.ops.StageCache.clearTransient()
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val s = (System.nanoTime() - t0) / 1e9

@@ -124,11 +124,27 @@ object Similarity {
     * map's quantize transform lands in the same generated method). */
   val MaxLiteralCentroids = 16
 
-  /** Same ceiling for inlined hyperplane literals (band keys inline
-    * nBands·planesPerBand plane arrays of `dim` doubles each). 2048
-    * planes is 16× the committed production shapes (x256 16×8, x257
-    * 8×16) and comfortably inside the audited codegen envelope. */
-  val MaxLiteralPlanes = 2048
+  /** Routing threshold for the inlined-hyperplane band-key family
+    * (band keys inline nBands·planesPerBand plane arrays of `dim`
+    * doubles each), set by the MEASURED plane ladder exactly like
+    * [[MaxLiteralCentroids]] — and ~64× below the 2048 round 18
+    * ASSERTED. The round-19 ladder (PLANS.md round-19 table, d = 64,
+    * materialized 200k-row corpus) reads ~170 bytecode bytes per
+    * plane in the generate-consume method: 32 planes → 5,716 B
+    * (JIT-safe, 0.42 s/200k ≈ broadcast), 48 planes → 9,130 B — past
+    * HotSpot's ~8,000-byte JIT limit and ~90× slower interpreted
+    * (extrapolated ~35 s/200k); every committed production shape
+    * (x256 16×8, x257 8×16 = 128 planes, 26 KB methods, ~80 s/200k)
+    * was ALREADY past the cliff — round 18's "0.34 s/200k, hot
+    * method small" note does not reproduce under a clean
+    * materialized-input harness (the 0.34 s reading was dominated by
+    * an inline-generator fixture plan, see PLANS.md round 19). Past
+    * this bound [[stackedEmbeddingBandKeys]] routes AUTOMATICALLY to
+    * [[broadcastBandKeys]] (one broadcast plane matrix, bitwise the
+    * same bucket bits — spec-pinned, 0.15–0.31 s/200k at EVERY
+    * ladder shape), so recall tuning can raise nBands without a
+    * silent interpreted cliff OR a hand-written mapPartitions. */
+  val MaxLiteralPlanes = 32
 
   /** MAP-ONLY nearest-centroid argmax: `greatest` over one
     * `struct(round-6 cosine, -cent_id)` per centroid literal — max sim
@@ -169,10 +185,15 @@ object Similarity {
     * accumulation order, same HALF_UP round-6, same NaN-greatest /
     * min-cent_id tie ordering. */
   /** The literal (typedLit + greatest) form alone — ONLY JIT-safe up
-    * to [[MaxLiteralCentroids]]; exposed for the parity spec. */
+    * to [[MaxLiteralCentroids]]; exposed for the parity spec. The
+    * `isNotNull` guard pins the null-embedding contract to the
+    * broadcast twin's (null in → null cell): bare
+    * `greatest(struct(null_sim, -cid))` would otherwise resolve the
+    * all-null-sim tie to the smallest cent_id — a routing-dependent
+    * result, which the parity spec forbids (round-18 ADVICE). */
   private[graft] def literalNearestCell(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column =
-    -bestCentroid(e, cents).getField("_nc")
+    when(e.isNotNull, -bestCentroid(e, cents).getField("_nc"))
 
   private[graft] def nearestCell(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column =
@@ -191,6 +212,46 @@ object Similarity {
     * codegen'd (a UDF never is), but the per-row work is O(k·d) float
     * math — the same work the literal expression does — and the plan
     * stays a bare projection. */
+  /** The ONE argmax arithmetic body both broadcast twins call
+    * (round-18 verdict Next #4: these ~30 bitwise-critical lines were
+    * duplicated across the two UDFs, and a future fix applied to one
+    * and not the other would silently desync the literal-parity the
+    * CodegenCeilingSpec pins). Replicates the literal expression
+    * EXACTLY: [[VectorExpressions.CosineSim]]'s single-pass
+    * min-length fold order, Catalyst Round(…, 6) semantics
+    * (NaN/Infinity unrounded, else BigDecimal.valueOf + HALF_UP), and
+    * `greatest(struct(sim, -cent_id))`'s NaN-is-largest /
+    * smallest-cent_id-on-ties ordering (java.lang.Double.compare has
+    * the same NaN total order). Returns (best cent_id, its round-6
+    * sim). */
+  private[graft] def bestCellKernel(arr: Array[Double], cids: Array[Long],
+      m: Array[Array[Double]]): (Long, Double) = {
+    var bestSim = 0.0
+    var bestCid = 0L
+    var first = true
+    var i = 0
+    while (i < m.length) {
+      val c = m(i)
+      val n = math.min(arr.length, c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < n) {
+        val x = arr(j); val y = c(j)
+        dot += x * y; na += x * x; nb += y * y; j += 1
+      }
+      val raw = dot / math.sqrt(na * nb)
+      val sim =
+        if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cmp = java.lang.Double.compare(sim, bestSim)
+      if (first || cmp > 0 || (cmp == 0 && cids(i) < bestCid)) {
+        bestSim = sim; bestCid = cids(i); first = false
+      }
+      i += 1
+    }
+    (bestCid, bestSim)
+  }
+
   private[graft] def broadcastNearestCell(e: Column,
       cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "nearest-centroid argmax needs >= 1 centroid")
@@ -202,33 +263,7 @@ object Similarity {
       if (v == null) null.asInstanceOf[java.lang.Long]
       else {
         val (cids, m) = b.value
-        val arr = v.toArray
-        var bestSim = 0.0
-        var bestCid = 0L
-        var first = true
-        var i = 0
-        while (i < m.length) {
-          val c = m(i)
-          val n = math.min(arr.length, c.length)
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-          while (j < n) {
-            val x = arr(j); val y = c(j)
-            dot += x * y; na += x * x; nb += y * y; j += 1
-          }
-          val raw = dot / math.sqrt(na * nb)
-          // Catalyst Round(…, 6) semantics: NaN/Infinity unrounded,
-          // else BigDecimal.valueOf + HALF_UP
-          val sim =
-            if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
-            else java.math.BigDecimal.valueOf(raw)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          val cmp = java.lang.Double.compare(sim, bestSim)
-          if (first || cmp > 0 || (cmp == 0 && cids(i) < bestCid)) {
-            bestSim = sim; bestCid = cids(i); first = false
-          }
-          i += 1
-        }
-        java.lang.Long.valueOf(bestCid)
+        java.lang.Long.valueOf(bestCellKernel(v.toArray, cids, m)._1)
       }
     })
     f(e)
@@ -255,7 +290,10 @@ object Similarity {
       vecs.withColumn("cell", lit(null).cast("long"))
         .withColumn("sim", lit(null).cast("double")).limit(0)
     else if (cents.size <= MaxLiteralCentroids)
-      vecs.withColumn("_b", bestCentroid(e, cents))
+      // isNotNull guard: null embedding → null struct → null cell AND
+      // null sim, matching the broadcast twin (round-18 ADVICE — the
+      // bare greatest would yield cell = smallest cent_id, sim null)
+      vecs.withColumn("_b", when(e.isNotNull, bestCentroid(e, cents)))
         .withColumn("cell", -col("_b").getField("_nc"))
         .withColumn("sim", col("_b").getField("sim"))
         .drop("_b")
@@ -278,31 +316,8 @@ object Similarity {
       if (v == null) null.asInstanceOf[(java.lang.Long, java.lang.Double)]
       else {
         val (cids, m) = b.value
-        val arr = v.toArray
-        var bestSim = 0.0
-        var bestCid = 0L
-        var first = true
-        var i = 0
-        while (i < m.length) {
-          val c = m(i)
-          val n = math.min(arr.length, c.length)
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-          while (j < n) {
-            val x = arr(j); val y = c(j)
-            dot += x * y; na += x * x; nb += y * y; j += 1
-          }
-          val raw = dot / math.sqrt(na * nb)
-          val sim =
-            if (java.lang.Double.isNaN(raw) || java.lang.Double.isInfinite(raw)) raw
-            else java.math.BigDecimal.valueOf(raw)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          val cmp = java.lang.Double.compare(sim, bestSim)
-          if (first || cmp > 0 || (cmp == 0 && cids(i) < bestCid)) {
-            bestSim = sim; bestCid = cids(i); first = false
-          }
-          i += 1
-        }
-        (java.lang.Long.valueOf(bestCid), java.lang.Double.valueOf(bestSim))
+        val (cell, sim) = bestCellKernel(v.toArray, cids, m)
+        (java.lang.Long.valueOf(cell), java.lang.Double.valueOf(sim))
       }
     })
     f(e)
@@ -1068,17 +1083,23 @@ object Similarity {
     require(nBands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
       s"need nBands >= 1 and 1 <= planesPerBand <= 62, " +
         s"got $nBands x $planesPerBand")
-    require(nBands * planesPerBand <= MaxLiteralPlanes,
-      s"banded sign-LSH inlines one plane-literal array per " +
-        s"(band, plane); $nBands x $planesPerBand = " +
-        s"${nBands * planesPerBand} planes is past the audited codegen " +
-        s"ceiling ($MaxLiteralPlanes). Hash against a broadcast plane " +
-        s"matrix (mapPartitions over a broadcast Array[Array[Double]]) " +
-        s"past this shape — and check the banding: the tuning rule " +
-        s"r ~ log2(n/B) never needs this many planes.")
-    val signs = planeSigns(nBands * planesPerBand, dim)
     val b = df.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("e"))
+    if (nBands * planesPerBand <= MaxLiteralPlanes)
+      literalStackedBandKeys(b, nBands, planesPerBand, dim)
+    else
+      b.select(col("vec_id"),
+        posexplode(broadcastBandKeys(col("e"), nBands, planesPerBand, dim)))
+        .select(col("vec_id"), col("pos").as("bid"), col("col").as("bk"))
+  }
+
+  /** The literal (inlined plane arrays) form alone — ONLY JIT-safe up
+    * to [[MaxLiteralPlanes]] total planes; exposed for the parity spec
+    * and the ladder harness. Expects a pre-projected `(vec_id, e)`
+    * frame. */
+  private[graft] def literalStackedBandKeys(b: DataFrame, nBands: Int,
+      planesPerBand: Int, dim: Int): DataFrame = {
+    val signs = planeSigns(nBands * planesPerBand, dim)
     val bandStructs = (0 until nBands).map { band =>
       val bucket = (0 until planesPerBand).map { i =>
         val plane = signs(band * planesPerBand + i)
@@ -1091,6 +1112,53 @@ object Similarity {
         explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("band.bid").as("bid"),
         col("band.bk").as("bk"))
+  }
+
+  /** The past-the-ceiling band-key form: ALL nBands·planesPerBand
+    * hyperplanes ride ONE Spark broadcast (a copy per executor, not a
+    * literal array per plan node) and a deterministic Scala UDF emits
+    * the nBands bucket keys per vector, replicating the literal path's
+    * arithmetic EXACTLY: [[VectorExpressions.DotProduct]]'s sequential
+    * min-length fold per plane, `> 0` sign test, bit i set via the same
+    * `1L << i` addition, and the literal `when(...).otherwise(0)` null
+    * contract (null embedding → every band key 0, because a null dot
+    * comparison falls to the otherwise branch). Returns an
+    * `array<long>` of length nBands — position = band id, so
+    * `posexplode` reproduces the literal output rows bit-for-bit. */
+  private[graft] def broadcastBandKeys(e: Column, nBands: Int,
+      planesPerBand: Int, dim: Int): Column = {
+    val signs = planeSigns(nBands * planesPerBand, dim)
+      .map(_.map(_.toDouble))
+    val b = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(signs)
+    val nb = nBands
+    val r = planesPerBand
+    val f = udf((v: Seq[Double]) => {
+      if (v == null) Array.fill(nb)(0L)
+      else {
+        val planes = b.value
+        val arr = v.toArray
+        val out = new Array[Long](nb)
+        var band = 0
+        while (band < nb) {
+          var bk = 0L
+          var i = 0
+          while (i < r) {
+            val p = planes(band * r + i)
+            val n = math.min(arr.length, p.length)
+            var s = 0.0
+            var j = 0
+            while (j < n) { s += arr(j) * p(j); j += 1 }
+            if (s > 0) bk += (1L << i)
+            i += 1
+          }
+          out(band) = bk
+          band += 1
+        }
+        out
+      }
+    })
+    f(e)
   }
 
   /** Banded sign-LSH near-dup pairs — the CORPUS-SCALE semantic

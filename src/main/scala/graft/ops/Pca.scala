@@ -43,18 +43,38 @@ object Pca {
   def moments(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val q = emb.select(
       expr(s"transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))").as("q"))
-    // map-only outer product: one row → d² (i, j, qi·qj) cells. |q|≤~10^7
-    // keeps the per-cell product ≤ 10^14 (exact in BIGINT); the sums go
+    // map-only outer product, UPPER TRIANGLE only (i ≤ j): one row →
+    // d(d+1)/2 cells instead of d² — the matrix is symmetric with
+    // EXACTLY equal sums (x·y = y·x in integers; the (j,i) cell's mi
+    // is the (i,j) cell's mj), so the lower triangle is mirrored from
+    // the aggregated triangle below at O(d²) rows, not O(n·d²) cells
+    // (round-18 verdict Next #5: this pass dominates the x119/x122
+    // wall and the explode+exchange volume halves). |q|≤~10^7 keeps
+    // the per-cell product ≤ 10^14 (exact in BIGINT); the sums go
     // through DECIMAL(38,0) so no row count can overflow them.
     val cells = q.select(explode(expr(
-      "flatten(transform(q, (x, i) -> transform(q, (y, j) -> " +
-        "struct(i AS i, j AS j, x * y AS p, x AS qi, y AS qj))))")).as("c"))
+      "flatten(transform(q, (x, i) -> transform(slice(q, i + 1, size(q) - i), " +
+        "(y, k) -> struct(i AS i, i + k AS j, x * y AS p, x AS qi, y AS qj))))"))
+      .as("c"))
       .select(col("c.i"), col("c.j"), col("c.p"), col("c.qi"), col("c.qj"))
-    cells.groupBy(col("i"), col("j"))
+    val tri = cells.groupBy(col("i"), col("j"))
       .agg(sum(col("p").cast("decimal(38,0)")).as("sij"),
         sum(col("qi").cast("decimal(38,0)")).as("mi"),
         sum(col("qj").cast("decimal(38,0)")).as("mj"),
         count(lit(1)).as("n"))
+    // mirror AFTER the aggregation, as a map-side explode of each
+    // off-diagonal cell into its transpose — the plan keeps exactly ONE
+    // exchange and ONE embeddings scan (PlanSpec x118 pin); a
+    // union-of-two-branches formulation would need exchange reuse to
+    // avoid re-aggregating
+    val cell = struct(col("i"), col("j"), col("sij"), col("mi"),
+      col("mj"), col("n"))
+    val mirrored = struct(col("j").as("i"), col("i").as("j"), col("sij"),
+      col("mj").as("mi"), col("mi").as("mj"), col("n"))
+    tri.select(explode(when(col("i") === col("j"), array(cell))
+        .otherwise(array(cell, mirrored))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.sij"), col("c.mi"),
+        col("c.mj"), col("c.n"))
   }
 
   /** Sample covariance matrix of the embedding column, as (i, j, cov)

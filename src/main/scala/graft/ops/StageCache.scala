@@ -46,6 +46,14 @@ import org.apache.spark.sql.execution.LogicalRDD
   * [[MaxEntries]] subsequent DISTINCT stage insertions without
   * re-memoizing can observe disposal; re-request frames through `memo`
   * (hits are free) rather than holding them across unrelated work.
+  * Two disposal guardrails (round-18 ADVICE + verdict Next #3, both
+  * spec-pinned): an IN-FLIGHT entry (stage still computing) is never
+  * the disposal victim — eviction picks the LRU *completed*
+  * non-fixture box, or drops without eager disposal when none exists;
+  * and disposal SKIPS any checkpoint RDD a still-cached entry's input
+  * plans reference, so a derived entry keeps evaluating after the
+  * entry it was built from is evicted (the skipped blocks fall back
+  * to the ContextCleaner GC path).
   *
   * FIXTURE entries ([[memoFixture]]): test/audit scaffolding — e.g. the
   * planted-corpus frames the x251/x254/x256/x257 recall audits share —
@@ -76,10 +84,17 @@ object StageCache {
   private final class Box(f: () => AnyRef, val fixture: Boolean) {
     val owned = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.rdd.RDD[_]]
+    /** true once the stage body has COMPLETED. Eviction only eagerly
+      * disposes completed boxes: disposing an IN-FLIGHT box would
+      * unpersist the lineage-truncated checkpoints its computing
+      * thread has already registered and is about to hand out
+      * (block-not-found on first read), and RDDs registered after the
+      * dispose would leak entirely (round-18 ADVICE). */
+    @volatile var done = false
     lazy val value: AnyRef = {
       val prev = current.get()
       current.set(this)
-      try f() finally current.set(prev)
+      try { val r = f(); done = true; r } finally current.set(prev)
     }
   }
 
@@ -120,16 +135,39 @@ object StageCache {
       }
   }
 
+  /** RDD ids still referenced by LIVE entries — a DERIVED entry's key
+    * plans scan its input entries' checkpointed RDDs (the lazy frame a
+    * memo stage returns over another stage's materialized output), so
+    * disposing those blocks on the input entry's eviction would break
+    * the derived entry's next evaluation with block-not-found: the
+    * checkpoint's lineage is truncated, nothing can recompute it
+    * (round-18 verdict Next #3). [[dispose]] SKIPS these ids; their
+    * storage falls back to the ContextCleaner GC path once the
+    * referencing entries are gone too. MUST be called under the
+    * `entries` lock. */
+  private def referencedRddIds(): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    entries.foreach { case (k, box) =>
+      k.plans.foreach(_.foreach {
+        case lr: LogicalRDD => b += lr.rdd.id
+        case _ => ()
+      })
+      box.owned.forEach(r => b += r.id)
+    }
+    b.result()
+  }
+
   /** Eagerly release an evicted/dropped entry's owned storage: local
     * checkpoint blocks via unpersist, reliable checkpoint files via
     * filesystem delete (ContextCleaner would do both only at some
-    * future driver GC). Best-effort — a failure leaves the block to
-    * the GC path it had before. */
-  private def dispose(box: Box): Unit = {
+    * future driver GC). `stillLive` — ids any surviving entry still
+    * references — are skipped (left to the GC path). Best-effort — a
+    * failure leaves the block to the GC path it had before. */
+  private def dispose(box: Box, stillLive: Set[Int]): Unit = {
     val it = box.owned.iterator()
     while (it.hasNext) {
       val rdd = it.next()
-      try {
+      if (!stillLive(rdd.id)) try {
         rdd.unpersist(blocking = false)
         rdd.getCheckpointFile.foreach { p =>
           val path = new org.apache.hadoop.fs.Path(p)
@@ -146,6 +184,7 @@ object StageCache {
     val sess: AnyRef = frames.head.sparkSession
     val plans = frames.map(_.queryExecution.analyzed)
     var evicted: Box = null
+    var stillLive: Set[Int] = Set.empty
     val box = entries.synchronized {
       val i = entries.indexWhere(e => sameKey(e._1, sess, tag, plans, params))
       if (i >= 0) {
@@ -158,12 +197,19 @@ object StageCache {
       } else {
         missCount.incrementAndGet()
         if (entries.length >= MaxEntries) {
-          // evict the least-recently-used NON-fixture entry (fixtures
-          // are deliberately session-pinned scaffolding); if somehow
-          // everything is a fixture, drop the oldest without disposal
-          val vi = entries.indexWhere(!_._2.fixture)
-          val victim = entries.remove(if (vi >= 0) vi else 0)
-          if (!victim._2.fixture) evicted = victim._2
+          // evict the least-recently-used NON-fixture COMPLETED entry
+          // (fixtures are session-pinned scaffolding; an in-flight box
+          // must never be the disposal victim — its computing thread
+          // is still registering/handing out the checkpoints). If
+          // nothing qualifies, drop the oldest non-fixture (or, all-
+          // fixture, the oldest outright) WITHOUT eager disposal: its
+          // storage falls back to the ContextCleaner GC path.
+          val vi = entries.indexWhere(e => !e._2.fixture && e._2.done)
+          if (vi >= 0) evicted = entries.remove(vi)._2
+          else {
+            val vj = entries.indexWhere(!_._2.fixture)
+            entries.remove(if (vj >= 0) vj else 0)
+          }
         }
         // fixture status is explicit or INHERITED: a stage whose inputs
         // read a fixture-owned materialized RDD is itself scaffolding —
@@ -178,10 +224,15 @@ object StageCache {
         }.nonEmpty))
         val b = new Box(() => stage, fx)
         entries += ((Key(sess, tag, plans, params), b))
+        // the keep-set is computed AFTER the insertion: if the NEW
+        // entry's own input plans read the victim's checkpoints (a
+        // derived stage whose backbone aged to the LRU front), those
+        // ids land in the set and survive the disposal below
+        if (evicted != null) stillLive = referencedRddIds()
         b
       }
     }
-    if (evicted != null) dispose(evicted)
+    if (evicted != null) dispose(evicted, stillLive)
     box.value.asInstanceOf[T]
   }
 
@@ -216,12 +267,15 @@ object StageCache {
     * experiment scaffolding stays warm. Sequential-use hook: callers
     * must not hold non-fixture memo frames across it. */
   def clearTransient(): Unit = {
-    val dropped = entries.synchronized {
+    val (dropped, keepIds) = entries.synchronized {
       val (keep, drop) = entries.partition(_._2.fixture)
       entries.clear(); entries ++= keep
-      drop.map(_._2)
+      (drop.map(_._2), referencedRddIds())
     }
-    dropped.foreach(dispose)
+    // skip boxes still computing (a racing thread's stage completes
+    // and its storage simply falls to the GC path) and any RDD a kept
+    // fixture-family entry still references
+    dropped.filter(_.done).foreach(dispose(_, keepIds))
   }
 
   def size: Int = entries.synchronized(entries.length)

@@ -67,23 +67,32 @@ class CodegenCeilingSpec extends SparkSuite {
   }
 
   test("broadcast-matrix argmax is BITWISE the literal argmax, cell AND " +
-      "sim (routing must never change a result)") {
+      "sim, INCLUDING null embeddings (routing must never change a " +
+      "result)") {
     val cs = cents(Similarity.MaxLiteralCentroids, 64)
     val e = col("embedding").cast("array<double>")
-    val both = vecs(300, 64).select(col("vec_id"),
+    // a null-embedding row rides along: both forms must agree there too
+    // (round-18 ADVICE — the bare literal greatest used to resolve the
+    // all-null-sim tie to the smallest cent_id while the UDF said null)
+    def corpus = vecs(300, 64).union(spark.range(1).select(
+      lit(9999L).as("vec_id"), lit(null).cast("array<double>").as("embedding")))
+    val both = corpus.select(col("vec_id"),
       Similarity.literalNearestCell(e, cs).as("lit_cell"),
       Similarity.broadcastNearestCell(e, cs).as("bc_cell"))
-    assert(both.filter(col("lit_cell") =!= col("bc_cell")).count() == 0,
+    assert(both.filter(!(col("lit_cell") <=> col("bc_cell"))).count() == 0,
       "cell assignments diverged between literal and broadcast forms")
+    assert(both.filter(col("vec_id") === 9999L)
+      .filter(col("lit_cell").isNull && col("bc_cell").isNull).count() == 1,
+      "null embedding must map to a NULL cell in BOTH forms")
     // cell+sim twin: literal withNearestCellSim vs the broadcast UDF
-    val litSim = Similarity.withNearestCellSim(vecs(300, 64), e, cs)
+    val litSim = Similarity.withNearestCellSim(corpus, e, cs)
       .select(col("vec_id"), col("cell"), col("sim"))
-    val bcSim = vecs(300, 64).select(col("vec_id"),
+    val bcSim = corpus.select(col("vec_id"),
         Similarity.broadcastNearestCellSim(e, cs).as("_b"))
       .select(col("vec_id"), col("_b._1").as("cell"), col("_b._2").as("sim"))
     val joined = litSim.as("l").join(bcSim.as("b"), "vec_id")
-      .filter(col("l.cell") =!= col("b.cell") ||
-        col("l.sim") =!= col("b.sim"))
+      .filter(!(col("l.cell") <=> col("b.cell")) ||
+        !(col("l.sim") <=> col("b.sim")))
     assert(joined.count() == 0,
       "cell+sim diverged between literal and broadcast forms")
   }
@@ -121,26 +130,78 @@ class CodegenCeilingSpec extends SparkSuite {
     assert(trained.count() == 24L) // init = first-nCells vectors
   }
 
-  test("band shapes past the audited plane bound are refused loudly, " +
-      "naming the broadcast path") {
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.stackedEmbeddingBandKeys(vecs(4, 64),
-        nBands = 64, planesPerBand = 33, dim = 64).collect()
-    }
-    assert(e2.getMessage.contains("broadcast"),
-      s"refusal must name the broadcast path: ${e2.getMessage}")
+  test("broadcast band keys are BITWISE the literal band keys, " +
+      "INCLUDING null embeddings (plane routing must never change a " +
+      "bucket)") {
+    def corpus = vecs(300, 64).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .union(spark.range(1).select(lit(9999L).as("vec_id"),
+        lit(null).cast("array<double>").as("e")))
+    val lit0 = Similarity.literalStackedBandKeys(corpus, 16, 8, 64)
+    val bc = corpus.select(col("vec_id"),
+        posexplode(Similarity.broadcastBandKeys(col("e"), 16, 8, 64)))
+      .select(col("vec_id"), col("pos").as("bid"), col("col").as("bk"))
+    assert(lit0.schema.map(f => (f.name, f.dataType)) ==
+      bc.schema.map(f => (f.name, f.dataType)),
+      s"schemas diverged: ${lit0.schema} vs ${bc.schema}")
+    val joined = lit0.as("l").join(bc.as("b"), Seq("vec_id", "bid"))
+      .filter(!(col("l.bk") <=> col("b.bk")))
+    assert(joined.count() == 0,
+      "band keys diverged between literal and broadcast forms")
+    // the literal null contract rides through: null embedding → one
+    // row per band with bucket 0 (when(null > 0, ...).otherwise(0)) —
+    // the broadcast UDF must reproduce it, not emit null/no rows
+    assert(bc.filter(col("vec_id") === 9999L && col("bk") === 0L)
+      .count() == 16)
   }
 
-  test("banded plane inlining at the 128-plane committed shape stays " +
-      "codegen'd (the x256/x257 production shapes) — its HOT method is " +
-      "small (the >8KB member is cold glue, measured 0.34s/200k rows)") {
+  test("past MaxLiteralPlanes, stackedEmbeddingBandKeys routes to the " +
+      "broadcast plane matrix: no refusal, still a map-only " +
+      "generate+project plan, right bucket bits") {
+    // smallest past-the-bound shape with the production r=16
+    val nb = Similarity.MaxLiteralPlanes / 16 + 1
+    val df = Similarity.stackedEmbeddingBandKeys(vecs(20, 64),
+      nBands = nb, planesPerBand = 16, dim = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("Join", "Window", "Exchange"))
+      assert(!plan.contains(bad),
+        s"broadcast band keys must stay map-only, found $bad:\n" +
+          plan.take(2000))
+    assert(df.count() == 20L * nb)
+    // spot-check band 0 of vector 0 against a driver replay of the
+    // exact literal arithmetic (sequential dot, sign bit per plane)
+    val signs = Similarity.planeSigns(nb * 16, 64)
+    val emb = vecs(1, 64).collect().head.getSeq[Double](1)
+    val want = (0 until 16).map { i =>
+      val s = emb.lazyZip(signs(i).map(_.toDouble)).map(_ * _).sum
+      if (s > 0) 1L << i else 0L
+    }.sum
+    val got = df.filter(col("vec_id") === 0L && col("bid") === 0)
+      .select(col("bk")).collect().head.getLong(0)
+    assert(got == want, s"band 0 bucket: got $got, want $want")
+  }
+
+  test("banded plane inlining at MaxLiteralPlanes stays JIT-safe: the " +
+      "bound shape's generated methods are under 8000 bytecode bytes " +
+      "(the measured plane ladder, PLANS.md round 19 — not asserted)") {
+    val r = 16
+    val nb = Similarity.MaxLiteralPlanes / r
+    val atBound = maxMethodSize(Similarity.literalStackedBandKeys(
+      vecs(40, 64).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e")), nb, r, 64))
+    assert(atBound > 0 && atBound < 8000,
+      s"literal band keys at ${nb}x$r generate a $atBound-byte method " +
+        "— HotSpot stops JIT-compiling at ~8000 and MaxLiteralPlanes " +
+        "must keep the literal form under it (lower the bound if " +
+        "codegen grew)")
+    // the committed production shapes (x256 16x8, x257 8x16 = 128
+    // planes) sit PAST the measured bound — they were generating 26 KB
+    // un-JIT-able methods all along (round-19 ladder) — so they must
+    // now route to the broadcast form, not the literal one
+    assert(16 * 8 > Similarity.MaxLiteralPlanes,
+      "production 128-plane shapes must be past the measured bound")
     val df = Similarity.stackedEmbeddingBandKeys(vecs(40, 64),
       nBands = 16, planesPerBand = 8, dim = 64)
-    val plan = df.queryExecution.executedPlan
-    assert(plan.collectFirst {
-      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
-    }.nonEmpty, "band-key projection left whole-stage codegen:\n" +
-      plan.toString.take(2000))
     assert(df.count() == 40L * 16)
   }
 }

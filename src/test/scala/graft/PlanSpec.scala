@@ -69,6 +69,7 @@ class PlanSpec extends SparkSuite {
     "x206_decision_stump", // broadcast ONE-ROW totals onto the candidate table (x57 pattern)
     "x207_ppmi_pairs", // broadcast ONE-ROW pair total onto the pair table (x132 pattern)
     "x208_kmv_join_est", // one-row estimate/exact frames crossJoined (x57 pattern, all bounded)
+    "x210_hits", // broadcast ONE-ROW max-normalizer onto the O(nodes) MATERIALIZED raw-sum frame (x57 pattern; round 19 made the final normalize lazy so the crossJoin is visible in the returned plan)
     "x211_cuped", // broadcast ONE-ROW pooled-moment frame onto <= |variants| rows (x57 pattern)
     "x213_brier", // broadcast ONE-ROW totals onto <= bins rows (x57 pattern)
     "x220_diff_in_diff", // broadcast ONE-ROW split-day bounds frame (x57 pattern)
@@ -113,13 +114,27 @@ class PlanSpec extends SparkSuite {
     // collapsed by an aggregation (O(groups) rows: bins/sources/cells),
     // truncated by a limit, or is a literal local relation — the
     // corpus-scale regression shape is a global window STRAIGHT over a
-    // scan/join/projection
-    def boundedBelow(p: logical.LogicalPlan): Boolean = p.exists {
+    // scan/join/projection. STRUCTURAL recursion, not subtree-exists
+    // (round-18 ADVICE): a Join is bounded only if BOTH sides are
+    // (semi/anti: the LEFT side — output ⊆ left), a unary node
+    // inherits from its child, and a raw leaf (scan, checkpoint RDD,
+    // range) is unbounded — so a corpus-scale scan joined to an
+    // aggregated side can no longer slip past on the aggregate alone
+    def boundedBelow(p: logical.LogicalPlan): Boolean = p match {
       case _: logical.Aggregate => true
       case _: logical.GlobalLimit => true
       case _: logical.LocalRelation => true
       case _: logical.OneRowRelation => true
-      case _ => false
+      case j: logical.Join => j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          boundedBelow(j.left)
+        case _ => boundedBelow(j.left) && boundedBelow(j.right)
+      }
+      case u: logical.UnaryNode => boundedBelow(u.child)
+      case _: logical.LeafNode => false
+      case other =>
+        other.children.nonEmpty && other.children.forall(boundedBelow)
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val qe = fn(spark, dir).queryExecution

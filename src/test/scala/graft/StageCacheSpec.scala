@@ -254,6 +254,93 @@ class StageCacheSpec extends SparkSuite {
     }
   }
 
+  test("a derived entry keeps evaluating after the entry it reads from " +
+      "is evicted: disposal skips RDDs live entries still reference " +
+      "(round-18 verdict Next #3)") {
+    ops.StageCache.clear()
+    val saved = ops.StageCache.MaxEntries
+    ops.StageCache.MaxEntries = 3
+    try {
+      val srcA = frame("v" -> Seq[Any](21L))
+      val a = owned("xe_a", srcA)
+      val aId = checkpointRddId(a)
+      // the hazard shape: B's value is a LAZY frame over A's
+      // checkpointed output — B never materializes its own copy, so
+      // disposing A's blocks would leave B unrecoverable (the
+      // checkpoint's lineage is truncated)
+      val derived = ops.StageCache.memo("xe_derived", Seq(a), Seq())(
+        a.select((col("v") * 2).as("v")))
+      owned("xe_c", frame("v" -> Seq[Any](1L)))
+      // 4th insertion: A is the LRU victim, but B's key plans scan A's
+      // RDD, so the disposal must SKIP those blocks
+      owned("xe_d", frame("v" -> Seq[Any](2L)))
+      val m0 = ops.StageCache.misses
+      owned("xe_a", srcA) // A's ENTRY is gone (re-memo misses) ...
+      assert(ops.StageCache.misses == m0 + 1,
+        "A should have been evicted by the 4th insertion")
+      assert(persisted(aId),
+        "A's blocks must survive eviction while derived entry B reads them")
+      assert(derived.collect().head.getLong(0) == 42L,
+        "derived entry must still evaluate after its input entry's eviction")
+    } finally {
+      ops.StageCache.MaxEntries = saved
+      ops.StageCache.clear()
+    }
+  }
+
+  test("an IN-FLIGHT entry is never the disposal victim: eviction picks " +
+      "a completed box (or drops without disposal) while the stage is " +
+      "still computing (round-18 ADVICE)") {
+    ops.StageCache.clear()
+    val saved = ops.StageCache.MaxEntries
+    ops.StageCache.MaxEntries = 2
+    try {
+      val registered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      // ONE shared source frame: frame() parallelizes a fresh RDD per
+      // call, so a fresh frame would be a different key (cache miss)
+      val src = frame("v" -> Seq[Any](9L))
+      @volatile var slow: org.apache.spark.sql.DataFrame = null
+      val t = new Thread(() => {
+        slow = ops.StageCache.memo("inflight_slow", Seq(src), Seq()) {
+          // materialize registers the checkpoint as owned, THEN the
+          // stage stalls — the round-18 ADVICE window: an eviction now
+          // would dispose a checkpoint the caller is about to use
+          val m = ops.Checkpoints.materialize(frame("v" -> Seq[Any](9L)))
+          registered.countDown()
+          release.await()
+          m
+        }
+      })
+      t.start()
+      registered.await()
+      // two insertions: the first fills the cache, the second forces an
+      // eviction while the slow box is mid-compute — the victim must be
+      // the COMPLETED first entry, never the in-flight one
+      val e1 = owned("inflight_done1", frame("v" -> Seq[Any](1L)))
+      val e1Id = checkpointRddId(e1)
+      owned("inflight_done2", frame("v" -> Seq[Any](2L)))
+      assert(!persisted(e1Id),
+        "the completed LRU entry should have been the eviction victim")
+      // third insertion: cache now holds [slow (computing), done2] —
+      // victim search finds done2; slow survives again
+      owned("inflight_done3", frame("v" -> Seq[Any](3L)))
+      release.countDown()
+      t.join(60000)
+      assert(slow != null && slow.collect().head.getLong(0) == 9L,
+        "in-flight stage's materialized frame must survive the evictions")
+      val h0 = ops.StageCache.hits
+      ops.StageCache.memo("inflight_slow", Seq(src), Seq()) {
+        sys.error("must be served from cache"): AnyRef
+      }
+      assert(ops.StageCache.hits == h0 + 1,
+        "the in-flight entry must still be cached after completing")
+    } finally {
+      ops.StageCache.MaxEntries = saved
+      ops.StageCache.clear()
+    }
+  }
+
   test("fixture entries and stages DERIVED from fixture frames survive " +
       "clearTransient; plain entries are dropped and disposed") {
     ops.StageCache.clear()

@@ -103,6 +103,14 @@ if [ "${GRAFT_SKIP_SF01:-0}" != "1" ]; then
   else
     echo "no committed BENCH_LOCAL.json baseline yet — recording one"
   fi
+  # rule 7 follow-through (round-18 verdict Next #7): replay the oracle
+  # SQLs at the GATED SF and commit the per-query DuckDB map next to
+  # BENCH_LOCAL.json, so the Spark/DuckDB per-query ratio table the
+  # judge computed by hand is a standing, diffable artifact
+  echo "== [6/6] sf0.1 per-query oracle pair (ORACLE_TIMES.json) =="
+  python3 tools/time_oracle.py /root/testdata/sf0.1 "$OUT" 5
+  cp "$OUT/oracle_times.json" ORACLE_TIMES.json
+  python3 tools/oracle_ratio.py BENCH_LOCAL.json ORACLE_TIMES.json
 else
   echo "== [5/5] sf0.1 regression gate SKIPPED (GRAFT_SKIP_SF01=1) =="
 fi

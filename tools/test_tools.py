@@ -113,11 +113,30 @@ def test_reprobe_leak_gate(tmp):
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_oracle_ratio_report(tmp):
+    # flags only >2x AND >5s; skips crashed (-1) and unpaired queries;
+    # informational — exit 0 even with flagged rows
+    bench = write(bench_doc({"a": 30.0, "b": 3.0, "c": 12.0, "d": -1.0}),
+                  os.path.join(tmp, "bench.json"))
+    times = write({"total_sec": 20.0,
+                   "queries": {"a": 3.0, "b": 1.0, "c": 11.0, "d": 1.0,
+                               "unpaired": 1.0}},
+                  os.path.join(tmp, "times.json"))
+    r = run("oracle_ratio.py", bench, times)
+    assert r.returncode == 0, r.stderr
+    assert "RATIO  a:" in r.stdout, r.stdout      # 10x, +27s -> flagged
+    assert "RATIO  b:" not in r.stdout, r.stdout  # 3x but only +2s
+    assert "RATIO  c:" not in r.stdout, r.stdout  # +1s, 1.1x
+    assert "RATIO  d:" not in r.stdout, r.stdout  # crashed, skipped
+    assert "1 over" in r.stdout, r.stdout
+
+
 def main():
     with tempfile.TemporaryDirectory() as tmp:
         test_regress_retired_vs_missing(tmp)
         test_reprobe_overwrite_keeps_insuite(tmp)
         test_reprobe_leak_gate(tmp)
+        test_oracle_ratio_report(tmp)
     print("tools self-test: OK")
 
 
