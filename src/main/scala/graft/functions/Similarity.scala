@@ -1076,7 +1076,9 @@ object Similarity {
     * colliding in ANY band becomes a candidate — the banded-OR recall
     * amplification of minhash LSH, over vectors (Charikar 2002 signs in
     * Broder-style bands). Map-side projection + explode; one row per
-    * (vector, band). */
+    * (vector, band). Auto-routed by total plane count: inlined plane
+    * literals up to [[MaxLiteralPlanes]], the broadcast plane matrix
+    * ([[broadcastBandKeys]], bitwise-identical rows) past it. */
   private[graft] def stackedEmbeddingBandKeys(df: DataFrame, nBands: Int,
       planesPerBand: Int, dim: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
