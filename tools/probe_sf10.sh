@@ -33,7 +33,11 @@ out = {
     "recipe": "runMain graft.GenScale /root/testdata/sf0.1 <dir> 100",
     "mode": "solo quiescent (graft.Probe: sequential, cold transient "
             "StageCache per query, shared planted-fixture entries warm, "
-            "untimed big-table warmup)",
+            "untimed big-table warmup; since round 19 each query also "
+            "runs ONE untimed pass first — fixture construction and "
+            "page-cache warmth land outside the timed window, matching "
+            "the in-suite quiescent protocol, so pre-r19 rows read "
+            "slightly colder than r19+ rows for the same code)",
     "queries": rows,
 }
 json.dump(out, open('BENCH_sf10.json', 'w'), indent=1)
