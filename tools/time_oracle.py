@@ -19,6 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, out_dir, top_n=10):
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # an in-memory connection has NO spill path — a heavy sf1 replay
+    # (multi-GB materialized CTEs) dies with OutOfMemory instead of
+    # spilling (seen round 19: 1 MB allocation failure mid-suite).
+    # Give it a temp dir and a cap below the Spark-sized host so the
+    # comparator degrades to disk like Spark does, not to a crash.
+    con.execute("SET memory_limit='60GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         # driver dirs hold single files; GenScale'd dirs are Spark-style
         # parquet DIRECTORIES of part files — glob those
