@@ -130,6 +130,28 @@ class CodegenCeilingSpec extends SparkSuite {
     assert(trained.count() == 24L) // init = first-nCells vectors
   }
 
+  test("literal-family census: every OTHER bounded literal family stays " +
+      "under the 8000-byte JIT budget at its own cap (lshBucket's 31 " +
+      "planes; minhash's 16 hash functions)") {
+    // lshBucket inlines up to 31 plane arrays into ONE Int-bucket
+    // expression — right at the measured plane cliff (32 planes =
+    // 5.7KB, 48 = 9.1KB), so the cap is safe ONLY while codegen stays
+    // ~170 B/plane; this reads the real size so growth can't silently
+    // re-open the cliff for the IVF/outlier bucket family
+    val atCap = maxMethodSize(vecs(40, 64).select(col("vec_id"),
+      graft.functions.Similarity.lshBucket(
+        col("embedding").cast("array<double>"), 31, 64).as("bucket")))
+    assert(atCap > 0 && atCap < 8000,
+      s"lshBucket at its 31-plane cap generates a $atCap-byte method " +
+        "— lower the cap or route to a broadcast matrix")
+    // minhash signatures: k is capped at MinhashA.size = 16 small
+    // (hm*A+B)%P min-aggregates — two orders of magnitude below the
+    // budget, pinned so a cap raise revisits this
+    assert(graft.ops.Dedup.MinhashA.size <= 16,
+      "raising the minhash hash-function cap re-opens the bytecode " +
+        "budget question — re-run the ladder for the aggregate family")
+  }
+
   test("broadcast band keys are BITWISE the literal band keys, " +
       "INCLUDING null embeddings (plane routing must never change a " +
       "bucket)") {
