@@ -38,15 +38,24 @@ object Graphs {
     require(iters >= 1, s"need iters >= 1, got $iters")
     val e = Checkpoints.materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // round-19 optimization (the hits() play): fuse the out-degree onto
+    // the edge list ONCE and capture it hash-partitioned by src —
+    // localCheckpoint records the physical outputPartitioning in the
+    // LogicalRDD, so past the broadcast threshold each round's join
+    // exchanges only the O(nodes) rank frame, and the out-degree
+    // aggregate subtree (one extra exchange per round in the old plan)
+    // runs once instead of `iters` times. Same (src, dst, outdeg) rows,
+    // so every round's integer sums are bitwise unchanged.
+    val eDeg = Checkpoints.materialize(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(col("src")))
     val nodes = Checkpoints.materialize(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .join(e, "src")
+      val contrib = ranks.withColumnRenamed("node", "src")
+        .join(eDeg, "src")
         .selectExpr("dst AS node", "r div outdeg AS c")
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       ranks = Checkpoints.materialize(

@@ -135,10 +135,16 @@ object Pipeline {
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     StageCache.memo("curation_backbone", Seq(docs),
         Seq(minQuality, minJaccard, maxPerSource, bands, rowsPerBand)) {
-      val passing = docs.join(
-        TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
-          .filter(col("quality") > minQuality).select("doc_id"),
-        "doc_id")
+      // MAP-ONLY quality gate: the score is a pure per-row expression
+      // ([[TextAnalysis.qualityExpr]] — no corpus statistics), so the
+      // survivor set falls out of the scan itself with ZERO shuffle.
+      // The previous doc_id self-join form (docs ⋈ quality(docs)
+      // projection) paid a second corpus scan plus a corpus-scale
+      // exchange for the identical row set (guide §2.4 "remove shuffles
+      // outright"; round-19 optimization). Bitwise-identical survivors:
+      // qualityExpr IS the expression quality() projects.
+      val passing = docs.filter(
+        TextAnalysis.qualityExpr(col("text")) > minQuality)
       // optional DOMAIN-BALANCING stage (x67 as a pipeline citizen): cap
       // each source at its best-quality `maxPerSource` docs BEFORE the
       // expensive dedup stages — the salted two-phase top-k, so one hot
@@ -155,6 +161,13 @@ object Pipeline {
       })
       // `good` is checkpointed, so the keeper self-join's two sides both
       // read the materialized blocks — the quality subtree runs once.
+      // NOTE (round-19 A/B): a digest-partitioned window (min over
+      // partitionBy(md5(text))) was tried here and REVERTED — the
+      // groupBy+join form is scale-ADAPTIVE (the keeper set broadcasts
+      // at bench SF, BHJ with zero corpus exchange; past the broadcast
+      // threshold it degrades to the same one-corpus-exchange SMJ the
+      // window pays at every scale). Interleaved solo probes read
+      // 10.6-10.8 s (join) vs 13.6-29.8 s (window) for x54 at sf0.1.
       val exactKeep = good.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keeper"))
       val exact = Checkpoints.materialize(
@@ -588,7 +601,8 @@ object Pipeline {
     // exact vs corpus (null-safe digest anti-join), then within-batch
     // exact keeper — both on md5(text), one shuffle each on uniform keys.
     // freshExact feeds both sides of the keeper self-join: persist it for
-    // the duration of the materialization (the curateStages discipline).
+    // the duration of the materialization (the curateStages discipline;
+    // a window keeper was A/B'd in round 19 and reverted — see backbone).
     // The corpus DIGEST SET is per-corpus-version state: memoized +
     // materialized, so a session appending several batches against one
     // corpus snapshot scans the corpus once, not once per batch.

@@ -1434,20 +1434,27 @@ object ExtensionQueries {
       "x35_clean_corpus",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val quality = TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
-        val lid = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
-        val exactKeep = docs.groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("keeper"))
         val nearDrop = Dedup.clusterPairs(
             Dedup.lshCandidatePairs(docs, bands = 2, rowsPerBand = 4), rounds = 3)
           .filter(col("cluster") =!= col("doc_id"))
           .select(col("doc_id"))
-        docs.withColumn("h", md5(col("text")))
+        // round-19 optimization: quality and lang-id are pure per-row
+        // expressions (same operators, map-only forms — langId's `keep`
+        // passthrough + qualityExpr), so their two doc_id corpus
+        // self-joins collapse into the scan itself. The exact keeper
+        // stays groupBy+join: it broadcasts at bench SF and degrades to
+        // an SMJ at scale (a window keeper was A/B'd and reverted —
+        // see Pipeline.backbone). Identical rows: the same score/keeper
+        // expressions gate the same documents.
+        val exactKeep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        TextAnalysis.langId(docs, keep = Seq("lang", "text"))
+          .select(col("doc_id"), col("lang"), col("text"), col("pred_lang"))
+          .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
+          .withColumn("h", md5(col("text")))
           .join(exactKeep, "h")
           .filter(col("doc_id") === col("keeper"))
           .join(nearDrop, Seq("doc_id"), "left_anti")
-          .join(quality, "doc_id")
-          .join(lid, "doc_id")
           .filter(col("quality") > 0.3)
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n_docs"),

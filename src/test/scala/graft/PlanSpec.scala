@@ -357,4 +357,31 @@ class PlanSpec extends SparkSuite {
     assert(!p130.contains("Join") && !p130.contains("HashAggregate"),
       "x130 must plan no join/aggregate:\n" + p130.take(2000))
   }
+
+  test("pipeline quality gate is MAP-ONLY: the filter form plans zero " +
+      "Exchange/Join and gates the bitwise-identical survivor set as " +
+      "the quality() projection join (round-19 optimization)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    // the filter the backbone now plans: one scan, predicate on the scan
+    val filtered = docs.filter(
+      graft.ops.TextAnalysis.qualityExpr(col("text")) > 0.3)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      "quality gate must stay a bare filtered scan:\n" + plan.take(2000))
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      "quality gate must plan exactly one corpus scan:\n" + plan.take(2000))
+    // parity with the join form the backbone used before round 19:
+    // quality() projects the SAME expression, so the survivor id sets
+    // must be bitwise equal — this is what makes the rewrite a pure
+    // plan change rather than a semantic one
+    val joined = docs.join(
+      graft.ops.TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality"))
+        .filter(col("quality") > 0.3).select("doc_id"),
+      "doc_id")
+    assert(filtered.select("doc_id").exceptAll(joined.select("doc_id")).isEmpty
+        && joined.select("doc_id").exceptAll(filtered.select("doc_id")).isEmpty,
+      "filter-form and join-form survivor sets must be identical")
+  }
 }
