@@ -254,27 +254,39 @@ object Dedup {
     * reads containment to find sources that are subsets of others
     * (mirror crawls) even when Jaccard is diluted by size imbalance.
     *
-    * Scale shape: one shingle pass reduced to DISTINCT (source, digest)
-    * rows, then a self equi-join on the digest — md5 keys are uniform so
-    * the join shuffles evenly, and each digest contributes at most
-    * C(sources, 2) pairs (sources is small cardinality), so the join
-    * output is bounded by distinct-shingles · pairs-per-shingle, never
-    * corpus bytes squared. Set sizes broadcast back (O(sources) rows).
+    * Scale shape (round-19 rewrite, guide §2.3/§2.4 "aggregate before
+    * you shuffle"): ONE corpus-scale exchange — the shingle pass
+    * aggregates straight into per-digest SOURCE SETS
+    * (`collect_set(source)`, bounded by the small source cardinality,
+    * partial-aggregated map-side so a hot boilerplate shingle arrives
+    * at its reducer as ≤ #map-tasks set fragments, never #occurrences)
+    * — and every pair is then EXPANDED MAP-SIDE from the sorted set
+    * (each digest contributes at most C(sources, 2) struct rows) into
+    * a tiny (sources²) final rollup. The previous form shuffled the
+    * distinct (source, digest) table twice more through a corpus-scale
+    * self equi-join on the digest; same integers, two fewer
+    * corpus-scale exchanges and no join. Set sizes come off the same
+    * materialized set table (O(sources) rows, broadcast back).
     */
   def sourceOverlapMatrix(docs: DataFrame, shingleN: Int = 5,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
-    // the distinct (g, digest) table is consumed three times (sizes +
-    // both self-join sides): materialize it once so the corpus-scale
-    // shingle pass executes once, not three times
-    val sh = Checkpoints.materialize(
+    // per-digest source sets, consumed twice (sizes + pair expansion):
+    // materialize so the corpus-scale shingle pass executes once
+    val sets = Checkpoints.materialize(
       docs.select(col(groupCol).as("g"),
           explode(shingles(col(textCol), shingleN)).as("tok"))
         .select(col("g"), md5(col("tok")).as("d"))
-        .distinct())
-    val sizes = broadcast(sh.groupBy(col("g")).agg(count(lit(1)).as("sz")))
-    val inter = sh.select(col("g").as("source_a"), col("d"))
-      .join(sh.select(col("g").as("source_b"), col("d")), Seq("d"))
-      .filter(col("source_a") < col("source_b"))
+        .groupBy(col("d"))
+        .agg(array_sort(collect_set(col("g"))).as("gs")))
+    val sizes = broadcast(sets.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("sz")))
+    // all a<b pairs of the sorted set, map-side: element i against the
+    // tail starting at i+2 (slice is 1-based); sets are ≤ #sources long
+    val pairs = flatten(transform(col("gs"), (x, i) =>
+      transform(slice(col("gs"), i + lit(2), size(col("gs"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val inter = sets.select(explode(pairs).as("p"))
+      .select(col("p.a").as("source_a"), col("p.b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).cast("long").as("n_inter"))
     inter

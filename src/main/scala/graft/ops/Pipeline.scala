@@ -593,10 +593,12 @@ object Pipeline {
     // optional model gate FIRST (same position as curateStages') — the
     // batch is small, so this is one O(batch) tokenize + broadcast join
     val gated = modelGate(newDocs, classifierWeights, classifierDims)
-    val good = gated.join(
-      TextAnalysis.quality(gated).select(col("doc_id"), col("quality"))
-        .filter(col("quality") > minQuality).select("doc_id"),
-      "doc_id")
+    // MAP-ONLY quality gate — the same round-19 rewrite as backbone's:
+    // qualityExpr is a pure per-row expression, so the survivor set
+    // falls out of the batch scan with zero join/exchange
+    // (bitwise-identical to the previous docs ⋈ quality(docs) form)
+    val good = gated.filter(
+      TextAnalysis.qualityExpr(col("text")) > minQuality)
 
     // exact vs corpus (null-safe digest anti-join), then within-batch
     // exact keeper — both on md5(text), one shuffle each on uniform keys.

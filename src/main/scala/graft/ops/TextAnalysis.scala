@@ -399,19 +399,26 @@ object TextAnalysis {
     * mass the dedup stages should have caught; per-doc it flags the
     * documents a model would memorize cheapest.
     *
-    * Scale shape: one shingle pass (digests, not strings, shuffle), one
-    * map-side-combined doc-frequency aggregation on uniform md5 keys,
-    * one join back on the same key — no self-join, no pairs. Integer
-    * counts; the ratio divides two exact longs (round 6).
+    * Scale shape (round-19 rewrite, guide §2.4): per-doc dedup happens
+    * MAP-SIDE (`array_distinct` before the explode — no shuffled
+    * DISTINCT), the doc frequency is a COUNT window partitioned by the
+    * uniform md5 digest (one exchange, replacing the previous
+    * groupBy-then-join-back pair that exchanged the same rows twice and
+    * planned a corpus-scale SMJ — the aggregated side is one row per
+    * DISTINCT shingle, so it never broadcasts), and the per-doc rollup
+    * is the only other exchange: 4 exchanges + a join → 2 exchanges,
+    * no join, at every scale. No self-join, no pairs. Integer counts;
+    * the ratio divides two exact longs (round 6).
     */
   def ngramNovelty(docs: DataFrame, shingleN: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = docs.select(col(idCol),
-        explode(Dedup.shingles(col(textCol), shingleN)).as("tok"))
+        explode(array_distinct(Dedup.shingles(col(textCol), shingleN)))
+          .as("tok"))
       .select(col(idCol), md5(col("tok")).as("d"))
-      .distinct()
-    val freq = sh.groupBy(col("d")).agg(count(lit(1)).as("_df"))
-    sh.join(freq, "d")
+    val byDigest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d"))
+    sh.withColumn("_df", count(lit(1)).over(byDigest))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_shingles"),
         sum(when(col("_df") >= 2, 1L).otherwise(0L)).cast("long")

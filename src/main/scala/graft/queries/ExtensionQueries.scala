@@ -4568,8 +4568,15 @@ object ExtensionQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-        val w = TextAnalysis.trainHashedWeights(docs,
-          col("lang") === "en", dims = 32)
+        // materialized ONCE: both consumers below (the calibration
+        // scorer and the model gate) collect() the ≤dims-row weights
+        // table at plan-build, and a lazy frame would re-run the full
+        // corpus-scale training job for each (guide §1/§5 — the
+        // "pass a weights frame that is already materialized" serve
+        // shape classifierScoreWithWeightsMapOnly documents)
+        val w = graft.ops.Checkpoints.materialize(
+          TextAnalysis.trainHashedWeights(docs,
+            col("lang") === "en", dims = 32))
         val fit = TextAnalysis.isotonicFitBins(
           TextAnalysis.trainedScoreCalibration(corpus, w,
             col("lang") === "en", dims = 32, bins = 10))
