@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the logger prefixes every line with
+// "[info] ", so no stdout line ever *started* with `{` and the driver's
+// bench parser recorded parsed:null every round (round-19 verdict
+// What's-wrong #1). graft.Bench's contract JSON line must reach the
+// driver byte-clean and last.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -256,27 +256,25 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
-    println(line)
-    System.out.flush()
-    // The driver keeps only the LAST ~2000 chars of output, and with 140
-    // queries the full line is ~6 KB — it has NEVER fit (BENCH_r01-r08 all
-    // record parsed:null, with the line's head cut off mid-map). So the
-    // LAST thing printed is a compact summary line that always fits: the
-    // headline metric, failure count, the slowest queries, and a pointer
-    // to the full per-query map written above.
+    // Compact human summary (slowest-8 + failure count) goes to STDERR
+    // only: every PERF_rNN through round 19 recorded parsed:null because
+    // the last stdout JSON line was this truncated summary, not the full
+    // per-query map (round-19 verdict What's-wrong #1). The contract line
+    // the driver parses — the FULL one-line JSON with the complete
+    // `queries` and `quiescent` maps — is now the LAST stdout line, and
+    // build.sbt's `run / outputStrategy := StdoutOutput` passes it through
+    // raw (no `[info] ` logger prefix in front of the `{`).
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
     val qtot = if (quiescent.isEmpty) -1.0
       else math.round(quiescent.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
-    // "queries" here is the SLOWEST-8 subset (driver contract keeps the
-    // key); the complete map is the `queries` of the full line in $outPath
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","wall":$total,"quiescent_total":$qtot,"n_queries":${results.size},"n_failed":$nFail,"queries":$slowest,"queries_truncated":true,"queries_full":"$outPath","sf":$sfNum,"sf_dir":"$sfDir"}"""
-    println(compact)
-    System.out.flush()
     System.err.println(compact)
     System.err.flush()
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }
