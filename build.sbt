@@ -19,6 +19,10 @@ run / fork := true
 // What's-wrong #1). graft.Bench's contract JSON line must reach the
 // driver byte-clean and last.
 run / outputStrategy := Some(StdoutOutput)
+// ... and suppress sbt's own "[success] Total time" epilogue so the
+// contract JSON is LITERALLY the last stdout line of a bench run, not
+// merely the last JSON-shaped one.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,6 +23,14 @@ object OracleJson {
     case c => c.toString
   } + "\""
 
+  /** Standalone entry: write oracle_sql.json to the given dir without
+    * running the full Verify dump — what tools/time_oracle.py needs for
+    * a same-session Spark/DuckDB pair (BASELINE.md protocol) when no
+    * verify output dir is at hand. Pure metadata, no SparkSession.
+    */
+  def main(args: Array[String]): Unit =
+    write(args.headOption.getOrElse("."))
+
   /** Write `<dir>/oracle_sql.json` with the FULL oracle map. */
   def write(dir: String): Unit = {
     val json = SparkEntry.oracleSql

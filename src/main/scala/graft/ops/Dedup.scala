@@ -166,14 +166,21 @@ object Dedup {
     * n tokens collapse to a single whole-document shingle (both engines'
     * range/sequence primitives disagree on empty ranges — the guard keeps
     * the construction portable AND gives short docs a signature).
+    *
+    * The token array is [[ExprUtil.bindOnce]]-bound: the tree references
+    * it 4× (two size()s, the slice source, the short-doc fallback), and
+    * HOFs are CodegenFallback — inline, every corpus-scale shingle pass
+    * paid 4 split() calls per row (measured 3.5× on the 3-gram explode,
+    * graft.SplitBench; round-20 optimization, guide §1.2 "per-task
+    * work"). Same strings bit-for-bit: the lambda body is the old
+    * expression reading the bound value.
     */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val arr = tokens(text)
-    when(size(arr) >= n,
-      transform(sequence(lit(1), size(arr) - (n - 1)),
-        i => concat_ws(" ", slice(arr, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", arr)))
-  }
+  def shingles(text: Column, n: Int = 5): Column =
+    ExprUtil.bindOnce(tokens(text), arr =>
+      when(size(arr) >= n,
+        transform(sequence(lit(1), size(arr) - (n - 1)),
+          i => concat_ws(" ", slice(arr, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", arr))))
 
   /** k arithmetic minhashes per document over the *distinct shingle set*:
     * ONE md5 per shingle (materialized as a column — not re-evaluated per
@@ -270,14 +277,16 @@ object Dedup {
     */
   def sourceOverlapMatrix(docs: DataFrame, shingleN: Int = 5,
       groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    // NULL-group note (round-19 ADVICE): collect_set drops null group
+    // values, so a null `groupCol` contributes no row to the sizes
+    // table — unlike the pre-rewrite distinct (g, d) table, which kept
+    // it as an intermediate row. The FINAL output is unchanged either
+    // way (the old a<b pair filter discarded null pairs too); stated
+    // here so the intermediate-semantics difference is visible.
     // per-digest source sets, consumed twice (sizes + pair expansion):
     // materialize so the corpus-scale shingle pass executes once
     val sets = Checkpoints.materialize(
-      docs.select(col(groupCol).as("g"),
-          explode(shingles(col(textCol), shingleN)).as("tok"))
-        .select(col("g"), md5(col("tok")).as("d"))
-        .groupBy(col("d"))
-        .agg(array_sort(collect_set(col("g"))).as("gs")))
+      sourceSetsLazy(docs, shingleN, groupCol, textCol))
     val sizes = broadcast(sets.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("sz")))
     // all a<b pairs of the sorted set, map-side: element i against the
@@ -324,14 +333,29 @@ object Dedup {
       shingleN: Int = 5): Column = {
     val k = bands * rowsPerBand
     require(k <= MinhashA.size, s"at most ${MinhashA.size} hash functions")
-    val dig = transform(array_distinct(shingles(text, shingleN)), s => md5(s))
-    val hm = transform(dig, d =>
-      conv(substring(d, 1, 12), 16, 10).cast("long") % MinhashP)
-    val mins = (0 until k).map(i =>
-      array_min(transform(hm, h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)))
-    array((0 until bands).map { b =>
-      md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand).map(mins): _*))
-    }: _*)
+    // STAGED inside the single Column (round-20; the withBandKeys
+    // discipline via ExprUtil.bindOnce): previously the per-shingle
+    // md5+mod pass was inlined into k separate
+    // array_min(transform(hm, ...)) copies — CodegenFallback HOFs with
+    // no CSE, so every row paid the digest pass k times (measured 26×
+    // at k=16, graft.SplitBench). Now ONE hash pass feeds ONE
+    // aggregate fold carrying all k running minima (zip_with against
+    // the broadcast-literal (a,b) coefficient array), and the band
+    // projection reads the bound mins array by position. Keys are
+    // byte-identical (same affine mins, same ':'-join) — the
+    // bandKeysArray == bandKeys∘minhashSignature spec still pins it.
+    val ab = array((0 until k).map(i =>
+      struct(lit(MinhashA(i)).as("a"), lit(MinhashB(i)).as("b"))): _*)
+    val hm = transform(array_distinct(shingles(text, shingleN)), s =>
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MinhashP)
+    val mins = aggregate(hm, array_repeat(lit(MinhashP), k),
+      (acc, h) => zip_with(acc, ab, (m, c) =>
+        least(m, (h * c("a") + c("b")) % MinhashP)))
+    ExprUtil.bindOnce(mins, m =>
+      array((0 until bands).map { b =>
+        md5(concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(m, i + 1)): _*))
+      }: _*))
   }
 
   /** Append an `out` band-key-array column via STAGED projections. Same
@@ -976,6 +1000,20 @@ object Dedup {
       .select(col("bk"), array_distinct(tokens(col("ctext"))).as("ctoks"))
       .distinct()
   }
+
+  /** The corpus-scale stage of [[sourceOverlapMatrix]], lazily — the
+    * plan-inspectable form PlanSpec pins (the eager materialize above
+    * executes before a caller can look at the plan): one shingle
+    * explode into a single digest-keyed aggregation whose collect_set
+    * partial-aggregates map-side — exactly ONE exchange, zero joins.
+    */
+  private[graft] def sourceSetsLazy(docs: DataFrame, shingleN: Int,
+      groupCol: String, textCol: String): DataFrame =
+    docs.select(col(groupCol).as("g"),
+        explode(shingles(col(textCol), shingleN)).as("tok"))
+      .select(col("g"), md5(col("tok")).as("d"))
+      .groupBy(col("d"))
+      .agg(array_sort(collect_set(col("g"))).as("gs"))
 
   /** Bucket-pressure histogram over a PREBUILT ingest corpus state
     * (round-16 verdict Next #8): bucket size → bucket count, straight

@@ -110,9 +110,13 @@ object Pipeline {
         // MAP-ONLY scorer: the weights table is bounded (≤ dims rows),
         // so the gate costs one corpus pass with ZERO shuffle — the
         // join-based scorer would explode tokens and shuffle the whole
-        // corpus on the id (bitwise-equal forms, spec-pinned)
-        val scored = TextAnalysis
-          .classifierScoreWithWeightsMapOnly(docs, wt, dims)
+        // corpus on the id (bitwise-equal forms, spec-pinned).
+        // Round-20: the scored frame itself is memoized per
+        // (docs, weights, dims) — x253's calibration diagram scores the
+        // same corpus with the same weights, so gate + calibration now
+        // share ONE scoring pass (guide §2.4 "share one exchange",
+        // applied to a corpus scan).
+        val scored = TextAnalysis.memoScoredWithWeights(docs, wt, dims)
         // keepBin: the CALIBRATED gate (x253) — keep documents whose
         // round-6 sigmoid prob lands in reliability bin >= keepBin, the
         // bin chosen from the isotonic-fitted curve

@@ -30,22 +30,34 @@ object TextAnalysis {
     */
   /** The scalar quality score as a pure expression — usable as a
     * stateless filter anywhere, including streaming plans (no
-    * aggregation, no state). */
-  def qualityExpr(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
-    ttr * (lit(1.0) - short)
-  }
+    * aggregation, no state). The token array is bound once
+    * ([[ExprUtil.bindOnce]]): the filter() HOF makes the whole predicate
+    * CodegenFallback, and the inline tree referenced the split 4× per
+    * row (round-20; measured in graft.SplitBench). Same doubles —
+    * the body is the old expression over the bound value. */
+  def qualityExpr(text: Column): Column =
+    ExprUtil.bindOnce(tokens(text), toks => {
+      val nTok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
+      ttr * (lit(1.0) - short)
+    })
 
   def quality(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("double")
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
-    val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
-    docs.select(col(idCol), ttr.as("ttr"), short.as("short_ratio"),
-      (ttr * (lit(1.0) - short)).as("quality"))
+    // same bind-once staging as qualityExpr: ONE bound token array
+    // yields a (ttr, short) struct, projected apart in an outer select
+    // (the struct alias is non-cheap and multiply-referenced, so
+    // CollapseProject keeps the boundary and it evaluates once)
+    val parts = ExprUtil.bindOnce(tokens(col(textCol)), toks => {
+      val nTok = size(toks).cast("double")
+      val ttr = size(array_distinct(toks)).cast("double") / nTok
+      val short = size(filter(toks, t => length(t) === 1)).cast("double") / nTok
+      struct(ttr.as("ttr"), short.as("short"))
+    })
+    docs.select(col(idCol), parts.as("_qp"))
+      .select(col(idCol), col("_qp.ttr").as("ttr"),
+        col("_qp.short").as("short_ratio"),
+        (col("_qp.ttr") * (lit(1.0) - col("_qp.short"))).as("quality"))
   }
 
   /** Tiny per-language stopword lists for n-gram-free heuristic lang-id.
@@ -409,6 +421,23 @@ object TextAnalysis {
     * is the only other exchange: 4 exchanges + a join → 2 exchanges,
     * no join, at every scale. No self-join, no pairs. Integer counts;
     * the ratio divides two exact longs (round 6).
+    *
+    * PRECONDITION (round-19 ADVICE): `idCol` must be unique in `docs` —
+    * duplicate id rows would inflate n_shingles and the window's _df
+    * (the pre-rewrite (id, digest) distinct merged them), and the
+    * "_df >= 2 means some OTHER document" reading depends on it. Every
+    * caller in this repo feeds the primary-key doc_id.
+    *
+    * SKEW note (round-19 ADVICE): the count window partitioned by the
+    * digest co-locates every occurrence of one shingle in one task, and
+    * WindowExec buffers the group — a hot boilerplate shingle repeated
+    * once per document across millions of documents would funnel. The
+    * md5 "uniform" claim spreads DISTINCT shingles, not repeats of one
+    * value. Exposure is not WORSE than the old join form (its streaming
+    * side shuffled the same rows on the same key), but if a hot-shingle
+    * corpus shows up, switch back to the map-side-combined
+    * groupBy(d).count + a SHUFFLE_HASH-hinted join, or salt the count
+    * two-level.
     */
   def ngramNovelty(docs: DataFrame, shingleN: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -878,6 +907,27 @@ object TextAnalysis {
     * already materialized (parquet read / checkpoint), which is also
     * the production serve shape.
     */
+  /** [[classifierScoreWithWeightsMapOnly]] memoized + materialized per
+    * (docs, weights, dims) snapshot: the round-20 sharing point between
+    * the calibrated model gate and the calibration diagram — x253 runs
+    * BOTH over the same corpus with the same trained weights, and
+    * without the memo each paid its own full map-only scoring pass
+    * (one corpus tokenize + per-token md5 each). Callers that score a
+    * corpus once (x247's sign gate) hit the memo once and pay exactly
+    * what they paid before plus one narrow materialize. The memo
+    * returns bit-identical rows by the StageCache contract (the scorer
+    * is deterministic); the bench's quiescent pass clears these entries
+    * between queries, so per-query numbers stay cold.
+    */
+  def memoScoredWithWeights(docs: DataFrame, weights: DataFrame,
+      dims: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    StageCache.memo("trained_scored", Seq(docs, weights),
+        Seq(dims, textCol, idCol)) {
+      Checkpoints.materialize(
+        classifierScoreWithWeightsMapOnly(docs, weights, dims, textCol, idCol))
+    }
+
   def classifierScoreWithWeightsMapOnly(docs: DataFrame,
       weights: DataFrame, dims: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -1197,8 +1247,10 @@ object TextAnalysis {
       labelCol: Column, dims: Int = 64, bins: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(bins >= 2, s"need bins >= 2, got $bins")
-    val scored = classifierScoreWithWeightsMapOnly(docs, weights, dims,
-      textCol, idCol)
+    // round-20: the scored frame is the memoized per-(docs, weights)
+    // materialization — x253 scores the same corpus again inside its
+    // model gate, and the memo makes that ONE scoring pass, not two
+    val scored = memoScoredWithWeights(docs, weights, dims, textCol, idCol)
     val lab = docs.select(col(idCol),
       labelCol.cast("boolean").cast("long").as("_pos"))
     scored.join(lab, idCol)

@@ -3343,9 +3343,11 @@ object ExtensionQueries {
     // ---- x93: per-document n-gram novelty (memorization risk) -------------
     // Fraction of each doc's distinct 8-gram shingles that occur in some
     // OTHER document — the per-doc signal that flags boilerplate and
-    // near-copy mass a model would memorize cheapest. One digest pass,
-    // one doc-frequency agg on uniform md5 keys, one join back; no
-    // self-join, no pairs.
+    // near-copy mass a model would memorize cheapest. Map-side
+    // array_distinct into one digest pass, doc frequency as a COUNT
+    // window over the digest riding the same exchange, then the per-doc
+    // rollup — two exchanges total, no join, no self-join, no pairs
+    // (TextAnalysis.ngramNovelty, round-19 rewrite).
     QueryDef(
       "x93_ngram_novelty",
       (s, dir) =>
@@ -3431,8 +3433,11 @@ object ExtensionQueries {
     // The ground-truth twin of x91's sketch estimate: exact intersection,
     // Jaccard AND containment per source pair — containment finds mirror
     // crawls (one source a subset of another) that size-diluted Jaccard
-    // hides. Distinct (source, digest) rows self-join on uniform md5
-    // keys; each digest contributes at most C(sources, 2) pairs.
+    // hides. One corpus-scale exchange: the shingle pass aggregates
+    // straight into per-digest sorted source SETS (collect_set, map-side
+    // partial agg), every a<b pair expands MAP-SIDE from the set, and
+    // the rollup is O(sources²) (Dedup.sourceOverlapMatrix, round-19
+    // rewrite — no distinct table, no digest self-join).
     QueryDef(
       "x96_source_overlap",
       (s, dir) =>

@@ -358,6 +358,52 @@ class PlanSpec extends SparkSuite {
       "x130 must plan no join/aggregate:\n" + p130.take(2000))
   }
 
+  test("x93 ngramNovelty plans TWO exchanges and no join; x96 " +
+      "sourceOverlapMatrix's corpus stage plans ONE exchange, no join, " +
+      "and a map-side partial collect_set (round-19 rewrites, round-20 " +
+      "verdict Next #3 pins)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    // x93 operator: array_distinct is map-side, the doc frequency is a
+    // window riding the digest exchange, the per-doc rollup is the only
+    // other exchange — 2 exchanges, zero joins (the old form exchanged
+    // the same rows twice more through a groupBy + SMJ join-back)
+    val nov = graft.ops.TextAnalysis.ngramNovelty(docs, shingleN = 8)
+    val pNov = nov.queryExecution.executedPlan.toString
+    val exNov = "(?m)^.*Exchange".r.findAllIn(pNov).size
+    assert(exNov == 2, s"ngramNovelty must plan exactly 2 exchanges " +
+      s"(found $exNov):\n" + pNov.take(3000))
+    assert(!pNov.contains("Join"),
+      "ngramNovelty must plan no join:\n" + pNov.take(2000))
+    // the full x93 query adds only the output-order range exchange
+    val p93 = SparkEntry.queries("x93_ngram_novelty")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("(?m)^.*Exchange".r.findAllIn(p93).size == 3 &&
+      !p93.contains("Join"),
+      "x93 = ngramNovelty + one output sort, no join:\n" + p93.take(3000))
+    // x96 corpus stage: ONE digest exchange, no join, and the
+    // collect_set must partial-aggregate BELOW the exchange (a hot
+    // boilerplate shingle arrives at its reducer as <= #map-tasks set
+    // fragments, never #occurrences)
+    val sets = graft.ops.Dedup.sourceSetsLazy(docs, 5, "source", "text")
+    val pSets = sets.queryExecution.executedPlan.toString
+    assert("(?m)^.*Exchange".r.findAllIn(pSets).size == 1,
+      "x96 sets stage must plan exactly one exchange:\n" + pSets.take(3000))
+    assert(!pSets.contains("Join"),
+      "x96 sets stage must plan no join:\n" + pSets.take(2000))
+    assert("partial_collect_set|ObjectHashAggregate".r
+        .findFirstIn(pSets).isDefined,
+      "x96 sets stage must partial-aggregate map-side:\n" + pSets.take(3000))
+    // and the final x96 frame reads the checkpointed sets — no more
+    // corpus scans, no sort-merge join (sizes ride back as broadcasts)
+    val p96 = SparkEntry.queries("x96_source_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p96.contains("FileScan parquet") &&
+        !p96.contains("SortMergeJoin"),
+      "x96 final frame must read checkpoint blocks only, broadcast " +
+        "its size joins:\n" + p96.take(3000))
+  }
+
   test("pipeline quality gate is MAP-ONLY: the filter form plans zero " +
       "Exchange/Join and gates the bitwise-identical survivor set as " +
       "the quality() projection join (round-19 optimization)") {
