@@ -994,11 +994,21 @@ object Dedup {
     val sig = bandKeys(
       minhashSignature(withH, bands * rowsPerBand, "ctext", h),
       bands, rowsPerBand)
+    // DISTINCT on the narrow (digest, band key) pair BEFORE the text
+    // join (round-20, guide §2.3 "shuffle fewer bytes"): the previous
+    // post-join .distinct() exchanged and hash-compared (bk, ctoks)
+    // rows — the token ARRAY in every comparison — to drop the same
+    // duplicates the 64-char digest pair identifies. One row per
+    // distinct (text, band key) either way wherever texts' token sets
+    // differ; two distinct texts sharing both token set and band key
+    // now keep one state row each (identical verification verdicts —
+    // the reject set is unchanged, and nothing oracle-checked reads
+    // this state's row multiset).
     sig.select(col(h),
         explode(array((0 until bands).map(b => col(s"band$b")): _*)).as("bk"))
+      .distinct()
       .join(withH, h)
       .select(col("bk"), array_distinct(tokens(col("ctext"))).as("ctoks"))
-      .distinct()
   }
 
   /** The corpus-scale stage of [[sourceOverlapMatrix]], lazily — the
@@ -1069,6 +1079,55 @@ object Dedup {
         (size(d("_vtoks")).cast("double") + size(r(s"_ct$b")).cast("double") - inter)
       d.join(r, d(s"_bk$b") === r(s"_cbk$b") && j >= minJaccard, "left_anti")
     }.drop("_vtoks" +: (0 until bands).map(b => s"_bk$b"): _*)
+  }
+
+  /** BATCH twin of [[verifiedNearDupReject]] — the identical reject set
+    * (spec-pinned set-equality) through ONE join instead of `bands`
+    * chained anti-joins. The chain form exists because a STREAMING plan
+    * may not join the stream against an aggregate derived from itself —
+    * each per-band anti-join must stay stream-static. A batch caller has
+    * no such constraint, and the chain's plan is expensive at scale:
+    * every anti-join re-shuffles the surviving batch WITH its payload
+    * (text, pre-tokenized set, all band keys) on the next band key, and
+    * re-exchanges + re-sorts the corpus-scale state — 2·bands
+    * corpus/batch exchanges for one logical membership test (guide
+    * §2.3 "shuffle fewer bytes", §2.4 "remove shuffles outright";
+    * round-20, measured 2.6× on the x61 vsCorpus stage).
+    *
+    * Here the batch's band keys EXPLODE into (id, token set, bk) rows —
+    * one exchange of the stacked frame, one of the state — and a single
+    * hash semi-join with the Jaccard residual yields the rejected-id
+    * set (DISTINCT ids, bounded by the batch), which anti-joins back
+    * broadcast-sized. OR-over-bands ≡ EXISTS over stacked rows, so the
+    * reject set is exactly the chain's.
+    */
+  def verifiedNearDupRejectStacked(docs: DataFrame, bandDocs: DataFrame,
+      bands: Int = Pipeline.DefaultBands,
+      rowsPerBand: Int = Pipeline.DefaultRowsPerBand,
+      minJaccard: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // rejection keyed on the CONTENT pair (id, text digest) — the
+    // mergeNewDocs discipline — so rows sharing an id but carrying
+    // different text still decide independently, exactly as the
+    // per-row chain does. A rejected row's digest is never null (a
+    // null text yields null token sets, and the Jaccard residual's
+    // null comparison never matches), so the plain equi anti-join is
+    // exact: null-digest rows simply never appear in `rejected`.
+    val stacked = docs
+      .withColumn("_bks", bandKeysArray(col(textCol), bands, rowsPerBand))
+      .withColumn("_vtoks", array_distinct(tokens(col(textCol))))
+      .select(col(idCol).as("_vid"), md5(col(textCol)).as("_vh"),
+        col("_vtoks"), explode(col("_bks")).as("_bk"))
+    val r = bandDocs.select(col("bk").as("_cbk"), col("ctoks"))
+    val inter = size(array_intersect(col("_vtoks"), col("ctoks"))).cast("double")
+    val j = inter /
+      (size(col("_vtoks")).cast("double") + size(col("ctoks")).cast("double") - inter)
+    val rejected = stacked
+      .join(r, col("_bk") === col("_cbk") && j >= minJaccard, "left_semi")
+      .select(col("_vid"), col("_vh")).distinct()
+    docs.join(rejected,
+      col(idCol) === col("_vid") && md5(col(textCol)) === col("_vh"),
+      "left_anti")
   }
 
   /** Near-duplicate CLUSTERS from candidate pairs: `rounds` iterations of

@@ -111,12 +111,16 @@ object Pipeline {
         // so the gate costs one corpus pass with ZERO shuffle — the
         // join-based scorer would explode tokens and shuffle the whole
         // corpus on the id (bitwise-equal forms, spec-pinned).
-        // Round-20: the scored frame itself is memoized per
-        // (docs, weights, dims) — x253's calibration diagram scores the
-        // same corpus with the same weights, so gate + calibration now
-        // share ONE scoring pass (guide §2.4 "share one exchange",
-        // applied to a corpus scan).
-        val scored = TextAnalysis.memoScoredWithWeights(docs, wt, dims)
+        // Round-20: PEEK for a memoized scored frame first — x253's
+        // calibration diagram scores the same corpus with the same
+        // weights and memoizes the materialized result, so its gate
+        // reuses that one scoring pass (guide §2.4, applied to a
+        // corpus scan). A lone gate (x247) misses the peek and keeps
+        // the fused scorer+filter+join single-pass plan — no extra
+        // materialization barrier.
+        val scored = TextAnalysis.memoScoredLookup(docs, wt, dims)
+          .getOrElse(TextAnalysis
+            .classifierScoreWithWeightsMapOnly(docs, wt, dims))
         // keepBin: the CALIBRATED gate (x253) — keep documents whose
         // round-6 sigmoid prob lands in reliability bin >= keepBin, the
         // bin chosen from the isotonic-fitted curve
@@ -643,9 +647,17 @@ object Pipeline {
     }
     // vsCorpus feeds three consumers (LSH candidates, the jaccard member
     // prune, the dedup anti-join) — materialize it or each re-executes
-    // the per-band verified anti-joins
+    // the verified rejection. Round-20: the BATCH path uses the STACKED
+    // one-join form (explode the batch's band keys once, one semi-join
+    // against the state with the Jaccard residual, one anti-join of the
+    // tiny rejected-id set) instead of the `bands` chained anti-joins,
+    // which re-shuffled the batch payload (text + token set + all band
+    // keys) AND re-exchanged + re-sorted the corpus-scale state once
+    // PER BAND (guide §2.3/§2.4; measured 2.6x on this stage). Same
+    // reject set — spec-pinned against the chain form, which remains
+    // the streaming-legal core the ingest gate runs.
     val vsCorpus = Checkpoints.materialize(
-      Dedup.verifiedNearDupReject(exact, bandState,
+      Dedup.verifiedNearDupRejectStacked(exact, bandState,
         bands = bands, rowsPerBand = rowsPerBand, minJaccard = minJaccard))
 
     // within-batch verified near-dup dedup (batch survivors are small —

@@ -246,6 +246,31 @@ object StageCache {
     memoImpl(tag, frames, params, fixture = false,
       inherit = inheritFixture)(stage)
 
+  /** PEEK: the cached value for (tag, input plans, params) if — and
+    * only if — a COMPLETED entry already exists; never computes, never
+    * inserts. For stages where memoization itself has a cost the first
+    * consumer shouldn't pay (round-20: the trained-scorer frame — a
+    * lone model gate keeps its fused one-pass plan, but when the
+    * calibration diagram has already memoized the materialized scored
+    * frame, the gate reuses it instead of re-scoring the corpus). A hit
+    * refreshes LRU recency like [[memo]].
+    */
+  def lookup[T <: AnyRef](tag: String, frames: Seq[DataFrame],
+      params: Seq[Any]): Option[T] = {
+    if (!enabled || frames.isEmpty) return None
+    val sess: AnyRef = frames.head.sparkSession
+    val plans = frames.map(_.queryExecution.analyzed)
+    val boxOpt = entries.synchronized {
+      val i = entries.indexWhere(e => sameKey(e._1, sess, tag, plans, params))
+      if (i >= 0 && entries(i)._2.done) {
+        val e = entries.remove(i)
+        entries += e
+        Some(e._2)
+      } else None
+    }
+    boxOpt.map(_.value.asInstanceOf[T])
+  }
+
   /** [[memo]] for experiment/test SCAFFOLDING (planted corpora and the
     * like): the entry — and, transitively, every stage computed FROM
     * its frames except `inheritFixture = false` call sites — survives

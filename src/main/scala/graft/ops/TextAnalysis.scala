@@ -928,6 +928,18 @@ object TextAnalysis {
         classifierScoreWithWeightsMapOnly(docs, weights, dims, textCol, idCol))
     }
 
+  /** The [[memoScoredWithWeights]] entry IF a completed one exists —
+    * never computes. The model gate peeks with this: a lone gate (x247)
+    * keeps its fused one-pass scorer+filter+join plan with no extra
+    * materialization barrier, while a pipeline whose calibration pass
+    * already memoized the scored frame (x253) reuses it for free.
+    */
+  def memoScoredLookup(docs: DataFrame, weights: DataFrame,
+      dims: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): Option[DataFrame] =
+    StageCache.lookup[DataFrame]("trained_scored", Seq(docs, weights),
+      Seq(dims, textCol, idCol))
+
   def classifierScoreWithWeightsMapOnly(docs: DataFrame,
       weights: DataFrame, dims: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -936,15 +948,21 @@ object TextAnalysis {
         col("weight_micro").cast("long")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // md5 materialized once per token, then the bucket lookup reads it
-    // (the hexToIntSql bulk discipline, inside the lambda)
+    // (the hexToIntSql bulk discipline, inside the lambda); the token
+    // array itself is STAGED into its own column (round-20) — the old
+    // form referenced split() twice (n_tokens + the weight fold) and
+    // the HOF tree is CodegenFallback, so both references paid the
+    // split per row. `_toks` is non-cheap and multiply-referenced, so
+    // CollapseProject keeps the staging boundary.
     val wArr = s"""transform(
-      transform(split($textCol, ' '), t -> md5(t)),
+      transform(_toks, t -> md5(t)),
       d -> coalesce(element_at(_wmap,
         pmod(${hexToIntSql("d", 8)}, ${dims}L)), 0L))"""
     docs.filter(col(textCol).isNotNull)
       .withColumn("_wmap", typedLit(wMap))
+      .withColumn("_toks", tokens(col(textCol)))
       .select(col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        size(col("_toks")).cast("long").as("n_tokens"),
         expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s"))
       .withColumn("_scaled",
         expr("""(CASE WHEN _s < 0 THEN -1L ELSE 1L END)
@@ -962,14 +980,18 @@ object TextAnalysis {
       carry: Seq[String] = Nil): DataFrame = {
     require(dims >= 2, s"need dims >= 2, got $dims")
     // per-row integer weight list: token -> md5 (once) -> 8-hex bucket ->
-    // quantized weight; the per-doc sum is an exact integer fold
+    // quantized weight; the per-doc sum is an exact integer fold. The
+    // token array is staged into `_toks` (round-20) so the split runs
+    // once per row, not once per reference (same staging as the
+    // trained-weights twin above).
     val wArr = s"""transform(
-      transform(split($textCol, ' '), t -> md5(t)),
+      transform(_toks, t -> md5(t)),
       d -> pmod(pmod(${hexToIntSql("d", 8)}, ${dims}L) * 2654435761L,
         2000001L) - 1000000L)"""
     val carried = carry.map(col)
-    docs.select(Seq(col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+    docs.withColumn("_toks", tokens(col(textCol)))
+      .select(Seq(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
         expr(s"aggregate($wArr, 0L, (a, x) -> a + x)").as("_s")) ++
         carried: _*)
       // score = round(_s / (10^6 * n), 6) computed ENTIRELY in BIGINT:

@@ -535,6 +535,30 @@ class ExtensionSpec extends SparkSuite {
     assert(viaArray == viaBatch)
   }
 
+  test("stacked batch verified reject == chained per-band anti-joins " +
+      "(round-20: the one-join batch twin keeps the chain's reject set)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val state = Dedup.corpusBandDocs(corpus, bands = 2, rowsPerBand = 4)
+      .cache()
+    try {
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("doc_id").collect().map(_.getLong(0)).toSet
+      val chain = ids(Dedup.verifiedNearDupReject(batch, state,
+        bands = 2, rowsPerBand = 4, minJaccard = 0.3))
+      val stacked = ids(Dedup.verifiedNearDupRejectStacked(batch, state,
+        bands = 2, rowsPerBand = 4, minJaccard = 0.3))
+      assert(stacked == chain,
+        s"forms diverge: only-chain=${chain -- stacked} " +
+          s"only-stacked=${stacked -- chain}")
+      // and the gate actually rejects something at this threshold, so
+      // the equality above is not vacuous
+      assert(chain.size < batch.count())
+    } finally { state.unpersist(); () }
+  }
+
   test("IVF(nprobe=2) recall@3 vs brute force stays high (ANN quality gate)") {
     import graft.functions.Similarity
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
