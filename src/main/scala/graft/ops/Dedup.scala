@@ -665,15 +665,27 @@ object Dedup {
         expr(s"CASE WHEN m > $maxBucket THEN m - 1 " +
           "ELSE m * (m - 1) DIV 2 END * n_buckets").as("n_emitted_pairs"))
 
+  /** Stacked (id, band id, band key) rows, MAP-ONLY (round 20): the
+    * per-row [[bandKeysArray]] ladder replaces the explode/groupBy
+    * signature route, which shuffled every per-shingle hash row through
+    * the groupBy(id) exchange — a full corpus-scale shuffle at 100 TB
+    * — before the band keys even existed. Post-bindOnce the HOF ladder
+    * costs the same hash work with ZERO exchange (graft.SigBench:
+    * byte-identical stacked rows, 1.2–1.9 s explode/groupBy vs
+    * 1.3–1.5 s map-only at sf0.1 — a local wash, a structural shuffle
+    * removal at scale; the early-round negative result on the HOF form
+    * predates bindOnce, which removed the k× duplicated hash pass that
+    * made it lose).
+    *
+    * PRECONDITION: `idCol` unique per row (every caller feeds a
+    * primary-key id). The groupBy route MERGED duplicate-id rows into
+    * one signature; the per-row ladder signs each row independently.
+    */
   private def stackedBandKeys(docs: DataFrame, bands: Int, rowsPerBand: Int,
-      textCol: String, idCol: String): DataFrame = {
-    val sig = bandKeys(minhashSignature(docs, bands * rowsPerBand, textCol, idCol),
-      bands, rowsPerBand)
-    sig.select(col(idCol),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("bid"), col(s"band$b").as("bk"))): _*)).as("band"))
-      .select(col(idCol), col("band.bid").as("bid"), col("band.bk").as("bk"))
-  }
+      textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(bandKeysArray(col(textCol), bands, rowsPerBand)))
+      .select(col(idCol), col("pos").cast("int").as("bid"), col("col").as("bk"))
 
   /** Candidate pairs from stacked (bid, bk, id) band keys under the
     * [[DefaultMaxBucket]] mega-bucket policy: buckets at or under

@@ -70,7 +70,15 @@ object Sketches {
       textCol: String = "text"): DataFrame = {
     val toks = docs
       .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
-    val sketch = kmvSketch(docs, k, groupCol, textCol).persist()
+    // MATERIALIZED, not persist()ed (round-20 cache-hygiene fix): the
+    // sketch feeds two consumers, but a persist here was never
+    // unpersisted — the lazy result kept referencing it, so every call
+    // left a registered cache entry for the session's lifetime (the
+    // round-5 lifecycle discipline violated; visible whenever the
+    // suite-order exposed ExtensionSpec's cacheIsEmpty invariant). The
+    // sketch is O(k·groups) short rows — an eager checkpoint is
+    // cheaper than the corpus-scale recompute either way.
+    val sketch = Checkpoints.materialize(kmvSketch(docs, k, groupCol, textCol))
 
     val perSource = estimate(sketch, groupCol, k)
       .join(toks.groupBy(col(groupCol))
@@ -108,7 +116,8 @@ object Sketches {
       textCol: String = "text"): DataFrame = {
     val tagged = oldDocs.select(lit("old").as("_snap"), col(textCol))
       .unionByName(newDocs.select(lit("new").as("_snap"), col(textCol)))
-    val sketch = kmvSketch(tagged, k, "_snap", textCol).persist()
+    // materialized for the same cache-hygiene reason as kmvReport's
+    val sketch = Checkpoints.materialize(kmvSketch(tagged, k, "_snap", textCol))
     val perSnap = estimate(sketch, "_snap", k)
     // union sketch: k smallest distinct hvs across BOTH k-min sets —
     // O(2k) rows, no text re-read
